@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared table loaders. All graded inputs are the driver-generated parquet
+  * tables (TESTDATA.md): one `spark.read.parquet` per table — Catalyst owns
+  * pushdown/pruning from there. */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    // parquet reader rejects; read it as long and convert (see [[events]]).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String)    = load(s, d, "region")
+  def nation(s: SparkSession, d: String)    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String)  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String)  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String)      = load(s, d, "part")
+  def orders(s: SparkSession, d: String)    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String)  = load(s, d, "lineitem")
+  /** `events` with `ts` restored to TIMESTAMP: the file stores
+    * TIMESTAMP(NANOS) (driver generator used ns precision), which Spark
+    * reads as epoch-nanos BIGINT under `nanosAsLong`; all residues below
+    * the microsecond are zero in the testdata, so `ts div 1000` micros is
+    * lossless. Integer division on LONG — a double intermediate would lose
+    * precision above 2^53 ns. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+  def documents(s: SparkSession, d: String) = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
+
+  /** The captured CDC bus: `events` with the routed `channel` path
+    * synthesized as `cdc/<event_type>/<user_id>` (SURVEY §1.5 role mapping —
+    * routing is data, the physical address is constant, mirroring the
+    * reference's publish quirk at lib/nats.js:175). */
+  def bus(s: SparkSession, d: String): DataFrame =
+    events(s, d).withColumn("channel",
+      concat_ws("/", lit("cdc"), col("event_type"), col("user_id").cast("string")))
+
+  /** DuckDB-side twin of [[bus]] as a CTE named `ev`. `ts` is cast from
+    * DuckDB's TIMESTAMP_NS down to microsecond TIMESTAMP to mirror the
+    * Spark side (lossless on this data — see [[events]]). */
+  val BusCte: String =
+    "WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts), " +
+      "'cdc/' || event_type || '/' || CAST(user_id AS VARCHAR) AS channel FROM events)"
+}

@@ -1,0 +1,175 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.GraftFunctions.mqtt_matches
+
+/** The CDC-bus operator set — Spark-first re-expression of the reference's
+  * entire computational surface (SURVEY §2a #1-#10):
+  * scan-once/filter-many routing, per-subscription take(n), delivery
+  * counters, first-response-wins RPC with timeout fallback, JSON payload
+  * access, channel-level extraction.
+  *
+  * Every query is deterministic (total ORDER BY) and has a DuckDB twin in
+  * [[oracle]] whose MQTT regexes are compiled by the same
+  * [[MqttPattern.toRegex]] the Spark expression uses.
+  */
+object CdcBus {
+
+  private def rx(pattern: String): String = MqttPattern.toRegex(pattern)
+
+  /** Flagship: hottest channels among those routed to the error
+    * subscription (`cdc/error/#`) — scan → synthesize channel → custom
+    * predicate → agg → sort → limit. */
+  def routeHot(s: SparkSession, d: String): DataFrame =
+    Tables.bus(s, d)
+      .filter(mqtt_matches(lit("cdc/error/#"), col("channel")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("n").desc, col("channel"))
+      .limit(20)
+
+  /** The reference's per-subscription `received` counters
+    * (lib/nats.js:97) over a dynamic subscription table — exercises the
+    * non-constant-pattern path of the matcher. Left join keeps
+    * zero-delivery subscriptions (counters start at 0). */
+  def subCounters(s: SparkSession, d: String): DataFrame = {
+    val spark = s; import spark.implicits._
+    val pats = subs.toDF("sub", "pattern")
+    pats.join(Tables.bus(s, d), mqtt_matches(col("pattern"), col("channel")), "left")
+      .groupBy(col("sub"))
+      .agg(count(col("channel")).as("received"))
+      .orderBy(col("sub"))
+  }
+
+  private val subs = Seq(
+    "s_all"      -> "cdc/#",
+    "s_click"    -> "cdc/click/#",
+    "s_err"      -> "cdc/error/#",
+    "s_none"     -> "cdc/nosuch/#",
+    "s_user1"    -> "cdc/+/1")
+
+  /** take(n)/auto-unsubscribe (lib/nats.js:98-107): exactly the first
+    * `max=5` messages matching the subscription, in arrival (event_id)
+    * order. Filter first, then a global rank over the small matched set —
+    * the bound is inherently a total order over matches. */
+  def takeN(s: SparkSession, d: String): DataFrame =
+    Tables.bus(s, d)
+      .filter(mqtt_matches(lit("cdc/signup/#"), col("channel")))
+      .withColumn("rn", row_number().over(Window.orderBy(col("event_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("event_id"), col("channel"), col("ts"))
+      .orderBy(col("event_id"))
+
+  /** RPC first-response-wins (lib/nats.js:216-223): k response-pattern
+    * subscriptions unioned, earliest arrival wins. */
+  def rpcFirst(s: SparkSession, d: String): DataFrame = {
+    val bus = Tables.bus(s, d)
+    val resA = bus.filter(mqtt_matches(lit("cdc/purchase/#"), col("channel")))
+    val resB = bus.filter(mqtt_matches(lit("cdc/error/#"), col("channel")))
+    resA.unionByName(resB)
+      .select(col("event_id"), col("channel"), col("ts"), lit(200).as("code"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(1)
+  }
+
+  /** RPC timeout fallback (lib/nats.js:238-247): no response on the
+    * subscribed patterns → soft-resolve a 408 sentinel row. Set-based
+    * COALESCE: union the would-be response with the default row, keep the
+    * lowest code (a real response's 200 outranks the 408 default). */
+  def rpcTimeout(s: SparkSession, d: String): DataFrame = {
+    val hit = Tables.bus(s, d)
+      .filter(mqtt_matches(lit("cdc/nosuch/#"), col("channel")))
+      .select(col("event_id"), lit(200).as("code"))
+    val fallback = s.range(1).select(lit(-1L).as("event_id"), lit(408).as("code"))
+    hit.unionByName(fallback)
+      .orderBy(col("code"), col("event_id"))
+      .limit(1)
+  }
+
+  /** Opaque JSON payload access (`contentType:"json"` convention,
+    * examples/cdc-pub.js:34,39): extract `$.k` from `props`, aggregate per
+    * routed event_type. */
+  def jsonPayload(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"),
+           sum(col("k")).as("sum_k"),
+           round(avg(col("k").cast("double")), 3).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  /** Channel-level extraction (mqtt-pattern named wildcards `+name`):
+    * split the topic path and group on the extracted parameter levels. */
+  def channelExtract(s: SparkSession, d: String): DataFrame =
+    Tables.bus(s, d)
+      .withColumn("etype", element_at(split(col("channel"), "/"), 2))
+      .withColumn("uid", element_at(split(col("channel"), "/"), 3))
+      .groupBy(col("etype"))
+      .agg(countDistinct(col("uid")).as("n_users"), count(lit(1)).as("n"))
+      .orderBy(col("etype"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_route_hot"       -> (routeHot _),
+    "cdc_sub_counters"    -> (subCounters _),
+    "cdc_take_n"          -> (takeN _),
+    "cdc_rpc_first"       -> (rpcFirst _),
+    "cdc_rpc_timeout"     -> (rpcTimeout _),
+    "cdc_json_payload"    -> (jsonPayload _),
+    "cdc_channel_extract" -> (channelExtract _))
+
+  val oracle: Map[String, String] = Map(
+    "cdc_route_hot" ->
+      s"""${Tables.BusCte}
+         |SELECT channel, count(*) AS n, round(sum(value), 2) AS total_value
+         |FROM ev WHERE regexp_matches(channel, '${rx("cdc/error/#")}')
+         |GROUP BY channel ORDER BY n DESC, channel LIMIT 20""".stripMargin,
+
+    "cdc_sub_counters" ->
+      s"""${Tables.BusCte}
+         |SELECT sub, count(channel) AS received
+         |FROM (VALUES ${subs.map { case (n, p) => s"('$n', '${rx(p)}')" }.mkString(", ")}) pats(sub, pat_rx)
+         |LEFT JOIN ev ON regexp_matches(ev.channel, pats.pat_rx)
+         |GROUP BY sub ORDER BY sub""".stripMargin,
+
+    "cdc_take_n" ->
+      s"""${Tables.BusCte}
+         |SELECT event_id, channel, ts FROM (
+         |  SELECT event_id, channel, ts,
+         |         row_number() OVER (ORDER BY event_id) AS rn
+         |  FROM ev WHERE regexp_matches(channel, '${rx("cdc/signup/#")}')
+         |) WHERE rn <= 5 ORDER BY event_id""".stripMargin,
+
+    "cdc_rpc_first" ->
+      s"""${Tables.BusCte}
+         |SELECT event_id, channel, ts, 200 AS code FROM ev
+         |WHERE regexp_matches(channel, '${rx("cdc/purchase/#")}')
+         |   OR regexp_matches(channel, '${rx("cdc/error/#")}')
+         |ORDER BY ts, event_id LIMIT 1""".stripMargin,
+
+    "cdc_rpc_timeout" ->
+      s"""${Tables.BusCte}
+         |SELECT event_id, code FROM (
+         |  SELECT event_id, 200 AS code FROM ev
+         |  WHERE regexp_matches(channel, '${rx("cdc/nosuch/#")}')
+         |  UNION ALL SELECT CAST(-1 AS BIGINT), 408
+         |) ORDER BY code, event_id LIMIT 1""".stripMargin,
+
+    "cdc_json_payload" ->
+      """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |       round(avg(CAST(k AS DOUBLE)), 3) AS avg_k
+        |FROM (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "cdc_channel_extract" ->
+      s"""${Tables.BusCte}
+         |SELECT str_split(channel, '/')[2] AS etype,
+         |       count(DISTINCT str_split(channel, '/')[3]) AS n_users,
+         |       count(*) AS n
+         |FROM ev GROUP BY 1 ORDER BY etype""".stripMargin)
+}

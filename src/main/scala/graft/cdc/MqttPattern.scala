@@ -1,0 +1,88 @@
+package graft.cdc
+
+/** MQTT topic-filter matching — the reference engine's core routing
+  * primitive (reference `lib/nats.js:94`, via mqtt-pattern@1.1.3).
+  *
+  * Semantics (one implementation, two backends — the boolean matcher used by
+  * the Catalyst expression, and the regex compiler used to build the DuckDB
+  * oracle SQL; both derive from the same level-wise rules):
+  *
+  *   - pattern and topic are '/'-separated level paths;
+  *   - a pattern level starting with '+' (bare or named, e.g. "+id")
+  *     matches exactly one topic level, of any content (including empty);
+  *   - a pattern level starting with '#' (bare or named, e.g. "#rest")
+  *     matches the remaining ZERO or more topic levels and is only valid
+  *     as the last pattern level (a '#' earlier is a non-match for any
+  *     topic that reaches it with levels remaining semantics-wise we follow
+  *     MQTT: '#' matches the parent too, so "a/#" matches "a");
+  *   - any other pattern level must equal the topic level literally;
+  *   - both paths must be fully consumed (no trailing unmatched topic
+  *     levels unless absorbed by a final '#').
+  */
+object MqttPattern {
+
+  @inline private def isPlus(seg: String): Boolean =
+    seg.nonEmpty && seg.charAt(0) == '+'
+  @inline private def isHash(seg: String): Boolean =
+    seg.nonEmpty && seg.charAt(0) == '#'
+
+  /** True iff `topic` matches the MQTT filter `pattern`. */
+  def matches(pattern: String, topic: String): Boolean = {
+    val ps = pattern.split("/", -1)
+    val ts = topic.split("/", -1)
+    var i = 0
+    while (i < ps.length) {
+      val p = ps(i)
+      if (isHash(p)) return i == ps.length - 1 // '#' must be last; eats 0..n tail levels
+      if (i >= ts.length) return false          // topic exhausted, pattern not
+      if (!isPlus(p) && p != ts(i)) return false
+      i += 1
+    }
+    ps.length == ts.length
+  }
+
+  /** Regex-escape restricted to the metacharacter set that Java regex and
+    * DuckDB's RE2 treat identically (no \Q..\E — RE2 lacks it). */
+  private def escape(s: String): String =
+    s.flatMap { c =>
+      if ("\\.[]{}()*+?^$|".indexOf(c.toInt) >= 0) "\\" + c else c.toString
+    }
+
+  /** Compile a pattern to an anchored regex with identical semantics in
+    * Java (`java.util.regex`) and DuckDB (RE2). Used for the oracle-SQL
+    * twin of every mqtt_matches query, and for the pre-compiled fast path
+    * in the Catalyst expression's codegen. */
+  def toRegex(pattern: String): String = {
+    val ps = pattern.split("/", -1)
+    val hashAt = ps.indexWhere(isHash)
+    val head = if (hashAt >= 0) ps.take(hashAt) else ps
+    val body = head.map { s =>
+      if (isPlus(s)) "[^/]*" else escape(s)
+    }.mkString("/")
+    if (hashAt < 0) "^" + body + "$"
+    else if (head.isEmpty) "^.*$"                 // pattern is bare '#'
+    else "^" + body + "(/.*)?$"                   // zero-or-more tail levels
+  }
+
+  /** Named-wildcard parameter extraction (mqtt-pattern `exec`): returns
+    * (paramName -> matched level(s)) for "+name" / "#name" segments, or
+    * None when the topic does not match. '#name' captures the joined tail. */
+  def extract(pattern: String, topic: String): Option[Map[String, String]] = {
+    if (!matches(pattern, topic)) return None
+    val ps = pattern.split("/", -1)
+    val ts = topic.split("/", -1)
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < ps.length) {
+      val p = ps(i)
+      if (isHash(p)) {
+        if (p.length > 1) m += (p.substring(1) -> ts.drop(i).mkString("/"))
+        i = ps.length
+      } else {
+        if (isPlus(p) && p.length > 1) m += (p.substring(1) -> ts(i))
+        i += 1
+      }
+    }
+    Some(m.toMap)
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.MqttPattern
+
+/** Table-driven + (seeded) randomized tests for the matcher and its regex
+  * compiler (semantics of mqtt-pattern@1.1.3 as used at reference
+  * lib/nats.js:94; case table per FIXTURES.md §B.2). */
+class MqttPatternSpec extends AnyFunSuite {
+
+  val cases: Seq[(String, String, Boolean)] = Seq(
+    // literal
+    ("a/b/c", "a/b/c", true),
+    ("a/b/c", "a/b/d", false),
+    ("a/b", "a/b/c", false),
+    ("a/b/c", "a/b", false),
+    ("a", "a", true),
+    ("", "", true),
+    // + single level
+    ("a/+/c", "a/b/c", true),
+    ("a/+/c", "a/x/c", true),
+    ("a/+/c", "a/b/d", false),
+    ("a/+/c", "a/b/x/c", false),
+    ("+", "a", true),
+    ("+", "a/b", false),
+    ("a/+", "a", false),          // + needs exactly one level
+    ("a/+", "a/", true),          // ...which may be empty
+    ("+/+", "/", true),
+    // # tail (zero or more levels)
+    ("#", "a/b/c", true),
+    ("#", "", true),
+    ("a/#", "a/b/c", true),
+    ("a/#", "a", true),           // parent level matches
+    ("a/#", "b/c", false),
+    ("a/b/#", "a/b", true),
+    ("a/b/#", "a", false),
+    // named wildcards
+    ("a/+id/c", "a/42/c", true),
+    ("cdc/+etype/#rest", "cdc/click/7", true),
+    ("cdc/+etype/#rest", "cdc/click", true),
+    ("cdc/+etype/#rest", "cdc", false),
+    // # not last → never matches once reached
+    ("a/#/c", "a/b/c", false),
+    ("a/#/c", "a/x/y", false),
+    // mixed
+    ("cdc/+/1", "cdc/error/1", true),
+    ("cdc/+/1", "cdc/error/12", false),
+    // regex metacharacters in literals stay literal
+    ("a.b/+", "a.b/c", true),
+    ("a.b/+", "axb/c", false))
+
+  test("matcher agrees with case table") {
+    cases.foreach { case (p, t, want) =>
+      assert(MqttPattern.matches(p, t) === want, s"matches($p, $t)")
+    }
+  }
+
+  test("compiled regex agrees with case table (oracle parity)") {
+    cases.foreach { case (p, t, want) =>
+      // '#' mid-pattern is outside the regex compiler's domain (we never
+      // generate such patterns); everything else must agree.
+      if (!p.split("/", -1).dropRight(1).exists(_.startsWith("#"))) {
+        val got = java.util.regex.Pattern.compile(MqttPattern.toRegex(p))
+          .matcher(t).matches()
+        assert(got === want, s"regex($p) on $t (rx=${MqttPattern.toRegex(p)})")
+      }
+    }
+  }
+
+  test("extract returns named params") {
+    assert(MqttPattern.extract("cdc/+etype/+uid", "cdc/click/7")
+      === Some(Map("etype" -> "click", "uid" -> "7")))
+    assert(MqttPattern.extract("cdc/+etype/#rest", "cdc/click/7/x")
+      === Some(Map("etype" -> "click", "rest" -> "7/x")))
+    assert(MqttPattern.extract("cdc/+/x", "cdc/click/7") === None)
+  }
+
+  private val rnd = new scala.util.Random(42)
+  private def seg(): String = {
+    val pool = Seq("a", "b", "cdc", "click", "x9", "Err", "42", "n.o")
+    pool(rnd.nextInt(pool.length))
+  }
+  private def path(max: Int = 5): String =
+    Seq.fill(rnd.nextInt(max + 1))(seg()).mkString("/")
+  private def pat(): String = {
+    val n = rnd.nextInt(5)
+    val segs = Seq.fill(n)(if (rnd.nextInt(3) == 0) "+" else seg())
+    val base = segs.mkString("/")
+    rnd.nextInt(3) match {
+      case 0 => base
+      case 1 => if (base.isEmpty) "#" else base + "/#"
+      case _ => base
+    }
+  }
+
+  test("randomized: a topic matches itself; '#' matches everything") {
+    (1 to 500).foreach { _ =>
+      val t = path()
+      assert(MqttPattern.matches(t, t), s"self-match $t")
+      assert(MqttPattern.matches("#", t), s"# vs $t")
+    }
+  }
+
+  test("randomized: regex compiler ≡ matcher on 5000 (pattern, topic) pairs") {
+    (1 to 5000).foreach { _ =>
+      val p = pat(); val t = path()
+      val viaMatcher = MqttPattern.matches(p, t)
+      val viaRegex = java.util.regex.Pattern.compile(MqttPattern.toRegex(p))
+        .matcher(t).matches()
+      assert(viaMatcher === viaRegex,
+        s"divergence pattern=$p topic=$t rx=${MqttPattern.toRegex(p)}")
+    }
+  }
+
+  test("randomized: '+' never matches across '/'") {
+    (1 to 200).foreach { _ =>
+      val t = seg() + "/" + seg()
+      assert(!MqttPattern.matches("+", t), s"+ vs $t")
+    }
+  }
+}
