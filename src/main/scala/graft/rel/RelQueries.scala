@@ -1,0 +1,540 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Relational operator catalog (SURVEY §2b table 2) — the north-star
+  * "query capabilities" surface, expressed DataFrame-first so Catalyst owns
+  * pushdown/pruning/join selection. Conventions for oracle hash-parity:
+  * total ORDER BY on both sides (NULLS FIRST made explicit when a sort key
+  * is nullable), doubles rounded, derived integers cast to BIGINT, small
+  * dimensions broadcast explicitly.
+  */
+object RelQueries {
+
+  // ---- scans, filters, aggregation ----------------------------------
+
+  /** TPC-H Q1-style pricing summary: filter → hash agg (partial+final). */
+  def q1Pricing(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 3).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Multi-agg with distinct counts and min/max. */
+  def aggStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"))
+      .orderBy(col("l_returnflag"))
+
+  // ---- joins --------------------------------------------------------
+
+  /** Star join through two broadcast dimensions: revenue by region. */
+  def joinRegionRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("r_name"))
+
+  /** Left outer join keeping customers with zero orders. */
+  def joinLeft(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_custkey")).as("n_cust"),
+           count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Full outer join of two per-nation aggregates (customers vs suppliers). */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val p = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk2"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, col("nk") === col("nk2"), "full")
+      .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+              coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+              coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Left-semi join (EXISTS): customers holding at least one 'F' order. */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Left-anti join (NOT EXISTS): customers with no 'P' (pending) orders. */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Theta (non-equi) self-join: unordered nation pairs within a region. */
+  def joinTheta(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d).select(col("n_regionkey").as("rk"), col("n_name").as("a"))
+    val n2 = Tables.nation(s, d).select(col("n_regionkey").as("rk2"), col("n_name").as("b"))
+    n1.join(n2, col("rk") === col("rk2") && col("a") < col("b"))
+      .groupBy(col("rk").as("regionkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("regionkey"))
+  }
+
+  /** As-of semantics as a shuffle-light window (SURVEY §2b): for every
+    * error event, the timestamp of that user's most recent prior click.
+    * Partitioned by user — no global sort, no join. */
+  def asofPrevClick(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("prev_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("prev_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---- grouping sets / rollup / cube --------------------------------
+
+  def rollupAcct(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("acct"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  def cubeFlags(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** GROUPING SETS via Spark SQL over a registered view. */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+  }
+
+  // ---- window functions ---------------------------------------------
+
+  /** Top-3 orders per market segment (rank inside partition, then keep k —
+    * the partitioned top-k shape that survives scale-up). */
+  def windowTopk(s: SparkSession, d: String): DataFrame = {
+    val joined = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn").cast("long").as("rn"),
+              col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** lag(): mean inter-event gap per user, computed on exact integer
+    * micros (sum of longs) to stay float-deterministic. */
+  def windowLagGap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("gap_us")).cast("double") / (count(col("gap_us")) * lit(1e6)), 3).as("avg_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Running sum over a frame spec. */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .withColumn("running", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("running"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** ntile quartiles of customers by account balance. */
+  def windowNtile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"),
+           round(min(col("c_acctbal")), 2).as("lo"),
+           round(max(col("c_acctbal")), 2).as("hi"))
+      .orderBy(col("quartile"))
+  }
+
+  // ---- sort / limit / set ops ---------------------------------------
+
+  /** Global top-k → Spark plans TakeOrderedAndProject (no full sort). */
+  def topkGlobal(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** INTERSECT / EXCEPT / UNION ALL in one result. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val withO = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val withF = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val both = withO.intersect(withF).agg(count(lit(1)).as("n"))
+      .select(lit("both").as("tag"), col("n"))
+    val onlyO = withO.distinct.except(withF).agg(count(lit(1)).as("n"))
+      .select(lit("only_o").as("tag"), col("n"))
+    both.unionByName(onlyO).orderBy(col("tag"))
+  }
+
+  // ---- scalar function sampler --------------------------------------
+
+  def scalarString(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .withColumn("word", regexp_extract(col("p_name"), "^(\\w+)", 1))
+      .withColumn("brand_u", upper(col("p_brand")))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("brand_u")).as("n_brand"),
+           sum(length(col("p_name")).cast("long")).as("chars"))
+      .orderBy(col("word"))
+
+  def scalarDate(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("month", date_trunc("month", col("o_orderdate")))
+      .withColumn("y", year(col("o_orderdate")).cast("long"))
+      .groupBy(col("y"), col("month"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("y"), col("month"))
+
+  def scalarMath(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy(col("p_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("p_retailprice")).cast("long")).as("sum_floor"),
+        sum(ceil(col("p_retailprice")).cast("long")).as("sum_ceil"),
+        round(avg(log(col("p_retailprice"))), 4).as("avg_ln"),
+        round(max(pow(col("p_size").cast("double"), 2d)), 1).as("max_size_sq"),
+        round(sum(abs(col("p_retailprice") - 1000d)), 2).as("sum_absdev"))
+      .orderBy(col("p_type"))
+
+  def caseBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("bucket",
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "low")
+          .when(col("c_acctbal") < 8000, "mid")
+          .otherwise("high"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+      .orderBy(col("bucket"))
+
+  /** Scalar-subquery shape: orders above the global mean price.
+    * Spark side: broadcast the 1-row aggregate (no correlated rescan). */
+  def aboveAvg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val avgP = o.agg(avg(col("o_totalprice")).as("avg_price"))
+    o.crossJoin(broadcast(avgP))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // ---- streaming-shaped (batch-equivalent oracle) --------------------
+
+  /** Tumbling 1-hour event-time window (Structured Streaming's groupBy
+    * window() — identical semantics on bounded input). */
+  def eventsTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Session windows, batch form: gaps-and-islands with a 30-minute gap.
+    * (The streaming twin uses session_window(); see graft.stream.) */
+  def eventsSessions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("new_sess", when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"))
+      .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing"         -> (q1Pricing _),
+    "agg_stats"          -> (aggStats _),
+    "join_region_rev"    -> (joinRegionRevenue _),
+    "join_left"          -> (joinLeft _),
+    "join_full"          -> (joinFull _),
+    "join_semi"          -> (joinSemi _),
+    "join_anti"          -> (joinAnti _),
+    "join_theta"         -> (joinTheta _),
+    "asof_prev_click"    -> (asofPrevClick _),
+    "rollup_acct"        -> (rollupAcct _),
+    "cube_flags"         -> (cubeFlags _),
+    "grouping_sets"      -> (groupingSets _),
+    "window_topk"        -> (windowTopk _),
+    "window_lag_gap"     -> (windowLagGap _),
+    "window_running"     -> (windowRunning _),
+    "window_ntile"       -> (windowNtile _),
+    "topk_global"        -> (topkGlobal _),
+    "set_ops"            -> (setOps _),
+    "scalar_string"      -> (scalarString _),
+    "scalar_date"        -> (scalarDate _),
+    "scalar_math"        -> (scalarMath _),
+    "case_buckets"       -> (caseBuckets _),
+    "above_avg"          -> (aboveAvg _),
+    "events_tumbling"    -> (eventsTumbling _),
+    "events_sessions"    -> (eventsSessions _))
+
+  /** DuckDB twins. `events` timestamps are TIMESTAMP_NS there — cast down
+    * to microsecond TIMESTAMP wherever ts participates in output or
+    * arithmetic (lossless; see Tables.events). */
+  val oracle: Map[String, String] = Map(
+    "q1_pricing" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 3) AS avg_qty,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "agg_stats" -> """
+      SELECT l_returnflag, count(*) AS n,
+             count(DISTINCT l_suppkey) AS n_supp,
+             round(min(l_extendedprice), 2) AS min_price,
+             round(max(l_extendedprice), 2) AS max_price,
+             round(avg(l_discount), 4) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "join_region_rev" -> """
+      SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""",
+
+    "join_left" -> """
+      SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust,
+             count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "join_full" -> """
+      SELECT coalesce(c.nk, p.nk2) AS nationkey,
+             coalesce(c.n_cust, 0) AS n_cust,
+             coalesce(p.n_supp, 0) AS n_supp
+      FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+      FULL OUTER JOIN (SELECT s_nationkey AS nk2, count(*) AS n_supp FROM supplier GROUP BY 1) p
+        ON c.nk = p.nk2
+      ORDER BY nationkey""",
+
+    "join_semi" -> """
+      SELECT c_mktsegment, count(*) AS n_cust FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "join_anti" -> """
+      SELECT c_mktsegment, count(*) AS n_cust FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "join_theta" -> """
+      SELECT n1.n_regionkey AS regionkey, count(*) AS n_pairs
+      FROM nation n1 JOIN nation n2
+        ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name
+      GROUP BY 1 ORDER BY regionkey""",
+
+    "asof_prev_click" -> """
+      SELECT event_id, user_id, ts, prev_click_ts FROM (
+        SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+        FROM events)
+      WHERE event_type = 'error' ORDER BY event_id""",
+
+    "rollup_acct" -> """
+      SELECT r_name, n_name, count(*) AS n, round(sum(s_acctbal), 2) AS acct
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "cube_flags" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    "window_topk" -> """
+      SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, o_orderkey,
+             round(o_totalprice, 2) AS price
+      FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
+
+    "window_lag_gap" -> """
+      SELECT user_id, count(*) AS n,
+             round(CAST(sum(gap_us) AS DOUBLE) / (count(gap_us) * 1e6), 3) AS avg_gap_s
+      FROM (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events)
+      GROUP BY user_id ORDER BY user_id""",
+
+    "window_running" -> """
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+      FROM orders WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderkey""",
+
+    "window_ntile" -> """
+      SELECT quartile, count(*) AS n, round(min(c_acctbal), 2) AS lo,
+             round(max(c_acctbal), 2) AS hi
+      FROM (SELECT c_acctbal,
+                   CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+            FROM customer)
+      GROUP BY quartile ORDER BY quartile""",
+
+    "topk_global" -> """
+      SELECT o_orderkey, round(o_totalprice, 2) AS price
+      FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""",
+
+    "set_ops" -> """
+      SELECT 'both' AS tag, count(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      UNION ALL
+      SELECT 'only_o' AS tag, count(*) AS n FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      ORDER BY tag""",
+
+    "scalar_string" -> """
+      SELECT word, count(*) AS n, count(DISTINCT brand_u) AS n_brand,
+             CAST(sum(chars) AS BIGINT) AS chars
+      FROM (SELECT regexp_extract(p_name, '^(\w+)', 1) AS word,
+                   upper(p_brand) AS brand_u, length(p_name) AS chars
+            FROM part)
+      GROUP BY word ORDER BY word""",
+
+    "scalar_date" -> """
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+             date_trunc('month', o_orderdate) AS month,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1, 2 ORDER BY y, month""",
+
+    "scalar_math" -> """
+      SELECT p_type, count(*) AS n,
+             CAST(sum(CAST(floor(p_retailprice) AS BIGINT)) AS BIGINT) AS sum_floor,
+             CAST(sum(CAST(ceil(p_retailprice) AS BIGINT)) AS BIGINT) AS sum_ceil,
+             round(avg(ln(p_retailprice)), 4) AS avg_ln,
+             round(max(pow(CAST(p_size AS DOUBLE), 2)), 1) AS max_size_sq,
+             round(sum(abs(p_retailprice - 1000)), 2) AS sum_absdev
+      FROM part GROUP BY p_type ORDER BY p_type""",
+
+    "case_buckets" -> """
+      SELECT bucket, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+      FROM (SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                        WHEN c_acctbal < 5000 THEN 'low'
+                        WHEN c_acctbal < 8000 THEN 'mid'
+                        ELSE 'high' END AS bucket, c_acctbal
+            FROM customer)
+      GROUP BY bucket ORDER BY bucket""",
+
+    "above_avg" -> """
+      SELECT o_orderpriority, count(*) AS n FROM orders
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "events_tumbling" -> """
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT)
+                 * INTERVAL 1 SECOND AS w_start,
+             event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
+
+    "events_sessions" -> """
+      SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+      FROM (
+        SELECT user_id,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+          FROM (
+            SELECT user_id, ts, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP))
+                     - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events)))
+      GROUP BY user_id ORDER BY user_id""")
+}
