@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cdc.CdcBus
+import graft.llm.{HashDedup, Multimodal, TextOps, VectorOps}
 import graft.rel.RelQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,10 +22,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CdcBus.queries ++ RelQueries.queries
+    CdcBus.queries ++ RelQueries.queries ++ TextOps.queries ++
+      HashDedup.queries ++ VectorOps.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CdcBus.oracle ++ RelQueries.oracle
+    CdcBus.oracle ++ RelQueries.oracle ++ TextOps.oracle ++
+      HashDedup.oracle ++ VectorOps.oracle ++ Multimodal.oracle
 }

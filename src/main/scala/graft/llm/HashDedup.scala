@@ -1,0 +1,265 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Near-duplicate detection: MinHash+LSH (shingle → minhash → band →
+  * bucket-join), SimHash (64-bit projection + banded hamming join), and
+  * exact n-gram Jaccard within a blocking key.
+  *
+  * Cross-engine hash discipline: the only hash primitive is md5 (identical
+  * digests in Spark and DuckDB); 32/60-bit integers are carved out of the
+  * hex digest (Spark `conv`, DuckDB `CAST('0x…' AS BIGINT)`), and all
+  * minhash/simhash arithmetic is exact BIGINT — products stay under 2^62.
+  *
+  * Scale notes: every stage is explode → hash-aggregate or an equi-join on
+  * a (band, signature) key — no quadratic step ever touches more than one
+  * LSH bucket, which is the property that keeps this sub-quadratic at
+  * 100 TB. The 16 minhash aggregates are one single-pass agg (no pivot).
+  */
+object HashDedup {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  /** 16 (a, b) minhash parameters, deterministic. */
+  private[llm] val mhParams: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(1234)
+    Seq.fill(16)((1L + math.abs(rnd.nextLong()) % (P - 1), math.abs(rnd.nextLong()) % P))
+  }
+
+  // ---- shared Spark-side pieces -------------------------------------
+
+  /** 3-word shingles from the whitespace token array `ws`. */
+  private def shingleArr: Column =
+    transform(sequence(lit(0), size(col("ws")) - 3),
+      i => concat_ws(" ",
+        element_at(col("ws"), i + 1),
+        element_at(col("ws"), i + 2),
+        element_at(col("ws"), i + 3)))
+
+  /** doc_id + exploded shingle hash h ∈ [0, P). */
+  private def shingleHashes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(shingleArr).as("sh"))
+      .withColumn("h", conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long") % P)
+
+  /** Per-doc 16-column minhash signature (single-pass agg). */
+  private def minhashSigDf(s: SparkSession, d: String): DataFrame = {
+    val aggs = mhParams.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
+    }
+    shingleHashes(s, d).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band_id, band signature) — 4 bands × 4 rows. */
+  private def minhashBandsDf(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSigDf(s, d)
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b.toLong).as("band_id"),
+        md5(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)).as("bh"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  // ---- queries ------------------------------------------------------
+
+  def minhashSig(s: SparkSession, d: String): DataFrame =
+    minhashSigDf(s, d).orderBy(col("doc_id"))
+
+  /** LSH bucket structure per band: bucket count + docs sharing a bucket. */
+  def minhashBuckets(s: SparkSession, d: String): DataFrame =
+    minhashBandsDf(s, d)
+      .groupBy(col("band_id"), col("bh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_buckets"),
+           sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_collide_docs"))
+      .orderBy(col("band_id"))
+
+  /** Candidate near-dup pairs: docs sharing any band bucket. */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val b = minhashBandsDf(s, d)
+    val x = b.select(col("band_id"), col("bh"), col("doc_id").as("a"))
+    val y = b.select(col("band_id").as("band_id2"), col("bh").as("bh2"), col("doc_id").as("b"))
+    x.join(y, col("band_id") === col("band_id2") && col("bh") === col("bh2") && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ---- simhash ------------------------------------------------------
+
+  private val SimBits = 60
+
+  /** Per-doc 60-bit simhash as one explode + one 60-column agg pass. */
+  private def simhashSigDf(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+    val sums = (0 until SimBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j")
+    }
+    val sim = (0 until SimBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), sim.as("simhash"))
+  }
+
+  def simhashSig(s: SparkSession, d: String): DataFrame =
+    simhashSigDf(s, d).orderBy(col("doc_id"))
+
+  /** Near-dup pairs at hamming ≤ 3 via 4×15-bit band join (pigeonhole:
+    * hamming ≤ 3 ⇒ at least one band equal), then exact popcount check. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = simhashSigDf(s, d)
+    val banded = (0 until 4).map { i =>
+      sig.select(col("doc_id"), col("simhash"), lit(i.toLong).as("band_id"),
+        shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L)).as("bv"))
+    }.reduce(_ unionByName _)
+    val x = banded.select(col("band_id"), col("bv"), col("doc_id").as("a"), col("simhash").as("sa"))
+    val y = banded.select(col("band_id").as("band_id2"), col("bv").as("bv2"),
+      col("doc_id").as("b"), col("simhash").as("sb"))
+    x.join(y, col("band_id") === col("band_id2") && col("bv") === col("bv2") && col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ---- exact n-gram jaccard within a blocking key --------------------
+
+  /** Exact 3-gram Jaccard for same-source pairs sharing ≥1 shingle:
+    * per-source pair counts, total intersections, max Jaccard. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("source"), col("doc_id"), explode(shingleArr).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val x = sh.select(col("source"), col("sh"), col("doc_id").as("a"))
+    val y = sh.select(col("source").as("source2"), col("sh").as("sh2"), col("doc_id").as("b"))
+    val inter = x.join(y,
+        col("source") === col("source2") && col("sh") === col("sh2") && col("a") < col("b"))
+      .groupBy(col("source"), col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
+      .withColumn("jacc", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("inter")).as("sum_inter"),
+           round(max(col("jacc")), 4).as("max_jacc"))
+      .orderBy(col("source"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "minhash_sig"     -> (minhashSig _),
+    "minhash_buckets" -> (minhashBuckets _),
+    "minhash_pairs"   -> (minhashPairs _),
+    "simhash_sig"     -> (simhashSig _),
+    "simhash_pairs"   -> (simhashPairs _),
+    "ngram_jaccard"   -> (ngramJaccard _))
+
+  // ---- DuckDB twins (generated with the same constants) --------------
+
+  private val ShingleCte =
+    """sh AS (
+      |  SELECT doc_id, source, unnest(list_transform(generate_series(1, len(ws)-2),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |  FROM (SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents
+      |        WHERE len(str_split(text, ' ')) >= 3))""".stripMargin
+
+  private val HashCte =
+    s"""h AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) % $P AS h FROM sh)"""
+
+  private val SigCte = {
+    val cols = mhParams.zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a * h + $b) % $P) AS mh$j"
+    }.mkString(",\n         ")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |         $cols
+       |  FROM h GROUP BY doc_id)""".stripMargin
+  }
+
+  private val BandsCte = {
+    val bands = (0 until 4).map { bnd =>
+      val concat = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, CAST($bnd AS BIGINT) AS band_id, md5($concat) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"bands AS (\n  $bands)"
+  }
+
+  private val SimSigCte = {
+    val sums = (0 until SimBits).map { j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n         ")
+    val sim = (0 until SimBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""wh AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)),
+       |ssum AS (
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM wh GROUP BY doc_id),
+       |simsig AS (SELECT doc_id, $sim AS simhash FROM ssum)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "minhash_sig" ->
+      s"""WITH $ShingleCte, $HashCte, $SigCte
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+
+    "minhash_buckets" ->
+      s"""WITH $ShingleCte, $HashCte, $SigCte, $BandsCte
+         |SELECT band_id, count(*) AS n_buckets,
+         |       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_collide_docs
+         |FROM (SELECT band_id, bh, count(*) AS c FROM bands GROUP BY 1, 2)
+         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "minhash_pairs" ->
+      s"""WITH $ShingleCte, $HashCte, $SigCte, $BandsCte
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM bands x JOIN bands y
+         |  ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin,
+
+    "simhash_sig" ->
+      s"""WITH $SimSigCte
+         |SELECT doc_id, simhash FROM simsig ORDER BY doc_id""".stripMargin,
+
+    "simhash_pairs" ->
+      s"""WITH $SimSigCte,
+         |banded AS (
+         |  SELECT doc_id, simhash, band_id, (simhash >> (CAST(band_id AS INTEGER) * 15)) & 32767 AS bv
+         |  FROM simsig, (SELECT unnest([0, 1, 2, 3]) AS band_id))
+         |SELECT a, b, hamming FROM (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |  FROM banded x JOIN banded y
+         |    ON x.band_id = y.band_id AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+
+    "ngram_jaccard" ->
+      s"""WITH $ShingleCte,
+         |dsh AS (SELECT DISTINCT source, doc_id, sh FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM dsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.source, x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |  FROM dsh x JOIN dsh y
+         |    ON x.source = y.source AND x.sh = y.sh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT source, count(*) AS n_pairs, CAST(sum(inter) AS BIGINT) AS sum_inter,
+         |       round(max(CAST(inter AS DOUBLE) / (na + nb - inter)), 4) AS max_jacc
+         |FROM inter
+         |JOIN (SELECT doc_id, nsh AS na FROM sizes) ta ON ta.doc_id = a
+         |JOIN (SELECT doc_id, nsh AS nb FROM sizes) tb ON tb.doc_id = b
+         |GROUP BY source ORDER BY source""".stripMargin)
+}

@@ -1,0 +1,203 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for the training-data pipeline (north star):
+  * exact/normalized dedup, token statistics, term frequencies, quality
+  * scoring, language-ID heuristic, document fingerprinting, BPE-ish token
+  * counting. All are single-pass scans + one hash aggregation — the shape
+  * that scales linearly on a cluster.
+  *
+  * Float-determinism rule: every ratio that crosses the oracle boundary is
+  * computed from exact integer sums (`sum(int)/sum(int)`), never from
+  * `avg(double)` over per-row divisions.
+  */
+object TextOps {
+
+  /** Normalized dedup key: lowercase, strip non-alphanumerics, squeeze
+    * whitespace. */
+  private def normCol = trim(regexp_replace(
+    regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+  private val NormSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Dedup rates per source: documents vs distinct texts vs distinct
+    * normalized texts. */
+  def dedupStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("norm", normCol)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("text")).as("n_uniq"),
+           countDistinct(col("norm")).as("n_uniq_norm"))
+      .orderBy(col("source"))
+
+  /** Exact dedup, materialized: keep the lowest doc_id per text. */
+  def dedupExactKeep(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Whitespace-token statistics per language. */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("sum_tok"),
+           max(col("n_tok")).as("max_tok"),
+           round(sum(col("n_tok")).cast("double") / count(lit(1)), 3).as("avg_tok"))
+      .orderBy(col("lang"))
+
+  /** Global term frequencies: explode → count → top 20. */
+  def wordFreq(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Quality scoring: token count + stopword ratio → bucket. Ratios are
+    * aggregated from exact integer sums. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_tok", size(col("ws")).cast("long"))
+      .withColumn("n_stop", size(filter(col("ws"), w => array_contains(stopArr, w))).cast("long"))
+      .withColumn("bucket",
+        when(col("n_tok") >= 60 && col("n_stop") * 5 >= col("n_tok"), "high")
+          .when(col("n_tok") >= 30, "mid")
+          .otherwise("low"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("n_stop")).cast("double") / sum(col("n_tok")), 4).as("stop_ratio"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** Language-ID heuristic: stopword-marker votes with a deterministic
+    * precedence cascade (CJK presence → zh; else max marker hits,
+    * ties resolved fr > es > de > en). Output is the confusion matrix
+    * against the labelled lang. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    def hits(words: Seq[String]) = {
+      val arr = array(words.map(lit): _*)
+      size(filter(col("ws"), w => array_contains(arr, w))).cast("long")
+    }
+    Tables.documents(s, d)
+      .withColumn("ws", split(lower(col("text")), " "))
+      .withColumn("h_en", hits(Seq("the", "a", "of", "and", "to", "is")))
+      .withColumn("h_fr", hits(Seq("le", "la", "les", "et", "un", "une")))
+      .withColumn("h_es", hits(Seq("el", "los", "las", "y", "una")))
+      .withColumn("h_de", hits(Seq("der", "die", "das", "und", "ist")))
+      .withColumn("has_cjk", col("text").rlike("[\\x{4e00}-\\x{9fff}]"))
+      .withColumn("guess",
+        when(col("has_cjk"), "zh")
+          .when(col("h_fr") > col("h_en") && col("h_fr") >= col("h_es") && col("h_fr") >= col("h_de"), "fr")
+          .when(col("h_es") > col("h_en") && col("h_es") >= col("h_de"), "es")
+          .when(col("h_de") > col("h_en"), "de")
+          .otherwise("en"))
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("guess"))
+  }
+
+  /** Document fingerprint: md5 over the normalized text (identical
+    * digest both engines). */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(normCol).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** BPE-ish token counting: runs of letters, runs of digits, or single
+    * punctuation — the common pre-tokenizer regex shape. */
+  def tokenCountBpe(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_bpe",
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("sum_bpe"))
+      .orderBy(col("source"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_stats"      -> (dedupStats _),
+    "dedup_exact_keep" -> (dedupExactKeep _),
+    "text_tokens"      -> (textTokens _),
+    "word_freq"        -> (wordFreq _),
+    "text_quality"     -> (textQuality _),
+    "lang_id"          -> (langId _),
+    "doc_fingerprint"  -> (fingerprint _),
+    "token_count_bpe"  -> (tokenCountBpe _))
+
+  val oracle: Map[String, String] = Map(
+    "dedup_stats" ->
+      s"""SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_uniq,
+         |       count(DISTINCT $NormSql) AS n_uniq_norm
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "dedup_exact_keep" -> """
+      SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "text_tokens" -> """
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+             max(n_tok) AS max_tok,
+             round(CAST(sum(n_tok) AS DOUBLE) / count(*), 3) AS avg_tok
+      FROM (SELECT lang, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)
+      GROUP BY lang ORDER BY lang""",
+
+    "word_freq" -> """
+      SELECT word, count(*) AS n
+      FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+      GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+
+    "text_quality" ->
+      s"""SELECT lang, bucket, count(*) AS n,
+         |       round(CAST(sum(n_stop) AS DOUBLE) / sum(n_tok), 4) AS stop_ratio
+         |FROM (
+         |  SELECT lang, n_tok, n_stop,
+         |         CASE WHEN n_tok >= 60 AND n_stop * 5 >= n_tok THEN 'high'
+         |              WHEN n_tok >= 30 THEN 'mid' ELSE 'low' END AS bucket
+         |  FROM (
+         |    SELECT lang, CAST(len(ws) AS BIGINT) AS n_tok,
+         |           CAST(len(list_filter(ws, w -> w IN ($stopSqlList))) AS BIGINT) AS n_stop
+         |    FROM (SELECT lang, str_split(text, ' ') AS ws FROM documents)))
+         |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    "lang_id" -> """
+      SELECT lang, guess, count(*) AS n FROM (
+        SELECT lang,
+          CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+               WHEN h_fr > h_en AND h_fr >= h_es AND h_fr >= h_de THEN 'fr'
+               WHEN h_es > h_en AND h_es >= h_de THEN 'es'
+               WHEN h_de > h_en THEN 'de'
+               ELSE 'en' END AS guess
+        FROM (
+          SELECT lang, text,
+            len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS h_en,
+            len(list_filter(ws, w -> w IN ('le','la','les','et','un','une'))) AS h_fr,
+            len(list_filter(ws, w -> w IN ('el','los','las','y','una'))) AS h_es,
+            len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))) AS h_de
+          FROM (SELECT lang, text, str_split(lower(text), ' ') AS ws FROM documents)))
+      GROUP BY lang, guess ORDER BY lang, guess""",
+
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, md5($NormSql) AS fp FROM documents ORDER BY doc_id""",
+
+    "token_count_bpe" -> """
+      SELECT source, count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS sum_bpe
+      FROM (SELECT source,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+            FROM documents)
+      GROUP BY source ORDER BY source""")
+}

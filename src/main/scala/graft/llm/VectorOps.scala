@@ -1,0 +1,161 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Embedding similarity search over `embeddings(vec_id, embedding float[64],
+  * label)`:
+  *
+  *  - brute-force cosine top-k (broadcast the query set, score every
+  *    vector, partitioned window top-k) — the exact baseline;
+  *  - random-hyperplane LSH bucketing — the sub-linear scale path
+  *    (candidates share a signature bucket; only buckets are scored);
+  *  - near-duplicate pairs within a label block at a cosine threshold.
+  *
+  * FP parity with the oracle: dot products are sequential left-folds over
+  * the array on both engines (Spark `aggregate(zip_with(..))`, DuckDB
+  * `list_dot_product`), all in DOUBLE, combined with the same expression
+  * shape `dot / (sqrt(n2a) * sqrt(n2b))`; ranking uses the raw double and
+  * only the reported score is rounded.
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product of two double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("n2", dot(col("v"), col("v")))
+
+  private val NQueries = 5
+  private val TopK = 5
+
+  /** Brute-force exact cosine top-k for query vectors vec_id < 5. */
+  def cosTopk(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("n2"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("cos_raw"), 5).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** 8 deterministic pseudo-random hyperplanes (seed 77), coordinates
+    * rounded to 6 decimals so the literal parses to the identical double
+    * on both engines. */
+  private[llm] val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(77)
+    Seq.fill(8)(Seq.fill(64)(math.rint((rnd.nextDouble() - 0.5) * 1e6) / 1e6))
+  }
+
+  /** LSH signature: one bit per hyperplane (dot > 0), packed to a long. */
+  private def sigs(s: SparkSession, d: String): DataFrame =
+    planes.zipWithIndex.foldLeft(vecs(s, d)) { case (df, (p, i)) =>
+      df.withColumn(s"b$i",
+        when(dot(col("v"), typedlit(p)) > 0d, lit(1L << i)).otherwise(lit(0L)))
+    }.withColumn("bucket", (0 until planes.size).map(i => col(s"b$i")).reduce(_ + _))
+
+  /** Bucket occupancy (shared buckets only) — the structure the ANN scale
+    * path exploits. */
+  def annBuckets(s: SparkSession, d: String): DataFrame =
+    sigs(s, d).groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy(col("bucket"))
+
+  /** ANN top-3: score only candidates sharing the query's LSH bucket. */
+  def annTopk(s: SparkSession, d: String): DataFrame = {
+    val e = sigs(s, d).select(col("vec_id"), col("v"), col("n2"), col("bucket"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
+              col("bucket").as("qbucket"))
+    val cand = e.join(broadcast(q),
+      col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("cos_raw"), 5).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Near-duplicate candidate pairs: same label block, cosine ≥ 0.4. */
+  def nearDup(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("label"), col("vec_id"), col("v"), col("n2"))
+    val x = e.select(col("label"), col("vec_id").as("a"), col("v").as("va"), col("n2").as("na"))
+    val y = e.select(col("label").as("label2"), col("vec_id").as("b"), col("v").as("vb"), col("n2").as("nb"))
+    x.join(y, col("label") === col("label2") && col("a") < col("b"))
+      .withColumn("cos_raw", dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos_raw") >= 0.4d)
+      .select(col("label").cast("long").as("label"), col("a"), col("b"),
+              round(col("cos_raw"), 4).as("cos"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cos_topk"    -> (cosTopk _),
+    "ann_buckets" -> (annBuckets _),
+    "ann_topk"    -> (annTopk _),
+    "embed_neardup" -> (nearDup _))
+
+  // ---- DuckDB twins --------------------------------------------------
+
+  private val VecCte =
+    "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, " +
+      "list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2 FROM embeddings)"
+
+  private def planeSql(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+
+  private val SigCte = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, ${planeSql(p)}) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"sig AS (SELECT vec_id, label, v, n2, $bits AS bucket FROM e)"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "cos_topk" ->
+      s"""WITH $VecCte,
+         |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries)
+         |SELECT qid, vec_id, rank, round(cos_raw, 5) AS cos FROM (
+         |  SELECT qid, vec_id, cos_raw,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rank
+         |  FROM (SELECT qid, vec_id, list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos_raw
+         |        FROM q JOIN e ON vec_id != qid))
+         |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+
+    "ann_buckets" ->
+      s"""WITH $VecCte, $SigCte
+         |SELECT bucket, count(*) AS n FROM sig GROUP BY bucket
+         |HAVING count(*) > 1 ORDER BY bucket""".stripMargin,
+
+    "ann_topk" ->
+      s"""WITH $VecCte, $SigCte,
+         |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, bucket AS qbucket
+         |      FROM sig WHERE vec_id < $NQueries)
+         |SELECT qid, vec_id, rank, round(cos_raw, 5) AS cos FROM (
+         |  SELECT qid, vec_id, cos_raw,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rank
+         |  FROM (SELECT qid, sig.vec_id AS vec_id,
+         |               list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos_raw
+         |        FROM q JOIN sig ON sig.bucket = qbucket AND sig.vec_id != qid))
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "embed_neardup" ->
+      s"""WITH $VecCte
+         |SELECT CAST(label AS BIGINT) AS label, a, b, round(cos_raw, 4) AS cos
+         |FROM (
+         |  SELECT x.label AS label, x.vec_id AS a, y.vec_id AS b,
+         |         list_dot_product(x.v, y.v) / (sqrt(x.n2) * sqrt(y.n2)) AS cos_raw
+         |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id)
+         |WHERE cos_raw >= 0.4
+         |ORDER BY a, b""".stripMargin)
+}
