@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Multimodal
+
+/** Invariant checks of the graded query catalog on sf0.001 (the DuckDB
+  * hash-compare itself is driver-side; these assert semantic invariants
+  * and keep every query executable). */
+class QueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query executes and oracle keys are a subset") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle without query: $k"))
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      df.count() // must execute
+    }
+  }
+
+  test("cdc take(n) delivers exactly 5, in event_id order") {
+    val rows = SparkEntry.queries("cdc_take_n")(spark, sf).collect()
+    assert(rows.length === 5)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.sorted.sameElements(ids))
+  }
+
+  test("rpc timeout resolves the 408 sentinel when nothing matches") {
+    val row = SparkEntry.queries("cdc_rpc_timeout")(spark, sf).collect().head
+    assert(row.getInt(1) === 408)
+  }
+
+  test("rpc first-wins returns exactly one earliest response") {
+    val rows = SparkEntry.queries("cdc_rpc_first")(spark, sf).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getInt(3) === 200)
+  }
+
+  test("sub counters include zero-delivery subscriptions") {
+    val m = SparkEntry.queries("cdc_sub_counters")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("s_none") === 0L)
+    assert(m("s_all") > 0L)
+    assert(m.values.forall(_ <= m("s_all")))
+  }
+
+  test("minhash signature: identical docs get identical signatures") {
+    // dedup invariant on real data: signature determinism across two runs
+    val a = SparkEntry.queries("minhash_sig")(spark, sf).collect()
+    val b = SparkEntry.queries("minhash_sig")(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("cosine top-k scores are within [-1, 1] and ranked descending per query") {
+    val rows = SparkEntry.queries("cos_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, c) => c >= -1.0 && c <= 1.0 })
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("multimodal feature extraction: real plumbing, deterministic stub codec") {
+    val feats = Multimodal.extractFeatures(spark, sf).collect()
+    assert(feats.length === 500)
+    assert(feats.forall(_.n_bytes === 16))    // md5 payload
+    assert(feats.forall(_.feature.length === 8))
+    val f0 = feats.find(_.doc_id == 0L).get
+    assert(f0.mean_byte > 0.0 && f0.mean_byte < 255.0)
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stream.Streams
+import graft.stream.Streams.BusEvent
+
+/** Structured-Streaming semantics the DuckDB oracle cannot grade:
+  * windowed aggregation under a watermark, late-data drop, and the
+  * stateful take(n) gate (FIXTURES.md §B.5). */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(min: Int): Timestamp = new Timestamp(1704067200000L + min * 60000L) // 2024-01-01 UTC
+
+  private def ev(id: Long, min: Int, user: Long, typ: String): BusEvent =
+    BusEvent(id, ts(min), user, typ, 1.0, "{}")
+
+  test("tumbling window counts on a bounded stream match batch semantics") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[BusEvent]
+    in.addData(ev(1, 0, 1, "click"), ev(2, 1, 1, "click"), ev(3, 6, 2, "error"),
+               ev(4, 7, 1, "click"), ev(5, 40, 2, "view"))
+    val q = Streams.tumblingCounts(Streams.withChannel(in.toDF()))
+      .writeStream.outputMode("complete").format("memory").queryName("tumbling").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tumbling")
+      .select(col("w_start"), col("event_type"), col("n"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(got === Set(
+      (ts(0), "click", 2L), (ts(5), "error", 1L), (ts(5), "click", 1L), (ts(40), "view", 1L)))
+  }
+
+  test("watermark drops late rows in append mode") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[BusEvent]
+    val q = Streams.tumblingCounts(Streams.withChannel(in.toDF()), "5 minutes", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("late").start()
+    in.addData(ev(1, 0, 1, "click"), ev(2, 3, 1, "click"))
+    q.processAllAvailable()
+    in.addData(ev(3, 60, 1, "view")) // advances watermark to min 50, closes window [0,5)
+    q.processAllAvailable()
+    in.addData(ev(4, 1, 1, "click")) // late beyond watermark -> dropped
+    q.processAllAvailable()
+    in.addData(ev(5, 120, 1, "view")) // close everything still open
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("late").select(col("w_start"), col("event_type"), col("n"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    // the [0,5) click window must have count 2 — the late 4th row was dropped
+    assert(got.contains((ts(0), "click", 2L)))
+    assert(!got.contains((ts(0), "click", 3L)))
+  }
+
+  test("session_window groups events separated by < gap") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[BusEvent]
+    in.addData(ev(1, 0, 7, "click"), ev(2, 10, 7, "click"), // session 1 (gap 30m)
+               ev(3, 60, 7, "click"),                        // session 2
+               ev(4, 0, 8, "view"))                          // other user
+    val q = Streams.sessionCounts(Streams.withChannel(in.toDF()))
+      .writeStream.outputMode("complete").format("memory").queryName("sessions").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions")
+      .select(col("user_id"), col("n")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got === Map(7L -> Seq(1L, 2L), 8L -> Seq(1L)))
+  }
+
+  test("stateful take(n) delivers exactly max matches then auto-unsubscribes") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    val in = MemoryStream[(String, BusEvent)]
+    val q = Streams.takeNPerKey(in.toDS(), max = 3)
+      .writeStream.outputMode("append").format("memory").queryName("taken").start()
+    in.addData(("s1", ev(1, 0, 1, "click")), ("s1", ev(2, 1, 1, "click")))
+    q.processAllAvailable()
+    in.addData(("s1", ev(3, 2, 1, "click")), ("s1", ev(4, 3, 1, "click")),
+               ("s2", ev(5, 4, 2, "view")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("taken").as[Streams.Delivery].collect()
+    // s1 saw 4 matching messages but max=3 -> exactly 3 delivered (the first 3)
+    assert(got.filter(_.sub == "s1").map(_.event_id).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(got.filter(_.sub == "s2").map(_.event_id).toSeq === Seq(5L))
+  }
+
+  test("streaming dedup within watermark removes re-deliveries") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[BusEvent]
+    in.addData(ev(1, 0, 1, "click"), ev(1, 0, 1, "click"), ev(2, 1, 1, "view"))
+    val q = Streams.dedupStream(Streams.withChannel(in.toDF()))
+      .writeStream.outputMode("append").format("memory").queryName("deduped").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("deduped").count() === 2)
+  }
+}
