@@ -11,8 +11,16 @@ object GraftFunctions {
       GraftBridge.expression(pattern),
       GraftBridge.expression(channel)))
 
-  /** Register `mqtt_matches` for SQL usage in the given session. */
-  def register(spark: SparkSession): Unit =
+  /** Codegen'd sequential-fold dot product over ARRAY<DOUBLE> columns. */
+  def dot_product(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Register graft's functions for SQL usage in the given session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mqtt_matches", exprs => MqttMatchesExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -55,15 +55,31 @@ object HashDedup {
     shingleHashes(s, d).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (doc_id, band_id, band signature) — 4 bands × 4 rows. */
+  /** (doc_id, band_id, band signature) — 4 bands exploded from ONE pass
+    * over the signature (a 4-way union would recompute the whole
+    * shingle+minhash subtree per band). */
   private def minhashBandsDf(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSigDf(s, d)
-    val bands = (0 until 4).map { b =>
-      sig.select(col("doc_id"), lit(b.toLong).as("band_id"),
-        md5(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)).as("bh"))
+    val bandHashes = (0 until 4).map { b =>
+      md5(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*))
     }
-    bands.reduce(_ unionByName _)
+    minhashSigDf(s, d)
+      .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band_id", "bh")))
   }
+
+  /** Bucket-local pair expansion: group docs per (band, signature) bucket
+    * and enumerate pairs inside the bucket with a nested array transform.
+    * This is the step that keeps LSH sub-quadratic at scale — no
+    * self-join, no recomputation of the signature lineage, and work is
+    * bounded by bucket size. */
+  private def bucketPairs(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band_id"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
 
   // ---- queries ------------------------------------------------------
 
@@ -73,21 +89,15 @@ object HashDedup {
   /** LSH bucket structure per band: bucket count + docs sharing a bucket. */
   def minhashBuckets(s: SparkSession, d: String): DataFrame =
     minhashBandsDf(s, d)
-      .groupBy(col("band_id"), col("bh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("band_id").cast("long").as("band_id"), col("bh")).agg(count(lit(1)).as("c"))
       .groupBy(col("band_id"))
       .agg(count(lit(1)).as("n_buckets"),
            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_collide_docs"))
       .orderBy(col("band_id"))
 
   /** Candidate near-dup pairs: docs sharing any band bucket. */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val b = minhashBandsDf(s, d)
-    val x = b.select(col("band_id"), col("bh"), col("doc_id").as("a"))
-    val y = b.select(col("band_id").as("band_id2"), col("bh").as("bh2"), col("doc_id").as("b"))
-    x.join(y, col("band_id") === col("band_id2") && col("bh") === col("bh2") && col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-      .orderBy(col("a"), col("b"))
-  }
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    bucketPairs(minhashBandsDf(s, d)).orderBy(col("a"), col("b"))
 
   // ---- simhash ------------------------------------------------------
 
@@ -111,20 +121,26 @@ object HashDedup {
   def simhashSig(s: SparkSession, d: String): DataFrame =
     simhashSigDf(s, d).orderBy(col("doc_id"))
 
-  /** Near-dup pairs at hamming ≤ 3 via 4×15-bit band join (pigeonhole:
-    * hamming ≤ 3 ⇒ at least one band equal), then exact popcount check. */
+  /** Near-dup pairs at hamming ≤ 3 via 4×15-bit banding (pigeonhole:
+    * hamming ≤ 3 ⇒ at least one band equal), then exact popcount check.
+    * Bands are exploded from one signature pass; pairs are enumerated
+    * bucket-locally (docs sharing a band value), carrying the signature
+    * along so the hamming check needs no join back. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = simhashSigDf(s, d)
-    val banded = (0 until 4).map { i =>
-      sig.select(col("doc_id"), col("simhash"), lit(i.toLong).as("band_id"),
-        shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L)).as("bv"))
-    }.reduce(_ unionByName _)
-    val x = banded.select(col("band_id"), col("bv"), col("doc_id").as("a"), col("simhash").as("sa"))
-    val y = banded.select(col("band_id").as("band_id2"), col("bv").as("bv2"),
-      col("doc_id").as("b"), col("simhash").as("sb"))
-    x.join(y, col("band_id") === col("band_id2") && col("bv") === col("bv2") && col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+    val bandVals = (0 until 4).map { i =>
+      shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L))
+    }
+    simhashSigDf(s, d)
+      .select(col("doc_id"), col("simhash"), posexplode(array(bandVals: _*)).as(Seq("band_id", "bv")))
+      .groupBy(col("band_id"), col("bv"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ms, (x, i) -> " +
+          "transform(slice(ms, i + 2, size(ms) - i - 1), y -> " +
+          "struct(x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        bit_count(col("p.sa").bitwiseXOR(col("p.sb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("a"), col("b"))
@@ -141,11 +157,16 @@ object HashDedup {
       .select(col("source"), col("doc_id"), explode(shingleArr).as("sh"))
       .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val x = sh.select(col("source"), col("sh"), col("doc_id").as("a"))
-    val y = sh.select(col("source").as("source2"), col("sh").as("sh2"), col("doc_id").as("b"))
-    val inter = x.join(y,
-        col("source") === col("source2") && col("sh") === col("sh2") && col("a") < col("b"))
-      .groupBy(col("source"), col("a"), col("b"))
+    // shingle-local pair expansion (same shape as the LSH bucket join,
+    // with the shingle as the bucket key): one pass over `sh`, work
+    // bounded by per-shingle doc-list size — no self-join.
+    val inter = sh.groupBy(col("source"), col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("source"), explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a, y AS b))))")).as("p"))
+      .groupBy(col("source"), col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))

@@ -23,9 +23,12 @@ import graft.Tables
   */
 object VectorOps {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays — the codegen'd
+    * custom expression (identical fold order to `aggregate(zip_with(..))`
+    * and to DuckDB's `list_dot_product`, but compiled; the interpreted
+    * higher-order form was the hot path of every similarity query). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dot_product(a, b)
 
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
