@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{DotProductExpr, MqttMatchesExpr}
+import graft.plans.MqttPrefixPushdown
+
+/** Session extensions wiring for the graft engine:
+  *   - SQL functions `mqtt_matches(pattern, channel)` and
+  *     `dot_product(a, b)` (both codegen'd Catalyst expressions);
+  *   - the [[MqttPrefixPushdown]] optimizer rule that turns constant
+  *     routing patterns into parquet-pushdown-able prefix predicates.
+  *
+  * Use: `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("mqtt_matches"),
+      new ExpressionInfo(classOf[MqttMatchesExpr].getName, "mqtt_matches"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MqttMatchesExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProductExpr(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => MqttPrefixPushdown)
+  }
+}

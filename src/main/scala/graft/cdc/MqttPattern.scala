@@ -64,6 +64,19 @@ object MqttPattern {
     else "^" + body + "(/.*)?$"                   // zero-or-more tail levels
   }
 
+  /** Longest literal prefix of a pattern before the first wildcard
+    * segment, as (prefix, firstWildcard): e.g. "cdc/error/#" →
+    * ("cdc/error", '#'), "cdc/+/1" → ("cdc", '+'), "+/x" → ("", '+'),
+    * "a/b" (no wildcard) → ("a/b", ' '). Used by the prefix-pushdown
+    * optimizer rule: a topic matching the pattern necessarily starts with
+    * the prefix ('#' may also END at it; '+' requires a following '/'). */
+  def literalPrefix(pattern: String): (String, Char) = {
+    val ps = pattern.split("/", -1)
+    val k = ps.indexWhere(s => isPlus(s) || isHash(s))
+    if (k < 0) (pattern, ' ')
+    else (ps.take(k).mkString("/"), if (isHash(ps(k))) '#' else '+')
+  }
+
   /** Named-wildcard parameter extraction (mqtt-pattern `exec`): returns
     * (paramName -> matched level(s)) for "+name" / "#name" segments, or
     * None when the topic does not match. '#name' captures the joined tail. */

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions.mqtt_matches
+
+/** The MqttPrefixPushdown optimizer rule: rewrite correctness + the fact
+  * that the derived prefix actually reaches the parquet scan as a pushed
+  * filter (row-group skipping — the 100 TB story). */
+class MqttPushdownSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    // other suites may have built a session without extensions; getOrCreate
+    // would silently return it, so force a fresh one (suites run serially).
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private lazy val busDir: String = {
+    val dir = Files.createTempDirectory("graft_bus").toString
+    val spark2 = spark; import spark2.implicits._
+    Seq(
+      (1L, "cdc/error/1"), (2L, "cdc/error/2"), (3L, "cdc/click/1"),
+      (4L, "cdc/view/9"), (5L, "cdc/error"), (6L, "other/error/1"))
+      .toDF("event_id", "channel")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("constant '#' pattern adds a StartsWith that reaches PushedFilters") {
+    val df = spark.read.parquet(busDir)
+      .filter(mqtt_matches(lit("cdc/error/#"), col("channel")))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("StartsWith") || optimized.contains("startswith"),
+      s"no StartsWith in optimized plan:\n$optimized")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(channel), StringStartsWith(channel,cdc/error)]"),
+      s"prefix not pushed to parquet:\n$physical")
+    assert(df.select("event_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 5L)) // zero-tail 'cdc/error' matches too
+  }
+
+  test("constant '+' pattern pushes prefix with trailing slash") {
+    val df = spark.read.parquet(busDir)
+      .filter(mqtt_matches(lit("cdc/+/1"), col("channel")))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("StringStartsWith(channel,cdc/)"), physical)
+    assert(df.select("event_id").collect().map(_.getLong(0)).sorted === Array(1L, 3L))
+  }
+
+  test("wildcard-free pattern collapses to pure equality (no custom predicate left)") {
+    val df = spark.read.parquet(busDir)
+      .filter(mqtt_matches(lit("cdc/click/1"), col("channel")))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("mqtt_matches"), s"custom predicate survived:\n$optimized")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("EqualTo(channel,cdc/click/1)"))
+    assert(df.select("event_id").collect().map(_.getLong(0)) === Array(3L))
+  }
+
+  test("leading-wildcard pattern is left untouched and still correct") {
+    val df = spark.read.parquet(busDir)
+      .filter(mqtt_matches(lit("+/error/#"), col("channel")))
+    assert(df.select("event_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 5L, 6L)) // '#' zero-tail: 'cdc/error' matches too
+  }
+
+  test("rule preserves results vs brute-force matcher on every pattern") {
+    import graft.cdc.MqttPattern
+    val rows = spark.read.parquet(busDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    for (pat <- Seq("cdc/#", "cdc/error/#", "cdc/+/1", "cdc/click/1", "#", "+/+/+", "cdc/+/#")) {
+      val viaSpark = spark.read.parquet(busDir)
+        .filter(mqtt_matches(lit(pat), col("channel")))
+        .collect().map(_.getLong(0)).sorted
+      val viaRef = rows.filter { case (_, ch) => MqttPattern.matches(pat, ch) }
+        .map(_._1).sorted
+      assert(viaSpark === viaRef, s"pattern $pat")
+    }
+  }
+
+  test("SQL registration via extensions works") {
+    spark.read.parquet(busDir).createOrReplaceTempView("bus_t")
+    val n = spark.sql(
+      "SELECT count(*) FROM bus_t WHERE mqtt_matches('cdc/#', channel)")
+      .collect().head.getLong(0)
+    assert(n === 5L)
+    val d = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .collect().head.getDouble(0)
+    assert(d === 11.0)
+  }
+}
