@@ -42,6 +42,24 @@ object RelQueries {
         round(avg(col("l_discount")), 4).as("avg_disc"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact percentiles (interpolating): median + p90 per group. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(median(col("l_quantity")), 3).as("med_qty"),
+           round(percentile(col("l_quantity"), lit(0.9)), 3).as("p90_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Sketch aggregation: HyperLogLog++ approximate distinct counts.
+    * No DuckDB oracle (different sketch) — driver records rows-only;
+    * exactness is bounded against countDistinct in QueriesSpec. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
   // ---- joins --------------------------------------------------------
 
   /** Star join through two broadcast dimensions: revenue by region. */
@@ -305,6 +323,8 @@ object RelQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"         -> (q1Pricing _),
     "agg_stats"          -> (aggStats _),
+    "percentiles"        -> (percentiles _),
+    "approx_distinct"    -> (approxDistinct _),
     "join_region_rev"    -> (joinRegionRevenue _),
     "join_left"          -> (joinLeft _),
     "join_full"          -> (joinFull _),
@@ -344,6 +364,11 @@ object RelQueries {
       WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
+
+    "percentiles" -> """
+      SELECT l_returnflag, round(median(l_quantity), 3) AS med_qty,
+             round(quantile_cont(l_quantity, 0.9), 3) AS p90_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "agg_stats" -> """
       SELECT l_returnflag, count(*) AS n,

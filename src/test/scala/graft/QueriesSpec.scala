@@ -78,6 +78,19 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct stays within its error bound of the exact count") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    SparkEntry.queries("approx_distinct")(spark, sf).collect().foreach { r =>
+      val (flag, approx) = (r.getString(0), r.getLong(1))
+      val e = exact(flag).toDouble
+      assert(math.abs(approx - e) / e < 0.1, s"$flag: approx=$approx exact=$e")
+    }
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub codec") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.length === 500)
