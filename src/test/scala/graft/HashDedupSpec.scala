@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.HashDedup
+
+/** Near-dup semantics on synthetic documents with KNOWN duplicates — the
+  * sf testdata has few near-dups, so the detection paths are proven here
+  * (FIXTURES.md §B): exact copies, one-word edits, unrelated docs. */
+class HashDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** documents.parquet layout with: 0/1 exact copies, 2 a one-word edit of
+    * them, 3/4 unrelated, 5 another near-copy of 0 (two words changed). */
+  private lazy val dir: String = {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src0", base.length.toLong),
+      (2L, base.replace("sigma", "SIGMA"), "en", "src0", base.length.toLong),
+      (3L, "totally different words here nothing shared with the others at all " +
+        "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll", "en", "src0", 10L),
+      (4L, "another unrelated document body with its own vocabulary entirely " +
+        "zz xx cc vv bb nn mm q1 w2 e3 r4 t5 y6 u7 i8 o9 p0 a1 s2", "en", "src0", 10L),
+      (5L, base.replace("alpha", "ALPHA").replace("ten", "TEN"), "en", "src0", base.length.toLong))
+    val tmp = Files.createTempDirectory("graft_docs").toString
+    val s = spark; import s.implicits._
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("minhash LSH finds exact and near copies, not unrelated docs") {
+    val pairs = HashDedup.minhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact copies must collide in every band")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      "a one-word edit shares most shingles and must collide in some band")
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).size == 1 },
+      "unrelated docs must not pair with the near-dup cluster")
+  }
+
+  test("identical docs have identical minhash signatures") {
+    val sigs = HashDedup.minhashSig(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L) !== sigs(3L))
+  }
+
+  test("simhash: exact copies at hamming 0; edits closer than unrelated docs") {
+    val sigs = HashDedup.simhashSig(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(0L), sigs(1L)) === 0)
+    // on short docs a one-word edit can flip several low-margin bits, so
+    // assert ordering, not an absolute bound: edit distance << unrelated
+    assert(hamming(sigs(0L), sigs(2L)) < hamming(sigs(0L), sigs(3L)),
+      "one-word edit must be closer than an unrelated doc")
+    val pairs = HashDedup.simhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact copies are hamming 0 -> paired")
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).size == 1 },
+      "unrelated docs never pair with the cluster")
+  }
+
+  test("ngram jaccard: max within source reflects the near-dup cluster") {
+    val row = HashDedup.ngramJaccard(spark, dir).collect().head
+    assert(row.getString(0) === "src0")
+    assert(row.getDouble(3) === 1.0, "exact copies have jaccard 1.0")
+  }
+}
