@@ -84,21 +84,27 @@ object TextOps {
       .orderBy(col("lang"), col("bucket"))
   }
 
+  private val langMarkers = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une"),
+    "es" -> Seq("el", "los", "las", "y", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  /** `\b`-anchored alternation counting marker-word hits — one codegen'd
+    * regex pass per language (the lambda-filter form runs interpreted). */
+  private def markerRegex(words: Seq[String]): String =
+    words.mkString("\\b(", "|", ")\\b")
+
   /** Language-ID heuristic: stopword-marker votes with a deterministic
     * precedence cascade (CJK presence → zh; else max marker hits,
     * ties resolved fr > es > de > en). Output is the confusion matrix
     * against the labelled lang. */
   def langId(s: SparkSession, d: String): DataFrame = {
-    def hits(words: Seq[String]) = {
-      val arr = array(words.map(lit): _*)
-      size(filter(col("ws"), w => array_contains(arr, w))).cast("long")
-    }
     Tables.documents(s, d)
-      .withColumn("ws", split(lower(col("text")), " "))
-      .withColumn("h_en", hits(Seq("the", "a", "of", "and", "to", "is")))
-      .withColumn("h_fr", hits(Seq("le", "la", "les", "et", "un", "une")))
-      .withColumn("h_es", hits(Seq("el", "los", "las", "y", "una")))
-      .withColumn("h_de", hits(Seq("der", "die", "das", "und", "ist")))
+      .withColumn("lo", lower(col("text")))
+      .withColumns(langMarkers.map { case (l, words) =>
+        s"h_$l" -> regexp_count(col("lo"), lit(markerRegex(words)))
+      }.toMap)
       .withColumn("has_cjk", col("text").rlike("[\\x{4e00}-\\x{9fff}]"))
       .withColumn("guess",
         when(col("has_cjk"), "zh")
@@ -174,22 +180,21 @@ object TextOps {
          |    FROM (SELECT lang, str_split(text, ' ') AS ws FROM documents)))
          |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
 
-    "lang_id" -> """
-      SELECT lang, guess, count(*) AS n FROM (
-        SELECT lang,
-          CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
-               WHEN h_fr > h_en AND h_fr >= h_es AND h_fr >= h_de THEN 'fr'
-               WHEN h_es > h_en AND h_es >= h_de THEN 'es'
-               WHEN h_de > h_en THEN 'de'
-               ELSE 'en' END AS guess
-        FROM (
-          SELECT lang, text,
-            len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) AS h_en,
-            len(list_filter(ws, w -> w IN ('le','la','les','et','un','une'))) AS h_fr,
-            len(list_filter(ws, w -> w IN ('el','los','las','y','una'))) AS h_es,
-            len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))) AS h_de
-          FROM (SELECT lang, text, str_split(lower(text), ' ') AS ws FROM documents)))
-      GROUP BY lang, guess ORDER BY lang, guess""",
+    "lang_id" ->
+      s"""SELECT lang, guess, count(*) AS n FROM (
+         |  SELECT lang,
+         |    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         |         WHEN h_fr > h_en AND h_fr >= h_es AND h_fr >= h_de THEN 'fr'
+         |         WHEN h_es > h_en AND h_es >= h_de THEN 'es'
+         |         WHEN h_de > h_en THEN 'de'
+         |         ELSE 'en' END AS guess
+         |  FROM (
+         |    SELECT lang, text,
+         |${langMarkers.map { case (l, words) =>
+            s"      len(regexp_extract_all(lower(text), '${markerRegex(words)}')) AS h_$l"
+          }.mkString(",\n")}
+         |    FROM documents))
+         |GROUP BY lang, guess ORDER BY lang, guess""".stripMargin,
 
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5($NormSql) AS fp FROM documents ORDER BY doc_id""",

@@ -182,6 +182,21 @@ object RelQueries {
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 
+  /** rank()/dense_rank() with genuine ties (priority within status) plus
+    * a partition-count window — rank values are constant per tie-group, so
+    * DISTINCT keeps the output deterministic and small. */
+  def windowRankKinds(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderpriority"))
+    val wp = Window.partitionBy(col("o_orderstatus"), col("o_orderpriority"))
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        count(lit(1)).over(wp).as("n"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
   /** lag(): mean inter-event gap per user, computed on exact integer
     * micros (sum of longs) to stay float-deterministic. */
   def windowLagGap(s: SparkSession, d: String): DataFrame = {
@@ -336,6 +351,7 @@ object RelQueries {
     "cube_flags"         -> (cubeFlags _),
     "grouping_sets"      -> (groupingSets _),
     "window_topk"        -> (windowTopk _),
+    "window_rank_kinds"  -> (windowRankKinds _),
     "window_lag_gap"     -> (windowLagGap _),
     "window_running"     -> (windowRunning _),
     "window_ntile"       -> (windowNtile _),
@@ -458,6 +474,15 @@ object RelQueries {
                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders JOIN customer ON o_custkey = c_custkey)
       WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
+
+    "window_rank_kinds" -> """
+      SELECT DISTINCT o_orderstatus, o_orderpriority,
+             CAST(rank() OVER w AS BIGINT) AS rnk,
+             CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             count(*) OVER (PARTITION BY o_orderstatus, o_orderpriority) AS n
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
+      ORDER BY o_orderstatus, o_orderpriority""",
 
     "window_lag_gap" -> """
       SELECT user_id, count(*) AS n,
