@@ -103,18 +103,23 @@ object HashDedup {
 
   private val SimBits = 60
 
-  /** Per-doc 60-bit simhash as one explode + one 60-column agg pass. */
+  /** Per-doc 60-bit simhash: multiset word counts first (the vocabulary is
+    * far smaller than the token stream, so hashing + the 60 bit-sums run
+    * on (doc, word, cnt) rows — identical result, ~N_tokens/N_vocab less
+    * aggregation work), then one 60-column weighted agg pass. */
   private def simhashSigDf(s: SparkSession, d: String): DataFrame = {
-    val words = Tables.documents(s, d)
+    val wordCounts = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
     val sums = (0 until SimBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j")
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$j")
     }
     val sim = (0 until SimBits)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    wordCounts.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
       .select(col("doc_id"), sim.as("simhash"))
   }
 
@@ -218,14 +223,16 @@ object HashDedup {
 
   private val SimSigCte = {
     val sums = (0 until SimBits).map { j =>
-      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN cnt ELSE -cnt END) AS s$j"
     }.mkString(",\n         ")
     val sim = (0 until SimBits)
       .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
     s"""wh AS (
-       |  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
-       |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)),
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS cnt,
+       |         CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY doc_id, w),
        |ssum AS (
        |  SELECT doc_id,
        |         $sums

@@ -59,6 +59,27 @@ object Streams {
     bus.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** The reference's RPC combinator (lib/nats.js:196-256) in streaming
+    * form: a watermarked stream-stream interval join — a response matches
+    * its request by correlation id within the timeout window, mirroring
+    * "subscribe to response subjects, resolve with the first response,
+    * give up after the timeout". Late/unmatched state is bounded by the
+    * watermark (the timeout), so state never grows unbounded. Pair with
+    * `dropDuplicatesWithinWatermark("req_id")` for first-response-wins. */
+  def rpcJoin(requests: DataFrame, responses: DataFrame,
+              timeout: String = "10 seconds"): DataFrame = {
+    val req = requests.select(col("req_id"), col("ts").as("req_ts"))
+      .withWatermark("req_ts", timeout)
+    val res = responses.select(col("req_id").as("res_req_id"), col("ts").as("res_ts"),
+        col("channel").as("res_channel"))
+      .withWatermark("res_ts", timeout)
+    req.join(res,
+      col("req_id") === col("res_req_id") &&
+        col("res_ts") >= col("req_ts") &&
+        col("res_ts") <= col("req_ts") + expr(s"INTERVAL $timeout"))
+      .select(col("req_id"), col("req_ts"), col("res_ts"), col("res_channel"))
+  }
+
   /** The reference's take(n)/auto-unsubscribe (lib/nats.js:98-107) as a
     * stateful count-gate: per subscription key, deliver the first `max`
     * matching messages, then drop the subscription (state = delivered

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.BusLayout
+
+/** Partitioned bus layout: routing filters become partition pruning. */
+class BusLayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("event_type filter prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft_layout").toString
+    BusLayout.writePartitioned(Tables.events(spark, "/root/testdata/sf0.001"), dir)
+    val df = BusLayout.readPartitioned(spark, dir)
+      .filter(col("event_type") === "error")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(plan.contains("(event_type"), plan)
+    assert(df.collect().length > 0) // executes THIS queryExecution's plan
+    // pruning is real: the scan reads fewer files than the layout holds
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    val readFiles = scan.metrics("numFiles").value
+    val allFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(readFiles > 0 && readFiles < allFiles,
+      s"expected pruning: read $readFiles of $allFiles files")
+  }
+
+  test("streaming rpc join matches responses within the timeout, first wins") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.stream.Streams
+    implicit val sq = spark.sqlContext
+    val s = spark; import s.implicits._
+    def t(sec: Int) = new Timestamp(1704067200000L + sec * 1000L)
+    val reqs = MemoryStream[(Long, Timestamp)]
+    val ress = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streams.rpcJoin(
+      reqs.toDF().toDF("req_id", "ts"),
+      ress.toDF().toDF("req_id", "ts", "channel"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("rpc").start()
+    reqs.addData((1L, t(0)), (2L, t(1)))
+    ress.addData((1L, t(3), "cdc/res/a"),   // within 10s -> match
+                 (1L, t(5), "cdc/res/b"),   // second response, also joins
+                 (2L, t(30), "cdc/res/c"))  // beyond timeout -> no match
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("rpc")
+      .select(col("req_id"), col("res_channel")).as[(Long, String)].collect()
+    assert(rows.toSet === Set((1L, "cdc/res/a"), (1L, "cdc/res/b")),
+      "req 1 matches both in-window responses; req 2's late response is excluded")
+  }
+}
