@@ -209,6 +209,19 @@ object RelQueries {
       .orderBy(col("user_id"))
   }
 
+  /** lead(): for each error event, what the same user does next and how
+    * long until then (exact integer micros → rounded seconds). */
+  def windowLeadNext(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("next_type"),
+        round((col("next_us") - unix_micros(col("ts"))).cast("double") / 1e6, 3).as("secs_to_next"))
+      .orderBy(col("event_id"))
+  }
+
   /** Running sum over a frame spec. */
   def windowRunning(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -353,6 +366,7 @@ object RelQueries {
     "window_topk"        -> (windowTopk _),
     "window_rank_kinds"  -> (windowRankKinds _),
     "window_lag_gap"     -> (windowLagGap _),
+    "window_lead_next"   -> (windowLeadNext _),
     "window_running"     -> (windowRunning _),
     "window_ntile"       -> (windowNtile _),
     "topk_global"        -> (topkGlobal _),
@@ -494,6 +508,18 @@ object RelQueries {
                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         FROM events)
       GROUP BY user_id ORDER BY user_id""",
+
+    "window_lead_next" -> """
+      SELECT event_id, user_id, next_type,
+             round(CAST(next_us - us AS DOUBLE) / 1e6, 3) AS secs_to_next
+      FROM (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               lead(event_type, 1) OVER w AS next_type,
+               lead(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w AS next_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      WHERE event_type = 'error' ORDER BY event_id""",
 
     "window_running" -> """
       SELECT o_custkey, o_orderkey,
