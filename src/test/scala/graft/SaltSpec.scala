@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.rel.Salt
+
+/** Salting must be a pure physical rewrite: identical results to the
+  * naive aggregation/join on heavily skewed data (90% one key). */
+class SaltSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val skewed = {
+    val s = spark; import s.implicits._
+    (1L to 10000L).map { i =>
+      val key = if (i % 10 != 0) "hot" else s"cold_${i % 97}"
+      (i, key, (i % 13).toDouble)
+    }.toDF("id", "k", "v")
+  }
+
+  test("salted sum/count equals naive groupBy on 90%-hot-key data") {
+    val naive = skewed.groupBy(col("k"))
+      .agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Salt.saltedSumCount(skewed, "k", "v", "id")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted === naive)
+  }
+
+  test("salted join is row-identical to the plain join") {
+    val s = spark; import s.implicits._
+    val dim = Seq(("hot", "H"), ("cold_1", "C1"), ("cold_2", "C2"))
+      .toDF("k", "label")
+    val naive = skewed.join(dim, Seq("k")).select(col("id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val salted = Salt.saltedJoin(skewed, dim, "k", "id")
+      .select(col("id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(salted === naive)
+    assert(salted.nonEmpty)
+  }
+}
