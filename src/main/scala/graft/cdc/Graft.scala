@@ -1,0 +1,87 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.GraftFunctions.mqtt_matches
+
+/** User-facing facade mirroring the reference client's API shape
+  * (`connect` / `subscribe` / `take` / `publish` / `rpc` / counters —
+  * reference lib/nats.js), so a user of node-cdc-nats maps their program
+  * 1:1 onto the Spark engine:
+  *
+  * {{{
+  * val bus = Graft.connect(spark, "/data/bus")            // new Nats(opts)
+  * val errs = bus.subscribe("cdc/error/#")                // subscribe(subject, cb)
+  * val first3 = bus.take("cdc/signup/#", 3)               // subscribe(subject, {max:3}, cb)
+  * val reply = bus.rpc(Seq("cdc/purchase/#", "cdc/error/#"))   // rpc(req, resSubs, …)
+  * val recvd = bus.counters(Map("errs" -> "cdc/error/#")) // sub.received
+  * bus.publish(df, "/data/bus-out")                       // publish(subject, msg)
+  * }}}
+  *
+  * Each method returns a lazy DataFrame view over the one shared bus scan
+  * (decode-once fan-out, lib/nats.js:88-92). Works identically on a
+  * batch capture or a streaming DataFrame (pass one via [[Graft.over]]).
+  */
+object Graft {
+
+  /** Open the bus from a captured events directory. */
+  def connect(spark: SparkSession, dir: String): Bus =
+    new Bus(Tables.bus(spark, dir))
+
+  /** Wrap an arbitrary bus DataFrame (e.g. a readStream) that already has
+    * a `channel` column — or synthesizes one if the events schema is raw. */
+  def over(df: DataFrame): Bus =
+    new Bus(if (df.columns.contains("channel")) df
+            else graft.stream.Streams.withChannel(df))
+
+  final class Bus private[cdc] (val frame: DataFrame) {
+
+    /** A logical subscription: the pattern-filtered view. */
+    def subscribe(pattern: String): DataFrame =
+      frame.filter(mqtt_matches(lit(pattern), col("channel")))
+
+    /** `subscribe(subject, {max:n})` — the first n matching messages in
+      * arrival order, then auto-unsubscribe (lib/nats.js:98-107). */
+    def take(pattern: String, n: Int): DataFrame =
+      subscribe(pattern)
+        .withColumn("_rn", row_number().over(Window.orderBy(col("event_id"))))
+        .filter(col("_rn") <= n)
+        .drop("_rn")
+
+    /** Per-subscription delivery counters (lib/nats.js:97), zero-delivery
+      * subscriptions included. */
+    def counters(subs: Map[String, String]): DataFrame = {
+      val spark = frame.sparkSession
+      import spark.implicits._
+      subs.toSeq.sortBy(_._1).toDF("sub", "pattern")
+        .join(frame, mqtt_matches(col("pattern"), col("channel")), "left")
+        .groupBy(col("sub"))
+        .agg(count(col("channel")).as("received"))
+    }
+
+    /** First-response-wins over k response patterns with a 408 timeout
+      * sentinel when nothing matches (lib/nats.js:196-256). Always returns
+      * exactly one row. */
+    def rpc(resPatterns: Seq[String]): DataFrame = {
+      val spark = frame.sparkSession
+      val hits = resPatterns.map(subscribe)
+        .reduce(_ unionByName _)
+        .select(col("event_id"), col("channel"), lit(200).as("code"))
+      val fallback = spark.range(1)
+        .select(lit(-1L).as("event_id"), lit(null.asInstanceOf[String]).as("channel"),
+                lit(408).as("code"))
+      hits.unionByName(fallback)
+        .orderBy(col("code"), col("event_id"))
+        .limit(1)
+    }
+
+    /** Publish = write to the constant physical address; routing stays in
+      * the data (the reference's quirk at lib/nats.js:175), partitioned by
+      * the leading routing level for pruned re-reads. */
+    def publish(df: DataFrame, path: String): Unit =
+      graft.sources.BusLayout.writePartitioned(df, path)
+  }
+}

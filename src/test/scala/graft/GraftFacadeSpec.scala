@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.Graft
+
+/** The user-facing facade: every reference API verb maps onto a working
+  * view of the shared bus scan. */
+class GraftFacadeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val bus = Graft.connect(spark, "/root/testdata/sf0.001")
+
+  test("subscribe filters by pattern") {
+    val errs = bus.subscribe("cdc/error/#")
+    assert(errs.count() > 0)
+    assert(errs.select("event_type").distinct().collect().map(_.getString(0)).toSeq === Seq("error"))
+  }
+
+  test("take(n) bounds a subscription") {
+    assert(bus.take("cdc/click/#", 7).count() === 7)
+  }
+
+  test("counters cover zero-delivery subscriptions") {
+    val m = bus.counters(Map("e" -> "cdc/error/#", "none" -> "cdc/zzz/#"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("e") > 0 && m("none") === 0)
+  }
+
+  test("rpc resolves first response, or 408 when nothing matches") {
+    val hit = bus.rpc(Seq("cdc/purchase/#", "cdc/error/#")).collect().head
+    assert(hit.getInt(2) === 200)
+    val miss = bus.rpc(Seq("cdc/zzz/#")).collect().head
+    assert(miss.getInt(2) === 408 && miss.getLong(0) === -1L)
+  }
+
+  test("publish writes the routed layout, over() re-wraps it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pub").toString
+    bus.publish(bus.subscribe("cdc/error/#"), dir)
+    val republished = Graft.over(spark.read.parquet(dir))
+    assert(republished.subscribe("cdc/error/#").count() === bus.subscribe("cdc/error/#").count())
+  }
+}
