@@ -134,7 +134,22 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("sum_bpe"))
       .orderBy(col("source"))
 
+  /** Deterministic train/val/test split by md5 bucket of the doc id —
+    * reproducible across engines and runs (unlike RNG sampling), stable
+    * under re-partitioning, and exactly what a 100 TB corpus needs for
+    * consistent splits: bucket = md5(doc_id) % 10 → 8/1/1. */
+  def sampleSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 10)
+      .withColumn("split",
+        when(col("bucket") < 8, "train").when(col("bucket") === 8, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_split"     -> (sampleSplit _),
     "dedup_stats"      -> (dedupStats _),
     "dedup_exact_keep" -> (dedupExactKeep _),
     "text_tokens"      -> (textTokens _),
@@ -145,6 +160,17 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _))
 
   val oracle: Map[String, String] = Map(
+    "sample_split" -> """
+      SELECT lang, split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM (
+        SELECT lang, n_chars,
+               CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+        FROM (
+          SELECT lang, n_chars,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bucket
+          FROM documents))
+      GROUP BY lang, split ORDER BY lang, split""",
     "dedup_stats" ->
       s"""SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_uniq,
          |       count(DISTINCT $NormSql) AS n_uniq_norm
