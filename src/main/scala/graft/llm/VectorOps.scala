@@ -90,6 +90,46 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF-style ANN: a coarse quantizer (cell centroids — label means
+    * here; k-means in a general deployment) routes each query to its
+    * `nprobe` nearest cells, and only those cells' vectors are scored.
+    * Complements the hyperplane-LSH path: IVF probes data-adaptive cells,
+    * LSH probes data-independent buckets. Centroid build is one
+    * explode + grouped average (a single pass); search cost is
+    * |probed cells| / |corpus| of brute force.
+    *
+    * No DuckDB oracle (float-mean centroids are not reproducible
+    * bit-exactly across engines) — driver records rows-only; recall and
+    * determinism are asserted in VectorOpsSpec. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("n2"))
+    // centroids: element-wise mean per label cell
+    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("cell"),
+        expr("transform(pm, p -> p.m)").as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    // route queries to their 2 nearest cells
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val wCells = Window.partitionBy(col("qid")).orderBy(col("cellcos").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("cellcos", dot(col("qv"), col("cv")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("crk", row_number().over(wCells))
+      .filter(col("crk") <= 2)
+      .select(col("qid"), col("qv"), col("qn2"), col("cell"))
+    // score only the probed cells
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
+    probed.join(e, col("label") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("cos_raw"), 5).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Near-duplicate candidate pairs: same label block, cosine ≥ 0.4. */
   def nearDup(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d).select(col("label"), col("vec_id"), col("v"), col("n2"))
@@ -107,6 +147,7 @@ object VectorOps {
     "cos_topk"    -> (cosTopk _),
     "ann_buckets" -> (annBuckets _),
     "ann_topk"    -> (annTopk _),
+    "ann_ivf"     -> (annIvf _),
     "embed_neardup" -> (nearDup _))
 
   // ---- DuckDB twins --------------------------------------------------
