@@ -41,6 +41,37 @@ object MqttPattern {
     ps.length == ts.length
   }
 
+  /** Bounded cache of compiled matchers for the dynamic-pattern path
+    * (pattern arrives as a column — e.g. a subscription table joined
+    * against the bus). Real workloads have few distinct patterns, so each
+    * is compiled once per executor instead of split-and-walked per row.
+    * Overflow policy: clear-all at the bound (cheap, cache rebuilds from
+    * the live pattern set; correctness never depends on the cache). */
+  private val cacheBound = 4096
+  private val compiled = new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
+  /** Compile a pattern to a Java matcher with [[matches]] semantics —
+    * including the edge that a '#' before the last segment can never
+    * return true in the level-wise matcher, where toRegex alone would
+    * wrongly treat the '#' as terminal. */
+  def compileJava(pattern: String): java.util.regex.Pattern = {
+    val rx = if (pattern.split("/", -1).dropRight(1).exists(isHash)) "(?!)"
+             else toRegex(pattern)
+    java.util.regex.Pattern.compile(rx)
+  }
+
+  /** Cached variant of [[matches]] — same semantics, compiled once per
+    * distinct pattern. Used by the codegen'd expression's dynamic path. */
+  def matchesCached(pattern: String, topic: String): Boolean = {
+    var p = compiled.get(pattern)
+    if (p == null) {
+      if (compiled.size() >= cacheBound) compiled.clear()
+      p = compileJava(pattern)
+      compiled.put(pattern, p)
+    }
+    p.matcher(topic).matches()
+  }
+
   /** Regex-escape restricted to the metacharacter set that Java regex and
     * DuckDB's RE2 treat identically (no \Q..\E — RE2 lacks it). */
   private def escape(s: String): String =

@@ -38,20 +38,19 @@ case class MqttMatchesExpr(pattern: Expression, channel: Expression)
     }
 
   override def nullSafeEval(p: Any, c: Any): Any =
-    MqttPattern.matches(p.asInstanceOf[UTF8String].toString,
-                        c.asInstanceOf[UTF8String].toString)
+    MqttPattern.matchesCached(p.asInstanceOf[UTF8String].toString,
+                              c.asInstanceOf[UTF8String].toString)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     if (pattern.foldable && pattern.eval(null) != null) {
-      val regex = MqttPattern.toRegex(
+      val compiled = MqttPattern.compileJava(
         pattern.eval(null).asInstanceOf[UTF8String].toString)
-      val compiled = java.util.regex.Pattern.compile(regex)
       val ref = ctx.addReferenceObj("mqttPattern", compiled,
         classOf[java.util.regex.Pattern].getName)
       defineCodeGen(ctx, ev, (_, c) => s"$ref.matcher($c.toString()).matches()")
     } else {
       defineCodeGen(ctx, ev,
-        (p, c) => s"graft.cdc.MqttPattern.matches($p.toString(), $c.toString())")
+        (p, c) => s"graft.cdc.MqttPattern.matchesCached($p.toString(), $c.toString())")
     }
   }
 

@@ -113,6 +113,19 @@ class MqttPatternSpec extends AnyFunSuite {
     }
   }
 
+  test("matchesCached/compileJava agree with matches on ALL cases incl. mid-'#'") {
+    cases.foreach { case (p, t, want) =>
+      assert(MqttPattern.matchesCached(p, t) === want, s"matchesCached($p, $t)")
+      assert(MqttPattern.compileJava(p).matcher(t).matches() === want,
+        s"compileJava($p) on $t")
+    }
+    (1 to 2000).foreach { _ =>
+      val p = pat(); val t = path()
+      assert(MqttPattern.matchesCached(p, t) === MqttPattern.matches(p, t),
+        s"cache divergence pattern=$p topic=$t")
+    }
+  }
+
   test("randomized: '+' never matches across '/'") {
     (1 to 200).foreach { _ =>
       val t = seg() + "/" + seg()
