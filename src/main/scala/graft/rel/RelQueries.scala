@@ -262,7 +262,7 @@ object RelQueries {
     val withF = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
     val both = withO.intersect(withF).agg(count(lit(1)).as("n"))
       .select(lit("both").as("tag"), col("n"))
-    val onlyO = withO.distinct.except(withF).agg(count(lit(1)).as("n"))
+    val onlyO = withO.distinct().except(withF).agg(count(lit(1)).as("n"))
       .select(lit("only_o").as("tag"), col("n"))
     both.unionByName(onlyO).orderBy(col("tag"))
   }
