@@ -16,6 +16,11 @@ object GraftFunctions {
     GraftBridge.column(DotProductExpr(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Deterministic bottom-k-by-hash sample aggregate over a LONG column. */
+  def bottomk_by_hash(c: Column, k: Int): Column =
+    GraftBridge.column(
+      BottomKByHashAgg(GraftBridge.expression(c), k).toAggregateExpression())
+
   /** Register graft's functions for SQL usage in the given session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -148,8 +148,21 @@ object TextOps {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"), col("split"))
 
+  /** Deterministic per-language corpus sample via the custom KMV
+    * aggregate ([[graft.functions.BottomKByHashAgg]]): the 3 docs whose
+    * md5(doc_id) digests are smallest — identical sample on any cluster
+    * layout, O(k) state per group. */
+  def sampleBottomK(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(graft.functions.GraftFunctions.bottomk_by_hash(col("doc_id"), 3).as("ids"))
+      .select(col("lang"), posexplode(col("ids")).as(Seq("i", "doc_id")))
+      .select(col("lang"), (col("i") + 1).cast("long").as("rank"), col("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split"     -> (sampleSplit _),
+    "sample_bottomk"   -> (sampleBottomK _),
     "dedup_stats"      -> (dedupStats _),
     "dedup_exact_keep" -> (dedupExactKeep _),
     "text_tokens"      -> (textTokens _),
@@ -160,6 +173,14 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _))
 
   val oracle: Map[String, String] = Map(
+    "sample_bottomk" -> """
+      SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 3 ORDER BY lang, rank""",
+
     "sample_split" -> """
       SELECT lang, split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM (

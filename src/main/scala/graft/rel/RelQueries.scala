@@ -348,7 +348,19 @@ object RelQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Spark's NATIVE session_window operator in batch mode, graded against
+    * the portable gaps-and-islands formulation: session end = last event
+    * + gap. Proves the operator semantics, not just the SQL rewrite. */
+  def eventsSessionNative(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+              col("session_window.end").as("s_end"), col("user_id"), col("n"))
+      .orderBy(col("user_id"), col("s_start"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_session_native" -> (eventsSessionNative _),
     "q1_pricing"         -> (q1Pricing _),
     "agg_stats"          -> (aggStats _),
     "percentiles"        -> (percentiles _),
@@ -596,6 +608,25 @@ object RelQueries {
                  * INTERVAL 1 SECOND AS w_start,
              event_type, count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
+
+    "events_session_native" -> """
+      SELECT min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end,
+             user_id, count(*) AS n
+      FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+          FROM (
+            SELECT user_id, ts, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP))
+                     - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events)))
+      GROUP BY user_id, sess_id ORDER BY user_id, s_start""",
 
     "events_sessions" -> """
       SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events

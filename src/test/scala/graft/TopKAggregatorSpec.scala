@@ -24,6 +24,20 @@ class TopKAggregatorSpec extends AnyFunSuite {
     assert(got === want) // (96,96.0) then (193,96.0) then (290,96.0)
   }
 
+  test("bottomk_by_hash sample is invariant to partition layout") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.bottomk_by_hash
+    val s = spark; import s.implicits._
+    val df = (1L to 5000L).map(i => (s"g${i % 7}", i)).toDF("g", "v")
+    def sample(parts: Int) = df.repartition(parts)
+      .groupBy(col("g")).agg(bottomk_by_hash(col("v"), 4).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val a = sample(2)
+    val b = sample(17)
+    assert(a === b, "sample must be a pure function of the value set")
+    assert(a.values.forall(_.length === 4))
+  }
+
   test("grouped top-2 per key") {
     val s = spark; import s.implicits._
     val data = Seq(("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 7.0),
