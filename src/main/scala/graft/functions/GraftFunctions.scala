@@ -27,5 +27,9 @@ object GraftFunctions {
       "mqtt_matches", exprs => MqttMatchesExpr(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
+    // k must be a foldable integer literal (buffer bound is plan-time)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottomk_by_hash", exprs => BottomKByHashAgg(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
   }
 }
