@@ -77,10 +77,54 @@ object Multimodal {
       }
   }
 
+  /** Resize stage: target box 32×32, aspect preserved via integer
+    * arithmetic (metadata side is exact and oracle-checked; the pixel
+    * resample itself would live in the stub codec). */
+  def mmResize(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .withColumn("w2", least(col("width"), lit(32L)))
+      .withColumn("h2", least(col("height"), lit(32L)))
+      .withColumn("scale_pct",
+        round(col("w2").cast("double") * 100d / col("width"), 2))
+      .select(col("doc_id"), col("width"), col("height"), col("w2"), col("h2"),
+              col("scale_pct"))
+      .orderBy(col("doc_id"))
+
+  /** Frame-sampling stage for "video" payloads: every 4th frame index of
+    * n_frames = height (stand-in), exploded to (doc_id, frame_idx) — the
+    * index plan a real decoder would fetch. */
+  def mmFrameSample(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("height") - 1, lit(4L))))
+      .select(col("doc_id"), col("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_meta" -> (mmMeta _))
+    "mm_meta"         -> (mmMeta _),
+    "mm_resize"       -> (mmResize _),
+    "mm_frame_sample" -> (mmFrameSample _))
+
+  private val MetaCte =
+    """m AS (SELECT doc_id,
+      |             n_chars % 64 + 1 AS width,
+      |             (n_chars // 7) % 64 + 1 AS height
+      |      FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "mm_resize" ->
+      s"""WITH $MetaCte
+         |SELECT doc_id, width, height,
+         |       least(width, 32) AS w2, least(height, 32) AS h2,
+         |       round(CAST(least(width, 32) AS DOUBLE) * 100 / width, 2) AS scale_pct
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      s"""WITH $MetaCte
+         |SELECT doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx
+         |FROM m, unnest(range(0, height, 4)) AS f(frame_idx)
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "mm_meta" -> """
       SELECT doc_id,
              CAST(octet_length(img) AS BIGINT) AS n_bytes,
