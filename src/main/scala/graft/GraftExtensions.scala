@@ -4,12 +4,13 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductExpr, MqttMatchesExpr}
+import graft.functions.{DotProductExpr, GraftFunctions, MqttMatchesExpr}
 import graft.plans.MqttPrefixPushdown
 
 /** Session extensions wiring for the graft engine:
-  *   - SQL functions `mqtt_matches(pattern, channel)` and
-  *     `dot_product(a, b)` (both codegen'd Catalyst expressions);
+  *   - SQL functions `mqtt_matches(pattern, channel)`, `dot_product(a, b)`
+  *     (codegen'd Catalyst expressions) and `bottomk_by_hash(v, k)` (the
+  *     deterministic KMV sample aggregate);
   *   - the [[MqttPrefixPushdown]] optimizer rule that turns constant
   *     routing patterns into parquet-pushdown-able prefix predicates.
   *
@@ -28,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("bottomk_by_hash"),
+      new ExpressionInfo(classOf[graft.functions.BottomKByHashAgg].getName, "bottomk_by_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftFunctions.bottomkBuilder(exprs)))
     e.injectOptimizerRule(_ => MqttPrefixPushdown)
   }
 }

@@ -38,13 +38,22 @@ object Tables {
   def documents(s: SparkSession, d: String) = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
 
-  /** The captured CDC bus: `events` with the routed `channel` path
-    * synthesized as `cdc/<event_type>/<user_id>` (SURVEY §1.5 role mapping —
-    * routing is data, the physical address is constant, mirroring the
-    * reference's publish quirk at lib/nats.js:175). */
+  /** THE canonical channel layout `cdc/<event_type>/<user_id>` (SURVEY
+    * §1.5 role mapping — routing is data, the physical address is
+    * constant, mirroring the reference's publish quirk at
+    * lib/nats.js:175). Every channel synthesis in the engine goes
+    * through one of these two builders — never inline the layout. */
+  def channelCol(eventType: org.apache.spark.sql.Column,
+                 userId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws("/", lit("cdc"), eventType, userId.cast("string"))
+
+  /** String twin of [[channelCol]] for row-level code paths. */
+  def channelString(eventType: String, userId: Long): String =
+    s"cdc/$eventType/$userId"
+
+  /** The captured CDC bus: `events` with the routed `channel` synthesized. */
   def bus(s: SparkSession, d: String): DataFrame =
-    events(s, d).withColumn("channel",
-      concat_ws("/", lit("cdc"), col("event_type"), col("user_id").cast("string")))
+    events(s, d).withColumn("channel", channelCol(col("event_type"), col("user_id")))
 
   /** DuckDB-side twin of [[bus]] as a CTE named `ev`. `ts` is cast from
     * DuckDB's TIMESTAMP_NS down to microsecond TIMESTAMP to mirror the

@@ -65,12 +65,14 @@ object CdcBus {
       .orderBy(col("event_id"))
 
   /** RPC first-response-wins (lib/nats.js:216-223): k response-pattern
-    * subscriptions unioned, earliest arrival wins. */
+    * subscriptions, earliest arrival wins. The k subscriptions are one
+    * disjunctive predicate over ONE scan (a per-pattern filter + union
+    * would read the bus k times); the plan is per-partition top-1 then a
+    * 1-row reduce (TakeOrderedAndProject), never a global sort. */
   def rpcFirst(s: SparkSession, d: String): DataFrame = {
-    val bus = Tables.bus(s, d)
-    val resA = bus.filter(mqtt_matches(lit("cdc/purchase/#"), col("channel")))
-    val resB = bus.filter(mqtt_matches(lit("cdc/error/#"), col("channel")))
-    resA.unionByName(resB)
+    val resPatterns = Seq("cdc/purchase/#", "cdc/error/#")
+    Tables.bus(s, d)
+      .filter(resPatterns.map(p => mqtt_matches(lit(p), col("channel"))).reduce(_ || _))
       .select(col("event_id"), col("channel"), col("ts"), lit(200).as("code"))
       .orderBy(col("ts"), col("event_id"))
       .limit(1)

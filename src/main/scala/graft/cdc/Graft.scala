@@ -67,8 +67,9 @@ object Graft {
       * exactly one row. */
     def rpc(resPatterns: Seq[String]): DataFrame = {
       val spark = frame.sparkSession
-      val hits = resPatterns.map(subscribe)
-        .reduce(_ unionByName _)
+      // k response subscriptions = one disjunctive predicate, one scan
+      val hits = frame
+        .filter(resPatterns.map(p => mqtt_matches(lit(p), col("channel"))).reduce(_ || _))
         .select(col("event_id"), col("channel"), lit(200).as("code"))
       val fallback = spark.range(1)
         .select(lit(-1L).as("event_id"), lit(null.asInstanceOf[String]).as("channel"),

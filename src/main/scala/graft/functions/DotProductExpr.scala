@@ -12,17 +12,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Semantically identical to `aggregate(zip_with(a, b, (x,y) -> x*y), 0D,
   * (acc,x) -> acc+x)` — a strict left-to-right fold in DOUBLE, which is
   * also what DuckDB's `list_dot_product` computes, so oracle parity is
-  * bit-exact. The reason it exists: Spark's higher-order array functions
-  * evaluate their lambdas interpreted (one virtual call + boxing per
-  * element), which is the hot path of every similarity-search operator.
-  * This expression compiles to a tight primitive loop inside
-  * WholeStageCodegen.
+  * bit-exact. That includes the null semantics of the fold: a NULL
+  * element or a length mismatch (zip_with pads with NULL) poisons the
+  * sum → result NULL. The reason the expression exists: Spark's
+  * higher-order array functions evaluate their lambdas interpreted (one
+  * virtual call + boxing per element), which is the hot path of every
+  * similarity-search operator. This compiles to a tight primitive loop
+  * inside WholeStageCodegen.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  override def nullable: Boolean = true // null element / ragged input -> NULL
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
@@ -34,10 +37,12 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0d
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -50,12 +55,17 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0d;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0d;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -21,15 +21,31 @@ object GraftFunctions {
     GraftBridge.column(
       BottomKByHashAgg(GraftBridge.expression(c), k).toAggregateExpression())
 
-  /** Register graft's functions for SQL usage in the given session. */
+  /** SQL builder for bottomk_by_hash: k must be a foldable integer
+    * literal (the buffer bound is fixed at plan time). Shared by
+    * [[register]] and [[graft.GraftExtensions]] so the two registration
+    * paths cannot drift. */
+  private[graft] def bottomkBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val k = exprs(1) match {
+      case e if e.foldable && e.eval(null).isInstanceOf[Number] =>
+        e.eval(null).asInstanceOf[Number].intValue()
+      case other => throw new IllegalArgumentException(
+        s"bottomk_by_hash(v, k): k must be an integer literal, got ${other.sql}")
+    }
+    BottomKByHashAgg(exprs(0), k)
+  }
+
+  /** Register graft's functions for SQL usage in the given session
+    * (same set as [[graft.GraftExtensions]], for sessions built without
+    * extension injection). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mqtt_matches", exprs => MqttMatchesExpr(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
-    // k must be a foldable integer literal (buffer bound is plan-time)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bottomk_by_hash", exprs => BottomKByHashAgg(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
+      "bottomk_by_hash", bottomkBuilder, "built-in")
   }
 }

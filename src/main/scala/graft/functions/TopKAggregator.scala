@@ -21,12 +21,20 @@ class TopKAggregator(k: Int)
   private def better(a: (Long, Double), b: (Long, Double)): Boolean =
     a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
 
-  private def trim(buf: mutable.ArrayBuffer[(Long, Double)]): mutable.ArrayBuffer[(Long, Double)] = {
-    if (buf.length > k) {
-      val kept = buf.sortWith(better).take(k)
-      buf.clear()
-      buf ++= kept
+  /** Sorted-insert (best first) bounded at k: once full, one comparison
+    * against the current kth rejects the common case — O(1) hot path,
+    * O(k) worst case, never a full re-sort per row. */
+  private def insert(buf: mutable.ArrayBuffer[(Long, Double)],
+                     e: (Long, Double)): mutable.ArrayBuffer[(Long, Double)] = {
+    if (buf.length == k && !better(e, buf.last)) return buf
+    var lo = 0
+    var hi = buf.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (better(buf(mid), e)) lo = mid + 1 else hi = mid
     }
+    buf.insert(lo, e)
+    if (buf.length > k) buf.remove(buf.length - 1)
     buf
   }
 
@@ -34,14 +42,16 @@ class TopKAggregator(k: Int)
 
   override def reduce(buf: mutable.ArrayBuffer[(Long, Double)],
                       in: (Long, Double)): mutable.ArrayBuffer[(Long, Double)] =
-    trim(buf += in)
+    insert(buf, in)
 
   override def merge(a: mutable.ArrayBuffer[(Long, Double)],
-                     b: mutable.ArrayBuffer[(Long, Double)]): mutable.ArrayBuffer[(Long, Double)] =
-    trim(a ++= b)
+                     b: mutable.ArrayBuffer[(Long, Double)]): mutable.ArrayBuffer[(Long, Double)] = {
+    b.foreach(insert(a, _))
+    a
+  }
 
   override def finish(buf: mutable.ArrayBuffer[(Long, Double)]): Seq[(Long, Double)] =
-    buf.sortWith(better).take(k).toSeq
+    buf.toSeq // maintained in rank order
 
   override def bufferEncoder: Encoder[mutable.ArrayBuffer[(Long, Double)]] =
     Encoders.kryo[mutable.ArrayBuffer[(Long, Double)]]

@@ -27,10 +27,10 @@ object Streams {
   /** A routed delivery (reference callback invocation, lib/nats.js:109-111). */
   case class Delivery(sub: String, event_id: Long, channel: String)
 
-  /** Synthesize the routed channel (one scan shared by all views). */
+  /** Synthesize the routed channel (one scan shared by all views) — the
+    * canonical layout lives in [[graft.Tables.channelCol]]. */
   def withChannel(df: DataFrame): DataFrame =
-    df.withColumn("channel",
-      concat_ws("/", lit("cdc"), col("event_type"), col("user_id").cast("string")))
+    df.withColumn("channel", graft.Tables.channelCol(col("event_type"), col("user_id")))
 
   /** A logical subscription = a pattern-filtered view of the one bus scan
     * (decode-once fan-out, reference lib/nats.js:92-95). */
@@ -94,7 +94,8 @@ object Streams {
           val take = it.take(math.max(0, max - already)).toSeq
           state.update(already + take.size)
           take.iterator.map { case (_, e) =>
-            Delivery(sub, e.event_id, s"cdc/${e.event_type}/${e.user_id}")
+            Delivery(sub, e.event_id,
+              graft.Tables.channelString(e.event_type, e.user_id))
           }
       }
   }
