@@ -234,6 +234,49 @@ object RelQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** RANGE frame over event-time: per customer, orders placed in the 30
+    * days up to each order (range frames bound by VALUE distance, not row
+    * count — the other frame kind). Keyed on exact integer micros. */
+  def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val us30d = 30L * 86400L * 1000000L
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od_us"))
+      .rangeBetween(-us30d, 0)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .withColumn("od_us", unix_micros(col("o_orderdate").cast("timestamp")))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("sum_30d", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("n_30d"), col("sum_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** first/last/nth_value over an unbounded frame — constant per
+    * partition, DISTINCT-deduped. */
+  def windowValueFns(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        last(col("o_orderkey")).over(w).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+      .distinct()
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Cross-table date arithmetic: shipping delay in whole days
+    * (lineitem ⋈ orders), exact integer aggregation. */
+  def shipDelay(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_d", datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("delay_d")).as("sum_delay"),
+           max(col("delay_d")).as("max_delay"))
+      .orderBy(col("o_orderpriority"))
+
   /** ntile quartiles of customers by account balance. */
   def windowNtile(s: SparkSession, d: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
@@ -381,6 +424,9 @@ object RelQueries {
     "window_lead_next"   -> (windowLeadNext _),
     "window_running"     -> (windowRunning _),
     "window_ntile"       -> (windowNtile _),
+    "window_range_frame" -> (windowRangeFrame _),
+    "window_value_fns"   -> (windowValueFns _),
+    "ship_delay"         -> (shipDelay _),
     "topk_global"        -> (topkGlobal _),
     "set_ops"            -> (setOps _),
     "scalar_string"      -> (scalarString _),
@@ -540,6 +586,40 @@ object RelQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
       FROM orders WHERE o_custkey < 100
       ORDER BY o_custkey, o_orderkey""",
+
+    "window_range_frame" -> """
+      SELECT o_custkey, o_orderkey, n_30d, sum_30d FROM (
+        SELECT o_custkey, o_orderkey,
+               count(*) OVER w AS n_30d,
+               round(sum(o_totalprice) OVER w, 2) AS sum_30d
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     epoch_us(o_orderdate) AS od_us
+              FROM orders WHERE o_custkey < 200)
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY od_us
+                     RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW))
+      ORDER BY o_custkey, o_orderkey""",
+
+    "window_value_fns" -> """
+      SELECT DISTINCT o_orderstatus,
+             first_value(o_orderkey) OVER w AS first_key,
+             last_value(o_orderkey) OVER w AS last_key,
+             nth_value(o_orderkey, 2) OVER w AS second_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_orderpriority, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_orderstatus""",
+
+    "ship_delay" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(delay_d) AS BIGINT) AS sum_delay,
+             max(delay_d) AS max_delay
+      FROM (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) AS BIGINT) AS delay_d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "window_ntile" -> """
       SELECT quartile, count(*) AS n, round(min(c_acctbal), 2) AS lo,
