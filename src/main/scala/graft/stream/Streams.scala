@@ -80,6 +80,28 @@ object Streams {
       .select(col("req_id"), col("req_ts"), col("res_ts"), col("res_channel"))
   }
 
+  /** [[rpcJoin]] plus the reference's timeout fallback
+    * (lib/nats.js:238-247): a LEFT OUTER interval join — a request with
+    * no in-window response is emitted with the 408 sentinel once the
+    * watermark passes its timeout horizon, exactly the soft-resolve
+    * semantics (never a hard failure). */
+  def rpcJoinWithTimeout(requests: DataFrame, responses: DataFrame,
+                         timeout: String = "10 seconds"): DataFrame = {
+    val req = requests.select(col("req_id"), col("ts").as("req_ts"))
+      .withWatermark("req_ts", timeout)
+    val res = responses.select(col("req_id").as("res_req_id"), col("ts").as("res_ts"),
+        col("channel").as("res_channel"))
+      .withWatermark("res_ts", timeout)
+    req.join(res,
+      col("req_id") === col("res_req_id") &&
+        col("res_ts") >= col("req_ts") &&
+        col("res_ts") <= col("req_ts") + expr(s"INTERVAL $timeout"),
+      "leftOuter")
+      .select(col("req_id"), col("req_ts"),
+        coalesce(col("res_channel"), lit("__timeout__")).as("res_channel"),
+        when(col("res_req_id").isNull, 408).otherwise(200).as("code"))
+  }
+
   /** The reference's take(n)/auto-unsubscribe (lib/nats.js:98-107) as a
     * stateful count-gate: per subscription key, deliver the first `max`
     * matching messages, then drop the subscription (state = delivered

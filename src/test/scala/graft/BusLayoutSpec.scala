@@ -62,4 +62,33 @@ class BusLayoutSpec extends AnyFunSuite {
     assert(rows.toSet === Set((1L, "cdc/res/a"), (1L, "cdc/res/b")),
       "req 1 matches both in-window responses; req 2's late response is excluded")
   }
+
+  test("streaming rpc timeout: unmatched request soft-resolves 408 after watermark") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.stream.Streams
+    implicit val sq = spark.sqlContext
+    val s = spark; import s.implicits._
+    def t(sec: Int) = new Timestamp(1704067200000L + sec * 1000L)
+    val reqs = MemoryStream[(Long, Timestamp)]
+    val ress = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streams.rpcJoinWithTimeout(
+      reqs.toDF().toDF("req_id", "ts"),
+      ress.toDF().toDF("req_id", "ts", "channel"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("rpc_to").start()
+    reqs.addData((1L, t(0)), (2L, t(0)))
+    ress.addData((1L, t(2), "cdc/res/ok"))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past t(0)+timeout to close req 2
+    reqs.addData((99L, t(600)))
+    ress.addData((98L, t(600), "x"))
+    q.processAllAvailable()
+    reqs.addData((97L, t(1200))); ress.addData((96L, t(1200), "y"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("rpc_to")
+      .select(col("req_id"), col("code")).as[(Long, Int)].collect().toSet
+    assert(rows.contains((1L, 200)), s"req 1 matched: $rows")
+    assert(rows.contains((2L, 408)), s"req 2 must soft-resolve 408: $rows")
+  }
 }
