@@ -289,6 +289,32 @@ object RelQueries {
       .orderBy(col("quartile"))
   }
 
+  /** PIVOT: event counts per user-bucket, one column per event type.
+    * Values are pinned (no discovery pass) — required for a stable
+    * schema, and the scalable form (value discovery is a full extra
+    * scan). Oracle uses the equivalent conditional aggregation. */
+  def pivotCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("bucket", col("user_id") % 10)
+      .groupBy(col("bucket"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("bucket"))
+
+  /** UNPIVOT (melt): wide per-flag aggregate back to (flag, metric,
+    * value) long form. */
+  def unpivotMetrics(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"),
+           round(sum(col("l_extendedprice")), 2).as("price"),
+           round(sum(col("l_discount")), 2).as("disc"))
+      .unpivot(Array(col("l_returnflag")),
+               Array(col("qty"), col("price"), col("disc")),
+               "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+
   // ---- sort / limit / set ops ---------------------------------------
 
   /** Global top-k → Spark plans TakeOrderedAndProject (no full sort). */
@@ -428,6 +454,8 @@ object RelQueries {
     "window_value_fns"   -> (windowValueFns _),
     "ship_delay"         -> (shipDelay _),
     "topk_global"        -> (topkGlobal _),
+    "pivot_counts"       -> (pivotCounts _),
+    "unpivot_metrics"    -> (unpivotMetrics _),
     "set_ops"            -> (setOps _),
     "scalar_string"      -> (scalarString _),
     "scalar_date"        -> (scalarDate _),
@@ -628,6 +656,27 @@ object RelQueries {
                    CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
             FROM customer)
       GROUP BY quartile ORDER BY quartile""",
+
+    "pivot_counts" -> """
+      SELECT user_id % 10 AS bucket,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      FROM events GROUP BY 1 ORDER BY bucket""",
+
+    "unpivot_metrics" -> """
+      SELECT l_returnflag, metric, value FROM (
+        SELECT l_returnflag, 'qty' AS metric, round(sum(l_quantity), 2) AS value
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, 'price', round(sum(l_extendedprice), 2)
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, 'disc', round(sum(l_discount), 2)
+        FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag, metric""",
 
     "topk_global" -> """
       SELECT o_orderkey, round(o_totalprice, 2) AS price
