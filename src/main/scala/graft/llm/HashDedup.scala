@@ -183,7 +183,32 @@ object HashDedup {
       .orderBy(col("source"))
   }
 
+  /** Benchmark decontamination: which held-out docs (doc_id % 50 = 0, the
+    * stand-in eval set) have 3-gram overlap with the training corpus
+    * (everything else)? The join is blocked on the shingle itself —
+    * contaminated-shingle work is proportional to overlap, not corpus² —
+    * and the corpus side is a distinct shingle SET (no doc multiplicity). */
+  def decontam(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(shingleArr).as("sh"))
+    val evalSh = sh.filter(col("doc_id") % 50 === 0)
+      .distinct()
+    val corpusSh = sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("sh")).distinct()
+      .withColumn("hit", lit(1L))
+    evalSh.join(corpusSh, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+           count(col("hit")).as("n_contaminated"))
+      .withColumn("contam_pct",
+        round(col("n_contaminated").cast("double") * 100d / col("n_shingles"), 2))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontam"        -> (decontam _),
     "minhash_sig"     -> (minhashSig _),
     "minhash_buckets" -> (minhashBuckets _),
     "minhash_pairs"   -> (minhashPairs _),
@@ -241,6 +266,18 @@ object HashDedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "decontam" ->
+      s"""WITH $ShingleCte,
+         |ev AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 50 = 0),
+         |corpus AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 != 0)
+         |SELECT doc_id, n_shingles, n_contaminated,
+         |       round(CAST(n_contaminated AS DOUBLE) * 100 / n_shingles, 2) AS contam_pct
+         |FROM (
+         |  SELECT ev.doc_id, count(*) AS n_shingles,
+         |         count(corpus.sh) AS n_contaminated
+         |  FROM ev LEFT JOIN corpus ON ev.sh = corpus.sh
+         |  GROUP BY ev.doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "minhash_sig" ->
       s"""WITH $ShingleCte, $HashCte, $SigCte
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,

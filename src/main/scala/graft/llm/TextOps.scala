@@ -160,8 +160,25 @@ object TextOps {
       .select(col("lang"), (col("i") + 1).cast("long").as("rank"), col("doc_id"))
       .orderBy(col("lang"), col("rank"))
 
+  /** Repetition filter (Gopher-style quality rule): a doc whose single
+    * most frequent token exceeds 10% of all tokens is flagged repetitive.
+    * The threshold compares exact integers (maxc*10 > ntok) and the
+    * reported ratio divides exact integer sums — no per-row float avg. */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max(col("cnt")).as("maxc"), sum(col("cnt")).as("ntok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("maxc") * 10 > col("ntok"), 1L).otherwise(0L)).as("n_repetitive"),
+           round(sum(col("maxc")).cast("double") / sum(col("ntok")), 4).as("mean_top_ratio"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split"     -> (sampleSplit _),
+    "text_repetition"  -> (textRepetition _),
     "sample_bottomk"   -> (sampleBottomK _),
     "dedup_stats"      -> (dedupStats _),
     "dedup_exact_keep" -> (dedupExactKeep _),
@@ -173,6 +190,19 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _))
 
   val oracle: Map[String, String] = Map(
+    "text_repetition" -> """
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN maxc * 10 > ntok THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+             round(CAST(sum(maxc) AS DOUBLE) / sum(ntok), 4) AS mean_top_ratio
+      FROM (
+        SELECT doc_id, lang, max(cnt) AS maxc, CAST(sum(cnt) AS BIGINT) AS ntok
+        FROM (
+          SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT doc_id, lang, unnest(str_split(text, ' ')) AS w FROM documents)
+          GROUP BY doc_id, lang, w)
+        GROUP BY doc_id, lang)
+      GROUP BY lang ORDER BY lang""",
+
     "sample_bottomk" -> """
       SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id FROM (
         SELECT lang, doc_id,
