@@ -114,7 +114,23 @@ object CdcBus {
       .agg(countDistinct(col("uid")).as("n_users"), count(lit(1)).as("n"))
       .orderBy(col("etype"))
 
+  /** Deeper topic hierarchy: a 4-level channel
+    * `cdc/<etype>/<uid>/v<value-bucket>` routed by a mixed pattern
+    * (`cdc/+/+/v5`) — wildcard depth beyond the basic 3-level layout,
+    * with named-level extraction of the tail. */
+  def deepRoute(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("channel", concat_ws("/",
+        lit("cdc"), col("event_type"), col("user_id").cast("string"),
+        concat(lit("v"), floor(col("value") / 10).cast("long").cast("string"))))
+      .filter(mqtt_matches(lit("cdc/+/+/v5"), col("channel")))
+      .withColumn("vbucket", element_at(split(col("channel"), "/"), 4))
+      .groupBy(col("event_type"), col("vbucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("vbucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_deep_route"      -> (deepRoute _),
     "cdc_route_hot"       -> (routeHot _),
     "cdc_sub_counters"    -> (subCounters _),
     "cdc_take_n"          -> (takeN _),
@@ -124,6 +140,14 @@ object CdcBus {
     "cdc_channel_extract" -> (channelExtract _))
 
   val oracle: Map[String, String] = Map(
+    "cdc_deep_route" ->
+      s"""WITH dv AS (
+         |  SELECT *, 'cdc/' || event_type || '/' || CAST(user_id AS VARCHAR)
+         |           || '/v' || CAST(CAST(floor(value / 10) AS BIGINT) AS VARCHAR) AS channel
+         |  FROM events)
+         |SELECT event_type, str_split(channel, '/')[4] AS vbucket, count(*) AS n
+         |FROM dv WHERE regexp_matches(channel, '${rx("cdc/+/+/v5")}')
+         |GROUP BY 1, 2 ORDER BY event_type, vbucket""".stripMargin,
     "cdc_route_hot" ->
       s"""${Tables.BusCte}
          |SELECT channel, count(*) AS n, round(sum(value), 2) AS total_value

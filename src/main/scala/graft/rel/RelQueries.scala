@@ -60,6 +60,17 @@ object RelQueries {
            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Statistical aggregates: sample stddev/variance and correlation. */
+  def aggVariance(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("l_quantity")), 3).as("avg_qty"),
+           round(stddev_samp(col("l_quantity")), 3).as("sd_qty"),
+           round(var_samp(col("l_quantity")), 3).as("var_qty"),
+           round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+
   // ---- joins --------------------------------------------------------
 
   /** Star join through two broadcast dimensions: revenue by region. */
@@ -434,6 +445,7 @@ object RelQueries {
     "agg_stats"          -> (aggStats _),
     "percentiles"        -> (percentiles _),
     "approx_distinct"    -> (approxDistinct _),
+    "agg_variance"       -> (aggVariance _),
     "join_region_rev"    -> (joinRegionRevenue _),
     "join_left"          -> (joinLeft _),
     "join_full"          -> (joinFull _),
@@ -484,6 +496,14 @@ object RelQueries {
     "percentiles" -> """
       SELECT l_returnflag, round(median(l_quantity), 3) AS med_qty,
              round(quantile_cont(l_quantity, 0.9), 3) AS p90_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_variance" -> """
+      SELECT l_returnflag, count(*) AS n,
+             round(avg(l_quantity), 3) AS avg_qty,
+             round(stddev_samp(l_quantity), 3) AS sd_qty,
+             round(var_samp(l_quantity), 3) AS var_qty,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "agg_stats" -> """
