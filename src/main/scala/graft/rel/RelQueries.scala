@@ -413,6 +413,15 @@ object RelQueries {
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("w_start"), col("event_type"))
 
+  /** Sliding event-time windows (1h window, 30m slide — each event lands
+    * in exactly two windows). Same operator the streaming twin uses. */
+  def eventsSliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("event_type"))
+
   /** Session windows, batch form: gaps-and-islands with a 30-minute gap.
     * (The streaming twin uses session_window(); see graft.stream.) */
   def eventsSessions(s: SparkSession, d: String): DataFrame = {
@@ -475,6 +484,7 @@ object RelQueries {
     "case_buckets"       -> (caseBuckets _),
     "above_avg"          -> (aboveAvg _),
     "events_tumbling"    -> (eventsTumbling _),
+    "events_sliding"     -> (eventsSliding _),
     "events_sessions"    -> (eventsSessions _))
 
   /** DuckDB twins. `events` timestamps are TIMESTAMP_NS there — cast down
@@ -776,6 +786,14 @@ object RelQueries {
                          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
             FROM events)))
       GROUP BY user_id, sess_id ORDER BY user_id, s_start""",
+
+    "events_sliding" -> """
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + CAST((floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) - k) * 1800 AS BIGINT)
+                 * INTERVAL 1 SECOND AS w_start,
+             event_type, count(*) AS n
+      FROM events, (SELECT unnest([0, 1]) AS k)
+      GROUP BY 1, 2 ORDER BY w_start, event_type""",
 
     "events_sessions" -> """
       SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events
