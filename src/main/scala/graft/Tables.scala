@@ -47,9 +47,11 @@ object Tables {
                  userId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat_ws("/", lit("cdc"), eventType, userId.cast("string"))
 
-  /** String twin of [[channelCol]] for row-level code paths. */
+  /** String twin of [[channelCol]] for row-level code paths — including
+    * concat_ws's null handling (a NULL segment is skipped, not rendered
+    * as the literal "null"). */
   def channelString(eventType: String, userId: Long): String =
-    s"cdc/$eventType/$userId"
+    if (eventType == null) s"cdc/$userId" else s"cdc/$eventType/$userId"
 
   /** The captured CDC bus: `events` with the routed `channel` synthesized. */
   def bus(s: SparkSession, d: String): DataFrame =

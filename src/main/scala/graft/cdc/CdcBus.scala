@@ -121,7 +121,7 @@ object CdcBus {
   def deepRoute(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("channel", concat_ws("/",
-        lit("cdc"), col("event_type"), col("user_id").cast("string"),
+        Tables.channelCol(col("event_type"), col("user_id")),
         concat(lit("v"), floor(col("value") / 10).cast("long").cast("string"))))
       .filter(mqtt_matches(lit("cdc/+/+/v5"), col("channel")))
       .withColumn("vbucket", element_at(split(col("channel"), "/"), 4))

@@ -29,8 +29,14 @@ object GraftFunctions {
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.expressions.Expression = {
     val k = exprs(1) match {
-      case e if e.foldable && e.eval(null).isInstanceOf[Number] =>
-        e.eval(null).asInstanceOf[Number].intValue()
+      case e if e.foldable => e.eval(null) match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long if l.longValue() == l.intValue() => l.intValue()
+        case s: java.lang.Short => s.intValue()
+        case b: java.lang.Byte => b.intValue()
+        case other => throw new IllegalArgumentException(
+          s"bottomk_by_hash(v, k): k must be an integer literal, got $other")
+      }
       case other => throw new IllegalArgumentException(
         s"bottomk_by_hash(v, k): k must be an integer literal, got ${other.sql}")
     }

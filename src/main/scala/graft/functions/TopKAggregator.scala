@@ -17,6 +17,7 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class TopKAggregator(k: Int)
     extends Aggregator[(Long, Double), mutable.ArrayBuffer[(Long, Double)], Seq[(Long, Double)]] {
+  require(k > 0, s"TopKAggregator requires k > 0, got $k")
 
   private def better(a: (Long, Double), b: (Long, Double)): Boolean =
     a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)

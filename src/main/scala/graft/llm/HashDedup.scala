@@ -188,24 +188,25 @@ object HashDedup {
     * (everything else)? The join is blocked on the shingle itself —
     * contaminated-shingle work is proportional to overlap, not corpus² —
     * and the corpus side is a distinct shingle SET (no doc multiplicity). */
-  def decontam(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+  def decontam(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(shingleArr).as("sh"))
-    val evalSh = sh.filter(col("doc_id") % 50 === 0)
       .distinct()
-    val corpusSh = sh.filter(col("doc_id") % 50 =!= 0)
-      .select(col("sh")).distinct()
-      .withColumn("hit", lit(1L))
-    evalSh.join(corpusSh, Seq("sh"), "left")
+      // ONE pass over the shingles: per shingle, did the corpus side see
+      // it, and which eval docs carry it (collect_list drops the nulls
+      // the non-eval docs produce) — no second scan, no self-join.
+      .groupBy(col("sh"))
+      .agg(max(when(col("doc_id") % 50 =!= 0, 1L).otherwise(0L)).as("in_corpus"),
+           collect_list(when(col("doc_id") % 50 === 0, col("doc_id"))).as("eval_docs"))
+      .filter(size(col("eval_docs")) > 0)
+      .select(explode(col("eval_docs")).as("doc_id"), col("in_corpus"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-           count(col("hit")).as("n_contaminated"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("in_corpus")).as("n_contaminated"))
       .withColumn("contam_pct",
         round(col("n_contaminated").cast("double") * 100d / col("n_shingles"), 2))
       .orderBy(col("doc_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontam"        -> (decontam _),

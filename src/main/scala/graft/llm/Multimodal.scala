@@ -77,9 +77,10 @@ object Multimodal {
       }
   }
 
-  /** Resize stage: target box 32×32, aspect preserved via integer
-    * arithmetic (metadata side is exact and oracle-checked; the pixel
-    * resample itself would live in the stub codec). */
+  /** Resize stage: independent 32-clamp per axis (NOT aspect-preserving —
+    * the width-only scale_pct records the horizontal factor). Metadata
+    * side is exact and oracle-checked; the pixel resample itself would
+    * live in the stub codec. */
   def mmResize(s: SparkSession, d: String): DataFrame =
     mediaTable(s, d)
       .withColumn("w2", least(col("width"), lit(32L)))
