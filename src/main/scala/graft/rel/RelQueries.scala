@@ -379,6 +379,38 @@ object RelQueries {
         round(sum(abs(col("p_retailprice") - 1000d)), 2).as("sum_absdev"))
       .orderBy(col("p_type"))
 
+  /** Map-typed columns as in-plan plumbing: build a map per row, carry
+    * it, read fields back out (map_from_arrays / element_at / map_keys).
+    * The oracle checks the round-tripped values — maps never hit the
+    * output schema (cross-engine map encodings differ). */
+  def mapFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("m", map_from_arrays(
+        array(lit("bal"), lit("key")),
+        array(col("c_acctbal"), col("c_custkey").cast("double"))))
+      .withColumn("nkeys", size(map_keys(col("m"))).cast("long"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(element_at(col("m"), "bal")), 2).as("sum_bal"),
+           sum(element_at(col("m"), "key").cast("long")).as("sum_key"),
+           max(col("nkeys")).as("max_nkeys"))
+      .orderBy(col("c_mktsegment"))
+
+  /** String-function sampler 2: pad/reverse/repeat/translate/replace/
+    * instr + capture-group regexp_replace (Spark `$1` ≡ DuckDB `\\1`). */
+  def scalarString2(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("digits", regexp_replace(col("c_name"), "^Customer#(\\d+)$", "$1"))
+      .withColumn("code", translate(substring(col("digits"), -3, 3), "0123456789", "abcdefghij"))
+      .withColumn("padded", lpad(col("c_custkey").cast("string"), 6, "0"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           sum(length(col("digits")).cast("long")).as("sum_dlen"),
+           countDistinct(col("code")).as("n_codes"),
+           max(reverse(col("padded"))).as("max_rev"),
+           sum(instr(col("c_name"), "0").cast("long")).as("sum_first0"))
+      .orderBy(col("c_mktsegment"))
+
   def caseBuckets(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .withColumn("bucket",
@@ -479,6 +511,8 @@ object RelQueries {
     "unpivot_metrics"    -> (unpivotMetrics _),
     "set_ops"            -> (setOps _),
     "scalar_string"      -> (scalarString _),
+    "scalar_string2"     -> (scalarString2 _),
+    "map_funcs"          -> (mapFuncs _),
     "scalar_date"        -> (scalarDate _),
     "scalar_math"        -> (scalarMath _),
     "case_buckets"       -> (caseBuckets _),
@@ -731,6 +765,28 @@ object RelQueries {
                    upper(p_brand) AS brand_u, length(p_name) AS chars
             FROM part)
       GROUP BY word ORDER BY word""",
+
+    "map_funcs" -> """
+      SELECT c_mktsegment, count(*) AS n,
+             round(sum(c_acctbal), 2) AS sum_bal,
+             CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+             CAST(2 AS BIGINT) AS max_nkeys
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "scalar_string2" -> """
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(length(digits)) AS BIGINT) AS sum_dlen,
+             count(DISTINCT code) AS n_codes,
+             max(reverse(padded)) AS max_rev,
+             CAST(sum(strpos(c_name, '0')) AS BIGINT) AS sum_first0
+      FROM (
+        SELECT c_mktsegment, c_name,
+               regexp_replace(c_name, '^Customer#(\d+)$', '\1') AS digits,
+               translate(substring(regexp_replace(c_name, '^Customer#(\d+)$', '\1'), -3, 3),
+                         '0123456789', 'abcdefghij') AS code,
+               lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS padded
+        FROM customer)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "scalar_date" -> """
       SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
