@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -176,8 +177,34 @@ object TextOps {
            round(sum(col("maxc")).cast("double") / sum(col("ntok")), 4).as("mean_top_ratio"))
       .orderBy(col("lang"))
 
+  private val mixQuotas = Seq("src0" -> 20L, "src1" -> 10L, "src2" -> 10L)
+  private val mixDefault = 5L
+
+  /** Training-mix construction: per-source quotas (upweighted sources get
+    * more docs), selection by md5 order within each source — the same
+    * deterministic-hash discipline as [[sampleSplit]], so the mix is
+    * reproducible on any cluster layout and quota changes only ever
+    * add/remove the tail of a source's selection. */
+  def corpusMix(s: SparkSession, d: String): DataFrame = {
+    val spark = s; import spark.implicits._
+    val quotas = mixQuotas.toDF("source", "quota")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(quotas), Seq("source"), "left")
+      .filter(col("rk") <= coalesce(col("quota"), lit(mixDefault)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"),
+           sum(col("n_chars")).as("sum_chars"),
+           min(col("doc_id")).as("min_id"),
+           max(col("doc_id")).as("max_id"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split"     -> (sampleSplit _),
+    "corpus_mix"       -> (corpusMix _),
     "text_repetition"  -> (textRepetition _),
     "sample_bottomk"   -> (sampleBottomK _),
     "dedup_stats"      -> (dedupStats _),
@@ -190,6 +217,21 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _))
 
   val oracle: Map[String, String] = Map(
+    "corpus_mix" ->
+      s"""SELECT source, count(*) AS n_selected,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM (
+         |  SELECT d.source, d.doc_id, d.n_chars,
+         |         row_number() OVER (PARTITION BY d.source
+         |           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk,
+         |         coalesce(q.quota, $mixDefault) AS quota
+         |  FROM documents d
+         |  LEFT JOIN (VALUES ${mixQuotas.map { case (s0, q) => s"('$s0', $q)" }.mkString(", ")}) q(source, quota)
+         |    ON d.source = q.source)
+         |WHERE rk <= quota
+         |GROUP BY source ORDER BY source""".stripMargin,
+
     "text_repetition" -> """
       SELECT lang, count(*) AS n_docs,
              CAST(sum(CASE WHEN maxc * 10 > ntok THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
