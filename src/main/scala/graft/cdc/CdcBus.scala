@@ -129,7 +129,25 @@ object CdcBus {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("vbucket"))
 
+  /** Retained-message view (the MQTT semantics the envelope's `retain`
+    * flag implies — reference CDCMsg field, examples/cdc-pub.js:38): the
+    * LAST message per channel, i.e. the last-value cache a new subscriber
+    * would receive. Partitioned window, newest-first rank 1; bounded to
+    * user_id < 20 channels for a stable graded output. */
+  def retained(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("channel"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.bus(s, d)
+      .filter(col("user_id") < 20)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("channel"), col("event_id"), col("ts"),
+              round(col("value"), 2).as("value"))
+      .orderBy(col("channel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_retained"        -> (retained _),
     "cdc_deep_route"      -> (deepRoute _),
     "cdc_route_hot"       -> (routeHot _),
     "cdc_sub_counters"    -> (subCounters _),
@@ -140,6 +158,15 @@ object CdcBus {
     "cdc_channel_extract" -> (channelExtract _))
 
   val oracle: Map[String, String] = Map(
+    "cdc_retained" ->
+      s"""${Tables.BusCte}
+         |SELECT channel, event_id, ts, round(value, 2) AS value FROM (
+         |  SELECT channel, event_id, ts, value,
+         |         row_number() OVER (PARTITION BY channel
+         |           ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM ev WHERE user_id < 20)
+         |WHERE rn = 1 ORDER BY channel""".stripMargin,
+
     "cdc_deep_route" ->
       s"""WITH dv AS (
          |  SELECT *, 'cdc/' || event_type || '/' || CAST(user_id AS VARCHAR)
