@@ -99,5 +99,23 @@ class MqttPushdownSpec extends AnyFunSuite {
     val d = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d))")
       .collect().head.getDouble(0)
     assert(d === 11.0)
+    // null element / ragged input poison the fold (zip_with semantics)
+    assert(spark.sql("SELECT dot_product(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d))")
+      .collect().head.isNullAt(0))
+    assert(spark.sql("SELECT dot_product(array(1.0d), array(3.0d, 4.0d))")
+      .collect().head.isNullAt(0))
+  }
+
+  test("bottomk_by_hash via SQL: deterministic, k validated") {
+    val a = spark.sql("SELECT bottomk_by_hash(id, 3) FROM range(100)")
+      .collect().head.getSeq[Long](0)
+    val b = spark.sql("SELECT bottomk_by_hash(id, 3) FROM range(100)")
+      .collect().head.getSeq[Long](0)
+    assert(a === b && a.length === 3)
+    val err = intercept[Exception] {
+      spark.sql("SELECT bottomk_by_hash(id, 3.9) FROM range(10)").collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      err.getCause != null && err.getCause.getMessage.contains("integer literal"))
   }
 }
