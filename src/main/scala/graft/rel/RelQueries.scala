@@ -92,6 +92,16 @@ object RelQueries {
            count(col("o_orderkey")).as("n_orders"))
       .orderBy(col("c_mktsegment"))
 
+  /** Right outer join (orders → customer): every customer kept. */
+  def joinRight(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+      .groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("c_custkey")).as("n_cust"),
+           count(col("o_orderkey")).as("n_orders"),
+           round(coalesce(sum(col("o_totalprice")), lit(0d)), 2).as("total"))
+      .orderBy(col("c_nationkey"))
+
   /** Full outer join of two per-nation aggregates (customers vs suppliers). */
   def joinFull(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
@@ -489,6 +499,7 @@ object RelQueries {
     "agg_variance"       -> (aggVariance _),
     "join_region_rev"    -> (joinRegionRevenue _),
     "join_left"          -> (joinLeft _),
+    "join_right"         -> (joinRight _),
     "join_full"          -> (joinFull _),
     "join_semi"          -> (joinSemi _),
     "join_anti"          -> (joinAnti _),
@@ -571,6 +582,13 @@ object RelQueries {
              count(o_orderkey) AS n_orders
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "join_right" -> """
+      SELECT c_nationkey, count(DISTINCT c_custkey) AS n_cust,
+             count(o_orderkey) AS n_orders,
+             round(coalesce(sum(o_totalprice), 0), 2) AS total
+      FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
 
     "join_full" -> """
       SELECT coalesce(c.nk, p.nk2) AS nationkey,
