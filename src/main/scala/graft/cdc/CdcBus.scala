@@ -34,16 +34,34 @@ object CdcBus {
 
   /** The reference's per-subscription `received` counters
     * (lib/nats.js:97) over a dynamic subscription table — exercises the
-    * non-constant-pattern path of the matcher. Left join keeps
-    * zero-delivery subscriptions (counters start at 0). */
+    * non-constant-pattern path of the matcher.
+    *
+    * Scale shape: the bus NEVER moves. Each bus row evaluates the k
+    * patterns in place (array-filter + explode — the reference's own
+    * per-message dispatch loop, lib/nats.js:92-95), partial-aggregates to
+    * a ≤k-row count table, and that tiny table broadcast-joins back onto
+    * the subscription dimension (left join keeps zero-delivery subs at 0).
+    * The naive alternative — non-equi-joining the pattern table against
+    * the bus — would force a BroadcastNestedLoopJoin with the BUS on the
+    * build side, which dies at 100 TB; a spec asserts this plan never
+    * contains a BNLJ/cartesian. */
   def subCounters(s: SparkSession, d: String): DataFrame = {
     val spark = s; import spark.implicits._
     val pats = subs.toDF("sub", "pattern")
-    pats.join(Tables.bus(s, d), mqtt_matches(col("pattern"), col("channel")), "left")
-      .groupBy(col("sub"))
-      .agg(count(col("channel")).as("received"))
+    val counts = matchCounts(Tables.bus(s, d), subs.map(_._2))
+    pats.join(broadcast(counts), Seq("pattern"), "left")
+      .select(col("sub"), coalesce(col("hits"), lit(0L)).as("received"))
       .orderBy(col("sub"))
   }
+
+  /** Per-pattern match counts computed bus-side: one scan, per-row k-way
+    * dispatch, hash-aggregate on the pattern key. Output ≤ k rows. */
+  private[cdc] def matchCounts(bus: DataFrame, patterns: Seq[String]): DataFrame =
+    bus.select(explode(filter(
+        array(patterns.map(lit): _*),
+        p => mqtt_matches(p, col("channel")))).as("pattern"))
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("hits"))
 
   private val subs = Seq(
     "s_all"      -> "cdc/#",
@@ -54,15 +72,16 @@ object CdcBus {
 
   /** take(n)/auto-unsubscribe (lib/nats.js:98-107): exactly the first
     * `max=5` messages matching the subscription, in arrival (event_id)
-    * order. Filter first, then a global rank over the small matched set —
-    * the bound is inherently a total order over matches. */
+    * order. `orderBy(...).limit(n)` plans TakeOrderedAndProject —
+    * per-partition top-n, then a single-partition reduce over n·P rows —
+    * never a global single-partition sort (the window-rank formulation
+    * would funnel every match through one task). */
   def takeN(s: SparkSession, d: String): DataFrame =
     Tables.bus(s, d)
       .filter(mqtt_matches(lit("cdc/signup/#"), col("channel")))
-      .withColumn("rn", row_number().over(Window.orderBy(col("event_id"))))
-      .filter(col("rn") <= 5)
       .select(col("event_id"), col("channel"), col("ts"))
       .orderBy(col("event_id"))
+      .limit(5)
 
   /** RPC first-response-wins (lib/nats.js:216-223): k response-pattern
     * subscriptions, earliest arrival wins. The k subscriptions are one
@@ -190,11 +209,9 @@ object CdcBus {
 
     "cdc_take_n" ->
       s"""${Tables.BusCte}
-         |SELECT event_id, channel, ts FROM (
-         |  SELECT event_id, channel, ts,
-         |         row_number() OVER (ORDER BY event_id) AS rn
-         |  FROM ev WHERE regexp_matches(channel, '${rx("cdc/signup/#")}')
-         |) WHERE rn <= 5 ORDER BY event_id""".stripMargin,
+         |SELECT event_id, channel, ts FROM ev
+         |WHERE regexp_matches(channel, '${rx("cdc/signup/#")}')
+         |ORDER BY event_id LIMIT 5""".stripMargin,
 
     "cdc_rpc_first" ->
       s"""${Tables.BusCte}

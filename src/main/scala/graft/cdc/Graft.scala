@@ -2,7 +2,6 @@ package graft.cdc
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.GraftFunctions.mqtt_matches
@@ -44,22 +43,27 @@ object Graft {
       frame.filter(mqtt_matches(lit(pattern), col("channel")))
 
     /** `subscribe(subject, {max:n})` — the first n matching messages in
-      * arrival order, then auto-unsubscribe (lib/nats.js:98-107). */
+      * arrival order, then auto-unsubscribe (lib/nats.js:98-107). Plans
+      * TakeOrderedAndProject (per-partition top-n + 1-partition reduce),
+      * never a global single-partition sort. */
     def take(pattern: String, n: Int): DataFrame =
-      subscribe(pattern)
-        .withColumn("_rn", row_number().over(Window.orderBy(col("event_id"))))
-        .filter(col("_rn") <= n)
-        .drop("_rn")
+      subscribe(pattern).orderBy(col("event_id")).limit(n)
 
     /** Per-subscription delivery counters (lib/nats.js:97), zero-delivery
-      * subscriptions included. */
+      * subscriptions included. The bus never moves: each bus row
+      * evaluates the k patterns in place (the reference's dispatch loop,
+      * lib/nats.js:92-95), aggregates to a ≤k-row count table, and that
+      * tiny table joins back onto the subscription dimension — the naive
+      * pattern⋈bus theta-join would broadcast the BUS (BNLJ build side)
+      * and die at scale. */
     def counters(subs: Map[String, String]): DataFrame = {
       val spark = frame.sparkSession
       import spark.implicits._
-      subs.toSeq.sortBy(_._1).toDF("sub", "pattern")
-        .join(frame, mqtt_matches(col("pattern"), col("channel")), "left")
-        .groupBy(col("sub"))
-        .agg(count(col("channel")).as("received"))
+      val ordered = subs.toSeq.sortBy(_._1)
+      val counts = CdcBus.matchCounts(frame, ordered.map(_._2))
+      ordered.toDF("sub", "pattern")
+        .join(broadcast(counts), Seq("pattern"), "left")
+        .select(col("sub"), coalesce(col("hits"), lit(0L)).as("received"))
     }
 
     /** First-response-wins over k response patterns with a 408 timeout

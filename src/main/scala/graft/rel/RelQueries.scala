@@ -472,7 +472,10 @@ object RelQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, d)
       .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
-      .withColumn("new_sess", when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      // >= : Spark's session_window is half-open [start, last+gap), so an
+      // event at EXACTLY the 30-min gap starts a new session; the
+      // gaps-and-islands twin mirrors that boundary.
+      .withColumn("new_sess", when(col("gap_us").isNull || col("gap_us") >= 1800L * 1000000L, 1L).otherwise(0L))
       .withColumn("sess_id", sum(col("new_sess")).over(wRun))
       .groupBy(col("user_id"))
       .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
@@ -852,7 +855,7 @@ object RelQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         FROM (
           SELECT user_id, ts, event_id,
-                 CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+                 CASE WHEN gap_us IS NULL OR gap_us >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
           FROM (
             SELECT user_id, ts, event_id,
                    epoch_us(CAST(ts AS TIMESTAMP))
@@ -877,7 +880,7 @@ object RelQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         FROM (
           SELECT user_id, ts, event_id,
-                 CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+                 CASE WHEN gap_us IS NULL OR gap_us >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
           FROM (
             SELECT user_id, ts, event_id,
                    epoch_us(CAST(ts AS TIMESTAMP))
