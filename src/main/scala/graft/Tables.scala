@@ -59,8 +59,11 @@ object Tables {
 
   /** DuckDB-side twin of [[bus]] as a CTE named `ev`. `ts` is cast from
     * DuckDB's TIMESTAMP_NS down to microsecond TIMESTAMP to mirror the
-    * Spark side (lossless on this data — see [[events]]). */
+    * Spark side (lossless on this data — see [[events]]). `concat_ws`
+    * (NULL segments skipped) mirrors [[channelCol]] exactly — the `||`
+    * form would yield a NULL channel on a NULL event_type where the Spark
+    * side yields "cdc/<uid>". */
   val BusCte: String =
     "WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts), " +
-      "'cdc/' || event_type || '/' || CAST(user_id AS VARCHAR) AS channel FROM events)"
+      "concat_ws('/', 'cdc', event_type, CAST(user_id AS VARCHAR)) AS channel FROM events)"
 }

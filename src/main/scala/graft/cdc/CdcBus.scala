@@ -55,10 +55,13 @@ object CdcBus {
   }
 
   /** Per-pattern match counts computed bus-side: one scan, per-row k-way
-    * dispatch, hash-aggregate on the pattern key. Output ≤ k rows. */
+    * dispatch, hash-aggregate on the pattern key. Output ≤ k rows.
+    * Patterns are deduplicated first — two subscriptions sharing a pattern
+    * must each see the true per-pattern count, not a doubled explode
+    * (the join-back on `pattern` fans the one count out to both subs). */
   private[cdc] def matchCounts(bus: DataFrame, patterns: Seq[String]): DataFrame =
     bus.select(explode(filter(
-        array(patterns.map(lit): _*),
+        array(patterns.distinct.map(lit): _*),
         p => mqtt_matches(p, col("channel")))).as("pattern"))
       .groupBy(col("pattern"))
       .agg(count(lit(1)).as("hits"))

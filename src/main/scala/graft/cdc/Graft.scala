@@ -59,6 +59,10 @@ object Graft {
     def counters(subs: Map[String, String]): DataFrame = {
       val spark = frame.sparkSession
       import spark.implicits._
+      // no subscriptions → no dispatch: an untyped empty array() would not
+      // type-check inside the filter lambda, so answer directly
+      if (subs.isEmpty)
+        return spark.emptyDataset[(String, Long)].toDF("sub", "received")
       val ordered = subs.toSeq.sortBy(_._1)
       val counts = CdcBus.matchCounts(frame, ordered.map(_._2))
       ordered.toDF("sub", "pattern")

@@ -9,12 +9,16 @@ package graft.cdc
   *
   *   - pattern and topic are '/'-separated level paths;
   *   - a pattern level starting with '+' (bare or named, e.g. "+id")
-  *     matches exactly one topic level, of any content (including empty);
+  *     matches exactly one NON-EMPTY topic level (mqtt-pattern treats an
+  *     empty topic level as absent: `!currentTopic` short-circuits, so
+  *     "a/+" does NOT match "a/" — verified against the library source);
+  *   - an empty/missing topic level matches only an empty pattern level
+  *     (or a terminal '#');
   *   - a pattern level starting with '#' (bare or named, e.g. "#rest")
   *     matches the remaining ZERO or more topic levels and is only valid
   *     as the last pattern level (a '#' earlier is a non-match for any
-  *     topic that reaches it with levels remaining semantics-wise we follow
-  *     MQTT: '#' matches the parent too, so "a/#" matches "a");
+  *     topic that reaches it with levels remaining); like MQTT, '#'
+  *     matches the parent too, so "a/#" matches "a";
   *   - any other pattern level must equal the topic level literally;
   *   - both paths must be fully consumed (no trailing unmatched topic
   *     levels unless absorbed by a final '#').
@@ -34,8 +38,13 @@ object MqttPattern {
     while (i < ps.length) {
       val p = ps(i)
       if (isHash(p)) return i == ps.length - 1 // '#' must be last; eats 0..n tail levels
-      if (i >= ts.length) return false          // topic exhausted, pattern not
-      if (!isPlus(p) && p != ts(i)) return false
+      val topicEmpty = i >= ts.length || ts(i).isEmpty
+      if (topicEmpty) {
+        // empty/missing topic level: only an empty pattern level matches
+        // (mqtt-pattern's `!currentTopic` branch); exhaustion falls through
+        // to the final length check
+        if (p.nonEmpty) return false
+      } else if (!isPlus(p) && p != ts(i)) return false
       i += 1
     }
     ps.length == ts.length
@@ -87,12 +96,26 @@ object MqttPattern {
     val ps = pattern.split("/", -1)
     val hashAt = ps.indexWhere(isHash)
     val head = if (hashAt >= 0) ps.take(hashAt) else ps
-    val body = head.map { s =>
-      if (isPlus(s)) "[^/]*" else escape(s)
-    }.mkString("/")
-    if (hashAt < 0) "^" + body + "$"
-    else if (head.isEmpty) "^.*$"                 // pattern is bare '#'
-    else "^" + body + "(/.*)?$"                   // zero-or-more tail levels
+    def segRx(s: String) = if (isPlus(s)) "[^/]+" else escape(s) // '+' = one NON-empty level
+    if (hashAt < 0) "^" + head.map(segRx).mkString("/") + "$"
+    else {
+      // Trailing EMPTY head levels before a terminal '#' are optional:
+      // mqtt-pattern skips an empty pattern level when the topic is
+      // exhausted, then '#' accepts the zero-level tail — so "+//#"
+      // matches "x9", "x9/", "x9//…" but not "x9/a". Nest one optional
+      // group per trailing empty level, innermost being the '#' tail.
+      val lastSolid = head.lastIndexWhere(_.nonEmpty)
+      val solid = head.take(lastSolid + 1)
+      val emptyTrail = head.length - solid.length
+      if (solid.isEmpty && emptyTrail == 0) "^.*$"        // pattern is bare '#'
+      else {
+        // with no solid prefix the first empty level anchors the start,
+        // consuming one nesting level
+        val depth = if (solid.isEmpty) emptyTrail - 1 else emptyTrail
+        val tail = (0 until depth).foldLeft("(/.*)?")((t, _) => "(/" + t + ")?")
+        "^" + solid.map(segRx).mkString("/") + tail + "$"
+      }
+    }
   }
 
   /** Longest literal prefix of a pattern before the first wildcard

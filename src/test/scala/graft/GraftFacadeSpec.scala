@@ -34,6 +34,20 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(m("e") > 0 && m("none") === 0)
   }
 
+  test("counters: two subs sharing a pattern each get the true count") {
+    val solo = bus.counters(Map("only" -> "cdc/error/#"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dup = bus.counters(Map("e1" -> "cdc/error/#", "e2" -> "cdc/error/#"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dup("e1") === solo("only") && dup("e2") === solo("only"))
+  }
+
+  test("counters(Map.empty) is an empty (sub, received) frame, not an error") {
+    val df = bus.counters(Map.empty)
+    assert(df.columns.toSeq === Seq("sub", "received"))
+    assert(df.count() === 0)
+  }
+
   test("rpc resolves first response, or 408 when nothing matches") {
     val hit = bus.rpc(Seq("cdc/purchase/#", "cdc/error/#")).collect().head
     assert(hit.getInt(2) === 200)

@@ -25,8 +25,15 @@ class MqttPatternSpec extends AnyFunSuite {
     ("+", "a", true),
     ("+", "a/b", false),
     ("a/+", "a", false),          // + needs exactly one level
-    ("a/+", "a/", true),          // ...which may be empty
-    ("+/+", "/", true),
+    // mqtt-pattern@1.1.3: an empty topic level is treated as absent
+    // (`!currentTopic`), so '+' does NOT match it
+    ("a/+", "a/", false),
+    ("+/+", "/", false),
+    ("+", "", false),
+    ("a/+/c", "a//c", false),
+    ("a//c", "a//c", true),       // empty pattern level == empty topic level
+    ("a//c", "a/x/c", false),
+    ("a/#", "a/", true),          // '#' still eats empty tail levels
     // # tail (zero or more levels)
     ("#", "a/b/c", true),
     ("#", "", true),
@@ -78,7 +85,8 @@ class MqttPatternSpec extends AnyFunSuite {
 
   private val rnd = new scala.util.Random(42)
   private def seg(): String = {
-    val pool = Seq("a", "b", "cdc", "click", "x9", "Err", "42", "n.o")
+    // includes the empty level to exercise the '+'-vs-empty edge
+    val pool = Seq("a", "b", "cdc", "click", "x9", "Err", "42", "n.o", "")
     pool(rnd.nextInt(pool.length))
   }
   private def path(max: Int = 5): String =
