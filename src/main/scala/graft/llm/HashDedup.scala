@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 
@@ -22,6 +23,66 @@ import graft.Tables
 object HashDedup {
 
   private val P = 2147483647L // 2^31 - 1
+
+  /** Per-bucket cap for bucket-local pair expansion. A (band, signature)
+    * bucket of n docs does O(n²) pair work in ONE task; a degenerate
+    * corpus (millions of identical docs) would put them all in one bucket
+    * and OOM that task. Buckets above the cap are SKIPPED for pair
+    * expansion — a bucket that large is a mass-duplicate cluster better
+    * handled by exact dedup than by pair enumeration — and the skip is
+    * surfaced, never silent: an observed metric (`lsh_skew*`) reports
+    * max bucket size + rows skipped, and [[registerSkewLogging]] turns a
+    * non-zero skip into a WARN log. */
+  val DefaultMaxBucket = 1024
+
+  private val skewTag = new java.util.concurrent.atomic.AtomicInteger
+  private val skewLoggedSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Idempotently register a listener that WARN-logs any `lsh_skew*`
+    * observed metric reporting skipped (over-cap) bucket rows. */
+  def registerSkewLogging(spark: SparkSession): Unit =
+    if (skewLoggedSessions.add(spark)) {
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("lsh_skew")) {
+              val skipped = Option(row.getAs[java.lang.Long]("rows_in_oversized_buckets"))
+                .map(_.longValue).getOrElse(0L)
+              if (skipped > 0)
+                log.warn(s"$name: skipped $skipped rows in over-cap LSH buckets " +
+                  s"(max bucket size ${row.getAs[Long]("max_bucket_size")}); " +
+                  "pairs inside those buckets were NOT enumerated")
+            }
+          }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+    }
+
+  /** Counted pre-filter + bucket-local member collection, bounded per
+    * task: a window count on the bucket key (one pass, spill-backed — a
+    * giant bucket costs O(n) here, never O(n²)) sizes every bucket, the
+    * observe() node records skew metrics, and only buckets with
+    * 2..maxBucket members reach collect_list / pair expansion. The window
+    * and the groupBy share one hash-partitioning on the bucket key, so
+    * this adds no extra shuffle over the unguarded form. */
+  private def boundedBuckets(rows: DataFrame, keys: Seq[Column],
+                             payload: Column, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(keys: _*)
+    rows.withColumn("bsz", count(lit(1)).over(w))
+      .observe(s"lsh_skew_${skewTag.incrementAndGet()}",
+        max(col("bsz")).as("max_bucket_size"),
+        sum(when(col("bsz") > maxBucket, 1L).otherwise(0L))
+          .as("rows_in_oversized_buckets"))
+      .filter(col("bsz") > 1 && col("bsz") <= maxBucket)
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(payload)).as("ids"))
+  }
 
   /** 16 (a, b) minhash parameters, deterministic. */
   private[llm] val mhParams: Seq[(Long, Long)] = {
@@ -69,12 +130,12 @@ object HashDedup {
   /** Bucket-local pair expansion: group docs per (band, signature) bucket
     * and enumerate pairs inside the bucket with a nested array transform.
     * This is the step that keeps LSH sub-quadratic at scale — no
-    * self-join, no recomputation of the signature lineage, and work is
-    * bounded by bucket size. */
-  private def bucketPairs(bands: DataFrame): DataFrame =
-    bands.groupBy(col("band_id"), col("bh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+    * self-join, no recomputation of the signature lineage, and per-task
+    * work is bounded by [[DefaultMaxBucket]] via the counted pre-filter
+    * in [[boundedBuckets]]. */
+  private def bucketPairs(bands: DataFrame,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame =
+    boundedBuckets(bands, Seq(col("band_id"), col("bh")), col("doc_id"), maxBucket)
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> " +
           "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a, y AS b))))")).as("p"))
@@ -96,8 +157,10 @@ object HashDedup {
       .orderBy(col("band_id"))
 
   /** Candidate near-dup pairs: docs sharing any band bucket. */
-  def minhashPairs(s: SparkSession, d: String): DataFrame =
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    registerSkewLogging(s)
     bucketPairs(minhashBandsDf(s, d)).orderBy(col("a"), col("b"))
+  }
 
   // ---- simhash ------------------------------------------------------
 
@@ -132,17 +195,17 @@ object HashDedup {
     * bucket-locally (docs sharing a band value), carrying the signature
     * along so the hamming check needs no join back. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    registerSkewLogging(s)
     val bandVals = (0 until 4).map { i =>
       shiftright(col("simhash"), i * 15).bitwiseAND(lit(32767L))
     }
-    simhashSigDf(s, d)
+    val banded = simhashSigDf(s, d)
       .select(col("doc_id"), col("simhash"), posexplode(array(bandVals: _*)).as(Seq("band_id", "bv")))
-      .groupBy(col("band_id"), col("bv"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
-      .filter(size(col("ms")) > 1)
+    boundedBuckets(banded, Seq(col("band_id"), col("bv")),
+        struct(col("doc_id"), col("simhash")), DefaultMaxBucket)
       .select(explode(expr(
-        "flatten(transform(ms, (x, i) -> " +
-          "transform(slice(ms, i + 2, size(ms) - i - 1), y -> " +
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> " +
           "struct(x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb))))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"),
         bit_count(col("p.sa").bitwiseXOR(col("p.sb"))).cast("long").as("hamming"))
@@ -156,6 +219,7 @@ object HashDedup {
   /** Exact 3-gram Jaccard for same-source pairs sharing ≥1 shingle:
     * per-source pair counts, total intersections, max Jaccard. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    registerSkewLogging(s)
     val sh = Tables.documents(s, d)
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
@@ -163,11 +227,10 @@ object HashDedup {
       .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     // shingle-local pair expansion (same shape as the LSH bucket join,
-    // with the shingle as the bucket key): one pass over `sh`, work
-    // bounded by per-shingle doc-list size — no self-join.
-    val inter = sh.groupBy(col("source"), col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+    // with the shingle as the bucket key): one pass over `sh`, per-task
+    // work capped by the counted pre-filter — no self-join.
+    val inter = boundedBuckets(sh, Seq(col("source"), col("sh")),
+        col("doc_id"), DefaultMaxBucket)
       .select(col("source"), explode(expr(
         "flatten(transform(ids, (x, i) -> " +
           "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a, y AS b))))")).as("p"))
@@ -185,28 +248,31 @@ object HashDedup {
 
   /** Benchmark decontamination: which held-out docs (doc_id % 50 = 0, the
     * stand-in eval set) have 3-gram overlap with the training corpus
-    * (everything else)? The join is blocked on the shingle itself —
-    * contaminated-shingle work is proportional to overlap, not corpus² —
-    * and the corpus side is a distinct shingle SET (no doc multiplicity). */
-  def decontam(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    * (everything else)? Formulated as a left equi-join of eval shingles
+    * against the DISTINCT corpus shingle set: the corpus side carries at
+    * most ONE row per shingle, so the join fans out 1:1 regardless of how
+    * many corpus docs share a shingle — no per-shingle state, no
+    * collect_list, no skew amplification even on a corpus of mass
+    * duplicates (the prior one-pass form buffered every eval doc sharing
+    * a shingle in one aggregation buffer — an OOM-able task at scale). */
+  def decontam(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(shingleArr).as("sh"))
       .distinct()
-      // ONE pass over the shingles: per shingle, did the corpus side see
-      // it, and which eval docs carry it (collect_list drops the nulls
-      // the non-eval docs produce) — no second scan, no self-join.
-      .groupBy(col("sh"))
-      .agg(max(when(col("doc_id") % 50 =!= 0, 1L).otherwise(0L)).as("in_corpus"),
-           collect_list(when(col("doc_id") % 50 === 0, col("doc_id"))).as("eval_docs"))
-      .filter(size(col("eval_docs")) > 0)
-      .select(explode(col("eval_docs")).as("doc_id"), col("in_corpus"))
+    val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("sh")).distinct()
+      .withColumn("in_corpus", lit(1L))
+    sh.filter(col("doc_id") % 50 === 0)
+      .join(corpus, Seq("sh"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"), sum(col("in_corpus")).as("n_contaminated"))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(coalesce(col("in_corpus"), lit(0L))).as("n_contaminated"))
       .withColumn("contam_pct",
         round(col("n_contaminated").cast("double") * 100d / col("n_shingles"), 2))
       .orderBy(col("doc_id"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontam"        -> (decontam _),

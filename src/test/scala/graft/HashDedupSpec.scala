@@ -79,4 +79,62 @@ class HashDedupSpec extends AnyFunSuite {
     assert(row.getString(0) === "src0")
     assert(row.getDouble(3) === 1.0, "exact copies have jaccard 1.0")
   }
+
+  /** Degenerate mass-duplicate corpus: 1100 identical docs put all their
+    * band signatures in ONE bucket — far over DefaultMaxBucket (1024). */
+  private lazy val degenerateDir: String = {
+    val mass = "the same exact sentence repeated in every single document " +
+      "of this degenerate corpus over and over again forever and ever amen"
+    val small = "completely different small cluster text with its own words " +
+      "u v w x y z one two three four five six seven eight nine ten"
+    val docs = (0L until 1100L).map(i => (i, mass, "en", "src0", 10L)) ++
+      Seq((5000L, small, "en", "src0", 10L), (5001L, small, "en", "src0", 10L))
+    val tmp = Files.createTempDirectory("graft_degen").toString
+    val s = spark; import s.implicits._
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("degenerate corpus: over-cap buckets are skipped with a reported metric; " +
+      "small buckets still pair; per-task work stays bounded") {
+    val observed = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        qe.observedMetrics.foreach { case (n, r) => observed.put(n, r) }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    })
+
+    val pairs = HashDedup.minhashPairs(spark, degenerateDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 1100-doc cluster is over the cap: its O(n²)=~600k pairs are NOT
+    // enumerated (mass-dup clusters are exact-dedup territory)...
+    assert(!pairs.contains((0L, 1L)), "over-cap bucket must not expand pairs")
+    // ...but the under-cap bucket still pairs normally
+    assert(pairs === Set((5000L, 5001L)))
+
+    // the skip is observable, not silent: poll for the async listener
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var metric: Option[org.apache.spark.sql.Row] = None
+    while (metric.isEmpty && System.nanoTime() < deadline) {
+      import scala.jdk.CollectionConverters._
+      metric = observed.asScala.collectFirst {
+        case (name, row) if name.startsWith("lsh_skew") &&
+          Option(row.getAs[java.lang.Long]("rows_in_oversized_buckets"))
+            .exists(_.longValue > 0) => row
+      }
+      if (metric.isEmpty) Thread.sleep(100)
+    }
+    assert(metric.isDefined, "no lsh_skew metric reported skipped rows")
+    assert(metric.get.getAs[Long]("max_bucket_size") === 1100L)
+
+    // decontam's join form handles the same corpus without any per-bucket
+    // state: every eval doc (id % 50 == 0) is fully contaminated
+    val contam = HashDedup.decontam(spark, degenerateDir).collect()
+    assert(contam.nonEmpty)
+    assert(contam.forall(r => r.getDouble(3) === 100.0),
+      "identical eval docs must be 100% contaminated")
+  }
 }
