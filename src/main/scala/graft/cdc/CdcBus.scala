@@ -136,6 +136,27 @@ object CdcBus {
       .agg(countDistinct(col("uid")).as("n_users"), count(lit(1)).as("n"))
       .orderBy(col("etype"))
 
+  /** Named-wildcard captures (mqtt-pattern `exec`, reference dep
+    * yarn.lock:77-81): route by `cdc/+etype/#rest` and extract BOTH named
+    * parameters via [[MqttPattern.toExtractRegex]] — the same compiler
+    * emits the oracle's regex, so Spark and DuckDB run the identical
+    * capture-group extraction. `#rest` here captures the joined tail
+    * (user id), `+etype` the routed level. */
+  def extractNamed(s: SparkSession, d: String): DataFrame = {
+    val pat = "cdc/+etype/#rest"
+    val (erx, names) = MqttPattern.toExtractRegex(pat)
+    def grp(n: String): Int = names.indexOf(n) + 1
+    Tables.bus(s, d)
+      .filter(mqtt_matches(lit(pat), col("channel")))
+      .withColumn("etype", regexp_extract(col("channel"), erx, grp("etype")))
+      .withColumn("rest", regexp_extract(col("channel"), erx, grp("rest")))
+      .groupBy(col("etype"))
+      .agg(countDistinct(col("rest")).as("n_rest"),
+           min(col("rest")).as("first_rest"),
+           count(lit(1)).as("n"))
+      .orderBy(col("etype"))
+  }
+
   /** Deeper topic hierarchy: a 4-level channel
     * `cdc/<etype>/<uid>/v<value-bucket>` routed by a mixed pattern
     * (`cdc/+/+/v5`) — wildcard depth beyond the basic 3-level layout,
@@ -177,7 +198,8 @@ object CdcBus {
     "cdc_rpc_first"       -> (rpcFirst _),
     "cdc_rpc_timeout"     -> (rpcTimeout _),
     "cdc_json_payload"    -> (jsonPayload _),
-    "cdc_channel_extract" -> (channelExtract _))
+    "cdc_channel_extract" -> (channelExtract _),
+    "cdc_extract_named"   -> (extractNamed _))
 
   val oracle: Map[String, String] = Map(
     "cdc_retained" ->
@@ -244,5 +266,18 @@ object CdcBus {
          |SELECT str_split(channel, '/')[2] AS etype,
          |       count(DISTINCT str_split(channel, '/')[3]) AS n_users,
          |       count(*) AS n
-         |FROM ev GROUP BY 1 ORDER BY etype""".stripMargin)
+         |FROM ev GROUP BY 1 ORDER BY etype""".stripMargin,
+
+    "cdc_extract_named" -> {
+      val pat = "cdc/+etype/#rest"
+      val (erx, names) = MqttPattern.toExtractRegex(pat)
+      def grp(n: String): Int = names.indexOf(n) + 1
+      s"""${Tables.BusCte}
+         |SELECT regexp_extract(channel, '$erx', ${grp("etype")}) AS etype,
+         |       count(DISTINCT regexp_extract(channel, '$erx', ${grp("rest")})) AS n_rest,
+         |       min(regexp_extract(channel, '$erx', ${grp("rest")})) AS first_rest,
+         |       count(*) AS n
+         |FROM ev WHERE regexp_matches(channel, '${rx(pat)}')
+         |GROUP BY 1 ORDER BY etype""".stripMargin
+    })
 }

@@ -131,6 +131,37 @@ object MqttPattern {
     else (ps.take(k).mkString("/"), if (isHash(ps(k))) '#' else '+')
   }
 
+  /** Compile a pattern to an anchored regex with one capture GROUP per
+    * named wildcard, in order, returning (regex, group names). The regex
+    * runs identically in Java and DuckDB RE2 (`regexp_extract(ch, rx, i)`
+    * both return "" for a non-participating group — exactly [[extract]]'s
+    * empty-tail semantics for '#name' on a zero-level tail). Domain:
+    * patterns with non-empty levels (the extraction surface); unnamed
+    * wildcards compile to non-capturing forms so group numbering follows
+    * named wildcards only. */
+  def toExtractRegex(pattern: String): (String, Seq[String]) = {
+    val ps = pattern.split("/", -1)
+    val hashAt = ps.indexWhere(isHash)
+    val head = if (hashAt >= 0) ps.take(hashAt) else ps
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    def segRx(s: String): String =
+      if (isPlus(s)) {
+        if (s.length > 1) { names += s.substring(1); "([^/]+)" } else "[^/]+"
+      } else escape(s)
+    val body = head.map(segRx).mkString("/")
+    if (hashAt < 0) ("^" + body + "$", names.toSeq)
+    else {
+      val hs = ps(hashAt)
+      val named = hs.length > 1
+      if (named) names += hs.substring(1)
+      val tail =
+        if (head.isEmpty) { if (named) "(.*)" else ".*" }
+        else if (named) "(?:/(.*))?"
+        else "(?:/.*)?"
+      ("^" + body + tail + "$", names.toSeq)
+    }
+  }
+
   /** Named-wildcard parameter extraction (mqtt-pattern `exec`): returns
     * (paramName -> matched level(s)) for "+name" / "#name" segments, or
     * None when the topic does not match. '#name' captures the joined tail. */

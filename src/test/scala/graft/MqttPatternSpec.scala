@@ -75,6 +75,27 @@ class MqttPatternSpec extends AnyFunSuite {
     }
   }
 
+  test("toExtractRegex: capture groups agree with extract on the cross product") {
+    val pats = Seq("cdc/+etype/#rest", "a/+id/c", "+x/+y", "#all", "cdc/+e/+u",
+      "a/+/#tail", "cdc/+etype", "a/#")
+    val topics = Seq("cdc/click/7", "cdc/click", "cdc/click/7/x", "a/42/c",
+      "p/q", "a/b/c", "", "a/b", "a", "cdc")
+    for (p <- pats; t <- topics) {
+      val (erx, names) = MqttPattern.toExtractRegex(p)
+      val m = java.util.regex.Pattern.compile(erx).matcher(t)
+      MqttPattern.extract(p, t) match {
+        case Some(params) =>
+          assert(m.matches(), s"extract matched but regex didn't: $p vs $t (rx=$erx)")
+          names.zipWithIndex.foreach { case (n, i) =>
+            val g = Option(m.group(i + 1)).getOrElse("")
+            assert(g === params.getOrElse(n, ""), s"group $n of $p vs $t")
+          }
+        case None =>
+          assert(!m.matches(), s"regex matched but extract didn't: $p vs $t (rx=$erx)")
+      }
+    }
+  }
+
   test("extract returns named params") {
     assert(MqttPattern.extract("cdc/+etype/+uid", "cdc/click/7")
       === Some(Map("etype" -> "click", "uid" -> "7")))
