@@ -95,17 +95,21 @@ object VectorOps {
     * `nprobe` nearest cells, and only those cells' vectors are scored.
     * Complements the hyperplane-LSH path: IVF probes data-adaptive cells,
     * LSH probes data-independent buckets. Centroid build is one
-    * explode + grouped average (a single pass); search cost is
+    * explode + grouped sum (a single pass); search cost is
     * |probed cells| / |corpus| of brute force.
     *
-    * No DuckDB oracle (float-mean centroids are not reproducible
-    * bit-exactly across engines) — driver records rows-only; recall and
-    * determinism are asserted in VectorOpsSpec. */
+    * Oracle-exact by construction: the centroid mean is computed from
+    * QUANTIZED coordinates — `floor(x*1000)` summed as exact integers
+    * (sum order cannot change an integer sum), then ONE IEEE division —
+    * so Spark and DuckDB produce bit-identical centroids, unlike a raw
+    * float avg() whose low bits depend on reduction order. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("n2"))
-    // centroids: element-wise mean per label cell
+    // centroids: element-wise quantized mean per label cell
     val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+      .withColumn("xq", floor(col("x") * 1000d)) // BIGINT, exact
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("xq")).cast("double") / count(lit(1)).cast("double") / 1000d).as("m"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("label").as("cell"),
@@ -191,6 +195,37 @@ object VectorOps {
          |  FROM (SELECT qid, sig.vec_id AS vec_id,
          |               list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos_raw
          |        FROM q JOIN sig ON sig.bucket = qbucket AND sig.vec_id != qid))
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH $VecCte,
+         |cq AS (
+         |  SELECT label, px.pos AS pos, CAST(floor(px.x * 1000) AS BIGINT) AS xq
+         |  FROM (SELECT label,
+         |               unnest(list_transform(v, (x, i) -> struct_pack(pos := i, x := x))) AS px
+         |        FROM e)),
+         |cm AS (
+         |  SELECT label, pos,
+         |         CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0 AS m
+         |  FROM cq GROUP BY 1, 2),
+         |cents AS (
+         |  SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
+         |    SELECT label AS cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY label)),
+         |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
+         |probed AS (
+         |  SELECT qid, qv, qn2, cell FROM (
+         |    SELECT qid, qv, qn2, cell,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cellcos DESC, cell) AS crk
+         |    FROM (SELECT qid, qv, qn2, cell,
+         |                 list_dot_product(qv, cv) / (sqrt(qn2) * sqrt(cn2)) AS cellcos
+         |          FROM q CROSS JOIN cents))
+         |  WHERE crk <= 2)
+         |SELECT qid, vec_id, rank, round(cos_raw, 5) AS cos FROM (
+         |  SELECT qid, vec_id, cos_raw,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rank
+         |  FROM (SELECT p.qid AS qid, e.vec_id AS vec_id,
+         |               list_dot_product(p.qv, e.v) / (sqrt(p.qn2) * sqrt(e.n2)) AS cos_raw
+         |        FROM probed p JOIN e ON e.label = p.cell AND e.vec_id != p.qid))
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "embed_neardup" ->
