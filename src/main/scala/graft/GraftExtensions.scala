@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductExpr, GraftFunctions, MqttMatchesExpr}
+import graft.functions.{DecodeCdcMsgExpr, DotProductExpr, GraftFunctions, MqttMatchesExpr}
 import graft.plans.MqttPrefixPushdown
 
 /** Session extensions wiring for the graft engine:
@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.BottomKByHashAgg].getName, "bottomk_by_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftFunctions.bottomkBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("decode_cdc_msg"),
+      new ExpressionInfo(classOf[DecodeCdcMsgExpr].getName, "decode_cdc_msg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DecodeCdcMsgExpr(exprs(0))))
     e.injectOptimizerRule(_ => MqttPrefixPushdown)
   }
 }

@@ -16,6 +16,10 @@ object GraftFunctions {
     GraftBridge.column(DotProductExpr(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Decode a protobuf-encoded CDCMsg envelope (BINARY → STRUCT). */
+  def decode_cdc_msg(bytes: Column): Column =
+    GraftBridge.column(DecodeCdcMsgExpr(GraftBridge.expression(bytes)))
+
   /** Deterministic bottom-k-by-hash sample aggregate over a LONG column. */
   def bottomk_by_hash(c: Column, k: Int): Column =
     GraftBridge.column(
@@ -53,5 +57,7 @@ object GraftFunctions {
       "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bottomk_by_hash", bottomkBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "decode_cdc_msg", exprs => DecodeCdcMsgExpr(exprs(0)), "built-in")
   }
 }

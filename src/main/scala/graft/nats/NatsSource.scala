@@ -10,25 +10,59 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** NATS micro-batch source skeleton (`DataSourceV2`) — the live-deployment
-  * ingress for the CDC bus (reference `lib/nats.js:49-65`: one physical
+/** A raw broker frame: replayable sequence number, arrival time (micros),
+  * and the protobuf-encoded CDCMsg envelope bytes. */
+final case class NatsFrame(seq: Long, tsMicros: Long, bytes: Array[Byte])
+
+/** The seam between the Spark connector machinery and broker I/O — the
+  * ONLY part of the source that talks to the outside world. A deployment
+  * implements this over a JetStream pull consumer (replayable sequence
+  * offsets → exactly-once micro-batches; core NATS, which the reference
+  * uses, is at-most-once and cannot replay); tests inject an in-memory
+  * implementation, which drives the complete connector path — offsets,
+  * sharding, decode — through a real readStream.
+  *
+  * Implementations are addressed by class name via the `broker` option
+  * and instantiated per use site (driver for offsets, one per executor
+  * task for fetches — never serialized across the boundary). */
+trait NatsBroker {
+  /** Highest sequence number currently on the bus subject. */
+  def latestSeq(): Long
+  /** Frames with seq in (start, end] belonging to `shard`
+    * (seq % shards == shard), in sequence order. */
+  def fetch(start: Long, end: Long, shard: Int, shards: Int): Iterator[NatsFrame]
+}
+
+object NatsBroker {
+  def instantiate(className: String): NatsBroker =
+    Class.forName(className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[NatsBroker]
+}
+
+/** Default broker: the zero-egress build environment has no NATS client
+  * jar and no network, so broker I/O is unavailable by construction; a
+  * deployment supplies its JetStream-backed implementation via
+  * `.option("broker", "com.example.JetStreamBroker")`. Everything above
+  * this seam is real and exercised by NatsSourceSpec. */
+class UnavailableBroker extends NatsBroker {
+  private def unavailable = throw new UnsupportedOperationException(
+    "NATS connectivity is stubbed: zero-egress build environment (design per SURVEY §4.2); " +
+      "supply a JetStream-backed NatsBroker via .option(\"broker\", <class>)")
+  override def latestSeq(): Long = unavailable
+  override def fetch(start: Long, end: Long, shard: Int, shards: Int): Iterator[NatsFrame] =
+    unavailable
+}
+
+/** NATS micro-batch source (`DataSourceV2`) — the live-deployment ingress
+  * for the CDC bus (reference `lib/nats.js:49-65`: one physical
   * subscription per client on the shared bus subject; envelopes decoded
-  * once then fanned out).
+  * once then fanned out — here the decode is [[CdcProto.decodeToRow]],
+  * run once per frame in the partition reader).
   *
-  * Structure is the real Spark connector shape: TableProvider → Table
-  * (MICRO_BATCH_READ) → ScanBuilder → Scan → MicroBatchStream with
-  * sequence-number offsets, sharded input partitions, and a
-  * PartitionReader emitting the CdcMsg envelope schema. The actual broker
-  * I/O (`connect`, `fetch`) is STUBBED with UnsupportedOperationException:
-  * the build environment has zero egress and no NATS client jar; in a
-  * deployment those two methods wrap a JetStream pull-consumer fetch,
-  * which provides replayable sequence offsets for exactly-once micro
-  * batches (core NATS, like the reference uses, is at-most-once and
-  * cannot replay — the stub models JetStream semantics for that reason).
-  *
-  * Usage (deployment): spark.readStream.format("graft.nats").option("url", …)
-  * .option("subject", "cdc.client").load() — then every graft operator
-  * (mqtt routing, take(n), counters, windows) applies unchanged.
+  * Usage: `spark.readStream.format("graft.nats.NatsSource")
+  * .option("broker", <NatsBroker class>).option("shards", 4).load()` —
+  * then every graft operator (mqtt routing, take(n), counters, windows)
+  * applies unchanged.
   */
 class NatsSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -40,19 +74,13 @@ class NatsSource extends TableProvider {
 }
 
 object NatsSource {
-  /** The CDCMsg envelope (reference fields, SURVEY §1.2) + stream metadata
-    * (sequence, arrival ts) needed for offsets and event-time ops. */
-  val CdcMsgSchema: StructType = StructType(Seq(
-    StructField("seq", LongType, nullable = false),
-    StructField("ts", TimestampType, nullable = false),
-    StructField("publisher", StringType),
-    StructField("channel", StringType),
-    StructField("contentType", StringType),
-    StructField("protocol", StringType),
-    StructField("reply", StringType),
-    StructField("qos", IntegerType),
-    StructField("retain", BooleanType),
-    StructField("payload", BinaryType)))
+  /** Stream metadata (sequence for offsets, arrival ts for event-time
+    * ops) + the decoded CDCMsg envelope (SURVEY §1.2). */
+  val CdcMsgSchema: StructType =
+    StructType(
+      StructField("seq", LongType, nullable = false) ::
+      StructField("ts", TimestampType, nullable = false) ::
+      CdcProto.MsgStructType.fields.toList)
 }
 
 private[nats] class NatsTable(schema: StructType) extends Table with SupportsRead {
@@ -62,34 +90,35 @@ private[nats] class NatsTable(schema: StructType) extends Table with SupportsRea
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NatsScanBuilder(schema, options.getInt("shards", 4))
+    new NatsScanBuilder(schema,
+      options.getInt("shards", 4),
+      options.getOrDefault("broker", classOf[UnavailableBroker].getName))
 }
 
-private[nats] class NatsScanBuilder(schema: StructType, shards: Int) extends ScanBuilder {
-  override def build(): Scan = new NatsScan(schema, shards)
+private[nats] class NatsScanBuilder(schema: StructType, shards: Int,
+                                    broker: String) extends ScanBuilder {
+  override def build(): Scan = new NatsScan(schema, shards, broker)
 }
 
-private[nats] class NatsScan(schema: StructType, shards: Int) extends Scan {
+private[nats] class NatsScan(schema: StructType, shards: Int,
+                             broker: String) extends Scan {
   override def readSchema(): StructType = schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new NatsMicroBatchStream(shards)
+    new NatsMicroBatchStream(shards, broker)
 }
 
-/** Offset = highest JetStream sequence number seen, JSON `{"seq": n}`. */
+/** Offset = highest sequence number seen, JSON `{"seq": n}`. */
 private[nats] case class NatsOffset(seq: Long) extends Offset {
   override def json(): String = s"""{"seq": $seq}"""
 }
 
-private[nats] class NatsMicroBatchStream(shards: Int) extends MicroBatchStream {
+private[nats] class NatsMicroBatchStream(shards: Int, brokerClass: String)
+    extends MicroBatchStream {
 
-  /** STUB — deployment: open the JetStream pull consumer on the bus
-    * subject and return its last sequence. Zero-egress here. */
-  private def brokerLatestSeq(): Long =
-    throw new UnsupportedOperationException(
-      "NATS connectivity is stubbed: zero-egress build environment (design per SURVEY §4.2)")
+  @transient private lazy val broker = NatsBroker.instantiate(brokerClass)
 
   override def initialOffset(): Offset = NatsOffset(0L)
-  override def latestOffset(): Offset = NatsOffset(brokerLatestSeq())
+  override def latestOffset(): Offset = NatsOffset(broker.latestSeq())
   override def deserializeOffset(json: String): Offset =
     NatsOffset("""\d+""".r.findFirstIn(json).map(_.toLong).getOrElse(0L))
 
@@ -97,7 +126,8 @@ private[nats] class NatsMicroBatchStream(shards: Int) extends MicroBatchStream {
     * seq % shards == i — each executor holds one pull-consumer slice. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[NatsOffset].seq, end.asInstanceOf[NatsOffset].seq)
-    (0 until shards).map(i => NatsRangePartition(s, e, i, shards): InputPartition).toArray
+    (0 until shards).map(i =>
+      NatsRangePartition(s, e, i, shards, brokerClass): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new NatsReaderFactory
@@ -106,26 +136,35 @@ private[nats] class NatsMicroBatchStream(shards: Int) extends MicroBatchStream {
 }
 
 private[nats] case class NatsRangePartition(startSeq: Long, endSeq: Long,
-                                            shard: Int, shards: Int) extends InputPartition
+                                            shard: Int, shards: Int,
+                                            brokerClass: String) extends InputPartition
 
 private[nats] class NatsReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new NatsPartitionReader(partition.asInstanceOf[NatsRangePartition])
 }
 
+/** Pulls this shard's frames for the batch's sequence range and decodes
+  * each protobuf envelope ONCE (reference lib/nats.js:88-90) into an
+  * InternalRow: (seq, ts) metadata prepended to the decoded struct. */
 private[nats] class NatsPartitionReader(p: NatsRangePartition)
     extends PartitionReader[InternalRow] {
 
-  /** STUB — deployment: `fetch` pulls the next protobuf-encoded CDCMsg in
-    * (startSeq, endSeq] for this shard and decodes it once
-    * (reference lib/nats.js:88-90) into an InternalRow via UTF8String /
-    * micros-timestamp conversion. */
-  private def fetchNext(): Option[InternalRow] =
-    throw new UnsupportedOperationException(
-      "NATS connectivity is stubbed: zero-egress build environment")
+  private val frames: Iterator[NatsFrame] =
+    NatsBroker.instantiate(p.brokerClass).fetch(p.startSeq, p.endSeq, p.shard, p.shards)
 
-  private var current: Option[InternalRow] = None
-  override def next(): Boolean = { current = fetchNext(); current.isDefined }
-  override def get(): InternalRow = current.get
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (frames.hasNext) {
+      val f = frames.next()
+      val env = CdcProto.decodeToRow(f.bytes)
+      // fresh row per frame: no buffer reuse
+      current = InternalRow.fromSeq(
+        f.seq +: f.tsMicros +: env.toSeq(CdcProto.MsgStructType))
+      true
+    } else false
+
+  override def get(): InternalRow = current
   override def close(): Unit = ()
 }
