@@ -2,9 +2,9 @@ package graft.stream
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.functions.GraftFunctions.mqtt_matches
 
@@ -102,23 +102,40 @@ object Streams {
         when(col("res_req_id").isNull, 408).otherwise(200).as("code"))
   }
 
+  /** The take(n) count-gate as a [[StatefulProcessor]] (Spark 4
+    * `transformWithState` API): per-key ValueState holds the delivered
+    * count; once it reaches `max` nothing more is emitted — the
+    * reference's auto-unsubscribe (lib/nats.js:98-107). */
+  private[stream] class TakeNGate(max: Int)
+      extends StatefulProcessor[String, (String, BusEvent), Delivery] {
+    @transient private var delivered: ValueState[Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      delivered = getHandle.getValueState[Int]("delivered", Encoders.scalaInt, TTLConfig.NONE)
+
+    override def handleInputRows(sub: String, rows: Iterator[(String, BusEvent)],
+                                 timerValues: TimerValues): Iterator[Delivery] = {
+      val already = if (delivered.exists()) delivered.get() else 0
+      val take = rows.take(math.max(0, max - already)).toSeq
+      delivered.update(already + take.size)
+      take.iterator.map { case (_, e) =>
+        Delivery(sub, e.event_id,
+          graft.Tables.channelString(e.event_type, e.user_id))
+      }
+    }
+  }
+
   /** The reference's take(n)/auto-unsubscribe (lib/nats.js:98-107) as a
-    * stateful count-gate: per subscription key, deliver the first `max`
-    * matching messages, then drop the subscription (state = delivered
-    * count; once it reaches `max` nothing more is emitted). */
+    * stateful count-gate on the `transformWithState` API. Requires the
+    * RocksDB state store
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — which is also the provider
+    * a 100 TB deployment wants: state lives off-heap/on-disk with
+    * changelog checkpointing, not in executor heap. */
   def takeNPerKey(bus: Dataset[(String, BusEvent)], max: Int)
                  (implicit spark: SparkSession): Dataset[Delivery] = {
     import spark.implicits._
     bus.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (sub: String, it: Iterator[(String, BusEvent)], state: GroupState[Int]) =>
-          val already = state.getOption.getOrElse(0)
-          val take = it.take(math.max(0, max - already)).toSeq
-          state.update(already + take.size)
-          take.iterator.map { case (_, e) =>
-            Delivery(sub, e.event_id,
-              graft.Tables.channelString(e.event_type, e.user_id))
-          }
-      }
+      .transformWithState(new TakeNGate(max), TimeMode.None(), OutputMode.Append())
   }
 }

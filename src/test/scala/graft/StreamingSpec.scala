@@ -84,6 +84,9 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sq = spark.sqlContext
     implicit val sp: SparkSession = spark
     import spark.implicits._
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val in = MemoryStream[(String, BusEvent)]
     val q = Streams.takeNPerKey(in.toDS(), max = 3)
       .writeStream.outputMode("append").format("memory").queryName("taken").start()
