@@ -16,6 +16,11 @@ object GraftFunctions {
     GraftBridge.column(DotProductExpr(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** One-pass marker-word counts + CJK flag (lang-id kernel):
+    * STRUCT<h_<name> INT…, cjk BOOLEAN>. */
+  def marker_counts(text: Column, sets: Seq[(String, Seq[String])]): Column =
+    GraftBridge.column(MarkerCountsExpr(GraftBridge.expression(text), sets))
+
   /** Decode a protobuf-encoded CDCMsg envelope (BINARY → STRUCT). */
   def decode_cdc_msg(bytes: Column): Column =
     GraftBridge.column(DecodeCdcMsgExpr(GraftBridge.expression(bytes)))
