@@ -162,6 +162,52 @@ object HashDedup {
     bucketPairs(minhashBandsDf(s, d)).orderBy(col("a"), col("b"))
   }
 
+  /** Near-dup CLUSTERS: connected components over the minhash candidate
+    * pairs — the step that turns pairwise candidates into "keep one doc
+    * per duplicate cluster". Min-label propagation to a fixpoint:
+    * per iteration each node takes the min component label among itself
+    * and its neighbors (one equi-join + hash-agg — both shuffles on the
+    * same key), and convergence is detected by the monotonically
+    * decreasing label sum (a 1-row action per iteration, the standard
+    * driver-side convergence check of iterative graph algorithms;
+    * iterations needed = graph diameter, which for near-dup clusters is
+    * small). Output: (rep = min doc_id of the component, n_docs). */
+  def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    registerSkewLogging(s)
+    val pairs = bucketPairs(minhashBandsDf(s, d)).select(col("a"), col("b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("comp")).persist()
+    val init = labels.agg(sum(col("comp"))).head()
+    if (init.isNullAt(0)) { // no candidate pairs at all
+      edges.unpersist()
+      return labels.select(col("comp").as("rep"), lit(0L).as("n_docs")).limit(0)
+    }
+    var sumPrev = init.getLong(0)
+    var done = false
+    var i = 0
+    while (!done && i < 50) {
+      val next = edges.join(labels, col("b") === col("node"))
+        .select(col("a").as("node"), col("comp"))
+        .unionByName(labels)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+        .persist()
+      val sumNext = next.agg(sum(col("comp"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      done = sumNext == sumPrev
+      sumPrev = sumNext
+      i += 1
+    }
+    edges.unpersist()
+    labels.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("comp").as("rep"), col("n_docs"))
+      .orderBy(col("rep"))
+  }
+
   // ---- simhash ------------------------------------------------------
 
   private val SimBits = 60
@@ -275,6 +321,7 @@ object HashDedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_components" -> (dedupComponents _),
     "decontam"        -> (decontam _),
     "minhash_sig"     -> (minhashSig _),
     "minhash_buckets" -> (minhashBuckets _),
@@ -333,6 +380,21 @@ object HashDedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "dedup_components" ->
+      s"""WITH RECURSIVE $ShingleCte, $HashCte, $SigCte, $BandsCte,
+         |pr AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+         |reach(node, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b)
+         |SELECT comp AS rep, count(*) AS n_docs
+         |FROM (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)
+         |GROUP BY comp ORDER BY rep""".stripMargin,
+
     "decontam" ->
       s"""WITH $ShingleCte,
          |ev AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 50 = 0),

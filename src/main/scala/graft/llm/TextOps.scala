@@ -204,7 +204,56 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** PII scrub regexes — restricted to the Java/RE2 common subset so the
+    * identical pattern runs on both engines. */
+  private val EmailRx = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Rx = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scan: per-source email / IPv4 incidence — the detection pass a
+    * scrubbing pipeline runs before redaction (single linear scan, counts
+    * via non-overlapping regex matches; redaction itself is the same scan
+    * with regexp_replace). */
+  def piiScan(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("lo", lower(col("text")))
+      .withColumn("n_email", regexp_count(col("lo"), lit(EmailRx)).cast("long"))
+      .withColumn("n_ip", regexp_count(col("lo"), lit(Ipv4Rx)).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("n_email") > 0, 1L).otherwise(0L)).as("docs_with_email"),
+           sum(col("n_email")).as("total_emails"),
+           sum(when(col("n_ip") > 0, 1L).otherwise(0L)).as("docs_with_ip"),
+           sum(col("n_ip")).as("total_ips"))
+      .orderBy(col("source"))
+
+  private val SegWords = 3
+
+  /** Segment-level exact dedup: non-overlapping [[SegWords]]-word
+    * segments shared by more than one document within a source — the
+    * sub-document sibling of exact dedup (boilerplate/chrome detection;
+    * on prose the segmenter would split sentences instead). Explode →
+    * distinct → hash-agg on the segment key: linear, no pair expansion. */
+  def segmentDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= SegWords)
+      .select(col("source"), col("doc_id"),
+        explode(transform(
+          sequence(lit(0), (size(col("ws")) / SegWords).cast("int") - 1),
+          i => array_join(slice(col("ws"), i * SegWords + 1, lit(SegWords)), " "))).as("seg"))
+      .distinct()
+      .groupBy(col("source"), col("seg"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_dup_segments"),
+           sum(col("n_docs")).as("n_doc_hits"),
+           max(col("n_docs")).as("max_spread"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_scan"         -> (piiScan _),
+    "segment_dedup"    -> (segmentDedup _),
     "sample_split"     -> (sampleSplit _),
     "corpus_mix"       -> (corpusMix _),
     "text_repetition"  -> (textRepetition _),
@@ -219,6 +268,35 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _))
 
   val oracle: Map[String, String] = Map(
+    "pii_scan" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+         |       CAST(sum(n_email) AS BIGINT) AS total_emails,
+         |       CAST(sum(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ip,
+         |       CAST(sum(n_ip) AS BIGINT) AS total_ips
+         |FROM (
+         |  SELECT source,
+         |         len(regexp_extract_all(lower(text), '$EmailRx')) AS n_email,
+         |         len(regexp_extract_all(lower(text), '$Ipv4Rx')) AS n_ip
+         |  FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "segment_dedup" ->
+      s"""SELECT source, count(*) AS n_dup_segments,
+         |       CAST(sum(n_docs) AS BIGINT) AS n_doc_hits,
+         |       max(n_docs) AS max_spread
+         |FROM (
+         |  SELECT source, seg, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM (SELECT DISTINCT source, doc_id, seg FROM (
+         |          SELECT source, doc_id,
+         |                 unnest(list_transform(
+         |                   generate_series(0, CAST(floor(len(ws) / $SegWords) AS INT) - 1),
+         |                   i -> array_to_string(ws[i*$SegWords+1 : i*$SegWords+$SegWords], ' '))) AS seg
+         |          FROM (SELECT source, doc_id, str_split(text, ' ') AS ws FROM documents
+         |                WHERE len(str_split(text, ' ')) >= $SegWords)))
+         |  GROUP BY source, seg HAVING count(*) > 1)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
     "corpus_mix" ->
       s"""SELECT source, count(*) AS n_selected,
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -310,6 +310,33 @@ object RelQueries {
       .orderBy(col("quartile"))
   }
 
+  /** percent_rank + cume_dist over a partitioned window (rank-derived, so
+    * tie-stable: equal inputs get equal outputs and the float is the same
+    * (rank-1)/(n-1) IEEE division on both engines). Filtered AFTER the
+    * window, so ranks are computed over the full partition. */
+  def windowPctRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("acctbal"),
+        round(percent_rank().over(w), 5).as("pr"),
+        round(cume_dist().over(w), 5).as("cd"))
+      .filter(col("pr") >= 0.9)
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
+  /** Ordered string aggregation (listagg): nations per region as a
+    * deterministic comma-joined sorted list — sort_array∘collect_list∘
+    * array_join (the order-stable form; a bare collect_list order is
+    * partition-dependent). */
+  def stringAggNations(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d)
+      .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+           count(lit(1)).as("n"))
+      .orderBy(col("r_name"))
+
   /** PIVOT: event counts per user-bucket, one column per event type.
     * Values are pinned (no discovery pass) — required for a stable
     * schema, and the scalable form (value discovery is a full extra
@@ -517,6 +544,8 @@ object RelQueries {
     "window_lead_next"   -> (windowLeadNext _),
     "window_running"     -> (windowRunning _),
     "window_ntile"       -> (windowNtile _),
+    "window_pct_rank"    -> (windowPctRank _),
+    "string_agg_nations" -> (stringAggNations _),
     "window_range_frame" -> (windowRangeFrame _),
     "window_value_fns"   -> (windowValueFns _),
     "ship_delay"         -> (shipDelay _),
@@ -539,6 +568,21 @@ object RelQueries {
     * to microsecond TIMESTAMP wherever ts participates in output or
     * arithmetic (lossless; see Tables.events). */
   val oracle: Map[String, String] = Map(
+    "window_pct_rank" -> """
+      SELECT c_nationkey, c_custkey, acctbal, pr, cd FROM (
+        SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
+               round(percent_rank() OVER w, 5) AS pr,
+               round(cume_dist() OVER w, 5) AS cd
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey))
+      WHERE pr >= 0.9 ORDER BY c_nationkey, c_custkey""",
+
+    "string_agg_nations" -> """
+      SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             count(*) AS n
+      FROM region JOIN nation ON r_regionkey = n_regionkey
+      GROUP BY r_name ORDER BY r_name""",
+
     "q1_pricing" -> """
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,

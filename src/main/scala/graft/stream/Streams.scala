@@ -102,6 +102,14 @@ object Streams {
         when(col("res_req_id").isNull, 408).otherwise(200).as("code"))
   }
 
+  /** Stream-static enrichment: join the streaming bus against a static
+    * dimension table, broadcast — the dimension ships to every executor
+    * once per batch, the stream itself never shuffles and no streaming
+    * state is kept (the scalable shape for reference-data lookup on an
+    * unbounded stream). */
+  def enrich(bus: DataFrame, dim: DataFrame, key: String): DataFrame =
+    bus.join(broadcast(dim), Seq(key), "left")
+
   /** The take(n) count-gate as a [[StatefulProcessor]] (Spark 4
     * `transformWithState` API): per-key ValueState holds the delivered
     * count; once it reaches `max` nothing more is emitted — the

@@ -101,6 +101,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(_.sub == "s2").map(_.event_id).toSeq === Seq(5L))
   }
 
+  test("stream-static enrich broadcasts the dimension, no stream state") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[BusEvent]
+    in.addData(ev(1, 0, 1, "click"), ev(2, 1, 2, "view"), ev(3, 2, 9, "click"))
+    val q = Streams.enrich(Streams.withChannel(in.toDF()), dim, "user_id")
+      .select(col("event_id"), col("tier"))
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+  }
+
   test("streaming dedup within watermark removes re-deliveries") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
