@@ -134,6 +134,25 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Symmetric int8 quantization stats per label cell: per-vector scale
+    * 127/max|x|, saturation = elements hitting the clip boundary
+    * (floor(|x|·scale) ≥ 127 — exact integer predicate, so the count is
+    * bit-reproducible cross-engine; the scale average is reported rounded).
+    * The compression preflight of an embedding-store build: all
+    * expression-level array math, one aggregation. */
+  def embedQuantize(s: SparkSession, d: String): DataFrame =
+    vecs(s, d)
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("amax") > 0d)
+      .withColumn("scale", lit(127d) / col("amax"))
+      .withColumn("n_sat",
+        size(filter(col("v"), x => floor(abs(x) * col("scale")) >= 127d)).cast("long"))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(col("n_sat")).as("total_saturated"),
+           round(avg(col("scale")), 3).as("avg_scale"))
+      .orderBy(col("label"))
+
   /** Near-duplicate candidate pairs: same label block, cosine ≥ 0.4. */
   def nearDup(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d).select(col("label"), col("vec_id"), col("v"), col("n2"))
@@ -152,6 +171,7 @@ object VectorOps {
     "ann_buckets" -> (annBuckets _),
     "ann_topk"    -> (annTopk _),
     "ann_ivf"     -> (annIvf _),
+    "embed_quantize" -> (embedQuantize _),
     "embed_neardup" -> (nearDup _))
 
   // ---- DuckDB twins --------------------------------------------------
@@ -227,6 +247,18 @@ object VectorOps {
          |               list_dot_product(p.qv, e.v) / (sqrt(p.qn2) * sqrt(e.n2)) AS cos_raw
          |        FROM probed p JOIN e ON e.label = p.cell AND e.vec_id != p.qid))
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "embed_quantize" ->
+      s"""WITH $VecCte,
+         |qs AS (
+         |  SELECT label, 127.0 / amax AS scale, v
+         |  FROM (SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e)
+         |  WHERE amax > 0)
+         |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+         |       CAST(sum(len(list_filter(v, x -> floor(abs(x) * scale) >= 127))) AS BIGINT)
+         |         AS total_saturated,
+         |       round(avg(scale), 3) AS avg_scale
+         |FROM qs GROUP BY 1 ORDER BY label""".stripMargin,
 
     "embed_neardup" ->
       s"""WITH $VecCte

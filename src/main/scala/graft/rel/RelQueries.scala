@@ -337,6 +337,30 @@ object RelQueries {
            count(lit(1)).as("n"))
       .orderBy(col("r_name"))
 
+  /** Conversion funnel: purchases preceded by a click from the same user
+    * within 30 minutes. One partitioned window pass — a conditional
+    * running max carries each user's latest click timestamp forward, so
+    * no self-join and no per-user state beyond the window sort. */
+  def funnelConv(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("converted",
+        col("last_click").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("last_click")) <= 1800L * 1000000L)
+      .withColumn("bucket", col("user_id") % 10)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_purchases"),
+           sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+      .withColumn("conv_pct",
+        round(col("n_converted").cast("double") * 100d / col("n_purchases"), 2))
+      .orderBy(col("bucket"))
+  }
+
   /** PIVOT: event counts per user-bucket, one column per event type.
     * Values are pinned (no discovery pass) — required for a stable
     * schema, and the scalable form (value discovery is a full extra
@@ -546,6 +570,7 @@ object RelQueries {
     "window_ntile"       -> (windowNtile _),
     "window_pct_rank"    -> (windowPctRank _),
     "string_agg_nations" -> (stringAggNations _),
+    "funnel_conv"        -> (funnelConv _),
     "window_range_frame" -> (windowRangeFrame _),
     "window_value_fns"   -> (windowValueFns _),
     "ship_delay"         -> (shipDelay _),
@@ -582,6 +607,25 @@ object RelQueries {
              count(*) AS n
       FROM region JOIN nation ON r_regionkey = n_regionkey
       GROUP BY r_name ORDER BY r_name""",
+
+    "funnel_conv" -> """
+      SELECT bucket, n_purchases, n_converted,
+             round(CAST(n_converted AS DOUBLE) * 100 / n_purchases, 2) AS conv_pct
+      FROM (
+        SELECT user_id % 10 AS bucket, count(*) AS n_purchases,
+               CAST(sum(CASE WHEN last_click IS NOT NULL
+                             AND epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(last_click)
+                                 <= 1800 * 1000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        FROM (
+          SELECT user_id, event_type, ts,
+                 max(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+          FROM events)
+        WHERE event_type = 'purchase'
+        GROUP BY 1)
+      ORDER BY bucket""",
 
     "q1_pricing" -> """
       SELECT l_returnflag, l_linestatus,
