@@ -80,6 +80,17 @@ class HashDedupSpec extends AnyFunSuite {
     assert(row.getDouble(3) === 1.0, "exact copies have jaccard 1.0")
   }
 
+  test("dedup components: the near-dup cluster collapses to one component") {
+    val comps = HashDedup.dedupComponents(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0/1 exact copies and 2 (one-word edit) must land in the component
+    // represented by their min doc_id 0
+    assert(comps.contains(0L) && comps(0L) >= 3L,
+      s"cluster {0,1,2,...} missing or fragmented: $comps")
+    // unrelated docs 3/4 never pair, so no component is represented by them
+    assert(!comps.contains(3L) && !comps.contains(4L))
+  }
+
   /** Degenerate mass-duplicate corpus: 1100 identical docs put all their
     * band signatures in ONE bucket — far over DefaultMaxBucket (1024). */
   private lazy val degenerateDir: String = {
