@@ -164,16 +164,18 @@ object HashDedup {
 
   /** Near-dup CLUSTERS: connected components over the minhash candidate
     * pairs — the step that turns pairwise candidates into "keep one doc
-    * per duplicate cluster". Min-label propagation with POINTER JUMPING
-    * to a fixpoint: per iteration each node takes the min label among
-    * itself and its neighbors (equi-join + hash-agg on one key), then
-    * follows its label's own label (label-of-label join) — the doubling
-    * step that makes convergence O(log diameter) instead of O(diameter),
-    * the difference between ~20 and a million iterations on a long
-    * chain. Convergence is detected by the monotonically decreasing
-    * label sum (a 1-row action per iteration, the standard driver-side
-    * convergence check of iterative graph algorithms).
-    * Output: (rep = min doc_id of the component, n_docs). */
+    * per duplicate cluster". Min-label propagation to a fixpoint: per
+    * iteration each node takes the min label among itself and its
+    * neighbors (equi-join + hash-agg on one key); convergence is
+    * detected by the monotonically decreasing label sum (a 1-row action
+    * per iteration — the standard driver-side convergence check of
+    * iterative graph algorithms). Iterations needed = component
+    * diameter, and LSH pair expansion emits each bucket as a CLIQUE, so
+    * near-dup components have diameter ≈ the number of chained buckets
+    * (small): plain propagation beats pointer-jumping here (measured —
+    * the label-of-label join costs more per iteration than the saved
+    * iterations; for general long-chain graphs the doubling variant
+    * would win). Output: (rep = min doc_id of the component, n_docs). */
   def dedupComponents(s: SparkSession, d: String): DataFrame = {
     registerSkewLogging(s)
     val pairs = bucketPairs(minhashBandsDf(s, d)).select(col("a"), col("b"))
@@ -191,15 +193,10 @@ object HashDedup {
     var done = false
     var i = 0
     while (!done && i < 50) {
-      val prop = edges.join(labels, col("b") === col("node"))
+      val next = edges.join(labels, col("b") === col("node"))
         .select(col("a").as("node"), col("comp"))
         .unionByName(labels)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-      // pointer jumping: a label is always a member node, so its own
-      // label exists — follow it, doubling propagation distance
-      val lut = prop.select(col("node").as("j_node"), col("comp").as("j_comp"))
-      val next = prop.join(lut, col("comp") === col("j_node"))
-        .select(col("node"), col("j_comp").as("comp"))
         .persist()
       val sumNext = next.agg(sum(col("comp"))).head().getLong(0)
       labels.unpersist()

@@ -361,6 +361,33 @@ object RelQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Time-series resample + forward fill: per-user minute grid spanning
+    * the observed range (sequence explode — span-bounded per key, not
+    * event-bounded), left-joined to observed per-minute sums, gaps
+    * forward-filled by an IGNORE NULLS running last(). The standard
+    * densification shape: no driver loop, no UDF, and the window
+    * partitions stay bounded by each key's time span. */
+  def resampleFfill(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .filter(col("user_id") < 3)
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .groupBy(col("user_id"), col("minute"))
+      .agg(round(sum(col("value")), 2).as("v"))
+    val grid = base.groupBy(col("user_id"))
+      .agg(min(col("minute")).as("mn"), max(col("minute")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 MINUTE"))).as("minute"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(base, Seq("user_id", "minute"), "left")
+      .withColumn("v_fill", last(col("v"), ignoreNulls = true).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_minutes"),
+           count(col("v")).as("n_observed"),
+           round(sum(col("v_fill")), 2).as("sum_filled"))
+      .orderBy(col("user_id"))
+  }
+
   /** PIVOT: event counts per user-bucket, one column per event type.
     * Values are pinned (no discovery pass) — required for a stable
     * schema, and the scalable form (value discovery is a full extra
@@ -571,6 +598,7 @@ object RelQueries {
     "window_pct_rank"    -> (windowPctRank _),
     "string_agg_nations" -> (stringAggNations _),
     "funnel_conv"        -> (funnelConv _),
+    "resample_ffill"     -> (resampleFfill _),
     "window_range_frame" -> (windowRangeFrame _),
     "window_value_fns"   -> (windowValueFns _),
     "ship_delay"         -> (shipDelay _),
@@ -607,6 +635,26 @@ object RelQueries {
              count(*) AS n
       FROM region JOIN nation ON r_regionkey = n_regionkey
       GROUP BY r_name ORDER BY r_name""",
+
+    "resample_ffill" -> """
+      WITH base AS (
+        SELECT user_id, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute,
+               round(sum(value), 2) AS v
+        FROM events WHERE user_id < 3 GROUP BY 1, 2),
+      grid AS (
+        SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute
+        FROM (SELECT user_id, min(minute) AS mn, max(minute) AS mx
+              FROM base GROUP BY user_id)),
+      filled AS (
+        SELECT g.user_id, g.minute, b.v,
+               last_value(b.v IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.minute
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+        FROM grid g LEFT JOIN base b
+          ON b.user_id = g.user_id AND b.minute = g.minute)
+      SELECT user_id, count(*) AS n_minutes, count(v) AS n_observed,
+             round(sum(v_fill), 2) AS sum_filled
+      FROM filled GROUP BY user_id ORDER BY user_id""",
 
     "funnel_conv" -> """
       SELECT bucket, n_purchases, n_converted,
