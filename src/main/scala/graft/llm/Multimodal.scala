@@ -101,9 +101,28 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  private val ChunkHexChars = 12 // 6-byte chunks, hex representation
+
+  /** Content-addressed chunking of the media payload: fixed-size byte
+    * ranges exploded from a sequence grid, each chunk hashed — the build
+    * step of a dedup'ing blob/chunk store (video segments, audio
+    * windows). Chunk arithmetic runs on the hex form so the identical
+    * string ops execute on both engines. */
+  def mmChunk(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .withColumn("hx", hex(col("img")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        ceil(length(col("hx")).cast("double") / ChunkHexChars).cast("long") - 1)))
+      .withColumn("chunk", expr(s"substring(hx, chunk_idx * $ChunkHexChars + 1, $ChunkHexChars)"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (length(col("chunk")) / 2).cast("long").as("chunk_bytes"),
+        md5(col("chunk")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"         -> (mmMeta _),
     "mm_resize"       -> (mmResize _),
+    "mm_chunk"        -> (mmChunk _),
     "mm_frame_sample" -> (mmFrameSample _))
 
   private val MetaCte =
@@ -125,6 +144,16 @@ object Multimodal {
          |SELECT doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx
          |FROM m, unnest(range(0, height, 4)) AS f(frame_idx)
          |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_chunk" ->
+      s"""WITH hxt AS (SELECT doc_id, hex(unhex(md5(text))) AS hx FROM documents),
+         |ch AS (SELECT doc_id, hx,
+         |              unnest(range(0, CAST(ceil(len(hx) / $ChunkHexChars.0) AS BIGINT))) AS chunk_idx
+         |       FROM hxt)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |       CAST(len(substr(hx, CAST(chunk_idx * $ChunkHexChars + 1 AS BIGINT), $ChunkHexChars)) // 2 AS BIGINT) AS chunk_bytes,
+         |       md5(substr(hx, CAST(chunk_idx * $ChunkHexChars + 1 AS BIGINT), $ChunkHexChars)) AS chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "mm_meta" -> """
       SELECT doc_id,
