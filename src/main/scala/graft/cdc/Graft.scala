@@ -87,6 +87,41 @@ object Graft {
         .limit(1)
     }
 
+    /** mqtt-pattern `exec` as a view (reference dep yarn.lock:77-81):
+      * rows matching `pattern`, with one extra column per named wildcard
+      * (`+name` = that level, `#name` = the joined tail) — extraction and
+      * match share one compiled regex. */
+    def extract(pattern: String): DataFrame = {
+      val (erx, names) = MqttPattern.toExtractRegex(pattern)
+      names.zipWithIndex.foldLeft(subscribe(pattern)) { case (df, (n, i)) =>
+        df.withColumn(n, regexp_extract(col("channel"), erx, i + 1))
+      }
+    }
+
+    /** [[rpc]] with the reference's optional `resProcess` mapper
+      * (lib/nats.js:218-222): a row-wise transform applied to the
+      * response view before the race (a projection cannot change which
+      * response arrives first; it must preserve `event_id`, the arrival
+      * order). The 408 timeout row is appended UNtransformed — mapped
+      * columns are NULL on it — mirroring the reference's unprocessed
+      * timeout object. */
+    def rpc(resPatterns: Seq[String], resProcess: DataFrame => DataFrame): DataFrame = {
+      val spark = frame.sparkSession
+      val hits = resProcess(
+          frame.filter(resPatterns.map(p => mqtt_matches(lit(p), col("channel"))).reduce(_ || _)))
+        .withColumn("code", lit(200))
+      val fallbackCols = hits.schema.fields.map { f =>
+        f.name match {
+          case "event_id" => lit(-1L).as("event_id")
+          case "code"     => lit(408).as("code")
+          case c          => lit(null).cast(f.dataType).as(c)
+        }
+      }
+      hits.unionByName(spark.range(1).select(fallbackCols.toSeq: _*))
+        .orderBy(col("code"), col("event_id"))
+        .limit(1)
+    }
+
     /** Publish = write to the constant physical address; routing stays in
       * the data (the reference's quirk at lib/nats.js:175), partitioned by
       * the leading routing level for pruned re-reads. */

@@ -55,6 +55,30 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(miss.getInt(2) === 408 && miss.getLong(0) === -1L)
   }
 
+  test("extract adds one column per named wildcard") {
+    val ex = bus.extract("cdc/+etype/#rest")
+    assert(ex.columns.contains("etype") && ex.columns.contains("rest"))
+    val r = ex.filter(org.apache.spark.sql.functions.col("event_type") === "error")
+      .select("etype", "rest", "channel").collect().head
+    assert(r.getString(0) === "error")
+    assert(r.getString(2) === s"cdc/error/${r.getString(1)}")
+  }
+
+  test("rpc with resProcess maps the winning response but not the 408 fallback") {
+    import org.apache.spark.sql.functions._
+    val mapped = bus.rpc(Seq("cdc/purchase/#", "cdc/error/#"),
+      df => df.withColumn("payload_k",
+        get_json_object(col("props"), "$.k").cast("int")))
+    val hit = mapped.collect().head
+    assert(hit.getAs[Int]("code") === 200)
+    assert(mapped.columns.contains("payload_k"))
+    val miss = bus.rpc(Seq("cdc/zzz/#"),
+      df => df.withColumn("payload_k", lit(42))).collect().head
+    assert(miss.getAs[Int]("code") === 408)
+    assert(miss.getAs[Long]("event_id") === -1L)
+    assert(miss.isNullAt(miss.fieldIndex("payload_k")), "fallback row is unprocessed")
+  }
+
   test("publish writes the routed layout, over() re-wraps it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pub").toString
     bus.publish(bus.subscribe("cdc/error/#"), dir)
