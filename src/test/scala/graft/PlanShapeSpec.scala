@@ -50,6 +50,25 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q1_pricing: shipdate predicate reaches PushedFilters; scan is column-pruned") {
+    val df = graft.rel.RelQueries.queries("q1_pricing")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"shipdate filter not pushed to parquet:\n$plan")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_partkey"),
+      s"scan reads columns the query never touches: $read")
+  }
+
+  test("minhash_sig: documents scan pruned to (doc_id, text)") {
+    val df = graft.llm.HashDedup.queries("minhash_sig")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang") && !read.contains("source") && !read.contains("n_chars"),
+      s"minhash signature scan not pruned: $read")
+  }
+
   test("cdc_rpc_first: single scan (disjunction, not per-pattern union) + top-1 reduce") {
     val df = CdcBus.queries("cdc_rpc_first")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
