@@ -71,4 +71,23 @@ class CdcBusSpec extends AnyFunSuite {
     assert(m("signup") === 1L + 2 + 4 + 6 + 7 + 8)
     assert(m("error") === 3L + 10)
   }
+
+  test("NULL event_type: channel synthesis skips the segment on every path") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Option("click"), 7L), (2L, Option.empty[String], 7L))
+      .toDF("event_id", "event_type", "user_id")
+      .withColumn("channel",
+        Tables.channelCol(org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("user_id")))
+    val chans = df.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // concat_ws skips the NULL segment (both engines) — never "cdc/null/7",
+    // never NULL: the row stays routable
+    assert(chans(1L) === "cdc/click/7")
+    assert(chans(2L) === "cdc/7")
+    assert(chans(2L) === Tables.channelString(null, 7L))
+    // the 2-level channel still routes under the bus-wide '#' but not
+    // under 3-level patterns
+    import graft.cdc.MqttPattern.matches
+    assert(matches("cdc/#", chans(2L)) && !matches("cdc/+/7", chans(2L)))
+  }
 }
