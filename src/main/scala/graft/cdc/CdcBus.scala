@@ -157,6 +157,23 @@ object CdcBus {
       .orderBy(col("etype"))
   }
 
+  /** The routing surface through the SQL entry point: registered
+    * `mqtt_matches` + the prefix-pushdown rule apply to `spark.sql` text
+    * exactly as to the DataFrame API — a reference user's subscription
+    * runs as ANSI SQL. (Functions are re-registered directly so the
+    * query also works on sessions built without extensions.) */
+  def sqlRoute(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.bus(s, d).createOrReplaceTempView("graft_bus_v")
+    s.sql("""
+      SELECT element_at(split(channel, '/'), 2) AS etype,
+             count(*) AS n,
+             round(sum(value), 2) AS total_value
+      FROM graft_bus_v
+      WHERE mqtt_matches('cdc/+/1', channel)
+      GROUP BY 1 ORDER BY etype""")
+  }
+
   /** Deeper topic hierarchy: a 4-level channel
     * `cdc/<etype>/<uid>/v<value-bucket>` routed by a mixed pattern
     * (`cdc/+/+/v5`) — wildcard depth beyond the basic 3-level layout,
@@ -199,7 +216,8 @@ object CdcBus {
     "cdc_rpc_timeout"     -> (rpcTimeout _),
     "cdc_json_payload"    -> (jsonPayload _),
     "cdc_channel_extract" -> (channelExtract _),
-    "cdc_extract_named"   -> (extractNamed _))
+    "cdc_extract_named"   -> (extractNamed _),
+    "cdc_sql_route"       -> (sqlRoute _))
 
   val oracle: Map[String, String] = Map(
     "cdc_retained" ->
@@ -267,6 +285,13 @@ object CdcBus {
          |       count(DISTINCT str_split(channel, '/')[3]) AS n_users,
          |       count(*) AS n
          |FROM ev GROUP BY 1 ORDER BY etype""".stripMargin,
+
+    "cdc_sql_route" ->
+      s"""${Tables.BusCte}
+         |SELECT str_split(channel, '/')[2] AS etype, count(*) AS n,
+         |       round(sum(value), 2) AS total_value
+         |FROM ev WHERE regexp_matches(channel, '${rx("cdc/+/1")}')
+         |GROUP BY 1 ORDER BY etype""".stripMargin,
 
     "cdc_extract_named" -> {
       val pat = "cdc/+etype/#rest"
