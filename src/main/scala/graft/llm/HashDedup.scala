@@ -212,6 +212,28 @@ object HashDedup {
       .orderBy(col("rep"))
   }
 
+  /** Cross-source shingle-overlap matrix: how much 3-gram content each
+    * pair of sources shares — corpus-composition auditing (which sources
+    * mirror each other). Shingle-keyed with the per-shingle SOURCE set
+    * (collect_set bounded by the number of sources — a few dozen — so
+    * pair expansion is inherently capped regardless of corpus size):
+    * work = Σ_shingle |sources|², never doc². */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("source"), explode(shingleArr).as("sh"))
+      .distinct()
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(expr(
+        "flatten(transform(srcs, (x, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs) - i - 1), y -> struct(x AS a, y AS b))))")).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .orderBy(col("src_a"), col("src_b"))
+
   // ---- simhash ------------------------------------------------------
 
   private val SimBits = 60
@@ -326,6 +348,7 @@ object HashDedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> (dedupComponents _),
+    "source_overlap"  -> (sourceOverlap _),
     "decontam"        -> (decontam _),
     "minhash_sig"     -> (minhashSig _),
     "minhash_buckets" -> (minhashBuckets _),
@@ -398,6 +421,13 @@ object HashDedup {
          |SELECT comp AS rep, count(*) AS n_docs
          |FROM (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)
          |GROUP BY comp ORDER BY rep""".stripMargin,
+
+    "source_overlap" ->
+      s"""WITH $ShingleCte,
+         |ssh AS (SELECT DISTINCT source, sh FROM sh)
+         |SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_shared_shingles
+         |FROM ssh x JOIN ssh y ON x.sh = y.sh AND x.source < y.source
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     "decontam" ->
       s"""WITH $ShingleCte,
