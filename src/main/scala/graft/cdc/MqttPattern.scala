@@ -162,6 +162,38 @@ object MqttPattern {
     }
   }
 
+  /** mqtt-pattern `clean`: strip wildcard names —
+    * "a/+id/#rest" → "a/+/#". */
+  def clean(pattern: String): String =
+    pattern.split("/", -1).map { s =>
+      if (isPlus(s)) "+" else if (isHash(s)) "#" else s
+    }.mkString("/")
+
+  /** mqtt-pattern `fill`: substitute named params into a pattern to
+    * build a concrete topic — "cdc/+etype/#rest" + (etype→click,
+    * rest→7/x) → "cdc/click/7/x". Adaptations from the JS original
+    * (which renders a missing param as the string "undefined" — a JS
+    * coercion artifact, not a semantic): a missing `+name`/bare `+` is
+    * an error; a missing `#` tail is omitted, like the original. */
+  def fill(pattern: String, params: Map[String, String]): String = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ps = pattern.split("/", -1)
+    var i = 0
+    var done = false
+    while (i < ps.length && !done) {
+      val p = ps(i)
+      if (isHash(p)) {
+        params.get(p.substring(1)).foreach(out += _)
+        done = true // '#' is always last
+      } else if (isPlus(p)) {
+        out += params.getOrElse(p.substring(1), throw new IllegalArgumentException(
+          s"fill: no value for wildcard '$p' in $pattern"))
+      } else out += p
+      i += 1
+    }
+    out.mkString("/")
+  }
+
   /** Named-wildcard parameter extraction (mqtt-pattern `exec`): returns
     * (paramName -> matched level(s)) for "+name" / "#name" segments, or
     * None when the topic does not match. '#name' captures the joined tail. */

@@ -96,6 +96,22 @@ class MqttPatternSpec extends AnyFunSuite {
     }
   }
 
+  test("clean strips wildcard names; fill ∘ extract round-trips") {
+    assert(MqttPattern.clean("a/+id/#rest") === "a/+/#")
+    assert(MqttPattern.clean("cdc/click/7") === "cdc/click/7")
+    assert(MqttPattern.fill("cdc/+etype/#rest",
+      Map("etype" -> "click", "rest" -> "7/x")) === "cdc/click/7/x")
+    assert(MqttPattern.fill("cdc/+etype/#rest",
+      Map("etype" -> "click")) === "cdc/click") // missing '#' tail omitted
+    intercept[IllegalArgumentException] {
+      MqttPattern.fill("cdc/+etype", Map.empty)
+    }
+    // round-trip: extract(p, fill(p, params)) recovers params
+    val p = "cdc/+etype/+uid"
+    val params = Map("etype" -> "error", "uid" -> "42")
+    assert(MqttPattern.extract(p, MqttPattern.fill(p, params)) === Some(params))
+  }
+
   test("extract returns named params") {
     assert(MqttPattern.extract("cdc/+etype/+uid", "cdc/click/7")
       === Some(Map("etype" -> "click", "uid" -> "7")))
