@@ -310,6 +310,27 @@ object RelQueries {
       .orderBy(col("quartile"))
   }
 
+  /** TPC-H Q3 shape: segment-filtered customers ⋈ date-bounded orders ⋈
+    * date-bounded lineitem → per-order revenue top-10. The filtered
+    * customer key set is the small side and is broadcast, so the big
+    * fact-fact join shuffles only on the order key and the top-10 is a
+    * TakeOrderedAndProject — the canonical join-order + top-k plan. */
+  def q3Shipping(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1997-06-01 00:00:00").cast("timestamp")
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** percent_rank + cume_dist over a partitioned window (rank-derived, so
     * tie-stable: equal inputs get equal outputs and the float is the same
     * (rank-1)/(n-1) IEEE division on both engines). Filtered AFTER the
@@ -599,6 +620,7 @@ object RelQueries {
     "string_agg_nations" -> (stringAggNations _),
     "funnel_conv"        -> (funnelConv _),
     "resample_ffill"     -> (resampleFfill _),
+    "q3_shipping"        -> (q3Shipping _),
     "window_range_frame" -> (windowRangeFrame _),
     "window_value_fns"   -> (windowValueFns _),
     "ship_delay"         -> (shipDelay _),
@@ -635,6 +657,18 @@ object RelQueries {
              count(*) AS n
       FROM region JOIN nation ON r_regionkey = n_regionkey
       GROUP BY r_name ORDER BY r_name""",
+
+    "q3_shipping" -> """
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 
     "resample_ffill" -> """
       WITH base AS (

@@ -60,6 +60,14 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"scan reads columns the query never touches: $read")
   }
 
+  test("q3_shipping: customer side broadcast, top-10 is TakeOrderedAndProject") {
+    val df = graft.rel.RelQueries.queries("q3_shipping")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"customer side not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-10 not TakeOrdered:\n$plan")
+  }
+
   test("minhash_sig: documents scan pruned to (doc_id, text)") {
     val df = graft.llm.HashDedup.queries("minhash_sig")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
