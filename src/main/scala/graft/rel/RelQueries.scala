@@ -331,6 +331,40 @@ object RelQueries {
       .limit(10)
   }
 
+  /** TPC-H Q5 shape: the full 5-table star — region → nation → customer
+    * → orders → lineitem — revenue per nation inside one region. Every
+    * dimension chain (region/nation/customer) is broadcast; only the
+    * orders⋈lineitem fact join shuffles, on the order key. */
+  def q5Region(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
+      .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Event-time RANGE frame: per-user rolling 30-minute aggregate — the
+    * time-based sliding window as a frame spec (RANGE over epoch
+    * seconds), not a groupBy window: every event sees its own trailing
+    * 30 minutes. */
+  def windowTimeRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(floor(unix_micros(col("ts")) / lit(1000000L)))
+      .rangeBetween(-1800L, 0L)
+    Tables.events(s, d)
+      .filter(col("user_id") < 3)
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_30m"),
+        round(sum(col("value")).over(w), 2).as("sum_30m"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** percent_rank + cume_dist over a partitioned window (rank-derived, so
     * tie-stable: equal inputs get equal outputs and the float is the same
     * (rank-1)/(n-1) IEEE division on both engines). Filtered AFTER the
@@ -621,6 +655,8 @@ object RelQueries {
     "funnel_conv"        -> (funnelConv _),
     "resample_ffill"     -> (resampleFfill _),
     "q3_shipping"        -> (q3Shipping _),
+    "q5_region"          -> (q5Region _),
+    "window_time_range"  -> (windowTimeRange _),
     "window_range_frame" -> (windowRangeFrame _),
     "window_value_fns"   -> (windowValueFns _),
     "ship_delay"         -> (shipDelay _),
@@ -657,6 +693,29 @@ object RelQueries {
              count(*) AS n
       FROM region JOIN nation ON r_regionkey = n_regionkey
       GROUP BY r_name ORDER BY r_name""",
+
+    "q5_region" -> """
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "window_time_range" -> """
+      SELECT user_id, event_id,
+             count(*) OVER w AS n_30m,
+             round(sum(value) OVER w, 2) AS sum_30m
+      FROM (SELECT user_id, event_id, value,
+                   CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 1000000) AS BIGINT) AS sec
+            FROM events WHERE user_id < 3)
+      WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
 
     "q3_shipping" -> """
       SELECT l_orderkey, o_orderdate, o_orderpriority,
