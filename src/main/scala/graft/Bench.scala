@@ -49,9 +49,15 @@ object Bench {
     println(json)
     System.out.flush()
     spark.stop()
-    // repeat as the process's final line: shutdown noise can push the first
-    // print out of a bounded tail capture
+    // repeat as the process's final lines: shutdown noise can push the first
+    // print out of a bounded tail capture. The LAST line is a SHORT summary
+    // (no per-query map) so a bounded tail always captures a parseable JSON
+    // head even when the full per-query line is longer than the capture.
     println(json)
+    val summary = s"""{"metric":"total","value":${fmt(okTotal)},"unit":"sec",""" +
+      s""""n_ok":${results.count(_._3)},"n_fail":${failed.length},""" +
+      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(summary)
     System.out.flush()
   }
 }

@@ -15,10 +15,13 @@ package graft.cdc
   *   - an empty/missing topic level matches only an empty pattern level
   *     (or a terminal '#');
   *   - a pattern level starting with '#' (bare or named, e.g. "#rest")
-  *     matches the remaining ZERO or more topic levels and is only valid
-  *     as the last pattern level (a '#' earlier is a non-match for any
-  *     topic that reaches it with levels remaining); like MQTT, '#'
-  *     matches the parent too, so "a/#" matches "a";
+  *     matches the remaining topic levels and is only valid as the last
+  *     pattern level (a '#' earlier is a non-match for any topic that
+  *     reaches it with levels remaining). Bare-vs-named differ on a
+  *     zero-level tail: mqtt-pattern's `currentPattern !== ALL` guard
+  *     compares the FULL segment to "#", so only a BARE '#' matches the
+  *     parent ("a/#" matches "a"; "a/#rest" does NOT — a named '#'
+  *     requires at least one non-empty topic level at its position);
   *   - any other pattern level must equal the topic level literally;
   *   - both paths must be fully consumed (no trailing unmatched topic
   *     levels unless absorbed by a final '#').
@@ -37,8 +40,15 @@ object MqttPattern {
     var i = 0
     while (i < ps.length) {
       val p = ps(i)
-      if (isHash(p)) return i == ps.length - 1 // '#' must be last; eats 0..n tail levels
       val topicEmpty = i >= ts.length || ts(i).isEmpty
+      if (isHash(p)) {
+        // '#' must be last and eats the tail — but on an empty/missing
+        // topic level only the BARE '#' matches (mqtt-pattern's
+        // `!currentTopic && currentPattern !== ALL` guard compares the
+        // whole segment to "#", so a named '#name' fails there)
+        if (topicEmpty && p.length > 1) return false
+        return i == ps.length - 1
+      }
       if (topicEmpty) {
         // empty/missing topic level: only an empty pattern level matches
         // (mqtt-pattern's `!currentTopic` branch); exhaustion falls through
@@ -98,8 +108,16 @@ object MqttPattern {
     val head = if (hashAt >= 0) ps.take(hashAt) else ps
     def segRx(s: String) = if (isPlus(s)) "[^/]+" else escape(s) // '+' = one NON-empty level
     if (hashAt < 0) "^" + head.map(segRx).mkString("/") + "$"
-    else {
-      // Trailing EMPTY head levels before a terminal '#' are optional:
+    else if (ps(hashAt).length > 1) {
+      // NAMED '#name' requires a NON-EMPTY topic level at its position
+      // (mqtt-pattern's guard compares the full segment to "#", so the
+      // zero-level-tail acceptance below applies to the bare '#' only):
+      // every head level must be literally present, then one level
+      // starting with a non-'/' char, then anything.
+      val sep = if (head.isEmpty) "" else "/"
+      "^" + head.map(segRx).mkString("/") + sep + "[^/].*$"
+    } else {
+      // BARE '#': trailing EMPTY head levels before it are optional:
       // mqtt-pattern skips an empty pattern level when the topic is
       // exhausted, then '#' accepts the zero-level tail — so "+//#"
       // matches "x9", "x9/", "x9//…" but not "x9/a". Nest one optional
@@ -133,12 +151,12 @@ object MqttPattern {
 
   /** Compile a pattern to an anchored regex with one capture GROUP per
     * named wildcard, in order, returning (regex, group names). The regex
-    * runs identically in Java and DuckDB RE2 (`regexp_extract(ch, rx, i)`
-    * both return "" for a non-participating group — exactly [[extract]]'s
-    * empty-tail semantics for '#name' on a zero-level tail). Domain:
-    * patterns with non-empty levels (the extraction surface); unnamed
-    * wildcards compile to non-capturing forms so group numbering follows
-    * named wildcards only. */
+    * runs identically in Java and DuckDB RE2. A named '#name' tail group
+    * is REQUIRED (a zero-level tail matches the bare '#' only, per
+    * mqtt-pattern@1.1.3 — see [[matches]]), so a capture is never empty
+    * on a matching topic. Domain: patterns with non-empty levels (the
+    * extraction surface); unnamed wildcards compile to non-capturing
+    * forms so group numbering follows named wildcards only. */
   def toExtractRegex(pattern: String): (String, Seq[String]) = {
     val ps = pattern.split("/", -1)
     val hashAt = ps.indexWhere(isHash)
@@ -154,9 +172,12 @@ object MqttPattern {
       val hs = ps(hashAt)
       val named = hs.length > 1
       if (named) names += hs.substring(1)
+      // a NAMED '#name' requires a non-empty topic level at its position
+      // (zero-level tails match the bare '#' only — see [[matches]]), so
+      // its capture group is required and never empty
       val tail =
-        if (head.isEmpty) { if (named) "(.*)" else ".*" }
-        else if (named) "(?:/(.*))?"
+        if (head.isEmpty) { if (named) "([^/].*)" else ".*" }
+        else if (named) "/([^/].*)"
         else "(?:/.*)?"
       ("^" + body + tail + "$", names.toSeq)
     }

@@ -36,13 +36,15 @@ object HashDedup {
   val DefaultMaxBucket = 1024
 
   private val skewTag = new java.util.concurrent.atomic.AtomicInteger
-  private val skewLoggedSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  // weak keys: registration must not pin a session in a long-lived
+  // multi-session service (the listener itself dies with its session)
+  private val skewLoggedSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Idempotently register a listener that WARN-logs any `lsh_skew*`
     * observed metric reporting skipped (over-cap) bucket rows. */
   def registerSkewLogging(spark: SparkSession): Unit =
-    if (skewLoggedSessions.add(spark)) {
+    if (skewLoggedSessions.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
       val log = org.slf4j.LoggerFactory.getLogger(getClass)
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
@@ -71,8 +73,8 @@ object HashDedup {
     * 2..maxBucket members reach collect_list / pair expansion. The window
     * and the groupBy share one hash-partitioning on the bucket key, so
     * this adds no extra shuffle over the unguarded form. */
-  private def boundedBuckets(rows: DataFrame, keys: Seq[Column],
-                             payload: Column, maxBucket: Int): DataFrame = {
+  private[llm] def boundedBuckets(rows: DataFrame, keys: Seq[Column],
+                                  payload: Column, maxBucket: Int): DataFrame = {
     val w = Window.partitionBy(keys: _*)
     rows.withColumn("bsz", count(lit(1)).over(w))
       .observe(s"lsh_skew_${skewTag.incrementAndGet()}",
@@ -178,7 +180,18 @@ object HashDedup {
     * would win). Output: (rep = min doc_id of the component, n_docs). */
   def dedupComponents(s: SparkSession, d: String): DataFrame = {
     registerSkewLogging(s)
-    val pairs = bucketPairs(minhashBandsDf(s, d)).select(col("a"), col("b"))
+    componentLabels(bucketPairs(minhashBandsDf(s, d)).select(col("a"), col("b")))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("comp").as("rep"), col("n_docs"))
+      .orderBy(col("rep"))
+  }
+
+  /** Min-label propagation over undirected (a, b) candidate pairs to the
+    * fixpoint → one (node, comp) row per node, comp = the component's min
+    * node id. Exposed for direct graph-shape testing (chains exercise
+    * diameter-many iterations; LSH cliques converge in ~2). */
+  private[graft] def componentLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist()
@@ -187,17 +200,23 @@ object HashDedup {
     val init = labels.agg(sum(col("comp"))).head()
     if (init.isNullAt(0)) { // no candidate pairs at all
       edges.unpersist()
-      return labels.select(col("comp").as("rep"), lit(0L).as("n_docs")).limit(0)
+      labels.unpersist()
+      return labels
     }
     var sumPrev = init.getLong(0)
     var done = false
     var i = 0
-    while (!done && i < 50) {
-      val next = edges.join(labels, col("b") === col("node"))
+    val maxIters = 50
+    while (!done && i < maxIters) {
+      val step = edges.join(labels, col("b") === col("node"))
         .select(col("a").as("node"), col("comp"))
         .unionByName(labels)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-        .persist()
+      // lineage hygiene: each iteration's plan stacks on the previous
+      // one's, so planning cost grows per round even though the data is
+      // cached — truncate with an eager localCheckpoint every 5 rounds
+      // (which also materializes, standing in for the round's persist)
+      val next = if ((i + 1) % 5 == 0) step.localCheckpoint(true) else step.persist()
       val sumNext = next.agg(sum(col("comp"))).head().getLong(0)
       labels.unpersist()
       labels = next
@@ -205,11 +224,18 @@ object HashDedup {
       sumPrev = sumNext
       i += 1
     }
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupComponents: iteration cap $maxIters hit before the label " +
+          "fixpoint — components with diameter > cap carry UNCONVERGED " +
+          "labels (reps/n_docs may be split); raise the cap for such graphs")
     edges.unpersist()
-    labels.groupBy(col("comp"))
-      .agg(count(lit(1)).as("n_docs"))
-      .select(col("comp").as("rep"), col("n_docs"))
-      .orderBy(col("rep"))
+    // materialize the final labels once (checkpoint truncates lineage and
+    // backs the returned frame), then drop the iteration cache so nothing
+    // stays pinned after the result is consumed
+    val fin = labels.localCheckpoint(true)
+    labels.unpersist()
+    fin
   }
 
   /** Cross-source shingle-overlap matrix: how much 3-gram content each

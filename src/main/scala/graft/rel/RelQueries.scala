@@ -311,20 +311,24 @@ object RelQueries {
   }
 
   /** TPC-H Q3 shape: segment-filtered customers ⋈ date-bounded orders ⋈
-    * date-bounded lineitem → per-order revenue top-10. The filtered
-    * customer key set is the small side and is broadcast, so the big
-    * fact-fact join shuffles only on the order key and the top-10 is a
-    * TakeOrderedAndProject — the canonical join-order + top-k plan. */
+    * date-bounded lineitem → per-order revenue top-10. Join ORDER is the
+    * scale lever: the broadcast of the filtered customer keys applies to
+    * ORDERS FIRST (map-side, before any shuffle), so the fact-fact join
+    * shuffles only the ~segment-share of orders rows — not the full
+    * table (the DataFrame order is the physical order; joining the facts
+    * first would shuffle 5× more orders rows than survive the dimension
+    * filter). The top-10 is a TakeOrderedAndProject. PlanShapeSpec
+    * asserts the BHJ sits BELOW the fact-fact shuffle join. */
   def q3Shipping(s: SparkSession, d: String): DataFrame = {
     val cutoff = lit("1997-06-01 00:00:00").cast("timestamp")
     val cust = Tables.customer(s, d)
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
     val ord = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
     val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -332,17 +336,21 @@ object RelQueries {
   }
 
   /** TPC-H Q5 shape: the full 5-table star — region → nation → customer
-    * → orders → lineitem — revenue per nation inside one region. Every
-    * dimension chain (region/nation/customer) is broadcast; only the
-    * orders⋈lineitem fact join shuffles, on the order key. */
+    * → orders → lineitem — revenue per nation inside one region. The
+    * dimension chain (region/nation/customer, ~1/5 of customers after
+    * the region filter) broadcasts onto ORDERS FIRST — a map-side
+    * reduction before any shuffle — so the orders⋈lineitem fact join
+    * shuffles only the surviving ~20% of orders on the order key
+    * (PlanShapeSpec asserts the BHJ below the shuffle join). */
   def q5Region(s: SparkSession, d: String): DataFrame = {
     val dims = Tables.region(s, d).filter(col("r_name") === "ASIA")
       .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
       .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"))
       .select(col("c_custkey"), col("n_name"))
-    Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+    val ord = Tables.orders(s, d)
       .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+    Tables.lineitem(s, d)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2).as("revenue"),
            count(lit(1)).as("n_items"))

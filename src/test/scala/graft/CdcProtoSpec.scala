@@ -63,6 +63,28 @@ class CdcProtoSpec extends AnyFunSuite {
     }
   }
 
+  test("input truncated inside an unknown fixed32/fixed64 field fails loudly") {
+    val m = rndMsg()
+    val base = CdcProto.encode(m)
+    // full fixed-width unknown fields still decode fine...
+    val f32 = Array[Byte](((11 << 3) | 5).toByte, 1, 2, 3, 4)
+    val f64 = Array[Byte](((12 << 3) | 1).toByte, 1, 2, 3, 4, 5, 6, 7, 8)
+    assert(CdcProto.decode(base ++ f32) === m)
+    assert(CdcProto.decode(base ++ f64) === m)
+    // ...but a buffer ending INSIDE the fixed-width value must throw, not
+    // "successfully" decode a short message
+    (1 to 4).foreach { cut =>
+      intercept[IllegalArgumentException] {
+        CdcProto.decode(base ++ f32.dropRight(cut))
+      }
+    }
+    (1 to 8).foreach { cut =>
+      intercept[IllegalArgumentException] {
+        CdcProto.decode(base ++ f64.dropRight(cut))
+      }
+    }
+  }
+
   test("decode_cdc_msg expression decodes inside SQL (codegen path)") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

@@ -148,4 +148,65 @@ class HashDedupSpec extends AnyFunSuite {
     assert(contam.forall(r => r.getDouble(3) === 100.0),
       "identical eval docs must be 100% contaminated")
   }
+
+  test("component labels converge on a 14-node path graph (diameter >> clique)") {
+    // LSH buckets emit cliques (diameter ~1); a path is the adversarial
+    // shape needing diameter-many propagation rounds — this proves the
+    // loop (incl. the localCheckpoint cadence every 5 rounds) reaches the
+    // fixpoint well beyond clique inputs, on TWO chains at once
+    val s = spark; import s.implicits._
+    val chainA = (0L until 14L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val chainB = (100L until 112L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val pairs = (chainA ++ chainB).toDF("a", "b")
+    val labels = graft.llm.HashDedup.componentLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 26)
+    (0L until 14L).foreach(n => assert(labels(n) === 0L, s"node $n of chain A"))
+    (100L until 112L).foreach(n => assert(labels(n) === 100L, s"node $n of chain B"))
+  }
+
+  test("graded datasets stay under the LSH bucket cap: the capped queries and " +
+      "their cap-free DuckDB twins cannot silently diverge") {
+    // The twins enumerate ALL pairs; the Spark side skips buckets over
+    // DefaultMaxBucket. They agree exactly as long as no graded bucket
+    // reaches the cap — this test fails BEFORE the oracle turns red if a
+    // testdata refresh ever grows a >cap bucket.
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[(String, org.apache.spark.sql.Row)]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        qe.observedMetrics.foreach { case (n, r) => observed.add((n, r)) }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    })
+
+    val capped: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      "minhash_pairs" -> (d => HashDedup.minhashPairs(spark, d)),
+      "simhash_pairs" -> (d => HashDedup.simhashPairs(spark, d)),
+      "ngram_jaccard" -> (d => HashDedup.ngramJaccard(spark, d)),
+      "embed_neardup" -> (d => graft.llm.VectorOps.nearDup(spark, d)))
+    val graded = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    var expected = 0
+    for (dir <- graded; (name, q) <- capped) {
+      q(dir).count()
+      expected += 1
+    }
+
+    // every lsh_skew metric from these runs must report ZERO skipped rows
+    // (poll: listener delivery is async)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (observed.size < expected && System.nanoTime() < deadline) Thread.sleep(100)
+    import scala.jdk.CollectionConverters._
+    val skews = observed.asScala.filter(_._1.startsWith("lsh_skew")).toSeq
+    assert(skews.size >= expected,
+      s"expected >= $expected lsh_skew metrics, saw ${skews.size}")
+    skews.foreach { case (name, row) =>
+      val skipped = Option(row.getAs[java.lang.Long]("rows_in_oversized_buckets"))
+        .map(_.longValue).getOrElse(0L)
+      assert(skipped === 0L,
+        s"$name skipped $skipped rows on a GRADED dataset (max bucket " +
+          s"${row.getAs[Long]("max_bucket_size")}): the cap-free oracle twin " +
+          "now diverges — raise the cap or mirror it in the twin")
+    }
+  }
 }

@@ -45,8 +45,21 @@ class MqttPatternSpec extends AnyFunSuite {
     // named wildcards
     ("a/+id/c", "a/42/c", true),
     ("cdc/+etype/#rest", "cdc/click/7", true),
-    ("cdc/+etype/#rest", "cdc/click", true),
+    // mqtt-pattern@1.1.3: a NAMED '#name' does NOT match a zero-level
+    // tail (its `!currentTopic` guard compares the full segment to "#"),
+    // unlike the bare '#' which matches the parent
+    ("cdc/+etype/#rest", "cdc/click", false),
     ("cdc/+etype/#rest", "cdc", false),
+    ("a/#rest", "a", false),
+    ("a/#rest", "a/", false),       // empty tail level is absent → named '#' fails
+    ("a/#rest", "a/b", true),
+    ("a/#rest", "a/b/c", true),
+    ("a/#rest", "a//b", false),     // tail's first level must be non-empty
+    ("a/#", "a", true),             // bare '#' still matches the parent
+    ("#all", "", false),
+    ("#all", "a", true),
+    ("#all", "a/b", true),
+    ("#", "", true),
     // # not last → never matches once reached
     ("a/#/c", "a/b/c", false),
     ("a/#/c", "a/x/y", false),

@@ -68,6 +68,44 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(plan.contains("TakeOrderedAndProject"), s"top-10 not TakeOrdered:\n$plan")
   }
 
+  test("q3/q5: dimension broadcast reduction sits BELOW the fact-fact shuffle join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    // pin the plan: no AQE re-planning, no size-based auto-broadcast (the
+    // dimension broadcast is the explicit hint; at the graded sf
+    // EVERYTHING is broadcastable, which would hide the ordering)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (name <- Seq("q3_shipping", "q5_region")) {
+        val df = graft.rel.RelQueries.queries(name)(spark, sfDir)
+        val exec = df.queryExecution.executedPlan
+        // the fact-fact join is the shuffle join on the ORDER KEY
+        val factJoins = exec.collect {
+          case j: SortMergeJoinExec => (j: org.apache.spark.sql.execution.SparkPlan,
+            (j.leftKeys ++ j.rightKeys).mkString(","))
+          case j: ShuffledHashJoinExec => (j: org.apache.spark.sql.execution.SparkPlan,
+            (j.leftKeys ++ j.rightKeys).mkString(","))
+        }.filter(_._2.contains("orderkey")).map(_._1)
+        assert(factJoins.nonEmpty, s"$name: no fact-fact shuffle join on orderkey:\n$exec")
+        assert(factJoins.exists(_.collect { case b: BroadcastHashJoinExec => b }.nonEmpty),
+          s"$name: the dim broadcast join is not BELOW the fact-fact join " +
+            s"(the dims must reduce orders BEFORE the orderkey shuffle):\n$exec")
+        val bhjAboveFact = exec.collect { case b: BroadcastHashJoinExec => b }
+          .exists(b => b.children.exists(_.collect {
+            case j if factJoins.exists(_ eq j) => j
+          }.nonEmpty))
+        assert(!bhjAboveFact,
+          s"$name: a broadcast join consumes the fact-fact join output — " +
+            s"the dimension filter applies AFTER the big shuffle:\n$exec")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("minhash_sig: documents scan pruned to (doc_id, text)") {
     val df = graft.llm.HashDedup.queries("minhash_sig")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -47,4 +47,61 @@ class VectorOpsSpec extends AnyFunSuite {
       s"IVF should find at least some exact neighbors, recalls=$recalls")
     info(f"IVF recall@3 vs exact top-5: ${recalls.sum / recalls.length}%.2f")
   }
+
+  test("embed_neardup matches the graded query at the default cap (no block near it)") {
+    val rows = VectorOps.nearDup(spark, sf).collect()
+    // sf0.001 has ≤63-vector label blocks — nothing skipped, so results
+    // equal full enumeration; sanity: pairs are ordered and thresholded
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2), "a < b")
+      assert(r.getDouble(3) >= 0.4)
+    }
+  }
+
+  test("embed_neardup degenerate hot label: over-cap blocks are skipped with a " +
+      "reported metric; under-cap blocks still pair; per-task work stays bounded") {
+    val s = spark; import s.implicits._
+    val observed = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        qe.observedMetrics.foreach { case (n, r) => observed.put(n, r) }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    })
+
+    // label 0: a 40-vector hot block of IDENTICAL vectors (every pair
+    // cosine 1.0 — the O(block²) worst case); label 1: a 2-vector block
+    val hot = (0L until 40L).map(i => (0L, i, Array.fill(4)(1.0d)))
+    val cool = Seq((1L, 100L, Array.fill(4)(2.0d)), (1L, 101L, Array.fill(4)(2.0d)))
+    val e = (hot ++ cool).toDF("label", "vec_id", "v")
+      .withColumn(
+        "n2", graft.functions.GraftFunctions.dot_product(
+          org.apache.spark.sql.functions.col("v"), org.apache.spark.sql.functions.col("v")))
+
+    val pairs = VectorOps.nearDupPairs(e, maxBlock = 16).collect()
+    // the hot label is over the cap: its ~780 pairs are NOT enumerated...
+    assert(!pairs.exists(_.getLong(0) == 0L), "over-cap label must not expand pairs")
+    // ...but the under-cap label still pairs normally
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((1L, 100L, 101L)))
+
+    // the skip is observable, not silent: poll for the async listener
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var metric: Option[org.apache.spark.sql.Row] = None
+    while (metric.isEmpty && System.nanoTime() < deadline) {
+      import scala.jdk.CollectionConverters._
+      metric = observed.asScala.collectFirst {
+        case (name, row) if name.startsWith("lsh_skew") &&
+          Option(row.getAs[java.lang.Long]("rows_in_oversized_buckets"))
+            .exists(_.longValue > 0) => row
+      }
+      if (metric.isEmpty) Thread.sleep(100)
+    }
+    assert(metric.isDefined, "no lsh_skew metric reported skipped rows")
+    assert(metric.get.getAs[Long]("max_bucket_size") === 40L)
+    // >= not ==: the final orderBy's range-partitioner SAMPLING pass
+    // re-executes the observe subtree, so the counter can double
+    assert(metric.get.getAs[Long]("rows_in_oversized_buckets") >= 40L)
+  }
 }
