@@ -59,7 +59,7 @@ object CdcBus {
     * Patterns are deduplicated first — two subscriptions sharing a pattern
     * must each see the true per-pattern count, not a doubled explode
     * (the join-back on `pattern` fans the one count out to both subs). */
-  private[cdc] def matchCounts(bus: DataFrame, patterns: Seq[String]): DataFrame =
+  private[graft] def matchCounts(bus: DataFrame, patterns: Seq[String]): DataFrame =
     bus.select(explode(filter(
         array(patterns.distinct.map(lit): _*),
         p => mqtt_matches(p, col("channel")))).as("pattern"))

@@ -39,18 +39,19 @@ object NatsBroker {
       .newInstance().asInstanceOf[NatsBroker]
 }
 
-/** Default broker: the zero-egress build environment has no NATS client
-  * jar and no network, so broker I/O is unavailable by construction; a
-  * deployment supplies its JetStream-backed implementation via
-  * `.option("broker", "com.example.JetStreamBroker")`. Everything above
-  * this seam is real and exercised by NatsSourceSpec. */
-class UnavailableBroker extends NatsBroker {
-  private def unavailable = throw new UnsupportedOperationException(
-    "NATS connectivity is stubbed: zero-egress build environment (design per SURVEY §4.2); " +
-      "supply a JetStream-backed NatsBroker via .option(\"broker\", <class>)")
-  override def latestSeq(): Long = unavailable
-  override def fetch(start: Long, end: Long, shard: Int, shards: Int): Iterator[NatsFrame] =
-    unavailable
+/** Default broker: the full NATS text-protocol dialogue
+  * (CONNECT/SUB/MSG/PING-PONG) lives in [[TextProtocolBroker]] and is
+  * exercised end-to-end by NatsWireSpec over an in-memory channel; the
+  * ONLY thing stubbed here is the socket dial itself — the zero-egress
+  * build environment has no network. A deployment overrides [[dial]]
+  * with a TCP-backed [[NatsChannel]] (or supplies a JetStream-backed
+  * [[NatsBroker]] for replayable offsets) via
+  * `.option("broker", "com.example.LiveBroker")`. */
+class UnavailableBroker extends TextProtocolBroker {
+  override protected def dial(): NatsChannel = throw new UnsupportedOperationException(
+    "NATS socket dial is stubbed: zero-egress build environment (design per SURVEY §4.2); " +
+      "override TextProtocolBroker.dial with a TCP-backed NatsChannel, or supply a " +
+      "JetStream-backed NatsBroker via .option(\"broker\", <class>)")
 }
 
 /** NATS micro-batch source (`DataSourceV2`) — the live-deployment ingress

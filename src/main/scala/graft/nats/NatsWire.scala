@@ -1,0 +1,244 @@
+package graft.nats
+
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/** The NATS client text protocol — the wire dialogue the reference's
+  * `nats` dependency speaks against the broker (reference
+  * `lib/nats.js:62-64` subscribes the bus subject; the nats@1.3.2 client
+  * under it frames CONNECT/SUB/PUB/MSG/PING/PONG exactly as below, per
+  * the public NATS protocol documentation).
+  *
+  * Framing rules implemented from the public protocol spec:
+  *   - control lines are ASCII, terminated by CRLF;
+  *   - server → client: `INFO {json}`, `MSG <subject> <sid> [reply-to]
+  *     <#bytes>` followed by exactly #bytes of payload and a CRLF,
+  *     `PING`, `PONG`, `+OK`, `-ERR 'message'`;
+  *   - client → server: `CONNECT {json}`, `PUB <subject> [reply-to]
+  *     <#bytes>` + payload + CRLF, `SUB <subject> [queue] <sid>`,
+  *     `UNSUB <sid> [max]`, `PING`, `PONG`;
+  *   - payloads are raw bytes (MAY contain CRLF — the length prefix, not
+  *     a delimiter, bounds them);
+  *   - protocol verbs are case-insensitive.
+  *
+  * [[NatsWire.Parser]] is incremental: bytes arrive in arbitrary chunks
+  * (TCP segmentation) and ops are emitted once complete — the
+  * NatsWireSpec property test re-splits whole dialogues at every byte
+  * boundary.
+  */
+object NatsWire {
+
+  private val CRLF = "\r\n".getBytes(US_ASCII)
+
+  /** A server→client protocol operation. */
+  sealed trait ServerOp
+  final case class Info(json: String) extends ServerOp
+  final case class Msg(subject: String, sid: Long, replyTo: Option[String],
+                       payload: Array[Byte]) extends ServerOp {
+    override def equals(o: Any): Boolean = o match {
+      case m: Msg => subject == m.subject && sid == m.sid && replyTo == m.replyTo &&
+        java.util.Arrays.equals(payload, m.payload)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      (subject, sid, replyTo, java.util.Arrays.hashCode(payload)).hashCode()
+  }
+  case object Ping extends ServerOp
+  case object Pong extends ServerOp
+  case object Ok extends ServerOp
+  final case class Err(message: String) extends ServerOp
+
+  // ---- client → server serialization ---------------------------------
+
+  private def line(s: String): Array[Byte] = (s + "\r\n").getBytes(US_ASCII)
+
+  def connect(json: String): Array[Byte] = line(s"CONNECT $json")
+
+  def pub(subject: String, payload: Array[Byte],
+          replyTo: Option[String] = None): Array[Byte] = {
+    val head = replyTo match {
+      case Some(r) => s"PUB $subject $r ${payload.length}"
+      case None    => s"PUB $subject ${payload.length}"
+    }
+    line(head) ++ payload ++ CRLF
+  }
+
+  def sub(subject: String, sid: Long, queue: Option[String] = None): Array[Byte] =
+    line(queue match {
+      case Some(q) => s"SUB $subject $q $sid"
+      case None    => s"SUB $subject $sid"
+    })
+
+  def unsub(sid: Long, max: Option[Int] = None): Array[Byte] =
+    line(max match {
+      case Some(m) => s"UNSUB $sid $m"
+      case None    => s"UNSUB $sid"
+    })
+
+  def ping: Array[Byte] = line("PING")
+  def pong: Array[Byte] = line("PONG")
+
+  // ---- server-side serialization (for in-memory/spec servers) --------
+
+  def info(json: String): Array[Byte] = line(s"INFO $json")
+
+  def msg(subject: String, sid: Long, payload: Array[Byte],
+          replyTo: Option[String] = None): Array[Byte] = {
+    val head = replyTo match {
+      case Some(r) => s"MSG $subject $sid $r ${payload.length}"
+      case None    => s"MSG $subject $sid ${payload.length}"
+    }
+    line(head) ++ payload ++ CRLF
+  }
+
+  def ok: Array[Byte] = line("+OK")
+  def err(message: String): Array[Byte] = line(s"-ERR '$message'")
+
+  // ---- incremental server→client parser ------------------------------
+
+  /** Incremental parser for the server→client stream. Feed arbitrary
+    * byte chunks; complete operations are returned as they materialize.
+    * State between feeds: the unconsumed buffer + a pending MSG header
+    * waiting for its payload. Not thread-safe (one parser per
+    * connection, like one reader per socket). */
+  final class Parser {
+    private var buf = Array.emptyByteArray
+    // a parsed MSG header whose payload hasn't fully arrived yet
+    private var pending: Option[(String, Long, Option[String], Int)] = None
+
+    private def indexOfCrlf(from: Int): Int = {
+      var i = from
+      while (i + 1 < buf.length) {
+        if (buf(i) == '\r' && buf(i + 1) == '\n') return i
+        i += 1
+      }
+      -1
+    }
+
+    def feed(chunk: Array[Byte]): Seq[ServerOp] = {
+      buf = if (buf.isEmpty) chunk.clone() else buf ++ chunk
+      val out = scala.collection.mutable.ArrayBuffer.empty[ServerOp]
+      var progress = true
+      while (progress) {
+        progress = false
+        pending match {
+          case Some((subject, sid, reply, n)) =>
+            if (buf.length >= n + 2) { // payload + CRLF
+              if (buf(n) != '\r' || buf(n + 1) != '\n')
+                throw new IllegalArgumentException(
+                  s"MSG payload of $n bytes not terminated by CRLF")
+              out += Msg(subject, sid, reply, java.util.Arrays.copyOfRange(buf, 0, n))
+              buf = java.util.Arrays.copyOfRange(buf, n + 2, buf.length)
+              pending = None
+              progress = true
+            }
+          case None =>
+            val eol = indexOfCrlf(0)
+            if (eol >= 0) {
+              val lineStr = new String(buf, 0, eol, US_ASCII)
+              buf = java.util.Arrays.copyOfRange(buf, eol + 2, buf.length)
+              parseLine(lineStr, out)
+              progress = true
+            }
+        }
+      }
+      out.toSeq
+    }
+
+    private def parseLine(l: String,
+                          out: scala.collection.mutable.ArrayBuffer[ServerOp]): Unit = {
+      val verb = l.takeWhile(c => c != ' ' && c != '\t').toUpperCase
+      val rest = l.drop(verb.length).trim
+      verb match {
+        case "INFO" => out += Info(rest)
+        case "PING" => out += Ping
+        case "PONG" => out += Pong
+        case "+OK"  => out += Ok
+        case "-ERR" =>
+          out += Err(rest.stripPrefix("'").stripSuffix("'"))
+        case "MSG" =>
+          val parts = rest.split("\\s+")
+          pending = parts.length match {
+            case 3 => Some((parts(0), parts(1).toLong, None, parts(2).toInt))
+            case 4 => Some((parts(0), parts(1).toLong, Some(parts(2)), parts(3).toInt))
+            case _ => throw new IllegalArgumentException(s"malformed MSG header: $l")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"unknown protocol verb: $other")
+      }
+    }
+  }
+}
+
+/** A byte-stream connection to a NATS server — the ONLY remaining
+  * environment seam (a deployment backs it with a TCP socket; specs back
+  * it with in-memory byte queues). */
+trait NatsChannel {
+  /** Next available chunk, empty when the server has nothing buffered. */
+  def read(): Array[Byte]
+  def write(bytes: Array[Byte]): Unit
+  def close(): Unit
+}
+
+/** A [[NatsBroker]] that SPEAKS the NATS text protocol over a
+  * [[NatsChannel]]: performs the reference client's connection dialogue
+  * (read INFO → CONNECT → SUB the bus subject, reference
+  * `lib/nats.js:62-64`), answers PING with PONG, and buffers delivered
+  * MSG frames with arrival sequence numbers so the micro-batch source
+  * can serve replayable (start, end] ranges. Only [[dial]] — the socket
+  * itself — is left to the environment. */
+abstract class TextProtocolBroker extends NatsBroker {
+
+  /** Open the byte stream to the server. The zero-egress build cannot;
+    * a deployment returns a TCP-socket-backed channel. */
+  protected def dial(): NatsChannel
+
+  /** Bus subject to subscribe (reference default "cdc.client"). */
+  protected def subject: String = "cdc.client"
+
+  private var channel: NatsChannel = _
+  private val parser = new NatsWire.Parser
+  private val frames = scala.collection.mutable.ArrayBuffer.empty[NatsFrame]
+  private var seq = 0L
+
+  private def ensureConnected(): Unit =
+    if (channel == null) {
+      channel = dial()
+      // INFO may not have arrived yet; CONNECT/SUB regardless (the real
+      // client pipelines exactly this way)
+      channel.write(NatsWire.connect(
+        """{"verbose":false,"pedantic":false,"protocol":1,"name":"graft"}"""))
+      channel.write(NatsWire.sub(subject, 1L))
+      drain()
+    }
+
+  /** Pull everything the server has buffered, answering pings and
+    * sequencing MSG frames. */
+  private def drain(): Unit = {
+    var chunk = channel.read()
+    while (chunk.nonEmpty) {
+      parser.feed(chunk).foreach {
+        case NatsWire.Ping => channel.write(NatsWire.pong)
+        case m: NatsWire.Msg =>
+          seq += 1
+          frames += NatsFrame(seq, System.currentTimeMillis() * 1000L, m.payload)
+        case NatsWire.Err(msg) =>
+          throw new IllegalStateException(s"NATS server error: $msg")
+        case _ => () // INFO / PONG / +OK need no action here
+      }
+      chunk = channel.read()
+    }
+  }
+
+  override def latestSeq(): Long = synchronized {
+    ensureConnected(); drain(); seq
+  }
+
+  override def fetch(start: Long, end: Long, shard: Int,
+                     shards: Int): Iterator[NatsFrame] = synchronized {
+    ensureConnected(); drain()
+    // snapshot: the iterator is consumed outside the lock while drain()
+    // may keep appending
+    frames.filter(f =>
+      f.seq > start && f.seq <= end && f.seq % shards == shard).toVector.iterator
+  }
+}

@@ -1,6 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.cdc.MqttPattern
+import graft.functions.GraftFunctions.mqtt_matches
 
 /** Storage layout for the captured bus at scale.
   *
@@ -21,4 +25,18 @@ object BusLayout {
   /** Read it back; subscription filters on event_type prune partitions. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** A subscription over the re-read layout, with partition pruning made
+    * explicit: the canonical channel is `cdc/<event_type>/…`, so a
+    * pattern whose SECOND level is literal pins `event_type` — conjoin
+    * that equality and the scan prunes to one directory before the
+    * per-row mqtt match runs. Wildcard second levels fall back to the
+    * plain filter (every partition scanned, as they must be). */
+  def subscribe(df: DataFrame, pattern: String): DataFrame = {
+    val base = df.filter(mqtt_matches(lit(pattern), col("channel")))
+    val levels = pattern.split("/", -1)
+    val secondLiteral = levels.length > 1 &&
+      MqttPattern.literalPrefix(pattern)._1.split("/", -1).length > 1
+    if (secondLiteral) base.filter(col("event_type") === levels(1)) else base
+  }
 }

@@ -102,6 +102,19 @@ object Streams {
         when(col("res_req_id").isNull, 408).otherwise(200).as("code"))
   }
 
+  /** Streaming per-subscription delivery counters — the reference's
+    * `received` counter is NATIVELY streaming (`sub.received += 1` per
+    * matching delivery, lib/nats.js:97); this is its exact Spark form:
+    * the same bus-side k-way dispatch as the batch
+    * [[graft.cdc.CdcBus.matchCounts]] (each row evaluates the k patterns
+    * in place — the bus never joins or shuffles wide), then a running
+    * `groupBy(pattern).count()` whose rows REVISE in update output mode
+    * as micro-batches arrive. Unbounded-safe: state is one counter per
+    * distinct pattern (k rows), regardless of stream length. */
+  def subCounters(bus: DataFrame, patterns: Seq[String]): DataFrame =
+    graft.cdc.CdcBus.matchCounts(bus, patterns)
+      .withColumnRenamed("hits", "received")
+
   /** Stream-static enrichment: join the streaming bus against a static
     * dimension table, broadcast — the dimension ships to every executor
     * once per batch, the stream itself never shuffles and no streaming

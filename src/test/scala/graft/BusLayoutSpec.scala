@@ -38,6 +38,45 @@ class BusLayoutSpec extends AnyFunSuite {
       s"expected pruning: read $readFiles of $allFiles files")
   }
 
+  test("publish → re-read round trip: routing results identical to the in-memory " +
+      "bus; literal-level patterns prune partitions on re-read") {
+    val dir = Files.createTempDirectory("graft_roundtrip").toString
+    val bus = graft.cdc.Graft.connect(spark, "/root/testdata/sf0.001")
+    // reference pub→sub loop (examples/cdc-pub.js → cdc-sub.js): publish
+    // the whole bus to the constant physical address, re-read, re-route
+    bus.publish(bus.frame, dir)
+    val re = BusLayout.readPartitioned(spark, dir)
+
+    for (pat <- Seq("cdc/error/#", "cdc/+/1", "cdc/click/#", "cdc/#", "cdc/nosuch/#")) {
+      val mem = bus.subscribe(pat).select(col("event_id"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val disk = BusLayout.subscribe(re, pat).select(col("event_id"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(disk === mem, s"routing diverged after publish→re-read for $pat")
+    }
+
+    // counters parity over the written copy
+    val subs = Map("errs" -> "cdc/error/#", "u1" -> "cdc/+/1", "none" -> "cdc/nosuch/#")
+    val memC = bus.counters(subs).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val diskC = graft.cdc.Graft.over(re).counters(subs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diskC === memC, "delivery counters diverged after publish→re-read")
+
+    // pruning is real for the literal-second-level subscription
+    val sub = BusLayout.subscribe(re, "cdc/error/#")
+    sub.collect()
+    val plan = sub.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition filter:\n$plan")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = plan.collectLeaves().collectFirst { case f: FileSourceScanExec => f }.get
+    val readFiles = scan.metrics("numFiles").value
+    val allFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(readFiles > 0 && readFiles < allFiles,
+      s"expected pruned re-read: read $readFiles of $allFiles files")
+  }
+
   test("streaming rpc join matches responses within the timeout, first wins") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

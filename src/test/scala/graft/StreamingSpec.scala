@@ -101,6 +101,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(_.sub == "s2").map(_.event_id).toSeq === Seq(5L))
   }
 
+  test("per-sub counters in update mode accumulate across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[BusEvent]
+    val patterns = Seq("cdc/click/#", "cdc/error/#", "cdc/nosuch/#")
+    val q = Streams.subCounters(Streams.withChannel(in.toDF()), patterns)
+      .writeStream.outputMode("update").format("memory").queryName("counters").start()
+    // batch 1: 2 clicks, 1 error
+    in.addData(ev(1, 0, 1, "click"), ev(2, 1, 2, "click"), ev(3, 2, 1, "error"))
+    q.processAllAvailable()
+    val after1 = spark.table("counters").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(after1 === Map("cdc/click/#" -> 2L, "cdc/error/#" -> 1L),
+      "batch-1 counts wrong (nosuch has no state row yet — zero matches)")
+    // batch 2: 1 more click, 2 more errors → counters REVISE upward
+    in.addData(ev(4, 3, 3, "click"), ev(5, 4, 1, "error"), ev(6, 5, 2, "error"))
+    q.processAllAvailable(); q.stop()
+    // update-mode memory sink appends each revision; the running value is
+    // the max per key — counts must have accumulated across batches, not
+    // restarted per batch
+    val all = spark.table("counters").as[(String, Long)].collect()
+    val fin = all.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(fin === Map("cdc/click/#" -> 3L, "cdc/error/#" -> 3L))
+    assert(all.toSet.contains(("cdc/error/#", 1L)) && all.toSet.contains(("cdc/error/#", 3L)),
+      "update mode must emit the batch-1 value AND the accumulated revision")
+  }
+
   test("stream-static enrich broadcasts the dimension, no stream state") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

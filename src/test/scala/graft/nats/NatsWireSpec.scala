@@ -1,0 +1,148 @@
+package graft.nats
+
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The NATS text-protocol codec (the dialogue the reference's nats client
+  * speaks at lib/nats.js:62-64): framing round-trips, incremental parsing
+  * at every byte boundary, binary payloads containing CRLF, and the full
+  * connection dialogue of [[TextProtocolBroker]] against an in-memory
+  * channel — zero sockets. */
+class NatsWireSpec extends AnyFunSuite {
+
+  import NatsWire._
+
+  test("server op serialize → parse round-trips") {
+    val p = new Parser
+    assert(p.feed(NatsWire.info("""{"server_id":"x"}""")) === Seq(Info("""{"server_id":"x"}""")))
+    assert(p.feed(msg("cdc.client", 1L, "hello".getBytes(US_ASCII)))
+      === Seq(Msg("cdc.client", 1L, None, "hello".getBytes(US_ASCII))))
+    assert(p.feed(msg("a.b", 7L, Array[Byte](1, 2), replyTo = Some("inbox.1")))
+      === Seq(Msg("a.b", 7L, Some("inbox.1"), Array[Byte](1, 2))))
+    assert(p.feed("PING\r\n".getBytes(US_ASCII)) === Seq(Ping))
+    assert(p.feed("PONG\r\n".getBytes(US_ASCII)) === Seq(Pong))
+    assert(p.feed(ok) === Seq(Ok))
+    assert(p.feed(err("Unknown Protocol Operation")) ===
+      Seq(Err("Unknown Protocol Operation")))
+  }
+
+  test("client op serialization matches the protocol grammar") {
+    assert(new String(connect("""{"verbose":false}"""), US_ASCII)
+      === "CONNECT {\"verbose\":false}\r\n")
+    assert(new String(sub("cdc.client", 1L), US_ASCII) === "SUB cdc.client 1\r\n")
+    assert(new String(sub("q.subj", 2L, queue = Some("workers")), US_ASCII)
+      === "SUB q.subj workers 2\r\n")
+    assert(new String(unsub(2L), US_ASCII) === "UNSUB 2\r\n")
+    assert(new String(unsub(2L, Some(5)), US_ASCII) === "UNSUB 2 5\r\n")
+    assert(new String(pub("s", "hi".getBytes(US_ASCII)), US_ASCII)
+      === "PUB s 2\r\nhi\r\n")
+    assert(new String(pub("s", "hi".getBytes(US_ASCII), Some("rep")), US_ASCII)
+      === "PUB s rep 2\r\nhi\r\n")
+    assert(new String(ping, US_ASCII) === "PING\r\n")
+    assert(new String(pong, US_ASCII) === "PONG\r\n")
+  }
+
+  test("binary payloads containing CRLF survive (length-prefixed, not delimited)") {
+    val payload = "ab\r\ncd\r\n".getBytes(US_ASCII) ++ Array[Byte](0, -1, 13, 10)
+    val p = new Parser
+    val got = p.feed(msg("s", 3L, payload))
+    assert(got === Seq(Msg("s", 3L, None, payload)))
+  }
+
+  test("incremental: a full dialogue re-split at EVERY byte boundary parses identically") {
+    val envelope = CdcProto.encode(CdcProto.CdcMsg(
+      "nms", "cdc/click/7", "json", "http", "", 1, true, """{"k":9}""".getBytes(US_ASCII)))
+    val stream = NatsWire.info("""{"max_payload":1048576}""") ++
+      msg("cdc.client", 1L, envelope) ++
+      "PING\r\n".getBytes(US_ASCII) ++
+      msg("cdc.client", 1L, "x".getBytes(US_ASCII), Some("inbox.9")) ++
+      ok
+    val whole = new Parser().feed(stream)
+    assert(whole.length === 5)
+    (1 until stream.length).foreach { cut =>
+      val p = new Parser
+      val got = p.feed(stream.take(cut)) ++ p.feed(stream.drop(cut))
+      assert(got === whole, s"split at byte $cut diverged")
+    }
+    // and byte-at-a-time
+    val p1 = new Parser
+    val dribble = stream.flatMap(b => p1.feed(Array(b))).toSeq
+    assert(dribble === whole)
+  }
+
+  test("verbs are case-insensitive; malformed MSG header and unknown verbs throw") {
+    assert(new Parser().feed("ping\r\n".getBytes(US_ASCII)) === Seq(Ping))
+    assert(new Parser().feed("Info {}\r\n".getBytes(US_ASCII)) === Seq(Info("{}")))
+    intercept[IllegalArgumentException] {
+      new Parser().feed("MSG onlysubject\r\n".getBytes(US_ASCII))
+    }
+    intercept[IllegalArgumentException] {
+      new Parser().feed("BOGUS stuff\r\n".getBytes(US_ASCII))
+    }
+  }
+
+  /** In-memory duplex channel with a scripted server behind it: responds
+    * to the CONNECT/SUB handshake, delivers frames, and pings. */
+  private class ScriptedServer extends NatsChannel {
+    val received = scala.collection.mutable.ArrayBuffer.empty[String]
+    private val toClient = scala.collection.mutable.Queue.empty[Array[Byte]]
+    private var closed = false
+
+    queue(NatsWire.info("""{"server_id":"mem","max_payload":1048576}"""))
+
+    def queue(bytes: Array[Byte]): Unit = toClient.enqueue(bytes)
+
+    override def read(): Array[Byte] =
+      if (toClient.isEmpty) Array.emptyByteArray else toClient.dequeue()
+
+    override def write(bytes: Array[Byte]): Unit = {
+      assert(!closed)
+      received += new String(bytes, US_ASCII)
+    }
+    override def close(): Unit = closed = true
+  }
+
+  test("TextProtocolBroker: handshake, MSG sequencing, PING→PONG, shard fetch") {
+    val server = new ScriptedServer
+    val broker = new TextProtocolBroker {
+      override protected def dial(): NatsChannel = server
+    }
+
+    assert(broker.latestSeq() === 0L)
+    // the client side of the reference dialogue went out: CONNECT then SUB
+    assert(server.received.exists(_.startsWith("CONNECT {")), s"${server.received}")
+    assert(server.received.exists(_ === "SUB cdc.client 1\r\n"), s"${server.received}")
+
+    // deliver 6 envelopes (+ a PING in the middle of the stream)
+    val msgs = (1 to 6).map { i =>
+      CdcProto.CdcMsg(s"pub$i", s"cdc/click/$i", "json", "http", "", 0, false,
+        Array[Byte](i.toByte))
+    }
+    msgs.take(3).foreach(m =>
+      server.queue(NatsWire.msg("cdc.client", 1L, CdcProto.encode(m))))
+    server.queue("PING\r\n".getBytes(US_ASCII))
+    msgs.drop(3).foreach(m =>
+      server.queue(NatsWire.msg("cdc.client", 1L, CdcProto.encode(m))))
+
+    assert(broker.latestSeq() === 6L)
+    assert(server.received.last === "PONG\r\n", "PING must be answered with PONG")
+
+    // fetch shards the sequence range exactly like the micro-batch planner
+    val all = (0 until 2).flatMap(sh => broker.fetch(0L, 6L, sh, 2).toSeq)
+      .sortBy(_.seq)
+    assert(all.map(_.seq) === (1L to 6L))
+    assert(all.map(f => CdcProto.decode(f.bytes)) === msgs)
+    // range replay: (2, 4] on shard parity
+    val range = (0 until 2).flatMap(sh => broker.fetch(2L, 4L, sh, 2).toSeq)
+      .map(_.seq).sorted
+    assert(range === Seq(3L, 4L))
+  }
+
+  test("UnavailableBroker fails only at the socket dial, with the documented error") {
+    val ex = intercept[UnsupportedOperationException] {
+      new UnavailableBroker().latestSeq()
+    }
+    assert(ex.getMessage.contains("socket dial"))
+  }
+}
