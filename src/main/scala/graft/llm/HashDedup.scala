@@ -164,6 +164,29 @@ object HashDedup {
     bucketPairs(minhashBandsDf(s, d)).orderBy(col("a"), col("b"))
   }
 
+  /** Jaccard ESTIMATE per candidate pair, from the signatures already in
+    * hand: the fraction of agreeing minhash components is an unbiased
+    * estimator of the true shingle Jaccard — the cheap ranking/filter
+    * step between LSH candidate generation and (expensive) exact
+    * verification. k/16 is an exact binary fraction, so the estimate is
+    * bit-reproducible cross-engine. Signatures join back to the ≤capped
+    * candidate pairs on doc_id — never to the corpus. */
+  def minhashJaccardEst(s: SparkSession, d: String): DataFrame = {
+    registerSkewLogging(s)
+    val sig = minhashSigDf(s, d)
+    val sa = sig.select(col("doc_id").as("a") +:
+      (0 until 16).map(j => col(s"mh$j").as(s"a_mh$j")): _*)
+    val sb = sig.select(col("doc_id").as("b") +:
+      (0 until 16).map(j => col(s"mh$j").as(s"b_mh$j")): _*)
+    val agree = (0 until 16)
+      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    bucketPairs(minhashBandsDf(s, d))
+      .join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(col("a"), col("b"), (agree.cast("double") / 16d).as("jacc_est"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Near-dup CLUSTERS: connected components over the minhash candidate
     * pairs — the step that turns pairwise candidates into "keep one doc
     * per duplicate cluster". Min-label propagation to a fixpoint: per
@@ -373,6 +396,7 @@ object HashDedup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "minhash_jaccard_est" -> (minhashJaccardEst _),
     "dedup_components" -> (dedupComponents _),
     "source_overlap"  -> (sourceOverlap _),
     "decontam"        -> (decontam _),
@@ -433,6 +457,20 @@ object HashDedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "minhash_jaccard_est" -> {
+      val agree = (0 until 16)
+        .map(j => s"(CASE WHEN x.mh$j = y.mh$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $ShingleCte, $HashCte, $SigCte, $BandsCte,
+         |pr AS (
+         |  SELECT DISTINCT bx.doc_id AS a, bz.doc_id AS b
+         |  FROM bands bx JOIN bands bz
+         |    ON bx.band_id = bz.band_id AND bx.bh = bz.bh AND bx.doc_id < bz.doc_id)
+         |SELECT pr.a AS a, pr.b AS b,
+         |       CAST($agree AS DOUBLE) / 16 AS jacc_est
+         |FROM pr JOIN sig x ON x.doc_id = pr.a JOIN sig y ON y.doc_id = pr.b
+         |ORDER BY a, b""".stripMargin
+    },
     "dedup_components" ->
       s"""WITH RECURSIVE $ShingleCte, $HashCte, $SigCte, $BandsCte,
          |pr AS (

@@ -251,7 +251,30 @@ object TextOps {
            max(col("n_docs")).as("max_spread"))
       .orderBy(col("source"))
 
+  /** Per-source top-3 terms by tf·idf. The idf is the RAW ratio N/df —
+    * one IEEE division then one multiplication, so the score is
+    * bit-reproducible cross-engine (a log-idf would hinge on libm ulp
+    * agreement between the JVM and DuckDB — see the determinism rule in
+    * the object doc). N arrives as a broadcast 1-row aggregate, never a
+    * driver action. */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+    val tf = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfc = words.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+    val win = Window.partitionBy(col("source")).orderBy(col("score").desc, col("w"))
+    tf.join(dfc, Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * (col("n_total").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("source"), col("w"), col("rnk"), round(col("score"), 3).as("score"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_top_terms" -> (tfidfTopTerms _),
     "pii_scan"         -> (piiScan _),
     "segment_dedup"    -> (segmentDedup _),
     "sample_split"     -> (sampleSplit _),
@@ -268,6 +291,18 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _))
 
   val oracle: Map[String, String] = Map(
+    "tfidf_top_terms" ->
+      """WITH words AS (
+        |  SELECT doc_id, source, unnest(str_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2),
+        |dfc AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT source, w, rnk, round(score, 3) AS score FROM (
+        |  SELECT source, w, tf * (CAST(n_total AS DOUBLE) / df) AS score,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY tf * (CAST(n_total AS DOUBLE) / df) DESC, w) AS BIGINT) AS rnk
+        |  FROM tf JOIN dfc USING (w) CROSS JOIN nd)
+        |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
     "pii_scan" ->
       s"""SELECT source, count(*) AS n_docs,
          |       CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,

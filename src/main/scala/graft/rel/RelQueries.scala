@@ -634,7 +634,110 @@ object RelQueries {
               col("session_window.end").as("s_end"), col("user_id"), col("n"))
       .orderBy(col("user_id"), col("s_start"))
 
+  /** TPC-H Q4 shape — EXISTS correlated subquery, written as ANSI SQL so
+    * Catalyst's subquery DECORRELATION does the work (RewriteCorrelated
+    * ScalarSubquery/RewritePredicateSubquery plan it as a left-semi join
+    * on the order key; no per-row subquery execution — the shape that
+    * survives 100 TB). Orders with at least one late-shipping item. */
+  def q4Priority(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_v")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM graft_orders_v o
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        AND EXISTS (SELECT 1 FROM graft_lineitem_v l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
+  /** TPC-H Q6 shape — single-table predicate + conditional revenue agg:
+    * everything folds into one scan with the three filters pushed to
+    * parquet; the canonical filter-pushdown microbenchmark. */
+  def q6Forecast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** TPC-H Q12 shape — fact-fact join + CASE-conditional counts by
+    * return flag (high- vs low-priority order mix per flag). */
+  def q12PriorityMix(s: SparkSession, d: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_n"),
+           sum(when(!hi, 1L).otherwise(0L)).as("low_n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q14 shape — promo revenue share: conditional numerator over
+    * the same join, ONE division at the end (ratio-of-sums, not
+    * avg-of-ratios). */
+  def q14Promo(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .withColumn("rev", col("l_extendedprice") * (lit(1d) - col("l_discount")))
+      .agg(round(lit(100d) * sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0d))
+                   / sum(col("rev")), 2).as("promo_pct"),
+           count(lit(1)).as("n_items"))
+
+  /** Event-time interval join (range join): per purchase, the same
+    * user's clicks in the trailing day. The equi-key (user_id) bounds the
+    * join — each user's events co-locate on one reducer and the time
+    * range prunes within the block, so the join never goes quadratic in
+    * the table size (only in per-user density). */
+  def evNearPurchase(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase" && col("user_id") < 30)
+      .select(col("event_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    p.join(c,
+        col("cu") === col("pu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 DAY") && col("cts") < col("pts"),
+        "left")
+      .groupBy(col("event_id"))
+      .agg(count(col("cts")).as("n_prior_clicks"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Fixed-width histogram: floor-binning on the value column — integer
+    * bucket ids, so the grouping is bit-exact cross-engine. */
+  def valueHist(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(floor(col("value") / 10d).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("bucket"))
+
+  /** Heavy-hitter user stats through the SALTED two-phase aggregation
+    * ([[Salt.saltedSumCount]]): partials by (user, salt) spread a hot key
+    * over 16 reducers, finals recombine — row-identical to the plain
+    * groupBy the oracle runs, which is exactly the point (the salting is
+    * a physical rewrite, not a semantic one). */
+  def saltedHeavyUsers(s: SparkSession, d: String): DataFrame =
+    Salt.saltedSumCount(Tables.events(s, d), "user_id", "value", "event_id")
+      .filter(col("n") >= 70)
+      .select(col("user_id"), col("n"), round(col("total"), 2).as("total"))
+      .orderBy(col("n").desc, col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_priority"        -> (q4Priority _),
+    "q6_forecast"        -> (q6Forecast _),
+    "q12_priority_mix"   -> (q12PriorityMix _),
+    "q14_promo"          -> (q14Promo _),
+    "ev_near_purchase"   -> (evNearPurchase _),
+    "value_hist"         -> (valueHist _),
+    "salted_heavy_users" -> (saltedHeavyUsers _),
     "events_session_native" -> (eventsSessionNative _),
     "q1_pricing"         -> (q1Pricing _),
     "agg_stats"          -> (aggStats _),
@@ -687,6 +790,62 @@ object RelQueries {
     * to microsecond TIMESTAMP wherever ts participates in output or
     * arithmetic (lossless; see Tables.events). */
   val oracle: Map[String, String] = Map(
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |       round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q12_priority_mix" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_n,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "ev_near_purchase" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT p.event_id AS event_id, count(c.cts) AS n_prior_clicks
+        |FROM (SELECT event_id, user_id, ts FROM ev
+        |      WHERE event_type = 'purchase' AND user_id < 30) p
+        |LEFT JOIN (SELECT user_id AS cu, ts AS cts FROM ev
+        |           WHERE event_type = 'click') c
+        |  ON c.cu = p.user_id AND c.cts >= p.ts - INTERVAL 1 DAY AND c.cts < p.ts
+        |GROUP BY 1 ORDER BY event_id""".stripMargin,
+
+    "value_hist" ->
+      """SELECT CAST(floor(value / 10) AS BIGINT) AS bucket, count(*) AS n,
+        |       round(sum(value), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "salted_heavy_users" ->
+      """SELECT user_id, n, total FROM (
+        |  SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+        |  FROM events GROUP BY user_id)
+        |WHERE n >= 70 ORDER BY n DESC, user_id""".stripMargin,
     "window_pct_rank" -> """
       SELECT c_nationkey, c_custkey, acctbal, pr, cd FROM (
         SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
