@@ -261,6 +261,35 @@ object HashDedup {
     fin
   }
 
+  /** The composed cleaning pipeline — exact-dedup rep ∧ near-dup drop ∧
+    * length gate in ONE query, reporting per-source survival: the
+    * end-to-end "what reaches training" audit a corpus build runs after
+    * the individual filters are tuned. Each stage is the already-graded
+    * operator (exact rep = min doc_id per text; near-dup drop = the
+    * higher id of every LSH candidate pair; gate = token count ≥ 30), so
+    * composition adds two joins, no new shuffle shapes. */
+  def pipelineKept(s: SparkSession, d: String): DataFrame = {
+    registerSkewLogging(s)
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val reps = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val nearDrop = bucketPairs(minhashBandsDf(s, d))
+      .select(col("b").as("doc_id")).distinct()
+    val kept = docs
+      .join(reps, Seq("doc_id"), "left_semi")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .filter(col("n_tok") >= 30)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .withColumn("kept_pct",
+        round(col("n_kept").cast("double") * 100d / col("n_docs"), 2))
+      .orderBy(col("source"))
+  }
+
   /** Cross-source shingle-overlap matrix: how much 3-gram content each
     * pair of sources shares — corpus-composition auditing (which sources
     * mirror each other). Shingle-keyed with the per-shingle SOURCE set
@@ -397,6 +426,7 @@ object HashDedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "minhash_jaccard_est" -> (minhashJaccardEst _),
+    "pipeline_kept"   -> (pipelineKept _),
     "dedup_components" -> (dedupComponents _),
     "source_overlap"  -> (sourceOverlap _),
     "decontam"        -> (decontam _),
@@ -471,6 +501,27 @@ object HashDedup {
          |FROM pr JOIN sig x ON x.doc_id = pr.a JOIN sig y ON y.doc_id = pr.b
          |ORDER BY a, b""".stripMargin
     },
+    "pipeline_kept" ->
+      s"""WITH $ShingleCte, $HashCte, $SigCte, $BandsCte,
+         |pr AS (
+         |  SELECT DISTINCT bx.doc_id AS a, bz.doc_id AS b
+         |  FROM bands bx JOIN bands bz
+         |    ON bx.band_id = bz.band_id AND bx.bh = bz.bh AND bx.doc_id < bz.doc_id),
+         |docs2 AS (
+         |  SELECT doc_id, source, len(str_split(text, ' ')) AS n_tok,
+         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |kept AS (
+         |  SELECT source, count(*) AS n_kept FROM docs2
+         |  WHERE rn = 1 AND n_tok >= 30
+         |    AND doc_id NOT IN (SELECT b FROM pr)
+         |  GROUP BY 1)
+         |SELECT t.source AS source, t.n_docs, coalesce(k.n_kept, 0) AS n_kept,
+         |       round(CAST(coalesce(k.n_kept, 0) AS DOUBLE) * 100 / t.n_docs, 2) AS kept_pct
+         |FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1) t
+         |LEFT JOIN kept k ON k.source = t.source
+         |ORDER BY source""".stripMargin,
+
     "dedup_components" ->
       s"""WITH RECURSIVE $ShingleCte, $HashCte, $SigCte, $BandsCte,
          |pr AS (

@@ -103,10 +103,12 @@ object VectorOps {
     * (sum order cannot change an integer sum), then ONE IEEE division —
     * so Spark and DuckDB produce bit-identical centroids, unlike a raw
     * float avg() whose low bits depend on reduction order. */
-  def annIvf(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("n2"))
-    // centroids: element-wise quantized mean per label cell
-    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+  /** Cell centroids: element-wise QUANTIZED mean per label cell —
+    * `floor(x*1000)` summed as exact integers then one IEEE division, so
+    * Spark and DuckDB produce bit-identical centroids (shared by
+    * [[annIvf]] and [[kmeansStep]]). */
+  private def centroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .withColumn("xq", floor(col("x") * 1000d)) // BIGINT, exact
       .groupBy(col("label"), col("pos"))
       .agg((sum(col("xq")).cast("double") / count(lit(1)).cast("double") / 1000d).as("m"))
@@ -115,6 +117,10 @@ object VectorOps {
       .select(col("label").as("cell"),
         expr("transform(pm, p -> p.m)").as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
+
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("n2"))
+    val cents = centroids(e)
     // route queries to their 2 nearest cells
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
@@ -187,7 +193,26 @@ object VectorOps {
               round(col("cos_raw"), 4).as("cos"))
       .orderBy(col("a"), col("b"))
 
+  /** One k-means assignment step: every vector scores the 10 broadcast
+    * cell centroids and moves to the nearest (cosine, deterministic
+    * cell-id tie-break); output is the label→assigned transition matrix.
+    * The canonical clustering-iteration shape at scale: centroids are a
+    * k-row broadcast, the corpus streams once, counts are integers. */
+  def kmeansStep(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("n2"))
+      .filter(col("n2") > 0d) // a zero vector has no direction: NaN cos
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cellcos").desc, col("cell"))
+    e.crossJoin(broadcast(centroids(e)))
+      .withColumn("cellcos", dot(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label").cast("long").as("label"), col("cell").cast("long").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("assigned"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_step" -> (kmeansStep _),
     "cos_topk"    -> (cosTopk _),
     "ann_buckets" -> (annBuckets _),
     "ann_topk"    -> (annTopk _),
@@ -210,7 +235,34 @@ object VectorOps {
     s"sig AS (SELECT vec_id, label, v, n2, $bits AS bucket FROM e)"
   }
 
+  /** DuckDB twin of [[centroids]] (quantized-integer means — the same
+    * exact arithmetic, so the lists are bit-identical). */
+  private val CentsCte =
+    """cq AS (
+      |  SELECT label, px.pos AS pos, CAST(floor(px.x * 1000) AS BIGINT) AS xq
+      |  FROM (SELECT label,
+      |               unnest(list_transform(v, (x, i) -> struct_pack(pos := i, x := x))) AS px
+      |        FROM e)),
+      |cm AS (
+      |  SELECT label, pos,
+      |         CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0 AS m
+      |  FROM cq GROUP BY 1, 2),
+      |cents AS (
+      |  SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
+      |    SELECT label AS cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY label))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "kmeans_step" ->
+      s"""WITH $VecCte, $CentsCte,
+         |scored AS (
+         |  SELECT vec_id, label, cell,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY list_dot_product(v, cv) / (sqrt(n2) * sqrt(cn2)) DESC, cell) AS rk
+         |  FROM (SELECT * FROM e WHERE n2 > 0) ev CROSS JOIN cents)
+         |SELECT CAST(label AS BIGINT) AS label, CAST(cell AS BIGINT) AS assigned,
+         |       count(*) AS n
+         |FROM scored WHERE rk = 1 GROUP BY 1, 2 ORDER BY label, assigned""".stripMargin,
+
     "cos_topk" ->
       s"""WITH $VecCte,
          |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries)
@@ -239,19 +291,7 @@ object VectorOps {
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "ann_ivf" ->
-      s"""WITH $VecCte,
-         |cq AS (
-         |  SELECT label, px.pos AS pos, CAST(floor(px.x * 1000) AS BIGINT) AS xq
-         |  FROM (SELECT label,
-         |               unnest(list_transform(v, (x, i) -> struct_pack(pos := i, x := x))) AS px
-         |        FROM e)),
-         |cm AS (
-         |  SELECT label, pos,
-         |         CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0 AS m
-         |  FROM cq GROUP BY 1, 2),
-         |cents AS (
-         |  SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
-         |    SELECT label AS cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY label)),
+      s"""WITH $VecCte, $CentsCte,
          |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
          |probed AS (
          |  SELECT qid, qv, qn2, cell FROM (

@@ -730,7 +730,49 @@ object RelQueries {
       .select(col("user_id"), col("n"), round(col("total"), 2).as("total"))
       .orderBy(col("n").desc, col("user_id"))
 
+  /** TPC-H Q10 shape — top returned-revenue customers: fact-fact join on
+    * the order key with the returnflag filter pushed into the lineitem
+    * scan, then the customer/nation dimension chain BROADCAST onto the
+    * ≤|customers| aggregated result (never onto the fact join input —
+    * the aggregation comes first, so the dimensions enrich a small
+    * table). */
+  def q10Returns(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+        .as("revenue"))
+    val dims = Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+    rev.join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: aggregate-filter (HAVING)
+    * then join back to the order header. Quantities are integral doubles
+    * in this data, so the HAVING sum is exact cross-engine. */
+  def q18BigOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150d)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_orderdate"),
+              round(col("o_totalprice"), 2).as("o_totalprice"),
+              col("sum_qty").cast("long").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returns"        -> (q10Returns _),
+    "q18_big_orders"     -> (q18BigOrders _),
     "q4_priority"        -> (q4Priority _),
     "q6_forecast"        -> (q6Forecast _),
     "q12_priority_mix"   -> (q12PriorityMix _),
@@ -790,6 +832,24 @@ object RelQueries {
     * to microsecond TIMESTAMP wherever ts participates in output or
     * arithmetic (lossless; see Tables.events). */
   val oracle: Map[String, String] = Map(
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name, revenue FROM (
+        |  SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R' GROUP BY o_custkey) r
+        |JOIN customer ON c_custkey = r.o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q18_big_orders" ->
+      """SELECT o_orderkey, o_orderdate, round(o_totalprice, 2) AS o_totalprice,
+        |       CAST(sum_qty AS BIGINT) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |      GROUP BY 1 HAVING sum(l_quantity) > 150) b
+        |  ON o_orderkey = b.l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
     "q4_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders o
