@@ -119,7 +119,44 @@ object Multimodal {
         md5(col("chunk")).as("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Chunk-store DEDUP audit over content-addressed chunks of the
+    * document payload (16-byte fixed chunks of the text here — the
+    * stand-in for CDC/fixed chunking of media bytes): refs vs unique
+    * chunks and the byte savings a dedup'ing blob store would realize.
+    * All integer sums + ONE division, so cross-engine exact. */
+  def mmChunkDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        ceil(length(col("text")).cast("double") / 16d).cast("long") - 1)))
+      .withColumn("chunk", expr("substring(text, chunk_idx * 16 + 1, 16)"))
+      .select(md5(col("chunk")).as("chunk_hash"),
+              length(col("chunk")).cast("long").as("chunk_bytes"))
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("refs"), min(col("chunk_bytes")).as("b"))
+      .agg(sum(col("refs")).as("n_refs"),
+           count(lit(1)).as("n_unique"),
+           sum(col("refs") * col("b")).as("total_bytes"),
+           sum(col("b")).as("unique_bytes"),
+           round(lit(100d) * (sum(col("refs") * col("b")) - sum(col("b"))).cast("double")
+             / sum(col("refs") * col("b")).cast("double"), 2).as("saved_pct"))
+
+  /** Audio-window segmentation plan: the payload as 16-bit mono samples,
+    * fixed 4-sample windows with 50% overlap — (start sample, byte
+    * offset) per window, the fetch plan a real PCM featurizer would
+    * execute. */
+  def mmAudioWindows(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .withColumn("n_samples", (length(col("img")) / 2).cast("long"))
+      .withColumn("start_sample",
+        explode(sequence(lit(0L), col("n_samples") - 4, lit(2L))))
+      .select(col("doc_id"), col("start_sample"),
+              lit(4L).as("n_win_samples"),
+              (col("start_sample") * 2).as("byte_off"))
+      .orderBy(col("doc_id"), col("start_sample"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_chunk_dedup"   -> (mmChunkDedup _),
+    "mm_audio_windows" -> (mmAudioWindows _),
     "mm_meta"         -> (mmMeta _),
     "mm_resize"       -> (mmResize _),
     "mm_chunk"        -> (mmChunk _),
@@ -132,6 +169,33 @@ object Multimodal {
       |      FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "mm_chunk_dedup" ->
+      """WITH ch AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, CAST(ceil(len(text) / 16.0) AS BIGINT))) AS chunk_idx
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT md5(substr(text, CAST(chunk_idx * 16 + 1 AS BIGINT), 16)) AS chunk_hash,
+        |         CAST(len(substr(text, CAST(chunk_idx * 16 + 1 AS BIGINT), 16)) AS BIGINT) AS chunk_bytes
+        |  FROM ch),
+        |per AS (SELECT chunk_hash, count(*) AS refs, min(chunk_bytes) AS b
+        |        FROM chunks GROUP BY 1)
+        |SELECT CAST(sum(refs) AS BIGINT) AS n_refs, count(*) AS n_unique,
+        |       CAST(sum(refs * b) AS BIGINT) AS total_bytes,
+        |       CAST(sum(b) AS BIGINT) AS unique_bytes,
+        |       round(100.0 * (sum(refs * b) - sum(b)) / sum(refs * b), 2) AS saved_pct
+        |FROM per""".stripMargin,
+
+    "mm_audio_windows" ->
+      """WITH m AS (SELECT doc_id,
+        |                  CAST(octet_length(unhex(md5(text))) // 2 AS BIGINT) AS n_samples
+        |           FROM documents)
+        |SELECT doc_id, CAST(w.start_sample AS BIGINT) AS start_sample,
+        |       CAST(4 AS BIGINT) AS n_win_samples,
+        |       CAST(w.start_sample * 2 AS BIGINT) AS byte_off
+        |FROM m, unnest(range(0, n_samples - 3, 2)) AS w(start_sample)
+        |ORDER BY doc_id, start_sample""".stripMargin,
+
     "mm_resize" ->
       s"""WITH $MetaCte
          |SELECT doc_id, width, height,

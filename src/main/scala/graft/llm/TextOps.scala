@@ -273,8 +273,20 @@ object TextOps {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** Type-token ratio (lexical diversity) per source: vocabulary size
+    * over token count — integer counts, one division. */
+  def vocabTtr(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+           countDistinct(col("w")).as("n_vocab"),
+           round(countDistinct(col("w")).cast("double") / count(lit(1)), 4).as("ttr"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
+    "vocab_ttr"       -> (vocabTtr _),
     "pii_scan"         -> (piiScan _),
     "segment_dedup"    -> (segmentDedup _),
     "sample_split"     -> (sampleSplit _),
@@ -291,6 +303,13 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _))
 
   val oracle: Map[String, String] = Map(
+    "vocab_ttr" ->
+      """WITH words AS (SELECT source, unnest(str_split(text, ' ')) AS w FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       count(DISTINCT w) AS n_vocab,
+        |       round(CAST(count(DISTINCT w) AS DOUBLE) / count(*), 4) AS ttr
+        |FROM words GROUP BY 1 ORDER BY source""".stripMargin,
+
     "tfidf_top_terms" ->
       """WITH words AS (
         |  SELECT doc_id, source, unnest(str_split(text, ' ')) AS w FROM documents),

@@ -770,7 +770,22 @@ object RelQueries {
       .limit(20)
   }
 
+  /** TPC-H Q19 shape — disjunction of conjunctive predicates across BOTH
+    * join sides: Catalyst extracts the per-table sub-disjunctions
+    * ((PROMO ∧ size≤20) ∨ (ECONOMY ∧ size≤40) on part) and pushes them
+    * below the join, so each scan prunes before rows meet. */
+  def q19Disjunct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+      .filter((col("p_type") === "PROMO" && col("l_quantity").between(1, 20) &&
+                 col("p_size") <= 20) ||
+              (col("p_type") === "ECONOMY" && col("l_quantity").between(10, 30) &&
+                 col("p_size") <= 40))
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2).as("revenue"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_disjunct"       -> (q19Disjunct _),
     "q10_returns"        -> (q10Returns _),
     "q18_big_orders"     -> (q18BigOrders _),
     "q4_priority"        -> (q4Priority _),
@@ -832,6 +847,13 @@ object RelQueries {
     * to microsecond TIMESTAMP wherever ts participates in output or
     * arithmetic (lossless; see Tables.events). */
   val oracle: Map[String, String] = Map(
+    "q19_disjunct" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_type = 'PROMO' AND l_quantity BETWEEN 1 AND 20 AND p_size <= 20)
+        |   OR (p_type = 'ECONOMY' AND l_quantity BETWEEN 10 AND 30 AND p_size <= 40)""".stripMargin,
+
     "q10_returns" ->
       """SELECT c_custkey, c_name, n_name, revenue FROM (
         |  SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
