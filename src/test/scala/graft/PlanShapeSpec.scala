@@ -106,6 +106,36 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q19_disjunct: per-table sub-disjunctions are pushed below the join") {
+    val df = graft.rel.RelQueries.queries("q19_disjunct")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the part scan must see ((PROMO ∧ size≤20) ∨ (ECONOMY ∧ size≤40))
+    // BEFORE the join — i.e. a part-side Filter/PushedFilters mentioning
+    // p_type Or p_size, not only the post-join residual
+    val partScanRegion = plan.split("Scan parquet").find(_.contains("part.parquet")).getOrElse("")
+    assert(partScanRegion.contains("p_type") || plan.contains("PushedFilters: [Or(") ||
+      "Filter [^\\n]*p_type[^\\n]*ECONOMY".r.findFirstIn(plan).isDefined,
+      s"part-side sub-disjunction not pushed below the join:\n$plan")
+  }
+
+  test("q10_returns: dimensions broadcast onto the AGGREGATED result, not the fact join") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = graft.rel.RelQueries.queries("q10_returns")(spark, sfDir)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    // find the customer-dim broadcast join; its streamed subtree must
+    // contain the revenue aggregation (agg-then-enrich, never enrich-then-agg)
+    val custBhj = collect(exec) {
+      case b: BroadcastHashJoinExec if b.toString.contains("c_custkey") => b
+    }
+    assert(custBhj.nonEmpty, s"no customer broadcast join:\n$exec")
+    assert(custBhj.exists(b => collect(b) { case a: BaseAggregateExec => a }.nonEmpty),
+      s"q10: the dim broadcast joins the raw fact rows — the per-customer " +
+        s"aggregation must run FIRST so the dims enrich a small table:\n$exec")
+  }
+
   test("minhash_sig: documents scan pruned to (doc_id, text)") {
     val df = graft.llm.HashDedup.queries("minhash_sig")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
