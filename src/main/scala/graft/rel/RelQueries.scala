@@ -784,7 +784,16 @@ object RelQueries {
       .agg(count(lit(1)).as("n_items"),
            round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2).as("revenue"))
 
+  /** Time-of-day seasonality profile: event mix per hour of day — the
+    * diurnal-pattern audit (hour extraction + two aggregates). */
+  def hourlyProfile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(hour(col("ts")).cast("long").as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("hr"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hourly_profile"     -> (hourlyProfile _),
     "q19_disjunct"       -> (q19Disjunct _),
     "q10_returns"        -> (q10Returns _),
     "q18_big_orders"     -> (q18BigOrders _),
@@ -847,6 +856,11 @@ object RelQueries {
     * to microsecond TIMESTAMP wherever ts participates in output or
     * arithmetic (lossless; see Tables.events). */
   val oracle: Map[String, String] = Map(
+    "hourly_profile" ->
+      """SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+
     "q19_disjunct" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_items,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
