@@ -173,16 +173,27 @@ object HashDedup {
     * candidate pairs on doc_id — never to the corpus. */
   def minhashJaccardEst(s: SparkSession, d: String): DataFrame = {
     registerSkewLogging(s)
-    val sig = minhashSigDf(s, d)
-    val sa = sig.select(col("doc_id").as("a") +:
-      (0 until 16).map(j => col(s"mh$j").as(s"a_mh$j")): _*)
-    val sb = sig.select(col("doc_id").as("b") +:
-      (0 until 16).map(j => col(s"mh$j").as(s"b_mh$j")): _*)
+    // carry the signature through the bucket payload (the simhashPairs
+    // shape): ONE pass over the shingle→minhash lineage, no join back —
+    // the join-back form re-scanned documents 5× (sig twice + bands)
+    val bandHashes = (0 until 4).map { b =>
+      md5(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*))
+    }
+    val banded = minhashSigDf(s, d)
+      .select(col("doc_id"),
+        struct((0 until 16).map(j => col(s"mh$j")): _*).as("sg"),
+        posexplode(array(bandHashes: _*)).as(Seq("band_id", "bh")))
     val agree = (0 until 16)
-      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+      .map(j => when(col(s"sa.mh$j") === col(s"sb.mh$j"), 1).otherwise(0))
       .reduce(_ + _)
-    bucketPairs(minhashBandsDf(s, d))
-      .join(sa, Seq("a")).join(sb, Seq("b"))
+    boundedBuckets(banded, Seq(col("band_id"), col("bh")),
+        struct(col("doc_id"), col("sg")), DefaultMaxBucket)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS l, y AS r))))")).as("p"))
+      .select(col("p.l.doc_id").as("a"), col("p.r.doc_id").as("b"),
+              col("p.l.sg").as("sa"), col("p.r.sg").as("sb"))
+      .distinct()
       .select(col("a"), col("b"), (agree.cast("double") / 16d).as("jacc_est"))
       .orderBy(col("a"), col("b"))
   }
@@ -270,21 +281,23 @@ object HashDedup {
     * composition adds two joins, no new shuffle shapes. */
   def pipelineKept(s: SparkSession, d: String): DataFrame = {
     registerSkewLogging(s)
-    val docs = Tables.documents(s, d)
-      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-    val reps = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+    // ONE documents pass: exact-rep membership as a window rank (rn=1 ⇔
+    // min doc_id per text), near-dup drop as a left join flag, and both
+    // the total and the kept count from the same grouped aggregation —
+    // the semi/anti/groupBy-rejoin form scanned documents 8×
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
     val nearDrop = bucketPairs(minhashBandsDf(s, d))
       .select(col("b").as("doc_id")).distinct()
-    val kept = docs
-      .join(reps, Seq("doc_id"), "left_semi")
-      .join(nearDrop, Seq("doc_id"), "left_anti")
-      .filter(col("n_tok") >= 30)
-      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .join(kept, Seq("source"), "left")
-      .select(col("source"), col("n_docs"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .withColumn("neardup", lit(1))
+    Tables.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .join(nearDrop, Seq("doc_id"), "left")
+      .withColumn("kept",
+        col("rn") === 1 && col("n_tok") >= 30 && col("neardup").isNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
       .withColumn("kept_pct",
         round(col("n_kept").cast("double") * 100d / col("n_docs"), 2))
       .orderBy(col("source"))
