@@ -101,12 +101,26 @@ object NatsWire {
     * waiting for its payload. Not thread-safe (one parser per
     * connection, like one reader per socket). */
   final class Parser {
+    // consumed-prefix offset + lazy compaction: consumption advances an
+    // index instead of reallocating the buffer per op, so a payload
+    // arriving in k chunks costs O(n), not O(n·k)
     private var buf = Array.emptyByteArray
+    private var off = 0
     // a parsed MSG header whose payload hasn't fully arrived yet
     private var pending: Option[(String, Long, Option[String], Int)] = None
 
-    private def indexOfCrlf(from: Int): Int = {
-      var i = from
+    private def available: Int = buf.length - off
+
+    private def compactAndAppend(chunk: Array[Byte]): Unit = {
+      if (off > 0 || buf.isEmpty) {
+        val live = java.util.Arrays.copyOfRange(buf, off, buf.length)
+        buf = if (chunk.isEmpty) live else live ++ chunk
+        off = 0
+      } else if (chunk.nonEmpty) buf = buf ++ chunk
+    }
+
+    private def indexOfCrlf(): Int = {
+      var i = off
       while (i + 1 < buf.length) {
         if (buf(i) == '\r' && buf(i + 1) == '\n') return i
         i += 1
@@ -115,27 +129,28 @@ object NatsWire {
     }
 
     def feed(chunk: Array[Byte]): Seq[ServerOp] = {
-      buf = if (buf.isEmpty) chunk.clone() else buf ++ chunk
+      compactAndAppend(chunk)
       val out = scala.collection.mutable.ArrayBuffer.empty[ServerOp]
       var progress = true
       while (progress) {
         progress = false
         pending match {
           case Some((subject, sid, reply, n)) =>
-            if (buf.length >= n + 2) { // payload + CRLF
-              if (buf(n) != '\r' || buf(n + 1) != '\n')
+            if (available >= n + 2) { // payload + CRLF
+              if (buf(off + n) != '\r' || buf(off + n + 1) != '\n')
                 throw new IllegalArgumentException(
                   s"MSG payload of $n bytes not terminated by CRLF")
-              out += Msg(subject, sid, reply, java.util.Arrays.copyOfRange(buf, 0, n))
-              buf = java.util.Arrays.copyOfRange(buf, n + 2, buf.length)
+              out += Msg(subject, sid, reply,
+                java.util.Arrays.copyOfRange(buf, off, off + n))
+              off += n + 2
               pending = None
               progress = true
             }
           case None =>
-            val eol = indexOfCrlf(0)
+            val eol = indexOfCrlf()
             if (eol >= 0) {
-              val lineStr = new String(buf, 0, eol, US_ASCII)
-              buf = java.util.Arrays.copyOfRange(buf, eol + 2, buf.length)
+              val lineStr = new String(buf, off, eol - off, US_ASCII)
+              off = eol + 2
               parseLine(lineStr, out)
               progress = true
             }

@@ -35,8 +35,11 @@ object BusLayout {
   def subscribe(df: DataFrame, pattern: String): DataFrame = {
     val base = df.filter(mqtt_matches(lit(pattern), col("channel")))
     val levels = pattern.split("/", -1)
-    val secondLiteral = levels.length > 1 &&
-      MqttPattern.literalPrefix(pattern)._1.split("/", -1).length > 1
+    // the event_type conjunct is only implied by the CANONICAL layout
+    // (channel = cdc/<event_type>/…): require the literal prefix to pin
+    // both the "cdc" root and the second level
+    val prefix = MqttPattern.literalPrefix(pattern)._1.split("/", -1)
+    val secondLiteral = prefix.length > 1 && prefix(0) == "cdc"
     if (secondLiteral) base.filter(col("event_type") === levels(1)) else base
   }
 }

@@ -115,6 +115,20 @@ object Streams {
     graft.cdc.CdcBus.matchCounts(bus, patterns)
       .withColumnRenamed("hits", "received")
 
+  /** Streaming retained-message cache (the envelope's `retain` flag
+    * semantics, reference CDCMsg field examples/cdc-pub.js:38): the
+    * latest event per channel as a continuously-revising view — what a
+    * newly-arriving subscriber would be served. `max_by` on the
+    * (ts, event_id) arrival key in update mode; state is ONE row per
+    * distinct channel, independent of stream length. */
+  def retained(bus: DataFrame): DataFrame =
+    bus.groupBy(col("channel"))
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("channel"), col("last.event_id").as("event_id"),
+              col("last.ts").as("ts"), col("last.value").as("value"))
+
   /** Stream-static enrichment: join the streaming bus against a static
     * dimension table, broadcast — the dimension ships to every executor
     * once per batch, the stream itself never shuffles and no streaming

@@ -128,6 +128,24 @@ class StreamingSpec extends AnyFunSuite {
       "update mode must emit the batch-1 value AND the accumulated revision")
   }
 
+  test("streaming retained cache revises to the latest event per channel") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[BusEvent]
+    val q = Streams.retained(Streams.withChannel(in.toDF()))
+      .writeStream.outputMode("update").format("memory").queryName("retained").start()
+    in.addData(ev(1, 0, 1, "click"), ev(2, 5, 1, "click"), ev(3, 0, 2, "view"))
+    q.processAllAvailable()
+    // a later event on the same channel supersedes the retained value
+    in.addData(ev(9, 30, 1, "click"))
+    q.processAllAvailable(); q.stop()
+    val latest = spark.table("retained").as[(String, Long, java.sql.Timestamp, Double)]
+      .collect().groupBy(_._1).view
+      // update-mode memory sink appends revisions; latest = max event ts
+      .mapValues(_.maxBy(_._3.getTime)._2).toMap
+    assert(latest === Map("cdc/click/1" -> 9L, "cdc/view/2" -> 3L))
+  }
+
   test("stream-static enrich broadcasts the dimension, no stream state") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
