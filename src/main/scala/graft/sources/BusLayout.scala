@@ -26,6 +26,22 @@ object BusLayout {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact a partitioned capture — the small-files problem: a
+    * long-running streaming capture leaves one file per (micro-batch ×
+    * task) in every partition directory, and scan/open overhead
+    * eventually dominates reads. One hash repartition on the partition
+    * key routes each event_type entirely to one task → one file per
+    * directory (`maxRecordsPerFile` re-splits oversized ones). Routing
+    * results are identical by construction — only the file layout
+    * changes. */
+  def compact(spark: SparkSession, path: String, out: String,
+              maxRecordsPerFile: Long = 8L * 1024 * 1024): Unit =
+    readPartitioned(spark, path)
+      .repartition(col("event_type"))
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("event_type").mode("overwrite").parquet(out)
+
   /** A subscription over the re-read layout, with partition pruning made
     * explicit: the canonical channel is `cdc/<event_type>/…`, so a
     * pattern whose SECOND level is literal pins `event_type` — conjoin

@@ -77,6 +77,27 @@ class BusLayoutSpec extends AnyFunSuite {
       s"expected pruned re-read: read $readFiles of $allFiles files")
   }
 
+  test("compact: one file per partition dir, identical rows and routing") {
+    val dir = Files.createTempDirectory("graft_smallfiles").toString
+    val out = Files.createTempDirectory("graft_compacted").toString
+    // simulate a fragmented capture: 8-way repartition → ~8 files per dir
+    BusLayout.writePartitioned(
+      Tables.bus(spark, "/root/testdata/sf0.001").repartition(8), dir)
+    def files(p: String) = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      .filter(f => f.toString.endsWith(".parquet")).count()
+    val before = files(dir)
+    BusLayout.compact(spark, dir, out)
+    val after = files(out)
+    assert(before > 5 && after === 5L,
+      s"expected 5 compacted files (one per event_type), got $after of $before")
+    // routing unchanged
+    val a = BusLayout.subscribe(BusLayout.readPartitioned(spark, dir), "cdc/error/#")
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val b = BusLayout.subscribe(BusLayout.readPartitioned(spark, out), "cdc/error/#")
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("streaming rpc join matches responses within the timeout, first wins") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
