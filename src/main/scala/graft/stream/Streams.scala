@@ -129,6 +129,23 @@ object Streams {
       .select(col("channel"), col("last.event_id").as("event_id"),
               col("last.ts").as("ts"), col("last.value").as("value"))
 
+  /** Continuous capture of the streaming bus into the partitioned
+    * storage layout — the pipeline that turns the live bus into the
+    * queryable table every batch operator reads. `foreachBatch` appends
+    * each micro-batch under the same partitioning as
+    * [[graft.sources.BusLayout.writePartitioned]]; Structured Streaming's
+    * checkpoint makes the append idempotent per batch id on restart.
+    * Pair with [[graft.sources.BusLayout.compact]] on a schedule — a
+    * long capture otherwise accretes one file per (batch × task). */
+  def captureTo(bus: DataFrame, path: String,
+                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    bus.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.partitionBy("event_type").mode("append").parquet(path)
+      }
+      .start()
+
   /** Stream-static enrichment: join the streaming bus against a static
     * dimension table, broadcast — the dimension ships to every executor
     * once per batch, the stream itself never shuffles and no streaming

@@ -128,6 +128,29 @@ class StreamingSpec extends AnyFunSuite {
       "update mode must emit the batch-1 value AND the accumulated revision")
   }
 
+  test("captureTo: streaming bus lands in the partitioned layout and routes on re-read") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_capture").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_capture_ckpt").toString
+    val in = MemoryStream[BusEvent]
+    val q = Streams.captureTo(Streams.withChannel(in.toDF()), dir, ckpt)
+    try {
+      in.addData(ev(1, 0, 1, "click"), ev(2, 1, 2, "error"))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, 1, "error"), ev(4, 3, 3, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val re = graft.sources.BusLayout.readPartitioned(spark, dir)
+    assert(re.count() === 4)
+    // partitioned layout + routing both work on the captured stream
+    val errs = graft.sources.BusLayout.subscribe(re, "cdc/error/#")
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(errs === Seq(2L, 3L))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "event_type=error")), "hive-partitioned dirs")
+  }
+
   test("streaming retained cache revises to the latest event per channel") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

@@ -184,6 +184,16 @@ class NatsWireSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("server -ERR propagates as a client error (reference error path, lib/nats.js:29-44)") {
+    val server = new ScriptedServer
+    server.queue(NatsWire.err("Authorization Violation"))
+    val broker = new TextProtocolBroker {
+      override protected def dial(): NatsChannel = server
+    }
+    val ex = intercept[IllegalStateException] { broker.latestSeq() }
+    assert(ex.getMessage.contains("Authorization Violation"))
+  }
+
   test("UnavailableBroker fails only at the socket dial, with the documented error") {
     val ex = intercept[UnsupportedOperationException] {
       new UnavailableBroker().latestSeq()
