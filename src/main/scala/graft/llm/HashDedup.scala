@@ -314,7 +314,8 @@ object HashDedup {
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .select(col("source"), explode(shingleArr).as("sh"))
-      .distinct()
+      // no pre-distinct: collect_set dedups (map-side partials included),
+      // so a distinct() here would only add a second full shuffle
       .groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
       .filter(size(col("srcs")) > 1)

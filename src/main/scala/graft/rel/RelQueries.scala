@@ -809,7 +809,28 @@ object RelQueries {
       .orderBy(col("op"), col("event_type"))
   }
 
+  /** TPC-H Q22 shape — two subquery forms in one statement: an
+    * uncorrelated SCALAR subquery (broadcast 1-row average) gating the
+    * outer scan, and a correlated NOT EXISTS Catalyst decorrelates to a
+    * left-anti join on the customer key. High-balance customers with no
+    * recent orders. */
+  def q22Prospects(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+    s.sql("""
+      SELECT c_nationkey, count(*) AS n_prospects,
+             round(sum(c_acctbal), 2) AS total_bal
+      FROM graft_customer_v c
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM graft_customer_v
+                         WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM graft_orders_v o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY c_nationkey ORDER BY c_nationkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_prospects"      -> (q22Prospects _),
     "set_ops_all"        -> (setOpsAll _),
     "hourly_profile"     -> (hourlyProfile _),
     "q19_disjunct"       -> (q19Disjunct _),
@@ -874,6 +895,15 @@ object RelQueries {
     * to microsecond TIMESTAMP wherever ts participates in output or
     * arithmetic (lossless; see Tables.events). */
   val oracle: Map[String, String] = Map(
+    "q22_prospects" ->
+      """SELECT c_nationkey, count(*) AS n_prospects,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     "set_ops_all" ->
       """WITH a AS (SELECT event_type FROM events WHERE user_id < 50),
         |b AS (SELECT event_type FROM events WHERE user_id >= 50 AND user_id < 100),
