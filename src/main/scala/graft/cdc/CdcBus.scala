@@ -54,17 +54,26 @@ object CdcBus {
       .orderBy(col("sub"))
   }
 
-  /** Per-pattern match counts computed bus-side: one scan, per-row k-way
-    * dispatch, hash-aggregate on the pattern key. Output ≤ k rows.
+  /** Per-pattern match counts computed bus-side: one scan, per-row
+    * dispatch, hash-aggregate on the pattern INDEX. Output ≤ k rows.
     * Patterns are deduplicated first — two subscriptions sharing a pattern
     * must each see the true per-pattern count, not a doubled explode
-    * (the join-back on `pattern` fans the one count out to both subs). */
-  private[graft] def matchCounts(bus: DataFrame, patterns: Seq[String]): DataFrame =
-    bus.select(explode(filter(
-        array(patterns.distinct.map(lit): _*),
-        p => mqtt_matches(p, col("channel")))).as("pattern"))
-      .groupBy(col("pattern"))
+    * (the join-back on `pattern` fans the one count out to both subs).
+    *
+    * The dispatch itself is ONE compiled [[MqttTrie]] walk per row
+    * (`mqtt_dispatch`) — the reference's O(#subs) per-message loop
+    * (lib/nats.js:92-95) collapsed to O(topic depth), so a bus with
+    * thousands of logical subscriptions pays the same per-row cost as
+    * one with five. Aggregation runs on the integer index; the pattern
+    * string is attached to the ≤ k result rows afterwards. */
+  private[graft] def matchCounts(bus: DataFrame, patterns: Seq[String]): DataFrame = {
+    val pats = patterns.distinct
+    bus.select(explode(
+        graft.functions.GraftFunctions.mqtt_dispatch(col("channel"), pats)).as("pi"))
+      .groupBy(col("pi"))
       .agg(count(lit(1)).as("hits"))
+      .select(element_at(typedlit(pats), col("pi") + 1).as("pattern"), col("hits"))
+  }
 
   private val subs = Seq(
     "s_all"      -> "cdc/#",

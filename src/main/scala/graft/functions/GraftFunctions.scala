@@ -11,6 +11,12 @@ object GraftFunctions {
       GraftBridge.expression(pattern),
       GraftBridge.expression(channel)))
 
+  /** `mqtt_dispatch(channel)` against a plan-time subscription set: the
+    * ARRAY<INT> of indices into `patterns` that match — one compiled
+    * topic-trie walk per row instead of #patterns separate matches. */
+  def mqtt_dispatch(channel: Column, patterns: Seq[String]): Column =
+    GraftBridge.column(MqttDispatchExpr(GraftBridge.expression(channel), patterns))
+
   /** Codegen'd sequential-fold dot product over ARRAY<DOUBLE> columns. */
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.column(DotProductExpr(
