@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DecodeCdcMsgExpr].getName, "decode_cdc_msg"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DecodeCdcMsgExpr(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("mqtt_dispatch"),
+      new ExpressionInfo(classOf[graft.functions.MqttDispatchExpr].getName, "mqtt_dispatch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftFunctions.dispatchBuilder(exprs)))
     e.injectOptimizerRule(_ => MqttPrefixPushdown)
   }
 }

@@ -31,6 +31,30 @@ object GraftFunctions {
   def decode_cdc_msg(bytes: Column): Column =
     GraftBridge.column(DecodeCdcMsgExpr(GraftBridge.expression(bytes)))
 
+  /** SQL builder for mqtt_dispatch: the pattern set must be a foldable
+    * ARRAY<STRING> literal (the trie is compiled at plan time). Shared
+    * by [[register]] and [[graft.GraftExtensions]]. */
+  private[graft] def dispatchBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val pats = exprs(1) match {
+      case e if e.foldable && e.dataType.isInstanceOf[
+          org.apache.spark.sql.types.ArrayType] =>
+        e.eval(null) match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toObjectArray(org.apache.spark.sql.types.StringType)
+              .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+              .toSeq
+          case other => throw new IllegalArgumentException(
+            s"mqtt_dispatch(channel, patterns): patterns must be an ARRAY<STRING> literal, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        "mqtt_dispatch(channel, patterns): patterns must be a foldable " +
+          s"ARRAY<STRING> literal, got ${other.sql}")
+    }
+    MqttDispatchExpr(exprs(0), pats)
+  }
+
   /** Deterministic bottom-k-by-hash sample aggregate over a LONG column. */
   def bottomk_by_hash(c: Column, k: Int): Column =
     GraftBridge.column(
@@ -70,5 +94,7 @@ object GraftFunctions {
       "bottomk_by_hash", bottomkBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "decode_cdc_msg", exprs => DecodeCdcMsgExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mqtt_dispatch", dispatchBuilder, "built-in")
   }
 }

@@ -82,5 +82,22 @@ class MqttTrieSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("channel"))).count()
     }.filter(_._2 > 0).toMap
     assert(viaTrie === viaFilter)
+
+    // SQL surface: mqtt_dispatch with an ARRAY<STRING> literal
+    graft.functions.GraftFunctions.register(spark)
+    bus.createOrReplaceTempView("graft_trie_bus_v")
+    val viaSql = spark.sql(
+      """SELECT pi, count(*) AS hits
+        |FROM (SELECT explode(mqtt_dispatch(channel,
+        |        array('cdc/#', 'cdc/error/#', 'cdc/nosuch/#'))) AS pi
+        |      FROM graft_trie_bus_v)
+        |GROUP BY pi ORDER BY pi""".stripMargin).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(viaSql === Map(0 -> viaTrie("cdc/#"), 1 -> viaTrie("cdc/error/#")))
+    // a non-literal pattern set must fail loudly at plan time
+    intercept[Exception] {
+      spark.sql("SELECT mqtt_dispatch(channel, array(channel)) FROM graft_trie_bus_v")
+        .collect()
+    }
   }
 }
