@@ -829,7 +829,37 @@ object RelQueries {
       GROUP BY c_nationkey ORDER BY c_nationkey""")
   }
 
+  /** Session path analysis: sessionize (30-min gap, gaps-and-islands),
+    * build each session's ORDERED event-type path, count the top-10
+    * short paths — the product-analytics "what do 2-4 step sessions look
+    * like" query. Path ordering is deterministic via array_sort over
+    * (ts, event_id) structs (a bare collect_list order would be
+    * partition-dependent); gap arithmetic is exact micros on both
+    * engines. */
+  def sessionPaths(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("brk", when(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("brk"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(array_join(
+             transform(
+               array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+               x => x.getField("event_type")), ">").as("path"),
+           count(lit(1)).as("path_len"))
+      .filter(col("path_len").between(2, 4))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "session_paths"      -> (sessionPaths _),
     "q22_prospects"      -> (q22Prospects _),
     "set_ops_all"        -> (setOpsAll _),
     "hourly_profile"     -> (hourlyProfile _),
@@ -895,6 +925,23 @@ object RelQueries {
     * to microsecond TIMESTAMP wherever ts participates in output or
     * arithmetic (lossless; see Tables.events). */
   val oracle: Map[String, String] = Map(
+    "session_paths" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |            FROM events),
+        |g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |                     THEN 1 ELSE 0 END AS brk
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |paths AS (SELECT user_id, sid,
+        |                 string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+        |                 count(*) AS path_len
+        |          FROM s GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM paths
+        |WHERE path_len BETWEEN 2 AND 4
+        |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
+
     "q22_prospects" ->
       """SELECT c_nationkey, count(*) AS n_prospects,
         |       round(sum(c_acctbal), 2) AS total_bal
