@@ -133,10 +133,14 @@ object Streams {
     * storage layout — the pipeline that turns the live bus into the
     * queryable table every batch operator reads. `foreachBatch` appends
     * each micro-batch under the same partitioning as
-    * [[graft.sources.BusLayout.writePartitioned]]; Structured Streaming's
-    * checkpoint makes the append idempotent per batch id on restart.
-    * Pair with [[graft.sources.BusLayout.compact]] on a schedule — a
-    * long capture otherwise accretes one file per (batch × task). */
+    * [[graft.sources.BusLayout.writePartitioned]]. Delivery is
+    * AT-LEAST-ONCE across failures: the checkpoint prevents re-reading
+    * committed offsets, but a crash between the parquet append and the
+    * checkpoint commit replays that one batch (plain parquet has no
+    * transaction — route through a transactional table format, or dedup
+    * downstream on event_id, for exactly-once). Pair with
+    * [[graft.sources.BusLayout.compact]] on a schedule — a long capture
+    * otherwise accretes one file per (batch × task). */
   def captureTo(bus: DataFrame, path: String,
                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     bus.writeStream
