@@ -4,7 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.execution.streaming.state.StateStore
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.stream.Streams
@@ -13,7 +15,17 @@ import graft.stream.Streams.BusEvent
 /** Structured-Streaming semantics the DuckDB oracle cannot grade:
   * windowed aggregation under a watermark, late-data drop, and the
   * stateful take(n) gate (FIXTURES.md §B.5). */
-class StreamingSpec extends AnyFunSuite {
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  /** Unload every loaded state-store provider and stop the maintenance
+    * thread before the suite exits: the RocksDB provider's native
+    * statistics object is otherwise closed by JVM shutdown concurrently
+    * with a still-running maintenance tick (observed SIGSEGV in
+    * rocksdb::StatisticsImpl::getTickerCountLocked). */
+  override def afterAll(): Unit = {
+    StateStore.stop()
+    super.afterAll()
+  }
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -84,17 +96,26 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sq = spark.sqlContext
     implicit val sp: SparkSession = spark
     import spark.implicits._
-    // transformWithState requires the RocksDB state store provider
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // transformWithState requires the RocksDB state store provider; scope
+    // it to THIS query so the rest of the suite (and later suites sharing
+    // the JVM-wide session) stays on the default provider.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val in = MemoryStream[(String, BusEvent)]
     val q = Streams.takeNPerKey(in.toDS(), max = 3)
       .writeStream.outputMode("append").format("memory").queryName("taken").start()
-    in.addData(("s1", ev(1, 0, 1, "click")), ("s1", ev(2, 1, 1, "click")))
-    q.processAllAvailable()
-    in.addData(("s1", ev(3, 2, 1, "click")), ("s1", ev(4, 3, 1, "click")),
-               ("s2", ev(5, 4, 2, "view")))
-    q.processAllAvailable(); q.stop()
+    try {
+      in.addData(("s1", ev(1, 0, 1, "click")), ("s1", ev(2, 1, 1, "click")))
+      q.processAllAvailable()
+      in.addData(("s1", ev(3, 2, 1, "click")), ("s1", ev(4, 3, 1, "click")),
+                 ("s2", ev(5, 4, 2, "view")))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
     val got = spark.table("taken").as[Streams.Delivery].collect()
     // s1 saw 4 matching messages but max=3 -> exactly 3 delivered (the first 3)
     assert(got.filter(_.sub == "s1").map(_.event_id).sorted.toSeq === Seq(1L, 2L, 3L))
