@@ -858,7 +858,180 @@ object RelQueries {
       .limit(10)
   }
 
+  // ---- TPC-H join-shape catalog, round 5 -----------------------------
+
+  /** TPC-H Q7 shape — trade volume between two nations: BOTH dimension
+    * chains (supplier→nation, customer→nation) are nation-filtered and
+    * broadcast BELOW the single fact-fact shuffle (lineitem ⋈ orders), so
+    * the shuffle carries only rows that can qualify — at scale the
+    * two-nation filter is ~2/25 selective on each side of the big join. */
+  def q7Volume(s: SparkSession, d: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_2")
+    def natChain(df: DataFrame, key: String, out: String) =
+      df.join(Tables.nation(s, d), col(key) === col("n_nationkey"))
+        .filter(col("n_name").isin(nations: _*))
+    val sup = natChain(Tables.supplier(s, d), "s_nationkey", "supp_nation")
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = natChain(Tables.customer(s, d), "c_nationkey", "cust_nation")
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+               year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape — national market share inside one region's customer
+    * base for one part type: three broadcast dimension reductions (parts
+    * by type, suppliers+nation, region-filtered customers onto orders)
+    * around one fact-fact shuffle, share as a conditional-sum ratio. */
+  def q8Share(s: SparkSession, d: String): DataFrame = {
+    val amer = Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "AMERICA")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(amer), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val supN = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "LARGE")
+              .select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("vol", col("l_extendedprice") * (lit(1d) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(lit(100d) *
+             sum(when(col("n_name") === "NATION_3", col("vol")).otherwise(0d))
+             / sum(col("vol")), 2).as("mkt_share_pct"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape (adapted: no partsupp table, so profit is discounted
+    * revenue) — nation × year profit for one part type: two broadcast
+    * dims below the lineitem ⋈ orders shuffle, two-key agg on top. */
+  def q9Profit(s: SparkSession, d: String): DataFrame = {
+    val supN = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "STANDARD")
+              .select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+             .as("sum_profit"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: LEFT join so
+    * zero-order customers survive with count 0, then a second aggregation
+    * over the first's result (a ≤|customers| input — cheap by
+    * construction at any scale). */
+  def q13Custdist(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+              .select(col("o_custkey"), col("o_orderkey")),
+            col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15 shape — the top supplier(s) by a grouped measure, selected
+    * with a 1-row broadcast max (the view + scalar-subquery form). The
+    * selection key is total QUANTITY — integral doubles whose sum is
+    * order-independent and therefore bit-identical cross-engine; revenue
+    * is carried as a rounded output column only, never compared. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"),
+           round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+             .as("revenue"))
+    val mx = rev.agg(max(col("total_qty")).as("max_qty"))
+    rev.join(broadcast(mx), col("total_qty") === col("max_qty"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+              col("total_qty").cast("long").as("total_qty"), col("revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 shape — the "small-order" correlated-average filter:
+    * per-part mean quantity aggregated once (≤|brand parts| rows) and
+    * broadcast back onto the same scan. The mean is an exact integer sum
+    * over integral quantities followed by ONE IEEE division, so the
+    * 0.2·avg threshold compares bit-identically cross-engine. */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#5")
+              .select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+    val avgQ = li.groupBy(col("p_partkey").as("ap"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(avgQ), col("p_partkey") === col("ap"))
+      .filter(col("l_quantity") < lit(0.2d) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7d, 2).as("avg_yearly"),
+           count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q21 shape (adapted to this schema: l_shipdate stands in for
+    * the commit/receipt pair) — suppliers who were the LAST shipper in
+    * finished multi-supplier orders: EXISTS (another supplier in the
+    * order) + NOT EXISTS (a later-shipping line) — Catalyst decorrelates
+    * both into semi/anti joins on the order key. */
+  def q21Blockers(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_v")
+    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_v")
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
+    s.sql("""
+      SELECT s_name, count(*) AS numwait
+      FROM graft_supplier_v
+      JOIN graft_lineitem_v l1 ON s_suppkey = l1.l_suppkey
+      JOIN graft_orders_v o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND EXISTS (SELECT 1 FROM graft_lineitem_v l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM graft_lineitem_v l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_shipdate > l1.l_shipdate)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume"          -> (q7Volume _),
+    "q8_share"           -> (q8Share _),
+    "q9_profit"          -> (q9Profit _),
+    "q13_custdist"       -> (q13Custdist _),
+    "q15_top_supplier"   -> (q15TopSupplier _),
+    "q17_small_qty"      -> (q17SmallQty _),
+    "q21_blockers"       -> (q21Blockers _),
     "session_paths"      -> (sessionPaths _),
     "q22_prospects"      -> (q22Prospects _),
     "set_ops_all"        -> (setOpsAll _),
@@ -925,6 +1098,105 @@ object RelQueries {
     * to microsecond TIMESTAMP wherever ts participates in output or
     * arithmetic (lossless; see Tables.events). */
   val oracle: Map[String, String] = Map(
+    "q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       round(100.0 * sum(CASE WHEN n_name = 'NATION_3'
+        |                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |             / sum(l_extendedprice * (1 - l_discount)), 2) AS mkt_share_pct,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_type = 'LARGE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |                    JOIN region ON cn.n_regionkey = r_regionkey
+        |                    WHERE r_name = 'AMERICA')
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_type = 'STANDARD'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(l_quantity) AS total_qty,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_qty AS BIGINT) AS total_qty, revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_qty = (SELECT max(total_qty) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#5'),
+        |a AS (SELECT l_partkey AS ap, sum(l_quantity) / count(*) AS avg_qty
+        |      FROM li GROUP BY 1)
+        |SELECT round(sum(l_extendedprice) / 7, 2) AS avg_yearly,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM li JOIN a ON l_partkey = ap
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q21_blockers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+
     "session_paths" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |            FROM events),
