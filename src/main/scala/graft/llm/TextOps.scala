@@ -284,7 +284,52 @@ object TextOps {
            round(countDistinct(col("w")).cast("double") / count(lit(1)), 4).as("ttr"))
       .orderBy(col("source"))
 
+  private val PackBudget = 512L
+
+  /** Sequence packing plan: assign documents (in stable doc_id order per
+    * source) to fixed token-budget bins by their running-token OFFSET —
+    * the batch-shaping step before training (contiguous packing, documents
+    * split at bin boundaries). One window sum of exact integers per
+    * source partition + one hash agg; each source's stream packs
+    * independently, so the window never sees more than one source's rows
+    * — at corpus scale the parallelism unit is the source, and a
+    * per-(source, shard) key would subdivide further if one source
+    * dominated. */
+  def seqPacking(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("offset") / PackBudget))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+           min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** Deterministic stratified sample: the same fraction of every source,
+    * chosen by md5-hash order (reproducible across engines and runs, no
+    * RNG state) — the eval-split / data-ablation primitive. Rank and
+    * stratum size come from one window pass; the quota compares the same
+    * IEEE product on both engines. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val wRank = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+    val wAll = Window.partitionBy(col("source"))
+    Tables.documents(s, d)
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("n_src", count(lit(1)).over(wAll))
+      .filter(col("rnk") <= ceil(col("n_src") * lit(0.1d)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), max(col("n_src")).as("n_total"),
+           sum(col("n_chars")).as("sum_chars"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seq_packing"       -> (seqPacking _),
+    "stratified_sample" -> (stratifiedSample _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "vocab_ttr"       -> (vocabTtr _),
     "pii_scan"         -> (piiScan _),
@@ -303,6 +348,32 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _))
 
   val oracle: Map[String, String] = Map(
+    "seq_packing" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |o AS (SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY source
+         |        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |        0) AS off
+         |      FROM t)
+         |SELECT source, CAST(floor(off / $PackBudget) AS BIGINT) AS bin,
+         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       min(doc_id) AS first_doc
+         |FROM o GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+
+    "stratified_sample" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
+        |         count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM documents)
+        |SELECT source, count(*) AS n_sampled, CAST(max(n_src) AS BIGINT) AS n_total,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS first_doc
+        |FROM r WHERE rnk <= ceil(n_src * 0.1)
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+
     "vocab_ttr" ->
       """WITH words AS (SELECT source, unnest(str_split(text, ' ')) AS w FROM documents)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,

@@ -211,7 +211,28 @@ object VectorOps {
       .orderBy(col("label"), col("assigned"))
   }
 
+  private val RangeTau = 0.2d
+
+  /** Cosine RANGE search (radius query): every vector within cosine ≥ τ
+    * of each query vector — the "all near matches" companion to top-k
+    * (dedup sweeps and recall audits want the full neighborhood, not a
+    * fixed k). Broadcast query set, one corpus scan, no window: selection
+    * is a scalar predicate on the raw double score (identical fold order
+    * on both engines), only the reported score is rounded. */
+  def annRange(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("n2"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw",
+        dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .filter(col("cos_raw") >= lit(RangeTau))
+      .select(col("qid"), col("vec_id"), round(col("cos_raw"), 5).as("cos"))
+      .orderBy(col("qid"), col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_range"   -> (annRange _),
     "kmeans_step" -> (kmeansStep _),
     "cos_topk"    -> (cosTopk _),
     "ann_buckets" -> (annBuckets _),
@@ -252,6 +273,14 @@ object VectorOps {
       |    SELECT label AS cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY label))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ann_range" ->
+      s"""WITH $VecCte,
+         |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries)
+         |SELECT qid, vec_id, round(cos_raw, 5) AS cos
+         |FROM (SELECT qid, vec_id, list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos_raw
+         |      FROM q JOIN e ON vec_id != qid)
+         |WHERE cos_raw >= $RangeTau ORDER BY qid, vec_id""".stripMargin,
+
     "kmeans_step" ->
       s"""WITH $VecCte, $CentsCte,
          |scored AS (
