@@ -78,7 +78,7 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      for (name <- Seq("q3_shipping", "q5_region")) {
+      for (name <- Seq("q3_shipping", "q5_region", "q7_volume", "q8_share", "q9_profit")) {
         val df = graft.rel.RelQueries.queries(name)(spark, sfDir)
         val exec = df.queryExecution.executedPlan
         // the fact-fact join is the shuffle join on the ORDER KEY
@@ -134,6 +134,40 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(custBhj.exists(b => collect(b) { case a: BaseAggregateExec => a }.nonEmpty),
       s"q10: the dim broadcast joins the raw fact rows — the per-customer " +
         s"aggregation must run FIRST so the dims enrich a small table:\n$exec")
+  }
+
+  test("q17_small_qty: every join is broadcast — the fact table never shuffles") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.rel.RelQueries.queries("q17_small_qty")(spark, sfDir)
+      val exec = df.queryExecution.executedPlan
+      // the per-part average is a ≤|brand parts| aggregate broadcast back
+      // onto the same scan; a shuffle join here would re-shuffle lineitem
+      val shuffleJoins = collect(exec) {
+        case j: SortMergeJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+        case j: ShuffledHashJoinExec => j: org.apache.spark.sql.execution.SparkPlan
+      }
+      assert(shuffleJoins.isEmpty,
+        s"q17: correlated-average join-back shuffles the fact table:\n$exec")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("seq_packing: ONE documents scan; pruned to (source, doc_id, text)") {
+    val df = graft.llm.TextOps.queries("seq_packing")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected ONE documents scan, found $scans:\n$plan")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(read.contains("source") && read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang") && !read.contains("n_chars"),
+      s"packing scan not pruned: $read")
   }
 
   test("minhash_sig: documents scan pruned to (doc_id, text)") {
