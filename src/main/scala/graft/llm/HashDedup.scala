@@ -94,6 +94,30 @@ object HashDedup {
 
   // ---- shared Spark-side pieces -------------------------------------
 
+  /** Per-ROW minhash band hashes as a pure column expression (no
+    * aggregation) — the streaming-friendly form of [[minhashBandsDf]]'s
+    * lineage: same 3-word shingles, same (a·h + b) mod P permutations,
+    * same 4×4-component band md5, so a document hashes to the SAME LSH
+    * buckets whether it is scanned in batch or arrives one row at a time
+    * on the live bus (pinned by a batch-vs-expression parity spec).
+    * Returns the 4 band-hash strings (index = band_id); null for
+    * documents under 3 tokens (no shingles → no buckets). */
+  def bandHashExpr(text: Column): Column = {
+    val ws = split(text, " ")
+    val sh = transform(sequence(lit(0), size(ws) - 3),
+      i => concat_ws(" ",
+        element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
+    val hs = transform(sh,
+      x => conv(substring(md5(x), 1, 8), 16, 10).cast("long") % P)
+    val mins = mhParams.map { case (a, b) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % P))
+    }
+    val bands = (0 until 4).map { bnd =>
+      md5(concat_ws(",", (0 until 4).map(r => mins(bnd * 4 + r)): _*))
+    }
+    when(size(ws) >= 3, array(bands: _*))
+  }
+
   /** 3-word shingles from the whitespace token array `ws`. */
   private def shingleArr: Column =
     transform(sequence(lit(0), size(col("ws")) - 3),

@@ -181,6 +181,67 @@ object Streams {
     }
   }
 
+  /** A document arrival exploded to its LSH bucket coordinates. */
+  case class DocArrival(doc_id: Long, band_id: Int, bh: String)
+
+  /** A streaming near-duplicate candidate pair (a < b). */
+  case class CandidatePair(a: Long, b: Long, band_id: Int)
+
+  /** Per-(band, signature) bucket membership state: each arriving doc is
+    * paired against the docs already in its bucket, then joins the
+    * bucket. The cap mirrors [[graft.llm.HashDedup.DefaultMaxBucket]] —
+    * a bucket at the cap is a mass-duplicate cluster; further arrivals
+    * stop emitting pairs instead of going quadratic (state AND output
+    * both stay bounded per key). */
+  private[stream] class BucketPairEmitter(maxBucket: Int)
+      extends StatefulProcessor[(Int, String), DocArrival, CandidatePair] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Long]("members", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, String), rows: Iterator[DocArrival],
+                                 timerValues: TimerValues): Iterator[CandidatePair] = {
+      val cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+      if (members.exists()) cur ++= members.get()
+      val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+      rows.foreach { r =>
+        if (!cur.contains(r.doc_id) && cur.size < maxBucket) {
+          cur.foreach { m =>
+            out += CandidatePair(math.min(m, r.doc_id), math.max(m, r.doc_id), key._1)
+          }
+          members.appendValue(r.doc_id)
+          cur += r.doc_id
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** STREAMING near-duplicate detection: MinHash-LSH over the live
+    * document stream. Each arriving doc computes its 4 band hashes as a
+    * pure per-row expression ([[graft.llm.HashDedup.bandHashExpr]] — the
+    * exact lineage of the batch `minhash_pairs` query, parity-pinned), is
+    * routed to its (band, signature) buckets, and is paired against the
+    * bucket's existing members held in `transformWithState` list state.
+    * Candidate pairs stream out in append mode AS THE DUPLICATE ARRIVES —
+    * the "is this scraped page already in the corpus?" gate of an
+    * ingestion pipeline, without re-running batch dedup. Dedup the
+    * emitted (a, b) downstream (a pair sharing 2 bands emits twice,
+    * exactly like the batch query before ITS distinct). */
+  def streamingNearDup(docs: DataFrame,
+                       maxBucket: Int = graft.llm.HashDedup.DefaultMaxBucket)
+                      (implicit spark: SparkSession): Dataset[CandidatePair] = {
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        posexplode(graft.llm.HashDedup.bandHashExpr(col("text")))
+          .as(Seq("band_id", "bh")))
+      .as[DocArrival]
+      .groupByKey(r => (r.band_id, r.bh))
+      .transformWithState(new BucketPairEmitter(maxBucket),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** The reference's take(n)/auto-unsubscribe (lib/nats.js:98-107) as a
     * stateful count-gate on the `transformWithState` API. Requires the
     * RocksDB state store

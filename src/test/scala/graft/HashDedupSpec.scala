@@ -41,6 +41,23 @@ class HashDedupSpec extends AnyFunSuite {
     tmp
   }
 
+  test("bandHashExpr (per-row) == batch minhash signature band lineage") {
+    import org.apache.spark.sql.functions._
+    // batch side: band md5 over the graded minhash_sig columns
+    val batch = HashDedup.minhashSig(spark, dir)
+      .select(col("doc_id"), array((0 until 4).map { b =>
+        md5(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*))
+      }: _*).as("bands"))
+    // expression side: the streaming per-row form over the same docs
+    val expr = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), HashDedup.bandHashExpr(col("text")).as("bands"))
+      .filter(col("bands").isNotNull)
+    val b = batch.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val e = expr.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(b === e, "a doc must hash to the SAME LSH buckets in batch and per-row form")
+    assert(b.nonEmpty)
+  }
+
   test("minhash LSH finds exact and near copies, not unrelated docs") {
     val pairs = HashDedup.minhashPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

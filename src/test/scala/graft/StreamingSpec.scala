@@ -122,6 +122,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_.sub == "s2").map(_.event_id).toSeq === Seq(5L))
   }
 
+  test("streaming near-dup emits the candidate pair when the duplicate ARRIVES") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamingNearDup(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("neardup").start()
+    try {
+      in.addData((1L, base), (3L, "totally different words here nothing shared " +
+        "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll"))
+      q.processAllAvailable()
+      assert(spark.table("neardup").count() === 0,
+        "no pair may exist before a duplicate arrives")
+      in.addData((2L, base)) // the near-dup arrives later, on the live stream
+      q.processAllAvailable()
+      val pairs = spark.table("neardup").as[Streams.CandidatePair].collect()
+      assert(pairs.map(p => (p.a, p.b)).distinct.toSeq === Seq((1L, 2L)),
+        "the arriving duplicate must pair with the resident doc, nothing else")
+      assert(pairs.length === 4, "an exact copy collides in all 4 bands")
+    } finally {
+      q.stop()
+      prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("per-sub counters in update mode accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
