@@ -1024,7 +1024,71 @@ object RelQueries {
       LIMIT 20""")
   }
 
+  /** TPC-H Q11 shape (adapted: shipped-quantity concentration instead of
+    * partsupp stock value) — parts whose shipped volume exceeds a
+    * multiple of the MEAN per-part volume (1.5×, scale-invariant):
+    * grouped sums gated by a broadcast 1-row scalar. The comparison is
+    * pure integer arithmetic (qty·n_parts·2 > total·3 — quantities are
+    * integral), so the threshold cannot flip cross-engine; revenue is a
+    * rounded display column only. */
+  def q11Important(s: SparkSession, d: String): DataFrame = {
+    val perPart = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("qty"),
+           round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+             .as("revenue"))
+    val total = perPart.agg(sum(col("qty")).as("total_qty"),
+                            count(lit(1)).as("n_parts"))
+    perPart.join(broadcast(total),
+        col("qty") * col("n_parts") * 2d > col("total_qty") * 3d)
+      .select(col("l_partkey"), col("qty").cast("long").as("qty"), col("revenue"))
+      .orderBy(col("qty").desc, col("l_partkey"))
+      .limit(50)
+  }
+
+  /** TPC-H Q16 shape — supplier diversity per part category, minus an
+    * excluded supplier list: distinct-count aggregation over a broadcast
+    * dim join with a NOT IN anti-join (the "complaints" exclusion). */
+  def q16SupplierCnt(s: SparkSession, d: String): DataFrame = {
+    val excluded = Tables.supplier(s, d)
+      .filter(col("s_name").endsWith("7")).select(col("s_suppkey").as("ex_key"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+              .select(col("p_partkey"), col("p_type"), col("p_size"))),
+            col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("ex_key"), "left_anti")
+      .groupBy(col("p_type"), floor(col("p_size") / 10d).cast("long").as("size_bucket"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("supplier_cnt").desc, col("p_type"), col("size_bucket"))
+  }
+
+  /** TPC-H Q20 shape (adapted) — dominant suppliers: suppliers holding
+    * an outsized share of some part's total shipped quantity. Two grouped
+    * aggregations (per part+supplier, per part) joined on the part key;
+    * the share compares exact integer sums scaled by 6 (qty·6 > total,
+    * i.e. share > 1/6 among 2+ suppliers), so no division and no float
+    * boundary. One supplier name join on the ≤|suppliers| result. */
+  def q20Dominant(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val perPS = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("s_qty"))
+    val perP = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity")).as("p_qty"), countDistinct(col("l_suppkey")).as("n_supp"))
+    perPS.join(perP, col("l_partkey") === col("pk"))
+      .filter(col("n_supp") > 1 && col("s_qty") * 6d > col("p_qty"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominated"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominated"))
+      .orderBy(col("n_dominated").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_important"      -> (q11Important _),
+    "q16_supplier_cnt"   -> (q16SupplierCnt _),
+    "q20_dominant"       -> (q20Dominant _),
     "q7_volume"          -> (q7Volume _),
     "q8_share"           -> (q8Share _),
     "q9_profit"          -> (q9Profit _),
@@ -1098,6 +1162,39 @@ object RelQueries {
     * to microsecond TIMESTAMP wherever ts participates in output or
     * arithmetic (lossless; see Tables.events). */
   val oracle: Map[String, String] = Map(
+    "q11_important" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, sum(l_quantity) AS qty,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, CAST(qty AS BIGINT) AS qty, revenue
+        |FROM pp, (SELECT sum(qty) AS tq, count(*) AS np FROM pp) t
+        |WHERE qty * np * 2 > tq * 3
+        |ORDER BY qty DESC, l_partkey LIMIT 50""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_type, CAST(floor(p_size / 10) AS BIGINT) AS size_bucket,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        |GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_type, size_bucket""".stripMargin,
+
+    "q20_dominant" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS s_qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |p AS (
+        |  SELECT l_partkey AS pk, sum(l_quantity) AS p_qty,
+        |         count(DISTINCT l_suppkey) AS n_supp
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_dominated FROM (
+        |  SELECT l_suppkey, count(*) AS n_dominated
+        |  FROM ps JOIN p ON l_partkey = pk
+        |  WHERE n_supp > 1 AND s_qty * 6 > p_qty
+        |  GROUP BY 1)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY n_dominated DESC, s_suppkey LIMIT 25""".stripMargin,
+
     "q7_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
