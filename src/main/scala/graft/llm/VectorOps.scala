@@ -231,7 +231,61 @@ object VectorOps {
       .orderBy(col("qid"), col("vec_id"))
   }
 
+  /** ANN quality audit: recall@3 of the hyperplane-LSH path against the
+    * exact brute-force top-3, per query — the metric that decides whether
+    * an approximate index is good enough to ship. Both sides reuse the
+    * graded query lineages; the join is on (query, neighbor) pairs. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = cosTopk(s, d).filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"))
+    val approx = annTopk(s, d)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    exact.join(approx,
+        col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"), count(col("avid")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+      .orderBy(col("qid"))
+  }
+
+  private val PqSubs = 4
+  private val PqDim = 16
+
+  /** Product-quantization assignment (the IVF-PQ building block): the
+    * 64-dim space splits into 4 × 16-dim subspaces, each with its own
+    * codebook (the quantized-integer label-mean centroids restricted to
+    * the subspace), and every vector picks its nearest code per subspace
+    * by squared L2 — ‖x‖² − 2·x·c + ‖c‖², each term a sequential-fold
+    * dot product, ties broken by cell id, so the argmin is deterministic
+    * cross-engine. Output: code-histogram per subspace (the structure a
+    * PQ index stores; a skewed histogram means a bad codebook). Corpus
+    * streams once against k broadcast centroids, exactly like
+    * [[kmeansStep]]. */
+  def embedPq(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"))
+    val cents = centroids(vecs(s, d))
+    val dists = (0 until PqSubs).map { j =>
+      val xs = slice(col("v"), j * PqDim + 1, PqDim)
+      val cs = slice(col("cv"), j * PqDim + 1, PqDim)
+      dot(xs, xs) - lit(2d) * dot(xs, cs) + dot(cs, cs)
+    }
+    val w = Window.partitionBy(col("vec_id"), col("subspace"))
+      .orderBy(col("d2"), col("cell"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        posexplode(array(dists: _*)).as(Seq("subspace", "d2")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("subspace").cast("long").as("subspace"),
+               col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("subspace"), col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall"  -> (annRecall _),
+    "embed_pq"    -> (embedPq _),
     "ann_range"   -> (annRange _),
     "kmeans_step" -> (kmeansStep _),
     "cos_topk"    -> (cosTopk _),
@@ -273,6 +327,46 @@ object VectorOps {
       |    SELECT label AS cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY label))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "ann_recall" ->
+      s"""WITH $VecCte, $SigCte,
+         |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
+         |qb AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, bucket AS qbucket
+         |       FROM sig WHERE vec_id < $NQueries),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS rank
+         |    FROM (SELECT qid, vec_id, list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos_raw
+         |          FROM q JOIN e ON vec_id != qid))
+         |  WHERE rank <= 3),
+         |approx AS (
+         |  SELECT qid AS aqid, vec_id AS avid FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS rank
+         |    FROM (SELECT qid, sig.vec_id AS vec_id,
+         |                 list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos_raw
+         |          FROM qb JOIN sig ON sig.bucket = qbucket AND sig.vec_id != qid))
+         |  WHERE rank <= 3)
+         |SELECT qid, count(*) AS n_exact, count(avid) AS n_hit,
+         |       round(CAST(count(avid) AS DOUBLE) / count(*), 4) AS recall
+         |FROM exact LEFT JOIN approx ON qid = aqid AND vec_id = avid
+         |GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "embed_pq" ->
+      s"""WITH $VecCte, $CentsCte,
+         |sp AS (SELECT j FROM (VALUES (0), (1), (2), (3)) s(j)),
+         |d AS (
+         |  SELECT vec_id, cell, j,
+         |         list_dot_product(v[j*$PqDim+1:j*$PqDim+$PqDim], v[j*$PqDim+1:j*$PqDim+$PqDim])
+         |         - 2 * list_dot_product(v[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim])
+         |         + list_dot_product(cv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim]) AS d2
+         |  FROM e CROSS JOIN cents CROSS JOIN sp)
+         |SELECT CAST(j AS BIGINT) AS subspace, CAST(cell AS BIGINT) AS cell,
+         |       count(*) AS n
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cell) AS rk
+         |      FROM d)
+         |WHERE rk = 1 GROUP BY 1, 2 ORDER BY subspace, cell""".stripMargin,
+
     "ann_range" ->
       s"""WITH $VecCte,
          |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries)
