@@ -327,7 +327,36 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Length-outlier detection per source: documents whose token count
+    * sits beyond 1.5σ of their source's mean — the truncation/concatenation
+    * anomaly scan of a corpus audit. Mean and variance are computed from
+    * exact integer sums (Σx, Σx², n) with a FIXED expression order —
+    * never the built-in stddev (Welford accumulation order differs per
+    * engine) — so the z-threshold compares identically cross-engine. */
+  def lengthOutliers(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val withStats = docs
+      .withColumn("sx", sum(col("n_tok")).over(w))
+      .withColumn("sxx", sum(col("n_tok") * col("n_tok")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("mean", col("sx").cast("double") / col("n"))
+      .withColumn("variance",
+        (col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("n"))
+          / (col("n") - 1))
+    withStats
+      .filter((col("n_tok").cast("double") - col("mean")) *
+              (col("n_tok").cast("double") - col("mean")) >
+              lit(2.25d) * col("variance"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_outliers"), min(col("n_tok")).as("min_tok"),
+           max(col("n_tok")).as("max_tok"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "length_outliers"   -> (lengthOutliers _),
     "seq_packing"       -> (seqPacking _),
     "stratified_sample" -> (stratifiedSample _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
@@ -348,6 +377,26 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _))
 
   val oracle: Map[String, String] = Map(
+    "length_outliers" ->
+      """WITH t AS (
+        |  SELECT source, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |st AS (SELECT *,
+        |         sum(n_tok) OVER w AS sx,
+        |         sum(n_tok * n_tok) OVER w AS sxx,
+        |         count(*) OVER w AS n
+        |       FROM t WINDOW w AS (PARTITION BY source)),
+        |z AS (SELECT source, n_tok,
+        |        CAST(sx AS DOUBLE) / n AS mean,
+        |        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS variance
+        |      FROM st)
+        |SELECT source, count(*) AS n_outliers,
+        |       min(n_tok) AS min_tok, max(n_tok) AS max_tok
+        |FROM z
+        |WHERE (CAST(n_tok AS DOUBLE) - mean) * (CAST(n_tok AS DOUBLE) - mean)
+        |      > 2.25 * variance
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+
     "seq_packing" ->
       s"""WITH t AS (
          |  SELECT source, doc_id,
