@@ -1085,7 +1085,29 @@ object RelQueries {
       .limit(25)
   }
 
+  /** Schema-drift union: two event feeds with DIFFERENT column sets
+    * (an old producer without `event_type`, a new one without `value`)
+    * merged by NAME with missing columns null-filled — the heterogeneous
+    * ingestion shape of a long-lived 100 TB pipeline (schema evolution
+    * without a rewrite). Null-counting aggregation proves which side
+    * contributed what. */
+  def unionByNameDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val v1 = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val v2 = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           count(col("value")).as("n_with_value"),
+           count(col("event_type")).as("n_with_type"),
+           round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "union_by_name"      -> (unionByNameDrift _),
     "q11_important"      -> (q11Important _),
     "q16_supplier_cnt"   -> (q16SupplierCnt _),
     "q20_dominant"       -> (q20Dominant _),
@@ -1162,6 +1184,15 @@ object RelQueries {
     * to microsecond TIMESTAMP wherever ts participates in output or
     * arithmetic (lossless; see Tables.events). */
   val oracle: Map[String, String] = Map(
+    "union_by_name" ->
+      """WITH v1 AS (SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0),
+        |v2 AS (SELECT event_id, user_id, event_type FROM events WHERE event_id % 2 = 1),
+        |u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+        |SELECT user_id % 10 AS bucket, count(*) AS n,
+        |       count(value) AS n_with_value, count(event_type) AS n_with_type,
+        |       round(sum(value), 2) AS total_value
+        |FROM u GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "q11_important" ->
       """WITH pp AS (
         |  SELECT l_partkey, sum(l_quantity) AS qty,
