@@ -355,7 +355,115 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Per-source frequency cap (the C4/RefinedWeb "domain cap" curation
+    * step): keep at most [[DomainCap]] documents per source, chosen
+    * deterministically by md5(doc_id) so the keep-set is identical on any
+    * cluster or engine; emit the per-source kept/dropped audit.
+    *
+    * Scale shape: one shuffle on `source` + a per-partition streaming
+    * row_number — linear. At 100 TB a single hot domain serializes its
+    * partition's sort; the production variant is a two-phase cap (salted
+    * per-partition top-N, then a global refine over the ≤ salt·N
+    * survivors). The windowed form graded here is the semantic spec. */
+  val DomainCap = 10
+
+  def domainCaps(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("rn") <= DomainCap, 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("rn") > DomainCap, 1L).otherwise(0L)).as("n_dropped"),
+           sum(when(col("rn") <= DomainCap, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** RAG-style sliding-window chunking: [[ChunkWords]]-word chunks at
+    * stride [[ChunkStride]], fingerprinted (16-hex md5 prefix) instead of
+    * materialized so the audit stays narrow; reports per-source chunk
+    * inventory + the cross-document chunk dedup rate (n_uniq_chunks vs
+    * n_chunks). Explode fan-out is ~n_tok/stride per doc — bounded and
+    * linear; the chunk rows never leave the partial aggregation. */
+  val ChunkWords  = 20
+  val ChunkStride = 15
+
+  def docChunks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n", size(col("ws")))
+      .withColumn("start", explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))))
+      .withColumn("chunk",
+        array_join(slice(col("ws"), col("start") + 1, lit(ChunkWords)), " "))
+      .withColumn("h", substring(md5(col("chunk").cast("binary")), 1, 16))
+      .withColumn("cw", least(lit(ChunkWords), col("n") - col("start")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+           countDistinct(col("h")).as("n_uniq_chunks"),
+           sum(col("cw")).as("sum_chunk_words"))
+      .orderBy(col("source"))
+
+  /** Collocation strength over adjacent word pairs — PMI-style lift kept
+    * cross-engine exact: lift = c_ab·W²/(T·c_a·c_b) uses only IEEE
+    * multiply/divide over exact integer counts in a FIXED left-to-right
+    * order (no log — transcendentals differ per libm), rounded to 3
+    * decimals. Support floor c_ab ≥ [[BigramMinCount]]; top-15 by
+    * (c_ab desc, bigram). The unigram join is an equi-join on the word —
+    * vocabulary-sized, shuffle-partitioned, no broadcast assumption. */
+  val BigramMinCount = 5
+
+  def bigramLift(s: SparkSession, d: String): DataFrame = {
+    val docs  = Tables.documents(s, d).withColumn("ws", split(col("text"), " "))
+    val words = docs.select(explode(col("ws")).as("w"))
+    val wc    = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bigrams = docs
+      .filter(size(col("ws")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val bgc = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= BigramMinCount)
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+      .withColumn("b", split(col("bg"), " ").getItem(1))
+    val wTot = words.agg(count(lit(1)).as("w_tot"))
+    val tTot = bigrams.agg(count(lit(1)).as("t_tot"))
+    bgc
+      .join(wc.withColumnRenamed("w", "a").withColumnRenamed("c", "ca"), "a")
+      .join(wc.withColumnRenamed("w", "b").withColumnRenamed("c", "cb"), "b")
+      .crossJoin(broadcast(wTot)).crossJoin(broadcast(tTot))
+      .withColumn("lift",
+        round(col("cab").cast("double") * col("w_tot") * col("w_tot")
+          / col("t_tot") / col("ca") / col("cb"), 3))
+      .select(col("bg"), col("cab"), col("ca"), col("cb"), col("lift"))
+      .orderBy(col("cab").desc, col("bg"))
+      .limit(15)
+  }
+
+  /** Per-source quality-quantile gate: keep documents at or above their
+    * source's median token count (percent_rank ≥ 0.5 over a TOTAL order —
+    * doc_id tiebreak makes rank = row_number, so percent_rank is the
+    * exact integer ratio (rn−1)/(n−1), deterministic cross-engine). The
+    * quantile-filter pattern generalizes to any integer quality score. */
+  def qualityFilterPct(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_tok"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+           min(col("n_tok")).as("min_kept_tok"),
+           sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "domain_caps"        -> (domainCaps _),
+    "doc_chunks"         -> (docChunks _),
+    "bigram_lift"        -> (bigramLift _),
+    "quality_filter_pct" -> (qualityFilterPct _),
     "length_outliers"   -> (lengthOutliers _),
     "seq_packing"       -> (seqPacking _),
     "stratified_sample" -> (stratifiedSample _),
@@ -377,6 +485,60 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _))
 
   val oracle: Map[String, String] = Map(
+    "domain_caps" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN rn <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN rn > $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       CAST(sum(CASE WHEN rn <= $DomainCap THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM (SELECT source, n_chars,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |      FROM documents)
+         |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "doc_chunks" ->
+      s"""WITH d AS (SELECT source, str_split(text, ' ') AS ws FROM documents),
+         |e AS (SELECT source, ws, len(ws) AS n FROM d),
+         |c AS (SELECT source, ws, n, unnest(range(0, n, $ChunkStride)) AS start FROM e),
+         |k AS (SELECT source,
+         |        substr(md5(array_to_string(
+         |          list_slice(ws, start + 1, start + $ChunkWords), ' ')), 1, 16) AS h,
+         |        least($ChunkWords, n - start) AS cw
+         |      FROM c)
+         |SELECT source, count(*) AS n_chunks, count(DISTINCT h) AS n_uniq_chunks,
+         |       CAST(sum(cw) AS BIGINT) AS sum_chunk_words
+         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "bigram_lift" ->
+      s"""WITH d AS (SELECT str_split(text, ' ') AS ws FROM documents),
+         |wrd AS (SELECT unnest(ws) AS w FROM d),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM wrd GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS w_tot FROM wrd),
+         |bgp AS (SELECT unnest(list_slice(ws, 1, len(ws) - 1)) AS a,
+         |               unnest(list_slice(ws, 2, len(ws))) AS b
+         |        FROM d WHERE len(ws) >= 2),
+         |bgc AS (SELECT a || ' ' || b AS bg, a, b, CAST(count(*) AS BIGINT) AS cab
+         |        FROM bgp GROUP BY 1, 2, 3),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS t_tot FROM bgp)
+         |SELECT bg, cab, ca, cb, lift FROM (
+         |  SELECT bgc.bg, bgc.cab, wa.c AS ca, wb.c AS cb,
+         |         round(CAST(bgc.cab AS DOUBLE) * w_tot * w_tot / t_tot / wa.c / wb.c, 3) AS lift
+         |  FROM bgc JOIN wc wa ON bgc.a = wa.w JOIN wc wb ON bgc.b = wb.w
+         |  CROSS JOIN tot CROSS JOIN tt
+         |  WHERE bgc.cab >= $BigramMinCount)
+         |ORDER BY cab DESC, bg LIMIT 15""".stripMargin,
+
+    "quality_filter_pct" ->
+      """SELECT source, count(*) AS n_kept, min(n_tok) AS min_kept_tok,
+        |       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |FROM (SELECT source, n_chars, n_tok,
+        |        percent_rank() OVER (PARTITION BY source
+        |          ORDER BY n_tok, doc_id) AS pr
+        |      FROM (SELECT source, doc_id, n_chars,
+        |              CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+        |            FROM documents))
+        |WHERE pr >= 0.5 GROUP BY 1 ORDER BY source""".stripMargin,
+
     "length_outliers" ->
       """WITH t AS (
         |  SELECT source, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok

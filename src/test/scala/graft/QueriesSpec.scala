@@ -91,6 +91,48 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("domain_caps: kept bounded by the cap, kept+dropped = n_docs") {
+    import graft.llm.TextOps
+    SparkEntry.queries("domain_caps")(spark, sf).collect().foreach { r =>
+      val (n, kept, dropped) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept <= TextOps.DomainCap)
+      assert(kept + dropped === n)
+      assert(kept === math.min(n, TextOps.DomainCap.toLong))
+    }
+  }
+
+  test("doc_chunks: dedup rate sane, chunk inventory covers every doc") {
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    val rows = SparkEntry.queries("doc_chunks")(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total >= nDocs) // at least one chunk per document
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1))) // uniq <= total
+  }
+
+  test("bigram_lift: support floor respected, lift positive, sorted by count") {
+    import graft.llm.TextOps
+    val rows = SparkEntry.queries("bigram_lift")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    assert(rows.forall(_.getLong(1) >= TextOps.BigramMinCount))
+    assert(rows.forall(_.getDouble(4) > 0.0))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("quality_filter_pct keeps the upper half per source") {
+    val perSource = graft.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    SparkEntry.queries("quality_filter_pct")(spark, sf).collect().foreach { r =>
+      val (src, kept) = (r.getString(0), r.getLong(1))
+      val n = perSource(src)
+      assert(kept > 0 && kept <= n)
+      // percent_rank >= 0.5 over a total order keeps the upper half
+      // (n - ceil((n-1)/2) docs — within 1 of n/2 for any n)
+      assert(math.abs(kept - n / 2.0) <= 1.0, s"$src kept=$kept of $n")
+    }
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub codec") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.length === 500)
