@@ -441,6 +441,38 @@ object TextOps {
       .limit(15)
   }
 
+  /** Edit-distance near-duplicate pairs — the fuzzy-dedup family member
+    * between exact hash and MinHash: Levenshtein over the first
+    * [[EditPrefix]] chars of the normalized text, blocked on
+    * (⌊len/20⌋, first-4-chars) so only plausible pairs are compared.
+    * Levenshtein is integer DP — bit-identical cross-engine, fully
+    * oracle-checkable (unlike sketches). The block cap is MIRRORED in
+    * the DuckDB twin (QUALIFY) so a mass-duplicate corpus can never
+    * silently diverge the oracle — the lesson from the LSH bucket cap. */
+  val EditBlockCap = 256
+  val EditMaxDist  = 5
+  val EditPrefix   = 40
+
+  def editdistPairs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), normCol.as("norm"))
+      .withColumn("p", substring(col("norm"), 1, EditPrefix))
+      .withColumn("blk", concat_ws("|",
+        floor(length(col("norm")) / 20).cast("string"),
+        substring(col("norm"), 1, 4)))
+    val bounded = base
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .filter(col("bn") <= EditBlockCap)
+    val a = bounded.select(col("blk"), col("doc_id").as("doc_a"), col("p").as("pa"))
+    val b = bounded.select(col("blk"), col("doc_id").as("doc_b"), col("p").as("pb"))
+    a.join(b, "blk")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .filter(col("dist") <= EditMaxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Per-source quality-quantile gate: keep documents at or above their
     * source's median token count (percent_rank ≥ 0.5 over a TOTAL order —
     * doc_id tiebreak makes rank = row_number, so percent_rank is the
@@ -464,6 +496,7 @@ object TextOps {
     "doc_chunks"         -> (docChunks _),
     "bigram_lift"        -> (bigramLift _),
     "quality_filter_pct" -> (qualityFilterPct _),
+    "editdist_pairs"     -> (editdistPairs _),
     "length_outliers"   -> (lengthOutliers _),
     "seq_packing"       -> (seqPacking _),
     "stratified_sample" -> (stratifiedSample _),
@@ -527,6 +560,19 @@ object TextOps {
          |  CROSS JOIN tot CROSS JOIN tt
          |  WHERE bgc.cab >= $BigramMinCount)
          |ORDER BY cab DESC, bg LIMIT 15""".stripMargin,
+
+    "editdist_pairs" ->
+      s"""WITH n AS (SELECT doc_id, $NormSql AS norm FROM documents),
+         |b AS (SELECT doc_id, substr(norm, 1, $EditPrefix) AS p,
+         |        CAST(CAST(floor(len(norm) / 20) AS BIGINT) AS VARCHAR)
+         |          || '|' || substr(norm, 1, 4) AS blk
+         |      FROM n),
+         |g AS (SELECT * FROM b QUALIFY count(*) OVER (PARTITION BY blk) <= $EditBlockCap)
+         |SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+         |       CAST(levenshtein(a.p, bb.p) AS BIGINT) AS dist
+         |FROM g a JOIN g bb ON a.blk = bb.blk AND a.doc_id < bb.doc_id
+         |WHERE levenshtein(a.p, bb.p) <= $EditMaxDist
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "quality_filter_pct" ->
       """SELECT source, count(*) AS n_kept, min(n_tok) AS min_kept_tok,

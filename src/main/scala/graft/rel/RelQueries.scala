@@ -50,6 +50,18 @@ object RelQueries {
            round(percentile(col("l_quantity"), lit(0.9)), 3).as("p90_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Sketch aggregation: approximate percentiles (Spark's GK-style
+    * quantile summary, mergeable across partitions — the 100 TB path
+    * where exact percentile would sort-shuffle the full column). No
+    * DuckDB oracle (different sketch) — driver records rows-only;
+    * the error bound vs the exact percentile is pinned in QueriesSpec. */
+  def approxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("ap50_qty"),
+           percentile_approx(col("l_quantity"), lit(0.9), lit(1000)).as("ap90_qty"))
+      .orderBy(col("l_returnflag"))
+
   /** Sketch aggregation: HyperLogLog++ approximate distinct counts.
     * No DuckDB oracle (different sketch) — driver records rows-only;
     * exactness is bounded against countDistinct in QueriesSpec. */
@@ -1137,6 +1149,7 @@ object RelQueries {
     "agg_stats"          -> (aggStats _),
     "percentiles"        -> (percentiles _),
     "approx_distinct"    -> (approxDistinct _),
+    "approx_percentiles" -> (approxPercentiles _),
     "agg_variance"       -> (aggVariance _),
     "join_region_rev"    -> (joinRegionRevenue _),
     "join_left"          -> (joinLeft _),

@@ -133,6 +133,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentiles stays within sketch tolerance of the exact percentile") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
+           percentile(col("l_quantity"), lit(0.9)).as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    SparkEntry.queries("approx_percentiles")(spark, sf).collect().foreach { r =>
+      val (flag, a50, a90) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      assert(math.abs(a50 - exact(flag)._1) <= 2.0, s"$flag p50: $a50 vs ${exact(flag)._1}")
+      assert(math.abs(a90 - exact(flag)._2) <= 2.0, s"$flag p90: $a90 vs ${exact(flag)._2}")
+    }
+  }
+
+  test("editdist_pairs: symmetric-free (a<b), distance within the gate") {
+    import graft.llm.TextOps
+    val rows = SparkEntry.queries("editdist_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty) // corpus has exact dups -> dist-0 pairs exist
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= TextOps.EditMaxDist)
+    }
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub codec") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.length === 500)
