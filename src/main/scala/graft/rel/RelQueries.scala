@@ -601,6 +601,35 @@ object RelQueries {
 
   /** Tumbling 1-hour event-time window (Structured Streaming's groupBy
     * window() — identical semantics on bounded input). */
+  /** 10-bit key space for [[zorderLayout]] (values are `% 1024`). */
+  val ZOrderDimBits = 10
+
+  /** Z-order layout audit: Morton-interleave (user_id, event_id) low
+    * bits and bucket rows by the TOP 5 z-bits (a pure shift — no global
+    * window, so the bucketing is distributed; production writes would
+    * `repartitionByRange(zval)` + sorted write instead). Each z-bucket's
+    * min/max span on BOTH dimensions stays a bounded rectangle —
+    * the property that lets parquet min/max stats prune range
+    * predicates on either key after one layout pass. */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.ZOrder
+    // dims are 10-bit (mod 1024) -> z occupies 20 bits; bucket = top 5
+    // z-bits (fixes x's top-2 and y's top-3 bits: each bucket is a
+    // <=256 x <=128 rectangle of the 1024x1024 key space)
+    val zShift = 2 * ZOrderDimBits - 5
+    val withDims = Tables.events(s, d)
+      .withColumn("a", col("user_id") % 1024)
+      .withColumn("b", col("event_id") % 1024)
+    withDims
+      .withColumn("zbucket",
+        shiftright(ZOrder.interleave(col("a"), col("b")), zShift))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n"),
+           min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+           min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+      .orderBy(col("zbucket"))
+  }
+
   def eventsTumbling(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -1191,6 +1220,7 @@ object RelQueries {
     "above_avg"          -> (aboveAvg _),
     "events_tumbling"    -> (eventsTumbling _),
     "events_sliding"     -> (eventsSliding _),
+    "zorder_layout"      -> (zorderLayout _),
     "events_sessions"    -> (eventsSessions _))
 
   /** DuckDB twins. `events` timestamps are TIMESTAMP_NS there — cast down
@@ -1847,6 +1877,17 @@ object RelQueries {
       SELECT o_orderpriority, count(*) AS n FROM orders
       WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "zorder_layout" ->
+      s"""WITH t AS (SELECT user_id % 1024 AS a, event_id % 1024 AS b FROM events),
+         |z AS (SELECT a, b,
+         |        (${graft.sources.ZOrder.interleaveSql("a", "b")})
+         |          >> ${2 * ZOrderDimBits - 5} AS zbucket
+         |      FROM t)
+         |SELECT zbucket, count(*) AS n,
+         |       min(a) AS min_a, max(a) AS max_a,
+         |       min(b) AS min_b, max(b) AS max_b
+         |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin,
 
     "events_tumbling" -> """
       SELECT TIMESTAMP '1970-01-01 00:00:00'

@@ -157,6 +157,18 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder_layout: every z-bucket is a bounded rectangle on BOTH dims") {
+    val rows = SparkEntry.queries("zorder_layout")(spark, sf).collect()
+    assert(rows.length > 1 && rows.length <= 32)
+    rows.foreach { r =>
+      val (minA, maxA, minB, maxB) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // top-5 z-bits fix x's top-2 and y's top-3 bits (10-bit dims)
+      assert(maxA - minA <= 255, s"a-span ${maxA - minA}")
+      assert(maxB - minB <= 127, s"b-span ${maxB - minB}")
+    }
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub codec") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.length === 500)
