@@ -179,6 +179,40 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"minhash signature scan not pruned: $read")
   }
 
+  test("zorder_layout: whole-stage codegen'd bit interleave, ONE shuffle, no Window") {
+    val df = graft.rel.RelQueries.queries("zorder_layout")(spark, sfDir)
+    df.collect() // finalize AQE so codegen spans appear in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"z-bucketing must be a pure shift, not a window function:\n$plan")
+    // codegen spans render as "WholeStageCodegen" or the "*(n)" stage marker
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"interleave fell out of codegen:\n$plan")
+    // one shuffle for the 32-key aggregation + the ORDER BY range exchange
+    // (AQE toString appends the pre-execution "Initial Plan" — cut it off)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(finalPlan).length
+    assert(exchanges <= 2, s"expected <=2 exchanges (agg + sort), found $exchanges:\n$finalPlan")
+  }
+
+  test("editdist_pairs: blocked equi-join, never a cartesian/BNLJ pair expansion") {
+    val df = graft.llm.TextOps.queries("editdist_pairs")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair expansion must be an equi-join on the block key:\n$plan")
+  }
+
+  test("domain_caps/quality_filter_pct: scan pruned, single source-partition window") {
+    for (q <- Seq("domain_caps", "quality_filter_pct")) {
+      val df = graft.llm.TextOps.queries(q)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+      assert(!read.contains("lang"), s"$q scan not pruned: $read")
+      val windows = "Window".r.findAllIn(plan).length
+      assert(windows <= 1, s"$q expected one window pass, found $windows:\n$plan")
+    }
+  }
+
   test("cdc_rpc_first: single scan (disjunction, not per-pattern union) + top-1 reduce") {
     val df = CdcBus.queries("cdc_rpc_first")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
