@@ -491,7 +491,35 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** The curation funnel with PER-STAGE attribution — the audit a
+    * training-data team actually reads: per source, how many documents
+    * survive each gate (raw → exact-dedup representative → quality gate
+    * → domain cap). ONE documents scan, two window passes, one
+    * aggregation; the cap rank over survivors is a conditional running
+    * sum (no second filtered scan). Every stage reuses the already-
+    * graded operator's semantics, so the funnel is the composition
+    * proof, not new logic. */
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    val wExact = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val wCap = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("ex", row_number().over(wExact) === 1)
+      .withColumn("q", col("ex") && col("n_tok") >= 30)
+      .withColumn("srank", sum(when(col("q"), 1L).otherwise(0L)).over(wCap))
+      .withColumn("fin", col("q") && col("srank") <= DomainCap)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("ex"), 1L).otherwise(0L)).as("n_exact"),
+           sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+           sum(when(col("fin"), 1L).otherwise(0L)).as("n_final"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_funnel"    -> (curationFunnel _),
     "domain_caps"        -> (domainCaps _),
     "doc_chunks"         -> (docChunks _),
     "bigram_lift"        -> (bigramLift _),
@@ -518,6 +546,25 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _))
 
   val oracle: Map[String, String] = Map(
+    "curation_funnel" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1 AS ex
+         |  FROM documents),
+         |g AS (SELECT source, doc_id, ex, ex AND n_tok >= 30 AS q FROM t),
+         |r AS (SELECT source, ex, q,
+         |        sum(CASE WHEN q THEN 1 ELSE 0 END) OVER (
+         |          PARTITION BY source
+         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS srank
+         |      FROM g)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |       CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |       CAST(sum(CASE WHEN q AND srank <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+         |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
+
     "domain_caps" ->
       s"""SELECT source, count(*) AS n_docs,
          |       CAST(sum(CASE WHEN rn <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

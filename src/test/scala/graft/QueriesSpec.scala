@@ -169,6 +169,15 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("curation_funnel: stage counts are monotonically non-increasing") {
+    import graft.llm.TextOps
+    SparkEntry.queries("curation_funnel")(spark, sf).collect().foreach { r =>
+      val (n, ex, q, fin) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= ex && ex >= q && q >= fin, s"funnel not monotone: $n>=$ex>=$q>=$fin")
+      assert(fin <= TextOps.DomainCap)
+    }
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub codec") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.length === 500)
