@@ -215,7 +215,28 @@ object CdcBus {
       .orderBy(col("channel"))
   }
 
+  /** SCD2 materialization of the CDC stream — the canonical CDC→warehouse
+    * shape: every envelope becomes a version row with a validity interval
+    * [valid_from, valid_to) closed by the NEXT event on the same channel
+    * (lead over the channel partition); the open interval is the current
+    * version. One shuffle on the channel key, no self-join — at 100 TB
+    * the window partitions by entity key exactly like the retained cache.
+    * Reference analogue: the subscriber replaying a channel's history
+    * (lib/nats.js:109-111) — here as one declarative pass. */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("channel")).orderBy(col("ts"), col("event_id"))
+    Tables.bus(s, d)
+      .filter(col("user_id") < 20)
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("channel"), col("event_id"), col("ts").as("valid_from"),
+              col("valid_to"), col("is_current"),
+              round(col("value"), 2).as("value"))
+      .orderBy(col("channel"), col("valid_from"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_scd2"            -> (scd2 _),
     "cdc_retained"        -> (retained _),
     "cdc_deep_route"      -> (deepRoute _),
     "cdc_route_hot"       -> (routeHot _),
@@ -229,6 +250,16 @@ object CdcBus {
     "cdc_sql_route"       -> (sqlRoute _))
 
   val oracle: Map[String, String] = Map(
+    "cdc_scd2" ->
+      s"""${Tables.BusCte}
+         |SELECT channel, event_id, ts AS valid_from,
+         |       lead(ts) OVER w AS valid_to,
+         |       lead(ts) OVER w IS NULL AS is_current,
+         |       round(value, 2) AS value
+         |FROM ev WHERE user_id < 20
+         |WINDOW w AS (PARTITION BY channel ORDER BY ts, event_id)
+         |ORDER BY channel, valid_from, event_id""".stripMargin,
+
     "cdc_retained" ->
       s"""${Tables.BusCte}
          |SELECT channel, event_id, ts, round(value, 2) AS value FROM (

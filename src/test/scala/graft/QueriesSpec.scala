@@ -178,6 +178,22 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc_scd2: exactly one current version per channel, intervals chain") {
+    val rows = SparkEntry.queries("cdc_scd2")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byChannel = rows.groupBy(_.getString(0))
+    byChannel.foreach { case (ch, vs) =>
+      assert(vs.count(_.getBoolean(4)) === 1, s"$ch: != 1 current version")
+      // versions ordered by valid_from: each valid_to equals the next valid_from
+      val sorted = vs.sortBy(r => (r.getTimestamp(2).getTime, r.getLong(1)))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getTimestamp(3) === b.getTimestamp(2), s"$ch: gap")
+        case _ =>
+      }
+      assert(sorted.last.getTimestamp(3) === null)
+    }
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub codec") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.length === 500)
