@@ -235,7 +235,28 @@ object CdcBus {
       .orderBy(col("channel"), col("valid_from"), col("event_id"))
   }
 
+  /** Sequence-gap audit — the lost/duplicate-message check of an
+    * at-least-once transport: within each event_type sub-stream, compare
+    * consecutive global sequence numbers (the JetStream-sequence
+    * analogue [[graft.nats.NatsSource]] uses as offsets) and report gap
+    * statistics. A transport replaying correctly shows gaps only where
+    * OTHER sub-streams' messages interleave; a broken shard shows a
+    * max_gap spike. lag over the sub-stream partition — one shuffle. */
+  def seqGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    Tables.bus(s, d)
+      .withColumn("gap", col("event_id") - lag(col("event_id"), 1).over(w) - 1L)
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_steps"),
+           sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_gapped"),
+           sum(when(col("gap") > 0, col("gap")).otherwise(0L)).as("missing_total"),
+           max(col("gap")).as("max_gap"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_seq_gaps"        -> (seqGaps _),
     "cdc_scd2"            -> (scd2 _),
     "cdc_retained"        -> (retained _),
     "cdc_deep_route"      -> (deepRoute _),
@@ -250,6 +271,20 @@ object CdcBus {
     "cdc_sql_route"       -> (sqlRoute _))
 
   val oracle: Map[String, String] = Map(
+    "cdc_seq_gaps" ->
+      s"""${Tables.BusCte}
+         |SELECT event_type, count(*) AS n_steps,
+         |       CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gapped,
+         |       CAST(sum(CASE WHEN gap > 0 THEN gap ELSE 0 END) AS BIGINT) AS missing_total,
+         |       max(gap) AS max_gap
+         |FROM (
+         |  SELECT event_type,
+         |         event_id - lag(event_id) OVER (PARTITION BY event_type
+         |           ORDER BY event_id) - 1 AS gap
+         |  FROM ev)
+         |WHERE gap IS NOT NULL
+         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "cdc_scd2" ->
       s"""${Tables.BusCte}
          |SELECT channel, event_id, ts AS valid_from,
