@@ -35,6 +35,21 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("interleave expression agrees with a plain-Scala reference on random keys") {
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long =
+      (0 until ZOrder.Bits).foldLeft(0L) { (z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(42)
+    val keys = Seq.fill(500)((rnd.nextInt(1 << ZOrder.Bits).toLong,
+                              rnd.nextInt(1 << ZOrder.Bits).toLong))
+    val got = keys.toDF("x", "y")
+      .withColumn("z", ZOrder.interleave(col("x"), col("y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    keys.foreach { case (x, y) => assert(got((x, y)) === ref(x, y), s"($x,$y)") }
+  }
+
   test("clustered write: every file is a bounded rectangle; range predicates prune") {
     val dir = Files.createTempDirectory("zorder").toFile
     dir.deleteOnExit()
