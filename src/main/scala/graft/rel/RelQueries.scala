@@ -1114,9 +1114,14 @@ object RelQueries {
     val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
     val perPS = li.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("s_qty"))
-    val perP = li.groupBy(col("l_partkey").as("pk"))
-      .agg(sum(col("l_quantity")).as("p_qty"), countDistinct(col("l_suppkey")).as("n_supp"))
-    perPS.join(perP, col("l_partkey") === col("pk"))
+    // per-part totals as a WINDOW over the reduced agg — one lineitem
+    // scan, no self-join (a two-agg join re-scans the fact table: the
+    // identical perPS subtrees defeat exchange reuse); the part window
+    // moves only |parts x suppliers| rows
+    val w = Window.partitionBy(col("l_partkey"))
+    perPS
+      .withColumn("p_qty", sum(col("s_qty")).over(w))
+      .withColumn("n_supp", count(lit(1)).over(w))
       .filter(col("n_supp") > 1 && col("s_qty") * 6d > col("p_qty"))
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_dominated"))

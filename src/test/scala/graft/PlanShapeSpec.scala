@@ -213,6 +213,15 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q20_dominant: ONE lineitem scan — per-part totals derive from the reduced agg") {
+    val df = graft.rel.RelQueries.queries("q20_dominant")(spark, sfDir)
+    df.collect() // finalize AQE so exchange reuse appears
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val liScans = "Scan parquet.*lineitem".r.findAllIn(finalPlan).length
+    assert(liScans <= 1, s"expected ONE lineitem scan (exchange reuse), found $liScans:\n$finalPlan")
+  }
+
   test("cdc_rpc_first: single scan (disjunction, not per-pattern union) + top-1 reduce") {
     val df = CdcBus.queries("cdc_rpc_first")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
