@@ -1006,6 +1006,10 @@ object RelQueries {
     * order-independent and therefore bit-identical cross-engine; revenue
     * is carried as a rounded output column only, never compared. */
   def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint: the scalar-max branch would otherwise recompute
+    // the whole agg INCLUDING a second lineitem scan (identical subtrees
+    // don't get exchange-reused under AQE); materializing the <=|suppliers|
+    // reduced rows once costs almost nothing and halves the fact I/O
     val rev = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
               col("l_shipdate") <  lit("1997-04-01").cast("timestamp"))
@@ -1013,6 +1017,7 @@ object RelQueries {
       .agg(sum(col("l_quantity")).as("total_qty"),
            round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
              .as("revenue"))
+      .localCheckpoint()
     val mx = rev.agg(max(col("total_qty")).as("max_qty"))
     rev.join(broadcast(mx), col("total_qty") === col("max_qty"))
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
@@ -1073,11 +1078,14 @@ object RelQueries {
     * integral), so the threshold cannot flip cross-engine; revenue is a
     * rounded display column only. */
   def q11Important(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint for the same reason as q15: the scalar-total branch
+    // must not re-scan lineitem — materialize the <=|parts| reduced rows
     val perPart = Tables.lineitem(s, d)
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_quantity")).as("qty"),
            round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
              .as("revenue"))
+      .localCheckpoint()
     val total = perPart.agg(sum(col("qty")).as("total_qty"),
                             count(lit(1)).as("n_parts"))
     perPart.join(broadcast(total),

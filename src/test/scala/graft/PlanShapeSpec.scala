@@ -222,6 +222,16 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(liScans <= 1, s"expected ONE lineitem scan (exchange reuse), found $liScans:\n$finalPlan")
   }
 
+  test("q15/q11: scalar branch reads the checkpointed agg, not a second fact scan") {
+    for (q <- Seq("q15_top_supplier", "q11_important")) {
+      val df = graft.rel.RelQueries.queries(q)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val liScans = "Scan parquet.*lineitem".r.findAllIn(plan).length
+      assert(liScans <= 1, s"$q: expected <=1 lineitem scan, found $liScans:\n$plan")
+    }
+  }
+
   test("cdc_rpc_first: single scan (disjunction, not per-pattern union) + top-1 reduce") {
     val df = CdcBus.queries("cdc_rpc_first")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
