@@ -258,11 +258,21 @@ object TextOps {
     * the object doc). N arrives as a broadcast 1-row aggregate, never a
     * driver action. */
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
-    val words = Tables.documents(s, d)
+    // ONE explode pass: reduce to per-(doc, word) counts first, then
+    // derive tf (sum over docs), df (row count per word — (doc, w) is
+    // unique here), and N (distinct docs) from the reduced frame. The
+    // naive 3-branch form explodes the corpus three times; the reduced
+    // frame is localCheckpoint'd so its three consumers don't recompute
+    // it (corpus-scale note: this is |doc x distinct-word| rows — the
+    // stage you'd persist on a cluster too).
+    val perDocWord = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
-    val tf = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("tf"))
-    val dfc = words.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
-    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+      .groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tf = perDocWord.groupBy(col("source"), col("w")).agg(sum(col("c")).as("tf"))
+    val dfc = perDocWord.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = perDocWord.agg(countDistinct(col("doc_id")).as("n_total"))
     val win = Window.partitionBy(col("source")).orderBy(col("score").desc, col("w"))
     tf.join(dfc, Seq("w"))
       .crossJoin(broadcast(nDocs))
@@ -414,21 +424,28 @@ object TextOps {
   val BigramMinCount = 5
 
   def bigramLift(s: SparkSession, d: String): DataFrame = {
-    val docs  = Tables.documents(s, d).withColumn("ws", split(col("text"), " "))
-    val words = docs.select(explode(col("ws")).as("w"))
-    val wc    = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val bigrams = docs
+    // corpus totals DERIVE from the aggregates (w_tot = Σ unigram counts,
+    // t_tot = Σ bigram counts) — the naive form re-exploded the corpus
+    // for each scalar; the two explodes that remain (unigram, bigram)
+    // are intrinsic. The reused aggs are checkpointed: vocabulary-sized.
+    val docs = Tables.documents(s, d).withColumn("ws", split(col("text"), " "))
+    val wc = docs.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val bgcAll = docs
       .filter(size(col("ws")) >= 2)
       .select(explode(zip_with(
         slice(col("ws"), lit(1), size(col("ws")) - 1),
         slice(col("ws"), lit(2), size(col("ws")) - 1),
         (a, b) => concat(a, lit(" "), b))).as("bg"))
-    val bgc = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+      .localCheckpoint()
+    val bgc = bgcAll
       .filter(col("cab") >= BigramMinCount)
       .withColumn("a", split(col("bg"), " ").getItem(0))
       .withColumn("b", split(col("bg"), " ").getItem(1))
-    val wTot = words.agg(count(lit(1)).as("w_tot"))
-    val tTot = bigrams.agg(count(lit(1)).as("t_tot"))
+    val wTot = wc.agg(sum(col("c")).as("w_tot"))
+    val tTot = bgcAll.agg(sum(col("cab")).as("t_tot"))
     bgc
       .join(wc.withColumnRenamed("w", "a").withColumnRenamed("c", "ca"), "a")
       .join(wc.withColumnRenamed("w", "b").withColumnRenamed("c", "cb"), "b")

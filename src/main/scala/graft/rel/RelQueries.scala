@@ -1050,24 +1050,30 @@ object RelQueries {
     * order) + NOT EXISTS (a later-shipping line) — Catalyst decorrelates
     * both into semi/anti joins on the order key. */
   def q21Blockers(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_v")
-    Tables.supplier(s, d).createOrReplaceTempView("graft_supplier_v")
-    Tables.orders(s, d).createOrReplaceTempView("graft_orders_v")
-    s.sql("""
-      SELECT s_name, count(*) AS numwait
-      FROM graft_supplier_v
-      JOIN graft_lineitem_v l1 ON s_suppkey = l1.l_suppkey
-      JOIN graft_orders_v o ON o.o_orderkey = l1.l_orderkey
-      WHERE o.o_orderstatus = 'F'
-        AND EXISTS (SELECT 1 FROM graft_lineitem_v l2
-                    WHERE l2.l_orderkey = l1.l_orderkey
-                      AND l2.l_suppkey <> l1.l_suppkey)
-        AND NOT EXISTS (SELECT 1 FROM graft_lineitem_v l3
-                        WHERE l3.l_orderkey = l1.l_orderkey
-                          AND l3.l_shipdate > l1.l_shipdate)
-      GROUP BY s_name
-      ORDER BY numwait DESC, s_name
-      LIMIT 20""")
+    // EXISTS/NOT-EXISTS decorrelated BY HAND into one window pass over
+    // the order partition: "no other line shipped later" = this line
+    // holds the order's max shipdate (ties all count, same as NOT
+    // EXISTS); "another supplier exists" = min!=max suppkey over the
+    // order. The SQL-subquery form planned THREE lineitem scans
+    // (semi + anti joins); this is ONE scan + one orderkey shuffle that
+    // the subsequent orders join reuses. Oracle keeps the EXISTS form —
+    // equivalence is part of what the hash-compare proves.
+    val w = Window.partitionBy(col("l_orderkey"))
+    val blockers = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .withColumn("max_ship", max(col("l_shipdate")).over(w))
+      .withColumn("multi_supp", min(col("l_suppkey")).over(w) =!= max(col("l_suppkey")).over(w))
+      .filter(col("l_shipdate") === col("max_ship") && col("multi_supp"))
+    blockers
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+              .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
   }
 
   /** TPC-H Q11 shape (adapted: shipped-quantity concentration instead of
