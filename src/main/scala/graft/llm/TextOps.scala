@@ -258,24 +258,21 @@ object TextOps {
     * the object doc). N arrives as a broadcast 1-row aggregate, never a
     * driver action. */
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
-    // ONE explode pass: reduce to per-(doc, word) counts first, then
-    // derive tf (sum over docs), df (row count per word — (doc, w) is
-    // unique here), and N (distinct docs) from the reduced frame. The
-    // naive 3-branch form explodes the corpus three times; the reduced
-    // frame is localCheckpoint'd so its three consumers don't recompute
-    // it (corpus-scale note: this is |doc x distinct-word| rows — the
-    // stage you'd persist on a cluster too).
-    val perDocWord = Tables.documents(s, d)
+    // ONE explode pass, no materialization: reduce to per-(doc, word)
+    // counts, cascade to per-(source, word) tf carrying the per-source
+    // doc count, then derive the global df as a WINDOW sum over the word
+    // partition (docs live in exactly one source, so Σ df_part = df).
+    // N comes from a count-only documents scan — no second explode.
+    val tf = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("source"), col("w"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    val tf = perDocWord.groupBy(col("source"), col("w")).agg(sum(col("c")).as("tf"))
-    val dfc = perDocWord.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val nDocs = perDocWord.agg(countDistinct(col("doc_id")).as("n_total"))
+      .groupBy(col("source"), col("w"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df_part"))
+      .withColumn("df", sum(col("df_part")).over(Window.partitionBy(col("w"))))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
     val win = Window.partitionBy(col("source")).orderBy(col("score").desc, col("w"))
-    tf.join(dfc, Seq("w"))
-      .crossJoin(broadcast(nDocs))
+    tf.crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf") * (col("n_total").cast("double") / col("df")))
       .withColumn("rnk", row_number().over(win).cast("long"))
       .filter(col("rnk") <= 3)
@@ -424,32 +421,34 @@ object TextOps {
   val BigramMinCount = 5
 
   def bigramLift(s: SparkSession, d: String): DataFrame = {
-    // corpus totals DERIVE from the aggregates (w_tot = Σ unigram counts,
-    // t_tot = Σ bigram counts) — the naive form re-exploded the corpus
-    // for each scalar; the two explodes that remain (unigram, bigram)
-    // are intrinsic. The reused aggs are checkpointed: vocabulary-sized.
+    // corpus totals come from ONE explode-free scan (Σ size(ws) words,
+    // Σ (size(ws)−1) bigrams) — the naive form re-exploded the corpus
+    // for each scalar. The unigram-count frame is checkpointed because
+    // it feeds BOTH sides of the pair join (vocabulary-sized; identical
+    // subtrees are not exchange-reused under AQE). Two explodes remain
+    // (unigram, bigram) — intrinsic.
     val docs = Tables.documents(s, d).withColumn("ws", split(col("text"), " "))
     val wc = docs.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    val bgcAll = docs
+    val bgc = docs
       .filter(size(col("ws")) >= 2)
       .select(explode(zip_with(
         slice(col("ws"), lit(1), size(col("ws")) - 1),
         slice(col("ws"), lit(2), size(col("ws")) - 1),
         (a, b) => concat(a, lit(" "), b))).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cab"))
-      .localCheckpoint()
-    val bgc = bgcAll
       .filter(col("cab") >= BigramMinCount)
       .withColumn("a", split(col("bg"), " ").getItem(0))
       .withColumn("b", split(col("bg"), " ").getItem(1))
-    val wTot = wc.agg(sum(col("c")).as("w_tot"))
-    val tTot = bgcAll.agg(sum(col("cab")).as("t_tot"))
+    val totals = docs.agg(
+      sum(size(col("ws")).cast("long")).as("w_tot"),
+      sum(when(size(col("ws")) >= 2, size(col("ws")).cast("long") - 1L)
+        .otherwise(0L)).as("t_tot"))
     bgc
       .join(wc.withColumnRenamed("w", "a").withColumnRenamed("c", "ca"), "a")
       .join(wc.withColumnRenamed("w", "b").withColumnRenamed("c", "cb"), "b")
-      .crossJoin(broadcast(wTot)).crossJoin(broadcast(tTot))
+      .crossJoin(broadcast(totals))
       .withColumn("lift",
         round(col("cab").cast("double") * col("w_tot") * col("w_tot")
           / col("t_tot") / col("ca") / col("cb"), 3))
