@@ -732,6 +732,36 @@ object RelQueries {
                    / sum(col("rev")), 2).as("promo_pct"),
            count(lit(1)).as("n_items"))
 
+  /** TWO-TABLE as-of join (trade/quote shape): each order picks the
+    * latest event of the matching user at ts ≤ o_orderdate — as a
+    * union-merge WINDOW, not a join: tag both streams, sort each key
+    * partition by (ts, kind) and carry the last non-null event forward.
+    * One shuffle on the key, zero join fan-out, per-key linear — the
+    * shape that survives when the probe side is dense (a per-order range
+    * join would re-scan each user's history per order). Events are
+    * pre-deduped to one row per (user, ts) so the as-of tie is
+    * impossible BY CONSTRUCTION — DuckDB's native ASOF JOIN (the twin)
+    * has unspecified tie-break, so determinism must come from the data.
+    * Cross-engine proof: our window re-expression hash-matches DuckDB's
+    * built-in ASOF JOIN operator. */
+  def asofEnrich(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"))
+      .select(col("user_id").as("k"), col("ts"), lit(0).as("kind"),
+              col("event_id"), lit(null).cast("long").as("o_orderkey"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("ts"), lit(1).as("kind"),
+              lit(null).cast("long").as("event_id"), col("o_orderkey"))
+    val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("last_event_id", last(col("event_id"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("o_orderkey"), col("k").as("custkey"), col("last_event_id"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Event-time interval join (range join): per purchase, the same
     * user's clicks in the trailing day. The equi-key (user_id) bounds the
     * join — each user's events co-locate on one reducer and the time
@@ -1207,6 +1237,7 @@ object RelQueries {
     "join_anti"          -> (joinAnti _),
     "join_theta"         -> (joinTheta _),
     "asof_prev_click"    -> (asofPrevClick _),
+    "asof_enrich"        -> (asofEnrich _),
     "rollup_acct"        -> (rollupAcct _),
     "cube_flags"         -> (cubeFlags _),
     "grouping_sets"      -> (groupingSets _),
@@ -1678,6 +1709,15 @@ object RelQueries {
       FROM nation n1 JOIN nation n2
         ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name
       GROUP BY 1 ORDER BY regionkey""",
+
+    "asof_enrich" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, max(event_id) AS event_id
+        |  FROM events GROUP BY 1, 2)
+        |SELECT o.o_orderkey, o.o_custkey AS custkey, e.event_id AS last_event_id
+        |FROM orders o
+        |ASOF LEFT JOIN e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        |ORDER BY o_orderkey""".stripMargin,
 
     "asof_prev_click" -> """
       SELECT event_id, user_id, ts, prev_click_ts FROM (

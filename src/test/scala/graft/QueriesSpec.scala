@@ -194,6 +194,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("asof_enrich: one row per order; matched events never post-date the order") {
+    import org.apache.spark.sql.functions._
+    val nOrders = graft.Tables.orders(spark, sf).count()
+    val df = SparkEntry.queries("asof_enrich")(spark, sf)
+    assert(df.count() === nOrders)
+    // re-derive the match and check the as-of bound holds
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").as("ev_ts"))
+    val joined = df.filter(col("last_event_id").isNotNull)
+      .join(ev, col("last_event_id") === col("event_id"))
+      .join(graft.Tables.orders(spark, sf), "o_orderkey")
+    assert(joined.filter(col("ev_ts") > col("o_orderdate")).count() === 0)
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub codec") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.length === 500)
