@@ -242,6 +242,52 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** A closed SCD2 version row: emitted the moment the channel's NEXT
+    * event arrives (the open/current version stays in state). */
+  case class VersionRow(channel: String, event_id: Long,
+                        valid_from: Timestamp, valid_to: Timestamp, value: Double)
+
+  /** Per-channel previous-version state: each arriving event CLOSES the
+    * held version (emit with valid_to = new ts) and becomes the new open
+    * version. Relies on per-channel in-order delivery — the guarantee
+    * the reference transport actually provides (NATS is FIFO per
+    * subject); rows inside a micro-batch are sorted by (ts, event_id)
+    * so replay is deterministic. State: ONE event per channel. */
+  private[stream] class Scd2Gate
+      extends StatefulProcessor[String, (String, BusEvent), VersionRow] {
+    @transient private var open: ValueState[BusEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[BusEvent]("open",
+        Encoders.product[BusEvent], TTLConfig.NONE)
+
+    override def handleInputRows(channel: String, rows: Iterator[(String, BusEvent)],
+                                 timerValues: TimerValues): Iterator[VersionRow] = {
+      val batch = rows.map(_._2).toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[VersionRow]
+      var prev = if (open.exists()) Option(open.get()) else None
+      batch.foreach { e =>
+        prev.foreach { p =>
+          out += VersionRow(channel, p.event_id, p.ts, e.ts, p.value)
+        }
+        prev = Some(e)
+      }
+      prev.foreach(open.update)
+      out.iterator
+    }
+  }
+
+  /** STREAMING SCD2 — the batch [[graft.cdc.CdcBus.scd2]] semantics
+    * materialized live: version intervals emit AS THEY CLOSE, the
+    * current version per channel is exactly the state. Parity with the
+    * batch query (same closed intervals) is spec-pinned. */
+  def scd2Stream(bus: Dataset[(String, BusEvent)])
+                (implicit spark: SparkSession): Dataset[VersionRow] = {
+    import spark.implicits._
+    bus.groupByKey(_._1)
+      .transformWithState(new Scd2Gate, TimeMode.None(), OutputMode.Append())
+  }
+
   /** The reference's take(n)/auto-unsubscribe (lib/nats.js:98-107) as a
     * stateful count-gate on the `transformWithState` API. Requires the
     * RocksDB state store

@@ -122,6 +122,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_.sub == "s2").map(_.event_id).toSeq === Seq(5L))
   }
 
+  test("streaming SCD2 closes versions as events arrive; parity with batch intervals") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(String, BusEvent)]
+    val q = Streams.scd2Stream(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("scd2s").start()
+    try {
+      // channel c1: three versions across two batches; c2: one (stays open)
+      in.addData(("c1", ev(1, 0, 1, "click")), ("c1", ev(2, 5, 1, "click")),
+                 ("c2", ev(3, 1, 2, "view")))
+      q.processAllAvailable()
+      in.addData(("c1", ev(4, 9, 1, "click")))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+    val got = spark.table("scd2s").as[Streams.VersionRow].collect()
+      .sortBy(v => (v.channel, v.valid_from.getTime))
+    // exactly the CLOSED intervals: (1: 0->5) and (2: 5->9); c2 never closes
+    assert(got.map(v => (v.channel, v.event_id, v.valid_from, v.valid_to)).toSeq ===
+      Seq(("c1", 1L, ts(0), ts(5)), ("c1", 2L, ts(5), ts(9))))
+    // batch parity: the window-lead form over the same rows yields the
+    // same closed intervals (its null-valid_to rows are the open state)
+    val batch = Seq(("c1", ev(1, 0, 1, "click")), ("c1", ev(2, 5, 1, "click")),
+                    ("c2", ev(3, 1, 2, "view")), ("c1", ev(4, 9, 1, "click")))
+      .toDF("channel", "e").select(col("channel"), col("e.*"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("channel")).orderBy(col("ts"), col("event_id"))
+    val closed = batch.withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .filter(col("valid_to").isNotNull)
+      .select(col("channel"), col("event_id"), col("ts"), col("valid_to"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3)))
+      .sortBy(v => (v._1, v._3.getTime)).toSeq
+    assert(got.map(v => (v.channel, v.event_id, v.valid_from, v.valid_to)).toSeq === closed)
+  }
+
   test("streaming near-dup emits the candidate pair when the duplicate ARRIVES") {
     implicit val sq = spark.sqlContext
     implicit val sp: SparkSession = spark
