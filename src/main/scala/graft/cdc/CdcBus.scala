@@ -235,6 +235,30 @@ object CdcBus {
       .orderBy(col("channel"), col("valid_from"), col("event_id"))
   }
 
+  /** Point-in-time REPLAY — the snapshot a subscriber reconstructs by
+    * replaying the bus up to a cutoff T: the last event per channel with
+    * ts ≤ T, plus the version number that channel had reached by T. The
+    * time-travel companion to [[scd2]] (its interval containing T) and
+    * [[retained]] (T = now), answered with ONE channel-partitioned window
+    * over the time-pruned scan — the cutoff predicate pushes down to the
+    * parquet row groups, so replaying "as of last week" on a 100 TB bus
+    * reads only the history up to T, and a date-partitioned layout
+    * ([[graft.sources.BusLayout]]) prunes whole partitions. */
+  def replay(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+    val w = Window.partitionBy(col("channel"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.bus(s, d)
+      .filter(col("user_id") < 20 && col("ts") <= cutoff)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("version_no",
+        count(lit(1)).over(Window.partitionBy(col("channel"))))
+      .filter(col("rn") === 1)
+      .select(col("channel"), col("event_id"), col("ts").as("as_of_ts"),
+              col("version_no"), round(col("value"), 2).as("value"))
+      .orderBy(col("channel"))
+  }
+
   /** Sequence-gap audit — the lost/duplicate-message check of an
     * at-least-once transport: within each event_type sub-stream, compare
     * consecutive global sequence numbers (the JetStream-sequence
@@ -256,6 +280,7 @@ object CdcBus {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_replay"          -> (replay _),
     "cdc_seq_gaps"        -> (seqGaps _),
     "cdc_scd2"            -> (scd2 _),
     "cdc_retained"        -> (retained _),
@@ -271,6 +296,18 @@ object CdcBus {
     "cdc_sql_route"       -> (sqlRoute _))
 
   val oracle: Map[String, String] = Map(
+    "cdc_replay" ->
+      s"""${Tables.BusCte}
+         |SELECT channel, event_id, ts AS as_of_ts, version_no,
+         |       round(value, 2) AS value FROM (
+         |  SELECT channel, event_id, ts, value,
+         |         row_number() OVER (PARTITION BY channel
+         |           ORDER BY ts DESC, event_id DESC) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY channel) AS BIGINT) AS version_no
+         |  FROM ev
+         |  WHERE user_id < 20 AND ts <= TIMESTAMP '2024-01-15 00:00:00')
+         |WHERE rn = 1 ORDER BY channel""".stripMargin,
+
     "cdc_seq_gaps" ->
       s"""${Tables.BusCte}
          |SELECT event_type, count(*) AS n_steps,

@@ -262,28 +262,70 @@ object VectorOps {
     * PQ index stores; a skewed histogram means a bad codebook). Corpus
     * streams once against k broadcast centroids, exactly like
     * [[kmeansStep]]. */
-  def embedPq(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d).select(col("vec_id"), col("v"))
-    val cents = centroids(vecs(s, d))
-    val dists = (0 until PqSubs).map { j =>
-      val xs = slice(col("v"), j * PqDim + 1, PqDim)
+  def embedPq(s: SparkSession, d: String): DataFrame =
+    pqCodes(s, d)
+      .groupBy(col("subspace").cast("long").as("subspace"),
+               col("code").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("subspace"), col("cell"))
+
+  /** Per-subspace squared-L2 distance expressions between `vcol`'s j-th
+    * 16-dim slice and the codebook entry's (`cv`) — the shared arithmetic
+    * of PQ assignment and the ADC lookup tables. */
+  private def pqSubDists(vcol: Column): Seq[Column] =
+    (0 until PqSubs).map { j =>
+      val xs = slice(vcol, j * PqDim + 1, PqDim)
       val cs = slice(col("cv"), j * PqDim + 1, PqDim)
       dot(xs, xs) - lit(2d) * dot(xs, cs) + dot(cs, cs)
     }
+
+  /** PQ code assignment per (vector, subspace): nearest sub-codebook
+    * entry by squared L2, deterministic cell-id tie-break. */
+  private def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"))
     val w = Window.partitionBy(col("vec_id"), col("subspace"))
       .orderBy(col("d2"), col("cell"))
-    e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(centroids(vecs(s, d))))
       .select(col("vec_id"), col("cell"),
-        posexplode(array(dists: _*)).as(Seq("subspace", "d2")))
+        posexplode(array(pqSubDists(col("v")): _*)).as(Seq("subspace", "d2")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .groupBy(col("subspace").cast("long").as("subspace"),
-               col("cell").cast("long").as("cell"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("subspace"), col("cell"))
+      .select(col("vec_id"), col("subspace"), col("cell").as("code"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search — the query path an
+    * IVF-PQ index actually serves: each query precomputes a lookup table
+    * of squared-L2 distances from its subvectors to every codebook entry,
+    * and a candidate's distance is the SUM of 4 table lookups over its
+    * stored codes — the corpus is scanned as codes (4 small ints/vector),
+    * never as raw floats. Scale shape: codes ⋈ broadcast LUT
+    * (queries × 10 cells × 4 subspaces rows) then a map-side partial
+    * aggregation on (query, vector); no shuffle of the embedding column.
+    * Oracle-exact: LUT entries are floor(d2·10⁶) BIGINTs, so the 4-way
+    * sum is an integer — reduction order cannot perturb it — and the
+    * reported distance applies ONE division after the integer sum. */
+  def annAdc(s: SparkSession, d: String): DataFrame = {
+    val q = vecs(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val lut = q.crossJoin(broadcast(centroids(vecs(s, d))))
+      .select(col("qid"), col("cell").as("code"),
+        posexplode(array(pqSubDists(col("qv")): _*)).as(Seq("subspace", "d2")))
+      .withColumn("d2q", floor(col("d2") * 1e6d).cast("long"))
+      .select(col("qid"), col("subspace"), col("code"), col("d2q"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_q"), col("vec_id"))
+    pqCodes(s, d).join(broadcast(lut), Seq("subspace", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2q")).as("adc_q"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .withColumn("adc", round(col("adc_q").cast("double") / 1e6d, 6))
+      .select(col("qid"), col("vec_id"), col("rank"), col("adc"))
+      .orderBy(col("qid"), col("rank"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_adc"     -> (annAdc _),
     "ann_recall"  -> (annRecall _),
     "embed_pq"    -> (embedPq _),
     "ann_range"   -> (annRange _),
@@ -351,6 +393,36 @@ object VectorOps {
          |       round(CAST(count(avid) AS DOUBLE) / count(*), 4) AS recall
          |FROM exact LEFT JOIN approx ON qid = aqid AND vec_id = avid
          |GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "ann_adc" ->
+      s"""WITH $VecCte, $CentsCte,
+         |sp AS (SELECT j FROM (VALUES (0), (1), (2), (3)) s(j)),
+         |codes AS (
+         |  SELECT vec_id, j, cell AS code FROM (
+         |    SELECT vec_id, j, cell,
+         |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cell) AS rk
+         |    FROM (SELECT vec_id, cell, j,
+         |                 list_dot_product(v[j*$PqDim+1:j*$PqDim+$PqDim], v[j*$PqDim+1:j*$PqDim+$PqDim])
+         |                 - 2 * list_dot_product(v[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim])
+         |                 + list_dot_product(cv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim]) AS d2
+         |          FROM e CROSS JOIN cents CROSS JOIN sp))
+         |  WHERE rk = 1),
+         |lut AS (
+         |  SELECT qid, j, cell AS code, CAST(floor(d2 * 1000000) AS BIGINT) AS d2q
+         |  FROM (SELECT qid, cell, j,
+         |               list_dot_product(qv[j*$PqDim+1:j*$PqDim+$PqDim], qv[j*$PqDim+1:j*$PqDim+$PqDim])
+         |               - 2 * list_dot_product(qv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim])
+         |               + list_dot_product(cv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim]) AS d2
+         |        FROM (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NQueries) q
+         |        CROSS JOIN cents CROSS JOIN sp))
+         |SELECT qid, vec_id, rank, adc FROM (
+         |  SELECT qid, vec_id,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_q, vec_id) AS BIGINT) AS rank,
+         |         round(CAST(adc_q AS DOUBLE) / 1000000, 6) AS adc
+         |  FROM (SELECT qid, vec_id, CAST(sum(d2q) AS BIGINT) AS adc_q
+         |        FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.code
+         |        WHERE vec_id != qid GROUP BY 1, 2))
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "embed_pq" ->
       s"""WITH $VecCte, $CentsCte,
