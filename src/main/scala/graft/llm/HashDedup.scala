@@ -296,6 +296,29 @@ object HashDedup {
     fin
   }
 
+  /** Canonical near-dup dedup — the ACTION step after
+    * [[dedupComponents]]: every document either stands alone (kept), is
+    * its cluster's canonical representative (the min doc_id — kept), or
+    * is a redundant near-duplicate (dropped). Reported as per-source
+    * survival — the number a curation run actually reviews. Scale shape:
+    * the label frame holds only CLUSTERED docs (bounded by the capped
+    * candidate pairs, far smaller than the corpus), equi-joined back on
+    * doc_id — AQE broadcasts it when small; the corpus streams once. */
+  def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    registerSkewLogging(s)
+    val labels = componentLabels(
+        bucketPairs(minhashBandsDf(s, d)).select(col("a"), col("b")))
+      .withColumnRenamed("node", "doc_id")
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(labels, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("comp").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+           sum(when(col("comp").isNull || col("comp") === col("doc_id"), 1L)
+             .otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** The composed cleaning pipeline — exact-dedup rep ∧ near-dup drop ∧
     * length gate in ONE query, reporting per-source survival: the
     * end-to-end "what reaches training" audit a corpus build runs after
@@ -466,6 +489,7 @@ object HashDedup {
     "minhash_jaccard_est" -> (minhashJaccardEst _),
     "pipeline_kept"   -> (pipelineKept _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_canonical"  -> (dedupCanonical _),
     "source_overlap"  -> (sourceOverlap _),
     "decontam"        -> (decontam _),
     "minhash_sig"     -> (minhashSig _),
@@ -559,6 +583,24 @@ object HashDedup {
          |FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1) t
          |LEFT JOIN kept k ON k.source = t.source
          |ORDER BY source""".stripMargin,
+
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $ShingleCte, $HashCte, $SigCte, $BandsCte,
+         |pr AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+         |reach(node, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+         |comps AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN comp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+         |       CAST(sum(CASE WHEN comp IS NULL OR comp = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents LEFT JOIN comps ON doc_id = node
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_components" ->
       s"""WITH RECURSIVE $ShingleCte, $HashCte, $SigCte, $BandsCte,
