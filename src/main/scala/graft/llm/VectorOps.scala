@@ -263,7 +263,7 @@ object VectorOps {
     * streams once against k broadcast centroids, exactly like
     * [[kmeansStep]]. */
   def embedPq(s: SparkSession, d: String): DataFrame =
-    pqCodes(s, d)
+    pqCodes(s, d, centroids(vecs(s, d)))
       .groupBy(col("subspace").cast("long").as("subspace"),
                col("code").cast("long").as("cell"))
       .agg(count(lit(1)).as("n"))
@@ -280,12 +280,14 @@ object VectorOps {
     }
 
   /** PQ code assignment per (vector, subspace): nearest sub-codebook
-    * entry by squared L2, deterministic cell-id tie-break. */
-  private def pqCodes(s: SparkSession, d: String): DataFrame = {
+    * entry by squared L2, deterministic cell-id tie-break. Takes the
+    * codebook frame as an argument so a caller with a second consumer
+    * ([[annAdc]]'s LUT) can materialize it ONCE. */
+  private def pqCodes(s: SparkSession, d: String, cents: DataFrame): DataFrame = {
     val e = vecs(s, d).select(col("vec_id"), col("v"))
     val w = Window.partitionBy(col("vec_id"), col("subspace"))
       .orderBy(col("d2"), col("cell"))
-    e.crossJoin(broadcast(centroids(vecs(s, d))))
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cell"),
         posexplode(array(pqSubDists(col("v")): _*)).as(Seq("subspace", "d2")))
       .withColumn("rk", row_number().over(w))
@@ -305,15 +307,19 @@ object VectorOps {
     * sum is an integer — reduction order cannot perturb it — and the
     * reported distance applies ONE division after the integer sum. */
   def annAdc(s: SparkSession, d: String): DataFrame = {
+    // the ≤10-row codebook is consumed by BOTH the code assignment and
+    // the LUT build; AQE does not reuse identical agg subtrees, so an
+    // unmaterialized second consumer would re-scan the corpus (SCALE.md)
+    val cents = centroids(vecs(s, d)).localCheckpoint(true)
     val q = vecs(s, d).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val lut = q.crossJoin(broadcast(centroids(vecs(s, d))))
+    val lut = q.crossJoin(broadcast(cents))
       .select(col("qid"), col("cell").as("code"),
         posexplode(array(pqSubDists(col("qv")): _*)).as(Seq("subspace", "d2")))
       .withColumn("d2q", floor(col("d2") * 1e6d).cast("long"))
       .select(col("qid"), col("subspace"), col("code"), col("d2q"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc_q"), col("vec_id"))
-    pqCodes(s, d).join(broadcast(lut), Seq("subspace", "code"))
+    pqCodes(s, d, cents).join(broadcast(lut), Seq("subspace", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("d2q")).as("adc_q"))
