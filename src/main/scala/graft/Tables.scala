@@ -35,6 +35,26 @@ object Tables {
       case _ => df
     }
   }
+  /** Time-pruned events scan: the cutoff applies to the RAW stored
+    * column (epoch-nanos BIGINT), so it reaches `PushedFilters` and
+    * parquet row-group min/max stats skip everything after T — the
+    * predicate a point-in-time replay over a 100 TB bus lives or dies
+    * by. A cutoff on the DERIVED timestamp (see [[events]]) cannot push
+    * through `timestamp_micros(ts div 1000)`; this helper filters
+    * before the conversion. Equivalent because the conversion is
+    * monotone and the cutoff sits on a microsecond boundary. */
+  def eventsUpTo(s: SparkSession, d: String, cutoffUtc: java.time.Instant): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val ns = Math.multiplyExact(cutoffUtc.getEpochSecond, 1000000000L)
+        df.filter(col("ts") <= ns)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.filter(col("ts") <= lit(java.sql.Timestamp.from(cutoffUtc)))
+    }
+  }
+
   def documents(s: SparkSession, d: String) = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
 

@@ -245,11 +245,12 @@ object CdcBus {
     * reads only the history up to T, and a date-partitioned layout
     * ([[graft.sources.BusLayout]]) prunes whole partitions. */
   def replay(s: SparkSession, d: String): DataFrame = {
-    val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+    val cutoff = java.time.Instant.parse("2024-01-15T00:00:00Z")
     val w = Window.partitionBy(col("channel"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    Tables.bus(s, d)
-      .filter(col("user_id") < 20 && col("ts") <= cutoff)
+    Tables.eventsUpTo(s, d, cutoff)
+      .withColumn("channel", Tables.channelCol(col("event_type"), col("user_id")))
+      .filter(col("user_id") < 20)
       .withColumn("rn", row_number().over(w))
       .withColumn("version_no",
         count(lit(1)).over(Window.partitionBy(col("channel"))))

@@ -232,6 +232,26 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("ann_adc: codebook materialized once — no LUT-side embeddings re-scan") {
+    val df = graft.llm.VectorOps.queries("ann_adc")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // intrinsic scans: code assignment (full) + pruned query side; the
+    // checkpointed codebook appears as a scan of existing RDD, not parquet
+    val emScans = "Scan parquet.*embeddings".r.findAllIn(plan).length
+    assert(emScans <= 2,
+      s"ann_adc: expected <=2 embeddings scans (codes + query side), found $emScans:\n$plan")
+  }
+
+  test("cdc_replay: cutoff predicate reaches the parquet scan") {
+    val df = CdcBus.queries("cdc_replay")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+           ("LessThanOrEqual\\(ts".r.findFirstIn(plan).isDefined ||
+            plan.contains("LessThanOrEqual(ts")),
+      s"replay cutoff not pushed to the scan:\n$plan")
+  }
+
   test("cdc_rpc_first: single scan (disjunction, not per-pattern union) + top-1 reduce") {
     val df = CdcBus.queries("cdc_rpc_first")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
