@@ -288,6 +288,47 @@ object Streams {
       .transformWithState(new Scd2Gate, TimeMode.None(), OutputMode.Append())
   }
 
+  /** A detected delivery gap: sequence jumped prev_seq → next_seq on a
+    * sub-stream, `missing` messages lost in between. */
+  case class SeqGap(event_type: String, prev_seq: Long, next_seq: Long, missing: Long)
+
+  /** Per-sub-stream last-sequence state: a gap row emits the MOMENT the
+    * out-of-sequence message arrives. Within a micro-batch sequences are
+    * sorted, so replay is deterministic; state is ONE long per key. */
+  private[stream] class SeqGapGate
+      extends StatefulProcessor[String, (String, Long), SeqGap] {
+    @transient private var last: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[Long]("last", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                                 timerValues: TimerValues): Iterator[SeqGap] = {
+      val seqs = rows.map(_._2).toSeq.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[SeqGap]
+      var prev = if (last.exists()) Option(last.get()) else None
+      seqs.foreach { q =>
+        prev.foreach { p => if (q - p > 1) out += SeqGap(key, p, q, q - p - 1) }
+        prev = Some(q)
+      }
+      prev.foreach(last.update)
+      out.iterator
+    }
+  }
+
+  /** STREAMING sequence-gap audit — the live form of the batch
+    * [[graft.cdc.CdcBus.seqGaps]] lost-message check: the consumer learns
+    * about a hole in a sub-stream as soon as the message AFTER the hole
+    * arrives, instead of at the next batch audit. Input: (sub-stream key,
+    * sequence number) — in production the JetStream-style offsets the
+    * NATS source exposes ([[graft.nats.NatsSource]]). */
+  def seqGapStream(bus: Dataset[(String, Long)])
+                  (implicit spark: SparkSession): Dataset[SeqGap] = {
+    import spark.implicits._
+    bus.groupByKey(_._1)
+      .transformWithState(new SeqGapGate, TimeMode.None(), OutputMode.Append())
+  }
+
   /** The reference's take(n)/auto-unsubscribe (lib/nats.js:98-107) as a
     * stateful count-gate on the `transformWithState` API. Requires the
     * RocksDB state store

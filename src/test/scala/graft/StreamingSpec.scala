@@ -164,6 +164,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(v => (v.channel, v.event_id, v.valid_from, v.valid_to)).toSeq === closed)
   }
 
+  test("streaming seq-gap audit reports a hole when the message after it arrives") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(String, Long)]
+    val q = Streams.seqGapStream(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("gaps").start()
+    try {
+      // click: 1,2,5 (hole 3-4); view: 10 (nothing to compare yet)
+      in.addData(("click", 1L), ("click", 2L), ("click", 5L), ("view", 10L))
+      q.processAllAvailable()
+      // across batches: click 6 is contiguous with held 5; view 13 gaps 11-12
+      in.addData(("click", 6L), ("view", 13L))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+    val got = spark.table("gaps").as[Streams.SeqGap].collect()
+      .sortBy(g => (g.event_type, g.next_seq))
+    assert(got.map(g => (g.event_type, g.prev_seq, g.next_seq, g.missing)).toSeq ===
+      Seq(("click", 2L, 5L, 2L), ("view", 10L, 13L, 2L)))
+  }
+
   test("streaming near-dup emits the candidate pair when the duplicate ARRIVES") {
     implicit val sq = spark.sqlContext
     implicit val sp: SparkSession = spark
