@@ -108,6 +108,27 @@ object TextOps {
       .orderBy(col("exact_n").desc, col("word"))
   }
 
+  /** Corpus-balance audit: per-language source diversity as Gini
+    * impurity 1 − Σ(nᵢ/N)² — 0 means one source dominates, →1 means an
+    * even mix — the number a data-mixture review reads before training.
+    * Computed entropy-free (log would be libm and cross-engine-unsafe):
+    * numerator Σnᵢ² is an exact BIGINT sum, then ONE double division and
+    * subtraction in the same order on both engines. Two-level hash agg,
+    * no window, no shuffle beyond the (lang, source) reduction. */
+  def sourceDiversity(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"),
+           sum(col("n")).as("n_docs"),
+           sum(col("n") * col("n")).as("ss"))
+      .withColumn("gini",
+        round(lit(1d) - col("ss").cast("double") /
+          (col("n_docs").cast("double") * col("n_docs").cast("double")), 6))
+      .select(col("lang"), col("n_docs"), col("n_sources"), col("gini"))
+      .orderBy(col("lang"))
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -580,6 +601,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cms_heavy_hitters"  -> (cmsHeavyHitters _),
+    "source_diversity"   -> (sourceDiversity _),
     "curation_funnel"    -> (curationFunnel _),
     "domain_caps"        -> (domainCaps _),
     "doc_chunks"         -> (docChunks _),
@@ -607,6 +629,18 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _))
 
   val oracle: Map[String, String] = Map(
+    "source_diversity" ->
+      s"""SELECT lang, n_docs, n_sources,
+         |       round(1 - CAST(ss AS DOUBLE) /
+         |         (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6) AS gini
+         |FROM (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+         |         CAST(sum(n) AS BIGINT) AS n_docs,
+         |         CAST(sum(n * n) AS BIGINT) AS ss
+         |  FROM (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
+         |  GROUP BY lang)
+         |ORDER BY lang""".stripMargin,
+
     "cms_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS word FROM documents),
          |sd AS (SELECT j FROM (VALUES (0), (1), (2), (3)) s(j)),
