@@ -863,6 +863,26 @@ object RelQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("hr"), col("event_type"))
 
+  /** Cohort retention matrix: users grouped by first-active day, counted
+    * on each later active day — the engagement-decay table every product
+    * and data-collection pipeline reads. One (user, day) distinct
+    * reduction, then the cohort via a window MIN over the user partition
+    * (one shuffle — no first-touch self-join), then the matrix agg.
+    * Day granularity because this dataset's users are active every week
+    * (a week matrix is a constant — degenerate); daily activity has real
+    * gaps, so the counts decay. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
+      .distinct()
+      .withColumn("cohort", min(col("d")).over(wu))
+      .withColumn("offset_d", datediff(col("d"), col("cohort")).cast("long"))
+      .groupBy(col("cohort"), col("offset_d"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("offset_d"))
+  }
+
   /** Multiset set ops — INTERSECT ALL / EXCEPT ALL preserve
     * multiplicity (min / difference of per-row counts), unlike the
     * distinct-set forms in `set_ops`; summarized per type so the graded
@@ -1212,6 +1232,7 @@ object RelQueries {
     "q22_prospects"      -> (q22Prospects _),
     "set_ops_all"        -> (setOpsAll _),
     "hourly_profile"     -> (hourlyProfile _),
+    "cohort_retention"   -> (cohortRetention _),
     "q19_disjunct"       -> (q19Disjunct _),
     "q10_returns"        -> (q10Returns _),
     "q18_big_orders"     -> (q18BigOrders _),
@@ -1458,6 +1479,15 @@ object RelQueries {
       """SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr, event_type,
         |       count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH ue AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+        |  FROM events),
+        |wa AS (SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort FROM ue)
+        |SELECT cohort, CAST(d - cohort AS BIGINT) AS offset_d, count(*) AS n_users
+        |FROM wa GROUP BY 1, 2 ORDER BY cohort, offset_d""".stripMargin,
 
     "q19_disjunct" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_items,
