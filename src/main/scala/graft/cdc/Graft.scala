@@ -122,6 +122,36 @@ object Graft {
         .limit(1)
     }
 
+    /** The retained-message cache a new subscriber receives: the last
+      * message per channel (the envelope `retain` flag semantics). */
+    def retained(): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("channel"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      frame.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+
+    /** Point-in-time replay: the per-channel state as of `cutoff` —
+      * [[retained]] over the history ≤ cutoff. For a pushdown-pruned
+      * scan over stored history, build the bus from
+      * [[graft.Tables.eventsUpTo]] instead of filtering here. */
+    def replay(cutoff: java.time.Instant): Bus =
+      new Bus(frame.filter(col("ts") <= lit(java.sql.Timestamp.from(cutoff))))
+
+    /** SCD2 materialization: every message becomes a version row with a
+      * [valid_from, valid_to) interval closed by the channel's next
+      * message; the open interval is the current version. */
+    def scd2(): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("channel")).orderBy(col("ts"), col("event_id"))
+      frame
+        .withColumn("valid_from", col("ts"))
+        .withColumn("valid_to",
+          org.apache.spark.sql.functions.lead(col("ts"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+    }
+
     /** Publish = write to the constant physical address; routing stays in
       * the data (the reference's quirk at lib/nats.js:175), partitioned by
       * the leading routing level for pruned re-reads. */

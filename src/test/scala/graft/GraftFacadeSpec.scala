@@ -79,6 +79,32 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(miss.isNullAt(miss.fieldIndex("payload_k")), "fallback row is unprocessed")
   }
 
+  test("retained keeps one current row per channel; replay(T) is retained over history <= T") {
+    import org.apache.spark.sql.functions.{col, countDistinct, max}
+    val r = bus.retained()
+    assert(r.groupBy(col("channel")).count().filter(col("count") > 1).count() === 0)
+    val cutoff = java.time.Instant.parse("2024-01-10T00:00:00Z")
+    val snap = bus.replay(cutoff).retained()
+    assert(snap.agg(max(col("ts"))).head().getTimestamp(0)
+      .before(java.sql.Timestamp.from(cutoff)))
+    // every channel active before the cutoff has exactly one snapshot row
+    assert(snap.select(countDistinct(col("channel"))).head().getLong(0) === snap.count())
+  }
+
+  test("scd2 intervals chain gap-free with one open version per channel") {
+    import org.apache.spark.sql.functions.col
+    val v = bus.scd2()
+    assert(v.filter(col("is_current")).groupBy(col("channel")).count()
+      .filter(col("count") > 1).count() === 0)
+    // closed intervals: valid_to equals the next version's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("channel")).orderBy(col("valid_from"), col("event_id"))
+    val chained = v.withColumn("next_from",
+        org.apache.spark.sql.functions.lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull)
+    assert(chained.filter(col("valid_to") =!= col("next_from")).count() === 0)
+  }
+
   test("publish writes the routed layout, over() re-wraps it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pub").toString
     bus.publish(bus.subscribe("cdc/error/#"), dir)
