@@ -222,6 +222,41 @@ object HashDedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** EXACT verification of the LSH candidates — the expensive final step
+    * of the minhash pipeline ([[minhashJaccardEst]] is the cheap filter
+    * before it): true shingle Jaccard per candidate pair, computed ONLY
+    * on the ≤capped candidates, never all-pairs. The duplicate verdict
+    * uses the integer form 2·|A∩B| ≥ |A∪B| (τ = 0.5), so selection never
+    * touches a float; the reported Jaccard is one division, rounded.
+    * Scale shape: candidates fan out to their a-side shingles, then ONE
+    * (doc, shingle)-keyed equi-join computes intersections — work is
+    * bounded by Σ|candidate shingles|, and the doc-size frame is a
+    * corpus-reduced agg. */
+  def minhashVerify(s: SparkSession, d: String): DataFrame = {
+    registerSkewLogging(s)
+    val ds = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(shingleArr).as("sh"))
+      .distinct()
+    val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val cands = bucketPairs(minhashBandsDf(s, d))
+    val it = cands
+      .join(ds.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(ds.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
+    cands
+      .join(it, Seq("a", "b"), "left").na.fill(0L, Seq("n_inter"))
+      .join(sz.select(col("doc_id").as("a"), col("nsh").as("na")), Seq("a"))
+      .join(sz.select(col("doc_id").as("b"), col("nsh").as("nb")), Seq("b"))
+      .withColumn("union_n", col("na") + col("nb") - col("n_inter"))
+      .select(col("a"), col("b"), col("n_inter"),
+        round(col("n_inter").cast("double") / col("union_n").cast("double"), 4)
+          .as("true_jacc"),
+        (col("n_inter") * 2 >= col("union_n")).as("is_dup"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Near-dup CLUSTERS: connected components over the minhash candidate
     * pairs — the step that turns pairwise candidates into "keep one doc
     * per duplicate cluster". Min-label propagation to a fixpoint: per
@@ -490,6 +525,7 @@ object HashDedup {
     "pipeline_kept"   -> (pipelineKept _),
     "dedup_components" -> (dedupComponents _),
     "dedup_canonical"  -> (dedupCanonical _),
+    "minhash_verify"   -> (minhashVerify _),
     "source_overlap"  -> (sourceOverlap _),
     "decontam"        -> (decontam _),
     "minhash_sig"     -> (minhashSig _),
@@ -583,6 +619,30 @@ object HashDedup {
          |FROM (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1) t
          |LEFT JOIN kept k ON k.source = t.source
          |ORDER BY source""".stripMargin,
+
+    "minhash_verify" ->
+      s"""WITH $ShingleCte, $HashCte, $SigCte, $BandsCte,
+         |pr AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |ds AS (SELECT DISTINCT doc_id, sh FROM sh),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM ds GROUP BY 1),
+         |it AS (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM pr JOIN ds x ON x.doc_id = a
+         |          JOIN ds y ON y.doc_id = b AND y.sh = x.sh
+         |  GROUP BY 1, 2)
+         |SELECT a, b, n_inter,
+         |       round(CAST(n_inter AS DOUBLE) / CAST(union_n AS DOUBLE), 4) AS true_jacc,
+         |       n_inter * 2 >= union_n AS is_dup
+         |FROM (
+         |  SELECT pr.a AS a, pr.b AS b, coalesce(it.n_inter, 0) AS n_inter,
+         |         za.nsh + zb.nsh - coalesce(it.n_inter, 0) AS union_n
+         |  FROM pr LEFT JOIN it ON it.a = pr.a AND it.b = pr.b
+         |  JOIN sz za ON za.doc_id = pr.a
+         |  JOIN sz zb ON zb.doc_id = pr.b)
+         |ORDER BY a, b""".stripMargin,
 
     "dedup_canonical" ->
       s"""WITH RECURSIVE $ShingleCte, $HashCte, $SigCte, $BandsCte,

@@ -883,6 +883,32 @@ object RelQueries {
       .orderBy(col("cohort"), col("offset_d"))
   }
 
+  /** DAU/WAU stickiness: daily actives, trailing-7-day actives, and
+    * their ratio per day. Rolling DISTINCT counts don't compose as
+    * window frames, so each active (user, day) CONTRIBUTES itself to
+    * the 7 window-days it falls in (a bounded 7× fan-out absorbed by
+    * the distinct reduction) — the standard scale-out shape for
+    * windowed distinct aggregation. Counts are integers; stickiness is
+    * one division. Output keeps only days with direct activity, so
+    * trailing windows at the range edge never report partial data. */
+  def dauWau(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
+      .distinct()
+    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("k"), col("d"))
+      .select(col("user_id"), date_add(col("d"), col("k")).as("d"))
+      .distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("d"))
+      .select(col("d"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 4)
+          .as("stickiness"))
+      .orderBy(col("d"))
+  }
+
   /** Multiset set ops — INTERSECT ALL / EXCEPT ALL preserve
     * multiplicity (min / difference of per-row counts), unlike the
     * distinct-set forms in `set_ops`; summarized per type so the graded
@@ -1233,6 +1259,7 @@ object RelQueries {
     "set_ops_all"        -> (setOpsAll _),
     "hourly_profile"     -> (hourlyProfile _),
     "cohort_retention"   -> (cohortRetention _),
+    "dau_wau"            -> (dauWau _),
     "q19_disjunct"       -> (q19Disjunct _),
     "q10_returns"        -> (q10Returns _),
     "q18_big_orders"     -> (q18BigOrders _),
@@ -1479,6 +1506,21 @@ object RelQueries {
       """SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr, event_type,
         |       count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+
+    "dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+        |  FROM events),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |wau AS (
+        |  SELECT d, CAST(count(*) AS BIGINT) AS wau FROM (
+        |    SELECT DISTINCT user_id, d + CAST(k AS INTEGER) AS d
+        |    FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k))
+        |  GROUP BY 1)
+        |SELECT d, dau, wau,
+        |       round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 4) AS stickiness
+        |FROM dau JOIN wau USING (d) ORDER BY d""".stripMargin,
 
     "cohort_retention" ->
       """WITH ue AS (
