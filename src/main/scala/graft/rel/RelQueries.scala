@@ -895,14 +895,16 @@ object RelQueries {
     val ud = Tables.events(s, d)
       .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("d"))
       .distinct()
-    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
-    val wau = ud
-      .select(col("user_id"),
-        explode(sequence(lit(0), lit(6))).as("k"), col("d"))
-      .select(col("user_id"), date_add(col("d"), col("k")).as("d"))
-      .distinct()
-      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
-    dau.join(wau, Seq("d"))
+    // DAU is the k=0 contribution of the same fan-out — ONE scan, one
+    // (user, window-day) reduction carrying a direct-activity flag, then
+    // both counts from one aggregation
+    val contrib = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("k"), col("d"))
+      .groupBy(col("user_id"), date_add(col("d"), col("k")).as("wd"))
+      .agg(max(when(col("k") === 0, 1).otherwise(0)).as("direct"))
+    contrib.groupBy(col("wd").as("d"))
+      .agg(count(lit(1)).as("wau"), sum(col("direct")).as("dau"))
+      .filter(col("dau") > 0) // trailing windows past the last direct day
       .select(col("d"), col("dau"), col("wau"),
         round(col("dau").cast("double") / col("wau").cast("double"), 4)
           .as("stickiness"))
@@ -1512,15 +1514,16 @@ object RelQueries {
         |  SELECT DISTINCT user_id,
         |         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
         |  FROM events),
-        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
-        |wau AS (
-        |  SELECT d, CAST(count(*) AS BIGINT) AS wau FROM (
-        |    SELECT DISTINCT user_id, d + CAST(k AS INTEGER) AS d
-        |    FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k))
-        |  GROUP BY 1)
-        |SELECT d, dau, wau,
-        |       round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 4) AS stickiness
-        |FROM dau JOIN wau USING (d) ORDER BY d""".stripMargin,
+        |contrib AS (
+        |  SELECT user_id, d + CAST(k AS INTEGER) AS wd,
+        |         max(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS direct
+        |  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k)
+        |  GROUP BY 1, 2)
+        |SELECT wd AS d, CAST(sum(direct) AS BIGINT) AS dau,
+        |       CAST(count(*) AS BIGINT) AS wau,
+        |       round(CAST(sum(direct) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS stickiness
+        |FROM contrib
+        |GROUP BY wd HAVING sum(direct) > 0 ORDER BY d""".stripMargin,
 
     "cohort_retention" ->
       """WITH ue AS (
