@@ -520,8 +520,90 @@ object HashDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the MOSS algorithm): slide a w=4 window over each document's
+    * POSITIONAL shingle-hash sequence and keep every window's minimum;
+    * the distinct kept hashes are the document's fingerprint set. The
+    * guarantee (paper §3): any shared token run of length ≥ w + k - 1 = 6
+    * is caught by at least one common fingerprint, while only ~2/(w+1)
+    * of the hashes are stored — the standard way to shrink substring-
+    * dedup state ~2.5× before any cross-doc comparison at 100 TB.
+    * Reported per doc: shingle count, fingerprint count, retention ratio.
+    *
+    * Scale shape: posexplode → two window functions over the (doc, pos)
+    * partition (one shuffle by doc_id, partitions are single docs) →
+    * hash agg by doc. Ties select the same VALUE in both engines (the
+    * fingerprint set is value-distinct), so rightmost-vs-leftmost tie
+    * policy cannot diverge the output. */
+  private val WinnowW = 4
+
+  /** (doc_id, n_sh, fp) — one row per SELECTED fingerprint hash (the
+    * distinct window minima), the reusable stage behind
+    * [[winnowFingerprints]] and the guarantee spec. */
+  private[graft] def winnowFps(s: SparkSession, d: String): DataFrame = {
+    val posSh = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), posexplode(shingleArr).as(Seq("pos", "sh")))
+      .withColumn("h",
+        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long") % P)
+    val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val whole = Window.partitionBy(col("doc_id"))
+    posSh
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("wmin", min(col("h")).over(winMin))
+      .filter(col("pos") <= col("n") - WinnowW) // full windows only (0-based)
+      .select(col("doc_id"), col("n").as("n_sh"), col("wmin").as("fp"))
+      .distinct()
+  }
+
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame =
+    winnowFps(s, d)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_sh")).as("n_sh"), count(lit(1)).as("n_fp"))
+      .withColumn("fp_ratio",
+        round(col("n_fp").cast("double") / col("n_sh"), 4))
+      .orderBy(col("doc_id"))
+
+  /** Exact duplicated-substring audit (the corpus-level counterpart of
+    * training-data substring dedup, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): per source, what
+    * fraction of (doc, 3-gram) occurrences also appear in at least one
+    * OTHER document, and how many docs are majority-duplicated. The
+    * per-shingle doc count is a partial+final hash agg (never a window
+    * over the shingle partition — a hot shingle would buffer its whole
+    * occurrence list in one task); the join back to occurrences is a
+    * shingle-keyed equi-join that AQE skew-splits if one shingle is
+    * corpus-hot. Ratios leave integer space only at the final division. */
+  def dupSubstringFrac(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint: the count branch and the join-back share the
+    // exploded-distinct subtree — materialize it once (q15 discipline;
+    // on a cluster this is checkpoint() to durable storage)
+    val dsh = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("source"), explode(shingleArr).as("sh"))
+      .distinct()
+      .localCheckpoint()
+    val cnt = dsh.groupBy(col("sh")).agg(count(lit(1)).as("nd"))
+    dsh.join(cnt, Seq("sh"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_sh"),
+           sum(when(col("nd") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(sum(col("n_dup")).cast("double") / sum(col("n_sh")), 4)
+             .as("dup_frac"),
+           sum(when(col("n_dup") * 2 > col("n_sh"), lit(1L)).otherwise(lit(0L)))
+             .as("n_heavy"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "minhash_jaccard_est" -> (minhashJaccardEst _),
+    "winnow_fingerprints" -> (winnowFingerprints _),
+    "dup_substring_frac" -> (dupSubstringFrac _),
     "pipeline_kept"   -> (pipelineKept _),
     "dedup_components" -> (dedupComponents _),
     "dedup_canonical"  -> (dedupCanonical _),
@@ -585,6 +667,42 @@ object HashDedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "winnow_fingerprints" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(1, len(ws)-2)) AS pos,
+         |         CAST(concat('0x', substr(md5(unnest(list_transform(
+         |           generate_series(1, len(ws)-2),
+         |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))), 1, 8))
+         |           AS BIGINT) % $P AS h
+         |  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+         |        WHERE len(str_split(text, ' ')) >= 3)),
+         |w AS (
+         |  SELECT doc_id, pos, h,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         |         count(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM p)
+         |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_sh,
+         |       CAST(count(DISTINCT wmin) AS BIGINT) AS n_fp,
+         |       round(count(DISTINCT wmin) * 1.0 / max(n), 4) AS fp_ratio
+         |FROM w WHERE pos <= n - 3 -- 1-based pos: last full window starts at n-w+1
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dup_substring_frac" ->
+      s"""WITH $ShingleCte,
+         |dsh AS (SELECT DISTINCT doc_id, source, sh FROM sh),
+         |c AS (SELECT sh, count(*) AS nd FROM dsh GROUP BY sh),
+         |f AS (
+         |  SELECT doc_id, source, count(*) AS n_sh,
+         |         sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM dsh JOIN c USING (sh) GROUP BY 1, 2)
+         |SELECT source, count(*) AS n_docs,
+         |       round(sum(n_dup) * 1.0 / sum(n_sh), 4) AS dup_frac,
+         |       CAST(sum(CASE WHEN n_dup * 2 > n_sh THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_heavy
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
     "minhash_jaccard_est" -> {
       val agree = (0 until 16)
         .map(j => s"(CASE WHEN x.mh$j = y.mh$j THEN 1 ELSE 0 END)")

@@ -1122,6 +1122,43 @@ object RelQueries {
            count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q2 shape (adapted: no partsupp table, so "supply cost" is the
+    * supplier's total shipped quantity for the part — an exact integral
+    * sum) — for each EUROPE-sourced part of one size class, the
+    * supplier(s) achieving the per-part MINIMUM, Q2's correlated-min
+    * subquery decorrelated into a grouped min + join-back. One lineitem
+    * scan: both dimension chains (part; supplier→nation→region) broadcast
+    * onto the fact before its only shuffle (the (part,supp) partial+final
+    * agg); the per-part min re-aggregates the ≤|parts×supps-in-region|
+    * checkpointed result and broadcasts back. Ties kept, like Q2. */
+  def q2MinCost(s: SparkSession, d: String): DataFrame = {
+    val euroSupp = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    // localCheckpoint: q15/q11 discipline — the min branch must re-read
+    // the reduced agg, not replay the lineitem scan under it
+    val costs = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_size") === 15)
+              .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+      .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+               col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      .localCheckpoint()
+    val minQ = costs.groupBy(col("p_partkey").as("mp"))
+      .agg(min(col("qty")).as("min_qty"))
+    costs.join(broadcast(minQ),
+               col("p_partkey") === col("mp") && col("qty") === col("min_qty"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+              col("p_partkey"), col("p_brand"), col("qty"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+               col("p_partkey"))
+      .limit(100)
+  }
+
   /** TPC-H Q21 shape (adapted to this schema: l_shipdate stands in for
     * the commit/receipt pair) — suppliers who were the LAST shipper in
     * finished multi-supplier orders: EXISTS (another supplier in the
@@ -1255,6 +1292,7 @@ object RelQueries {
     "q13_custdist"       -> (q13Custdist _),
     "q15_top_supplier"   -> (q15TopSupplier _),
     "q17_small_qty"      -> (q17SmallQty _),
+    "q2_min_cost"        -> (q2MinCost _),
     "q21_blockers"       -> (q21Blockers _),
     "session_paths"      -> (sessionPaths _),
     "q22_prospects"      -> (q22Prospects _),
@@ -1451,6 +1489,24 @@ object RelQueries {
         |       CAST(count(*) AS BIGINT) AS n_items
         |FROM li JOIN a ON l_partkey = ap
         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q2_min_cost" ->
+      """WITH costs AS (
+        |  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+        |         CAST(sum(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size = 15 AND r_name = 'EUROPE'
+        |  GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, qty
+        |FROM costs
+        |WHERE qty = (SELECT min(qty) FROM costs c2
+        |             WHERE c2.p_partkey = costs.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
 
     "q21_blockers" ->
       """SELECT s_name, count(*) AS numwait

@@ -226,4 +226,36 @@ class HashDedupSpec extends AnyFunSuite {
           "now diverges — raise the cap or mirror it in the twin")
     }
   }
+
+  test("winnowing guarantee: shared run >= w+k-1 tokens => shared fingerprint") {
+    val fps = HashDedup.winnowFps(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    // identical docs select identical fingerprint sets
+    assert(fps(0L) === fps(1L))
+    // a one-word edit keeps long shared runs => at least one common
+    // fingerprint survives (SIGMOD'03 §3 guarantee, w=4, k=3 tokens)
+    assert(fps(0L).intersect(fps(2L)).nonEmpty)
+    assert(fps(0L).intersect(fps(5L)).nonEmpty)
+    // disjoint-vocabulary docs share nothing
+    assert(fps(0L).intersect(fps(3L)).isEmpty)
+    assert(fps(3L).intersect(fps(4L)).isEmpty)
+    // density: winnowing stores ~2/(w+1) of the hashes; allow wide noise
+    // margins on small docs but reject "kept everything" and "kept one"
+    val prof = HashDedup.winnowFingerprints(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(prof.values.forall(r => r > 0.05 && r < 0.8),
+      s"fp_ratio should sit near 2/(w+1)=0.4, got $prof")
+  }
+
+  test("dup_substring_frac: copies fully duplicated, unrelated docs clean") {
+    val row = HashDedup.dupSubstringFrac(spark, dir).collect()
+    assert(row.length === 1) // single source in the fixture
+    val r = row.head
+    assert(r.getAs[Long]("n_docs") === 6L)
+    // docs 0/1 (copies), 2 and 5 (one/two-word edits) are majority-
+    // duplicated; docs 3/4 share no 3-gram with anything
+    assert(r.getAs[Long]("n_heavy") === 4L)
+    val frac = r.getAs[Double]("dup_frac")
+    assert(frac > 0.5 && frac < 0.95, s"dup_frac=$frac")
+  }
 }

@@ -232,6 +232,16 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q2_min_cost: ONE lineitem scan; both dim chains broadcast (no fact-dim shuffle)") {
+    val df = graft.rel.RelQueries.queries("q2_min_cost")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val liScans = "Scan parquet.*lineitem".r.findAllIn(plan).length
+    assert(liScans <= 1, s"expected <=1 lineitem scan (checkpointed agg), found $liScans:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q2 must broadcast every join (dims + per-part min), got:\n$plan")
+  }
+
   test("ann_adc: codebook materialized once — no LUT-side embeddings re-scan") {
     val df = graft.llm.VectorOps.queries("ann_adc")(spark, sfDir)
     df.collect()
