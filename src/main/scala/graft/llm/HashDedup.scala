@@ -600,7 +600,34 @@ object HashDedup {
       .orderBy(col("source"))
   }
 
+  /** Cross-modal dedup verification: every minhash-LSH candidate pair
+    * scored by EMBEDDING cosine (vec_id is the doc's embedding row) —
+    * the agreement audit between the lexical and semantic dup signals
+    * that decides, per pair, whether a near-dup is a true rewrite
+    * (high cosine) or a template collision (low cosine). Candidate set
+    * comes from the capped LSH buckets (sub-quadratic); the embedding
+    * attach is two 1:1 equi-joins; cosine is the same fold-ordered
+    * dot/sqrt shape as the ANN catalog, so the 0.9 gate compares
+    * bit-identically cross-engine. */
+  def dedupSemanticVerify(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.dot_product
+    val e = Tables.embeddings(s, d)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("v"),
+              dot_product(col("v"), col("v")).as("n2"))
+    val pairs = minhashPairs(s, d)
+    pairs
+      .join(e.select(col("vec_id").as("a"), col("v").as("va"), col("n2").as("na")), Seq("a"))
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb"), col("n2").as("nb")), Seq("b"))
+      .withColumn("cos_raw",
+        dot_product(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .select(col("a"), col("b"), round(col("cos_raw"), 5).as("cos"),
+              (col("cos_raw") >= 0.9d).cast("boolean").as("semantic_dup"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic_verify" -> (dedupSemanticVerify _),
     "minhash_jaccard_est" -> (minhashJaccardEst _),
     "winnow_fingerprints" -> (winnowFingerprints _),
     "dup_substring_frac" -> (dupSubstringFrac _),
@@ -830,6 +857,23 @@ object HashDedup {
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM bands x JOIN bands y
          |  ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_semantic_verify" ->
+      s"""WITH $ShingleCte, $HashCte, $SigCte, $BandsCte,
+         |pr AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |             list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                              CAST(embedding AS DOUBLE[])) AS n2
+         |      FROM embeddings)
+         |SELECT a, b,
+         |       round(list_dot_product(ea.v, eb.v) / (sqrt(ea.n2) * sqrt(eb.n2)), 5) AS cos,
+         |       list_dot_product(ea.v, eb.v) / (sqrt(ea.n2) * sqrt(eb.n2)) >= 0.9
+         |         AS semantic_dup
+         |FROM pr JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
          |ORDER BY a, b""".stripMargin,
 
     "simhash_sig" ->

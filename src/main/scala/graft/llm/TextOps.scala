@@ -599,7 +599,66 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Corpus-conditional bigram novelty — the log-free stand-in for an
+    * n-gram-LM fluency score: a transition a→b is "novel" when its
+    * corpus conditional probability is under 1/8, tested as the exact
+    * integer comparison 8·c(a,b) < c(a,·) (no log, no float sum — the
+    * repo-wide determinism rule). High novel-transition fractions flag
+    * incoherent/garbled text; near-zero flags boilerplate. One explode,
+    * checkpointed occurrence frame feeding both the count build and the
+    * probe (AQE does not reuse identical agg subtrees), first-word
+    * totals via a window over the bigram-count frame (vocab-sized). */
+  def bigramNovelty(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .localCheckpoint()
+    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+      .withColumn("a", split(col("bg"), " ").getItem(0))
+      .withColumn("ca", sum(col("cab")).over(Window.partitionBy(col("a"))))
+      .select(col("bg"), col("cab"), col("ca"))
+    bg.join(counts, Seq("bg"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_trans"),
+           sum(when(col("cab") * 8 < col("ca"), lit(1L)).otherwise(lit(0L)))
+             .as("n_novel"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(sum(col("n_novel")).cast("double") / sum(col("n_trans")), 4)
+             .as("novel_frac"),
+           sum(when(col("n_novel") * 2 > col("n_trans"), lit(1L))
+             .otherwise(lit(0L))).as("n_incoherent"))
+      .orderBy(col("source"))
+  }
+
+  private val NShards = 16
+
+  /** Deterministic training-shard assignment: shard = md5(doc_id) mod 16
+    * — the write-side global shuffle that breaks source/time locality
+    * before sequence packing (every shard sees an unbiased corpus
+    * sample). Reports per-shard doc/token mass so imbalance is an
+    * audited number, not an assumption; the md5 hash also fixes a
+    * within-shard order, making re-runs byte-stable. Map-side hash +
+    * one 16-group agg — no shuffle of note at any scale. */
+  def shardAssign(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("shard", col("h") % NShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+           min(col("h")).as("min_h"))
+      .orderBy(col("shard"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bigram_novelty" -> (bigramNovelty _),
+    "shard_assign"   -> (shardAssign _),
     "cms_heavy_hitters"  -> (cmsHeavyHitters _),
     "source_diversity"   -> (sourceDiversity _),
     "curation_funnel"    -> (curationFunnel _),
@@ -629,6 +688,38 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _))
 
   val oracle: Map[String, String] = Map(
+    "bigram_novelty" ->
+      """WITH bg AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_transform(generate_series(1, len(ws)-1),
+        |           i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |  FROM (SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents
+        |        WHERE len(str_split(text, ' ')) >= 2)),
+        |counts AS (
+        |  SELECT bg, cab, CAST(sum(cab) OVER (PARTITION BY str_split(bg, ' ')[1])
+        |                   AS BIGINT) AS ca
+        |  FROM (SELECT bg, count(*) AS cab FROM bg GROUP BY bg)),
+        |f AS (
+        |  SELECT doc_id, source, count(*) AS n_trans,
+        |         sum(CASE WHEN cab * 8 < ca THEN 1 ELSE 0 END) AS n_novel
+        |  FROM bg JOIN counts USING (bg) GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |       round(sum(n_novel) * 1.0 / sum(n_trans), 4) AS novel_frac,
+        |       CAST(sum(CASE WHEN n_novel * 2 > n_trans THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_incoherent
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "shard_assign" ->
+      """SELECT shard, count(*) AS n_docs,
+        |       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       min(h) AS min_h
+        |FROM (
+        |  SELECT text, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) AS h,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) % 16 AS shard
+        |  FROM documents)
+        |GROUP BY shard ORDER BY shard""".stripMargin,
     "source_diversity" ->
       s"""SELECT lang, n_docs, n_sources,
          |       round(1 - CAST(ss AS DOUBLE) /

@@ -208,6 +208,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(joined.filter(col("ev_ts") > col("o_orderdate")).count() === 0)
   }
 
+  test("dedup_semantic_verify scores every LSH candidate pair, cos in [-1,1]") {
+    val nPairs = graft.llm.HashDedup.minhashPairs(spark, sf).count()
+    val rows = SparkEntry.queries("dedup_semantic_verify")(spark, sf).collect()
+    assert(rows.length.toLong === nPairs,
+      "every lexical candidate pair must get a semantic verdict")
+    assert(rows.forall { r =>
+      val c = r.getDouble(2); c >= -1.0001 && c <= 1.0001
+    })
+  }
+
+  test("shard_assign partitions the corpus exactly once, shards in [0,16)") {
+    val rows = SparkEntry.queries("shard_assign")(spark, sf).collect()
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    assert(rows.forall { r => val sh = r.getLong(0); sh >= 0 && sh < 16 })
+  }
+
+  test("bigram_novelty fractions are well-formed and cover all multi-token docs") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("bigram_novelty")(spark, sf).collect()
+    val covered = rows.map(_.getAs[Long]("n_docs")).sum
+    val expected = graft.Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(covered === expected)
+    assert(rows.forall { r =>
+      val f = r.getAs[Double]("novel_frac"); f >= 0.0 && f <= 1.0
+    })
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub codec") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.length === 500)
