@@ -558,6 +558,44 @@ object HashDedup {
       .distinct()
   }
 
+  /** Per-row winnowing fingerprints — the streaming twin of [[winnowFps]]
+    * (same md5 lineage, same w=4 window minima), so a document arriving
+    * on the live bus selects the SAME fingerprint set it would get from
+    * the batch pass (parity-spec'd like [[bandHashExpr]]). All built-in
+    * higher-order array functions — stays inside whole-stage codegen.
+    * Null for docs with fewer than w shingles (< w+2 tokens). */
+  def winnowFpExpr(text: Column): Column = {
+    val ws = split(text, " ")
+    val sh = transform(sequence(lit(0), size(ws) - 3),
+      i => concat_ws(" ",
+        element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
+    val hs = transform(sh,
+      x => conv(substring(md5(x), 1, 8), 16, 10).cast("long") % P)
+    val wmins = transform(sequence(lit(0), size(hs) - WinnowW),
+      i => array_min(slice(hs, i + 1, lit(WinnowW))))
+    when(size(ws) >= WinnowW + 2, array_distinct(wmins))
+  }
+
+  /** Candidate pairs from SHARED winnowing fingerprints (≥2 shared) —
+    * the pair step the selection stage exists for: identical to the
+    * shingle-keyed ngram_jaccard expansion but over the ~2/(w+1)-sized
+    * fingerprint stream, so bucket state and pair work shrink ~2.5×
+    * while the ≥6-token-run guarantee still holds. Fingerprint-keyed
+    * bucket-local expansion, capped + skew-metric'd like every LSH
+    * path. */
+  def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    registerSkewLogging(s)
+    boundedBuckets(winnowFps(s, d).select(col("doc_id"), col("fp")),
+        Seq(col("fp")), col("doc_id"), DefaultMaxBucket)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a, y AS b))))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("a"), col("b"))
+  }
+
   def winnowFingerprints(s: SparkSession, d: String): DataFrame =
     winnowFps(s, d)
       .groupBy(col("doc_id"))
@@ -630,6 +668,7 @@ object HashDedup {
     "dedup_semantic_verify" -> (dedupSemanticVerify _),
     "minhash_jaccard_est" -> (minhashJaccardEst _),
     "winnow_fingerprints" -> (winnowFingerprints _),
+    "winnow_pairs" -> (winnowPairs _),
     "dup_substring_frac" -> (dupSubstringFrac _),
     "pipeline_kept"   -> (pipelineKept _),
     "dedup_components" -> (dedupComponents _),
@@ -693,28 +732,41 @@ object HashDedup {
        |simsig AS (SELECT doc_id, $sim AS simhash FROM ssum)""".stripMargin
   }
 
+  /** Positional winnowing lineage shared by the winnow_* twins:
+    * 1-based pos, so the last full w=4 window starts at n - 3. */
+  private val WinnowCte =
+    s"""p AS (
+       |  SELECT doc_id,
+       |         unnest(generate_series(1, len(ws)-2)) AS pos,
+       |         CAST(concat('0x', substr(md5(unnest(list_transform(
+       |           generate_series(1, len(ws)-2),
+       |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))), 1, 8))
+       |           AS BIGINT) % $P AS h
+       |  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+       |        WHERE len(str_split(text, ' ')) >= 3)),
+       |w AS (
+       |  SELECT doc_id, pos, h,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+       |         count(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM p)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "winnow_fingerprints" ->
-      s"""WITH p AS (
-         |  SELECT doc_id,
-         |         unnest(generate_series(1, len(ws)-2)) AS pos,
-         |         CAST(concat('0x', substr(md5(unnest(list_transform(
-         |           generate_series(1, len(ws)-2),
-         |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))), 1, 8))
-         |           AS BIGINT) % $P AS h
-         |  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents
-         |        WHERE len(str_split(text, ' ')) >= 3)),
-         |w AS (
-         |  SELECT doc_id, pos, h,
-         |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
-         |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-         |         count(*) OVER (PARTITION BY doc_id) AS n
-         |  FROM p)
+      s"""WITH $WinnowCte
          |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_sh,
          |       CAST(count(DISTINCT wmin) AS BIGINT) AS n_fp,
          |       round(count(DISTINCT wmin) * 1.0 / max(n), 4) AS fp_ratio
-         |FROM w WHERE pos <= n - 3 -- 1-based pos: last full window starts at n-w+1
+         |FROM w WHERE pos <= n - 3
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "winnow_pairs" ->
+      s"""WITH $WinnowCte,
+         |fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE pos <= n - 3)
+         |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+         |FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY a, b""".stripMargin,
 
     "dup_substring_frac" ->
       s"""WITH $ShingleCte,

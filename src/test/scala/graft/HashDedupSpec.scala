@@ -247,6 +247,27 @@ class HashDedupSpec extends AnyFunSuite {
       s"fp_ratio should sit near 2/(w+1)=0.4, got $prof")
   }
 
+  test("winnowFpExpr (per-row) == batch winnowFps fingerprint sets") {
+    import org.apache.spark.sql.functions._
+    val batch = HashDedup.winnowFps(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val expr = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), HashDedup.winnowFpExpr(col("text")).as("fps"))
+      .filter(col("fps").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(batch === expr,
+      "a doc must select the SAME fingerprints in batch and per-row form")
+    assert(batch.nonEmpty)
+  }
+
+  test("winnow_pairs finds the near-dup cluster via shared fingerprints") {
+    val pairs = HashDedup.winnowPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).size == 1 })
+  }
+
   test("dup_substring_frac: copies fully duplicated, unrelated docs clean") {
     val row = HashDedup.dupSubstringFrac(spark, dir).collect()
     assert(row.length === 1) // single source in the fixture
