@@ -268,6 +268,40 @@ class HashDedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).size == 1 })
   }
 
+  test("randomized winnowing guarantee at the tight bound (shared 6-token run)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(511)
+    def tokens(vocabBase: Int, n: Int): Vector[String] =
+      Vector.fill(n)("w" + (vocabBase + rnd.nextInt(400)))
+    // planted pairs (2k, 2k+1): doc B embeds a CONTIGUOUS slice of doc A of
+    // exactly w+k-1 = 6 tokens (the paper's minimum catchable run); the
+    // two docs otherwise draw from disjoint vocabularies
+    val docs = (0 until 10).flatMap { k =>
+      val a = tokens(0, 15 + rnd.nextInt(20))
+      val start = rnd.nextInt(a.length - 6)
+      val run = a.slice(start, start + 6)
+      val b = tokens(1000, 4 + rnd.nextInt(8)) ++ run ++ tokens(1000, 4 + rnd.nextInt(8))
+      Seq((2L * k, a.mkString(" "), "en", "srcP", 1L),
+          (2L * k + 1, b.mkString(" "), "en", "srcP", 1L))
+    }
+    val tmp = Files.createTempDirectory("graft_winnow_prop").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fps = HashDedup.winnowFps(spark, tmp).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    (0 until 10).foreach { k =>
+      val inter = fps(2L * k).intersect(fps(2L * k + 1))
+      assert(inter.nonEmpty,
+        s"pair $k: a shared 6-token run MUST yield a shared fingerprint (w=4, k=3)")
+    }
+    // cross-pair docs drawing from the planted-B vocab range can share
+    // tokens but not 3-gram runs with the A docs of OTHER pairs
+    (0 until 9).foreach { k =>
+      assert(fps(2L * k).intersect(fps(2L * (k + 1))).isEmpty,
+        "independent docs with ~disjoint trigram space must not collide")
+    }
+  }
+
   test("dup_substring_frac: copies fully duplicated, unrelated docs clean") {
     val row = HashDedup.dupSubstringFrac(spark, dir).collect()
     assert(row.length === 1) // single source in the fixture
