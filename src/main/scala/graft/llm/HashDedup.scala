@@ -615,8 +615,11 @@ object HashDedup {
     * shingle-keyed equi-join that AQE skew-splits if one shingle is
     * corpus-hot. Ratios leave integer space only at the final division. */
   def dupSubstringFrac(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint: the count branch and the join-back share the
-    // exploded-distinct subtree — materialize it once (q15 discipline;
+    // localCheckpoint: the shared frame is POST-DISTINCT — its corpus-
+    // wide shuffle is already paid, so recomputing it for the second
+    // consumer would repeat that shuffle, which dominates the block-
+    // store cost (the inverse of the tfidf/bigram_novelty call, where
+    // the shared frame sits BEFORE any shuffle and recompute is cheap;
     // on a cluster this is checkpoint() to durable storage)
     val dsh = Tables.documents(s, d)
       .withColumn("ws", split(col("text"), " "))

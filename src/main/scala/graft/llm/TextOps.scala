@@ -604,10 +604,14 @@ object TextOps {
     * corpus conditional probability is under 1/8, tested as the exact
     * integer comparison 8·c(a,b) < c(a,·) (no log, no float sum — the
     * repo-wide determinism rule). High novel-transition fractions flag
-    * incoherent/garbled text; near-zero flags boilerplate. One explode,
-    * checkpointed occurrence frame feeding both the count build and the
-    * probe (AQE does not reuse identical agg subtrees), first-word
-    * totals via a window over the bigram-count frame (vocab-sized). */
+    * incoherent/garbled text; near-zero flags boilerplate. The exploded
+    * occurrence frame feeds the count build AND the probe: it is
+    * deliberately NOT checkpointed (tfidf precedent — materializing a
+    * corpus-scale stream costs more block I/O than re-running a cheap
+    * scan+explode; the counts' shuffle is paid either way), so ScanAudit
+    * shows the same intrinsic documents×2 as tfidf. First-word totals
+    * come from a window over the bigram-count frame (vocab-sized);
+    * hot-bigram probe skew is AQE-split like every equi-join here. */
   def bigramNovelty(s: SparkSession, d: String): DataFrame = {
     val bg = Tables.documents(s, d)
       .withColumn("ws", split(col("text"), " "))
@@ -616,7 +620,6 @@ object TextOps {
         slice(col("ws"), lit(1), size(col("ws")) - 1),
         slice(col("ws"), lit(2), size(col("ws")) - 1),
         (a, b) => concat(a, lit(" "), b))).as("bg"))
-      .localCheckpoint()
     val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("cab"))
       .withColumn("a", split(col("bg"), " ").getItem(0))
       .withColumn("ca", sum(col("cab")).over(Window.partitionBy(col("a"))))

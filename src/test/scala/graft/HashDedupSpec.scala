@@ -201,6 +201,7 @@ class HashDedupSpec extends AnyFunSuite {
       "minhash_pairs" -> (d => HashDedup.minhashPairs(spark, d)),
       "simhash_pairs" -> (d => HashDedup.simhashPairs(spark, d)),
       "ngram_jaccard" -> (d => HashDedup.ngramJaccard(spark, d)),
+      "winnow_pairs" -> (d => HashDedup.winnowPairs(spark, d)),
       "embed_neardup" -> (d => graft.llm.VectorOps.nearDup(spark, d)))
     val graded = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
     var expected = 0
