@@ -638,6 +638,30 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Inverted-index builder with BOUNDED posting samples: per top-df
+    * term, its document frequency plus a deterministic bottom-4-by-hash
+    * sample of its posting list via the O(k)-state KMV aggregate
+    * ([[graft.functions.BottomKByHashAgg]]) — the scale-safe inverted-
+    * index shape: a corpus-hot term keeps k docs of aggregation state,
+    * never its full posting list (a collect_list here is the OOM-able
+    * anti-pattern). Exploded to rows for the oracle hash. */
+  def termPostings(s: SparkSession, d: String): DataFrame = {
+    val td = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val top = td.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+           graft.functions.GraftFunctions.bottomk_by_hash(col("doc_id"), 4)
+             .as("sample_docs"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(50)
+    top.select(col("term"), col("df"),
+               posexplode(col("sample_docs")).as(Seq("i", "doc_id")))
+      .select(col("term"), col("df"),
+              (col("i") + 1).cast("long").as("rank"), col("doc_id"))
+      .orderBy(col("df").desc, col("term"), col("rank"))
+  }
+
   private val NShards = 16
 
   /** Deterministic training-shard assignment: shard = md5(doc_id) mod 16
@@ -662,6 +686,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bigram_novelty" -> (bigramNovelty _),
     "shard_assign"   -> (shardAssign _),
+    "term_postings"  -> (termPostings _),
     "cms_heavy_hitters"  -> (cmsHeavyHitters _),
     "source_diversity"   -> (sourceDiversity _),
     "curation_funnel"    -> (curationFunnel _),
@@ -711,6 +736,21 @@ object TextOps {
         |       CAST(sum(CASE WHEN n_novel * 2 > n_trans THEN 1 ELSE 0 END)
         |         AS BIGINT) AS n_incoherent
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "term_postings" ->
+      """WITH td AS (
+        |  SELECT DISTINCT term, doc_id FROM (
+        |    SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents)),
+        |top AS (SELECT term, count(*) AS df FROM td
+        |        GROUP BY term ORDER BY df DESC, term LIMIT 50),
+        |r AS (
+        |  SELECT term, doc_id,
+        |         row_number() OVER (PARTITION BY term
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM td WHERE term IN (SELECT term FROM top))
+        |SELECT term, df, CAST(rank AS BIGINT) AS rank, doc_id
+        |FROM r JOIN top USING (term) WHERE rank <= 4
+        |ORDER BY df DESC, term, rank""".stripMargin,
 
     "shard_assign" ->
       """SELECT shard, count(*) AS n_docs,
