@@ -242,6 +242,16 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"q2 must broadcast every join (dims + per-part min), got:\n$plan")
   }
 
+  test("dup_substring_frac/term_postings/winnow_fingerprints: ONE documents scan") {
+    for (q <- Seq("dup_substring_frac", "term_postings", "winnow_fingerprints")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val scans = "Scan parquet.*documents".r.findAllIn(plan).length
+      assert(scans <= 1, s"$q: expected <=1 documents scan, found $scans:\n$plan")
+    }
+  }
+
   test("ann_adc: codebook materialized once — no LUT-side embeddings re-scan") {
     val df = graft.llm.VectorOps.queries("ann_adc")(spark, sfDir)
     df.collect()
