@@ -915,6 +915,30 @@ object RelQueries {
     * multiplicity (min / difference of per-row counts), unlike the
     * distinct-set forms in `set_ops`; summarized per type so the graded
     * output is small while the ALL semantics still decide every row. */
+  private val ProfileCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** ANALYZE-style column profiler: per numeric lineitem column its
+    * min/max/exact-NDV/null count from ONE scan + one agg row, unpivoted
+    * with stack() — the statistics that drive broadcast/AQE/skew
+    * decisions, produced the way a cluster would (partial+final agg;
+    * NDV is the only shuffle-weighted piece and would swap to an HLL
+    * sketch at 100 TB — kept exact here so the oracle hash-matches). */
+  def tableProfile(s: SparkSession, d: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+          countDistinct(col(c)).as(s"${c}_ndv"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+    }
+    val stackArgs = ProfileCols.map { c =>
+      s"'$c', ${c}_min, ${c}_max, ${c}_ndv, ${c}_nulls"
+    }.mkString(", ")
+    Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${ProfileCols.length}, $stackArgs) " +
+        "AS (col_name, min_v, max_v, ndv, n_nulls)")
+      .orderBy(col("col_name"))
+  }
+
   def setOpsAll(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val a = ev.filter(col("user_id") < 50).select(col("event_type"))
@@ -1297,6 +1321,7 @@ object RelQueries {
     "session_paths"      -> (sessionPaths _),
     "q22_prospects"      -> (q22Prospects _),
     "set_ops_all"        -> (setOpsAll _),
+    "table_profile"      -> (tableProfile _),
     "hourly_profile"     -> (hourlyProfile _),
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),
@@ -1549,6 +1574,34 @@ object RelQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "table_profile" ->
+      """WITH a AS (
+        |  SELECT min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+        |         count(DISTINCT l_quantity) AS q_ndv,
+        |         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+        |         min(l_extendedprice) AS p_min, max(l_extendedprice) AS p_max,
+        |         count(DISTINCT l_extendedprice) AS p_ndv,
+        |         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+        |         min(l_discount) AS d_min, max(l_discount) AS d_max,
+        |         count(DISTINCT l_discount) AS d_ndv,
+        |         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS d_nulls,
+        |         min(l_tax) AS t_min, max(l_tax) AS t_max,
+        |         count(DISTINCT l_tax) AS t_ndv,
+        |         sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS t_nulls
+        |  FROM lineitem)
+        |SELECT 'l_discount' AS col_name, d_min AS min_v, d_max AS max_v,
+        |       CAST(d_ndv AS BIGINT) AS ndv, CAST(d_nulls AS BIGINT) AS n_nulls FROM a
+        |UNION ALL
+        |SELECT 'l_extendedprice', p_min, p_max, CAST(p_ndv AS BIGINT),
+        |       CAST(p_nulls AS BIGINT) FROM a
+        |UNION ALL
+        |SELECT 'l_quantity', q_min, q_max, CAST(q_ndv AS BIGINT),
+        |       CAST(q_nulls AS BIGINT) FROM a
+        |UNION ALL
+        |SELECT 'l_tax', t_min, t_max, CAST(t_ndv AS BIGINT),
+        |       CAST(t_nulls AS BIGINT) FROM a
+        |ORDER BY col_name""".stripMargin,
 
     "set_ops_all" ->
       """WITH a AS (SELECT event_type FROM events WHERE user_id < 50),
