@@ -667,7 +667,31 @@ object HashDedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Train/eval split leakage: near-dup candidate pairs that STRADDLE
+    * the deterministic hash split (same md5 bucketing as sample_split:
+    * bucket<8 train, 8 val, 9 test) — the eval-hygiene audit that exact
+    * decontamination misses, because a REWRITE of a training doc in the
+    * test set still leaks signal. Pair volume is LSH-capped; the split
+    * derives per doc map-side, so the audit adds two cheap column
+    * derivations + one agg on top of the candidate stream. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val bucket =
+        conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 10
+      when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+    }
+    minhashPairs(s, d)
+      .withColumn("split_a", splitOf(col("a")))
+      .withColumn("split_b", splitOf(col("b")))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+           min(col("a")).as("example_a"), min(col("b")).as("example_b"))
+      .withColumn("leaks", (col("split_a") =!= col("split_b")).cast("boolean"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_leakage" -> (splitLeakage _),
     "dedup_semantic_verify" -> (dedupSemanticVerify _),
     "minhash_jaccard_est" -> (minhashJaccardEst _),
     "winnow_fingerprints" -> (winnowFingerprints _),
@@ -913,6 +937,29 @@ object HashDedup {
          |FROM bands x JOIN bands y
          |  ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin,
+
+    "split_leakage" ->
+      s"""WITH $ShingleCte, $HashCte, $SigCte, $BandsCte,
+         |pr AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |sp AS (
+         |  SELECT a, b,
+         |    CASE WHEN CAST(concat('0x', substr(md5(CAST(a AS VARCHAR)), 1, 8))
+         |              AS BIGINT) % 10 < 8 THEN 'train'
+         |         WHEN CAST(concat('0x', substr(md5(CAST(a AS VARCHAR)), 1, 8))
+         |              AS BIGINT) % 10 = 8 THEN 'val' ELSE 'test' END AS split_a,
+         |    CASE WHEN CAST(concat('0x', substr(md5(CAST(b AS VARCHAR)), 1, 8))
+         |              AS BIGINT) % 10 < 8 THEN 'train'
+         |         WHEN CAST(concat('0x', substr(md5(CAST(b AS VARCHAR)), 1, 8))
+         |              AS BIGINT) % 10 = 8 THEN 'val' ELSE 'test' END AS split_b
+         |  FROM pr)
+         |SELECT split_a, split_b, count(*) AS n_pairs,
+         |       min(a) AS example_a, min(b) AS example_b,
+         |       split_a <> split_b AS leaks
+         |FROM sp GROUP BY split_a, split_b
+         |ORDER BY split_a, split_b""".stripMargin,
 
     "dedup_semantic_verify" ->
       s"""WITH $ShingleCte, $HashCte, $SigCte, $BandsCte,

@@ -662,6 +662,38 @@ object TextOps {
       .orderBy(col("df").desc, col("term"), col("rank"))
   }
 
+  /** Mixture resampling: down-sample each source toward an EQUAL token
+    * share by a deterministic hash threshold — the op that materializes
+    * a curriculum mix (corpus_mix computes weights; this applies them).
+    * keep(doc) ⇔ h20(doc_id) < floor(min(1, T/(n_src·tok_s)) · 2^20):
+    * the threshold derives from exact integer token totals through two
+    * IEEE ops (one divide, one multiply — identical cross-engine), and
+    * the per-doc gate is a pure integer compare, so the kept set is
+    * byte-stable on any engine or cluster layout. The ≤|sources| token
+    * frame broadcasts; docs never shuffle (map-side gate + one agg). */
+  def mixApply(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("h20",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % (1L << 20))
+    val perSrc = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_s"))
+    val tot = perSrc.agg(sum(col("tok_s")).as("t_total"),
+                         count(lit(1)).as("n_src"))
+    val thr = perSrc.crossJoin(broadcast(tot))
+      .withColumn("p", least(lit(1.0d),
+        col("t_total").cast("double") / (col("n_src") * col("tok_s"))))
+      .withColumn("thr", floor(col("p") * lit(1048576.0d)).cast("long"))
+      .select(col("source").as("src2"), col("thr"))
+    docs.join(broadcast(thr), col("source") === col("src2"))
+      .filter(col("h20") < col("thr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+           sum(col("n_tok")).as("n_tokens_kept"),
+           max(col("thr")).as("thr"))
+      .orderBy(col("source"))
+  }
+
   private val NShards = 16
 
   /** Deterministic training-shard assignment: shard = md5(doc_id) mod 16
@@ -687,6 +719,7 @@ object TextOps {
     "bigram_novelty" -> (bigramNovelty _),
     "shard_assign"   -> (shardAssign _),
     "term_postings"  -> (termPostings _),
+    "mix_apply"      -> (mixApply _),
     "cms_heavy_hitters"  -> (cmsHeavyHitters _),
     "source_diversity"   -> (sourceDiversity _),
     "curation_funnel"    -> (curationFunnel _),
@@ -736,6 +769,27 @@ object TextOps {
         |       CAST(sum(CASE WHEN n_novel * 2 > n_trans THEN 1 ELSE 0 END)
         |         AS BIGINT) AS n_incoherent
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "mix_apply" ->
+      """WITH docs AS (
+        |  SELECT source, len(str_split(text, ' ')) AS n_tok,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) % 1048576 AS h20
+        |  FROM documents),
+        |per_src AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_s
+        |            FROM docs GROUP BY source),
+        |tot AS (SELECT CAST(sum(tok_s) AS BIGINT) AS t_total,
+        |               count(*) AS n_src FROM per_src),
+        |thr AS (
+        |  SELECT source,
+        |         CAST(floor(least(1.0, CAST(t_total AS DOUBLE) / (n_src * tok_s))
+        |                    * 1048576.0) AS BIGINT) AS thr
+        |  FROM per_src CROSS JOIN tot)
+        |SELECT source, count(*) AS n_docs_kept,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept, max(thr) AS thr
+        |FROM docs JOIN thr USING (source)
+        |WHERE h20 < thr
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "term_postings" ->
       """WITH td AS (

@@ -237,6 +237,31 @@ class QueriesSpec extends AnyFunSuite {
     })
   }
 
+  test("mix_apply: per-source kept mass never exceeds the source total") {
+    import org.apache.spark.sql.functions._
+    val totals = graft.Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+           sum(size(split(col("text"), " ")).cast("long")).as("tok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    SparkEntry.queries("mix_apply")(spark, sf).collect().foreach { r =>
+      val (n, tok) = totals(r.getString(0))
+      assert(r.getAs[Long]("n_docs_kept") <= n)
+      assert(r.getAs[Long]("n_tokens_kept") <= tok)
+      val thr = r.getAs[Long]("thr")
+      assert(thr > 0 && thr <= (1L << 20))
+      // an at-or-under-target source keeps every doc (thr saturates)
+      if (thr == (1L << 20)) assert(r.getAs[Long]("n_docs_kept") === n)
+    }
+  }
+
+  test("split_leakage: leaks flag is exactly split_a != split_b") {
+    SparkEntry.queries("split_leakage")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Boolean]("leaks") === (r.getString(0) != r.getString(1)))
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub codec") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.length === 500)
