@@ -102,20 +102,29 @@ object HashDedup {
     * on the live bus (pinned by a batch-vs-expression parity spec).
     * Returns the 4 band-hash strings (index = band_id); null for
     * documents under 3 tokens (no shingles → no buckets). */
-  def bandHashExpr(text: Column): Column = {
+  /** Positional 3-gram shingle hashes of `text` as array<long>, h ∈
+    * [0, P) — the ONE per-row lineage behind both [[bandHashExpr]] and
+    * [[winnowFpExpr]] (factored so the hash width / modulus can never
+    * silently diverge between the two streaming twins). Callers must
+    * guard evaluation behind `size(split(text, " ")) >= 3` — on shorter
+    * docs the element_at indexing is out of range. */
+  private def shingleHashArr(text: Column): Column = {
     val ws = split(text, " ")
     val sh = transform(sequence(lit(0), size(ws) - 3),
       i => concat_ws(" ",
         element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
-    val hs = transform(sh,
-      x => conv(substring(md5(x), 1, 8), 16, 10).cast("long") % P)
+    transform(sh, x => conv(substring(md5(x), 1, 8), 16, 10).cast("long") % P)
+  }
+
+  def bandHashExpr(text: Column): Column = {
+    val hs = shingleHashArr(text)
     val mins = mhParams.map { case (a, b) =>
       array_min(transform(hs, h => (lit(a) * h + lit(b)) % P))
     }
     val bands = (0 until 4).map { bnd =>
       md5(concat_ws(",", (0 until 4).map(r => mins(bnd * 4 + r)): _*))
     }
-    when(size(ws) >= 3, array(bands: _*))
+    when(size(split(text, " ")) >= 3, array(bands: _*))
   }
 
   /** 3-word shingles from the whitespace token array `ws`. */
@@ -565,24 +574,22 @@ object HashDedup {
     * higher-order array functions — stays inside whole-stage codegen.
     * Null for docs with fewer than w shingles (< w+2 tokens). */
   def winnowFpExpr(text: Column): Column = {
-    val ws = split(text, " ")
-    val sh = transform(sequence(lit(0), size(ws) - 3),
-      i => concat_ws(" ",
-        element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
-    val hs = transform(sh,
-      x => conv(substring(md5(x), 1, 8), 16, 10).cast("long") % P)
+    val hs = shingleHashArr(text)
     val wmins = transform(sequence(lit(0), size(hs) - WinnowW),
       i => array_min(slice(hs, i + 1, lit(WinnowW))))
-    when(size(ws) >= WinnowW + 2, array_distinct(wmins))
+    when(size(split(text, " ")) >= WinnowW + 2, array_distinct(wmins))
   }
 
-  /** Candidate pairs from SHARED winnowing fingerprints (≥2 shared) —
-    * the pair step the selection stage exists for: identical to the
-    * shingle-keyed ngram_jaccard expansion but over the ~2/(w+1)-sized
-    * fingerprint stream, so bucket state and pair work shrink ~2.5×
-    * while the ≥6-token-run guarantee still holds. Fingerprint-keyed
-    * bucket-local expansion, capped + skew-metric'd like every LSH
-    * path. */
+  /** Candidate pairs from shared winnowing fingerprints — the pair step
+    * the selection stage exists for: identical to the shingle-keyed
+    * ngram_jaccard expansion but over the ~2/(w+1)-sized fingerprint
+    * stream, so bucket state and pair work shrink ~2.5×. A SINGLE
+    * shared fingerprint already emits the pair — the SIGMOD'03
+    * guarantee (shared ≥6-token run ⇒ ≥1 shared fingerprint) only
+    * survives the state cut if the tight-bound pair, which may share
+    * exactly one, is kept; n_shared is reported so callers can rank.
+    * Fingerprint-keyed bucket-local expansion, capped + skew-metric'd
+    * like every LSH path. */
   def winnowPairs(s: SparkSession, d: String): DataFrame = {
     registerSkewLogging(s)
     boundedBuckets(winnowFps(s, d).select(col("doc_id"), col("fp")),
@@ -592,7 +599,6 @@ object HashDedup {
           "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a, y AS b))))")).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 2)
       .orderBy(col("a"), col("b"))
   }
 
@@ -614,6 +620,16 @@ object HashDedup {
     * occurrence list in one task); the join back to occurrences is a
     * shingle-keyed equi-join that AQE skew-splits if one shingle is
     * corpus-hot. Ratios leave integer space only at the final division. */
+  /** dup_substring_frac's pre-checkpoint distinct-occurrence frame —
+    * exposed so PlanShapeSpec asserts the real scan lineage (the
+    * checkpoint truncates it from the final executed plan). */
+  private[graft] def dupShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("source"), explode(shingleArr).as("sh"))
+      .distinct()
+
   def dupSubstringFrac(s: SparkSession, d: String): DataFrame = {
     // localCheckpoint: the shared frame is POST-DISTINCT — its corpus-
     // wide shuffle is already paid, so recomputing it for the second
@@ -621,12 +637,7 @@ object HashDedup {
     // store cost (the inverse of the tfidf/bigram_novelty call, where
     // the shared frame sits BEFORE any shuffle and recompute is cheap;
     // on a cluster this is checkpoint() to durable storage)
-    val dsh = Tables.documents(s, d)
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), col("source"), explode(shingleArr).as("sh"))
-      .distinct()
-      .localCheckpoint()
+    val dsh = dupShingles(s, d).localCheckpoint()
     val cnt = dsh.groupBy(col("sh")).agg(count(lit(1)).as("nd"))
     dsh.join(cnt, Seq("sh"))
       .groupBy(col("doc_id"), col("source"))
@@ -647,7 +658,10 @@ object HashDedup {
     * that decides, per pair, whether a near-dup is a true rewrite
     * (high cosine) or a template collision (low cosine). Candidate set
     * comes from the capped LSH buckets (sub-quadratic); the embedding
-    * attach is two 1:1 equi-joins; cosine is the same fold-ordered
+    * attach is two 1:1 LEFT equi-joins — a pair whose doc has no
+    * embedding row (late-arriving vector, failed encode) keeps a NULL
+    * cos/verdict and scored=false instead of silently vanishing (the
+    * repo's never-silent rule); cosine is the same fold-ordered
     * dot/sqrt shape as the ANN catalog, so the 0.9 gate compares
     * bit-identically cross-engine. */
   def dedupSemanticVerify(s: SparkSession, d: String): DataFrame = {
@@ -658,12 +672,16 @@ object HashDedup {
               dot_product(col("v"), col("v")).as("n2"))
     val pairs = minhashPairs(s, d)
     pairs
-      .join(e.select(col("vec_id").as("a"), col("v").as("va"), col("n2").as("na")), Seq("a"))
-      .join(e.select(col("vec_id").as("b"), col("v").as("vb"), col("n2").as("nb")), Seq("b"))
+      .join(e.select(col("vec_id").as("a"), col("v").as("va"), col("n2").as("na")),
+            Seq("a"), "left")
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb"), col("n2").as("nb")),
+            Seq("b"), "left")
       .withColumn("cos_raw",
         dot_product(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
       .select(col("a"), col("b"), round(col("cos_raw"), 5).as("cos"),
-              (col("cos_raw") >= 0.9d).cast("boolean").as("semantic_dup"))
+              (col("cos_raw") >= 0.9d).cast("boolean").as("semantic_dup"),
+              (col("na").isNotNull && col("nb").isNotNull)
+                .cast("boolean").as("scored"))
       .orderBy(col("a"), col("b"))
   }
 
@@ -684,9 +702,13 @@ object HashDedup {
       .withColumn("split_a", splitOf(col("a")))
       .withColumn("split_b", splitOf(col("b")))
       .groupBy(col("split_a"), col("split_b"))
+      // the example must be an ACTUAL pair — lexicographic min over the
+      // (a, b) struct, never two independent min() aggregates
       .agg(count(lit(1)).as("n_pairs"),
-           min(col("a")).as("example_a"), min(col("b")).as("example_b"))
-      .withColumn("leaks", (col("split_a") =!= col("split_b")).cast("boolean"))
+           min(struct(col("a"), col("b"))).as("ex"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+              col("ex.a").as("example_a"), col("ex.b").as("example_b"),
+              (col("split_a") =!= col("split_b")).cast("boolean").as("leaks"))
       .orderBy(col("split_a"), col("split_b"))
   }
 
@@ -792,7 +814,7 @@ object HashDedup {
          |fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE pos <= n - 3)
          |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
          |FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
-         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |GROUP BY 1, 2
          |ORDER BY a, b""".stripMargin,
 
     "dup_substring_frac" ->
@@ -955,10 +977,13 @@ object HashDedup {
          |         WHEN CAST(concat('0x', substr(md5(CAST(b AS VARCHAR)), 1, 8))
          |              AS BIGINT) % 10 = 8 THEN 'val' ELSE 'test' END AS split_b
          |  FROM pr)
-         |SELECT split_a, split_b, count(*) AS n_pairs,
-         |       min(a) AS example_a, min(b) AS example_b,
-         |       split_a <> split_b AS leaks
-         |FROM sp GROUP BY split_a, split_b
+         |SELECT split_a, split_b, n_pairs,
+         |       ex.a AS example_a, ex.b AS example_b, leaks
+         |FROM (
+         |  SELECT split_a, split_b, count(*) AS n_pairs,
+         |         min(struct_pack(a := a, b := b)) AS ex,
+         |         split_a <> split_b AS leaks
+         |  FROM sp GROUP BY split_a, split_b)
          |ORDER BY split_a, split_b""".stripMargin,
 
     "dedup_semantic_verify" ->
@@ -974,8 +999,9 @@ object HashDedup {
          |SELECT a, b,
          |       round(list_dot_product(ea.v, eb.v) / (sqrt(ea.n2) * sqrt(eb.n2)), 5) AS cos,
          |       list_dot_product(ea.v, eb.v) / (sqrt(ea.n2) * sqrt(eb.n2)) >= 0.9
-         |         AS semantic_dup
-         |FROM pr JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+         |         AS semantic_dup,
+         |       ea.vec_id IS NOT NULL AND eb.vec_id IS NOT NULL AS scored
+         |FROM pr LEFT JOIN e ea ON ea.vec_id = a LEFT JOIN e eb ON eb.vec_id = b
          |ORDER BY a, b""".stripMargin,
 
     "simhash_sig" ->

@@ -911,10 +911,6 @@ object RelQueries {
       .orderBy(col("d"))
   }
 
-  /** Multiset set ops — INTERSECT ALL / EXCEPT ALL preserve
-    * multiplicity (min / difference of per-row counts), unlike the
-    * distinct-set forms in `set_ops`; summarized per type so the graded
-    * output is small while the ALL semantics still decide every row. */
   private val ProfileCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -939,6 +935,10 @@ object RelQueries {
       .orderBy(col("col_name"))
   }
 
+  /** Multiset set ops — INTERSECT ALL / EXCEPT ALL preserve
+    * multiplicity (min / difference of per-row counts), unlike the
+    * distinct-set forms in `set_ops`; summarized per type so the graded
+    * output is small while the ALL semantics still decide every row. */
   def setOpsAll(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val a = ev.filter(col("user_id") < 50).select(col("event_type"))
@@ -1155,15 +1155,16 @@ object RelQueries {
     * onto the fact before its only shuffle (the (part,supp) partial+final
     * agg); the per-part min re-aggregates the ≤|parts×supps-in-region|
     * checkpointed result and broadcasts back. Ties kept, like Q2. */
-  def q2MinCost(s: SparkSession, d: String): DataFrame = {
+  /** q2's pre-checkpoint cost frame — exposed so PlanShapeSpec asserts
+    * the REAL fact lineage (localCheckpoint truncates it from the final
+    * query's executed plan, which would make the assertions vacuous). */
+  private[graft] def q2Costs(s: SparkSession, d: String): DataFrame = {
     val euroSupp = Tables.supplier(s, d)
       .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
       .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
             col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
-    // localCheckpoint: q15/q11 discipline — the min branch must re-read
-    // the reduced agg, not replay the lineitem scan under it
-    val costs = Tables.lineitem(s, d)
+    Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d).filter(col("p_size") === 15)
               .select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
@@ -1171,7 +1172,12 @@ object RelQueries {
       .groupBy(col("p_partkey"), col("p_brand"), col("s_suppkey"),
                col("s_name"), col("s_acctbal"), col("n_name"))
       .agg(sum(col("l_quantity")).cast("long").as("qty"))
-      .localCheckpoint()
+  }
+
+  def q2MinCost(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint: q15/q11 discipline — the min branch must re-read
+    // the reduced agg, not replay the lineitem scan under it
+    val costs = q2Costs(s, d).localCheckpoint()
     val minQ = costs.groupBy(col("p_partkey").as("mp"))
       .agg(min(col("qty")).as("min_qty"))
     costs.join(broadcast(minQ),

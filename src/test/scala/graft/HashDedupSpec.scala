@@ -295,6 +295,15 @@ class HashDedupSpec extends AnyFunSuite {
       assert(inter.nonEmpty,
         s"pair $k: a shared 6-token run MUST yield a shared fingerprint (w=4, k=3)")
     }
+    // and the pair OPERATOR must surface every planted pair — at the
+    // tight bound a pair may share exactly ONE fingerprint, so any
+    // n_shared >= 2 style filter would break the recall guarantee here
+    val gotPairs = HashDedup.winnowPairs(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach { k =>
+      assert(gotPairs.contains((2L * k, 2L * k + 1)),
+        s"winnow_pairs must emit planted tight-bound pair $k")
+    }
     // cross-pair docs drawing from the planted-B vocab range can share
     // tokens but not 3-gram runs with the A docs of OTHER pairs
     (0 until 9).foreach { k =>

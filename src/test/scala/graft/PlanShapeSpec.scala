@@ -233,23 +233,48 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   }
 
   test("q2_min_cost: ONE lineitem scan; both dim chains broadcast (no fact-dim shuffle)") {
+    // assert the PRE-checkpoint cost frame: the final query's executed
+    // plan starts at the checkpointed RDD, which would hide the fact
+    // lineage and make these assertions vacuously true
+    val costs = graft.rel.RelQueries.q2Costs(spark, sfDir)
+    costs.collect()
+    val costPlan = costs.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val liScans = "Scan parquet.*lineitem".r.findAllIn(costPlan).length
+    assert(liScans === 1, s"expected exactly 1 lineitem scan, found $liScans:\n$costPlan")
+    assert(!costPlan.contains("SortMergeJoin"),
+      s"q2's dim joins must broadcast, got:\n$costPlan")
+    assert(costPlan.contains("BroadcastHashJoin"), s"expected BHJ dims:\n$costPlan")
+    // and the post-checkpoint remainder must not rescan the fact table
     val df = graft.rel.RelQueries.queries("q2_min_cost")(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    val liScans = "Scan parquet.*lineitem".r.findAllIn(plan).length
-    assert(liScans <= 1, s"expected <=1 lineitem scan (checkpointed agg), found $liScans:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"q2 must broadcast every join (dims + per-part min), got:\n$plan")
+    assert("Scan parquet.*lineitem".r.findAllIn(plan).isEmpty &&
+      !plan.contains("SortMergeJoin"),
+      s"post-checkpoint remainder must be broadcast-only over the RDD:\n$plan")
   }
 
-  test("dup_substring_frac/term_postings/winnow_fingerprints: ONE documents scan") {
-    for (q <- Seq("dup_substring_frac", "term_postings", "winnow_fingerprints")) {
+  test("term_postings/winnow_fingerprints: ONE documents scan") {
+    for (q <- Seq("term_postings", "winnow_fingerprints")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
       val scans = "Scan parquet.*documents".r.findAllIn(plan).length
-      assert(scans <= 1, s"$q: expected <=1 documents scan, found $scans:\n$plan")
+      assert(scans === 1, s"$q: expected exactly 1 documents scan, found $scans:\n$plan")
     }
+  }
+
+  test("dup_substring_frac: one scan feeds the checkpoint; remainder scan-free") {
+    // pre-checkpoint frame carries the only documents scan…
+    val dsh = graft.llm.HashDedup.dupShingles(spark, sfDir)
+    dsh.collect()
+    val dshPlan = dsh.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Scan parquet.*documents".r.findAllIn(dshPlan).length === 1, dshPlan)
+    // …and the final query (both consumers) reads only the checkpointed RDD
+    val df = SparkEntry.queries("dup_substring_frac")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Scan parquet.*documents".r.findAllIn(plan).isEmpty,
+      s"post-checkpoint consumers must not rescan documents:\n$plan")
   }
 
   test("ann_adc: codebook materialized once — no LUT-side embeddings re-scan") {
