@@ -47,7 +47,11 @@ object Tables {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        val ns = Math.multiplyExact(cutoffUtc.getEpochSecond, 1000000000L)
+        // full instant precision: a sub-second cutoff must not silently
+        // truncate to the whole second (the Timestamp branch keeps it)
+        val ns = Math.addExact(
+          Math.multiplyExact(cutoffUtc.getEpochSecond, 1000000000L),
+          cutoffUtc.getNano.toLong)
         df.filter(col("ts") <= ns)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ =>

@@ -74,17 +74,17 @@ object TextOps {
 
   /** Count-Min sketch heavy-hitter audit — the mergeable-sketch path for
     * counting over a vocabulary too wide to exact-aggregate: the sketch
-    * is depth × width (4 × 64) integer counters, built in ONE
+    * is depth × width (4 × 16) integer counters, built in ONE
     * map-side-combinable aggregation (every partition folds its tokens
-    * into ≤256 cells locally, merge is cell-wise +), and an item's
+    * into ≤64 cells locally, merge is cell-wise +), and an item's
     * estimate is the MIN of its depth bucket counters — an overestimate,
     * never an undercount. The audit reports the exact top-20 words next
     * to their CMS estimate and the collision overcount. All counters are
     * exact integer sums over md5-derived buckets, so both engines build
     * the bit-identical sketch — a rare fully-oracle-checkable sketch
     * (contrast `approx_distinct`, rows-only). At 100 TB the sketch side
-    * never shuffles more than 256 cells per partition; only the audit's
-    * exact side pays a vocabulary-keyed shuffle. */
+    * never shuffles more than depth·width cells per partition; only the
+    * audit's exact side pays a vocabulary-keyed shuffle. */
   def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
     def bucket(seed: Int, c: Column): Column =
       conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 8), 16, 10)

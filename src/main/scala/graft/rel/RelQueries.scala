@@ -1010,12 +1010,12 @@ object RelQueries {
     * two-nation filter is ~2/25 selective on each side of the big join. */
   def q7Volume(s: SparkSession, d: String): DataFrame = {
     val nations = Seq("NATION_1", "NATION_2")
-    def natChain(df: DataFrame, key: String, out: String) =
+    def natChain(df: DataFrame, key: String) =
       df.join(Tables.nation(s, d), col(key) === col("n_nationkey"))
         .filter(col("n_name").isin(nations: _*))
-    val sup = natChain(Tables.supplier(s, d), "s_nationkey", "supp_nation")
+    val sup = natChain(Tables.supplier(s, d), "s_nationkey")
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-    val cust = natChain(Tables.customer(s, d), "c_nationkey", "cust_nation")
+    val cust = natChain(Tables.customer(s, d), "c_nationkey")
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))

@@ -189,31 +189,43 @@ object Streams {
 
   /** Per-(band, signature) bucket membership state: each arriving doc is
     * paired against the docs already in its bucket, then joins the
-    * bucket. The cap mirrors [[graft.llm.HashDedup.DefaultMaxBucket]] —
-    * a bucket at the cap is a mass-duplicate cluster; further arrivals
-    * stop emitting pairs instead of going quadratic (state AND output
-    * both stay bounded per key). */
+    * bucket. Membership state caps at
+    * [[graft.llm.HashDedup.DefaultMaxBucket]] AND total emitted pairs
+    * per bucket cap at the same constant — so a mass-duplicate cluster
+    * costs O(cap) state and O(cap) output, never the ~cap²/2 of
+    * unbudgeted pairing. NOTE the honest divergence from batch: the
+    * batch query drops an over-cap bucket entirely (it knows the final
+    * size), while a stream cannot retract pairs it already emitted —
+    * consumers needing strict batch parity on pathological buckets
+    * should discard pairs of buckets later found over-cap. */
   private[stream] class BucketPairEmitter(maxBucket: Int)
       extends StatefulProcessor[(Int, String), DocArrival, CandidatePair] {
     @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var spent: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       members = getHandle.getListState[Long]("members", Encoders.scalaLong, TTLConfig.NONE)
+      spent = getHandle.getValueState[Long]("spent", Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: (Int, String), rows: Iterator[DocArrival],
                                  timerValues: TimerValues): Iterator[CandidatePair] = {
       val cur = scala.collection.mutable.ArrayBuffer.empty[Long]
       if (members.exists()) cur ++= members.get()
+      var budget = maxBucket.toLong - (if (spent.exists()) spent.get() else 0L)
       val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
       rows.foreach { r =>
         if (!cur.contains(r.doc_id) && cur.size < maxBucket) {
-          cur.foreach { m =>
+          val take = math.min(cur.size.toLong, budget).toInt
+          cur.take(take).foreach { m =>
             out += CandidatePair(math.min(m, r.doc_id), math.max(m, r.doc_id), key._1)
           }
+          budget -= take
           members.appendValue(r.doc_id)
           cur += r.doc_id
         }
       }
+      spent.update(maxBucket.toLong - budget)
       out.iterator
     }
   }
@@ -258,8 +270,13 @@ object Streams {
     * the deadline unanswered, the timer fires the 408 sentinel. Late
     * responses after either outcome are dropped — exactly the
     * unsubscribe-after-first-win of the reference (lib/nats.js:217).
-    * State per request: one boolean + one long, cleared implicitly by
-    * answered-flag short-circuit. */
+    * State per request: one boolean + one long, and the armed deadline
+    * timer doubles as the CLEANUP point — whether the request resolved
+    * 200 or 408, the firing timer clears both states, so state lifetime
+    * is bounded by the timeout horizon instead of growing one dead
+    * entry per req_id forever. A response with no pending request
+    * (orphan, or post-cleanup — past the watermark by construction) is
+    * dropped, matching the reference's closed inbox. */
   private[stream] class RpcGate(timeoutMs: Long)
       extends StatefulProcessor[Long, RpcMsg, RpcOutcome] {
     @transient private var answered: ValueState[Boolean] = _
@@ -283,10 +300,11 @@ object Streams {
             val at = m.ts.getTime + timeoutMs
             deadline.update(at)
             getHandle.registerTimer(at)
-          case "res" =>
+          case "res" if deadline.exists() =>
             out += RpcOutcome(reqId, 200L, m.event_id, m.payload)
             answered.update(true)
-            if (deadline.exists()) getHandle.deleteTimer(deadline.get())
+            // the deadline timer stays armed as the cleanup point
+          case "res" => // orphan response, no pending request: dropped
           case _ => // duplicate request: first timer stands
         }
       }
@@ -296,11 +314,11 @@ object Streams {
     override def handleExpiredTimer(reqId: Long, timerValues: TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
         : Iterator[RpcOutcome] = {
-      if (answered.exists() && answered.get()) Iterator.empty
-      else {
-        answered.update(true)
-        Iterator.single(RpcOutcome(reqId, 408L, -1L, "request time out"))
-      }
+      val wasAnswered = answered.exists() && answered.get()
+      answered.clear()
+      deadline.clear()
+      if (wasAnswered) Iterator.empty
+      else Iterator.single(RpcOutcome(reqId, 408L, -1L, "request time out"))
     }
   }
 
@@ -373,7 +391,11 @@ object Streams {
 
   /** Per-sub-stream last-sequence state: a gap row emits the MOMENT the
     * out-of-sequence message arrives. Within a micro-batch sequences are
-    * sorted, so replay is deterministic; state is ONE long per key. */
+    * sorted, so replay is deterministic; state is ONE long per key and
+    * advances MONOTONICALLY — an at-least-once redelivery (q ≤ last)
+    * is skipped rather than regressing the high-water mark, which would
+    * fabricate a gap for already-delivered sequences on the next
+    * arrival. */
   private[stream] class SeqGapGate
       extends StatefulProcessor[String, (String, Long), SeqGap] {
     @transient private var last: ValueState[Long] = _
@@ -387,8 +409,10 @@ object Streams {
       val out = scala.collection.mutable.ArrayBuffer.empty[SeqGap]
       var prev = if (last.exists()) Option(last.get()) else None
       seqs.foreach { q =>
-        prev.foreach { p => if (q - p > 1) out += SeqGap(key, p, q, q - p - 1) }
-        prev = Some(q)
+        if (!prev.exists(q <= _)) { // redelivered/older seq: keep high-water
+          prev.foreach { p => if (q - p > 1) out += SeqGap(key, p, q, q - p - 1) }
+          prev = Some(q)
+        }
       }
       prev.foreach(last.update)
       out.iterator

@@ -85,8 +85,10 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(r.groupBy(col("channel")).count().filter(col("count") > 1).count() === 0)
     val cutoff = java.time.Instant.parse("2024-01-10T00:00:00Z")
     val snap = bus.replay(cutoff).retained()
-    assert(snap.agg(max(col("ts"))).head().getTimestamp(0)
-      .before(java.sql.Timestamp.from(cutoff)))
+    // replay is INCLUSIVE (ts <= cutoff): assert not-after, so boundary
+    // data at exactly the cutoff doesn't reject a correct implementation
+    assert(!snap.agg(max(col("ts"))).head().getTimestamp(0)
+      .after(java.sql.Timestamp.from(cutoff)))
     // every channel active before the cutoff has exactly one snapshot row
     assert(snap.select(countDistinct(col("channel"))).head().getLong(0) === snap.count())
   }

@@ -39,6 +39,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def ev(id: Long, min: Int, user: Long, typ: String): BusEvent =
     BusEvent(id, ts(min), user, typ, 1.0, "{}")
 
+  /** Scope the RocksDB state store provider (required by
+    * transformWithState) to `body`, restoring the prior provider after —
+    * the rest of the suite (and later suites sharing the JVM-wide
+    * session) stays on the default provider. */
+  private def withRocksDbProvider[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("tumbling window counts on a bounded stream match batch semantics") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
@@ -96,25 +109,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sq = spark.sqlContext
     implicit val sp: SparkSession = spark
     import spark.implicits._
-    // transformWithState requires the RocksDB state store provider; scope
-    // it to THIS query so the rest of the suite (and later suites sharing
-    // the JVM-wide session) stays on the default provider.
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val in = MemoryStream[(String, BusEvent)]
-    val q = Streams.takeNPerKey(in.toDS(), max = 3)
-      .writeStream.outputMode("append").format("memory").queryName("taken").start()
-    try {
-      in.addData(("s1", ev(1, 0, 1, "click")), ("s1", ev(2, 1, 1, "click")))
-      q.processAllAvailable()
-      in.addData(("s1", ev(3, 2, 1, "click")), ("s1", ev(4, 3, 1, "click")),
-                 ("s2", ev(5, 4, 2, "view")))
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    withRocksDbProvider {
+      val in = MemoryStream[(String, BusEvent)]
+      val q = Streams.takeNPerKey(in.toDS(), max = 3)
+        .writeStream.outputMode("append").format("memory").queryName("taken").start()
+      try {
+        in.addData(("s1", ev(1, 0, 1, "click")), ("s1", ev(2, 1, 1, "click")))
+        q.processAllAvailable()
+        in.addData(("s1", ev(3, 2, 1, "click")), ("s1", ev(4, 3, 1, "click")),
+                   ("s2", ev(5, 4, 2, "view")))
+        q.processAllAvailable()
+      } finally q.stop()
     }
     val got = spark.table("taken").as[Streams.Delivery].collect()
     // s1 saw 4 matching messages but max=3 -> exactly 3 delivered (the first 3)
@@ -126,23 +131,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sq = spark.sqlContext
     implicit val sp: SparkSession = spark
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val in = MemoryStream[(String, BusEvent)]
-    val q = Streams.scd2Stream(in.toDS())
-      .writeStream.outputMode("append").format("memory").queryName("scd2s").start()
-    try {
-      // channel c1: three versions across two batches; c2: one (stays open)
-      in.addData(("c1", ev(1, 0, 1, "click")), ("c1", ev(2, 5, 1, "click")),
-                 ("c2", ev(3, 1, 2, "view")))
-      q.processAllAvailable()
-      in.addData(("c1", ev(4, 9, 1, "click")))
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    withRocksDbProvider {
+      val in = MemoryStream[(String, BusEvent)]
+      val q = Streams.scd2Stream(in.toDS())
+        .writeStream.outputMode("append").format("memory").queryName("scd2s").start()
+      try {
+        // channel c1: three versions across two batches; c2: one (stays open)
+        in.addData(("c1", ev(1, 0, 1, "click")), ("c1", ev(2, 5, 1, "click")),
+                   ("c2", ev(3, 1, 2, "view")))
+        q.processAllAvailable()
+        in.addData(("c1", ev(4, 9, 1, "click")))
+        q.processAllAvailable()
+      } finally q.stop()
     }
     val got = spark.table("scd2s").as[Streams.VersionRow].collect()
       .sortBy(v => (v.channel, v.valid_from.getTime))
@@ -168,23 +168,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sq = spark.sqlContext
     implicit val sp: SparkSession = spark
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val in = MemoryStream[(String, Long)]
-    val q = Streams.seqGapStream(in.toDS())
-      .writeStream.outputMode("append").format("memory").queryName("gaps").start()
-    try {
-      // click: 1,2,5 (hole 3-4); view: 10 (nothing to compare yet)
-      in.addData(("click", 1L), ("click", 2L), ("click", 5L), ("view", 10L))
-      q.processAllAvailable()
-      // across batches: click 6 is contiguous with held 5; view 13 gaps 11-12
-      in.addData(("click", 6L), ("view", 13L))
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    withRocksDbProvider {
+      val in = MemoryStream[(String, Long)]
+      val q = Streams.seqGapStream(in.toDS())
+        .writeStream.outputMode("append").format("memory").queryName("gaps").start()
+      try {
+        // click: 1,2,5 (hole 3-4); view: 10 (nothing to compare yet)
+        in.addData(("click", 1L), ("click", 2L), ("click", 5L), ("view", 10L))
+        q.processAllAvailable()
+        // across batches: click 6 is contiguous with held 5; a REDELIVERY
+        // of click 2 must not regress the high-water mark (no false gap
+        // on the next arrival); view 13 gaps 11-12
+        in.addData(("click", 2L), ("click", 6L), ("view", 13L))
+        q.processAllAvailable()
+      } finally q.stop()
     }
     val got = spark.table("gaps").as[Streams.SeqGap].collect()
       .sortBy(g => (g.event_type, g.next_seq))
@@ -196,34 +193,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sq = spark.sqlContext
     implicit val sp: SparkSession = spark
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val in = MemoryStream[Streams.RpcMsg]
-    val q = Streams.rpcStream(in.toDS(), timeoutMs = 10000L)
-      .writeStream.outputMode("append").format("memory").queryName("rpc").start()
-    try {
-      // req 1 and 2 at t=0; two responses for 1 (first at 5s wins, by
-      // (ts, event_id) order); nothing for 2 — its deadline is t=10s
-      in.addData(
-        Streams.RpcMsg(1L, "req", ts(0), 100L, "ping"),
-        Streams.RpcMsg(2L, "req", ts(0), 101L, "ping"),
-        Streams.RpcMsg(1L, "res", ts(5), 200L, "pong-fast"),
-        Streams.RpcMsg(1L, "res", ts(7), 201L, "pong-slow"))
-      q.processAllAvailable()
-      // advance event time past req 2's deadline (watermark moves at the
-      // END of this batch; the timer fires in the NEXT one)
-      in.addData(Streams.RpcMsg(3L, "req", ts(60), 102L, "ping"))
-      q.processAllAvailable()
-      in.addData(Streams.RpcMsg(4L, "req", ts(61), 103L, "ping"))
-      q.processAllAvailable()
-      // a response arriving AFTER the timeout is dropped (unsubscribed)
-      in.addData(Streams.RpcMsg(2L, "res", ts(62), 300L, "too-late"))
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    withRocksDbProvider {
+      val in = MemoryStream[Streams.RpcMsg]
+      val q = Streams.rpcStream(in.toDS(), timeoutMs = 10000L)
+        .writeStream.outputMode("append").format("memory").queryName("rpc").start()
+      try {
+        // req 1 and 2 at t=0; two responses for 1 (first at 5s wins, by
+        // (ts, event_id) order); nothing for 2 — its deadline is t=10s
+        in.addData(
+          Streams.RpcMsg(1L, "req", ts(0), 100L, "ping"),
+          Streams.RpcMsg(2L, "req", ts(0), 101L, "ping"),
+          Streams.RpcMsg(1L, "res", ts(5), 200L, "pong-fast"),
+          Streams.RpcMsg(1L, "res", ts(7), 201L, "pong-slow"))
+        q.processAllAvailable()
+        // advance event time past req 2's deadline (watermark moves at the
+        // END of this batch; the timer fires in the NEXT one)
+        in.addData(Streams.RpcMsg(3L, "req", ts(60), 102L, "ping"))
+        q.processAllAvailable()
+        in.addData(Streams.RpcMsg(4L, "req", ts(61), 103L, "ping"))
+        q.processAllAvailable()
+        // a response arriving AFTER the timeout is dropped (unsubscribed;
+        // post-cleanup state is gone, the no-deadline guard drops it)
+        in.addData(Streams.RpcMsg(2L, "res", ts(62), 300L, "too-late"))
+        q.processAllAvailable()
+      } finally q.stop()
     }
     val got = spark.table("rpc").as[Streams.RpcOutcome].collect()
     // req 1: exactly ONE outcome — the earlier response; the 7-min one lost
@@ -241,30 +234,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sq = spark.sqlContext
     implicit val sp: SparkSession = spark
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
-      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
-    val in = MemoryStream[(Long, String)]
-    val q = Streams.streamingNearDup(in.toDF().toDF("doc_id", "text"))
-      .writeStream.outputMode("append").format("memory").queryName("neardup").start()
-    try {
-      in.addData((1L, base), (3L, "totally different words here nothing shared " +
-        "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll"))
-      q.processAllAvailable()
-      assert(spark.table("neardup").count() === 0,
-        "no pair may exist before a duplicate arrives")
-      in.addData((2L, base)) // the near-dup arrives later, on the live stream
-      q.processAllAvailable()
-      val pairs = spark.table("neardup").as[Streams.CandidatePair].collect()
-      assert(pairs.map(p => (p.a, p.b)).distinct.toSeq === Seq((1L, 2L)),
-        "the arriving duplicate must pair with the resident doc, nothing else")
-      assert(pairs.length === 4, "an exact copy collides in all 4 bands")
-    } finally {
-      q.stop()
-      prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    withRocksDbProvider {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+      val in = MemoryStream[(Long, String)]
+      val q = Streams.streamingNearDup(in.toDF().toDF("doc_id", "text"))
+        .writeStream.outputMode("append").format("memory").queryName("neardup").start()
+      try {
+        in.addData((1L, base), (3L, "totally different words here nothing shared " +
+          "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll"))
+        q.processAllAvailable()
+        assert(spark.table("neardup").count() === 0,
+          "no pair may exist before a duplicate arrives")
+        in.addData((2L, base)) // the near-dup arrives later, on the live stream
+        q.processAllAvailable()
+        val pairs = spark.table("neardup").as[Streams.CandidatePair].collect()
+        assert(pairs.map(p => (p.a, p.b)).distinct.toSeq === Seq((1L, 2L)),
+          "the arriving duplicate must pair with the resident doc, nothing else")
+        assert(pairs.length === 4, "an exact copy collides in all 4 bands")
+      } finally q.stop()
     }
   }
 
