@@ -51,9 +51,14 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val okTotal = results.collect { case (_, v, true) => v }.sum
-    val json = s"""{"metric":"total","value":${fmt(okTotal)},"unit":"sec","queries":$qs,""" +
-      s""""n_ok":${results.count(_._3)},"n_fail":${failed.length},""" +
-      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // ONE set of summary fields, interpolated into both lines — the
+    // short tail-capture summary and the full per-query line can never
+    // drift field-for-field
+    val head = s""""metric":"total","value":${fmt(okTotal)},"unit":"sec""""
+    val tail = s""""n_ok":${results.count(_._3)},"n_fail":${failed.length},""" +
+      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir""""
+    val json = s"""{$head,"queries":$qs,$tail}"""
+    val summary = s"""{$head,$tail}"""
     println(json)
     System.out.flush()
     spark.stop()
@@ -62,9 +67,6 @@ object Bench {
     // (no per-query map) so a bounded tail always captures a parseable JSON
     // head even when the full per-query line is longer than the capture.
     println(json)
-    val summary = s"""{"metric":"total","value":${fmt(okTotal)},"unit":"sec",""" +
-      s""""n_ok":${results.count(_._3)},"n_fail":${failed.length},""" +
-      s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(summary)
     System.out.flush()
   }

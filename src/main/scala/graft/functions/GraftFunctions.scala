@@ -37,13 +37,22 @@ object GraftFunctions {
   private[graft] def dispatchBuilder(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.expressions.Expression = {
+    if (exprs.length != 2) throw new IllegalArgumentException(
+      s"mqtt_dispatch(channel, patterns) takes 2 arguments, got ${exprs.length}")
+    // element type and nullness are validated BEFORE eval so a wrong
+    // literal gets the friendly message, not a ClassCastException/NPE
     val pats = exprs(1) match {
-      case e if e.foldable && e.dataType.isInstanceOf[
-          org.apache.spark.sql.types.ArrayType] =>
+      case e if e.foldable && (e.dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _) => true
+          case _ => false
+        }) =>
         e.eval(null) match {
           case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-            a.toObjectArray(org.apache.spark.sql.types.StringType)
-              .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+            val arr = a.toObjectArray(org.apache.spark.sql.types.StringType)
+            if (arr.exists(_ == null)) throw new IllegalArgumentException(
+              "mqtt_dispatch(channel, patterns): patterns must not contain NULL")
+            arr.map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
               .toSeq
           case other => throw new IllegalArgumentException(
             s"mqtt_dispatch(channel, patterns): patterns must be an ARRAY<STRING> literal, got $other")

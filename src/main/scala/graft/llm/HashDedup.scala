@@ -168,12 +168,21 @@ object HashDedup {
     * self-join, no recomputation of the signature lineage, and per-task
     * work is bounded by [[DefaultMaxBucket]] via the counted pre-filter
     * in [[boundedBuckets]]. */
+  /** Bucket-local ordered-pair enumeration over the array column `arr`:
+    * one struct(`l`, `r`) per pair — the ONE pair-expansion expression
+    * every LSH/blocked path shares (a fix to the slice bounds applies
+    * everywhere at once instead of to seven drifting copies). */
+  private[graft] def pairExpand(arr: String, l: String = "a",
+                                r: String = "b"): Column =
+    explode(expr(
+      s"flatten(transform($arr, (x, i) -> " +
+        s"transform(slice($arr, i + 2, size($arr) - i - 1), " +
+        s"y -> struct(x AS $l, y AS $r))))"))
+
   private def bucketPairs(bands: DataFrame,
                           maxBucket: Int = DefaultMaxBucket): DataFrame =
     boundedBuckets(bands, Seq(col("band_id"), col("bh")), col("doc_id"), maxBucket)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(pairExpand("ids").as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
 
@@ -221,9 +230,7 @@ object HashDedup {
       .reduce(_ + _)
     boundedBuckets(banded, Seq(col("band_id"), col("bh")),
         struct(col("doc_id"), col("sg")), DefaultMaxBucket)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS l, y AS r))))")).as("p"))
+      .select(pairExpand("ids", "l", "r").as("p"))
       .select(col("p.l.doc_id").as("a"), col("p.r.doc_id").as("b"),
               col("p.l.sg").as("sa"), col("p.r.sg").as("sb"))
       .distinct()
@@ -410,9 +417,7 @@ object HashDedup {
       .groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
       .filter(size(col("srcs")) > 1)
-      .select(explode(expr(
-        "flatten(transform(srcs, (x, i) -> " +
-          "transform(slice(srcs, i + 2, size(srcs) - i - 1), y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(pairExpand("srcs").as("p"))
       .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
       .agg(count(lit(1)).as("n_shared_shingles"))
       .orderBy(col("src_a"), col("src_b"))
@@ -458,12 +463,10 @@ object HashDedup {
       .select(col("doc_id"), col("simhash"), posexplode(array(bandVals: _*)).as(Seq("band_id", "bv")))
     boundedBuckets(banded, Seq(col("band_id"), col("bv")),
         struct(col("doc_id"), col("simhash")), DefaultMaxBucket)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> " +
-          "struct(x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb))))")).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"),
-        bit_count(col("p.sa").bitwiseXOR(col("p.sb"))).cast("long").as("hamming"))
+      .select(pairExpand("ids", "l", "r").as("p"))
+      .select(col("p.l.doc_id").as("a"), col("p.r.doc_id").as("b"),
+        bit_count(col("p.l.simhash").bitwiseXOR(col("p.r.simhash")))
+          .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("a"), col("b"))
@@ -486,9 +489,7 @@ object HashDedup {
     // work capped by the counted pre-filter — no self-join.
     val inter = boundedBuckets(sh, Seq(col("source"), col("sh")),
         col("doc_id"), DefaultMaxBucket)
-      .select(col("source"), explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("source"), pairExpand("ids").as("p"))
       .groupBy(col("source"), col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -594,9 +595,7 @@ object HashDedup {
     registerSkewLogging(s)
     boundedBuckets(winnowFps(s, d).select(col("doc_id"), col("fp")),
         Seq(col("fp")), col("doc_id"), DefaultMaxBucket)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(pairExpand("ids").as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("a"), col("b"))

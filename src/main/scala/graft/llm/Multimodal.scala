@@ -126,6 +126,10 @@ object Multimodal {
     * All integer sums + ONE division, so cross-engine exact. */
   def mmChunkDedup(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // guard the empty payload: Spark's sequence(0, -1) yields [0, -1]
+      // (step auto-flips), which would fabricate two phantom chunks
+      // where the oracle's range(0, 0) correctly yields none
+      .filter(length(col("text")) > 0)
       .withColumn("chunk_idx", explode(sequence(lit(0L),
         ceil(length(col("text")).cast("double") / 16d).cast("long") - 1)))
       .withColumn("chunk", expr("substring(text, chunk_idx * 16 + 1, 16)"))

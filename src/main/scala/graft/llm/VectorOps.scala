@@ -182,9 +182,7 @@ object VectorOps {
     HashDedup.boundedBuckets(
         e.select(col("label"), col("vec_id"), col("v"), col("n2")),
         Seq(col("label")), struct(col("vec_id"), col("v"), col("n2")), maxBlock)
-      .select(col("label"), explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS l, y AS r))))")).as("p"))
+      .select(col("label"), HashDedup.pairExpand("ids", "l", "r").as("p"))
       .withColumn("cos_raw",
         dot(col("p.l.v"), col("p.r.v")) / (sqrt(col("p.l.n2")) * sqrt(col("p.r.n2"))))
       .filter(col("cos_raw") >= 0.4d)
@@ -199,10 +197,13 @@ object VectorOps {
     * The canonical clustering-iteration shape at scale: centroids are a
     * k-row broadcast, the corpus streams once, counts are integers. */
   def kmeansStep(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("n2"))
-      .filter(col("n2") > 0d) // a zero vector has no direction: NaN cos
+    val all = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("n2"))
+    // centroids come from the UNFILTERED set (like annIvf and the DuckDB
+    // twin — a zero vector still contributes to its cell's mean); only
+    // SCORING drops zero vectors (no direction: NaN cos)
+    val e = all.filter(col("n2") > 0d)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cellcos").desc, col("cell"))
-    e.crossJoin(broadcast(centroids(e)))
+    e.crossJoin(broadcast(centroids(all)))
       .withColumn("cellcos", dot(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2"))))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)

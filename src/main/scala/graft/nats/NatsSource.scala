@@ -24,7 +24,14 @@ final case class NatsFrame(seq: Long, tsMicros: Long, bytes: Array[Byte])
   *
   * Implementations are addressed by class name via the `broker` option
   * and instantiated per use site (driver for offsets, one per executor
-  * task for fetches — never serialized across the boundary). */
+  * task for fetches — never serialized across the boundary). An
+  * implementation must therefore make `fetch(start, end]` independent
+  * of WHICH instance serves it: [[TextProtocolBroker]] shares one
+  * protocol session per (class, subject) within the JVM (correct in
+  * local mode); a multi-JVM cluster needs server-side replay — a
+  * JetStream-backed implementation — because core NATS is at-most-once
+  * and an executor's fresh connection cannot see frames the driver's
+  * offsets refer to. */
 trait NatsBroker {
   /** Highest sequence number currently on the bus subject. */
   def latestSeq(): Long

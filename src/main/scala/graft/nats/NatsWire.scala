@@ -194,13 +194,40 @@ trait NatsChannel {
   def close(): Unit
 }
 
+object TextProtocolBroker {
+  /** One live protocol session per (broker class, subject) per JVM. The
+    * micro-batch source reflectively instantiates its broker at every
+    * use site — the driver for offsets and each partition reader for
+    * fetches — and plain NATS cannot replay, so a fresh connection per
+    * instance could never serve the (start, end] ranges the driver's
+    * offsets refer to. All instances of the same broker class therefore
+    * BIND THE SAME session: one connection, one replay buffer, one
+    * sequence counter. (Executors in separate JVMs still can't see the
+    * driver's buffer — a multi-JVM cluster needs a JetStream-backed
+    * [[NatsBroker]] whose server-side replay makes fetch independent of
+    * local state; core NATS is at-most-once, exactly like the
+    * reference.) */
+  private[nats] final class Session {
+    var channel: NatsChannel = _
+    val parser = new NatsWire.Parser
+    val frames = scala.collection.mutable.ArrayBuffer.empty[NatsFrame]
+    var seq = 0L
+  }
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[String, Session]
+  private[nats] def sessionFor(key: String): Session =
+    sessions.computeIfAbsent(key, _ => new Session)
+}
+
 /** A [[NatsBroker]] that SPEAKS the NATS text protocol over a
   * [[NatsChannel]]: performs the reference client's connection dialogue
   * (read INFO → CONNECT → SUB the bus subject, reference
   * `lib/nats.js:62-64`), answers PING with PONG, and buffers delivered
   * MSG frames with arrival sequence numbers so the micro-batch source
-  * can serve replayable (start, end] ranges. Only [[dial]] — the socket
-  * itself — is left to the environment. */
+  * can serve replayable (start, end] ranges. Session state is shared
+  * per (class, subject) within the JVM — see
+  * [[TextProtocolBroker$.sessionFor]] for why. Only [[dial]] — the
+  * socket itself — is left to the environment. */
 abstract class TextProtocolBroker extends NatsBroker {
 
   /** Open the byte stream to the server. The zero-egress build cannot;
@@ -210,50 +237,49 @@ abstract class TextProtocolBroker extends NatsBroker {
   /** Bus subject to subscribe (reference default "cdc.client"). */
   protected def subject: String = "cdc.client"
 
-  private var channel: NatsChannel = _
-  private val parser = new NatsWire.Parser
-  private val frames = scala.collection.mutable.ArrayBuffer.empty[NatsFrame]
-  private var seq = 0L
+  private lazy val session =
+    TextProtocolBroker.sessionFor(getClass.getName + "#" + subject)
 
   private def ensureConnected(): Unit =
-    if (channel == null) {
-      channel = dial()
+    if (session.channel == null) {
+      session.channel = dial()
       // INFO may not have arrived yet; CONNECT/SUB regardless (the real
       // client pipelines exactly this way)
-      channel.write(NatsWire.connect(
+      session.channel.write(NatsWire.connect(
         """{"verbose":false,"pedantic":false,"protocol":1,"name":"graft"}"""))
-      channel.write(NatsWire.sub(subject, 1L))
+      session.channel.write(NatsWire.sub(subject, 1L))
       drain()
     }
 
   /** Pull everything the server has buffered, answering pings and
     * sequencing MSG frames. */
   private def drain(): Unit = {
-    var chunk = channel.read()
+    var chunk = session.channel.read()
     while (chunk.nonEmpty) {
-      parser.feed(chunk).foreach {
-        case NatsWire.Ping => channel.write(NatsWire.pong)
+      session.parser.feed(chunk).foreach {
+        case NatsWire.Ping => session.channel.write(NatsWire.pong)
         case m: NatsWire.Msg =>
-          seq += 1
-          frames += NatsFrame(seq, System.currentTimeMillis() * 1000L, m.payload)
+          session.seq += 1
+          session.frames +=
+            NatsFrame(session.seq, System.currentTimeMillis() * 1000L, m.payload)
         case NatsWire.Err(msg) =>
           throw new IllegalStateException(s"NATS server error: $msg")
         case _ => () // INFO / PONG / +OK need no action here
       }
-      chunk = channel.read()
+      chunk = session.channel.read()
     }
   }
 
-  override def latestSeq(): Long = synchronized {
-    ensureConnected(); drain(); seq
+  override def latestSeq(): Long = session.synchronized {
+    ensureConnected(); drain(); session.seq
   }
 
   override def fetch(start: Long, end: Long, shard: Int,
-                     shards: Int): Iterator[NatsFrame] = synchronized {
+                     shards: Int): Iterator[NatsFrame] = session.synchronized {
     ensureConnected(); drain()
     // snapshot: the iterator is consumed outside the lock while drain()
     // may keep appending
-    frames.filter(f =>
+    session.frames.filter(f =>
       f.seq > start && f.seq <= end && f.seq % shards == shard).toVector.iterator
   }
 }
