@@ -254,6 +254,30 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** STREAMING substring-level dup gate: winnowing fingerprints instead
+    * of LSH bands as the bucket key. [[graft.llm.HashDedup.winnowFpExpr]]
+    * selects ~2/(w+1) of the shingle hashes per arriving doc (the batch
+    * `winnow_fingerprints` lineage, parity-pinned), so the per-key state
+    * this gate holds is ~2.5× smaller than an all-shingles index while
+    * the SIGMOD'03 guarantee still catches any shared ≥6-token run.
+    * Same bounded state machine as [[streamingNearDup]] — membership
+    * AND emitted pairs cap per fingerprint bucket. band_id is 0 for all
+    * rows (there is one fingerprint space, not four bands); dedup
+    * (a, b) downstream exactly like the batch `winnow_pairs` pre-agg. */
+  def streamingSubstringDup(docs: DataFrame,
+                            maxBucket: Int = graft.llm.HashDedup.DefaultMaxBucket)
+                           (implicit spark: SparkSession): Dataset[CandidatePair] = {
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        explode(graft.llm.HashDedup.winnowFpExpr(col("text"))).as("fp"))
+      .select(col("doc_id"), lit(0).as("band_id"),
+        col("fp").cast("string").as("bh"))
+      .as[DocArrival]
+      .groupByKey(r => (r.band_id, r.bh))
+      .transformWithState(new BucketPairEmitter(maxBucket),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** One leg of an RPC conversation: a request or a response, correlated
     * by req_id (the reference's reply-subject round trip). */
   case class RpcMsg(req_id: Long, kind: String, ts: Timestamp,

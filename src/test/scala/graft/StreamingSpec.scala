@@ -256,6 +256,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming substring-dup gate pairs a shared 6-token run on arrival") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      // doc 2 embeds a contiguous 6-token slice of doc 1 (= w+k-1, the
+      // winnowing minimum catchable run) inside unrelated filler
+      val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+      val b = "qq ww ee rr delta epsilon zeta eta theta iota ss dd ff gg"
+      val c = "totally different words here nothing shared with anything at all"
+      val in = MemoryStream[(Long, String)]
+      val q = Streams.streamingSubstringDup(in.toDF().toDF("doc_id", "text"))
+        .writeStream.outputMode("append").format("memory").queryName("subdup").start()
+      try {
+        in.addData((1L, a), (3L, c))
+        q.processAllAvailable()
+        assert(spark.table("subdup").count() === 0)
+        in.addData((2L, b)) // the partial copy arrives on the live stream
+        q.processAllAvailable()
+        val pairs = spark.table("subdup").as[Streams.CandidatePair].collect()
+        assert(pairs.map(p => (p.a, p.b)).distinct.toSeq === Seq((1L, 2L)),
+          "the shared run must pair exactly docs 1 and 2")
+      } finally q.stop()
+    }
+  }
+
   test("per-sub counters in update mode accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
