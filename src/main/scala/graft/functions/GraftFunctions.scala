@@ -45,6 +45,11 @@ object GraftFunctions {
       case e if e.foldable && (e.dataType match {
           case org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.StringType, _) => true
+          // the empty literal array() types as ARRAY<NULL>: a legal
+          // zero-route dispatch (matches nothing), not a type error —
+          // non-empty NULL-element arrays are rejected by the null check
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.NullType, _) => true
           case _ => false
         }) =>
         e.eval(null) match {

@@ -38,6 +38,10 @@ trait NatsBroker {
   /** Frames with seq in (start, end] belonging to `shard`
     * (seq % shards == shard), in sequence order. */
   def fetch(start: Long, end: Long, shard: Int, shards: Int): Iterator[NatsFrame]
+  /** Offset `upTo` is durably committed: frames with seq <= upTo will
+    * never be fetched again and may be dropped from any replay buffer
+    * (no-op for server-side-replay implementations like JetStream). */
+  def commit(upTo: Long): Unit = ()
 }
 
 object NatsBroker {
@@ -139,7 +143,11 @@ private[nats] class NatsMicroBatchStream(shards: Int, brokerClass: String)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new NatsReaderFactory
-  override def commit(end: Offset): Unit = () // JetStream ack happens per fetch
+  // lets a buffering broker (TextProtocolBroker's shared session) trim
+  // frames the committed offset makes unreachable; JetStream-style
+  // brokers ack per fetch and default to a no-op
+  override def commit(end: Offset): Unit =
+    broker.commit(end.asInstanceOf[NatsOffset].seq)
   override def stop(): Unit = ()
 }
 

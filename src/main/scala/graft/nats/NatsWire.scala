@@ -209,9 +209,20 @@ object TextProtocolBroker {
     * reference.) */
   private[nats] final class Session {
     var channel: NatsChannel = _
-    val parser = new NatsWire.Parser
+    var parser = new NatsWire.Parser
     val frames = scala.collection.mutable.ArrayBuffer.empty[NatsFrame]
     var seq = 0L
+    /** Drop the connection (dead socket / server -ERR) so the next use
+      * redials with a FRESH parser; buffered frames and the sequence
+      * counter survive — they index delivered history, not the
+      * connection. */
+    def resetConnection(): Unit = {
+      if (channel != null) {
+        try channel.close() catch { case _: Throwable => () }
+      }
+      channel = null
+      parser = new NatsWire.Parser
+    }
   }
   private val sessions =
     new java.util.concurrent.ConcurrentHashMap[String, Session]
@@ -252,7 +263,10 @@ abstract class TextProtocolBroker extends NatsBroker {
     }
 
   /** Pull everything the server has buffered, answering pings and
-    * sequencing MSG frames. */
+    * sequencing MSG frames. A server `-ERR` resets the connection before
+    * propagating, so the NEXT call redials instead of reusing a
+    * poisoned channel forever (the shared session must never become a
+    * JVM-lifetime dead end). */
   private def drain(): Unit = {
     var chunk = session.channel.read()
     while (chunk.nonEmpty) {
@@ -263,6 +277,7 @@ abstract class TextProtocolBroker extends NatsBroker {
           session.frames +=
             NatsFrame(session.seq, System.currentTimeMillis() * 1000L, m.payload)
         case NatsWire.Err(msg) =>
+          session.resetConnection()
           throw new IllegalStateException(s"NATS server error: $msg")
         case _ => () // INFO / PONG / +OK need no action here
       }
@@ -281,5 +296,12 @@ abstract class TextProtocolBroker extends NatsBroker {
     // may keep appending
     session.frames.filter(f =>
       f.seq > start && f.seq <= end && f.seq % shards == shard).toVector.iterator
+  }
+
+  /** Committed offsets make old frames unreachable — drop them so the
+    * shared session's replay buffer is bounded by in-flight batches, not
+    * the subject's lifetime volume. */
+  override def commit(upTo: Long): Unit = session.synchronized {
+    session.frames.filterInPlace(_.seq > upTo)
   }
 }

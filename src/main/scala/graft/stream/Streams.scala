@@ -189,43 +189,50 @@ object Streams {
 
   /** Per-(band, signature) bucket membership state: each arriving doc is
     * paired against the docs already in its bucket, then joins the
-    * bucket. Membership state caps at
-    * [[graft.llm.HashDedup.DefaultMaxBucket]] AND total emitted pairs
-    * per bucket cap at the same constant — so a mass-duplicate cluster
-    * costs O(cap) state and O(cap) output, never the ~cap²/2 of
-    * unbudgeted pairing. NOTE the honest divergence from batch: the
-    * batch query drops an over-cap bucket entirely (it knows the final
-    * size), while a stream cannot retract pairs it already emitted —
-    * consumers needing strict batch parity on pathological buckets
-    * should discard pairs of buckets later found over-cap. */
+    * bucket. A bucket that stays ≤ [[graft.llm.HashDedup.DefaultMaxBucket]]
+    * members emits EXACTLY the batch query's pair set (parity — a
+    * lifetime pair budget would silently lose recall from ~√(2·cap)
+    * members on). Arrivals past the member cap stop pairing AND stop
+    * being remembered, with a once-per-bucket WARN so the truncation is
+    * observable (the never-silent rule); the honest divergence from
+    * batch is confined to those over-cap buckets — batch drops them
+    * entirely post-hoc, a stream cannot retract what it already
+    * emitted, so consumers needing strict parity on pathological
+    * buckets discard pairs of buckets later found over-cap. */
   private[stream] class BucketPairEmitter(maxBucket: Int)
       extends StatefulProcessor[(Int, String), DocArrival, CandidatePair] {
     @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
-    @transient private var spent: ValueState[Long] = _
+    @transient private var warned: ValueState[Boolean] = _
+    @transient private lazy val log =
+      org.slf4j.LoggerFactory.getLogger(classOf[BucketPairEmitter])
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       members = getHandle.getListState[Long]("members", Encoders.scalaLong, TTLConfig.NONE)
-      spent = getHandle.getValueState[Long]("spent", Encoders.scalaLong, TTLConfig.NONE)
+      warned = getHandle.getValueState[Boolean]("warned", Encoders.scalaBoolean, TTLConfig.NONE)
     }
 
     override def handleInputRows(key: (Int, String), rows: Iterator[DocArrival],
                                  timerValues: TimerValues): Iterator[CandidatePair] = {
       val cur = scala.collection.mutable.ArrayBuffer.empty[Long]
       if (members.exists()) cur ++= members.get()
-      var budget = maxBucket.toLong - (if (spent.exists()) spent.get() else 0L)
       val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
       rows.foreach { r =>
-        if (!cur.contains(r.doc_id) && cur.size < maxBucket) {
-          val take = math.min(cur.size.toLong, budget).toInt
-          cur.take(take).foreach { m =>
-            out += CandidatePair(math.min(m, r.doc_id), math.max(m, r.doc_id), key._1)
+        if (!cur.contains(r.doc_id)) {
+          if (cur.size < maxBucket) {
+            cur.foreach { m =>
+              out += CandidatePair(math.min(m, r.doc_id), math.max(m, r.doc_id), key._1)
+            }
+            members.appendValue(r.doc_id)
+            cur += r.doc_id
+          } else if (!warned.exists()) {
+            warned.update(true)
+            log.warn(s"streaming dedup bucket (band=${key._1}) hit the " +
+              s"$maxBucket-member cap: further arrivals in this bucket are " +
+              "not paired (mass-duplicate cluster; batch twin drops such " +
+              "buckets entirely)")
           }
-          budget -= take
-          members.appendValue(r.doc_id)
-          cur += r.doc_id
         }
       }
-      spent.update(maxBucket.toLong - budget)
       out.iterator
     }
   }
@@ -294,29 +301,42 @@ object Streams {
     * the deadline unanswered, the timer fires the 408 sentinel. Late
     * responses after either outcome are dropped — exactly the
     * unsubscribe-after-first-win of the reference (lib/nats.js:217).
-    * State per request: one boolean + one long, and the armed deadline
-    * timer doubles as the CLEANUP point — whether the request resolved
-    * 200 or 408, the firing timer clears both states, so state lifetime
-    * is bounded by the timeout horizon instead of growing one dead
-    * entry per req_id forever. A response with no pending request
-    * (orphan, or post-cleanup — past the watermark by construction) is
-    * dropped, matching the reference's closed inbox. */
+    * State per request: one boolean + one long (+ at most one buffered
+    * early response), and the armed timers double as the CLEANUP point —
+    * whatever the outcome, the firing timer clears every state, so
+    * state lifetime is bounded by the timeout horizon instead of
+    * growing one dead entry per req_id forever. A response arriving
+    * BEFORE its request (possible across micro-batches whenever the
+    * watermark delay allows late request rows) is BUFFERED, not
+    * dropped — it resolves the request the moment the request row
+    * lands; a response that never meets a request is discarded silently
+    * when its own cleanup timer fires, matching the reference's closed
+    * inbox. */
   private[stream] class RpcGate(timeoutMs: Long)
       extends StatefulProcessor[Long, RpcMsg, RpcOutcome] {
     @transient private var answered: ValueState[Boolean] = _
     @transient private var deadline: ValueState[Long] = _
+    @transient private var pend: ValueState[RpcMsg] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       answered = getHandle.getValueState[Boolean]("answered",
         Encoders.scalaBoolean, TTLConfig.NONE)
       deadline = getHandle.getValueState[Long]("deadline",
         Encoders.scalaLong, TTLConfig.NONE)
+      pend = getHandle.getValueState[RpcMsg]("pend",
+        Encoders.product[RpcMsg], TTLConfig.NONE)
     }
 
     override def handleInputRows(reqId: Long, rows: Iterator[RpcMsg],
                                  timerValues: TimerValues): Iterator[RpcOutcome] = {
       val batch = rows.toSeq.sortBy(m => (m.ts.getTime, m.event_id))
       val out = scala.collection.mutable.ArrayBuffer.empty[RpcOutcome]
+      def resolve(m: RpcMsg): Unit = {
+        out += RpcOutcome(reqId, 200L, m.event_id, m.payload)
+        answered.update(true)
+        pend.clear()
+        // the deadline timer stays armed as the cleanup point
+      }
       batch.foreach { m =>
         val done = answered.exists() && answered.get()
         if (!done) m.kind match {
@@ -324,11 +344,16 @@ object Streams {
             val at = m.ts.getTime + timeoutMs
             deadline.update(at)
             getHandle.registerTimer(at)
+            if (pend.exists()) resolve(pend.get()) // early response wins NOW
           case "res" if deadline.exists() =>
-            out += RpcOutcome(reqId, 200L, m.event_id, m.payload)
-            answered.update(true)
-            // the deadline timer stays armed as the cleanup point
-          case "res" => // orphan response, no pending request: dropped
+            resolve(m)
+          case "res" =>
+            // response before its request: buffer the earliest, arm a
+            // cleanup timer so an orphan can never pin state forever
+            if (!pend.exists()) {
+              pend.update(m)
+              getHandle.registerTimer(m.ts.getTime + timeoutMs)
+            }
           case _ => // duplicate request: first timer stands
         }
       }
@@ -338,11 +363,17 @@ object Streams {
     override def handleExpiredTimer(reqId: Long, timerValues: TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
         : Iterator[RpcOutcome] = {
+      // idempotent across the (possibly two) armed timers: only a
+      // request that exists and is unanswered times out; a second fire
+      // sees cleared state and emits nothing
+      val hadReq = deadline.exists()
       val wasAnswered = answered.exists() && answered.get()
       answered.clear()
       deadline.clear()
-      if (wasAnswered) Iterator.empty
-      else Iterator.single(RpcOutcome(reqId, 408L, -1L, "request time out"))
+      pend.clear()
+      if (hadReq && !wasAnswered)
+        Iterator.single(RpcOutcome(reqId, 408L, -1L, "request time out"))
+      else Iterator.empty
     }
   }
 

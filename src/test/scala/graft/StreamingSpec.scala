@@ -256,6 +256,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming RPC buffers a response that lands before its late request") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val in = MemoryStream[Streams.RpcMsg]
+      // 30-minute allowed lateness: a request row OLDER than already-seen
+      // responses is still watermark-legal — the exact window where an
+      // unconditional orphan-response drop loses the 200 outcome
+      val q = Streams.rpcStream(in.toDS(), timeoutMs = 10000L,
+          watermarkDelay = "30 minutes")
+        .writeStream.outputMode("append").format("memory").queryName("rpc_early").start()
+      try {
+        in.addData(Streams.RpcMsg(9L, "res", ts(5), 500L, "early-pong"))
+        q.processAllAvailable()
+        assert(spark.table("rpc_early").count() === 0,
+          "a response with no request yet must not emit an outcome")
+        in.addData(Streams.RpcMsg(9L, "req", ts(0), 100L, "ping"))
+        q.processAllAvailable()
+        val got = spark.table("rpc_early").as[Streams.RpcOutcome].collect()
+        assert(got.map(o => (o.req_id, o.code, o.event_id, o.payload)).toSeq ===
+          Seq((9L, 200L, 500L, "early-pong")),
+          "the buffered early response must resolve the request on arrival")
+        // advance far past every deadline: cleanup timers fire, and the
+        // resolved request must NOT also emit a 408
+        in.addData(Streams.RpcMsg(10L, "req", ts(120), 101L, "ping"))
+        q.processAllAvailable()
+        in.addData(Streams.RpcMsg(11L, "req", ts(180), 102L, "ping"))
+        q.processAllAvailable()
+        val fin = spark.table("rpc_early").as[Streams.RpcOutcome].collect()
+        assert(fin.filter(_.req_id == 9L).map(_.code).toSeq === Seq(200L))
+      } finally q.stop()
+    }
+  }
+
   test("streaming substring-dup gate pairs a shared 6-token run on arrival") {
     implicit val sq = spark.sqlContext
     implicit val sp: SparkSession = spark
