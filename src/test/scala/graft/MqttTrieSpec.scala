@@ -99,5 +99,20 @@ class MqttTrieSpec extends AnyFunSuite {
       spark.sql("SELECT mqtt_dispatch(channel, array(channel)) FROM graft_trie_bus_v")
         .collect()
     }
+    // the empty literal array() (ARRAY<NULL>) is a legal zero-route
+    // dispatch that matches nothing — not a type error
+    val empty = spark.sql(
+      "SELECT sum(size(mqtt_dispatch(channel, array()))) FROM graft_trie_bus_v")
+      .collect().head.getLong(0)
+    assert(empty === 0L)
+    // a wrong element type and NULL elements get the FRIENDLY message
+    for (bad <- Seq("array(1, 2)", "array('a', NULL)")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT mqtt_dispatch(channel, $bad) FROM graft_trie_bus_v")
+          .collect()
+      }
+      assert(e.getMessage.contains("ARRAY<STRING>") ||
+        e.getMessage.contains("must not contain NULL"), s"$bad: ${e.getMessage}")
+    }
   }
 }
