@@ -139,6 +139,46 @@ class NatsWireSpec extends AnyFunSuite {
     assert(range === Seq(3L, 4L))
   }
 
+  test("shared session: commit trims the replay buffer; -ERR resets for redial") {
+    val server = new ScriptedServer
+    val server2 = new ScriptedServer
+    var dials = 0
+    class TrimBroker extends TextProtocolBroker {
+      override protected def dial(): NatsChannel = {
+        dials += 1
+        if (dials == 1) server else server2
+      }
+    }
+    val broker = new TrimBroker
+    (1 to 20).foreach(i =>
+      server.queue(NatsWire.msg("cdc.client", 1L, Array[Byte](i.toByte))))
+    assert(broker.latestSeq() === 20L)
+    assert(broker.fetch(0L, 20L, 0, 1).size === 20)
+
+    // a SECOND instance of the same class binds the SAME session — the
+    // DataSourceV2 instantiates a broker per reader, and its fetches
+    // must see the frames the driver's offsets refer to
+    assert(new TrimBroker().fetch(10L, 20L, 0, 1).size === 10)
+    assert(dials === 1, "same session: the second instance must NOT redial")
+
+    // commit makes (0, 10] unreachable and drops it from the buffer;
+    // uncommitted ranges still serve, sequencing continues across the trim
+    broker.commit(10L)
+    assert(broker.fetch(0L, 20L, 0, 1).map(_.seq).toSeq === (11L to 20L))
+    server.queue(NatsWire.msg("cdc.client", 1L, Array[Byte](21)))
+    assert(broker.latestSeq() === 21L)
+
+    // a server -ERR resets the connection: the NEXT use redials with the
+    // buffered history intact instead of reusing a poisoned channel (or
+    // failing) for the JVM lifetime
+    server.queue(NatsWire.err("Slow Consumer"))
+    intercept[IllegalStateException] { broker.latestSeq() }
+    server2.queue(NatsWire.msg("cdc.client", 1L, Array[Byte](22)))
+    assert(broker.latestSeq() === 22L, "redial must resume the session")
+    assert(dials === 2, "recovery must have dialed a fresh connection")
+    assert(broker.fetch(20L, 22L, 0, 1).map(_.seq).toSeq === Seq(21L, 22L))
+  }
+
   test("wire bytes → protocol → readStream: the reference pub→broker→sub loop " +
       "end-to-end (NatsWire framing under the DataSourceV2)") {
     val spark = org.apache.spark.sql.SparkSession.builder()
