@@ -530,6 +530,35 @@ object HashDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** 13-gram decontamination — the canonical eval-contamination check
+    * (the GPT-3 appendix-C convention: an eval doc is flagged when any
+    * 13-token span also appears verbatim in the training corpus; much
+    * lower false-positive rate than short-shingle overlap, which the
+    * 3-gram [[decontam]] audit measures as a RATE). Per eval doc: its
+    * 13-gram count and whether ANY collides. Same scale shape as
+    * decontam: eval shingles LEFT-join the DISTINCT corpus 13-gram set —
+    * ≤1 corpus row per gram means 1:1 fan-out even on mass duplicates. */
+  def decontam13g(s: SparkSession, d: String): DataFrame = {
+    val n = 13
+    val grams = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ws")) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k + 1)): _*)))
+        .as("g"))
+      .distinct()
+    val corpus = grams.filter(col("doc_id") % 50 =!= 0)
+      .select(col("g")).distinct().withColumn("hit", lit(1L))
+    grams.filter(col("doc_id") % 50 === 0)
+      .join(corpus, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_13grams"),
+           (sum(coalesce(col("hit"), lit(0L))) > 0L).cast("boolean")
+             .as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03
     * — the MOSS algorithm): slide a w=4 window over each document's
     * POSITIONAL shingle-hash sequence and keep every window's minimum;
@@ -713,6 +742,7 @@ object HashDedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_leakage" -> (splitLeakage _),
+    "decontam_13g" -> (decontam13g _),
     "dedup_semantic_verify" -> (dedupSemanticVerify _),
     "minhash_jaccard_est" -> (minhashJaccardEst _),
     "winnow_fingerprints" -> (winnowFingerprints _),
@@ -928,6 +958,20 @@ object HashDedup {
          |SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_shared_shingles
          |FROM ssh x JOIN ssh y ON x.sh = y.sh AND x.source < y.source
          |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    "decontam_13g" ->
+      """WITH g13 AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(generate_series(1, len(ws)-12),
+        |           i -> array_to_string(ws[i:i+12], ' '))) AS g
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+        |        WHERE len(str_split(text, ' ')) >= 13)),
+        |ev AS (SELECT doc_id, g FROM g13 WHERE doc_id % 50 = 0),
+        |corpus AS (SELECT DISTINCT g FROM g13 WHERE doc_id % 50 != 0)
+        |SELECT ev.doc_id, count(*) AS n_13grams,
+        |       count(corpus.g) > 0 AS contaminated
+        |FROM ev LEFT JOIN corpus ON ev.g = corpus.g
+        |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin,
 
     "decontam" ->
       s"""WITH $ShingleCte,
