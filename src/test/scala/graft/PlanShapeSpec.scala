@@ -263,6 +263,24 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("mix_apply: threshold side broadcasts; the corpus-side gate never shuffles docs") {
+    val df = SparkEntry.queries("mix_apply")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the <=|sources| threshold frame must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"docs must never shuffle for the threshold attach:\n$plan")
+  }
+
+  test("table_profile: ONE lineitem scan feeds all column statistics") {
+    val df = SparkEntry.queries("table_profile")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val scans = "Scan parquet.*lineitem".r.findAllIn(plan).length
+    assert(scans === 1, s"expected exactly 1 lineitem scan, found $scans:\n$plan")
+  }
+
   test("dup_substring_frac: one scan feeds the checkpoint; remainder scan-free") {
     // pre-checkpoint frame carries the only documents scan…
     val dsh = graft.llm.HashDedup.dupShingles(spark, sfDir)
