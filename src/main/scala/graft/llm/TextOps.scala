@@ -202,6 +202,26 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("sum_bpe"))
       .orderBy(col("source"))
 
+  /** Tokenizer-fertility audit: BPE-ish tokens per whitespace word, per
+    * language — the table that decides whether a tokenizer is efficient
+    * for a language mix (fertility ≫ 1 means the language fragments into
+    * many subword tokens and its token budget buys fewer words). Same
+    * one-pass scan + regex kernel as [[tokenCountBpe]]; the ratio
+    * divides exact integer sums once. */
+  def tokenFertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_bpe",
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"))
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_bpe")).as("sum_bpe"),
+           sum(col("n_words")).as("sum_words"),
+           round(sum(col("n_bpe")).cast("double") / sum(col("n_words")), 4)
+             .as("fertility"))
+      .orderBy(col("lang"))
+
   /** Deterministic train/val/test split by md5 bucket of the doc id —
     * reproducible across engines and runs (unlike RNG sampling), stable
     * under re-partitioning, and exactly what a 100 TB corpus needs for
@@ -746,7 +766,8 @@ object TextOps {
     "text_quality"     -> (textQuality _),
     "lang_id"          -> (langId _),
     "doc_fingerprint"  -> (fingerprint _),
-    "token_count_bpe"  -> (tokenCountBpe _))
+    "token_count_bpe"  -> (tokenCountBpe _),
+    "token_fertility"  -> (tokenFertility _))
 
   val oracle: Map[String, String] = Map(
     "bigram_novelty" ->
@@ -1136,5 +1157,15 @@ object TextOps {
       FROM (SELECT source,
                    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
             FROM documents)
-      GROUP BY source ORDER BY source""")
+      GROUP BY source ORDER BY source""",
+
+    "token_fertility" -> """
+      SELECT lang, count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
+             CAST(sum(n_words) AS BIGINT) AS sum_words,
+             round(sum(n_bpe) * 1.0 / sum(n_words), 4) AS fertility
+      FROM (SELECT lang,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
+                   CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words
+            FROM documents)
+      GROUP BY lang ORDER BY lang""")
 }
