@@ -700,15 +700,21 @@ object HashDedup {
               dot_product(col("v"), col("v")).as("n2"))
     val pairs = minhashPairs(s, d)
     pairs
-      .join(e.select(col("vec_id").as("a"), col("v").as("va"), col("n2").as("na")),
+      .join(e.select(col("vec_id").as("a"), col("vec_id").as("vid_a"),
+                     col("v").as("va"), col("n2").as("na")),
             Seq("a"), "left")
-      .join(e.select(col("vec_id").as("b"), col("v").as("vb"), col("n2").as("nb")),
+      .join(e.select(col("vec_id").as("b"), col("vec_id").as("vid_b"),
+                     col("v").as("vb"), col("n2").as("nb")),
             Seq("b"), "left")
       .withColumn("cos_raw",
         dot_product(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+      // scored = "an embeddings ROW exists on both sides" (vid_* carried
+      // through the joins), matching the oracle's ea.vec_id IS NOT NULL:
+      // a present row whose embedding ARRAY is NULL still counts as
+      // scored (with NULL cos), where keying off na/nb would not
       .select(col("a"), col("b"), round(col("cos_raw"), 5).as("cos"),
               (col("cos_raw") >= 0.9d).cast("boolean").as("semantic_dup"),
-              (col("na").isNotNull && col("nb").isNotNull)
+              (col("vid_a").isNotNull && col("vid_b").isNotNull)
                 .cast("boolean").as("scored"))
       .orderBy(col("a"), col("b"))
   }

@@ -248,8 +248,18 @@ abstract class TextProtocolBroker extends NatsBroker {
   /** Bus subject to subscribe (reference default "cdc.client"). */
   protected def subject: String = "cdc.client"
 
+  /** Discriminator folded into the shared-session key. Two instances of
+    * one broker class dialing DIFFERENT servers (or with different
+    * options) must NOT share a connection, sequence counter, and replay
+    * buffer — a subclass whose `dial()` is parameterized returns its
+    * dial target (e.g. "host:port") here. The default is constant, which
+    * keeps the DataSourceV2 local-mode behavior: one session per
+    * (class, subject) in the JVM. */
+  protected def sessionKey: String = ""
+
   private lazy val session =
-    TextProtocolBroker.sessionFor(getClass.getName + "#" + subject)
+    TextProtocolBroker.sessionFor(
+      getClass.getName + "#" + subject + "#" + sessionKey)
 
   private def ensureConnected(): Unit =
     if (session.channel == null) {

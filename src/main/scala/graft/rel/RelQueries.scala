@@ -1171,7 +1171,10 @@ object RelQueries {
       .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("p_partkey"), col("p_brand"), col("s_suppkey"),
                col("s_name"), col("s_acctbal"), col("n_name"))
-      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      // round-then-cast: Spark's double→long cast truncates toward zero
+      // while DuckDB's CAST(.. AS BIGINT) rounds to nearest — round() on
+      // both sides keeps parity even if quantity sums go non-integral
+      .agg(round(sum(col("l_quantity"))).cast("long").as("qty"))
   }
 
   def q2MinCost(s: SparkSession, d: String): DataFrame = {
@@ -1524,7 +1527,7 @@ object RelQueries {
     "q2_min_cost" ->
       """WITH costs AS (
         |  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
-        |         CAST(sum(l_quantity) AS BIGINT) AS qty
+        |         CAST(round(sum(l_quantity)) AS BIGINT) AS qty
         |  FROM lineitem
         |  JOIN part ON l_partkey = p_partkey
         |  JOIN supplier ON l_suppkey = s_suppkey

@@ -311,12 +311,27 @@ object Streams {
     * dropped — it resolves the request the moment the request row
     * lands; a response that never meets a request is discarded silently
     * when its own cleanup timer fires, matching the reference's closed
-    * inbox. */
-  private[stream] class RpcGate(timeoutMs: Long)
+    * inbox.
+    *
+    * At-least-once redelivery: after the cleanup timer resolves a
+    * request, a compact TOMBSTONE (one long: its own expiry instant)
+    * survives for `latenessMs` — the allowed-lateness window — so a
+    * redelivered req/res pair that is still watermark-legal is DROPPED
+    * instead of re-arming state and emitting a second outcome (e.g. a
+    * 200 after a 408). The tombstone self-expires on its own timer at
+    * cleanup + lateness; from that instant every redeliverable row of
+    * the conversation (all ts ≤ deadline < watermark) is already
+    * watermark-late and filtered upstream, so no redelivery can outlive
+    * the tombstone. Residual window: none for rows routed through the
+    * watermark filter — the only unguarded case is a BRAND-NEW req_id
+    * reused after its tombstone expired, which is a new conversation by
+    * contract. */
+  private[stream] class RpcGate(timeoutMs: Long, latenessMs: Long = 0L)
       extends StatefulProcessor[Long, RpcMsg, RpcOutcome] {
     @transient private var answered: ValueState[Boolean] = _
     @transient private var deadline: ValueState[Long] = _
     @transient private var pend: ValueState[RpcMsg] = _
+    @transient private var done: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       answered = getHandle.getValueState[Boolean]("answered",
@@ -325,10 +340,15 @@ object Streams {
         Encoders.scalaLong, TTLConfig.NONE)
       pend = getHandle.getValueState[RpcMsg]("pend",
         Encoders.product[RpcMsg], TTLConfig.NONE)
+      done = getHandle.getValueState[Long]("done",
+        Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(reqId: Long, rows: Iterator[RpcMsg],
                                  timerValues: TimerValues): Iterator[RpcOutcome] = {
+      // tombstoned conversation: every redelivered row inside the
+      // lateness window is dropped — one outcome per req_id, ever
+      if (done.exists()) { rows.foreach(_ => ()); return Iterator.empty }
       val batch = rows.toSeq.sortBy(m => (m.ts.getTime, m.event_id))
       val out = scala.collection.mutable.ArrayBuffer.empty[RpcOutcome]
       def resolve(m: RpcMsg): Unit = {
@@ -363,14 +383,25 @@ object Streams {
     override def handleExpiredTimer(reqId: Long, timerValues: TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
         : Iterator[RpcOutcome] = {
-      // idempotent across the (possibly two) armed timers: only a
-      // request that exists and is unanswered times out; a second fire
-      // sees cleared state and emits nothing
+      val fireAt = expiredTimerInfo.getExpiryTimeInMs()
+      if (done.exists()) {
+        // either the tombstone's own expiry (clear it — every row of
+        // this conversation is watermark-late from here on) or a stale
+        // duplicate timer armed before cleanup (keep the tombstone)
+        if (fireAt >= done.get()) done.clear()
+        return Iterator.empty
+      }
+      // cleanup point: resolve-or-408, then tombstone for the lateness
+      // window instead of vanishing — a redelivered req/res that is
+      // still watermark-legal must not re-arm state (ADVICE r5)
       val hadReq = deadline.exists()
       val wasAnswered = answered.exists() && answered.get()
       answered.clear()
       deadline.clear()
       pend.clear()
+      val expiry = fireAt + latenessMs
+      done.update(expiry)
+      getHandle.registerTimer(expiry)
       if (hadReq && !wasAnswered)
         Iterator.single(RpcOutcome(reqId, 408L, -1L, "request time out"))
       else Iterator.empty
@@ -390,8 +421,26 @@ object Streams {
     msgs.withWatermark("ts", watermarkDelay)
       .as[RpcMsg]
       .groupByKey(_.req_id)
-      .transformWithState(new RpcGate(timeoutMs),
+      .transformWithState(new RpcGate(timeoutMs, intervalMs(watermarkDelay)),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Milliseconds in a `withWatermark`-style delay string ("30 minutes",
+    * "0 seconds") — the RpcGate tombstone must outlive exactly the
+    * allowed-lateness window, so both come from the same input. */
+  private[stream] def intervalMs(delay: String): Long = {
+    val parts = delay.trim.toLowerCase.split("\\s+")
+    require(parts.length == 2, s"cannot parse interval: '$delay'")
+    val n = parts(0).toLong
+    parts(1) match {
+      case u if u.startsWith("microsecond") => n / 1000L
+      case u if u.startsWith("millisecond") => n
+      case u if u.startsWith("second")      => n * 1000L
+      case u if u.startsWith("minute")      => n * 60L * 1000L
+      case u if u.startsWith("hour")        => n * 3600L * 1000L
+      case u if u.startsWith("day")         => n * 86400L * 1000L
+      case u => throw new IllegalArgumentException(s"unknown interval unit: '$u'")
+    }
   }
 
   /** A closed SCD2 version row: emitted the moment the channel's NEXT

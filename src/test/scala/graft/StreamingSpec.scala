@@ -291,6 +291,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming RPC tombstone: watermark-legal redelivery after the 408 cannot re-resolve") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val in = MemoryStream[Streams.RpcMsg]
+      // 30-minute allowed lateness: after req 7's cleanup timer fires the
+      // 408, an at-least-once producer retries the conversation with
+      // refreshed timestamps that are STILL >= the watermark — the exact
+      // window where clearing all state would re-arm and emit a second
+      // outcome (a 200 after the 408). The tombstone must drop both rows.
+      val q = Streams.rpcStream(in.toDS(), timeoutMs = 10000L,
+          watermarkDelay = "30 minutes")
+        .writeStream.outputMode("append").format("memory").queryName("rpc_redeliver").start()
+      try {
+        in.addData(Streams.RpcMsg(7L, "req", ts(0), 100L, "ping"))
+        q.processAllAvailable()
+        // scaffold: max event time 41 min → watermark 11 min > req 7's
+        // 10 s deadline; its timer fires in the NEXT batch
+        in.addData(Streams.RpcMsg(8L, "req", ts(41), 101L, "scaffold"))
+        q.processAllAvailable()
+        in.addData(Streams.RpcMsg(8L, "res", ts(42), 102L, "pong"))
+        q.processAllAvailable()
+        assert(spark.table("rpc_redeliver").as[Streams.RpcOutcome].collect()
+          .filter(_.req_id == 7L).map(_.code).toSeq === Seq(408L))
+        // redelivery inside the lateness window: both rows ≥ the 12-min
+        // watermark, so both survive the late-row filter and reach the gate
+        in.addData(
+          Streams.RpcMsg(7L, "req", ts(18), 100L, "ping-retry"),
+          Streams.RpcMsg(7L, "res", ts(20), 200L, "dup-pong"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val got = spark.table("rpc_redeliver").as[Streams.RpcOutcome].collect()
+    assert(got.filter(_.req_id == 7L).map(_.code).toSeq === Seq(408L),
+      "one outcome per req_id, ever — the redelivered pair must not add a 200")
+    assert(got.filter(_.req_id == 8L).map(_.code).toSeq === Seq(200L))
+  }
+
   test("streaming substring-dup gate pairs a shared 6-token run on arrival") {
     implicit val sq = spark.sqlContext
     implicit val sp: SparkSession = spark

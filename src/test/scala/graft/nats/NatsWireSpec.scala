@@ -179,6 +179,34 @@ class NatsWireSpec extends AnyFunSuite {
     assert(broker.fetch(20L, 22L, 0, 1).map(_.seq).toSeq === Seq(21L, 22L))
   }
 
+  test("sessionKey: same class dialing different servers gets DISTINCT sessions") {
+    val serverA = new ScriptedServer
+    val serverB = new ScriptedServer
+    // one broker class, two dial targets — without the key discriminator
+    // these would silently share one connection, sequence counter, and
+    // replay buffer (ADVICE r5)
+    class TargetedBroker(target: String) extends TextProtocolBroker {
+      override protected def sessionKey: String = target
+      override protected def dial(): NatsChannel =
+        if (target == "a:4222") serverA else serverB
+    }
+    val a = new TargetedBroker("a:4222")
+    val b = new TargetedBroker("b:4222")
+    serverA.queue(NatsWire.msg("cdc.client", 1L, Array[Byte](1)))
+    serverA.queue(NatsWire.msg("cdc.client", 1L, Array[Byte](2)))
+    serverB.queue(NatsWire.msg("cdc.client", 1L, Array[Byte](9)))
+    assert(a.latestSeq() === 2L)
+    assert(b.latestSeq() === 1L, "b must have its own sequence counter")
+    assert(a.fetch(0L, 2L, 0, 1).map(_.bytes.head.toInt).toSeq === Seq(1, 2))
+    assert(b.fetch(0L, 1L, 0, 1).map(_.bytes.head.toInt).toSeq === Seq(9))
+    // both servers got their own handshake — two real connections
+    assert(serverA.received.exists(_ === "SUB cdc.client 1\r\n"))
+    assert(serverB.received.exists(_ === "SUB cdc.client 1\r\n"))
+    // and a SECOND instance with the SAME key still shares (the default
+    // DataSourceV2 per-reader fan-out must keep working)
+    assert(new TargetedBroker("a:4222").fetch(0L, 2L, 0, 1).size === 2)
+  }
+
   test("wire bytes → protocol → readStream: the reference pub→broker→sub loop " +
       "end-to-end (NatsWire framing under the DataSourceV2)") {
     val spark = org.apache.spark.sql.SparkSession.builder()
