@@ -383,12 +383,17 @@ object HashDedup {
     // min doc_id per text), near-dup drop as a left join flag, and both
     // the total and the kept count from the same grouped aggregation —
     // the semi/anti/groupBy-rejoin form scanned documents 8×
-    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    // exact-rep window keys on the md5 fingerprint: the exchange under
+    // it carries 16 bytes per row instead of the document body, and
+    // `text` prunes out below the shuffle once n_tok/fp project map-side
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     val nearDrop = bucketPairs(minhashBandsDf(s, d))
       .select(col("b").as("doc_id")).distinct()
       .withColumn("neardup", lit(1))
     Tables.documents(s, d)
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("fp", md5(col("text")))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("fp"))
       .withColumn("rn", row_number().over(w))
       .join(nearDrop, Seq("doc_id"), "left")
       .withColumn("kept",

@@ -29,17 +29,24 @@ object TextOps {
     * normalized texts. */
   def dedupStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("norm", normCol)
+      // distinct-count the 16-byte FINGERPRINT, not the body: the
+      // partial agg's exchange then carries md5 keys instead of
+      // multi-KB documents (the decode-once rule applied to shuffles —
+      // at 100 TB the body never leaves the scan projection)
+      .withColumn("fp", md5(col("text")))
+      .withColumn("fpn", md5(normCol))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-           countDistinct(col("text")).as("n_uniq"),
-           countDistinct(col("norm")).as("n_uniq_norm"))
+           countDistinct(col("fp")).as("n_uniq"),
+           countDistinct(col("fpn")).as("n_uniq_norm"))
       .orderBy(col("source"))
 
-  /** Exact dedup, materialized: keep the lowest doc_id per text. */
+  /** Exact dedup, materialized: keep the lowest doc_id per text —
+    * grouped on the md5 fingerprint so the exchange carries 16-byte
+    * keys, never document bodies. */
   def dedupExactKeep(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .groupBy(col("text"))
+      .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
@@ -601,12 +608,18 @@ object TextOps {
     * graded operator's semantics, so the funnel is the composition
     * proof, not new logic. */
   def curationFunnel(s: SparkSession, d: String): DataFrame = {
-    val wExact = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    // the exact-dedup window partitions on the md5 FINGERPRINT so its
+    // exchange hashes and carries 16 bytes per row, not the body; n_tok
+    // is the only other text derivative and both project map-side,
+    // letting Catalyst prune `text` below the first shuffle
+    val wExact = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     val wCap = Window.partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, d)
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("fp", md5(col("text")))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("fp"))
       .withColumn("ex", row_number().over(wExact) === 1)
       .withColumn("q", col("ex") && col("n_tok") >= 30)
       .withColumn("srank", sum(when(col("q"), 1L).otherwise(0L)).over(wCap))

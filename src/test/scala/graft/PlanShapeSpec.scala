@@ -281,6 +281,33 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(scans === 1, s"expected exactly 1 lineitem scan, found $scans:\n$plan")
   }
 
+  test("exact-dedup family: no exchange carries the document body — 16-byte fp keys only") {
+    // the decode-once rule applied to shuffles: dedup_stats /
+    // dedup_exact_keep group and curation_funnel / pipeline_kept window
+    // on md5(text), so every exchange input schema must hold the
+    // fingerprint and NEVER `text` (multi-KB bodies through the wire at
+    // 100 TB). Asserts the EXECUTED plan's ShuffleExchange inputs.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for (name <- Seq("dedup_stats", "dedup_exact_keep",
+                     "curation_funnel", "pipeline_kept")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val exchanges = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e.child.output.map(_.name.toLowerCase)
+      }
+      assert(exchanges.nonEmpty, s"$name: expected at least one shuffle")
+      exchanges.foreach { cols =>
+        assert(!cols.contains("text"),
+          s"$name: an exchange still carries the document body: $cols")
+      }
+      // the hash key survives the exchange either under its alias or as
+      // the partial agg's internal _groupingexpression name
+      assert(exchanges.exists(_.exists(c =>
+          c.startsWith("fp") || c.startsWith("_groupingexpression"))),
+        s"$name: no exchange carries the md5 fingerprint key: $exchanges")
+    }
+  }
+
   test("dup_substring_frac: one scan feeds the checkpoint; remainder scan-free") {
     // pre-checkpoint frame carries the only documents scan…
     val dsh = graft.llm.HashDedup.dupShingles(spark, sfDir)
