@@ -461,21 +461,67 @@ object TextOps {
     *
     * Scale shape: one shuffle on `source` + a per-partition streaming
     * row_number — linear. At 100 TB a single hot domain serializes its
-    * partition's sort; the production variant is a two-phase cap (salted
-    * per-partition top-N, then a global refine over the ≤ salt·N
-    * survivors). The windowed form graded here is the semantic spec. */
+    * partition's sort; [[domainCapsSalted]] is the two-phase production
+    * variant (salted per-bucket top-N, then a refine over the ≤ salt·N
+    * survivors), graded separately and parity-pinned in `SaltSpec`.
+    * This windowed form stays as the semantic spec. */
   val DomainCap = 10
 
-  def domainCaps(s: SparkSession, d: String): DataFrame = {
+  def domainCaps(s: SparkSession, d: String): DataFrame =
+    domainCapsOf(Tables.documents(s, d))
+
+  private[graft] def domainCapsOf(docs: DataFrame): DataFrame = {
     val h = md5(col("doc_id").cast("string").cast("binary"))
     val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
-    Tables.documents(s, d)
+    docs
       .withColumn("rn", row_number().over(w))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            sum(when(col("rn") <= DomainCap, 1L).otherwise(0L)).as("n_kept"),
            sum(when(col("rn") > DomainCap, 1L).otherwise(0L)).as("n_dropped"),
            sum(when(col("rn") <= DomainCap, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** The SCALED execution of [[domainCaps]] — the two-phase salted cap
+    * the scaladoc used to promise, now code: a hot domain never
+    * serializes one task's sort. Phase 1 ranks within (source, salt) —
+    * `salts` parallel partitions per domain — and keeps each bucket's
+    * top-[[DomainCap]] CANDIDATES (the true per-source top-N is a
+    * subset: any row in the global top-N is within the top-N of its own
+    * bucket, because ranks only shrink when restricted). Phase 2 refines
+    * the ≤ salts·cap survivors per source — a frame bounded by
+    * salts·cap·|sources| rows regardless of corpus size — to the exact
+    * keep set; the per-source TOTALS come from a plain hash agg (no
+    * window, no total order). Same deterministic md5(doc_id) order as
+    * the windowed form, so the keep set — and every output row — is
+    * bit-identical to it; `SaltSpec` pins the parity on a corpus with
+    * one dominant source. */
+  def domainCapsSalted(s: SparkSession, d: String): DataFrame =
+    domainCapsSaltedOf(Tables.documents(s, d))
+
+  private[graft] def domainCapsSaltedOf(docs: DataFrame, salts: Int = 16): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val wBucket = Window.partitionBy(col("source"), col("salt"))
+      .orderBy(col("h"), col("doc_id"))
+    val wRefine = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val kept = docs
+      .withColumn("h", h)
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(salts)))
+      .withColumn("brn", row_number().over(wBucket))
+      .filter(col("brn") <= DomainCap)
+      .withColumn("rn", row_number().over(wRefine))
+      .filter(col("rn") <= DomainCap)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("k_kept"), sum(col("n_chars")).as("k_chars"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+              coalesce(col("k_kept"), lit(0L)).as("n_kept"),
+              (col("n_docs") - coalesce(col("k_kept"), lit(0L))).as("n_dropped"),
+              coalesce(col("k_chars"), lit(0L)).as("kept_chars"))
       .orderBy(col("source"))
   }
 
@@ -757,6 +803,7 @@ object TextOps {
     "source_diversity"   -> (sourceDiversity _),
     "curation_funnel"    -> (curationFunnel _),
     "domain_caps"        -> (domainCaps _),
+    "domain_caps_salted" -> (domainCapsSalted _),
     "doc_chunks"         -> (docChunks _),
     "bigram_lift"        -> (bigramLift _),
     "quality_filter_pct" -> (qualityFilterPct _),
@@ -904,6 +951,19 @@ object TextOps {
          |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
 
     "domain_caps" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN rn <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN rn > $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       CAST(sum(CASE WHEN rn <= $DomainCap THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM (SELECT source, n_chars,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |      FROM documents)
+         |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // the salted two-phase execution must produce the SAME rows as the
+    // windowed semantic spec — one oracle text, graded twice
+    "domain_caps_salted" ->
       s"""SELECT source, count(*) AS n_docs,
          |       CAST(sum(CASE WHEN rn <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |       CAST(sum(CASE WHEN rn > $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,

@@ -33,6 +33,27 @@ class SaltSpec extends AnyFunSuite {
     assert(salted === naive)
   }
 
+  test("two-phase salted domain cap is row-identical to the windowed form on a dominant source") {
+    val s = spark; import s.implicits._
+    // one source owns 90% of the corpus — the exact case where the
+    // windowed form serializes one task and the salted form must NOT
+    // change a single output row
+    val docs = (1L to 5000L).map { i =>
+      val src = if (i % 10 != 0) "dominant.com" else s"site_${i % 7}.org"
+      (i, src, (i % 400) + 20L)
+    }.toDF("doc_id", "source", "n_chars")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                             r.getLong(3), r.getLong(4))).toSeq
+    val windowed = rows(graft.llm.TextOps.domainCapsOf(docs))
+    for (salts <- Seq(2, 16, 64)) {
+      val salted = rows(graft.llm.TextOps.domainCapsSaltedOf(docs, salts))
+      assert(salted === windowed, s"salted cap diverged at salts=$salts")
+    }
+    // sanity: the cap actually engaged (dominant source dropped rows)
+    assert(windowed.exists(r => r._1 == "dominant.com" && r._4 > 0L))
+  }
+
   test("salted join is row-identical to the plain join") {
     val s = spark; import s.implicits._
     val dim = Seq(("hot", "H"), ("cold_1", "C1"), ("cold_2", "C2"))
