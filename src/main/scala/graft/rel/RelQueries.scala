@@ -918,12 +918,37 @@ object RelQueries {
     * min/max/exact-NDV/null count from ONE scan + one agg row, unpivoted
     * with stack() — the statistics that drive broadcast/AQE/skew
     * decisions, produced the way a cluster would (partial+final agg;
-    * NDV is the only shuffle-weighted piece and would swap to an HLL
-    * sketch at 100 TB — kept exact here so the oracle hash-matches). */
+    * NDV is the only shuffle-weighted piece — [[tableProfileApprox]] is
+    * the HLL-sketch form to run at 100 TB; this one stays exact so the
+    * oracle hash-matches). */
   def tableProfile(s: SparkSession, d: String): DataFrame = {
     val aggs = ProfileCols.flatMap { c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
           countDistinct(col(c)).as(s"${c}_ndv"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+    }
+    val stackArgs = ProfileCols.map { c =>
+      s"'$c', ${c}_min, ${c}_max, ${c}_ndv, ${c}_nulls"
+    }.mkString(", ")
+    Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${ProfileCols.length}, $stackArgs) " +
+        "AS (col_name, min_v, max_v, ndv, n_nulls)")
+      .orderBy(col("col_name"))
+  }
+
+  /** The 100 TB execution of [[tableProfile]]: NDV via HLL++
+    * (`approx_count_distinct`, 2% rsd) instead of exact countDistinct.
+    * The exact form plans a 4× Expand + a shuffle of every column value
+    * (one copy per distinct-agg) — fine when hash-matching an oracle,
+    * wrong at scale; the sketch form keeps ONE pass with no Expand and
+    * constant-size partial state per column. Sketches aren't
+    * bit-reproducible cross-engine, so this is graded rows-only (the
+    * approx_distinct precedent) with the error bound pinned against the
+    * exact NDV in `QueriesSpec`. */
+  def tableProfileApprox(s: SparkSession, d: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+          approx_count_distinct(col(c), 0.02).as(s"${c}_ndv"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
     }
     val stackArgs = ProfileCols.map { c =>
@@ -1331,6 +1356,9 @@ object RelQueries {
     "q22_prospects"      -> (q22Prospects _),
     "set_ops_all"        -> (setOpsAll _),
     "table_profile"      -> (tableProfile _),
+    // rows-only by design: HLL sketches aren't bit-reproducible
+    // cross-engine — error bound pinned in QueriesSpec instead
+    "table_profile_approx" -> (tableProfileApprox _),
     "hourly_profile"     -> (hourlyProfile _),
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),

@@ -91,6 +91,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("table_profile_approx: sketch NDV within bound, exact stats identical, no Expand") {
+    val exact = SparkEntry.queries("table_profile")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val df = SparkEntry.queries("table_profile_approx")(spark, sf)
+    df.collect().foreach { r =>
+      val c = r.getString(0)
+      val e = exact(c)
+      // min/max/nulls take the SAME exact path as the graded profile —
+      // only NDV is sketched, and it must stay inside the HLL bound
+      assert(r.getDouble(1) === e.getDouble(1), s"$c min_v")
+      assert(r.getDouble(2) === e.getDouble(2), s"$c max_v")
+      assert(r.getLong(4) === e.getLong(4), s"$c n_nulls")
+      val (ndv, en) = (r.getLong(3), e.getLong(3).toDouble)
+      assert(math.abs(ndv - en) / en < 0.1, s"$c: approx=$ndv exact=$en")
+    }
+    // the point of the sketch form: ONE pass, no 4× Expand of every value
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"sketch profile must not plan the multi-countDistinct Expand:\n$plan")
+  }
+
   test("domain_caps: kept bounded by the cap, kept+dropped = n_docs") {
     import graft.llm.TextOps
     SparkEntry.queries("domain_caps")(spark, sf).collect().foreach { r =>
