@@ -61,6 +61,13 @@ object Bench {
     val summary = s"""{$head,$tail}"""
     println(json)
     System.out.flush()
+    // ALSO persist the full per-query map: the driver's tail capture
+    // clips the stdout line past ~60 queries, so the committed file is
+    // the only place every timing stays auditable round over round
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // an unwritable cwd must not fail the bench
     spark.stop()
     // repeat as the process's final lines: shutdown noise can push the first
     // print out of a bounded tail capture. The LAST line is a SHORT summary
