@@ -252,6 +252,97 @@ class NatsWireSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("FULL loop: client PUB frames → broker → readStream → captureTo → " +
+      "BusLayout re-read routes and counts like the in-memory bus") {
+    // the reference's complete pub→sub cycle (examples/cdc-pub.js →
+    // cdc-sub.js) over REAL framing at every hop: envelopes are encoded
+    // and framed with the CLIENT's PUB bytes, a loopback 'server' parses
+    // those frames and delivers them as MSG frames, the DataSourceV2
+    // consumes them through the text-protocol dialogue, captureTo lands
+    // them in the partitioned storage layout, and the re-read must
+    // route (mqtt patterns) and count (per-sub counters) exactly like
+    // an in-memory frame of the same envelopes.
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.mqtt_matches
+
+    val types = Seq("click", "error", "view")
+    def envelope(i: Long) = CdcProto.CdcMsg(
+      "loop-pub", s"cdc/${types((i % 3).toInt)}/u${i % 7}",
+      "json", "http", "", 0, false, s"""{"k": $i}""".getBytes(US_ASCII))
+    val msgs = (1L to 60L).map(envelope)
+
+    // 1. publisher: CDCMsg → proto bytes → the client's own PUB framing
+    val pubFrames = msgs.map(m => NatsWire.pub("cdc.client", CdcProto.encode(m)))
+
+    // 2. loopback server: parse each PUB frame the way a server would
+    // (header + exact payload length) and deliver it back as a MSG frame
+    val server = new ScriptedServer
+    val PubHead = """PUB (\S+) (\d+)""".r
+    pubFrames.foreach { f =>
+      val headEnd = f.indexOfSlice("\r\n".getBytes(US_ASCII))
+      assert(headEnd > 0, "PUB frame must carry a CRLF-terminated header")
+      val (subject, len) = new String(f.take(headEnd), US_ASCII) match {
+        case PubHead(subj, n) => (subj, n.toInt)
+        case h => fail(s"malformed PUB header: $h")
+      }
+      assert(subject === "cdc.client", "publish goes to the constant bus subject")
+      val payload = f.slice(headEnd + 2, headEnd + 2 + len)
+      assert(f.length === headEnd + 2 + len + 2, "payload must be length-framed exactly")
+      server.queue(NatsWire.msg(subject, 1L, payload))
+    }
+    WireTestBroker.underlying = new TextProtocolBroker {
+      override protected def dial(): NatsChannel = server
+    }
+
+    // 3. subscriber: real readStream through the protocol session, then
+    // continuous capture into the partitioned bus layout
+    val dir = java.nio.file.Files.createTempDirectory("wire_loop").toString
+    val bus = spark.readStream
+      .format(classOf[NatsSource].getName)
+      .option("broker", classOf[WireTestBroker].getName)
+      .option("shards", 2)
+      .load()
+      .withColumn("event_type", element_at(split(col("channel"), "/"), 2))
+    val q = graft.stream.Streams.captureTo(bus, s"$dir/bus", s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    // 4. re-read the captured layout; parity vs the in-memory bus
+    val reread = graft.sources.BusLayout.readPartitioned(spark, s"$dir/bus")
+    assert(reread.count() === 60L)
+    val mem = {
+      val s2 = spark; import s2.implicits._
+      msgs.map(m => (m.channel, new String(m.payload, US_ASCII))).toDF("channel", "payload_s")
+    }
+    // routing parity: pruned-subscribe over storage ≡ pattern filter in memory
+    for (pat <- Seq("cdc/error/#", "cdc/click/#", "cdc/+/u3", "cdc/#")) {
+      val viaLayout = graft.sources.BusLayout.subscribe(reread, pat).count()
+      val viaMem = mem.filter(mqtt_matches(lit(pat), col("channel"))).count()
+      assert(viaLayout === viaMem, s"routing diverged for $pat")
+      assert(viaMem > 0L, s"degenerate pattern $pat matched nothing")
+    }
+    // per-sub counters parity (the reference's received counters)
+    val gotCounts = reread.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val memCounts = mem
+      .withColumn("event_type", element_at(split(col("channel"), "/"), 2))
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotCounts === memCounts)
+    // payload survives the whole loop byte-for-byte
+    val k17 = reread.filter(col("channel") === "cdc/error/u3")
+      .select(col("payload")).collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), US_ASCII)).sorted
+    val m17 = msgs.filter(_.channel == "cdc/error/u3")
+      .map(m => new String(m.payload, US_ASCII)).sorted
+    assert(k17 === m17 && k17.nonEmpty)
+  }
+
   test("server -ERR propagates as a client error (reference error path, lib/nats.js:29-44)") {
     val server = new ScriptedServer
     server.queue(NatsWire.err("Authorization Violation"))
