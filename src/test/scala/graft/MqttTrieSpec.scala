@@ -61,6 +61,15 @@ class MqttTrieSpec extends AnyFunSuite {
         .collect { case (p, i) if MqttPattern.matches(p, t) => i }
       assert(trie.dispatch(t).toSeq === expected,
         s"divergence: patterns=$pats topic='$t'")
+      // third leg: the COMPILED-REGEX path (what constant-pattern
+      // filters execute after plan-time compilation) must agree with
+      // the interpreter on every (pattern, topic) the generator emits —
+      // all three dispatch paths are now pairwise-pinned under ONE
+      // generator, closing the named-'#' empty-tail fix for good
+      pats.foreach { p =>
+        assert(MqttPattern.matchesCached(p, t) === MqttPattern.matches(p, t),
+          s"regex/interpreter divergence: pattern='$p' topic='$t'")
+      }
     }
   }
 

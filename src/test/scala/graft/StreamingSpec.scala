@@ -291,6 +291,106 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("randomized parity: scd2Stream and seqGapStream are invariant to micro-batch splits") {
+    // the class of bug the r5 hardening fixed by hand (monotone
+    // high-water, early buffering) — now pinned under a generator:
+    // random per-key streams, random cross-key interleavings, random
+    // batch boundaries, random redeliveries; stream output must equal
+    // the closed-form batch answer on every draw
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    var qn = 0
+    for (seed <- Seq(11, 47, 101)) {
+      val rnd = new scala.util.Random(seed)
+      qn += 1
+
+      def randomMerge[A](perKey: Seq[(String, Seq[A])]): Seq[A] = {
+        val queues = scala.collection.mutable.LinkedHashMap(
+          perKey.map { case (k, v) => k -> scala.collection.mutable.Queue(v: _*) }: _*)
+        val out = scala.collection.mutable.ArrayBuffer.empty[A]
+        while (queues.values.exists(_.nonEmpty)) {
+          val live = queues.collect { case (k, q) if q.nonEmpty => k }.toSeq
+          out += queues(live(rnd.nextInt(live.length))).dequeue()
+        }
+        out.toSeq
+      }
+      def randomSplits[A](xs: Seq[A]): Seq[Seq[A]] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Seq[A]]
+        var rest = xs
+        while (rest.nonEmpty) {
+          val k = 1 + rnd.nextInt(math.min(6, rest.length))
+          out += rest.take(k); rest = rest.drop(k)
+        }
+        out.toSeq
+      }
+
+      // ---- SCD2: per-channel (ts, event_id)-ordered delivery (the
+      // transport's FIFO guarantee), arbitrary interleaving + splits
+      var id = 0L
+      val perChan = Seq("c1", "c2", "c3").map { c =>
+        var t = rnd.nextInt(5)
+        c -> (1 to (2 + rnd.nextInt(8))).map { _ =>
+          id += 1; t += 1 + rnd.nextInt(7)
+          (c, ev(id, t, 1L, "click"))
+        }
+      }
+      withRocksDbProvider {
+        val in = MemoryStream[(String, Streams.BusEvent)]
+        val q = Streams.scd2Stream(in.toDS()).writeStream
+          .outputMode("append").format("memory").queryName(s"scd2_rand_$qn").start()
+        try randomSplits(randomMerge(perChan)).foreach { b =>
+          in.addData(b); q.processAllAvailable()
+        } finally q.stop()
+      }
+      val gotScd2 = spark.table(s"scd2_rand_$qn").as[Streams.VersionRow].collect()
+        .map(v => (v.channel, v.event_id, v.valid_from.getTime, v.valid_to.getTime))
+        .sortBy(x => (x._1, x._3)).toSeq
+      val expScd2 = perChan.flatMap { case (c, evs) =>
+        evs.map(_._2).sliding(2).collect {
+          case Seq(a, b) => (c, a.event_id, a.ts.getTime, b.ts.getTime)
+        }
+      }.sortBy(x => (x._1, x._3))
+      assert(gotScd2 === expScd2, s"scd2 split-parity failed at seed=$seed")
+
+      // ---- seq gaps: increasing new sequences with random holes,
+      // redeliveries of already-delivered values injected anywhere
+      // AFTER first delivery — gaps must be exactly the first-delivery
+      // consecutive diffs, on every split
+      val keys = Seq("click", "view")
+      val perKeySeqs = keys.map { k =>
+        var sq0 = 0L
+        k -> (1 to (3 + rnd.nextInt(10))).map { _ => sq0 += 1 + rnd.nextInt(4); sq0 }
+      }
+      val seen = scala.collection.mutable.Map(keys.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Long]): _*)
+      val arrival = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      randomMerge(perKeySeqs.map { case (k, v) => k -> v.map((k, _)) }).foreach { case (k, s) =>
+        arrival += ((k, s)); seen(k) += s
+        if (rnd.nextDouble() < 0.3) {
+          val k2 = keys(rnd.nextInt(keys.length))
+          if (seen(k2).nonEmpty)
+            arrival += ((k2, seen(k2)(rnd.nextInt(seen(k2).length))))
+        }
+      }
+      withRocksDbProvider {
+        val in = MemoryStream[(String, Long)]
+        val q = Streams.seqGapStream(in.toDS()).writeStream
+          .outputMode("append").format("memory").queryName(s"gaps_rand_$qn").start()
+        try randomSplits(arrival.toSeq).foreach { b =>
+          in.addData(b); q.processAllAvailable()
+        } finally q.stop()
+      }
+      val gotGaps = spark.table(s"gaps_rand_$qn").as[Streams.SeqGap].collect()
+        .map(g => (g.event_type, g.prev_seq, g.next_seq, g.missing)).sorted.toSeq
+      val expGaps = perKeySeqs.flatMap { case (k, sqs) =>
+        sqs.sliding(2).collect {
+          case Seq(p, q) if q - p > 1 => (k, p, q, q - p - 1)
+        }
+      }.sorted
+      assert(gotGaps === expGaps, s"seqGap split-parity failed at seed=$seed")
+    }
+  }
+
   test("streaming RPC tombstone: watermark-legal redelivery after the 408 cannot re-resolve") {
     implicit val sq = spark.sqlContext
     implicit val sp: SparkSession = spark
