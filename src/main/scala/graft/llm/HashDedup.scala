@@ -323,11 +323,29 @@ object HashDedup {
     * would win). Output: (rep = min doc_id of the component, n_docs). */
   def dedupComponents(s: SparkSession, d: String): DataFrame = {
     registerSkewLogging(s)
-    componentLabels(bucketPairs(minhashBandsDf(s, d)).select(col("a"), col("b")))
+    componentLabels(candidatePairs(s, d).select(col("a"), col("b")))
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("n_docs"))
       .select(col("comp").as("rep"), col("n_docs"))
       .orderBy(col("rep"))
+  }
+
+  /** Duplicate-cluster size distribution — the one-page answer to "is
+    * the corpus mostly pairs or a few giant mirror cliques": component
+    * sizes histogrammed (size → how many clusters, how many docs they
+    * absorb). A cluster of size n sheds n−1 docs under keep-one, so
+    * `n_docs_absorbed − n_clusters` per row is the dedup yield
+    * attributable to that size class. Scale: the histogram aggregates
+    * the ≤|components| label frame, which is already bounded by the
+    * LSH-capped pair volume — nothing here rescans the corpus. */
+  def clusterSizeHist(s: SparkSession, d: String): DataFrame = {
+    registerSkewLogging(s)
+    componentLabels(candidatePairs(s, d).select(col("a"), col("b")))
+      .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+           sum(col("sz")).as("n_docs_absorbed"))
+      .orderBy(col("cluster_size"))
   }
 
   /** Min-label propagation over undirected (a, b) candidate pairs to the
@@ -391,8 +409,7 @@ object HashDedup {
     * doc_id — AQE broadcasts it when small; the corpus streams once. */
   def dedupCanonical(s: SparkSession, d: String): DataFrame = {
     registerSkewLogging(s)
-    val labels = componentLabels(
-        bucketPairs(minhashBandsDf(s, d)).select(col("a"), col("b")))
+    val labels = componentLabels(candidatePairs(s, d).select(col("a"), col("b")))
       .withColumnRenamed("node", "doc_id")
     Tables.documents(s, d).select(col("doc_id"), col("source"))
       .join(labels, Seq("doc_id"), "left")
@@ -795,6 +812,7 @@ object HashDedup {
     "dup_substring_frac" -> (dupSubstringFrac _),
     "pipeline_kept"   -> (pipelineKept _),
     "dedup_components" -> (dedupComponents _),
+    "cluster_size_hist" -> (clusterSizeHist _),
     "dedup_canonical"  -> (dedupCanonical _),
     "minhash_verify"   -> (minhashVerify _),
     "source_overlap"  -> (sourceOverlap _),
@@ -996,6 +1014,25 @@ object HashDedup {
          |SELECT comp AS rep, count(*) AS n_docs
          |FROM (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)
          |GROUP BY comp ORDER BY rep""".stripMargin,
+
+    "cluster_size_hist" ->
+      s"""WITH RECURSIVE $ShingleCte, $HashCte, $SigCte, $BandsCte,
+         |pr AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+         |reach(node, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+         |comps AS (
+         |  SELECT comp, CAST(count(*) AS BIGINT) AS sz
+         |  FROM (SELECT node, min(lbl) AS comp FROM reach GROUP BY node)
+         |  GROUP BY comp)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |       CAST(sum(sz) AS BIGINT) AS n_docs_absorbed
+         |FROM comps GROUP BY sz ORDER BY cluster_size""".stripMargin,
 
     "source_overlap" ->
       s"""WITH $ShingleCte,

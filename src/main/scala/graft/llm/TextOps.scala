@@ -407,6 +407,55 @@ object TextOps {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** Curriculum binning: per-source difficulty quartiles over an exact
+    * integer score (token count — swap in any integer quality score),
+    * reported as per-(source, bin) counts and score ranges: the split
+    * audit behind curriculum training and staged data mixes. ntile runs
+    * inside each source partition — parallel across sources, never a
+    * global total order (a corpus-wide ntile would serialize one task's
+    * sort at 100 TB; a hot source takes the domain_caps salting, since
+    * quartile boundaries refine the same way the cap rank does). */
+  def curriculumBins(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_tok"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+      .withColumn("bin", ntile(4).over(w).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** Incremental ingestion dedup — the daily corpus-refresh shape: a NEW
+    * batch (the sample_split hash discipline: md5(doc_id) bucket 9, a
+    * 10% increment uncorrelated with source — doc_id modulo would alias
+    * the source rotation) is deduped against the existing SNAPSHOT (the
+    * other 90%) with a left-anti join on 16-byte md5 fingerprints, so
+    * the increment never triggers a global re-dedup of the full corpus
+    * and no exchange ever carries a document body. Counts batch rows
+    * verbatim — intra-batch copies are [[dedupExactKeep]]'s job; this op
+    * answers "how much of today's crawl did we already have". */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
+              bucket.as("bkt"))
+    val snapshot = docs.filter(col("bkt") =!= 9).select(col("fp"))
+    val batch = docs.filter(col("bkt") === 9)
+    val fresh = batch.join(snapshot, Seq("fp"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("k_new"))
+    batch.groupBy(col("source")).agg(count(lit(1)).as("n_batch"))
+      .join(fresh, Seq("source"), "left")
+      .select(col("source"), col("n_batch"),
+              coalesce(col("k_new"), lit(0L)).as("n_new"),
+              (col("n_batch") - coalesce(col("k_new"), lit(0L)))
+                .as("n_dup_vs_snapshot"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic stratified sample: the same fraction of every source,
     * chosen by md5-hash order (reproducible across engines and runs, no
     * RNG state) — the eval-split / data-ablation primitive. Rank and
@@ -804,6 +853,8 @@ object TextOps {
     "curation_funnel"    -> (curationFunnel _),
     "domain_caps"        -> (domainCaps _),
     "domain_caps_salted" -> (domainCapsSalted _),
+    "curriculum_bins"    -> (curriculumBins _),
+    "incremental_dedup"  -> (incrementalDedup _),
     "doc_chunks"         -> (docChunks _),
     "bigram_lift"        -> (bigramLift _),
     "quality_filter_pct" -> (qualityFilterPct _),
@@ -960,6 +1011,34 @@ object TextOps {
          |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
          |      FROM documents)
          |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "curriculum_bins" ->
+      """SELECT source, bin, count(*) AS n_docs,
+        |       min(n_tok) AS min_tok, max(n_tok) AS max_tok
+        |FROM (SELECT source,
+        |        CAST(ntile(4) OVER (PARTITION BY source
+        |          ORDER BY n_tok, doc_id) AS BIGINT) AS bin, n_tok
+        |      FROM (SELECT source, doc_id,
+        |              CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+        |            FROM documents))
+        |GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+
+    "incremental_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, md5(text) AS fp,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bkt
+        |  FROM documents),
+        |b AS (SELECT * FROM f WHERE bkt = 9),
+        |fresh AS (
+        |  SELECT source, count(*) AS n_new FROM b
+        |  WHERE NOT EXISTS (SELECT 1 FROM f s
+        |                    WHERE s.bkt <> 9 AND s.fp = b.fp)
+        |  GROUP BY 1)
+        |SELECT b.source AS source, count(*) AS n_batch,
+        |       coalesce(max(fresh.n_new), 0) AS n_new,
+        |       count(*) - coalesce(max(fresh.n_new), 0) AS n_dup_vs_snapshot
+        |FROM b LEFT JOIN fresh ON fresh.source = b.source
+        |GROUP BY 1 ORDER BY source""".stripMargin,
 
     // the salted two-phase execution must produce the SAME rows as the
     // windowed semantic spec — one oracle text, graded twice

@@ -112,6 +112,48 @@ class QueriesSpec extends AnyFunSuite {
       s"sketch profile must not plan the multi-countDistinct Expand:\n$plan")
   }
 
+  test("curriculum_bins: four bins per source, ranges ordered, counts cover the source") {
+    val bySource = SparkEntry.queries("curriculum_bins")(spark, sf).collect()
+      .groupBy(_.getString(0))
+    val totals = graft.Tables.documents(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L, 4L), src)
+      assert(rows.map(_.getLong(2)).sum === totals(src), s"$src: bins must partition the source")
+      // quartile score ranges must be non-decreasing across bins
+      val byBin = rows.sortBy(_.getLong(1))
+      byBin.sliding(2).foreach {
+        case Array(lo, hi) => assert(lo.getLong(4) <= hi.getLong(3) ||
+          lo.getLong(4) <= hi.getLong(4), s"$src: bin ranges out of order")
+        case _ => ()
+      }
+    }
+  }
+
+  test("incremental_dedup: new + dup = batch, and dup count matches exact membership") {
+    val rows = SparkEntry.queries("incremental_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) === r.getLong(1),
+        s"${r.getString(0)}: n_new + n_dup_vs_snapshot must equal n_batch")
+    }
+    assert(rows.map(_.getLong(1)).sum > 0L, "the 10% hash bucket must be non-empty")
+  }
+
+  test("cluster_size_hist: every cluster has >= 2 docs; absorbed = size * clusters") {
+    val rows = SparkEntry.queries("cluster_size_hist")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 2L, "a component needs at least one edge")
+      assert(r.getLong(2) === r.getLong(0) * r.getLong(1))
+    }
+    // histogram mass equals the component inventory it summarizes
+    val compDocs = SparkEntry.queries("dedup_components")(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(rows.map(_.getLong(2)).sum === compDocs)
+  }
+
   test("domain_caps: kept bounded by the cap, kept+dropped = n_docs") {
     import graft.llm.TextOps
     SparkEntry.queries("domain_caps")(spark, sf).collect().foreach { r =>
