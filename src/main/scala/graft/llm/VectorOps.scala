@@ -250,6 +250,53 @@ object VectorOps {
       .orderBy(col("qid"))
   }
 
+  /** IVF recall/cost SWEEP: recall@3 as a function of nprobe ∈ {1,2,4} —
+    * the accuracy-vs-fan-out curve that prices an IVF index before
+    * deployment (each probe scans one more cell per query; the curve
+    * says where extra scan cost stops buying recall). ONE ranked
+    * query→cell frame (crk ≤ max nprobe) serves every sweep point — the
+    * nprobe frame is a 3-row broadcast, so the sweep costs one cell-scan
+    * join, not three pipelines; recall aggregates exact integer hit
+    * counts against the brute-force top-3 with a single rounded division
+    * at the end (cross-engine deterministic, like ann_recall). */
+  def ivfRecallSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("n2"))
+    val cents = centroids(e)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val wCells = Window.partitionBy(col("qid")).orderBy(col("cellcos").desc, col("cell"))
+    val ranked = q.crossJoin(broadcast(cents))
+      .withColumn("cellcos",
+        dot(col("qv"), col("cv")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("crk", row_number().over(wCells))
+      .filter(col("crk") <= 4)
+      .select(col("qid"), col("qv"), col("qn2"), col("cell"), col("crk"))
+    val probes = Seq(1L, 2L, 4L).toDF("nprobe")
+    val wRank = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    val approx = ranked
+      .join(broadcast(probes), col("crk") <= col("nprobe"))
+      .join(e, col("label") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw",
+        dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("nprobe").as("anp"), col("qid").as("aqid"), col("vec_id").as("avid"))
+    val exact = cosTopk(s, d).filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"))
+    exact.crossJoin(broadcast(probes))
+      .join(approx,
+        col("nprobe") === col("anp") && col("qid") === col("aqid") &&
+          col("vec_id") === col("avid"), "left")
+      .groupBy(col("nprobe"))
+      .agg(countDistinct(col("qid")).as("n_queries"),
+           count(lit(1)).as("n_exact"), count(col("avid")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+      .orderBy(col("nprobe"))
+  }
+
   private val PqSubs = 4
   private val PqDim = 16
 
@@ -341,6 +388,7 @@ object VectorOps {
     "ann_buckets" -> (annBuckets _),
     "ann_topk"    -> (annTopk _),
     "ann_ivf"     -> (annIvf _),
+    "ivf_recall_sweep" -> (ivfRecallSweep _),
     "embed_quantize" -> (embedQuantize _),
     "embed_neardup" -> (nearDup _))
 
@@ -510,6 +558,44 @@ object VectorOps {
          |               list_dot_product(p.qv, e.v) / (sqrt(p.qn2) * sqrt(e.n2)) AS cos_raw
          |        FROM probed p JOIN e ON e.label = p.cell AND e.vec_id != p.qid))
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "ivf_recall_sweep" ->
+      s"""WITH $VecCte, $CentsCte,
+         |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
+         |ranked AS (
+         |  SELECT qid, qv, qn2, cell, crk FROM (
+         |    SELECT qid, qv, qn2, cell,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cellcos DESC, cell) AS crk
+         |    FROM (SELECT qid, qv, qn2, cell,
+         |                 list_dot_product(qv, cv) / (sqrt(qn2) * sqrt(cn2)) AS cellcos
+         |          FROM q CROSS JOIN cents))
+         |  WHERE crk <= 4),
+         |probes AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+         |approx AS (
+         |  SELECT nprobe AS anp, qid AS aqid, vec_id AS avid FROM (
+         |    SELECT p.nprobe AS nprobe, r.qid AS qid, e.vec_id AS vec_id,
+         |           row_number() OVER (PARTITION BY p.nprobe, r.qid
+         |             ORDER BY list_dot_product(r.qv, e.v) / (sqrt(r.qn2) * sqrt(e.n2)) DESC,
+         |                      e.vec_id) AS rank
+         |    FROM ranked r JOIN probes p ON r.crk <= p.nprobe
+         |    JOIN e ON e.label = r.cell AND e.vec_id != r.qid)
+         |  WHERE rank <= 3),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS rank
+         |    FROM (SELECT qid, vec_id,
+         |                 list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos_raw
+         |          FROM q JOIN e ON vec_id != qid))
+         |  WHERE rank <= 3)
+         |SELECT nprobe, count(DISTINCT qid) AS n_queries,
+         |       count(*) AS n_exact, count(avid) AS n_hit,
+         |       round(CAST(count(avid) AS DOUBLE) / count(*), 4) AS recall
+         |FROM (SELECT p.nprobe AS nprobe, x.qid AS qid, x.vec_id AS vec_id, a.avid AS avid
+         |      FROM exact x CROSS JOIN probes p
+         |      LEFT JOIN approx a ON a.anp = p.nprobe AND a.aqid = x.qid
+         |                        AND a.avid = x.vec_id)
+         |GROUP BY 1 ORDER BY nprobe""".stripMargin,
 
     "embed_quantize" ->
       s"""WITH $VecCte,

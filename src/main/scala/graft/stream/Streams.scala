@@ -237,6 +237,21 @@ object Streams {
     }
   }
 
+  /** STREAMING incremental-ingestion dedup — the live twin of
+    * [[graft.llm.TextOps.incrementalDedup]]: each arriving document is
+    * fingerprinted map-side (16-byte md5) and anti-joined per
+    * micro-batch against the STATIC snapshot fingerprint set, so only
+    * never-seen-before documents pass downstream. Stream-static anti
+    * joins are stateless — the snapshot IS the state, on disk — and
+    * the join exchange carries the fingerprint, never the body. Exact
+    * dedup WITHIN the stream is [[streamingNearDup]]/dropDuplicates'
+    * territory; this gate answers "did the corpus already have it?"
+    * at ingestion time without re-running batch dedup. */
+  def incrementalGate(docs: DataFrame, snapshot: DataFrame): DataFrame =
+    docs.withColumn("fp", md5(col("text")))
+      .join(snapshot.select(md5(col("text")).as("fp")).distinct(),
+            Seq("fp"), "left_anti")
+
   /** STREAMING near-duplicate detection: MinHash-LSH over the live
     * document stream. Each arriving doc computes its 4 band hashes as a
     * pure per-row expression ([[graft.llm.HashDedup.bandHashExpr]] — the

@@ -112,6 +112,21 @@ class QueriesSpec extends AnyFunSuite {
       s"sketch profile must not plan the multi-countDistinct Expand:\n$plan")
   }
 
+  test("ivf_recall_sweep: recall non-decreasing in nprobe, hits bounded by the exact set") {
+    val rows = SparkEntry.queries("ivf_recall_sweep")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L))
+    rows.foreach { r =>
+      assert(r.getLong(2) === 3L * r.getLong(1), "exact top-3 per query")
+      assert(r.getLong(3) <= r.getLong(2), "hits cannot exceed the exact set")
+    }
+    // more probes may only ADD scanned cells — recall must not regress
+    rows.map(_.getDouble(4)).sliding(2).foreach {
+      case Array(lo, hi) => assert(lo <= hi, "recall regressed as nprobe grew")
+      case _ => ()
+    }
+  }
+
   test("curriculum_bins: four bins per source, ranges ordered, counts cover the source") {
     val bySource = SparkEntry.queries("curriculum_bins")(spark, sf).collect()
       .groupBy(_.getString(0))

@@ -230,6 +230,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(o => o.req_id > 2L && o.code != 408L).isEmpty)
   }
 
+  test("streaming incremental gate drops snapshot members, passes fresh docs, every batch") {
+    implicit val sq = spark.sqlContext
+    val s = spark; import s.implicits._
+    val snapshot = Seq((100L, "alpha beta gamma"), (101L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.incrementalGate(in.toDF().toDF("doc_id", "text"), snapshot)
+      .writeStream.outputMode("append").format("memory").queryName("inc_gate").start()
+    try {
+      // batch 1: one resident duplicate, one fresh doc
+      in.addData((1L, "alpha beta gamma"), (2L, "totally new content here"))
+      q.processAllAvailable()
+      assert(spark.table("inc_gate").select("doc_id").as[Long].collect().sorted.toSeq
+        === Seq(2L), "the snapshot member must be gated out")
+      // batch 2: the gate is per-batch stateless — snapshot still filters
+      in.addData((3L, "delta epsilon zeta"), (4L, "another brand new doc"))
+      q.processAllAvailable()
+      assert(spark.table("inc_gate").select("doc_id").as[Long].collect().sorted.toSeq
+        === Seq(2L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming near-dup emits the candidate pair when the duplicate ARRIVES") {
     implicit val sq = spark.sqlContext
     implicit val sp: SparkSession = spark
