@@ -230,6 +230,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(o => o.req_id > 2L && o.code != 408L).isEmpty)
   }
 
+  test("scd2Stream state survives a stop/restart from its checkpoint") {
+    // the recovery contract a production capture relies on: the OPEN
+    // version held in RocksDB state must be restored when the query
+    // restarts from its checkpoint, so the first post-restart event
+    // still closes the pre-restart version — no hole, no duplicate
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val dir = java.nio.file.Files.createTempDirectory("scd2_restart").toString
+      val in = MemoryStream[(String, Streams.BusEvent)]
+      def start() = Streams.scd2Stream(in.toDS()).writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.VersionRow], _: Long) =>
+          b.write.mode("append").parquet(s"$dir/out")
+        }
+        .start()
+      val q1 = start()
+      try {
+        in.addData(("c1", ev(1, 0, 1, "click")), ("c2", ev(2, 1, 2, "view")))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        // closes c1's pre-restart open version; c2 stays open throughout
+        in.addData(("c1", ev(3, 5, 1, "click")))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = spark.read.parquet(s"$dir/out").as[Streams.VersionRow].collect()
+        .map(v => (v.channel, v.event_id, v.valid_from, v.valid_to)).sorted.toSeq
+      assert(got === Seq(("c1", 1L, ts(0), ts(5))),
+        "the pre-restart open version must close exactly once after recovery")
+    }
+  }
+
   test("streaming incremental gate drops snapshot members, passes fresh docs, every batch") {
     implicit val sq = spark.sqlContext
     val s = spark; import s.implicits._
