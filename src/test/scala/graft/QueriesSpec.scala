@@ -112,6 +112,23 @@ class QueriesSpec extends AnyFunSuite {
       s"sketch profile must not plan the multi-countDistinct Expand:\n$plan")
   }
 
+  test("bloom_decontam: no false negatives — bloom hits always cover the exact hits") {
+    val rows = SparkEntry.queries("bloom_decontam")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, grams, bloom, exact, fp) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bloom >= exact, s"$src: a Bloom filter can never miss a member")
+      assert(fp === bloom - exact, src)
+      assert(fp <= grams, src)
+    }
+    // the filter must be USEFUL at the graded scale: hits are a small
+    // fraction of probes (a saturated filter flags everything)
+    val (allGrams, allBloom) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    assert(allBloom.toDouble / allGrams < 0.25,
+      s"filter saturated: $allBloom of $allGrams grams flagged")
+  }
+
   test("ivf_recall_sweep: recall non-decreasing in nprobe, hits bounded by the exact set") {
     val rows = SparkEntry.queries("ivf_recall_sweep")(spark, sf).collect()
       .sortBy(_.getLong(0))
