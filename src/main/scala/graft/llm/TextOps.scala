@@ -431,8 +431,10 @@ object TextOps {
     * batch (the sample_split hash discipline: md5(doc_id) bucket 9, a
     * 10% increment uncorrelated with source — doc_id modulo would alias
     * the source rotation) is deduped against the existing SNAPSHOT (the
-    * other 90%) with a left-anti join on 16-byte md5 fingerprints, so
-    * the increment never triggers a global re-dedup of the full corpus
+    * other 90%) by membership-testing 16-byte md5 fingerprints (a left
+    * join + null test — anti-join semantics that still lets one agg
+    * produce total AND fresh counts from one batch scan), so the
+    * increment never triggers a global re-dedup of the full corpus
     * and no exchange ever carries a document body. Counts batch rows
     * verbatim — intra-batch copies are [[dedupExactKeep]]'s job; this op
     * answers "how much of today's crawl did we already have". */
@@ -443,16 +445,17 @@ object TextOps {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
               bucket.as("bkt"))
-    val snapshot = docs.filter(col("bkt") =!= 9).select(col("fp"))
-    val batch = docs.filter(col("bkt") === 9)
-    val fresh = batch.join(snapshot, Seq("fp"), "left_anti")
-      .groupBy(col("source")).agg(count(lit(1)).as("k_new"))
-    batch.groupBy(col("source")).agg(count(lit(1)).as("n_batch"))
-      .join(fresh, Seq("source"), "left")
-      .select(col("source"), col("n_batch"),
-              coalesce(col("k_new"), lit(0L)).as("n_new"),
-              (col("n_batch") - coalesce(col("k_new"), lit(0L)))
-                .as("n_dup_vs_snapshot"))
+    val snapshot = docs.filter(col("bkt") =!= 9)
+      .select(col("fp")).distinct().withColumn("seen", lit(1L))
+    // LEFT join + null test instead of anti join + a second totals scan:
+    // every batch row survives into ONE aggregation that yields both the
+    // total and the fresh count — one batch scan, one snapshot scan
+    docs.filter(col("bkt") === 9)
+      .join(snapshot, Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batch"),
+           sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_new"),
+           sum(when(col("seen").isNotNull, 1L).otherwise(0L)).as("n_dup_vs_snapshot"))
       .orderBy(col("source"))
   }
 
