@@ -258,7 +258,11 @@ object VectorOps {
     * nprobe frame is a 3-row broadcast, so the sweep costs one cell-scan
     * join, not three pipelines; recall aggregates exact integer hit
     * counts against the brute-force top-3 with a single rounded division
-    * at the end (cross-engine deterministic, like ann_recall). */
+    * at the end (cross-engine deterministic, like ann_recall). Like
+    * ann_recall this is an AUDIT: the brute-force ground truth prices a
+    * query SAMPLE (NQueries) — at 100 TB it runs on a held-out query
+    * set, never the full corpus, so the extra embeddings scans are
+    * sample-bounded. */
   def ivfRecallSweep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("n2"))
