@@ -112,6 +112,35 @@ class QueriesSpec extends AnyFunSuite {
       s"sketch profile must not plan the multi-countDistinct Expand:\n$plan")
   }
 
+  test("mm_phash_pairs: identical payloads collide in EVERY band (pigeonhole floor)") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("mm_phash_pairs")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1), "near ⊆ candidates"))
+    // identical signatures (from identical payloads OR birthday
+    // collisions in the 16-bit space) share every nibble → a hamming-0
+    // candidate in ALL 4 bands: every band's near count is floored by
+    // the same-signature pair count, computed here independently from
+    // the signature definition
+    val sigPairs = {
+      val sigExpr = (0 until 16).map { i =>
+        when(conv(substring(md5(col("text")), i * 2 + 1, 2), 16, 10)
+               .cast("long") > 127L, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      graft.Tables.documents(spark, sf).select(sigExpr.as("sig"))
+        .groupBy(col("sig")).count().filter(col("count") > 1)
+        .select(coalesce(sum((col("count") * (col("count") - 1) / 2).cast("long")),
+                         lit(0L)).cast("long"))
+        .collect()(0).getLong(0)
+    }
+    assert(sigPairs > 0L, "fixture must contain at least one signature collision")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= sigPairs,
+        s"band ${r.getLong(0)}: near count below the same-signature floor")
+      assert(r.getLong(3) === 0L, "a same-signature pair has hamming 0")
+    }
+  }
+
   test("bloom_decontam: no false negatives — bloom hits always cover the exact hits") {
     val rows = SparkEntry.queries("bloom_decontam")(spark, sf).collect()
     assert(rows.nonEmpty)
