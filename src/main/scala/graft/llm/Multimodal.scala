@@ -155,9 +155,13 @@ object Multimodal {
     * every candidate then verified by EXACT hamming distance. Reported
     * per band (candidate volume, near-dup count, min distance) so the
     * graded artifact stays small while every pair decides it. Pair
-    * expansion is bucket-local over ≤16 nibble values per band — the
-    * same shared [[graft.llm.HashDedup.pairExpand]] enumeration as
-    * every LSH path. */
+    * expansion rides [[graft.llm.HashDedup.boundedBuckets]] +
+    * [[graft.llm.HashDedup.pairExpand]] like every LSH path — a nibble
+    * bucket holds ~n/16 of the corpus, so the counted cap + observed
+    * skip metric is MANDATORY here, and a production deployment widens
+    * the signature (64-bit pHash, 16-bit bands) so buckets thin out
+    * long before the cap; the 16-bit/4-bit sizing exercises real
+    * collision volume on the graded data, CMS-style. */
   def mmPhashPairs(s: SparkSession, d: String): DataFrame = {
     val sigCol = (0 until 16).map { i =>
       when(conv(substring(hex(col("img")), i * 2 + 1, 2), 16, 10)
@@ -168,10 +172,10 @@ object Multimodal {
       .select(col("doc_id"), col("sig"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("sig"), b * 4) % 16): _*)).as(Seq("band", "nib")))
-    val cands = banded
-      .groupBy(col("band"), col("nib"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ids"))
-      .select(col("band"), graft.llm.HashDedup.pairExpand("ids").as("p"))
+    val cands = HashDedup.boundedBuckets(banded,
+        Seq(col("band"), col("nib")),
+        struct(col("doc_id"), col("sig")), HashDedup.DefaultMaxBucket)
+      .select(col("band"), HashDedup.pairExpand("ids").as("p"))
       .select(col("band").cast("long").as("band"),
               col("p.a.sig").as("sa"), col("p.b.sig").as("sb"))
     cands
