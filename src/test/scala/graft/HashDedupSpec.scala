@@ -202,7 +202,8 @@ class HashDedupSpec extends AnyFunSuite {
       "simhash_pairs" -> (d => HashDedup.simhashPairs(spark, d)),
       "ngram_jaccard" -> (d => HashDedup.ngramJaccard(spark, d)),
       "winnow_pairs" -> (d => HashDedup.winnowPairs(spark, d)),
-      "embed_neardup" -> (d => graft.llm.VectorOps.nearDup(spark, d)))
+      "embed_neardup" -> (d => graft.llm.VectorOps.nearDup(spark, d)),
+      "mm_phash_pairs" -> (d => graft.llm.Multimodal.mmPhashPairs(spark, d)))
     val graded = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
     var expected = 0
     for (dir <- graded; (name, q) <- capped) {
