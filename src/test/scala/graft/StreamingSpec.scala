@@ -446,6 +446,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
       }.sorted
       assert(gotGaps === expGaps, s"seqGap split-parity failed at seed=$seed")
+
+      // ---- take(n): the auto-unsubscribe COUNT contract is
+      // split-invariant even though WHICH ids win may depend on
+      // arrival order — per sub, exactly min(n, delivered) rows, all
+      // drawn from that sub's own stream, no id twice
+      var tid = 0L
+      val perSub = Seq("s1", "s2", "s3").map { sub =>
+        sub -> (1 to (1 + rnd.nextInt(9))).map { _ =>
+          tid += 1; (sub, ev(tid, rnd.nextInt(60), 1L, "click"))
+        }
+      }
+      withRocksDbProvider {
+        val in = MemoryStream[(String, Streams.BusEvent)]
+        val q = Streams.takeNPerKey(in.toDS(), max = 3).writeStream
+          .outputMode("append").format("memory").queryName(s"take_rand_$qn").start()
+        try randomSplits(randomMerge(perSub)).foreach { b =>
+          in.addData(b); q.processAllAvailable()
+        } finally q.stop()
+      }
+      val bySub = spark.table(s"take_rand_$qn").as[Streams.Delivery].collect()
+        .groupBy(_.sub)
+      perSub.foreach { case (sub, evs) =>
+        val got = bySub.getOrElse(sub, Array.empty).map(_.event_id)
+        assert(got.length === math.min(3, evs.length),
+          s"take(3) count contract broken for $sub at seed=$seed")
+        assert(got.distinct.length === got.length, s"$sub delivered an id twice")
+        assert(got.toSet.subsetOf(evs.map(_._2.event_id).toSet), sub)
+      }
     }
   }
 
