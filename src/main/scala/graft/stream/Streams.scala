@@ -443,7 +443,7 @@ object Streams {
   /** Milliseconds in a `withWatermark`-style delay string ("30 minutes",
     * "0 seconds") — the RpcGate tombstone must outlive exactly the
     * allowed-lateness window, so both come from the same input. */
-  private[stream] def intervalMs(delay: String): Long = {
+  private[graft] def intervalMs(delay: String): Long = {
     val parts = delay.trim.toLowerCase.split("\\s+")
     require(parts.length == 2, s"cannot parse interval: '$delay'")
     val n = parts(0).toLong

@@ -190,4 +190,27 @@ class MqttPatternSpec extends AnyFunSuite {
       assert(!MqttPattern.matches("+", t), s"+ vs $t")
     }
   }
+
+  test("randomized: extract ∘ fill recovers the params on named patterns") {
+    // mqtt-pattern's fill/exec contract under a generator: for any
+    // pattern whose wildcards are all NAMED and any non-empty,
+    // slash-free parameter values, filling then extracting is identity
+    val vals = Seq("a", "b9", "click", "Err", "42", "n.o")
+    def v(): String = vals(rnd.nextInt(vals.length))
+    (1 to 1000).foreach { i =>
+      val nPlus = rnd.nextInt(4)
+      val names = (0 until nPlus).map(k => s"p$k")
+      val withHash = rnd.nextBoolean()
+      val segs = names.map("+" + _) ++ (if (withHash) Seq("#rest") else Nil)
+      val littered = segs.flatMap(sg =>
+        if (rnd.nextBoolean()) Seq(seg().replace("/", "_"), sg) else Seq(sg))
+      val p = littered.mkString("/")
+      if (p.nonEmpty) {
+        val params = names.map(_ -> v()).toMap ++
+          (if (withHash) Map("rest" -> (v() + "/" + v())) else Map.empty)
+        val t = MqttPattern.fill(p, params)
+        assert(MqttPattern.extract(p, t) === Some(params), s"round $i: p=$p t=$t")
+      }
+    }
+  }
 }

@@ -477,6 +477,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("intervalMs parses every withWatermark delay unit the gate relies on") {
+    assert(Streams.intervalMs("0 seconds") === 0L)
+    assert(Streams.intervalMs("30 minutes") === 30L * 60 * 1000)
+    assert(Streams.intervalMs("2 hours") === 2L * 3600 * 1000)
+    assert(Streams.intervalMs("1 day") === 86400000L)
+    assert(Streams.intervalMs("1500 milliseconds") === 1500L)
+    assert(Streams.intervalMs("  45 SECONDS ") === 45000L)
+    intercept[IllegalArgumentException] { Streams.intervalMs("10 fortnights") }
+    intercept[IllegalArgumentException] { Streams.intervalMs("whenever") }
+  }
+
   test("streaming RPC tombstone: watermark-legal redelivery after the 408 cannot re-resolve") {
     implicit val sq = spark.sqlContext
     implicit val sp: SparkSession = spark
