@@ -67,7 +67,10 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () } // an unwritable cwd must not fail the bench
+    catch { // an unwritable cwd must not fail the bench — but say so
+      case e: java.io.IOException =>
+        System.err.println(s"warn: could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
     // repeat as the process's final lines: shutdown noise can push the first
     // print out of a bounded tail capture. The LAST line is a SHORT summary

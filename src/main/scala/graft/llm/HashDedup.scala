@@ -218,26 +218,64 @@ object HashDedup {
     * LSH-capped candidate set, orders of magnitude smaller than the
     * shingle stream feeding it. Measured at sf0.1 before adopting:
     * the 4-query verify family 3.95 s → 1.60 s combined, rows unchanged.
-    * Cache is per SparkSession (weak keys — a stopped session frees its
-    * checkpoints) and per data dir; callers that need fresh lineage
-    * (the graded minhash_pairs artifact) keep calling [[minhashPairs]]. */
-  private val pairCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+    * Cache lifecycle: see [[SessionDirCache]]. Callers that need fresh
+    * lineage (the graded minhash_pairs artifact) keep calling
+    * [[minhashPairs]]. */
+  private val pairCache = new SessionDirCache
 
-  private[graft] def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val perSession = pairCache.synchronized {
-      var m = pairCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        pairCache.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(d, {
+  private[graft] def candidatePairs(s: SparkSession, d: String): DataFrame =
+    pairCache.getOrBuild(s, d) {
       registerSkewLogging(s)
       bucketPairs(minhashBandsDf(s, d)).localCheckpoint()
-    })
+    }
+
+  /** Per-(session, data-dir) memo for localCheckpoint'd lineage frames.
+    *
+    * NOT a session-weak map: a cached DataFrame strongly references its
+    * SparkSession (`df.sparkSession`), so a WeakHashMap key could never
+    * be collected and stopped sessions would pin their checkpoint blocks
+    * for the JVM lifetime. Entries are held strongly instead and evicted
+    * by a SparkListener when the owning context ends, which is the
+    * moment the checkpoint blocks become garbage anyway.
+    *
+    * Staleness guard: each hit revalidates a fingerprint of the parquet
+    * files under `dir/documents.parquet` (name, size, mtime), so data
+    * rewritten under the same path within one session rebuilds instead
+    * of silently serving the old checkpoint. The listing cost is one
+    * directory walk per lookup — bounded by the table's file count, and
+    * only a convenience for mutable test fixtures; production inputs
+    * are immutable snapshot dirs. */
+  private final class SessionDirCache {
+    private val m = new java.util.concurrent.ConcurrentHashMap[
+      SparkSession, scala.collection.concurrent.TrieMap[String, (String, DataFrame)]]()
+
+    private def fingerprint(d: String): String = {
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
+        else Iterator.single(f)
+      val h = walk(new java.io.File(d, "documents.parquet"))
+        .map(f => (f.getName, f.length, f.lastModified).hashCode()).sum
+      java.lang.Integer.toHexString(h)
+    }
+
+    def getOrBuild(s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
+      val per = m.computeIfAbsent(s, sess => {
+        sess.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            m.remove(sess)
+        })
+        scala.collection.concurrent.TrieMap.empty[String, (String, DataFrame)]
+      })
+      val fp = fingerprint(d)
+      per.get(d) match {
+        case Some((`fp`, df)) => df
+        case _ => // miss or stale: rebuild and replace (old frame becomes garbage)
+          val df = build
+          per.put(d, (fp, df))
+          df
+      }
+    }
   }
 
   /** Jaccard ESTIMATE per candidate pair, from the signatures already in
@@ -358,23 +396,13 @@ object HashDedup {
     * appear in any pair) and THREE graded queries (components, size
     * histogram, canonical keep) consume it, so a combined run pays the
     * min-label iteration once. */
-  private val labelCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+  private val labelCache = new SessionDirCache
 
-  private def componentLabelsFor(s: SparkSession, d: String): DataFrame = {
-    val perSession = labelCache.synchronized {
-      var m = labelCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        labelCache.put(s, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(d,
+  private def componentLabelsFor(s: SparkSession, d: String): DataFrame =
+    labelCache.getOrBuild(s, d) {
       componentLabels(candidatePairs(s, d).select(col("a"), col("b")))
-        .localCheckpoint())
-  }
+        .localCheckpoint()
+    }
 
   private[graft] def componentLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs

@@ -414,9 +414,17 @@ object Streams {
       answered.clear()
       deadline.clear()
       pend.clear()
-      val expiry = fireAt + latenessMs
-      done.update(expiry)
-      getHandle.registerTimer(expiry)
+      // Only a conversation that actually SAW a request earns a
+      // tombstone. A timer firing against empty state (a stale
+      // duplicate armed before an earlier tombstone self-expired, or
+      // the orphan-response cleanup) must not install a fresh tombstone
+      // — that would silently extend the drop window for a reused
+      // req_id past the documented lateness window (ADVICE r6).
+      if (hadReq) {
+        val expiry = fireAt + latenessMs
+        done.update(expiry)
+        getHandle.registerTimer(expiry)
+      }
       if (hadReq && !wasAnswered)
         Iterator.single(RpcOutcome(reqId, 408L, -1L, "request time out"))
       else Iterator.empty
@@ -441,21 +449,19 @@ object Streams {
   }
 
   /** Milliseconds in a `withWatermark`-style delay string ("30 minutes",
-    * "0 seconds") — the RpcGate tombstone must outlive exactly the
-    * allowed-lateness window, so both come from the same input. */
+    * "1 hour 30 minutes", "interval 30 seconds") — the RpcGate tombstone
+    * must outlive exactly the allowed-lateness window, so both come from
+    * the same input, parsed by the SAME parser `withWatermark` itself
+    * uses (a hand-rolled two-token split rejected multi-unit strings
+    * Spark accepts — ADVICE r6). */
   private[graft] def intervalMs(delay: String): Long = {
-    val parts = delay.trim.toLowerCase.split("\\s+")
-    require(parts.length == 2, s"cannot parse interval: '$delay'")
-    val n = parts(0).toLong
-    parts(1) match {
-      case u if u.startsWith("microsecond") => n / 1000L
-      case u if u.startsWith("millisecond") => n
-      case u if u.startsWith("second")      => n * 1000L
-      case u if u.startsWith("minute")      => n * 60L * 1000L
-      case u if u.startsWith("hour")        => n * 3600L * 1000L
-      case u if u.startsWith("day")         => n * 86400L * 1000L
-      case u => throw new IllegalArgumentException(s"unknown interval unit: '$u'")
-    }
+    val ci =
+      try org.apache.spark.sql.catalyst.util.IntervalUtils.fromIntervalString(delay)
+      catch { case e @ (_: org.apache.spark.sql.AnalysisException
+                        | _: IllegalArgumentException) =>
+        throw new IllegalArgumentException(s"cannot parse interval: '$delay'", e)
+      }
+    org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark.getDelayMs(ci)
   }
 
   /** A closed SCD2 version row: emitted the moment the channel's NEXT

@@ -477,13 +477,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("intervalMs parses every withWatermark delay unit the gate relies on") {
+  test("intervalMs parses every withWatermark delay string Spark itself accepts") {
     assert(Streams.intervalMs("0 seconds") === 0L)
     assert(Streams.intervalMs("30 minutes") === 30L * 60 * 1000)
     assert(Streams.intervalMs("2 hours") === 2L * 3600 * 1000)
     assert(Streams.intervalMs("1 day") === 86400000L)
     assert(Streams.intervalMs("1500 milliseconds") === 1500L)
     assert(Streams.intervalMs("  45 SECONDS ") === 45000L)
+    // multi-unit and 'interval'-prefixed forms are valid withWatermark
+    // input — the gate must accept exactly what Spark accepts (ADVICE r6)
+    assert(Streams.intervalMs("1 hour 30 minutes") === 90L * 60 * 1000)
+    assert(Streams.intervalMs("interval 30 seconds") === 30000L)
+    assert(Streams.intervalMs("1 minute 15 seconds 500 milliseconds") === 75500L)
     intercept[IllegalArgumentException] { Streams.intervalMs("10 fortnights") }
     intercept[IllegalArgumentException] { Streams.intervalMs("whenever") }
   }
@@ -525,6 +530,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_.req_id == 7L).map(_.code).toSeq === Seq(408L),
       "one outcome per req_id, ever — the redelivered pair must not add a 200")
     assert(got.filter(_.req_id == 8L).map(_.code).toSeq === Seq(200L))
+  }
+
+  test("streaming RPC orphan-response cleanup leaves NO tombstone — a later legal request still earns its 408") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val in = MemoryStream[Streams.RpcMsg]
+      val q = Streams.rpcStream(in.toDS(), timeoutMs = 10000L,
+          watermarkDelay = "30 minutes")
+        .writeStream.outputMode("append").format("memory").queryName("rpc_orphan").start()
+      try {
+        // a response with no request: buffers, arms the orphan-cleanup timer
+        in.addData(Streams.RpcMsg(9L, "res", ts(0), 300L, "lost-pong"))
+        q.processAllAvailable()
+        // scaffold advances the watermark past the orphan's cleanup point;
+        // the timer fires with NO request state (hadReq=false). Installing
+        // a tombstone here would extend the drop window for req 9 with no
+        // conversation to protect (ADVICE r6) — the fix emits nothing and
+        // installs nothing. Two scaffold batches (the redelivery spec's
+        // pattern) guarantee the timer has fired before req 9 returns.
+        in.addData(Streams.RpcMsg(11L, "req", ts(41), 301L, "scaffold"))
+        q.processAllAvailable()
+        in.addData(Streams.RpcMsg(11L, "res", ts(42), 304L, "pong"))
+        q.processAllAvailable()
+        assert(spark.table("rpc_orphan").as[Streams.RpcOutcome].collect()
+          .filter(_.req_id == 9L).isEmpty)
+        // a watermark-legal request for req 9 (ts 15 min ≥ the 12-min
+        // watermark): with the phantom tombstone it would be silently
+        // dropped; without it the conversation arms normally...
+        in.addData(Streams.RpcMsg(9L, "req", ts(15), 302L, "ping-late"))
+        q.processAllAvailable()
+        // ...and times out once the watermark passes its deadline
+        in.addData(Streams.RpcMsg(12L, "req", ts(100), 303L, "scaffold2"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val got = spark.table("rpc_orphan").as[Streams.RpcOutcome].collect()
+    assert(got.filter(_.req_id == 9L).map(_.code).toSeq === Seq(408L),
+      "the orphan cleanup must not tombstone an unseen conversation")
+    assert(got.filter(_.req_id == 11L).map(_.code).toSeq === Seq(200L))
   }
 
   test("streaming substring-dup gate pairs a shared 6-token run on arrival") {
