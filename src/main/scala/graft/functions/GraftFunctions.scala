@@ -74,6 +74,14 @@ object GraftFunctions {
     GraftBridge.column(
       BottomKByHashAgg(GraftBridge.expression(c), k).toAggregateExpression())
 
+  /** Mergeable per-group top-k by score over (STRING term, DOUBLE score)
+    * — rank order (score desc, term asc), row-identical to the
+    * equivalent row_number window without its per-group sort. */
+  def topk_by_score(term: Column, score: Column, k: Int): Column =
+    GraftBridge.column(
+      TopKByScoreAgg(GraftBridge.expression(term),
+        GraftBridge.expression(score), k).toAggregateExpression())
+
   /** SQL builder for bottomk_by_hash: k must be a foldable integer
     * literal (the buffer bound is fixed at plan time). Shared by
     * [[register]] and [[graft.GraftExtensions]] so the two registration

@@ -350,11 +350,22 @@ object TextOps {
     * the object doc). N arrives as a broadcast 1-row aggregate, never a
     * driver action. */
   def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
-    // ONE explode pass, no materialization: reduce to per-(doc, word)
-    // counts, cascade to per-(source, word) tf carrying the per-source
-    // doc count, then derive the global df as a WINDOW sum over the word
-    // partition (docs live in exactly one source, so Σ df_part = df).
-    // N comes from a count-only documents scan — no second explode.
+    val win = Window.partitionBy(col("source")).orderBy(col("score").desc, col("w"))
+    tfidfScored(s, d)
+      .withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("source"), col("w"), col("rnk"), round(col("score"), 3).as("score"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  /** Per-(source, word) tf-idf scores — shared lineage of the two top-k
+    * forms. ONE explode pass, no materialization: reduce to per-(doc,
+    * word) counts, cascade to per-(source, word) tf carrying the
+    * per-source doc count, then derive the global df as a WINDOW sum
+    * over the word partition (docs live in exactly one source, so
+    * Σ df_part = df). N comes from a count-only documents scan — no
+    * second explode. */
+  private def tfidfScored(s: SparkSession, d: String): DataFrame = {
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("source"), col("w"))
@@ -363,14 +374,26 @@ object TextOps {
       .agg(sum(col("c")).as("tf"), count(lit(1)).as("df_part"))
       .withColumn("df", sum(col("df_part")).over(Window.partitionBy(col("w"))))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
-    val win = Window.partitionBy(col("source")).orderBy(col("score").desc, col("w"))
     tf.crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf") * (col("n_total").cast("double") / col("df")))
-      .withColumn("rnk", row_number().over(win).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("source"), col("w"), col("rnk"), round(col("score"), 3).as("score"))
-      .orderBy(col("source"), col("rnk"))
   }
+
+  /** Scale twin of [[tfidfTopTerms]]: the per-source top-3 comes from the
+    * mergeable [[graft.functions.TopKByScoreAgg]] — partial top-k per
+    * partition + O(k) merges inside ONE hash aggregate — instead of a
+    * row_number window, whose per-source sort serializes a dominant
+    * source into one task at 100 TB. Same total order (score desc, term
+    * asc), so the output is ROW-IDENTICAL to the windowed form and
+    * shares its DuckDB oracle verbatim. */
+  def tfidfTopTermsAgg(s: SparkSession, d: String): DataFrame =
+    tfidfScored(s, d)
+      .groupBy(col("source"))
+      .agg(graft.functions.GraftFunctions.topk_by_score(col("w"), col("score"), 3).as("tops"))
+      .select(col("source"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("source"), col("t.w").as("w"),
+              (col("pos") + 1).cast("long").as("rnk"),
+              round(col("t.score"), 3).as("score"))
+      .orderBy(col("source"), col("rnk"))
 
   /** Type-token ratio (lexical diversity) per source: vocabulary size
     * over token count — integer counts, one division. */
@@ -415,12 +438,44 @@ object TextOps {
     * global total order (a corpus-wide ntile would serialize one task's
     * sort at 100 TB; a hot source takes the domain_caps salting, since
     * quartile boundaries refine the same way the cap rank does). */
-  def curriculumBins(s: SparkSession, d: String): DataFrame = {
+  def curriculumBins(s: SparkSession, d: String): DataFrame =
+    curriculumBinsOf(docsWithTok(s, d))
+
+  private[graft] def curriculumBinsOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("n_tok"), col("doc_id"))
-    Tables.documents(s, d)
-      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    docs
       .select(col("doc_id"), col("source"), col("n_tok"))
       .withColumn("bin", ntile(4).over(w).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** Scale twin of [[curriculumBins]] — the 100 TB path, same discipline
+    * as [[qualityFilterPctApprox]]: the per-source quartile EDGES come
+    * from one mergeable GK sketch pass (`percentile_approx` at 0.25 /
+    * 0.5 / 0.75), broadcast back, and binning is a stateless three-
+    * comparison expression — no ntile, no per-source total order. Bin
+    * populations match ntile's ±(tie run at each edge): ntile splits a
+    * tie group across bins to equalize counts, a value edge cannot —
+    * pinned in SaltSpec (dominant corpus) and QueriesSpec (graded
+    * tables). Rows-only in the oracle, as for every sketch query. */
+  def curriculumBinsApprox(s: SparkSession, d: String): DataFrame =
+    curriculumBinsApproxOf(docsWithTok(s, d))
+
+  private[graft] def curriculumBinsApproxOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("n_tok"))
+    val edges = base.groupBy(col("source"))
+      .agg(percentile_approx(col("n_tok"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("e"))
+      .select(col("source"), col("e").getItem(0).as("q1"),
+              col("e").getItem(1).as("q2"), col("e").getItem(2).as("q3"))
+    base.join(broadcast(edges), "source")
+      .withColumn("bin", lit(1L)
+        + (col("n_tok") > col("q1")).cast("long")
+        + (col("n_tok") > col("q2")).cast("long")
+        + (col("n_tok") > col("q3")).cast("long"))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
            min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
@@ -683,13 +738,55 @@ object TextOps {
     * source's median token count (percent_rank ≥ 0.5 over a TOTAL order —
     * doc_id tiebreak makes rank = row_number, so percent_rank is the
     * exact integer ratio (rn−1)/(n−1), deterministic cross-engine). The
-    * quantile-filter pattern generalizes to any integer quality score. */
-  def qualityFilterPct(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("n_tok"), col("doc_id"))
+    * quantile-filter pattern generalizes to any integer quality score.
+    * This is the SEMANTIC form; [[qualityFilterPctApprox]] is the scale
+    * path (no per-source total order — a hot source serializes this
+    * window's sort into one task at 100 TB). */
+  def qualityFilterPct(s: SparkSession, d: String): DataFrame =
+    qualityFilterPctOf(docsWithTok(s, d))
+
+  private def docsWithTok(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("n_chars"))
+
+  private[graft] def qualityFilterPctOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_tok"), col("doc_id"))
+    docs
       .withColumn("pr", percent_rank().over(w))
       .filter(col("pr") >= 0.5)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+           min(col("n_tok")).as("min_kept_tok"),
+           sum(col("n_chars")).as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Scale twin of [[qualityFilterPct]] — the 100 TB path. The per-source
+    * median token count comes from the mergeable GK sketch
+    * (`percentile_approx`: map-side partial sketches, one ≤|sources|-row
+    * final merge), joins back as a broadcast threshold frame, and ONE
+    * stateless filter+agg pass keeps docs at/above their source's
+    * threshold. No per-source total order anywhere — the only exchanges
+    * are hash partial-aggs, so a 90 %-dominant source costs the same as
+    * a uniform one (machine-checked: no Window node, SaltSpec).
+    *
+    * Semantics note: thresholding at the sketch median keeps the docs
+    * the windowed form keeps ± the tie group AT the threshold (the
+    * windowed form splits ties by doc_id; a value threshold cannot), so
+    * the two agree within that tie group — pinned in SaltSpec on a
+    * dominant corpus and in QueriesSpec on the graded tables. Sketch cut
+    * points aren't bit-reproducible cross-engine (DuckDB's
+    * approx_quantile is a t-digest), so the query is graded rows-only,
+    * like the other sketch family members. */
+  def qualityFilterPctApprox(s: SparkSession, d: String): DataFrame =
+    qualityFilterPctApproxOf(docsWithTok(s, d))
+
+  private[graft] def qualityFilterPctApproxOf(docs: DataFrame): DataFrame = {
+    val thr = docs.groupBy(col("source"))
+      .agg(percentile_approx(col("n_tok"), lit(0.5), lit(10000)).as("thr"))
+    docs.join(broadcast(thr), "source")
+      .filter(col("n_tok") >= col("thr"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"),
            min(col("n_tok")).as("min_kept_tok"),
@@ -857,6 +954,9 @@ object TextOps {
     "domain_caps"        -> (domainCaps _),
     "domain_caps_salted" -> (domainCapsSalted _),
     "curriculum_bins"    -> (curriculumBins _),
+    "curriculum_bins_approx"    -> (curriculumBinsApprox _),
+    "quality_filter_pct_approx" -> (qualityFilterPctApprox _),
+    "tfidf_top_terms_agg"       -> (tfidfTopTermsAgg _),
     "incremental_dedup"  -> (incrementalDedup _),
     "doc_chunks"         -> (docChunks _),
     "bigram_lift"        -> (bigramLift _),
@@ -883,6 +983,24 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _),
     "token_fertility"  -> (tokenFertility _))
 
+  private val TfidfTopSql =
+    """WITH words AS (
+      |  SELECT doc_id, source, unnest(str_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2),
+      |dfc AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+      |nd AS (SELECT count(*) AS n_total FROM documents)
+      |SELECT source, w, rnk, round(score, 3) AS score FROM (
+      |  SELECT source, w, tf * (CAST(n_total AS DOUBLE) / df) AS score,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |           ORDER BY tf * (CAST(n_total AS DOUBLE) / df) DESC, w) AS BIGINT) AS rnk
+      |  FROM tf JOIN dfc USING (w) CROSS JOIN nd)
+      |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin
+
+  // `quality_filter_pct_approx` and `curriculum_bins_approx` carry NO
+  // oracle entry (rows-only by design, like the sketch family): their
+  // GK cut points aren't bit-reproducible against DuckDB's t-digest.
+  // Parity with their exact windowed twins is pinned in SaltSpec
+  // (dominant corpus) and QueriesSpec (graded tables).
   val oracle: Map[String, String] = Map(
     "bigram_novelty" ->
       """WITH bg AS (
@@ -1165,18 +1283,11 @@ object TextOps {
         |       round(CAST(count(DISTINCT w) AS DOUBLE) / count(*), 4) AS ttr
         |FROM words GROUP BY 1 ORDER BY source""".stripMargin,
 
-    "tfidf_top_terms" ->
-      """WITH words AS (
-        |  SELECT doc_id, source, unnest(str_split(text, ' ')) AS w FROM documents),
-        |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2),
-        |dfc AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
-        |nd AS (SELECT count(*) AS n_total FROM documents)
-        |SELECT source, w, rnk, round(score, 3) AS score FROM (
-        |  SELECT source, w, tf * (CAST(n_total AS DOUBLE) / df) AS score,
-        |         CAST(row_number() OVER (PARTITION BY source
-        |           ORDER BY tf * (CAST(n_total AS DOUBLE) / df) DESC, w) AS BIGINT) AS rnk
-        |  FROM tf JOIN dfc USING (w) CROSS JOIN nd)
-        |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
+    "tfidf_top_terms" -> TfidfTopSql,
+    // the aggregator form is row-identical by construction (same total
+    // order) — it earns the SAME oracle, making the no-window rewrite
+    // hash-checked rather than merely parity-spec'd
+    "tfidf_top_terms_agg" -> TfidfTopSql,
     "pii_scan" ->
       s"""SELECT source, count(*) AS n_docs,
          |       CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,

@@ -257,6 +257,49 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("quality_filter_pct_approx agrees with the windowed gate within the tie group") {
+    import org.apache.spark.sql.functions._
+    val exact = SparkEntry.queries("quality_filter_pct")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = SparkEntry.queries("quality_filter_pct_approx")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    val ties = graft.Tables.documents(spark, sf)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("source"), col("n_tok")).count()
+      .groupBy(col("source")).agg(max(col("count")).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, (nE, minE)) <- exact) {
+      val (nA, minA) = approx(src)
+      assert(math.abs(nA - nE) <= ties(src), s"$src: $nA vs $nE (ties ${ties(src)})")
+      assert(minA <= minE, s"$src: approx min_kept $minA above exact $minE")
+    }
+  }
+
+  test("curriculum_bins_approx bins agree with ntile within edge tie runs, totals exact") {
+    val exact = SparkEntry.queries("curriculum_bins")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val approx = SparkEntry.queries("curriculum_bins_approx")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sources = exact.keySet.map(_._1)
+    import org.apache.spark.sql.functions._
+    val ties = graft.Tables.documents(spark, sf)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("source"), col("n_tok")).count()
+      .groupBy(col("source")).agg(max(col("count")).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (src <- sources) {
+      for (bin <- 1L to 4L) {
+        val e = exact.getOrElse((src, bin), 0L)
+        val a = approx.getOrElse((src, bin), 0L)
+        assert(math.abs(a - e) <= 2 * ties(src) + 1, s"$src bin $bin: $a vs $e")
+      }
+      val eTot = (1L to 4L).map(b => exact.getOrElse((src, b), 0L)).sum
+      val aTot = (1L to 4L).map(b => approx.getOrElse((src, b), 0L)).sum
+      assert(aTot === eTot, s"$src: totals $aTot vs $eTot")
+    }
+  }
+
   test("approx_percentiles stays within sketch tolerance of the exact percentile") {
     import org.apache.spark.sql.functions._
     val exact = graft.Tables.lineitem(spark, sf)

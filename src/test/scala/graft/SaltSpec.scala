@@ -66,4 +66,70 @@ class SaltSpec extends AnyFunSuite {
     assert(salted === naive)
     assert(salted.nonEmpty)
   }
+
+  /** 90 %-dominant corpus with deliberate token-count ties — the case
+    * where the windowed quantile forms serialize one sort task and the
+    * sketch forms must agree within the tie group at each cut point. */
+  private lazy val dominantDocs = {
+    val s = spark; import s.implicits._
+    (1L to 5000L).map { i =>
+      val src = if (i % 10 != 0) "dominant.com" else s"site_${i % 7}.org"
+      val nTok = (i % 120) + 10L // ~42 docs per value in the dominant source
+      (i, src, nTok, nTok * 6L)
+    }.toDF("doc_id", "source", "n_tok", "n_chars")
+  }
+
+  test("sketch quality gate matches the windowed gate within the threshold tie group on a dominant corpus") {
+    val exact = graft.llm.TextOps.qualityFilterPctOf(dominantDocs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approxDf = graft.llm.TextOps.qualityFilterPctApproxOf(dominantDocs)
+    // the 100 TB claim, machine-checked: no window operator anywhere in
+    // the sketch form's executed plan (the windowed form has one)
+    approxDf.collect()
+    assert(!approxDf.queryExecution.executedPlan.toString.contains("Window"),
+      "sketch form must not contain a Window node")
+    val approx = approxDf.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    val ties = dominantDocs.groupBy(col("source"), col("n_tok"))
+      .count().groupBy(col("source")).agg(max(col("count")).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, (nExact, minExact)) <- exact) {
+      val (nApprox, minApprox) = approx(src)
+      assert(math.abs(nApprox - nExact) <= ties(src),
+        s"$src: approx n_kept=$nApprox exact=$nExact tie-bound=${ties(src)}")
+      // the sketch threshold can only admit MORE of the tie group, so its
+      // kept minimum is at or below the windowed form's
+      assert(minApprox <= minExact, s"$src: $minApprox > $minExact")
+    }
+  }
+
+  test("sketch curriculum bins match ntile bins within the edge tie runs on a dominant corpus") {
+    val exact = graft.llm.TextOps.curriculumBinsOf(dominantDocs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val approxDf = graft.llm.TextOps.curriculumBinsApproxOf(dominantDocs)
+    approxDf.collect()
+    assert(!approxDf.queryExecution.executedPlan.toString.contains("Window"),
+      "sketch form must not contain a Window node")
+    val approx = approxDf.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ties = dominantDocs.groupBy(col("source"), col("n_tok"))
+      .count().groupBy(col("source")).agg(max(col("count")).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sources = exact.keySet.map(_._1)
+    for (src <- sources; bin <- 1L to 4L) {
+      val e = exact.getOrElse((src, bin), 0L)
+      val a = approx.getOrElse((src, bin), 0L)
+      // a value edge cannot split a tie group; ntile can — each bin may
+      // shift by at most one tie run per adjacent edge
+      assert(math.abs(a - e) <= 2 * ties(src) + 1,
+        s"$src bin $bin: approx=$a exact=$e tie-bound=${2 * ties(src) + 1}")
+    }
+    // totals per source are exact — binning only reassigns, never drops
+    for (src <- sources) {
+      val eTot = (1L to 4L).map(b => exact.getOrElse((src, b), 0L)).sum
+      val aTot = (1L to 4L).map(b => approx.getOrElse((src, b), 0L)).sum
+      assert(aTot === eTot, s"$src: total approx=$aTot exact=$eTot")
+    }
+  }
 }

@@ -38,6 +38,34 @@ class TopKAggregatorSpec extends AnyFunSuite {
     assert(a.values.forall(_.length === 4))
   }
 
+  test("topk_by_score equals the row_number window under random scores and ties, any layout") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.topk_by_score
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(0x7007)
+    // coarse scores force ties; term strings break them
+    val data = (1 to 3000).map { i =>
+      (s"g${i % 11}", s"term_${rnd.nextInt(400)}", rnd.nextInt(12).toDouble)
+    }.distinct
+    val df = data.toDF("g", "w", "score")
+    val win = Window.partitionBy(col("g")).orderBy(col("score").desc, col("w"))
+    val want = df.withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("g"), col("w"), col("rnk"), col("score"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    for (parts <- Seq(1, 4, 23)) {
+      val got = df.repartition(parts)
+        .groupBy(col("g")).agg(topk_by_score(col("w"), col("score"), 5).as("tops"))
+        .select(col("g"), posexplode(col("tops")).as(Seq("pos", "t")))
+        .select(col("g"), col("t.w"), (col("pos") + 1).cast("long"), col("t.score"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3))
+      assert(got === want, s"diverged at $parts partitions")
+    }
+  }
+
   test("grouped top-2 per key") {
     val s = spark; import s.implicits._
     val data = Seq(("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 7.0),
