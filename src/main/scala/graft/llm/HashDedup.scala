@@ -400,9 +400,93 @@ object HashDedup {
 
   private def componentLabelsFor(s: SparkSession, d: String): DataFrame =
     labelCache.getOrBuild(s, d) {
-      componentLabels(candidatePairs(s, d).select(col("a"), col("b")))
+      componentLabelsStar(candidatePairs(s, d).select(col("a"), col("b")))
         .localCheckpoint()
     }
+
+  /** Test seam: rounds the last [[componentLabelsStar]] call took —
+    * HashDedupSpec pins the O(log n) round count on an adversarial
+    * path graph (where min-label would need diameter rounds). */
+  @volatile private[graft] var lastStarRounds: Int = -1
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC '14) — the SCALE path now serving
+    * [[componentLabelsFor]] and its three graded consumers. The min-label
+    * fixpoint ([[componentLabels]], kept as the semantic reference)
+    * converges in O(diameter) rounds and exits UNCONVERGED past its
+    * iteration cap on a long near-dup chain; contraction halves star
+    * depth every round, so it needs O(log n) rounds on ANY graph shape.
+    *
+    * Each round: large-star hangs every node's larger neighbors onto its
+    * minimum neighbor, small-star re-hangs the smaller neighbors — two
+    * groupBy-min passes and two equi-joins over an edge frame bounded by
+    * |E| + |V| rows (never the corpus; the input is the LSH-capped
+    * candidate-pair set). Edges stay oriented (big, small), so the
+    * fixpoint is a star forest rooted at each component's min node id —
+    * exactly the label frame min-label converges to, making the two
+    * row-identical (parity-spec'd on random and path graphs).
+    *
+    * Convergence detection: a (count, xxhash64-sum) fingerprint per
+    * round, confirmed by an exact exceptAll probe only when the
+    * fingerprints match — one extra bounded shuffle, paid once. */
+  private[graft] def componentLabelsStar(pairs: DataFrame,
+                                         maxRounds: Int = 30): DataFrame = {
+    var cur = pairs.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+              least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    def labelsOf(e: DataFrame): DataFrame =
+      e.select(col("u").as("node"), col("v").as("comp"))
+        .unionByName(
+          e.select(col("v").as("node"), col("v").as("comp")).distinct())
+    if (cur.isEmpty) return labelsOf(cur)
+    def fp(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: ANSI mode makes a hash sum overflow; xor is
+      // closed over Long and order-independent (edges are distinct)
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var curFp = fp(cur)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: every neighbor LARGER than u hangs onto
+      // m = min(Γ(u) ∪ {u})
+      val large = {
+        val both = cur.unionByName(
+          cur.select(col("v").as("u"), col("u").as("v")))
+        val mins = both.groupBy(col("u")).agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        both.join(mins, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+      }
+      // small-star: the remaining (≤ u) neighbors and u itself re-hang
+      // onto m = min(Γ≤(u)); input is already oriented (big, small)
+      val next = {
+        val mins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+        large.join(mins, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(mins.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v")).distinct()
+          .localCheckpoint(true) // truncate lineage; prior round is garbage
+      }
+      val nextFp = fp(next)
+      converged = nextFp == curFp && next.exceptAll(cur).isEmpty
+      cur = next
+      curFp = nextFp
+      round += 1
+    }
+    lastStarRounds = round
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"componentLabelsStar: round cap $maxRounds hit before the star " +
+          "forest stabilized — labels may be UNCONVERGED (cap ~2·log2(n) " +
+          "rounds suffices for any graph; raise maxRounds)")
+    labelsOf(cur)
+  }
 
   private[graft] def componentLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs

@@ -182,6 +182,47 @@ class HashDedupSpec extends AnyFunSuite {
     (100L until 112L).foreach(n => assert(labels(n) === 100L, s"node $n of chain B"))
   }
 
+  test("star contraction is row-identical to min-label on path, clique and random graphs") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(0xC0C0)
+    val path = (0L until 30L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val clique = for (i <- 200L until 210L; j <- (i + 1) until 210L) yield (i, j)
+    val random = (1 to 120).map(_ => (rnd.nextInt(60).toLong + 400L,
+                                      rnd.nextInt(60).toLong + 400L))
+    val isolatedPair = Seq((900L, 901L))
+    for ((name, edges) <- Seq("path" -> path, "clique" -> clique,
+                              "random" -> random, "mixed" ->
+                                (path ++ clique ++ random ++ isolatedPair))) {
+      val pairs = edges.toDF("a", "b")
+      val want = graft.llm.HashDedup.componentLabels(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = graft.llm.HashDedup.componentLabelsStar(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"$name graph diverged")
+    }
+  }
+
+  test("star contraction converges in O(log n) rounds on a 500-node chain min-label cannot finish") {
+    // the adversarial diameter case: min-label needs ~500 rounds (its cap
+    // is 50 — it exits UNCONVERGED with a WARN); contraction must both
+    // get the labels RIGHT and do it in logarithmic rounds
+    val s = spark; import s.implicits._
+    val chain = (0L until 500L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val labels = graft.llm.HashDedup.componentLabelsStar(chain.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 500)
+    assert(labels.forall(_._2 == 0L), "every chain node must label to the min id 0")
+    val rounds = graft.llm.HashDedup.lastStarRounds
+    assert(rounds > 0 && rounds <= 22,
+      s"expected ~2*log2(500)+slack rounds, got $rounds")
+  }
+
+  test("star contraction: empty pair set yields an empty label frame") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.llm.HashDedup.componentLabelsStar(empty).collect().isEmpty)
+  }
+
   test("graded datasets stay under the LSH bucket cap: the capped queries and " +
       "their cap-free DuckDB twins cannot silently diverge") {
     // The twins enumerate ALL pairs; the Spark side skips buckets over
