@@ -206,6 +206,67 @@ object HashDedup {
     bucketPairs(minhashBandsDf(s, d)).orderBy(col("a"), col("b"))
   }
 
+  /** md5-hash refresh split (the [[graft.llm.TextOps.incrementalDedup]]
+    * discipline): bucket 9 is "today's crawl", the other 90 % the
+    * standing snapshot — uncorrelated with source, reproducible
+    * cross-engine. */
+  private def refreshBucket: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10
+
+  /** LSH band index of a document frame — the PERSISTED artifact of the
+    * near-dup refresh story: one (band_id, bh, doc_id) row per band per
+    * document, computed map-side by [[bandHashExpr]] (no shuffle — the
+    * per-row twin of [[minhashBandsDf]]'s lineage, parity-pinned), with
+    * oversized buckets capped under the standard observed-skew metric
+    * at BUILD time so every later probe joins an already-bounded index.
+    * Written once per snapshot build (parquet, partitionable by
+    * band_id); daily increments then probe it — batch
+    * ([[incrementalNearDup]]) or live (Streams.incrementalNearDupGate)
+    * — without ever touching snapshot text again. The persist→reload
+    * round-trip is spec'd in HashDedupSpec. */
+  def bandStoreOf(docs: DataFrame,
+                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val w = Window.partitionBy(col("band_id"), col("bh"))
+    docs.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        posexplode(bandHashExpr(col("text"))).as(Seq("band_id", "bh")))
+      .select(col("doc_id"), col("band_id").cast("long").as("band_id"), col("bh"))
+      .withColumn("bsz", count(lit(1)).over(w))
+      .observe(s"lsh_skew_${skewTag.incrementAndGet()}",
+        max(col("bsz")).as("max_bucket_size"),
+        sum(when(col("bsz") > maxBucket, 1L).otherwise(0L))
+          .as("rows_in_oversized_buckets"))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("doc_id"), col("band_id"), col("bh"))
+  }
+
+  /** Incremental NEAR-dup refresh — the shape that actually hurts in a
+    * daily corpus refresh ([[graft.llm.TextOps.incrementalDedup]] covers
+    * exact fingerprints only): today's crawl (md5 bucket 9) probes the
+    * snapshot's persisted band index for LSH candidates, emitting one
+    * (a = new doc, b = snapshot doc) row per candidate near-dup. The
+    * snapshot corpus is NEVER rescanned: its index was built once (see
+    * [[bandStoreOf]]); the probe side is the small increment, hashed
+    * map-side; the only exchange hash-partitions both sides on
+    * (band_id, bh) with the snapshot side bounded per bucket at build
+    * time. Candidates equal the cross-split slice of [[minhashPairs]]
+    * on the unioned corpus (parity-spec'd). */
+  def incrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    registerSkewLogging(s)
+    val docs = Tables.documents(s, d).withColumn("bkt", refreshBucket)
+    val store = bandStoreOf(docs.filter(col("bkt") =!= 9))
+      .select(col("band_id"), col("bh"), col("doc_id").as("b"))
+    docs.filter(col("bkt") === 9)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id").as("a"),
+        posexplode(bandHashExpr(col("text"))).as(Seq("band_id", "bh")))
+      .withColumn("band_id", col("band_id").cast("long"))
+      .join(store, Seq("band_id", "bh"))
+      .select(col("a"), col("b")).distinct()
+      .orderBy(col("a"), col("b"))
+  }
+
   /** The SHARED candidate-pair stage for the verify family
     * (minhash_verify, dedup_semantic_verify, split_leakage,
     * pipeline_kept's near-drop): one localCheckpoint of the
@@ -1009,6 +1070,7 @@ object HashDedup {
     "minhash_sig"     -> (minhashSig _),
     "minhash_buckets" -> (minhashBuckets _),
     "minhash_pairs"   -> (minhashPairs _),
+    "incremental_neardup" -> (incrementalNearDup _),
     "simhash_sig"     -> (simhashSig _),
     "simhash_pairs"   -> (simhashPairs _),
     "ngram_jaccard"   -> (ngramJaccard _))
@@ -1304,6 +1366,17 @@ object HashDedup {
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM bands x JOIN bands y
          |  ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin,
+
+    "incremental_neardup" ->
+      s"""WITH $ShingleCte, $HashCte, $SigCte, $BandsCte,
+         |k AS (SELECT doc_id, band_id, bh,
+         |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |          AS BIGINT) % 10 AS bkt
+         |      FROM bands)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM k x JOIN k y ON x.band_id = y.band_id AND x.bh = y.bh
+         |WHERE x.bkt = 9 AND y.bkt <> 9
          |ORDER BY a, b""".stripMargin,
 
     "split_leakage" ->

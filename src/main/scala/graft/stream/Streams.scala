@@ -252,6 +252,28 @@ object Streams {
       .join(snapshot.select(md5(col("text")).as("fp")).distinct(),
             Seq("fp"), "left_anti")
 
+  /** STREAMING near-dup refresh probe — the live twin of
+    * [[graft.llm.HashDedup.incrementalNearDup]], extending
+    * [[incrementalGate]] from exact fingerprints to LSH candidates:
+    * each arriving document computes its 4 band hashes map-side
+    * ([[graft.llm.HashDedup.bandHashExpr]], the batch lineage
+    * parity-pinned) and probes the STATIC persisted snapshot band index
+    * ([[graft.llm.HashDedup.bandStoreOf]]) by stream-static equi-join.
+    * Stateless — the store IS the state, on disk, already bounded per
+    * bucket at build time — so this is append-mode safe with no
+    * watermark. Emits (a = arriving doc, b = snapshot member) candidate
+    * pairs AS THE CRAWL ARRIVES; dedup (a, b) downstream (a pair
+    * sharing 2 bands emits twice, like the batch query pre-distinct). */
+  def incrementalNearDupGate(docs: DataFrame, bandStore: DataFrame): DataFrame =
+    docs.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id").as("a"),
+        posexplode(graft.llm.HashDedup.bandHashExpr(col("text")))
+          .as(Seq("band_id", "bh")))
+      .withColumn("band_id", col("band_id").cast("long"))
+      .join(bandStore.select(col("band_id"), col("bh"), col("doc_id").as("b")),
+            Seq("band_id", "bh"))
+      .select(col("a"), col("b"))
+
   /** STREAMING near-duplicate detection: MinHash-LSH over the live
     * document stream. Each arriving doc computes its 4 band hashes as a
     * pure per-row expression ([[graft.llm.HashDedup.bandHashExpr]] — the

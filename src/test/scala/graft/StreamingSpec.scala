@@ -314,6 +314,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming near-dup refresh gate pairs an arriving crawl doc with the static snapshot index") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val snapshot = Seq(
+      (10L, base),
+      (11L, "some other resident snapshot document with distinct words " +
+        "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg")).toDF("doc_id", "text")
+    // the persisted artifact: build once, write, probe the RELOADED table
+    val storePath = java.nio.file.Files
+      .createTempDirectory("graft_stream_store").toString + "/bands.parquet"
+    graft.llm.HashDedup.bandStoreOf(snapshot).write.mode("overwrite").parquet(storePath)
+    val store = spark.read.parquet(storePath)
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.incrementalNearDupGate(in.toDF().toDF("doc_id", "text"), store)
+      .writeStream.outputMode("append").format("memory").queryName("nd_refresh").start()
+    try {
+      in.addData((20L, "entirely fresh crawl content sharing nothing at all " +
+        "zz xx cc vv bb nn mm k1 k2 k3 k4 k5 k6 k7 k8"))
+      q.processAllAvailable()
+      assert(spark.table("nd_refresh").count() === 0,
+        "a genuinely new document must pass without candidates")
+      in.addData((21L, base.replace("sigma", "SIGMA"))) // near-copy of snapshot 10
+      q.processAllAvailable()
+      val pairs = spark.table("nd_refresh").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.toSet === Set((21L, 10L)),
+        "the arriving near-dup must pair with its snapshot original, nothing else")
+    } finally q.stop()
+  }
+
   test("streaming RPC buffers a response that lands before its late request") {
     implicit val sq = spark.sqlContext
     implicit val sp: SparkSession = spark
