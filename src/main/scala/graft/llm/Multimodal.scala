@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -158,23 +158,70 @@ object Multimodal {
     * expansion rides [[graft.llm.HashDedup.boundedBuckets]] +
     * [[graft.llm.HashDedup.pairExpand]] like every LSH path — a nibble
     * bucket holds ~n/16 of the corpus, so the counted cap + observed
-    * skip metric is MANDATORY here, and a production deployment widens
-    * the signature (64-bit pHash, 16-bit bands) so buckets thin out
-    * long before the cap; the 16-bit/4-bit sizing exercises real
-    * collision volume on the graded data, CMS-style. */
-  def mmPhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sigCol = (0 until 16).map { i =>
-      when(conv(substring(hex(col("img")), i * 2 + 1, 2), 16, 10)
-             .cast("long") > 127L, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val banded = mediaTable(s, d)
-      .select(col("doc_id"), sigCol.as("sig"))
+    * skip metric is MANDATORY here; the cap is mirrored in the DuckDB
+    * twin so the two engines cannot diverge even when it binds. The
+    * production sizing is [[mmPhashPairsWide]] (64-bit signature,
+    * 16-bit bands — same pipeline, parameterized); the 16-bit/4-bit
+    * sizing exercises real collision volume on graded data, CMS-style. */
+  def mmPhashPairs(s: SparkSession, d: String): DataFrame =
+    mmPhashPairsSized(s, d, sigBits = 16, bandBits = 4)
+
+  /** Production sizing of the same operator — 64-bit signature, 16-bit
+    * bands: a band bucket space of 65536 instead of 16, so occupancy
+    * thins ~4096× and the counted cap never engages at graded scales
+    * (spec'd; it exists purely as the skew guard). This is the sizing a
+    * 100 TB deployment runs; the 16-bit graded twin exercises real
+    * collision volume on small data, CMS-style. */
+  def mmPhashPairsWide(s: SparkSession, d: String): DataFrame =
+    mmPhashPairsSized(s, d, sigBits = 64, bandBits = 16)
+
+  /** Quantization thresholds per 16-bit signature group: group 0 (the
+    * graded 16-bit sizing) is the original byte > 127 probe; wider
+    * signatures re-probe the same 16 payload bytes at 3 more intensity
+    * cut points — a coarse multi-threshold quantization, so payloads
+    * with similar byte intensities still get nearby signatures (the
+    * property a real pHash has and a content hash would destroy). */
+  private[graft] val PhashThresholds = Seq(127L, 63L, 159L, 95L)
+
+  /** Parameterized stub pHash: bit i = payload byte (i mod 16) above
+    * PhashThresholds(i / 16). sigBits = 16 reproduces the original
+    * signature bit-for-bit (single threshold group). Bits combine by OR
+    * (equal to the old sum for distinct powers of two, and immune to
+    * ANSI overflow checks at bit 63). */
+  private def phashSigCol(sigBits: Int): Column =
+    (0 until sigBits).map { i =>
+      when(conv(substring(hex(col("img")), (i % 16) * 2 + 1, 2), 16, 10)
+             .cast("long") > PhashThresholds(i / 16), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** (doc_id, sig, band, nib) — the banded signature frame behind
+    * [[mmPhashPairsSized]], exposed for the occupancy spec. Band values
+    * extract with shift-and-MASK (not modulo): the mask keeps the
+    * arithmetic-shift sign extension of a negative 64-bit signature out
+    * of the bucket key on both engines. */
+  private[graft] def phashBanded(s: SparkSession, d: String,
+                                 sigBits: Int, bandBits: Int): DataFrame = {
+    require(bandBits >= 1 && sigBits % bandBits == 0,
+      s"sigBits=$sigBits must be a multiple of bandBits=$bandBits")
+    require(sigBits <= 64 && sigBits % 16 == 0,
+      s"sigBits=$sigBits must be 16/32/48/64 (threshold groups of 16)")
+    val nBands = sigBits / bandBits
+    val mask = (1L << bandBits) - 1
+    mediaTable(s, d)
+      .select(col("doc_id"), phashSigCol(sigBits).as("sig"))
       .select(col("doc_id"), col("sig"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("sig"), b * 4) % 16): _*)).as(Seq("band", "nib")))
-    val cands = HashDedup.boundedBuckets(banded,
+        posexplode(array((0 until nBands).map(b =>
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "nib")))
+  }
+
+  private[graft] def mmPhashPairsSized(s: SparkSession, d: String,
+      sigBits: Int, bandBits: Int,
+      maxBucket: Int = HashDedup.DefaultMaxBucket): DataFrame = {
+    val cands = HashDedup.boundedBuckets(phashBanded(s, d, sigBits, bandBits),
         Seq(col("band"), col("nib")),
-        struct(col("doc_id"), col("sig")), HashDedup.DefaultMaxBucket)
+        struct(col("doc_id"), col("sig")), maxBucket)
       .select(col("band"), HashDedup.pairExpand("ids").as("p"))
       .select(col("band").cast("long").as("band"),
               col("p.a.sig").as("sa"), col("p.b.sig").as("sb"))
@@ -204,6 +251,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_chunk_dedup"   -> (mmChunkDedup _),
     "mm_phash_pairs"   -> (mmPhashPairs _),
+    "mm_phash_pairs_wide" -> (mmPhashPairsWide _),
     "mm_audio_windows" -> (mmAudioWindows _),
     "mm_meta"         -> (mmMeta _),
     "mm_resize"       -> (mmResize _),
@@ -215,6 +263,40 @@ object Multimodal {
       |             n_chars % 64 + 1 AS width,
       |             (n_chars // 7) % 64 + 1 AS height
       |      FROM documents)""".stripMargin
+
+  /** DuckDB twin of [[mmPhashPairsSized]], generated from the SAME
+    * sizing constants. The bucket cap is MIRRORED (the QUALIFY window
+    * filter): without it, Spark silently drops an over-cap bucket the
+    * uncapped SQL still enumerates, and the two engines diverge the
+    * moment a nibble bucket passes the cap (~16k docs at the 16-bit
+    * sizing — ADVICE r6). Bits OR together (no ANSI/HUGEINT overflow at
+    * bit 63) and bands extract by shift-and-mask, both exactly as the
+    * Spark side does. */
+  private def phashSql(sigBits: Int, bandBits: Int): String = {
+    val bits = (0 until sigBits).map { i =>
+      s"(CASE WHEN CAST(concat('0x', substr(hx, ${(i % 16) * 2 + 1}, 2)) AS BIGINT) " +
+        s"> ${PhashThresholds(i / 16)} " +
+        s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" | ")
+    val nBands = sigBits / bandBits
+    val mask = (1L << bandBits) - 1
+    s"""WITH mm AS (SELECT doc_id, md5(text) AS hx FROM documents),
+       |sig AS (SELECT doc_id, $bits AS sig FROM mm),
+       |banded AS (
+       |  SELECT doc_id, sig, band, (sig >> (band * $bandBits)) & $mask AS nib
+       |  FROM sig CROSS JOIN (SELECT unnest([${(0 until nBands).mkString(", ")}]) AS band)),
+       |bounded AS (
+       |  SELECT * FROM banded
+       |  QUALIFY count(*) OVER (PARTITION BY band, nib) <= ${HashDedup.DefaultMaxBucket}),
+       |cands AS (
+       |  SELECT CAST(x.band AS BIGINT) AS band, x.sig AS sa, y.sig AS sb
+       |  FROM bounded x JOIN bounded y
+       |    ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id)
+       |SELECT band, count(*) AS n_candidates,
+       |       CAST(sum(CASE WHEN bit_count(xor(sa, sb)) <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       |       CAST(min(bit_count(xor(sa, sb))) AS BIGINT) AS min_ham
+       |FROM cands GROUP BY 1 ORDER BY band""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "mm_chunk_dedup" ->
@@ -234,25 +316,8 @@ object Multimodal {
         |       round(100.0 * (sum(refs * b) - sum(b)) / sum(refs * b), 2) AS saved_pct
         |FROM per""".stripMargin,
 
-    "mm_phash_pairs" -> {
-      val bits = (0 until 16).map { i =>
-        s"(CASE WHEN CAST(concat('0x', substr(hx, ${i * 2 + 1}, 2)) AS BIGINT) > 127 " +
-          s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-      }.mkString(" + ")
-      s"""WITH mm AS (SELECT doc_id, md5(text) AS hx FROM documents),
-         |sig AS (SELECT doc_id, $bits AS sig FROM mm),
-         |banded AS (
-         |  SELECT doc_id, sig, band, (sig >> (band * 4)) % 16 AS nib
-         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
-         |cands AS (
-         |  SELECT CAST(x.band AS BIGINT) AS band, x.sig AS sa, y.sig AS sb
-         |  FROM banded x JOIN banded y
-         |    ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id)
-         |SELECT band, count(*) AS n_candidates,
-         |       CAST(sum(CASE WHEN bit_count(xor(sa, sb)) <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
-         |       CAST(min(bit_count(xor(sa, sb))) AS BIGINT) AS min_ham
-         |FROM cands GROUP BY 1 ORDER BY band""".stripMargin
-    },
+    "mm_phash_pairs" -> phashSql(sigBits = 16, bandBits = 4),
+    "mm_phash_pairs_wide" -> phashSql(sigBits = 64, bandBits = 16),
 
     "mm_audio_windows" ->
       """WITH m AS (SELECT doc_id,

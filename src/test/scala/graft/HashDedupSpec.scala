@@ -301,6 +301,7 @@ class HashDedupSpec extends AnyFunSuite {
       "winnow_pairs" -> (d => HashDedup.winnowPairs(spark, d)),
       "embed_neardup" -> (d => graft.llm.VectorOps.nearDup(spark, d)),
       "mm_phash_pairs" -> (d => graft.llm.Multimodal.mmPhashPairs(spark, d)),
+      "mm_phash_pairs_wide" -> (d => graft.llm.Multimodal.mmPhashPairsWide(spark, d)),
       "incremental_neardup" -> (d => HashDedup.incrementalNearDup(spark, d)))
     val graded = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
     var expected = 0
