@@ -266,6 +266,135 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rpcStream recovers from a checkpoint: the armed timer fires exactly once, the tombstone survives") {
+    // the production recovery contract for the RPC gate: a request whose
+    // deadline timer was armed BEFORE the crash must still 408 exactly
+    // once after restart (RocksDB restores the timer), and the
+    // tombstone written by that 408 must keep dropping watermark-legal
+    // redeliveries across ANOTHER restart — no hole, no duplicate
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val dir = java.nio.file.Files.createTempDirectory("rpc_restart").toString
+      val in = MemoryStream[Streams.RpcMsg]
+      def start() = Streams.rpcStream(in.toDS(), timeoutMs = 10000L,
+          watermarkDelay = "30 minutes")
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.RpcOutcome], _: Long) =>
+          b.write.mode("append").parquet(s"$dir/out")
+        }
+        .start()
+      val q1 = start()
+      try {
+        in.addData(Streams.RpcMsg(7L, "req", ts(0), 100L, "ping"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        // watermark passes req 7's recovered deadline -> its restored
+        // timer fires the 408 in this incarnation
+        in.addData(Streams.RpcMsg(8L, "req", ts(41), 101L, "scaffold"))
+        q2.processAllAvailable()
+        in.addData(Streams.RpcMsg(8L, "res", ts(42), 102L, "pong"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val q3 = start()
+      try {
+        // watermark-legal redelivery after ANOTHER restart: the
+        // tombstone must have been recovered along with everything else
+        in.addData(
+          Streams.RpcMsg(7L, "req", ts(18), 100L, "ping-retry"),
+          Streams.RpcMsg(7L, "res", ts(20), 200L, "dup-pong"))
+        q3.processAllAvailable()
+      } finally q3.stop()
+      val got = spark.read.parquet(s"$dir/out").as[Streams.RpcOutcome].collect()
+      assert(got.filter(_.req_id == 7L).map(_.code).toSeq === Seq(408L),
+        "exactly one 408 across three incarnations — timer re-fires once, tombstone holds")
+      assert(got.filter(_.req_id == 8L).map(_.code).toSeq === Seq(200L))
+    }
+  }
+
+  test("streamingNearDup recovers bucket state from a checkpoint without re-emitting pairs") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+      val dir = java.nio.file.Files.createTempDirectory("neardup_restart").toString
+      val in = MemoryStream[(Long, String)]
+      def start() = Streams.streamingNearDup(in.toDF().toDF("doc_id", "text"))
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.CandidatePair], _: Long) =>
+          b.write.mode("append").parquet(s"$dir/out")
+        }
+        .start()
+      val q1 = start()
+      try {
+        in.addData((1L, base))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        // doc 1's bucket membership lives only in recovered RocksDB
+        // state — the arriving copy must still pair with it
+        in.addData((2L, base))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val q3 = start()
+      try {
+        // a third copy after another restart: pairs with BOTH residents,
+        // and the pre-restart (1,2) pairs must not re-emit
+        in.addData((4L, base))
+        q3.processAllAvailable()
+      } finally q3.stop()
+      val got = spark.read.parquet(s"$dir/out").as[Streams.CandidatePair].collect()
+        .map(p => (p.a, p.b))
+      assert(got.groupBy(identity).view.mapValues(_.length).toMap ===
+        Map((1L, 2L) -> 4, (1L, 4L) -> 4, (2L, 4L) -> 4),
+        "each pair exactly once per shared band (4), none re-emitted after recovery")
+    }
+  }
+
+  test("streamingSubstringDup recovers its fingerprint index across a restart") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+      val b = "qq ww ee rr delta epsilon zeta eta theta iota ss dd ff gg"
+      val dir = java.nio.file.Files.createTempDirectory("subdup_restart").toString
+      val in = MemoryStream[(Long, String)]
+      def start() = Streams.streamingSubstringDup(in.toDF().toDF("doc_id", "text"))
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .foreachBatch { (bt: org.apache.spark.sql.Dataset[Streams.CandidatePair], _: Long) =>
+          bt.write.mode("append").parquet(s"$dir/out")
+        }
+        .start()
+      val q1 = start()
+      try {
+        in.addData((1L, a))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        in.addData((2L, b)) // shares a 6-token run with pre-restart doc 1
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = spark.read.parquet(s"$dir/out").as[Streams.CandidatePair].collect()
+      assert(got.nonEmpty, "the recovered fingerprint index must catch the partial copy")
+      assert(got.map(p => (p.a, p.b)).distinct.toSeq === Seq((1L, 2L)),
+        "only the true substring-dup pair may emit after recovery")
+    }
+  }
+
   test("streaming incremental gate drops snapshot members, passes fresh docs, every batch") {
     implicit val sq = spark.sqlContext
     val s = spark; import s.implicits._
