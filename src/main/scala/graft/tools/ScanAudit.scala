@@ -2,9 +2,22 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** One-off audit: executed-plan parquet-scan counts per graded query
-  * (flags avoidable fact re-scans; keep — cheap to re-run per round). */
+/** Executed-plan parquet-scan counts per graded query (flags avoidable
+  * fact re-scans). The counting logic is shared with ScanBudgetSpec,
+  * which gates the full catalog against the committed budget file
+  * (tools/scan_budget.tsv) in CI — a refactor cannot silently
+  * re-introduce a double scan. */
 object ScanAudit {
+
+  /** Per-table parquet-scan counts in the EXECUTED (post-AQE) plan of an
+    * already-collected DataFrame. */
+  def tableScanCounts(df: org.apache.spark.sql.DataFrame): Map[String, Int] = {
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
+      .map(l => "([a-z_]+)\\.parquet".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("?"))
+      .groupBy(identity).view.mapValues(_.length).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -15,11 +28,8 @@ object ScanAudit {
       try {
         val df = fn(spark, sf)
         df.collect()
-        val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-        val tables = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
-          .map(l => "([a-z_]+)\\.parquet".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("?"))
-        val dup = tables.groupBy(identity).filter(_._2.length > 1)
-          .map { case (t, g) => s"$t x${g.length}" }.mkString(",")
+        val dup = tableScanCounts(df).filter(_._2 > 1)
+          .map { case (t, n) => s"$t x$n" }.mkString(",")
         if (dup.nonEmpty) println(s"SCANAUDIT $name DUP $dup")
       } catch { case e: Exception => println(s"SCANAUDIT $name ERR ${e.getClass.getSimpleName}") }
     }
