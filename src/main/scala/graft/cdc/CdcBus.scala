@@ -280,7 +280,92 @@ object CdcBus {
       .orderBy(col("event_type"))
   }
 
+  // memory-sink names must be unique per invocation (the bench re-runs
+  // each query; an ephemeral port CAN repeat within a JVM)
+  private val wireRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The LIVE ingestion loop, graded end-to-end over real TCP: a
+    * deterministic slice of `events` (event_id % 10 = 0) is encoded as
+    * protobuf CDC envelopes and PUBLISHED from executor partitions over
+    * loopback sockets — the reference's `examples/cdc-pub.js` role, one
+    * client socket per partition, batched client PUB framing, no driver
+    * collect — routed by the embedded text-protocol
+    * [[graft.nats.NatsServer]], consumed back through the DataSourceV2
+    * micro-batch stream on the default TCP-dialing broker
+    * ([[graft.nats.TcpBroker]]), and aggregated from the re-received
+    * bus. Everything between the parquet scan and the result — client
+    * framing, server parse + route, MSG fan-out, connector offsets,
+    * envelope decode — is the live wire path; the oracle computes the
+    * same aggregate straight from `events`, so any dropped, duplicated,
+    * or corrupted frame fails the row/hash gate.
+    *
+    * Determinism: arrival order and sequence numbers are
+    * transport-nondeterministic, so the result aggregates only
+    * order-insensitive columns. The subscription is confirmed live
+    * before any PUB via the client `flush()` (PING/PONG round-trip) —
+    * core NATS, like the reference, is at-most-once. */
+  def wireTcp(s: SparkSession, d: String): DataFrame = {
+    val server = new graft.nats.NatsServer()
+    val prevTarget = sys.props.get(graft.nats.TcpBroker.TargetProperty)
+    try {
+      sys.props(graft.nats.TcpBroker.TargetProperty) = server.target
+      // subscriber FIRST, confirmed with a protocol round-trip
+      val probe = new graft.nats.TcpBroker
+      probe.flush()
+      val slice = Tables.bus(s, d).filter(col("event_id") % 10 === 0)
+        .select(col("channel"), col("props"))
+      val expected = slice.count()
+      val host = "127.0.0.1"
+      val port = server.port
+      slice.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          val sock = new java.net.Socket(host, port)
+          try {
+            sock.setTcpNoDelay(true)
+            val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+            rows.foreach { r =>
+              val env = graft.nats.CdcProto.CdcMsg("cdc-pub", r.getString(0),
+                "json", "http", "", 0, false,
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              out.write(graft.nats.NatsWire.pub(
+                "cdc.client", graft.nats.CdcProto.encode(env)))
+            }
+            out.flush()
+          } finally sock.close()
+        }
+      }
+      // all frames sequenced in the shared session before the stream
+      // computes its offsets
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (probe.latestSeq() < expected && System.nanoTime() < deadline)
+        Thread.sleep(5)
+      require(probe.latestSeq() == expected,
+        s"wire loop lost frames: ${probe.latestSeq()} of $expected arrived")
+      val sink = s"wire_tcp_${wireRuns.incrementAndGet()}"
+      val q = s.readStream.format(classOf[graft.nats.NatsSource].getName)
+        .option("shards", 4).load() // default broker IS the TCP dialer
+        .writeStream.format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .withColumn("etype", element_at(split(col("channel"), "/"), 2))
+        .withColumn("uid", element_at(split(col("channel"), "/"), 3))
+        .groupBy(col("etype"))
+        .agg(countDistinct(col("uid")).as("n_users"),
+             count(lit(1)).as("n"),
+             sum(get_json_object(col("payload").cast("string"), "$.k")
+               .cast("long")).as("sum_k"))
+        .orderBy(col("etype"))
+    } finally {
+      server.close()
+      prevTarget match {
+        case Some(t) => sys.props(graft.nats.TcpBroker.TargetProperty) = t
+        case None    => sys.props.remove(graft.nats.TcpBroker.TargetProperty)
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_wire_tcp"        -> (wireTcp _),
     "cdc_replay"          -> (replay _),
     "cdc_seq_gaps"        -> (seqGaps _),
     "cdc_scd2"            -> (scd2 _),
@@ -297,6 +382,18 @@ object CdcBus {
     "cdc_sql_route"       -> (sqlRoute _))
 
   val oracle: Map[String, String] = Map(
+    // the wire loop transports the slice losslessly, so the oracle is the
+    // same aggregate computed directly from events (channel re-synthesized
+    // by the BusCte exactly as the published envelopes carried it)
+    "cdc_wire_tcp" ->
+      s"""${Tables.BusCte}
+         |SELECT str_split(channel, '/')[2] AS etype,
+         |       count(DISTINCT str_split(channel, '/')[3]) AS n_users,
+         |       count(*) AS n,
+         |       CAST(sum(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS BIGINT) AS sum_k
+         |FROM ev WHERE event_id % 10 = 0
+         |GROUP BY 1 ORDER BY etype""".stripMargin,
+
     "cdc_replay" ->
       s"""${Tables.BusCte}
          |SELECT channel, event_id, ts AS as_of_ts, version_no,

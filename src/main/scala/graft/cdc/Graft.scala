@@ -30,6 +30,21 @@ object Graft {
   def connect(spark: SparkSession, dir: String): Bus =
     new Bus(Tables.bus(spark, dir))
 
+  /** Connect LIVE — the reference's `new NATS({url})` (lib/nats.js:49):
+    * a streaming bus fed by the DataSourceV2 micro-batch source over the
+    * real TCP transport (default [[graft.nats.TcpBroker]]; `url` is
+    * `host:port`, defaulting like the reference client to the canonical
+    * local NATS address). The returned views are streaming DataFrames:
+    * `subscribe`/`counters` compose with `writeStream` exactly as the
+    * batch forms compose with actions (`take` needs the stateful gate,
+    * [[graft.stream.Streams.takeNPerKey]] — sort-limit is a batch
+    * shape). */
+  def live(spark: SparkSession,
+           url: String = graft.nats.TcpBroker.target): Bus = {
+    sys.props(graft.nats.TcpBroker.TargetProperty) = url
+    over(spark.readStream.format("graft-nats").load())
+  }
+
   /** Wrap an arbitrary bus DataFrame (e.g. a readStream) that already has
     * a `channel` column — or synthesizes one if the events schema is raw. */
   def over(df: DataFrame): Bus =

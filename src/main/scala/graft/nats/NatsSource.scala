@@ -50,19 +50,19 @@ object NatsBroker {
       .newInstance().asInstanceOf[NatsBroker]
 }
 
-/** Default broker: the full NATS text-protocol dialogue
-  * (CONNECT/SUB/MSG/PING-PONG) lives in [[TextProtocolBroker]] and is
-  * exercised end-to-end by NatsWireSpec over an in-memory channel; the
-  * ONLY thing stubbed here is the socket dial itself — the zero-egress
-  * build environment has no network. A deployment overrides [[dial]]
-  * with a TCP-backed [[NatsChannel]] (or supplies a JetStream-backed
-  * [[NatsBroker]] for replayable offsets) via
-  * `.option("broker", "com.example.LiveBroker")`. */
+/** Explicit no-network broker: a [[TextProtocolBroker]] whose socket
+  * dial always refuses. The live path is [[TcpBroker]] (the default —
+  * real TCP dial to `graft.nats.server`, by default the canonical NATS
+  * `127.0.0.1:4222`, exercised end-to-end against the embedded
+  * [[NatsServer]] in NatsTcpSpec); this class remains for environments
+  * that must never open a socket, and as the documented failure mode
+  * when no transport is wanted. */
 class UnavailableBroker extends TextProtocolBroker {
   override protected def dial(): NatsChannel = throw new UnsupportedOperationException(
-    "NATS socket dial is stubbed: zero-egress build environment (design per SURVEY §4.2); " +
-      "override TextProtocolBroker.dial with a TCP-backed NatsChannel, or supply a " +
-      "JetStream-backed NatsBroker via .option(\"broker\", <class>)")
+    "NATS socket dial refused: UnavailableBroker is the explicit no-network broker; " +
+      "use the default graft.nats.TcpBroker (dials the graft.nats.server system " +
+      "property, default 127.0.0.1:4222), or supply a JetStream-backed NatsBroker " +
+      "via .option(\"broker\", <class>)")
 }
 
 /** NATS micro-batch source (`DataSourceV2`) — the live-deployment ingress
@@ -76,7 +76,11 @@ class UnavailableBroker extends TextProtocolBroker {
   * then every graft operator (mqtt routing, take(n), counters, windows)
   * applies unchanged.
   */
-class NatsSource extends TableProvider {
+class NatsSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  /** `.format("graft-nats")` — registered via the standard
+    * META-INF/services DataSourceRegister mechanism. */
+  override def shortName(): String = "graft-nats"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     NatsSource.CdcMsgSchema
 
@@ -104,7 +108,7 @@ private[nats] class NatsTable(schema: StructType) extends Table with SupportsRea
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NatsScanBuilder(schema,
       options.getInt("shards", 4),
-      options.getOrDefault("broker", classOf[UnavailableBroker].getName))
+      options.getOrDefault("broker", classOf[TcpBroker].getName))
 }
 
 private[nats] class NatsScanBuilder(schema: StructType, shards: Int,

@@ -31,6 +31,8 @@ object NatsWire {
 
   /** A server→client protocol operation. */
   sealed trait ServerOp
+  /** A client→server protocol operation (what an embedded server parses). */
+  sealed trait ClientOp
   final case class Info(json: String) extends ServerOp
   final case class Msg(subject: String, sid: Long, replyTo: Option[String],
                        payload: Array[Byte]) extends ServerOp {
@@ -42,10 +44,26 @@ object NatsWire {
     override def hashCode(): Int =
       (subject, sid, replyTo, java.util.Arrays.hashCode(payload)).hashCode()
   }
-  case object Ping extends ServerOp
-  case object Pong extends ServerOp
+  // PING/PONG flow in both directions (keepalive is symmetric in the
+  // protocol), so the ops belong to both alphabets
+  case object Ping extends ServerOp with ClientOp
+  case object Pong extends ServerOp with ClientOp
   case object Ok extends ServerOp
   final case class Err(message: String) extends ServerOp
+
+  final case class Connect(json: String) extends ClientOp
+  final case class Pub(subject: String, replyTo: Option[String],
+                       payload: Array[Byte]) extends ClientOp {
+    override def equals(o: Any): Boolean = o match {
+      case p: Pub => subject == p.subject && replyTo == p.replyTo &&
+        java.util.Arrays.equals(payload, p.payload)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      (subject, replyTo, java.util.Arrays.hashCode(payload)).hashCode()
+  }
+  final case class SubOp(subject: String, queue: Option[String], sid: Long) extends ClientOp
+  final case class UnsubOp(sid: Long, max: Option[Int]) extends ClientOp
 
   // ---- client → server serialization ---------------------------------
 
@@ -95,19 +113,30 @@ object NatsWire {
 
   // ---- incremental server→client parser ------------------------------
 
-  /** Incremental parser for the server→client stream. Feed arbitrary
-    * byte chunks; complete operations are returned as they materialize.
-    * State between feeds: the unconsumed buffer + a pending MSG header
-    * waiting for its payload. Not thread-safe (one parser per
+  /** Incremental CRLF-line + length-prefixed-payload framer shared by the
+    * two protocol directions. Feed arbitrary byte chunks; complete
+    * operations are returned as they materialize. State between feeds:
+    * the unconsumed buffer + a pending payload-carrying header
+    * (MSG / PUB) waiting for its bytes. Not thread-safe (one parser per
     * connection, like one reader per socket). */
-  final class Parser {
+  sealed abstract class WireParser[Op] {
     // consumed-prefix offset + lazy compaction: consumption advances an
     // index instead of reallocating the buffer per op, so a payload
     // arriving in k chunks costs O(n), not O(n·k)
     private var buf = Array.emptyByteArray
     private var off = 0
-    // a parsed MSG header whose payload hasn't fully arrived yet
-    private var pending: Option[(String, Long, Option[String], Int)] = None
+    // a parsed payload-op header whose payload hasn't fully arrived yet:
+    // (byte count, payload → completed op)
+    private var pending: Option[(Int, Array[Byte] => Op)] = None
+
+    /** Parse one CRLF-terminated control line: emit completed ops via
+      * `out`, or call [[awaitPayload]] for a length-prefixed body. */
+    protected def parseLine(l: String,
+                            out: scala.collection.mutable.ArrayBuffer[Op]): Unit
+
+    /** The op's payload (`n` bytes + CRLF) follows the control line. */
+    protected final def awaitPayload(n: Int)(complete: Array[Byte] => Op): Unit =
+      pending = Some((n, complete))
 
     private def available: Int = buf.length - off
 
@@ -128,20 +157,19 @@ object NatsWire {
       -1
     }
 
-    def feed(chunk: Array[Byte]): Seq[ServerOp] = {
+    final def feed(chunk: Array[Byte]): Seq[Op] = {
       compactAndAppend(chunk)
-      val out = scala.collection.mutable.ArrayBuffer.empty[ServerOp]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Op]
       var progress = true
       while (progress) {
         progress = false
         pending match {
-          case Some((subject, sid, reply, n)) =>
+          case Some((n, complete)) =>
             if (available >= n + 2) { // payload + CRLF
               if (buf(off + n) != '\r' || buf(off + n + 1) != '\n')
                 throw new IllegalArgumentException(
-                  s"MSG payload of $n bytes not terminated by CRLF")
-              out += Msg(subject, sid, reply,
-                java.util.Arrays.copyOfRange(buf, off, off + n))
+                  s"payload of $n bytes not terminated by CRLF")
+              out += complete(java.util.Arrays.copyOfRange(buf, off, off + n))
               off += n + 2
               pending = None
               progress = true
@@ -159,10 +187,18 @@ object NatsWire {
       out.toSeq
     }
 
-    private def parseLine(l: String,
-                          out: scala.collection.mutable.ArrayBuffer[ServerOp]): Unit = {
+    /** Split `l` into (VERB, rest) — verbs are case-insensitive. */
+    protected final def verbOf(l: String): (String, String) = {
       val verb = l.takeWhile(c => c != ' ' && c != '\t').toUpperCase
-      val rest = l.drop(verb.length).trim
+      (verb, l.drop(verb.length).trim)
+    }
+  }
+
+  /** Parser for the server→client stream (what a client reads). */
+  final class Parser extends WireParser[ServerOp] {
+    protected def parseLine(l: String,
+                            out: scala.collection.mutable.ArrayBuffer[ServerOp]): Unit = {
+      val (verb, rest) = verbOf(l)
       verb match {
         case "INFO" => out += Info(rest)
         case "PING" => out += Ping
@@ -172,10 +208,49 @@ object NatsWire {
           out += Err(rest.stripPrefix("'").stripSuffix("'"))
         case "MSG" =>
           val parts = rest.split("\\s+")
-          pending = parts.length match {
-            case 3 => Some((parts(0), parts(1).toLong, None, parts(2).toInt))
-            case 4 => Some((parts(0), parts(1).toLong, Some(parts(2)), parts(3).toInt))
+          parts.length match {
+            case 3 => awaitPayload(parts(2).toInt)(Msg(parts(0), parts(1).toLong, None, _))
+            case 4 => awaitPayload(parts(3).toInt)(Msg(parts(0), parts(1).toLong, Some(parts(2)), _))
             case _ => throw new IllegalArgumentException(s"malformed MSG header: $l")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"unknown protocol verb: $other")
+      }
+    }
+  }
+
+  /** Parser for the client→server stream (what a server reads) —
+    * CONNECT / PUB / SUB / UNSUB / PING / PONG per the public protocol
+    * grammar; the exact inverse of the client serializers above, and
+    * byte-split-proven the same way as [[Parser]]. */
+  final class ClientParser extends WireParser[ClientOp] {
+    protected def parseLine(l: String,
+                            out: scala.collection.mutable.ArrayBuffer[ClientOp]): Unit = {
+      val (verb, rest) = verbOf(l)
+      verb match {
+        case "CONNECT" => out += Connect(rest)
+        case "PING"    => out += Ping
+        case "PONG"    => out += Pong
+        case "PUB" =>
+          val parts = rest.split("\\s+")
+          parts.length match {
+            case 2 => awaitPayload(parts(1).toInt)(Pub(parts(0), None, _))
+            case 3 => awaitPayload(parts(2).toInt)(Pub(parts(0), Some(parts(1)), _))
+            case _ => throw new IllegalArgumentException(s"malformed PUB header: $l")
+          }
+        case "SUB" =>
+          val parts = rest.split("\\s+")
+          parts.length match {
+            case 2 => out += SubOp(parts(0), None, parts(1).toLong)
+            case 3 => out += SubOp(parts(0), Some(parts(1)), parts(2).toLong)
+            case _ => throw new IllegalArgumentException(s"malformed SUB line: $l")
+          }
+        case "UNSUB" =>
+          val parts = rest.split("\\s+")
+          parts.length match {
+            case 1 => out += UnsubOp(parts(0).toLong, None)
+            case 2 => out += UnsubOp(parts(0).toLong, Some(parts(1).toInt))
+            case _ => throw new IllegalArgumentException(s"malformed UNSUB line: $l")
           }
         case other =>
           throw new IllegalArgumentException(s"unknown protocol verb: $other")
@@ -212,6 +287,8 @@ object TextProtocolBroker {
     var parser = new NatsWire.Parser
     val frames = scala.collection.mutable.ArrayBuffer.empty[NatsFrame]
     var seq = 0L
+    /** PONGs received — lets [[TextProtocolBroker.flush]] match its PING. */
+    var pongs = 0L
     /** Drop the connection (dead socket / server -ERR) so the next use
       * redials with a FRESH parser; buffered frames and the sequence
       * counter survive — they index delivered history, not the
@@ -264,35 +341,67 @@ abstract class TextProtocolBroker extends NatsBroker {
   private def ensureConnected(): Unit =
     if (session.channel == null) {
       session.channel = dial()
-      // INFO may not have arrived yet; CONNECT/SUB regardless (the real
-      // client pipelines exactly this way)
-      session.channel.write(NatsWire.connect(
-        """{"verbose":false,"pedantic":false,"protocol":1,"name":"graft"}"""))
-      session.channel.write(NatsWire.sub(subject, 1L))
+      try {
+        // INFO may not have arrived yet; CONNECT/SUB regardless (the real
+        // client pipelines exactly this way)
+        session.channel.write(NatsWire.connect(
+          """{"verbose":false,"pedantic":false,"protocol":1,"name":"graft"}"""))
+        session.channel.write(NatsWire.sub(subject, 1L))
+      } catch {
+        case e: java.io.IOException =>
+          session.resetConnection()
+          throw new IllegalStateException(s"NATS connection lost: ${e.getMessage}", e)
+      }
       drain()
     }
 
   /** Pull everything the server has buffered, answering pings and
-    * sequencing MSG frames. A server `-ERR` resets the connection before
-    * propagating, so the NEXT call redials instead of reusing a
-    * poisoned channel forever (the shared session must never become a
-    * JVM-lifetime dead end). */
-  private def drain(): Unit = {
-    var chunk = session.channel.read()
-    while (chunk.nonEmpty) {
-      session.parser.feed(chunk).foreach {
-        case NatsWire.Ping => session.channel.write(NatsWire.pong)
-        case m: NatsWire.Msg =>
-          session.seq += 1
-          session.frames +=
-            NatsFrame(session.seq, System.currentTimeMillis() * 1000L, m.payload)
-        case NatsWire.Err(msg) =>
-          session.resetConnection()
-          throw new IllegalStateException(s"NATS server error: $msg")
-        case _ => () // INFO / PONG / +OK need no action here
+    * sequencing MSG frames. A server `-ERR` — or a dead byte stream
+    * (EOF / socket error) — resets the connection before propagating, so
+    * the NEXT call redials instead of reusing a poisoned channel forever
+    * (the shared session must never become a JVM-lifetime dead end). */
+  private def drain(): Unit =
+    try {
+      var chunk = session.channel.read()
+      while (chunk.nonEmpty) {
+        session.parser.feed(chunk).foreach {
+          case NatsWire.Ping => session.channel.write(NatsWire.pong)
+          case m: NatsWire.Msg =>
+            session.seq += 1
+            session.frames +=
+              NatsFrame(session.seq, System.currentTimeMillis() * 1000L, m.payload)
+          case NatsWire.Err(msg) =>
+            session.resetConnection()
+            throw new IllegalStateException(s"NATS server error: $msg")
+          case NatsWire.Pong => session.pongs += 1
+          case _ => () // INFO / +OK need no action here
+        }
+        chunk = session.channel.read()
       }
-      chunk = session.channel.read()
+    } catch {
+      case e: java.io.IOException =>
+        session.resetConnection()
+        throw new IllegalStateException(s"NATS connection lost: ${e.getMessage}", e)
     }
+
+  /** PING → PONG round-trip — the standard NATS client `flush()` idiom:
+    * the server processes a connection's ops in order, so when the PONG
+    * arrives, everything written before the PING (CONNECT, the SUB, any
+    * PUBs) has been fully processed server-side. Call after connecting
+    * and before publishing to guarantee the subscription is live —
+    * core NATS is at-most-once, so a frame published before the SUB
+    * registers is silently gone. */
+  def flush(timeoutMs: Long = 10000L): Unit = session.synchronized {
+    ensureConnected()
+    val p0 = session.pongs
+    session.channel.write(NatsWire.ping)
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (session.pongs == p0 && System.nanoTime() < deadline) {
+      drain()
+      if (session.pongs == p0) Thread.sleep(1)
+    }
+    if (session.pongs == p0)
+      throw new IllegalStateException(s"NATS flush timed out after $timeoutMs ms")
   }
 
   override def latestSeq(): Long = session.synchronized {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.GraftFunctions.mqtt_matches
-import graft.nats.{CdcProto, InMemoryBroker, NatsSource}
+import graft.nats.{CdcProto, InMemoryBroker, NatsSource, UnavailableBroker}
 
 /** The NATS DataSourceV2 driven END-TO-END through a real readStream with
   * an injected in-memory broker: sequence offsets advance across
@@ -86,15 +86,30 @@ class NatsSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("UnavailableBroker documents the zero-egress stub on use") {
+  private def errChain(t: Throwable): Seq[Throwable] =
+    if (t == null) Nil else t +: errChain(t.getCause)
+
+  test("default broker dials the canonical local NATS address; no server → honest connect failure") {
+    // like the real client's nats://127.0.0.1:4222 default: with nothing
+    // listening, the failure is a connection error, not a silent stall
+    sys.props.remove(graft.nats.TcpBroker.TargetProperty) // no leftover test target
     val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       val q = spark.readStream.format(classOf[NatsSource].getName).load()
+        .writeStream.format("memory").queryName("nats_dial").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(errChain(err).exists(_.isInstanceOf[java.net.ConnectException]),
+      s"expected a ConnectException in: ${errChain(err).map(_.getClass.getName)}")
+  }
+
+  test("UnavailableBroker, explicitly selected, refuses the dial with the documented error") {
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format(classOf[NatsSource].getName)
+        .option("broker", classOf[UnavailableBroker].getName).load()
         .writeStream.format("memory").queryName("nats_stub").start()
       try q.processAllAvailable() finally q.stop()
     }
-    def chain(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: chain(t.getCause)
-    assert(chain(err).exists(_.getMessage != null) &&
-      chain(err).flatMap(t => Option(t.getMessage)).exists(_.contains("zero-egress")))
+    assert(errChain(err).flatMap(t => Option(t.getMessage))
+      .exists(_.contains("socket dial refused")))
   }
 }
