@@ -981,7 +981,87 @@ object TextOps {
     "lang_id"          -> (langId _),
     "doc_fingerprint"  -> (fingerprint _),
     "token_count_bpe"  -> (tokenCountBpe _),
-    "token_fertility"  -> (tokenFertility _))
+    "token_fertility"  -> (tokenFertility _),
+    "lm_xent"          -> (lmXent _),
+    "gopher_rules"     -> (gopherRules _))
+
+  /** Unigram-LM cross-entropy scoring — the CCNet-style quality signal
+    * (score each document by a language model trained on the corpus;
+    * high cross-entropy = far from the corpus distribution = likely
+    * noise). One pass trains the LM (token counts, a map-side-combinable
+    * hash agg), one pass scores (explode → LM lookup join → per-doc
+    * sum): p(w) = (c(w) + α) / (N + α(V+1)), add-α smoothing with
+    * α = 0.5 — the +1 slot is the OOV mass, unclaimed here (self-scored
+    * corpus ⇒ no OOV) but keeping the API's generalization to scoring a
+    * NEW crawl against a reference LM honest.
+    *
+    * Scale shape: the vocabulary — the only frame with 2+ consumers (the
+    * lookup join and the (N, V) totals) — is localCheckpointed, so
+    * `documents` is scanned exactly once per consumer lineage (ONE
+    * exploded pass + the count twice-over is gone; ScanBudget holds at
+    * the committed entries). The lookup join shuffles on the token key
+    * only if the LM outgrows broadcast — at testdata scale AQE
+    * broadcasts it; at 100 TB a 10M-row vocab shuffle-joins, the
+    * standard LM-scoring shape. lang/source ride the exploded frame, so
+    * no join-back to documents is needed. Per-doc float sums are
+    * rounded at 3 decimals AFTER the per-(lang, source) average — ~1e-14
+    * relative FP noise against DuckDB, invisible at that precision. */
+  def lmXent(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+              explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val stats = vocab.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+           sum(-log((col("c") + 0.5) /
+             (col("n_total") + (col("v") + 1) * 0.5))).as("nll"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("nll") / col("n_tok") / log(lit(2.0))), 3)
+             .as("avg_xent_bits"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Gopher-style heuristic quality rules (Rae et al. 2021, §A1.1) as a
+    * single-pass audit: per-language pass counts for each rule plus the
+    * conjunction. Rules kept to the exactly-mirrorable subset:
+    * word count ∈ [50, 100k]; mean word length ∈ [3, 10] (computed as
+    * non-space chars / words — no higher-order fold, stays in codegen);
+    * symbol-to-word ratio < 0.1; ≥ 2 distinct stopwords present
+    * (counted by filtering the CONSTANT stop list against the doc —
+    * O(|stoplist|) per row, not O(n_tok)). All-integer output: no FP
+    * comparison risk. One scan, one ≤|lang| hash agg. */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_tok", size(col("ws")).cast("long"))
+      .withColumn("n_char_ns",
+        length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("n_sym", regexp_count(col("text"), lit("[#$%{}<>\\\\^~|]")))
+      .withColumn("n_stop_distinct",
+        size(filter(stopArr, w => array_contains(col("ws"), w))).cast("long"))
+      .withColumn("r_wc", col("n_tok") >= 50 && col("n_tok") <= 100000L)
+      // ratios compared in integer cross-multiplied form: exact
+      .withColumn("r_mwl",
+        col("n_char_ns") >= col("n_tok") * 3 && col("n_char_ns") <= col("n_tok") * 10)
+      .withColumn("r_sym", col("n_sym") * 10 < col("n_tok"))
+      .withColumn("r_stop", col("n_stop_distinct") >= 2)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("r_wc"), 1L).otherwise(0L)).as("n_wc"),
+           sum(when(col("r_mwl"), 1L).otherwise(0L)).as("n_mwl"),
+           sum(when(col("r_sym"), 1L).otherwise(0L)).as("n_sym_ok"),
+           sum(when(col("r_stop"), 1L).otherwise(0L)).as("n_stop_ok"),
+           sum(when(col("r_wc") && col("r_mwl") && col("r_sym") && col("r_stop"), 1L)
+             .otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
 
   private val TfidfTopSql =
     """WITH words AS (
@@ -1002,6 +1082,44 @@ object TextOps {
   // Parity with their exact windowed twins is pinned in SaltSpec
   // (dominant corpus) and QueriesSpec (graded tables).
   val oracle: Map[String, String] = Map(
+    "lm_xent" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source, unnest(str_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+        |stats AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+        |                 CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |scored AS (
+        |  SELECT t.doc_id, t.lang, t.source, count(*) AS n_tok,
+        |         sum(-ln((v.c + 0.5) / (s.n_total + 0.5 * (s.v + 1)))) AS nll
+        |  FROM toks t JOIN vocab v USING (tok) CROSS JOIN stats s
+        |  GROUP BY 1, 2, 3)
+        |SELECT lang, source, count(*) AS n_docs,
+        |       round(avg(nll / n_tok / ln(2)), 3) AS avg_xent_bits
+        |FROM scored GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+
+    "gopher_rules" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_wc,
+         |       CAST(sum(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl,
+         |       CAST(sum(CASE WHEN r_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_sym_ok,
+         |       CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_ok,
+         |       CAST(sum(CASE WHEN r_wc AND r_mwl AND r_sym AND r_stop
+         |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM (
+         |  SELECT lang,
+         |         n_tok >= 50 AND n_tok <= 100000 AS r_wc,
+         |         n_char_ns >= n_tok * 3 AND n_char_ns <= n_tok * 10 AS r_mwl,
+         |         n_sym * 10 < n_tok AS r_sym,
+         |         n_stop_distinct >= 2 AS r_stop
+         |  FROM (
+         |    SELECT lang, CAST(len(ws) AS BIGINT) AS n_tok,
+         |           CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_char_ns,
+         |           CAST(len(regexp_extract_all(text, '[#$$%{}<>\\^~|]')) AS BIGINT) AS n_sym,
+         |           CAST(len(list_filter([$stopSqlList], w -> list_contains(ws, w))) AS BIGINT) AS n_stop_distinct
+         |    FROM (SELECT lang, text, str_split(text, ' ') AS ws FROM documents)))
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "bigram_novelty" ->
       """WITH bg AS (
         |  SELECT doc_id, source,

@@ -429,6 +429,40 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("lm_xent: self-scored cross-entropy is positive and bounded by the uniform LM") {
+    val rows = SparkEntry.queries("lm_xent")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // uniform-over-(V+1) is the worst self-scored unigram model: any LM
+    // trained ON the corpus must beat it on average; and entropy of a
+    // discrete distribution is strictly positive here (no degenerate
+    // single-token corpus in the testdata)
+    val vPlus1 = {
+      import org.apache.spark.sql.functions._
+      Tables.documents(spark, sf)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .agg(countDistinct(col("t"))).head.getLong(0) + 1
+    }
+    val bound = math.log(vPlus1.toDouble * 2) / math.log(2) // + slack for smoothing mass
+    rows.foreach { r =>
+      val xent = r.getDouble(r.fieldIndex("avg_xent_bits"))
+      assert(xent > 0.0 && xent < bound,
+        s"${r.getString(0)}/${r.getString(1)}: xent $xent outside (0, $bound)")
+    }
+  }
+
+  test("gopher_rules: rule counts bounded by n_docs; kept ≤ every individual rule") {
+    val rows = SparkEntry.queries("gopher_rules")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === Tables.documents(spark, sf).count(), "partition of the corpus by lang")
+    rows.foreach { r =>
+      val Seq(n, wc, mwl, sym, stop, kept) = (1 to 6).map(r.getLong)
+      Seq(wc, mwl, sym, stop).foreach(c => assert(c >= 0 && c <= n))
+      assert(kept <= Seq(wc, mwl, sym, stop).min,
+        s"lang ${r.getString(0)}: conjunction exceeds a conjunct")
+    }
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub codec") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.length === 500)
