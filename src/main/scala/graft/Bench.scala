@@ -58,7 +58,11 @@ object Bench {
       while (ok && i < nRuns) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => ok = false }
+        catch { // fail the query, but never silently: the committed bench
+          case e: Throwable =>          // is the audit trail for crashes too
+            System.err.println(s"bench fail: $name pass ${i + 1}: $e")
+            ok = false
+        }
         i += 1
       }
       val median = if (times.isEmpty) 0.0 else {

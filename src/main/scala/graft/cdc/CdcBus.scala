@@ -330,7 +330,27 @@ object CdcBus {
               out.write(graft.nats.NatsWire.pub(
                 "cdc.client", graft.nats.CdcProto.encode(env)))
             }
+            // flush-before-close, the standard NATS client discipline:
+            // PING after the last PUB and wait for the PONG, which the
+            // server can only send after processing everything written
+            // before it. Closing without this is NOT just a race — the
+            // server's unread INFO greeting on this socket would turn
+            // close() into a TCP RST, destroying any still-buffered PUB
+            // bytes server-side (observed at sf0.1: ~70% frame loss).
+            // Reading until PONG both confirms delivery and drains the
+            // inbound side so close() sends a clean FIN.
+            out.write(graft.nats.NatsWire.ping)
             out.flush()
+            val in = sock.getInputStream
+            val pong = "PONG\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            var matched = 0
+            while (matched < pong.length) {
+              val b = in.read()
+              if (b < 0) throw new java.io.EOFException(
+                "NATS server closed before acknowledging published frames")
+              matched = if (b == pong(matched)) matched + 1
+                        else if (b == pong(0)) 1 else 0
+            }
           } finally sock.close()
         }
       }
