@@ -983,7 +983,8 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _),
     "token_fertility"  -> (tokenFertility _),
     "lm_xent"          -> (lmXent _),
-    "gopher_rules"     -> (gopherRules _))
+    "gopher_rules"     -> (gopherRules _),
+    "rep_ngram_frac"   -> (repNgramFrac _))
 
   /** Unigram-LM cross-entropy scoring — the CCNet-style quality signal
     * (score each document by a language model trained on the corpus;
@@ -1063,6 +1064,53 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Gopher-style repetition audit (Rae et al. 2021, §A1.1 "repetition
+    * removal"): the fraction of sliding word-n-gram occurrences (n = 2,
+    * 3) that belong to an n-gram appearing more than once WITHIN the
+    * document, per (lang, n), plus the count of docs over the 20 % flag
+    * line. Complements [[textRepetition]] (top single-word ratio) and
+    * [[segmentDedup]] (CROSS-doc segments): this is the within-doc
+    * phrase-loop signal that catches generator stutter.
+    *
+    * Shape: both gram sizes ride ONE scan (the per-row gram arrays are
+    * concatenated before the single explode), then two hash aggs keyed
+    * by (doc_id, gram_n, xxhash64(gram)) — the exchange carries 8-byte
+    * fingerprints, never gram text, per the dedup-family discipline
+    * (64 bits suffice here because counting is WITHIN doc: a collision
+    * needs two distinct grams of ONE document to collide, ~1e-13 at
+    * 10^3 grams/doc, vs the corpus-wide birthday bound that pushes the
+    * cross-doc dedup family to md5).
+    * The per-doc fold is NOT an expression-side higher-order fold on
+    * purpose: a map-accumulator `aggregate(...)` is CodegenFallback
+    * (the lm_xent lesson), while explode → hash agg is codegen'd,
+    * map-side-combinable, and keyed fine-grained enough to never skew.
+    * The flag line is integer cross-multiplied (dup_occ · 5 > tot);
+    * the only FP op is the final audited ratio (one division + round). */
+  def repNgramFrac(s: SparkSession, d: String): DataFrame = {
+    def grams(n: Int): Column = transform(
+      sequence(lit(0), size(col("ws")) - n),
+      i => struct(lit(n).as("gram_n"),
+        xxhash64(concat_ws(" ",
+          (1 to n).map(k => element_at(col("ws"), i + k)): _*)).as("fp")))
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(concat(grams(2), grams(3))).as("g"))
+      .groupBy(col("doc_id"), col("lang"), col("g.gram_n"), col("g.fp"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("lang"), col("gram_n"))
+      .agg(sum(col("cnt")).as("tot"),
+           sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_occ"))
+      .groupBy(col("lang"), col("gram_n"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("dup_occ") * 5 > col("tot"), 1L).otherwise(0L))
+             .as("n_flagged"),
+           round(sum(col("dup_occ")).cast("double") /
+             sum(col("tot")).cast("double"), 4).as("dup_frac"))
+      .orderBy(col("lang"), col("gram_n"))
+  }
+
   private val TfidfTopSql =
     """WITH words AS (
       |  SELECT doc_id, source, unnest(str_split(text, ' ')) AS w FROM documents),
@@ -1119,6 +1167,34 @@ object TextOps {
          |           CAST(len(list_filter([$stopSqlList], w -> list_contains(ws, w))) AS BIGINT) AS n_stop_distinct
          |    FROM (SELECT lang, text, str_split(text, ' ') AS ws FROM documents)))
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "rep_ngram_frac" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, str_split(text, ' ') AS ws FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 3),
+        |grams AS (
+        |  SELECT doc_id, lang, 2 AS gram_n,
+        |         unnest(list_transform(generate_series(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1])) AS g
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT doc_id, lang, 3 AS gram_n,
+        |         unnest(list_transform(generate_series(1, len(ws) - 2),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |  FROM docs),
+        |cnts AS (
+        |  SELECT doc_id, lang, gram_n, g, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM grams GROUP BY doc_id, lang, gram_n, g),
+        |per_doc AS (
+        |  SELECT doc_id, lang, gram_n, CAST(sum(cnt) AS BIGINT) AS tot,
+        |         CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_occ
+        |  FROM cnts GROUP BY doc_id, lang, gram_n)
+        |SELECT lang, gram_n, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN dup_occ * 5 > tot THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_flagged,
+        |       round(CAST(sum(dup_occ) AS DOUBLE) / CAST(sum(tot) AS DOUBLE), 4)
+        |         AS dup_frac
+        |FROM per_doc GROUP BY lang, gram_n ORDER BY lang, gram_n""".stripMargin,
 
     "bigram_novelty" ->
       """WITH bg AS (

@@ -463,6 +463,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("rep_ngram_frac: pure stutter scores 1.0 dup occupancy; distinct text 0; " +
+      "sub-3-word docs excluded from every gram size") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    Seq(
+      // 2-grams: {a b}×3 {b a}×2 → 5/5 dup; 3-grams: {a b a}×2 {b a b}×2 → 4/4
+      (0L, "a b a b a b", "en", "src0", 11L),
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8", "en", "src0", 23L), // all grams unique
+      (2L, "x y", "en", "src0", 3L)) // no 3-gram exists: excluded outright
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = SparkEntry.queries("rep_ngram_frac")(spark, tmp).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(m(2) === ((2L, 1L, 0.4167))) // 5 dup of 12 occurrences = 0.41̂3
+    assert(m(3) === ((2L, 1L, 0.4)))    // 4 dup of 10
+    // graded table: flag count bounded, the one FP ratio stays in [0, 1]
+    SparkEntry.queries("rep_ngram_frac")(spark, sf).collect().foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub codec") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.length === 500)
