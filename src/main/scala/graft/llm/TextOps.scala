@@ -209,6 +209,35 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_bpe")).as("sum_bpe"))
       .orderBy(col("source"))
 
+  /** One distributed BPE merge iteration — the tokenizer-TRAINING shape
+    * (Sennrich et al. 2016), graded like [[graft.llm.VectorOps]]'
+    * `kmeans_step` grades one clustering iteration: from the corpus at
+    * the character-symbol stage, the next merge table is the adjacent
+    * symbol pairs ranked by frequency. Emits the top-20 candidate merges
+    * with their occurrence mass and vocabulary spread.
+    *
+    * Scale shape: pair counting runs over the DISTINCT-WORD frame (the
+    * classic BPE-training trick — |vocab| rows, not |corpus| tokens),
+    * weighted by word frequency, so the expensive explode touches each
+    * word form once no matter how often it occurs; at 100 TB the word
+    * count agg is map-side-combinable and the pair agg's key space is
+    * bounded by |alphabet|². The ranked cut is TakeOrderedAndProject
+    * (orderBy + limit), never a global sort materialization; ties break
+    * on the pair text so the cut is deterministic cross-engine. */
+  def bpeMergeStep(s: SparkSession, d: String): DataFrame = {
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    wc.filter(length(col("w")) >= 2)
+      .select(col("w"), col("c"),
+        explode(transform(sequence(lit(0), length(col("w")) - 2),
+          i => col("w").substr(i + 1, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(countDistinct(col("w")).as("n_words"), sum(col("c")).as("total_occ"))
+      .orderBy(col("total_occ").desc, col("pair"))
+      .limit(20)
+  }
+
   /** Tokenizer-fertility audit: BPE-ish tokens per whitespace word, per
     * language — the table that decides whether a tokenizer is efficient
     * for a language mix (fertility ≫ 1 means the language fragments into
@@ -984,7 +1013,8 @@ object TextOps {
     "token_fertility"  -> (tokenFertility _),
     "lm_xent"          -> (lmXent _),
     "gopher_rules"     -> (gopherRules _),
-    "rep_ngram_frac"   -> (repNgramFrac _))
+    "rep_ngram_frac"   -> (repNgramFrac _),
+    "bpe_merge_step"   -> (bpeMergeStep _))
 
   /** Unigram-LM cross-entropy scoring — the CCNet-style quality signal
     * (score each document by a language model trained on the corpus;
@@ -1195,6 +1225,20 @@ object TextOps {
         |       round(CAST(sum(dup_occ) AS DOUBLE) / CAST(sum(tot) AS DOUBLE), 4)
         |         AS dup_frac
         |FROM per_doc GROUP BY lang, gram_n ORDER BY lang, gram_n""".stripMargin,
+
+    "bpe_merge_step" ->
+      """WITH wc AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |pairs AS (
+        |  SELECT w, c,
+        |         unnest(list_transform(generate_series(1, len(w) - 1),
+        |           i -> substr(w, i, 2))) AS pair
+        |  FROM wc WHERE len(w) >= 2)
+        |SELECT pair, count(DISTINCT w) AS n_words, CAST(sum(c) AS BIGINT) AS total_occ
+        |FROM pairs GROUP BY pair
+        |ORDER BY total_occ DESC, pair LIMIT 20""".stripMargin,
 
     "bigram_novelty" ->
       """WITH bg AS (

@@ -485,6 +485,26 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_merge_step: Sennrich's low/lower/lowest example ranks exactly; " +
+      "word frequency weights the mass, vocabulary spread does not") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Seq((0L, "low low lower lowest", "en", "src0", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("bpe_merge_step")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 'lo'/'ow' carry low×2 + lower + lowest = 4 occurrences over 3 word
+    // forms; the tie between them breaks on pair text
+    assert(rows.toSeq === Seq(
+      ("lo", 3L, 4L), ("ow", 3L, 4L), ("we", 2L, 2L),
+      ("er", 1L, 1L), ("es", 1L, 1L), ("st", 1L, 1L)))
+    // graded table: a pair's word spread never exceeds its occurrence mass
+    val g = SparkEntry.queries("bpe_merge_step")(spark, sf).collect()
+    assert(g.length === 20)
+    g.foreach(r => assert(r.getLong(1) <= r.getLong(2)))
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub codec") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.length === 500)
