@@ -238,6 +238,52 @@ object TextOps {
       .limit(20)
   }
 
+  /** Heaps-law vocabulary-growth audit: cumulative token mass vs
+    * cumulative DISTINCT vocabulary per source at corpus-order deciles
+    * (global doc_id range split in 10 — the ingestion-order proxy). The
+    * curve answers the curation question "is this source still
+    * contributing new vocabulary, or just more of the same tokens?" —
+    * a flattening curve is the classic crawl-exhaustion signal.
+    *
+    * Scale shape: a token's decile contribution reduces to its FIRST
+    * occurrence (min doc_id — a hash agg to |vocab| rows), and token
+    * mass to per-doc counts (|docs| rows, localCheckpointed: it feeds
+    * the broadcast max, the source grid, and the mass rollup — the
+    * 2-plus-consumers rule). Decile edges are integer `div` on the
+    * broadcast global max, so bucketing is stateless and exact on both
+    * engines — no per-source total order, no percentile sketch. The
+    * only window is the cumulative sum over the ≤10-rows-per-source
+    * grid. */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+              explode(split(col("text"), " ")).as("tok"))
+    val docToks = toks.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_toks")).localCheckpoint()
+    val firstSeen = toks.groupBy(col("source"), col("tok"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val mx = docToks.agg(max(col("doc_id")).as("mx"))
+    val bucketOf = expr("CAST(doc_id * 10 DIV (mx + 1) AS INT) + 1")
+    val tokMass = docToks.crossJoin(broadcast(mx))
+      .groupBy(col("source"), bucketOf.as("bucket"))
+      .agg(sum(col("n_toks")).as("b_toks"))
+    val vocabAdds = firstSeen.withColumnRenamed("first_doc", "doc_id")
+      .crossJoin(broadcast(mx))
+      .groupBy(col("source"), bucketOf.as("bucket"))
+      .agg(count(lit(1)).as("b_vocab"))
+    val grid = docToks.select(col("source")).distinct()
+      .select(col("source"), explode(sequence(lit(1), lit(10))).as("bucket"))
+    val w = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(tokMass, Seq("source", "bucket"), "left")
+      .join(vocabAdds, Seq("source", "bucket"), "left")
+      .select(col("source"), (col("bucket") * 10).as("pct"),
+        sum(coalesce(col("b_toks"), lit(0L))).over(w).as("cum_tokens"),
+        sum(coalesce(col("b_vocab"), lit(0L))).over(w).as("cum_vocab"))
+      .orderBy(col("source"), col("pct"))
+  }
+
   /** Tokenizer-fertility audit: BPE-ish tokens per whitespace word, per
     * language — the table that decides whether a tokenizer is efficient
     * for a language mix (fertility ≫ 1 means the language fragments into
@@ -1014,7 +1060,8 @@ object TextOps {
     "lm_xent"          -> (lmXent _),
     "gopher_rules"     -> (gopherRules _),
     "rep_ngram_frac"   -> (repNgramFrac _),
-    "bpe_merge_step"   -> (bpeMergeStep _))
+    "bpe_merge_step"   -> (bpeMergeStep _),
+    "vocab_growth"     -> (vocabGrowth _))
 
   /** Unigram-LM cross-entropy scoring — the CCNet-style quality signal
     * (score each document by a language model trained on the corpus;
@@ -1239,6 +1286,36 @@ object TextOps {
         |SELECT pair, count(DISTINCT w) AS n_words, CAST(sum(c) AS BIGINT) AS total_occ
         |FROM pairs GROUP BY pair
         |ORDER BY total_occ DESC, pair LIMIT 20""".stripMargin,
+
+    "vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+        |doc_toks AS (
+        |  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_toks
+        |  FROM toks GROUP BY source, doc_id),
+        |mx AS (SELECT max(doc_id) AS mx FROM doc_toks),
+        |tok_mass AS (
+        |  SELECT source, CAST(doc_id * 10 // (mx + 1) AS INTEGER) + 1 AS bucket,
+        |         CAST(sum(n_toks) AS BIGINT) AS b_toks
+        |  FROM doc_toks CROSS JOIN mx GROUP BY 1, 2),
+        |first_seen AS (
+        |  SELECT source, tok, min(doc_id) AS doc_id FROM toks GROUP BY source, tok),
+        |vocab_adds AS (
+        |  SELECT source, CAST(doc_id * 10 // (mx + 1) AS INTEGER) + 1 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS b_vocab
+        |  FROM first_seen CROSS JOIN mx GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT source, unnest(generate_series(1, 10)) AS bucket
+        |  FROM (SELECT DISTINCT source FROM documents))
+        |SELECT g.source, CAST(g.bucket * 10 AS INTEGER) AS pct,
+        |       CAST(sum(coalesce(t.b_toks, 0)) OVER (PARTITION BY g.source
+        |         ORDER BY g.bucket) AS BIGINT) AS cum_tokens,
+        |       CAST(sum(coalesce(v.b_vocab, 0)) OVER (PARTITION BY g.source
+        |         ORDER BY g.bucket) AS BIGINT) AS cum_vocab
+        |FROM grid g
+        |LEFT JOIN tok_mass t ON t.source = g.source AND t.bucket = g.bucket
+        |LEFT JOIN vocab_adds v ON v.source = g.source AND v.bucket = g.bucket
+        |ORDER BY g.source, pct""".stripMargin,
 
     "bigram_novelty" ->
       """WITH bg AS (

@@ -505,6 +505,37 @@ class QueriesSpec extends AnyFunSuite {
     g.foreach(r => assert(r.getLong(1) <= r.getLong(2)))
   }
 
+  test("vocab_growth: hand-computed Heaps curve; empty deciles carry the " +
+      "cumulative forward on both sides of the grid") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_heaps").toString
+    // source a occupies the first half of the doc_id range (deciles 1-5,
+    // one new token pair per doc), source b the second half (identical
+    // docs: token mass grows, vocabulary stays at 1)
+    val docs =
+      (0L to 9L).map(i => (i, s"t$i c", "en", "a", 4L)) ++
+      (10L to 19L).map(i => (i, "x x x", "en", "b", 5L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("vocab_growth")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val a = Seq(3L, 5L, 7L, 9L, 11L)
+    assert(rows.toSeq ===
+      (1 to 10).map(k => ("a", k * 10, math.min(k, 5) * 4L, a(math.min(k, 5) - 1))) ++
+      (1 to 10).map(k => ("b", k * 10, math.max(k - 5, 0) * 6L,
+        if (k >= 6) 1L else 0L)))
+    // graded table: both curves are monotone non-decreasing per source
+    val g = SparkEntry.queries("vocab_growth")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    g.groupBy(_._1).values.foreach { sc =>
+      val byPct = sc.sortBy(_._2)
+      assert(byPct.sliding(2).forall {
+        case Array(p, q) => p._3 <= q._3 && p._4 <= q._4
+        case _ => true
+      })
+    }
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub codec") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.length === 500)
