@@ -212,6 +212,37 @@ object VectorOps {
       .orderBy(col("label"), col("assigned"))
   }
 
+  /** Label-coherence outliers: the 3 vectors per label whose cosine to
+    * their OWN label centroid is lowest — the mislabeled-embedding /
+    * polluted-cluster audit run before trusting labels for curation
+    * (a vector pointing away from its cluster is a labeling error or a
+    * genuine boundary case; either way it's what a human reviews first).
+    *
+    * Scale shape: centroids are the shared quantized-integer broadcast
+    * (bit-identical cross-engine, like [[annIvf]]/[[kmeansStep]]); the
+    * corpus streams once through the equi-join with its own cell; the
+    * bottom-3 cut is the mergeable [[graft.functions.TopKByScoreAgg]]
+    * on the NEGATED score — partial per partition, O(k) merge — so a
+    * label holding 90 % of the corpus costs one bounded buffer, never
+    * a per-label sort task. vec_ids ride zero-padded so the aggregate's
+    * string tie-break equals the oracle's numeric one. */
+  def embedOutliers(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("n2"))
+    all.filter(col("n2") > 0d)
+      .join(broadcast(centroids(all)), col("label") === col("cell"))
+      .withColumn("cos_raw", dot(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2"))))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(graft.functions.GraftFunctions.topk_by_score(
+        lpad(col("vec_id").cast("string"), 6, "0"), -col("cos_raw"), 3).as("lows"))
+      .select(col("label"), posexplode(col("lows")).as(Seq("pos", "t")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("rnk"),
+              col("t.w").cast("long").as("vec_id"),
+              // 0 − score, not −score: keeps an exactly-orthogonal hit at
+              // +0.0 (a bare negation would emit −0.0 ≠ the oracle's 0.0)
+              round(lit(0d) - col("t.score"), 5).as("cos"))
+      .orderBy(col("label"), col("rnk"))
+  }
+
   private val RangeTau = 0.2d
 
   /** Cosine RANGE search (radius query): every vector within cosine ≥ τ
@@ -394,7 +425,8 @@ object VectorOps {
     "ann_ivf"     -> (annIvf _),
     "ivf_recall_sweep" -> (ivfRecallSweep _),
     "embed_quantize" -> (embedQuantize _),
-    "embed_neardup" -> (nearDup _))
+    "embed_neardup" -> (nearDup _),
+    "embed_outliers" -> (embedOutliers _))
 
   // ---- DuckDB twins --------------------------------------------------
 
@@ -428,6 +460,21 @@ object VectorOps {
       |    SELECT label AS cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY label))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "embed_outliers" ->
+      s"""WITH $VecCte, $CentsCte,
+         |scored AS (
+         |  SELECT label, vec_id,
+         |         list_dot_product(v, cv) / (sqrt(n2) * sqrt(cn2)) AS cos_raw
+         |  FROM e JOIN cents ON label = cell WHERE n2 > 0),
+         |ranked AS (
+         |  SELECT label, vec_id, cos_raw,
+         |         CAST(row_number() OVER (PARTITION BY label
+         |           ORDER BY cos_raw, vec_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT CAST(label AS BIGINT) AS label, rnk, vec_id,
+         |       round(cos_raw, 5) AS cos
+         |FROM ranked WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
+
     "ann_recall" ->
       s"""WITH $VecCte, $SigCte,
          |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries),

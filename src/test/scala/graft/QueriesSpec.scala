@@ -536,6 +536,37 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_outliers: a flipped vector ranks first against its own centroid; " +
+      "cosine ties break on vec_id") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_outl").toString
+    // centroid of label 0 = (0.5, 0): the three aligned vectors score
+    // cos = 1, the flipped one cos = -1 and must surface as rank 1
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(-1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = SparkEntry.queries("embed_outliers")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq ===
+      Seq((0L, 1L, 3L, -1.0), (0L, 2L, 0L, 1.0), (0L, 3L, 1L, 1.0)))
+    // graded table: every label contributes exactly ranks 1..3 with
+    // non-decreasing cosine
+    val g = SparkEntry.queries("embed_outliers")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    g.groupBy(_._1).values.foreach { lab =>
+      assert(lab.map(_._2).sorted.sameElements(Array(1L, 2L, 3L)))
+      val byRnk = lab.sortBy(_._2).map(_._3)
+      assert(byRnk.sliding(2).forall {
+        case Array(a, b) => a <= b
+        case _ => true
+      })
+    }
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub codec") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.length === 500)
