@@ -311,6 +311,38 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("r7 text/vector additions: rep_ngram_frac exchanges carry hashes not " +
+      "text; bpe_merge_step cuts via TakeOrderedAndProject; embed_outliers " +
+      "broadcasts its centroids") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // rep_ngram_frac: counts key on 8-byte xxhash64 fingerprints — the
+    // document body must never ride an exchange
+    val rep = SparkEntry.queries("rep_ngram_frac")(spark, sfDir)
+    rep.collect()
+    val exch = collectWithSubqueries(rep.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e.child.output.map(_.name.toLowerCase)
+    }
+    assert(exch.nonEmpty, "rep_ngram_frac: expected at least one shuffle")
+    exch.foreach(cols => assert(!cols.contains("text"),
+      s"rep_ngram_frac: an exchange carries the document body: $cols"))
+
+    // bpe_merge_step: the ranked cut must be TakeOrderedAndProject (k-row
+    // heap per partition), never a global Sort + CollectLimit
+    val bpe = SparkEntry.queries("bpe_merge_step")(spark, sfDir)
+    bpe.collect()
+    val bpePlan = bpe.queryExecution.executedPlan.toString
+    assert(bpePlan.contains("TakeOrderedAndProject"),
+      s"bpe_merge_step: ranked cut is not TakeOrderedAndProject:\n$bpePlan")
+
+    // embed_outliers: the ≤|labels|-row centroid frame joins broadcast —
+    // the corpus side must not shuffle to meet it
+    val out = SparkEntry.queries("embed_outliers")(spark, sfDir)
+    out.collect()
+    val outPlan = out.queryExecution.executedPlan.toString
+    assert(outPlan.contains("BroadcastHashJoin"),
+      s"embed_outliers: centroid join is not broadcast:\n$outPlan")
+  }
+
   test("dup_substring_frac: one scan feeds the checkpoint; remainder scan-free") {
     // pre-checkpoint frame carries the only documents scan…
     val dsh = graft.llm.HashDedup.dupShingles(spark, sfDir)
