@@ -237,6 +237,51 @@ object Streams {
     }
   }
 
+  /** A token's first sighting in the stream (see [[vocabNoveltyStream]]). */
+  case class TokenFirstSeen(source: String, tok: String, doc_id: Long)
+
+  /** First-occurrence gate behind [[vocabNoveltyStream]]: one Boolean of
+    * keyed state per distinct (source, token). Emission carries the
+    * smallest doc_id in the first batch that contained the token. */
+  private[stream] class FirstSeenGate
+      extends StatefulProcessor[(String, String), (String, String, Long), TokenFirstSeen] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, String), rows: Iterator[(String, String, Long)],
+                                 timerValues: TimerValues): Iterator[TokenFirstSeen] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        Iterator.single(TokenFirstSeen(key._1, key._2, rows.map(_._3).min))
+      }
+    }
+  }
+
+  /** STREAMING vocabulary-novelty gate — the live twin of
+    * [[graft.llm.TextOps.vocabGrowth]]'s first-occurrence reduction:
+    * every (source, token) emits EXACTLY ONCE, on the micro-batch where
+    * it first appears. Counting emissions per batch downstream gives
+    * the live Heaps curve — a source whose novelty rate collapses is
+    * crawl-exhausted, and the operator says so AS THE CRAWL ARRIVES
+    * instead of at the next batch audit. State: one boolean per
+    * distinct (source, token) — bounded by vocabulary size, the same
+    * bound as the batch twin's hash agg, NOT by stream length.
+    * Redelivery-safe: a re-sent document emits nothing (at-most-once
+    * novelty), which is what makes the downstream count trustworthy
+    * under source retries. */
+  def vocabNoveltyStream(docs: DataFrame)
+                        (implicit spark: SparkSession): Dataset[TokenFirstSeen] = {
+    import spark.implicits._
+    docs.select(col("source"), explode(split(col("text"), " ")).as("tok"),
+                col("doc_id"))
+      .as[(String, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(new FirstSeenGate, TimeMode.None(), OutputMode.Append())
+  }
+
   /** STREAMING incremental-ingestion dedup — the live twin of
     * [[graft.llm.TextOps.incrementalDedup]]: each arriving document is
     * fingerprinted map-side (16-byte md5) and anti-joined per

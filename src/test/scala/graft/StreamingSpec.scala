@@ -443,6 +443,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("vocabNoveltyStream: each (source, token) emits exactly once; wave " +
+      "totals equal the batch Heaps curve; redelivery adds nothing") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      // the vocab_growth spec's corpus, fed as two crawl waves: source a
+      // adds one new token pair per doc, source b is pure repetition
+      val waveA = (0L to 9L).map(i => (i, s"t$i c", "a"))
+      val waveB = (10L to 19L).map(i => (i, "x x x", "b"))
+      val in = MemoryStream[(Long, String, String)]
+      val q = Streams.vocabNoveltyStream(in.toDF().toDF("doc_id", "text", "source"))
+        .writeStream.outputMode("append").format("memory").queryName("novelty").start()
+      def counts(): Map[String, Long] = spark.table("novelty")
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+      try {
+        in.addData(waveA: _*)
+        q.processAllAvailable()
+        assert(counts() === Map("a" -> 11L), // 10 t-tokens + 'c': cum_vocab@100
+          "wave 1 must emit source a's full batch-curve vocabulary")
+        in.addData(waveB: _*)
+        q.processAllAvailable()
+        assert(counts() === Map("a" -> 11L, "b" -> 1L),
+          "pure repetition contributes exactly one first-seen token")
+        in.addData(waveA: _*) // source retry: full redelivery of wave 1
+        q.processAllAvailable()
+        assert(counts() === Map("a" -> 11L, "b" -> 1L),
+          "redelivered documents must add no novelty")
+        // exactly-once per key, not just right totals
+        val emitted = spark.table("novelty").as[Streams.TokenFirstSeen]
+          .collect().map(t => (t.source, t.tok))
+        assert(emitted.distinct.length === emitted.length,
+          "a (source, token) pair emitted more than once")
+      } finally q.stop()
+    }
+  }
+
   test("streaming near-dup refresh gate pairs an arriving crawl doc with the static snapshot index") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
