@@ -480,6 +480,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("vocabNoveltyStream recovers first-seen state from a checkpoint: " +
+      "a token known before the restart cannot re-emit after it") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val dir = java.nio.file.Files.createTempDirectory("novelty_restart").toString
+      val in = MemoryStream[(Long, String, String)]
+      def start() = Streams.vocabNoveltyStream(
+          in.toDF().toDF("doc_id", "text", "source"))
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.TokenFirstSeen], _: Long) =>
+          b.write.mode("append").parquet(s"$dir/out")
+        }
+        .start()
+      val q1 = start()
+      try {
+        in.addData((0L, "alpha beta", "a"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        // 'alpha' is known only through recovered RocksDB state; 'gamma'
+        // is genuinely new and must still pass
+        in.addData((1L, "alpha gamma", "a"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = spark.read.parquet(s"$dir/out").as[Streams.TokenFirstSeen]
+        .collect().map(t => (t.tok, t.doc_id)).sortBy(_._1)
+      assert(got.toSeq === Seq(("alpha", 0L), ("beta", 0L), ("gamma", 1L)),
+        "recovered state must suppress the redelivered token and only it")
+    }
+  }
+
   test("streaming near-dup refresh gate pairs an arriving crawl doc with the static snapshot index") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
