@@ -39,38 +39,57 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) => // untimed warm pass
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(_) => () } // timed pass reports it
     }
 
     // SPARK_GRAFT_BENCH_RUNS timed passes per query (default 3), MEDIAN
     // reported: the r4->r5 history showed single-shot timings can be
     // box-noise-dominated, which made round-over-round regression
-    // comparisons untrustworthy. The per-query run lists are persisted
-    // in the committed file so the spread stays auditable. A query that
-    // crashes on any pass is failed outright (skipping its remaining
-    // passes) — a crash can never improve the bench.
+    // comparisons untrustworthy. Passes are INTERLEAVED — the whole
+    // catalog runs once, then again, then again — not 3 back-to-back
+    // runs per query: back-to-back sampling puts all of a query's
+    // samples inside the same seconds-long window, so one transient box
+    // disturbance poisons every sample of the queries it overlaps (the
+    // r7 driver run showed exactly that — two alphabetically CONTIGUOUS
+    // slow blocks). With pass-wise interleaving each query's samples
+    // are minutes apart and the median shakes off any single-window
+    // disturbance. Per-query run lists are persisted in the committed
+    // file so the spread stays auditable. A query that crashes on any
+    // pass is failed outright (skipping its remaining passes) — a crash
+    // can never improve the bench. NonFatal only: an OOM/JVM error
+    // must crash the run visibly, not be recorded as a query failure.
     val nRuns = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    val results = ordered.map { case (name, fn) =>
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var ok = true
-      var i = 0
-      while (ok && i < nRuns) {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
-        catch { // fail the query, but never silently: the committed bench
-          case e: Throwable =>          // is the audit trail for crashes too
-            System.err.println(s"bench fail: $name pass ${i + 1}: $e")
-            ok = false
+    val times = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    val okFlag = scala.collection.mutable.Map.empty[String, Boolean]
+    ordered.foreach { case (name, _) =>
+      times(name) = scala.collection.mutable.ArrayBuffer.empty[Double]
+      okFlag(name) = true
+    }
+    var pass = 0
+    while (pass < nRuns) {
+      ordered.foreach { case (name, fn) =>
+        if (okFlag(name)) {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); times(name) += (System.nanoTime() - t0) / 1e9 }
+          catch { // fail the query, but never silently: the committed bench
+            case scala.util.control.NonFatal(e) => // is the audit trail for crashes too
+              System.err.println(s"bench fail: $name pass ${pass + 1}: $e")
+              okFlag(name) = false
+          }
         }
-        i += 1
       }
-      val median = if (times.isEmpty) 0.0 else {
-        val s = times.sorted
+      pass += 1
+    }
+    val results = ordered.map { case (name, _) =>
+      val ts = times(name).toSeq
+      val median = if (ts.isEmpty) 0.0 else {
+        val s = ts.sorted
         if (s.length % 2 == 1) s(s.length / 2)
         else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
       }
-      (name, median, ok, times.toSeq)
+      (name, median, okFlag(name), ts)
     }
     val failed = results.collect { case (n, _, false, _) => n }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }

@@ -377,6 +377,12 @@ object CdcBus {
         .orderBy(col("etype"))
     } finally {
       server.close()
+      // Evict the per-ephemeral-target broker session: leaving it
+      // leaks one Session per run for the JVM lifetime, and if the OS
+      // reuses the port a later run would inherit this run's stale
+      // sequence counter and fail its delivery check spuriously.
+      graft.nats.TextProtocolBroker.dropSession(
+        classOf[graft.nats.TcpBroker], "cdc.client", server.target)
       prevTarget match {
         case Some(t) => sys.props(graft.nats.TcpBroker.TargetProperty) = t
         case None    => sys.props.remove(graft.nats.TcpBroker.TargetProperty)

@@ -22,6 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * one bounded buffer, not one serialized sort task (the window form's
   * 100 TB failure mode).
   *
+  * Tie-break comparisons stay on [[UTF8String]] (binary / UTF-8 byte
+  * order, identical to code-point order) rather than JVM `String` `<`
+  * (UTF-16 code-unit order): the two diverge exactly when a
+  * supplementary-plane term (surrogate pair, bytes F0..F4) ties with a
+  * high-BMP term (bytes EE/EF) — JVM order ranks the surrogate pair
+  * FIRST (0xD800 < 0xE000) while UTF-8 order ranks it LAST. Both the
+  * window form this aggregate replaces and the shared DuckDB oracle
+  * compare binary, so the buffer must too.
+  *
   * Buffer: O(k) sorted array, one-comparison reject once full (the
   * [[BottomKByHashAgg]] discipline). Output: ARRAY<STRUCT<w, score>> in
   * rank order, ready for posexplode.
@@ -32,7 +41,7 @@ case class TopKByScoreAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.ArrayBuffer[(String, Double)]] {
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[(UTF8String, Double)]] {
 
   override def children: Seq[Expression] = Seq(term, score)
   override def nullable: Boolean = false
@@ -49,12 +58,14 @@ case class TopKByScoreAgg(
       s"topk_by_score requires (STRING, DOUBLE, k > 0), got " +
         s"(${term.dataType.sql}, ${score.dataType.sql}, k=$k)")
 
-  /** Rank order: higher score first, then term ascending. */
-  private def better(a: (String, Double), b: (String, Double)): Boolean =
-    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+  /** Rank order: higher score first, then term ascending in UTF-8
+    * binary (= code-point) order — NOT JVM String order, which differs
+    * for supplementary-plane vs high-BMP ties. */
+  private def better(a: (UTF8String, Double), b: (UTF8String, Double)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1.compareTo(b._1) < 0)
 
-  private def insert(buf: mutable.ArrayBuffer[(String, Double)],
-                     e: (String, Double)): mutable.ArrayBuffer[(String, Double)] = {
+  private def insert(buf: mutable.ArrayBuffer[(UTF8String, Double)],
+                     e: (UTF8String, Double)): mutable.ArrayBuffer[(UTF8String, Double)] = {
     if (buf.length == k && !better(e, buf.last)) return buf
     var lo = 0
     var hi = buf.length
@@ -67,43 +78,55 @@ case class TopKByScoreAgg(
     buf
   }
 
-  override def createAggregationBuffer(): mutable.ArrayBuffer[(String, Double)] =
+  override def createAggregationBuffer(): mutable.ArrayBuffer[(UTF8String, Double)] =
     mutable.ArrayBuffer.empty
 
-  override def update(buf: mutable.ArrayBuffer[(String, Double)],
-                      input: InternalRow): mutable.ArrayBuffer[(String, Double)] = {
+  override def update(buf: mutable.ArrayBuffer[(UTF8String, Double)],
+                      input: InternalRow): mutable.ArrayBuffer[(UTF8String, Double)] = {
     val t = term.eval(input)
     val v = score.eval(input)
     if (t != null && v != null)
-      insert(buf, (t.asInstanceOf[UTF8String].toString, v.asInstanceOf[Double]))
+      // clone(): the incoming UTF8String may be a pointer into a reused
+      // row buffer; the agg buffer outlives the row.
+      insert(buf, (t.asInstanceOf[UTF8String].clone(), v.asInstanceOf[Double]))
     else buf
   }
 
-  override def merge(a: mutable.ArrayBuffer[(String, Double)],
-                     b: mutable.ArrayBuffer[(String, Double)]): mutable.ArrayBuffer[(String, Double)] = {
+  override def merge(a: mutable.ArrayBuffer[(UTF8String, Double)],
+                     b: mutable.ArrayBuffer[(UTF8String, Double)]): mutable.ArrayBuffer[(UTF8String, Double)] = {
     b.foreach(insert(a, _))
     a
   }
 
-  override def eval(buf: mutable.ArrayBuffer[(String, Double)]): Any =
+  override def eval(buf: mutable.ArrayBuffer[(UTF8String, Double)]): Any =
     new GenericArrayData(buf.map { case (w, sc) =>
-      new GenericInternalRow(Array[Any](UTF8String.fromString(w), sc))
+      new GenericInternalRow(Array[Any](w, sc))
     }.toArray[Any]) // buffer is maintained in rank order
 
-  override def serialize(buf: mutable.ArrayBuffer[(String, Double)]): Array[Byte] = {
+  override def serialize(buf: mutable.ArrayBuffer[(UTF8String, Double)]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.length)
-    buf.foreach { case (w, sc) => out.writeUTF(w); out.writeDouble(sc) }
+    buf.foreach { case (w, sc) =>
+      val bytes = w.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes) // raw UTF-8, not writeUTF's modified-UTF-8 (which mangles supplementary planes and NUL)
+      out.writeDouble(sc)
+    }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[(String, Double)] = {
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[(UTF8String, Double)] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.ArrayBuffer.empty[(String, Double)]
-    (1 to n).foreach(_ => buf += ((in.readUTF(), in.readDouble())))
+    val buf = mutable.ArrayBuffer.empty[(UTF8String, Double)]
+    (1 to n).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf += ((UTF8String.fromBytes(b), in.readDouble()))
+    }
     buf // serialized in rank order; re-inserting is unnecessary
   }
 

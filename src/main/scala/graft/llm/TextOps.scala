@@ -1240,7 +1240,7 @@ object TextOps {
          |  FROM (
          |    SELECT lang, CAST(len(ws) AS BIGINT) AS n_tok,
          |           CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_char_ns,
-         |           CAST(len(regexp_extract_all(text, '[#$$%{}<>\\^~|]')) AS BIGINT) AS n_sym,
+         |           CAST(len(regexp_extract_all(text, '[#$$%{}<>\\\\^~|]')) AS BIGINT) AS n_sym,
          |           CAST(len(list_filter([$stopSqlList], w -> list_contains(ws, w))) AS BIGINT) AS n_stop_distinct
          |    FROM (SELECT lang, text, str_split(text, ' ') AS ws FROM documents)))
          |GROUP BY lang ORDER BY lang""".stripMargin,

@@ -267,7 +267,10 @@ object VectorOps {
       .withColumn("cos_raw", dot(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2"))))
       .groupBy(col("label").cast("long").as("label"))
       .agg(graft.functions.GraftFunctions.topk_by_score(
-        lpad(col("vec_id").cast("string"), 6, "0"), -col("cos_raw"), 3).as("lows"))
+        // pad to max-long width (19 digits): string order == numeric
+        // order for EVERY possible id, not just ids < 1e6 — at 100 TB
+        // 7+-digit ids would otherwise rank '1000000' before '999999'
+        lpad(col("vec_id").cast("string"), 19, "0"), -col("cos_raw"), 3).as("lows"))
       .select(col("label"), posexplode(col("lows")).as(Seq("pos", "t")))
       .select(col("label"), (col("pos") + 1).cast("long").as("rnk"),
               col("t.w").cast("long").as("vec_id"),

@@ -305,6 +305,24 @@ object TextProtocolBroker {
     new java.util.concurrent.ConcurrentHashMap[String, Session]
   private[nats] def sessionFor(key: String): Session =
     sessions.computeIfAbsent(key, _ => new Session)
+
+  private[nats] def keyOf(brokerClass: Class[_], subject: String,
+                          sessionKey: String): String =
+    brokerClass.getName + "#" + subject + "#" + sessionKey
+
+  /** Evict one session: close its connection and forget its replay
+    * buffer / sequence counter. For harnesses that stand up a
+    * THROWAWAY server per run (ephemeral port in the session key) —
+    * without eviction every run leaks one Session for the JVM
+    * lifetime, and OS-level port reuse would hand a NEW server a STALE
+    * counter, failing the run's delivery check spuriously. Not for the
+    * steady-state path: a long-lived broker's session must survive
+    * redials (the buffer indexes delivered history, see [[Session]]). */
+  def dropSession(brokerClass: Class[_], subject: String,
+                  sessionKey: String): Unit = {
+    val s = sessions.remove(keyOf(brokerClass, subject, sessionKey))
+    if (s != null) s.resetConnection()
+  }
 }
 
 /** A [[NatsBroker]] that SPEAKS the NATS text protocol over a
@@ -336,7 +354,7 @@ abstract class TextProtocolBroker extends NatsBroker {
 
   private lazy val session =
     TextProtocolBroker.sessionFor(
-      getClass.getName + "#" + subject + "#" + sessionKey)
+      TextProtocolBroker.keyOf(getClass, subject, sessionKey))
 
   private def ensureConnected(): Unit =
     if (session.channel == null) {

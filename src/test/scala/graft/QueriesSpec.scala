@@ -463,6 +463,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher_rules: backslash counts as a symbol, and the oracle regex literal " +
+      "ships the same class byte-for-byte") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gopher_bs").toString
+    // 10 tokens, exactly ONE symbol — a literal backslash. With '\' in
+    // the class: n_sym=1 → 1*10 < 10 is false → n_sym_ok=0. A regex
+    // that lost the backslash (the pre-fix DuckDB literal) sees n_sym=0
+    // → n_sym_ok=1. The count is the divergence detector.
+    Seq((0L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 back\\slash", "en", "s0", 38L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.llm.TextOps.gopherRules(s, tmp).collect().head
+    assert(r.getLong(r.fieldIndex("n_sym_ok")) === 0L,
+      "backslash must be counted by the Spark symbol class")
+    // DuckDB receives the SQL after Scala escape processing: the class
+    // must contain \\ (escaped backslash), i.e. 4 backslashes in source
+    // → 2 in the shipped literal. Pin the shipped form.
+    assert(SparkEntry.oracleSql("gopher_rules").contains("""[#$%{}<>\\^~|]"""),
+      "oracle symbol class must ship a literal backslash escape to DuckDB")
+  }
+
   test("rep_ngram_frac: pure stutter scores 1.0 dup occupancy; distinct text 0; " +
       "sub-3-word docs excluded from every gram size") {
     val s = spark; import s.implicits._

@@ -66,6 +66,28 @@ class TopKAggregatorSpec extends AnyFunSuite {
     }
   }
 
+  test("topk_by_score breaks score ties in UTF-8 binary order, incl. non-BMP terms") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.topk_by_score
+    val s = spark; import s.implicits._
+    // All four terms tie at score 1.0. JVM String '<' (UTF-16 code-unit
+    // order) ranks the surrogate-pair term 𝕏 (U+1D54F, UTF-16 D835 DD4F)
+    // BEFORE the high-BMP term ﬀ (U+FB00), while UTF-8 binary order —
+    // what the row_number window and DuckDB use — ranks it AFTER. A
+    // String-comparing buffer diverges on exactly this fixture.
+    val terms = Seq("𝕏", "ﬀ", "zeta", "éclair")
+    val df = terms.map(("g", _, 1.0)).toDF("g", "w", "score")
+    val win = Window.partitionBy(col("g")).orderBy(col("score").desc, col("w"))
+    val want = df.withColumn("rnk", row_number().over(win))
+      .orderBy(col("rnk")).select(col("w")).as[String].collect().toSeq
+    val got = df.repartition(3)
+      .groupBy(col("g")).agg(topk_by_score(col("w"), col("score"), 4).as("tops"))
+      .select(explode(col("tops.w")).as("w")).as[String].collect().toSeq
+    assert(got === want)
+    assert(want.last === "𝕏", "UTF-8 order puts the supplementary-plane term last")
+  }
+
   test("grouped top-2 per key") {
     val s = spark; import s.implicits._
     val data = Seq(("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 7.0),
