@@ -79,6 +79,77 @@ class SaltSpec extends AnyFunSuite {
     }.toDF("doc_id", "source", "n_tok", "n_chars")
   }
 
+  test("salted funnel chars is row-identical to the windowed funnel on a 90%-dominant corpus, " +
+      "and no Window totals-orders the unbounded survivor stream") {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark; import s.implicits._
+    // 90% of docs from one source; exact duplicates and sub-30-token
+    // docs present so every funnel stage drops rows; the dominant
+    // source has far more than DomainCap survivors so the cap engages
+    val docs = (1L to 4000L).map { i =>
+      val src = if (i % 10 != 0) "dominant.com" else s"site_${i % 7}.org"
+      val nTok = 20 + (i % 40).toInt // 20..59 tokens: some fail the >=30 gate
+      val text = if (i % 13 == 0) s"dup ${"w " * 40}body" // exact-dup group
+                 else (0 until nTok).map(j => s"t${(i * 31 + j) % 997}").mkString(" ")
+      (i, src, text, text.length.toLong)
+    }.toDF("doc_id", "source", "text", "n_chars")
+    // windowed reference, built inline the way the DuckDB twin does it
+    val wExact = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val wCap = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    val g = docs
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("fp", md5(col("text")))
+      .withColumn("ex", row_number().over(wExact) === 1)
+      .withColumn("q", col("ex") && col("n_tok") >= 30)
+    val fin = g.filter(col("q"))
+      .withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= graft.llm.TextOps.DomainCap)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("k_final"), sum(col("n_chars")).as("k_chars"))
+    val want = g.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("raw_chars"),
+           sum(when(col("ex"), 1L).otherwise(0L)).as("n_exact"),
+           sum(when(col("ex"), col("n_chars")).otherwise(0L)).as("exact_chars"),
+           sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+           sum(when(col("q"), col("n_chars")).otherwise(0L)).as("quality_chars"))
+      .join(fin, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("raw_chars"), col("n_exact"),
+              col("exact_chars"), col("n_quality"), col("quality_chars"),
+              coalesce(col("k_final"), lit(0L)).as("n_final"),
+              coalesce(col("k_chars"), lit(0L)).as("final_chars"))
+      .orderBy(col("source"))
+      .collect().map(_.toSeq).toSeq
+    for (salts <- Seq(2, 16, 64)) {
+      val got = graft.llm.TextOps.curationFunnelCharsOf(docs, salts)
+      val rows = got.collect().map(_.toSeq).toSeq
+      assert(rows === want, s"salted funnel diverged at salts=$salts")
+      // the 100 TB claim, machine-checked on the logical plan: any
+      // Window partitioned by `source` ALONE (the refine) must sit
+      // above the brn bucket-cap filter, so its input is bounded by
+      // salts·cap rows per source — never the raw survivor stream
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Window => LWindow}
+      val plan = got.queryExecution.optimizedPlan
+      val refines = plan.collect {
+        case w: LWindow if w.partitionSpec.length == 1 &&
+          w.partitionSpec.head.references.map(_.name).toSeq == Seq("source") => w
+      }
+      assert(refines.nonEmpty, "expected a refine window in the cap branch")
+      refines.foreach { w =>
+        val bounded = w.child.collectFirst {
+          case f: LFilter if f.condition.references.map(_.name).exists(_ == "brn") => f
+        }.isDefined
+        assert(bounded, "refine window must consume the brn-capped frame, " +
+          "not the unbounded survivor stream")
+      }
+    }
+    // sanity: the cap engaged on the dominant source, dup + quality drops happened
+    val dom = want.find(_.head == "dominant.com").get
+    assert(dom(7).asInstanceOf[Long] === graft.llm.TextOps.DomainCap.toLong)
+    assert(dom(3).asInstanceOf[Long] < dom(1).asInstanceOf[Long], "exact stage dropped")
+    assert(dom(5).asInstanceOf[Long] < dom(3).asInstanceOf[Long], "quality stage dropped")
+  }
+
   test("sketch quality gate matches the windowed gate within the threshold tie group on a dominant corpus") {
     val exact = graft.llm.TextOps.qualityFilterPctOf(dominantDocs)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
