@@ -557,6 +557,57 @@ object TextOps {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** Driver-checkable claim for [[curriculumBinsApprox]] — the GK rank
+    * guarantee per quartile edge, in integers (the
+    * [[graft.rel.RelQueries.approxPercentilesBound]] discipline): each
+    * sketch edge e_i must have a possible rank within n/accuracy of
+    * i·n/4, tested as cnt_le·acc ≥ n·(2500·i) − n − acc and
+    * cnt_lt·acc ≤ n·(2500·i) + n + acc with acc = 10000. DuckDB's twin
+    * emits the matching `true` rows, so the sketch's error contract is
+    * hash-checked, not just spec-pinned. */
+  def curriculumBinsBound(s: SparkSession, d: String): DataFrame = {
+    val base = docsWithTok(s, d).select(col("source"), col("n_tok"))
+    val edges = base.groupBy(col("source"))
+      .agg(percentile_approx(col("n_tok"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("e"))
+      .select(col("source"), col("e").getItem(0).as("q1"),
+              col("e").getItem(1).as("q2"), col("e").getItem(2).as("q3"))
+    val joined = base.join(broadcast(edges), "source")
+    val counted = joined.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("n_tok") < col("q1"), 1L).otherwise(0L)).as("lt1"),
+           sum(when(col("n_tok") <= col("q1"), 1L).otherwise(0L)).as("le1"),
+           sum(when(col("n_tok") < col("q2"), 1L).otherwise(0L)).as("lt2"),
+           sum(when(col("n_tok") <= col("q2"), 1L).otherwise(0L)).as("le2"),
+           sum(when(col("n_tok") < col("q3"), 1L).otherwise(0L)).as("lt3"),
+           sum(when(col("n_tok") <= col("q3"), 1L).otherwise(0L)).as("le3"))
+    def ok(i: Int) =
+      (col(s"le$i") * 10000 >= col("n") * (2500 * i) - col("n") - 10000 &&
+       col(s"lt$i") * 10000 <= col("n") * (2500 * i) + col("n") + 10000)
+        .as(s"q${i}_ok")
+    counted.select(col("source"), ok(1), ok(2), ok(3)).orderBy(col("source"))
+  }
+
+  /** Driver-checkable claim for [[qualityFilterPctApprox]]: the
+    * per-source GK median threshold's rank must sit within n/accuracy
+    * of n/2 (acc = 10000), same integer two-sided rank test as
+    * [[curriculumBinsBound]]. */
+  def qualityPctBound(s: SparkSession, d: String): DataFrame = {
+    val base = docsWithTok(s, d).select(col("source"), col("n_tok"))
+    val thr = base.groupBy(col("source"))
+      .agg(percentile_approx(col("n_tok"), lit(0.5), lit(10000)).as("thr"))
+    base.join(broadcast(thr), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("n_tok") < col("thr"), 1L).otherwise(0L)).as("lt"),
+           sum(when(col("n_tok") <= col("thr"), 1L).otherwise(0L)).as("le"))
+      .select(col("source"),
+              (col("le") * 10000 >= col("n") * 5000 - col("n") - 10000 &&
+               col("lt") * 10000 <= col("n") * 5000 + col("n") + 10000)
+                .as("thr_ok"))
+      .orderBy(col("source"))
+  }
+
   /** Incremental ingestion dedup — the daily corpus-refresh shape: a NEW
     * batch (the sample_split hash discipline: md5(doc_id) bucket 9, a
     * 10% increment uncorrelated with source — doc_id modulo would alias
@@ -1099,6 +1150,8 @@ object TextOps {
     "curriculum_bins"    -> (curriculumBins _),
     "curriculum_bins_approx"    -> (curriculumBinsApprox _),
     "quality_filter_pct_approx" -> (qualityFilterPctApprox _),
+    "curriculum_bins_bound"     -> (curriculumBinsBound _),
+    "quality_pct_bound"         -> (qualityPctBound _),
     "tfidf_top_terms_agg"       -> (tfidfTopTermsAgg _),
     "incremental_dedup"  -> (incrementalDedup _),
     "doc_chunks"         -> (docChunks _),
@@ -1504,6 +1557,14 @@ object TextOps {
          |       CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
          |       CAST(sum(CASE WHEN q AND srank <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_final
          |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "curriculum_bins_bound" ->
+      """SELECT source, true AS q1_ok, true AS q2_ok, true AS q3_ok
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "quality_pct_bound" ->
+      """SELECT source, true AS thr_ok
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
 
     "curation_funnel_chars" ->
       s"""WITH t AS (

@@ -1,6 +1,6 @@
 package graft.rel
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -71,6 +71,76 @@ object RelQueries {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_returnflag"))
+
+  /** Driver-checkable claim for [[approxDistinct]]: sketches aren't
+    * bit-reproducible cross-engine, so instead of shipping the estimate
+    * we ship the DETERMINISTIC boolean the estimate must satisfy —
+    * |HLL − exact| ≤ 10 % · exact (5× the 2 % configured rsd) — computed
+    * entirely Spark-side from one aggregate that evaluates sketch AND
+    * exact together; DuckDB's twin computes exact and emits the same
+    * `true` rows, so the error bound itself becomes hash-checkable.
+    * This is an AUDIT query: the exact countDistinct re-introduces the
+    * Expand the sketch path avoids, by design — the production path
+    * stays [[approxDistinct]]; this query is the proof obligation. */
+  def approxDistinctBound(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+           countDistinct(col("l_partkey")).as("xp"),
+           approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+           countDistinct(col("l_orderkey")).as("xo"))
+      .select(col("l_returnflag"),
+              (abs(col("ap") - col("xp")) * 10 <= col("xp")).as("parts_ok"),
+              (abs(col("ao") - col("xo")) * 10 <= col("xo")).as("orders_ok"))
+      .orderBy(col("l_returnflag"))
+
+  /** Driver-checkable claim for [[approxPercentiles]] — the GK
+    * guarantee itself, in integers: the returned element's rank lies
+    * within n/accuracy of the target rank. With cnt_lt = #{x < est} and
+    * cnt_le = #{x ≤ est}, every rank est can occupy is in
+    * (cnt_lt, cnt_le], so the guarantee implies cnt_le ≥ ⌊φn⌋ − n/acc
+    * and cnt_lt ≤ ⌈φn⌉ + n/acc — tested cross-multiplied by acc=1000
+    * (pure integer, tie-robust, no FP). Two scans by construction
+    * (estimate, then rank the estimate); DuckDB emits the matching
+    * `true` rows. */
+  def approxPercentilesBound(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+    val est = li.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("e50"),
+           percentile_approx(col("l_quantity"), lit(0.9), lit(1000)).as("e90"))
+    def rankOk(lt: Column, le: Column, n: Column, phiThousandths: Int) =
+      le * 1000 >= n * phiThousandths - n - 1000 &&
+      lt * 1000 <= n * phiThousandths + n + 1000
+    li.join(broadcast(est), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("l_quantity") < col("e50"), 1L).otherwise(0L)).as("lt50"),
+           sum(when(col("l_quantity") <= col("e50"), 1L).otherwise(0L)).as("le50"),
+           sum(when(col("l_quantity") < col("e90"), 1L).otherwise(0L)).as("lt90"),
+           sum(when(col("l_quantity") <= col("e90"), 1L).otherwise(0L)).as("le90"))
+      .select(col("l_returnflag"),
+              rankOk(col("lt50"), col("le50"), col("n"), 500).as("p50_ok"),
+              rankOk(col("lt90"), col("le90"), col("n"), 900).as("p90_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Driver-checkable claim for [[tableProfileApprox]]: per profiled
+    * column, |HLL NDV − exact NDV| ≤ 10 % · exact (5× the configured
+    * rsd), sketch and exact evaluated in ONE aggregate and reduced to
+    * the boolean DuckDB can also emit. Same audit-query caveat as
+    * [[approxDistinctBound]]. */
+  def profileApproxBound(s: SparkSession, d: String): DataFrame = {
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(approx_count_distinct(col(c), 0.02).as(s"${c}_a"),
+          countDistinct(col(c)).as(s"${c}_x"))
+    }
+    val stackArgs = ProfileCols.map(c => s"'$c', ${c}_a, ${c}_x").mkString(", ")
+    Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${ProfileCols.length}, $stackArgs) AS (col_name, a, x)")
+      .select(col("col_name"),
+              (abs(col("a") - col("x")) * 10 <= col("x")).as("ndv_ok"))
+      .orderBy(col("col_name"))
+  }
 
   /** Statistical aggregates: sample stddev/variance and correlation. */
   def aggVariance(s: SparkSession, d: String): DataFrame =
@@ -1378,6 +1448,9 @@ object RelQueries {
     "percentiles"        -> (percentiles _),
     "approx_distinct"    -> (approxDistinct _),
     "approx_percentiles" -> (approxPercentiles _),
+    "approx_distinct_bound"    -> (approxDistinctBound _),
+    "approx_percentiles_bound" -> (approxPercentilesBound _),
+    "profile_approx_bound"     -> (profileApproxBound _),
     "agg_variance"       -> (aggVariance _),
     "join_region_rev"    -> (joinRegionRevenue _),
     "join_left"          -> (joinLeft _),
@@ -1427,6 +1500,25 @@ object RelQueries {
     * to microsecond TIMESTAMP wherever ts participates in output or
     * arithmetic (lossless; see Tables.events). */
   val oracle: Map[String, String] = Map(
+    // The *_bound twins make the sketch queries' error claims
+    // hash-checkable: Spark evaluates sketch AND exact and reduces to a
+    // deterministic boolean; DuckDB computes only the group keys and
+    // asserts the same `true` rows. A sketch drifting outside its bound
+    // flips a row to false and fails the hash — a binary driver signal
+    // where the rows-only originals were a gray zone.
+    "approx_distinct_bound" ->
+      """SELECT l_returnflag, true AS parts_ok, true AS orders_ok
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "approx_percentiles_bound" ->
+      """SELECT l_returnflag, true AS p50_ok, true AS p90_ok
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "profile_approx_bound" ->
+      s"""SELECT col_name, true AS ndv_ok
+         |FROM (VALUES ${ProfileCols.map(c => s"('$c')").mkString(", ")}) t(col_name)
+         |ORDER BY col_name""".stripMargin,
+
     "union_by_name" ->
       """WITH v1 AS (SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0),
         |v2 AS (SELECT event_id, user_id, event_type FROM events WHERE event_id % 2 = 1),

@@ -463,6 +463,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch bound twins: every within-bound boolean is true on the graded tables") {
+    for (name <- Seq("approx_distinct_bound", "approx_percentiles_bound",
+                     "profile_approx_bound", "curriculum_bins_bound",
+                     "quality_pct_bound")) {
+      val rows = SparkEntry.queries(name)(spark, sf).collect()
+      assert(rows.nonEmpty, s"$name returned no rows")
+      rows.foreach { r =>
+        (1 until r.length).foreach { i =>
+          assert(r.getBoolean(i), s"$name: ${r.get(0)} col ${r.schema(i).name} false")
+        }
+      }
+    }
+  }
+
   test("gopher_rules: backslash counts as a symbol, and the oracle regex literal " +
       "ships the same class byte-for-byte") {
     val s = spark; import s.implicits._
