@@ -354,6 +354,82 @@ class NatsTcpSpec extends AnyFunSuite {
     assert(viaPattern === bus.count(), "every transported frame routes under cdc/#")
   }
 
+  test("multi-subscription workload: wildcard matrix + queue group + UNSUB-max delivery " +
+      "counts over real sockets equal the batch matchCounts on the same slice") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+
+    // deterministic slice of the real bus table; every channel has
+    // exactly 3 tokens (cdc/<type>/<uid>), so the MQTT patterns below
+    // and their NATS translations ('#'→'>', '+'→'*') agree on every row
+    val slice = graft.Tables.bus(spark, "/root/testdata/sf0.001")
+      .filter(col("event_id") % 7 === 0)
+      .select(col("channel"))
+    val channels = slice.collect().map(_.getString(0)).toSeq
+    assert(channels.nonEmpty && channels.forall(_.split("/").length == 3))
+
+    val patterns = Seq("cdc/#", "cdc/click/#", "cdc/+/1", "cdc/nosuch/#")
+    val batch = graft.cdc.CdcBus.matchCounts(slice.toDF("channel"), patterns)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def want(p: String): Long = batch.getOrElse(p, 0L)
+    assert(want("cdc/#") === channels.length.toLong, "cdc/# must match the whole slice")
+
+    val server = new NatsServer()
+    try {
+      val subA  = new RawClient(server.port) // plain wildcard matrix + UNSUB-max
+      val qw1   = new RawClient(server.port) // queue group member 1
+      val qw2   = new RawClient(server.port) // queue group member 2
+      val pub1  = new RawClient(server.port)
+      try {
+        subA.handshake()
+        subA.send(NatsWire.sub("cdc.>", 1L))
+        subA.send(NatsWire.sub("cdc.click.>", 2L))
+        subA.send(NatsWire.sub("cdc.*.1", 3L))
+        subA.send(NatsWire.sub("cdc.nosuch.>", 4L))
+        subA.send(NatsWire.sub("cdc.>", 20L))
+        subA.send(NatsWire.unsub(20L, Some(5))) // reference take(5)
+        subA.flush()
+        qw1.handshake(); qw1.send(NatsWire.sub("cdc.>", 10L, queue = Some("workers"))); qw1.flush()
+        qw2.handshake(); qw2.send(NatsWire.sub("cdc.>", 11L, queue = Some("workers"))); qw2.flush()
+
+        pub1.handshake()
+        channels.foreach { ch =>
+          pub1.send(NatsWire.pub(ch.replace('/', '.'), ch.getBytes(US_ASCII)))
+        }
+        pub1.flush() // server processed every PUB → all MSGs already routed
+
+        def drain(c: RawClient): Map[Long, Long] = {
+          c.send(ping)
+          val got = scala.collection.mutable.ArrayBuffer.empty[Msg]
+          var op = c.next()
+          while (op != Pong) { op match { case m: Msg => got += m; case _ => () }; op = c.next() }
+          got.groupBy(_.sid).view.mapValues(_.length.toLong).toMap
+        }
+        val a = drain(subA)
+        val q1 = drain(qw1).getOrElse(10L, 0L)
+        val q2 = drain(qw2).getOrElse(11L, 0L)
+
+        // wildcard matrix: per-subscription wire deliveries == batch counts
+        assert(a.getOrElse(1L, 0L) === want("cdc/#"))
+        assert(a.getOrElse(2L, 0L) === want("cdc/click/#"))
+        assert(a.getOrElse(3L, 0L) === want("cdc/+/1"))
+        assert(a.getOrElse(4L, 0L) === want("cdc/nosuch/#"))
+        assert(want("cdc/click/#") > 0 && want("cdc/+/1") > 0,
+          "slice must exercise the narrow patterns")
+        // queue group: ONE copy of each matching message across members
+        assert(q1 + q2 === want("cdc/#"), "queue group total = per-pattern count")
+        assert(q1 > 0 && q2 > 0, "round-robin spread both members")
+        // UNSUB-max: exactly max deliveries then auto-unsubscribe
+        assert(a.getOrElse(20L, 0L) === math.min(5L, want("cdc/#")))
+      } finally { subA.close(); qw1.close(); qw2.close(); pub1.close() }
+    } finally server.close()
+  }
+
   test("Graft.live: the reference's connect-by-url over the short-name source") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
