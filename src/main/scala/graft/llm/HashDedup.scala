@@ -263,6 +263,50 @@ object HashDedup {
       .select(col("doc_id"), col("band_id"), col("bh"))
   }
 
+  /** Persist the band index of a snapshot WITH its freshness contract:
+    * the store directory carries a `_built_from.json` sidecar recording
+    * a fingerprint of the snapshot's documents table (underscore-
+    * prefixed, so Spark's parquet reader ignores it like _SUCCESS).
+    * [[loadBandStore]] revalidates that fingerprint before answering a
+    * single probe — a rebuilt snapshot paired with an old store fails
+    * FAST with both fingerprints in the message, instead of silently
+    * yielding stale candidates (the failure mode the session caches
+    * already guard against in-memory; this extends the contract to the
+    * persisted artifact, which outlives any session). */
+  def writeBandStore(s: SparkSession, snapshotDir: String, outPath: String,
+                     maxBucket: Int = DefaultMaxBucket): Unit = {
+    val docs = Tables.documents(s, snapshotDir).withColumn("bkt", refreshBucket)
+      .filter(col("bkt") =!= 9).drop("bkt")
+    bandStoreOf(docs, maxBucket).write.mode("overwrite").parquet(outPath)
+    val fp = dirFingerprint(snapshotDir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath, "_built_from.json"),
+      s"""{"snapshot_dir":"$snapshotDir","fingerprint":"$fp"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a persisted band store, failing fast unless its `_built_from`
+    * fingerprint still matches `snapshotDir`'s documents table. See
+    * [[writeBandStore]]. */
+  def loadBandStore(s: SparkSession, storePath: String,
+                    snapshotDir: String): DataFrame = {
+    val metaPath = java.nio.file.Paths.get(storePath, "_built_from.json")
+    require(java.nio.file.Files.exists(metaPath),
+      s"band store at $storePath has no _built_from.json fingerprint — " +
+        "rebuild it with writeBandStore (an unfingerprinted store cannot " +
+        "prove it matches any snapshot)")
+    val meta = new String(java.nio.file.Files.readAllBytes(metaPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val stored = """"fingerprint"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(meta).map(_.group(1))
+    val now = dirFingerprint(snapshotDir)
+    require(stored.contains(now),
+      s"stale band store: $storePath was built from snapshot fingerprint " +
+        s"${stored.getOrElse("<unreadable>")} but $snapshotDir now " +
+        s"fingerprints $now — rebuild the store before probing")
+    s.read.parquet(storePath)
+  }
+
   /** Incremental NEAR-dup refresh — the shape that actually hurts in a
     * daily corpus refresh ([[graft.llm.TextOps.incrementalDedup]] covers
     * exact fingerprints only): today's crawl (md5 bucket 9) probes the
@@ -328,18 +372,21 @@ object HashDedup {
     * directory walk per lookup — bounded by the table's file count, and
     * only a convenience for mutable test fixtures; production inputs
     * are immutable snapshot dirs. */
+  /** (name, size, mtime) fingerprint of `dir/documents.parquet` — the
+    * staleness token shared by the in-session caches and the persisted
+    * band store's `_built_from` contract. */
+  private[graft] def dirFingerprint(d: String): String = {
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
+      else Iterator.single(f)
+    val h = walk(new java.io.File(d, "documents.parquet"))
+      .map(f => (f.getName, f.length, f.lastModified).hashCode()).sum
+    java.lang.Integer.toHexString(h)
+  }
+
   private final class SessionDirCache {
     private val m = new java.util.concurrent.ConcurrentHashMap[
       SparkSession, scala.collection.concurrent.TrieMap[String, (String, DataFrame)]]()
-
-    private def fingerprint(d: String): String = {
-      def walk(f: java.io.File): Iterator[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
-        else Iterator.single(f)
-      val h = walk(new java.io.File(d, "documents.parquet"))
-        .map(f => (f.getName, f.length, f.lastModified).hashCode()).sum
-      java.lang.Integer.toHexString(h)
-    }
 
     def getOrBuild(s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
       val per = m.computeIfAbsent(s, sess => {
@@ -350,7 +397,7 @@ object HashDedup {
         })
         scala.collection.concurrent.TrieMap.empty[String, (String, DataFrame)]
       })
-      val fp = fingerprint(d)
+      val fp = dirFingerprint(d)
       per.get(d) match {
         case Some((`fp`, df)) => df
         case _ => // miss or stale: rebuild and replace (old frame becomes garbage)

@@ -238,6 +238,39 @@ class HashDedupSpec extends AnyFunSuite {
     assert(want.exists(_._1 == 2L), s"expected doc 2 near-dup hits, got $want")
   }
 
+  test("band store freshness: load revalidates the snapshot fingerprint and fails fast " +
+      "on a rebuilt snapshot or a fingerprint-less store") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    // private copy of the fixture corpus — this test mutates its snapshot
+    val snap = Files.createTempDirectory("graft_snap_fresh").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(s"$snap/documents.parquet")
+    val store = Files.createTempDirectory("graft_store_fresh").toString + "/bands.parquet"
+    HashDedup.writeBandStore(spark, snap, store)
+    val loaded = HashDedup.loadBandStore(spark, store, snap)
+    assert(loaded.count() > 0, "fresh store must load and carry band rows")
+    assert(loaded.columns.toSeq === Seq("doc_id", "band_id", "bh"),
+      "sidecar must be invisible to the parquet reader")
+
+    // rebuild the snapshot (same path, new bytes): the store must refuse
+    Thread.sleep(1100) // ensure a distinct mtime even on coarse filesystems
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text", concat(col("text"), lit(" drifted")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$snap/documents.parquet")
+    val stale = intercept[IllegalArgumentException] {
+      HashDedup.loadBandStore(spark, store, snap)
+    }
+    assert(stale.getMessage.contains("stale band store"))
+
+    // a store without the sidecar proves nothing: also fail fast
+    java.nio.file.Files.delete(java.nio.file.Paths.get(store, "_built_from.json"))
+    val unfingerprinted = intercept[IllegalArgumentException] {
+      HashDedup.loadBandStore(spark, store, snap)
+    }
+    assert(unfingerprinted.getMessage.contains("_built_from"))
+  }
+
   test("star contraction is row-identical to min-label on path, clique and random graphs") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(0xC0C0)
@@ -271,6 +304,60 @@ class HashDedupSpec extends AnyFunSuite {
     val rounds = graft.llm.HashDedup.lastStarRounds
     assert(rounds > 0 && rounds <= 22,
       s"expected ~2*log2(500)+slack rounds, got $rounds")
+  }
+
+  test("scalacheck: star contraction labels ARBITRARY forests (+ duplicate/self/reversed " +
+      "edges) with the component minimum, in <= 2*log2(n)+slack rounds") {
+    val s = spark; import s.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    // forest over a SPARSE, non-contiguous id space: node i of n links to
+    // a random earlier node unless it's a root; ids are drawn from
+    // [0, 10n) so the component minimum is rarely 0 and never "the
+    // smallest slot" by construction. Duplicate, reversed, and self
+    // edges are folded in — the normalizations the operator must absorb.
+    val genCase: Gen[Seq[(Long, Long)]] = for {
+      n        <- Gen.choose(2, 80)
+      ids      <- Gen.pick(n, 0 until 10 * n)
+      roots    <- Gen.listOfN(n, Gen.frequency(1 -> true, 4 -> false))
+      parents  <- Gen.sequence[List[Int], Int]((1 until n).toList.map(i => Gen.choose(0, i - 1)))
+      nDup     <- Gen.choose(0, 10)
+      selfIdx  <- Gen.someOf(0 until n)
+    } yield {
+      val id = ids.toIndexedSeq
+      val base = (1 until n).flatMap { i =>
+        if (roots(i)) Nil
+        else Seq((id(i).toLong, id(parents(i - 1)).toLong))
+      }
+      val dups = base.take(nDup).map { case (a, b) => (b, a) } // reversed duplicates
+      base ++ dups ++ selfIdx.map(i => (id(i).toLong, id(i).toLong))
+    }
+    val prop = Prop.forAll(genCase) { edges =>
+      val got = graft.llm.HashDedup.componentLabelsStar(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rounds = graft.llm.HashDedup.lastStarRounds
+      // union-find ground truth (self edges create no component)
+      val real = edges.filter(e => e._1 != e._2)
+      val nodes = real.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      real.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = nodes.map(x => x -> nodes.filter(y => find(y) == find(x)).min).toMap
+      val bound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(
+        math.max(2L, nodes.size.toLong))) + 6
+      import Prop.propBoolean
+      Prop.all(
+        (got == want)     :| s"labels diverged: got=$got want=$want",
+        (rounds <= bound) :| s"rounds=$rounds exceeds bound=$bound for n=${nodes.size}")
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(12)
+        .withInitialSeed(Seed(0xBEEFL)), prop)
+    assert(res.passed, s"property failed: ${res.status}")
   }
 
   test("star contraction: empty pair set yields an empty label frame") {
