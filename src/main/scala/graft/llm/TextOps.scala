@@ -557,6 +557,105 @@ object TextOps {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** Content-level snapshot diff — the audit behind "what did today's
+    * re-crawl actually change": two deterministic 90 % slices of the
+    * corpus stand in for yesterday (md5 buckets 0–8) and today (1–9),
+    * and each side membership-tests the OTHER side's 16-byte content
+    * fingerprints. Per source: today's size, docs whose content is new
+    * (fp absent from yesterday), yesterday's docs whose content
+    * disappeared, and the retained remainder. Both membership probes
+    * are fp-keyed left joins — the incremental_dedup discipline: no
+    * exchange ever carries a body, the narrow (source, fp, bkt) frame
+    * is checkpointed once so the corpus is scanned ONCE for all four
+    * branch consumers. */
+  def snapshotDelta(s: SparkSession, d: String): DataFrame = {
+    val bkt = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10
+    val docs = Tables.documents(s, d)
+      .select(col("source"), md5(col("text")).as("fp"), bkt.as("bkt"))
+      .localCheckpoint()
+    val y = docs.filter(col("bkt") <= 8)
+    val t = docs.filter(col("bkt") >= 1)
+    val yf = y.select(col("fp")).distinct().withColumn("was", lit(1))
+    val tf = t.select(col("fp")).distinct().withColumn("is_now", lit(1))
+    val add = t.join(yf, Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_today"),
+           sum(when(col("was").isNull, 1L).otherwise(0L)).as("n_added"))
+    val rem = y.join(tf, Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_yesterday"),
+           sum(when(col("is_now").isNull, 1L).otherwise(0L)).as("n_removed"))
+    add.join(rem, Seq("source"), "full")
+      .select(col("source"),
+              coalesce(col("n_yesterday"), lit(0L)).as("n_yesterday"),
+              coalesce(col("n_today"), lit(0L)).as("n_today"),
+              coalesce(col("n_added"), lit(0L)).as("n_added"),
+              coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+              (coalesce(col("n_today"), lit(0L))
+                - coalesce(col("n_added"), lit(0L))).as("n_retained"))
+      .orderBy(col("source"))
+  }
+
+  /** Tokenizer-vocabulary coverage: fix the vocabulary at the global
+    * top-[[OovVocabSize]] tokens (count desc, token asc — a total order
+    * both engines share) and report each source's out-of-vocabulary
+    * occurrence rate — the "how well does a corpus-level tokenizer fit
+    * each slice" audit run before committing a vocab. The vocab cut is
+    * a TakeOrdered over the token-count aggregate (never a global
+    * sort), broadcast back; the probe is a map-side hash join over the
+    * second token stream. Integer counts + one rounded division. */
+  val OovVocabSize = 1000
+
+  def vocabOovRate(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(OovVocabSize)
+      .select(col("tok")).withColumn("inv", lit(1))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_occ"),
+           sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_occ"), col("n_oov"),
+              round(col("n_oov").cast("double") / col("n_occ").cast("double"), 4)
+                .as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Partition-key balance audit — the question asked before keying any
+    * 100 TB exchange: does md5(doc_id) spread rows evenly over k=32
+    * hash buckets? Emits per-bucket counts plus the integer-exact hot
+    * flag n·k > 2·total (a bucket holding over 2× its fair share).
+    * The total rides a broadcast 1-row cross join (the repo's scalar
+    * discipline), so the audit is one scan + one ≤k-row agg. */
+  def bucketBalance(s: SparkSession, d: String): DataFrame = {
+    val bkt = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 32
+    val per = Tables.documents(s, d)
+      .select(bkt.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val total = per.agg(sum(col("n_docs")).as("total"))
+    per.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_docs"),
+              (col("n_docs") * 32 > col("total") * 2).as("hot"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Doc-length power-law audit: per (source, ⌊log₂ n_tok⌋) bucket,
+    * document and token mass — the Zipf-ish length histogram read
+    * before choosing pack/truncation budgets. The bucket is computed
+    * WITHOUT transcendentals (⌊log₂ n⌋ = len(bin(n)) − 1, exact
+    * integer both engines) so the oracle hash cannot drift on libm. */
+  def lengthZipf(s: SparkSession, d: String): DataFrame =
+    docsWithTok(s, d)
+      .filter(col("n_tok") >= 1)
+      .withColumn("bucket", (length(bin(col("n_tok"))) - 1).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+           min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+      .orderBy(col("source"), col("bucket"))
+
   /** Driver-checkable claim for [[curriculumBinsApprox]] — the GK rank
     * guarantee per quartile edge, in integers (the
     * [[graft.rel.RelQueries.approxPercentilesBound]] discipline): each
@@ -1152,6 +1251,10 @@ object TextOps {
     "quality_filter_pct_approx" -> (qualityFilterPctApprox _),
     "curriculum_bins_bound"     -> (curriculumBinsBound _),
     "quality_pct_bound"         -> (qualityPctBound _),
+    "snapshot_delta"            -> (snapshotDelta _),
+    "vocab_oov_rate"            -> (vocabOovRate _),
+    "bucket_balance"            -> (bucketBalance _),
+    "length_zipf"               -> (lengthZipf _),
     "tfidf_top_terms_agg"       -> (tfidfTopTermsAgg _),
     "incremental_dedup"  -> (incrementalDedup _),
     "doc_chunks"         -> (docChunks _),
@@ -1557,6 +1660,62 @@ object TextOps {
          |       CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
          |       CAST(sum(CASE WHEN q AND srank <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_final
          |FROM r GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "snapshot_delta" ->
+      """WITH f AS (
+        |  SELECT source, md5(text) AS fp,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bkt
+        |  FROM documents),
+        |y AS (SELECT * FROM f WHERE bkt <= 8),
+        |t AS (SELECT * FROM f WHERE bkt >= 1),
+        |add AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_today,
+        |         CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM y WHERE y.fp = t.fp)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_added
+        |  FROM t GROUP BY 1),
+        |rem AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_yesterday,
+        |         CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM t WHERE t.fp = y.fp)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |  FROM y GROUP BY 1)
+        |SELECT source,
+        |       CAST(COALESCE(rem.n_yesterday, 0) AS BIGINT) AS n_yesterday,
+        |       CAST(COALESCE(add.n_today, 0) AS BIGINT) AS n_today,
+        |       CAST(COALESCE(add.n_added, 0) AS BIGINT) AS n_added,
+        |       CAST(COALESCE(rem.n_removed, 0) AS BIGINT) AS n_removed,
+        |       CAST(COALESCE(add.n_today, 0) - COALESCE(add.n_added, 0) AS BIGINT) AS n_retained
+        |FROM add FULL JOIN rem USING (source)
+        |ORDER BY source""".stripMargin,
+
+    "vocab_oov_rate" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(str_split(text, ' ')) AS tok FROM documents),
+         |vocab AS (
+         |  SELECT tok FROM (SELECT tok, count(*) AS c FROM toks GROUP BY 1)
+         |  ORDER BY c DESC, tok LIMIT $OovVocabSize)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_occ,
+         |       CAST(sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       round(sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+         |FROM toks LEFT JOIN vocab USING (tok)
+         |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "bucket_balance" ->
+      """WITH per AS (
+        |  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1)
+        |SELECT bucket, n_docs,
+        |       n_docs * 32 > (SELECT sum(n_docs) FROM per) * 2 AS hot
+        |FROM per ORDER BY bucket""".stripMargin,
+
+    "length_zipf" ->
+      """SELECT source, CAST(length(bin(n_tok)) - 1 AS BIGINT) AS bucket,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       min(n_tok) AS min_tok, max(n_tok) AS max_tok
+        |FROM (SELECT source, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+        |      FROM documents)
+        |WHERE n_tok >= 1
+        |GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin,
 
     "curriculum_bins_bound" ->
       """SELECT source, true AS q1_ok, true AS q2_ok, true AS q3_ok

@@ -464,7 +464,26 @@ object VectorOps {
     "embed_quantize" -> (embedQuantize _),
     "embed_neardup" -> (nearDup _),
     "embed_outliers" -> (embedOutliers _),
-    "label_purity" -> (labelPurity _))
+    "label_purity" -> (labelPurity _),
+    "embed_label_mix" -> (embedLabelMix _))
+
+  /** Cross-modal mix audit — the one query here that JOINS the text and
+    * vector tables: documents with their embedding's cluster label (id
+    * equi-join), reduced to per-(source, label) document counts and
+    * token mass. The real-pipeline shape: "which embedding clusters
+    * does each crawl slice feed, and with how many tokens" — the input
+    * to cluster-balanced mix planning. One scan per table, one
+    * hash-partitioned equi-join on the 8-byte id, integer output. */
+  def embedLabelMix(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(Tables.embeddings(s, d)
+              .select(col("vec_id"), col("label").cast("long").as("label")),
+            col("doc_id") === col("vec_id"))
+      .groupBy(col("source"), col("label"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("source"), col("label"))
 
   // ---- DuckDB twins --------------------------------------------------
 
@@ -498,6 +517,13 @@ object VectorOps {
       |    SELECT label AS cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY label))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "embed_label_mix" ->
+      """SELECT source, CAST(label AS BIGINT) AS label,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY 1, 2 ORDER BY source, label""".stripMargin,
+
     "label_purity" ->
       s"""WITH $VecCte, $SigCte,
          |bl AS (SELECT bucket, label, CAST(count(*) AS BIGINT) AS c

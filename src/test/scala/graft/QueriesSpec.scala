@@ -463,6 +463,44 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot_delta: retained = today - added; an all-duplicate corpus has zero content churn") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("snapshot_delta")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(ny, nt, na, nr, nk) = (1 to 5).map(r.getLong)
+      assert(na <= nt && nr <= ny && nk === nt - na, s"${r.getString(0)}: inconsistent delta")
+    }
+    // one shared text everywhere → every fp is in both slices: no churn
+    val tmp = java.nio.file.Files.createTempDirectory("graft_delta").toString
+    (1L to 200L).map(i => (i, "same text body here", "en", s"s${i % 3}", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    graft.llm.TextOps.snapshotDelta(s, tmp).collect().foreach { r =>
+      assert(r.getLong(3) === 0L && r.getLong(4) === 0L,
+        "identical content must never count as added or removed")
+    }
+  }
+
+  test("length_zipf buckets are exact log2 ranges; vocab_oov_rate and bucket_balance invariants") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("length_zipf")(spark, sf).collect().foreach { r =>
+      val (b, mn, mx) = (r.getLong(1), r.getLong(4), r.getLong(5))
+      assert(mn >= (1L << b) && mx < (1L << (b + 1)),
+        s"bucket $b holds [$mn,$mx] outside [2^$b, 2^${b + 1})")
+    }
+    val oov = SparkEntry.queries("vocab_oov_rate")(spark, sf).collect()
+    assert(oov.nonEmpty)
+    oov.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val bb = SparkEntry.queries("bucket_balance")(spark, sf).collect()
+    assert(bb.map(_.getLong(1)).sum === graft.Tables.documents(spark, sf).count())
+    assert(bb.length <= 32 && bb.map(_.getLong(0)).forall(b => b >= 0 && b < 32))
+  }
+
   test("sketch bound twins: every within-bound boolean is true on the graded tables") {
     for (name <- Seq("approx_distinct_bound", "approx_percentiles_bound",
                      "profile_approx_bound", "curriculum_bins_bound",
