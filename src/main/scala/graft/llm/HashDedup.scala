@@ -263,6 +263,27 @@ object HashDedup {
       .select(col("doc_id"), col("band_id"), col("bh"))
   }
 
+  /** LSH cost plan — the pre-flight audit run BEFORE committing to a
+    * minhash pair expansion at 100 TB: per band, the bucket inventory,
+    * the worst bucket, the exact candidate-pair count Σ b·(b−1)/2 the
+    * join WOULD generate, and the pairs that survive the
+    * [[DefaultMaxBucket]] cap. The answer to "can we afford this pair
+    * join, and how much does the cap discard" from the band-bucket
+    * HISTOGRAM alone — ≤ |buckets| rows, no pair ever materialized.
+    * Integer throughout (DIV 2 — triangular numbers are exact). */
+  def lshPlan(s: SparkSession, d: String): DataFrame = {
+    val b = minhashBandsDf(s, d)
+      .groupBy(col("band_id").cast("long").as("band_id"), col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+    b.groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_buckets"),
+           max(col("bsz")).as("max_bucket"),
+           sum(expr("bsz * (bsz - 1) DIV 2")).as("cand_pairs"),
+           sum(when(col("bsz") <= DefaultMaxBucket,
+             expr("bsz * (bsz - 1) DIV 2")).otherwise(lit(0L))).as("kept_pairs"))
+      .orderBy(col("band_id"))
+  }
+
   /** Persist the band index of a snapshot WITH its freshness contract:
     * the store directory carries a `_built_from.json` sidecar recording
     * a fingerprint of the snapshot's documents table (underscore-
@@ -1138,6 +1159,7 @@ object HashDedup {
     "decontam"        -> (decontam _),
     "minhash_sig"     -> (minhashSig _),
     "minhash_buckets" -> (minhashBuckets _),
+    "lsh_plan" -> (lshPlan _),
     "minhash_pairs"   -> (minhashPairs _),
     "incremental_neardup" -> (incrementalNearDup _),
     "simhash_sig"     -> (simhashSig _),
@@ -1429,6 +1451,16 @@ object HashDedup {
          |       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_collide_docs
          |FROM (SELECT band_id, bh, count(*) AS c FROM bands GROUP BY 1, 2)
          |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "lsh_plan" ->
+      s"""WITH $ShingleCte, $HashCte, $SigCte, $BandsCte,
+         |bsz AS (SELECT band_id, bh, CAST(count(*) AS BIGINT) AS c
+         |        FROM bands GROUP BY 1, 2)
+         |SELECT band_id, count(*) AS n_buckets, max(c) AS max_bucket,
+         |       CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
+         |       CAST(sum(CASE WHEN c <= $DefaultMaxBucket
+         |                THEN c * (c - 1) // 2 ELSE 0 END) AS BIGINT) AS kept_pairs
+         |FROM bsz GROUP BY band_id ORDER BY band_id""".stripMargin,
 
     "minhash_pairs" ->
       s"""WITH $ShingleCte, $HashCte, $SigCte, $BandsCte

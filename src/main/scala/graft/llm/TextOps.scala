@@ -597,6 +597,44 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Distribution drift between corpus snapshots — total-variation
+    * distance over the global top-[[MixShiftTerms]] token distribution,
+    * per source, between the same two deterministic slices
+    * [[snapshotDelta]] diffs (yesterday = md5 buckets 0–8, today =
+    * 1–9). TV = Σ|p−q|/2 is computed in CROSS-MULTIPLIED integers —
+    * Σ|cy·Tt − ct·Ty| is an exact, order-independent long sum (each
+    * term ≤ count·total ≈ 2⁴⁰ at sf0.1; a 100 TB deployment sizes this
+    * to DECIMAL, noted here), with ONE double division and rounding at
+    * the end — so the hash can't drift on float summation order. The
+    * per-(source, term) frame is ≤ sources·terms rows; totals ride a
+    * broadcast join. */
+  val MixShiftTerms = 100
+
+  def mixShift(s: SparkSession, d: String): DataFrame = {
+    val bkt = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10
+    val toks = Tables.documents(s, d)
+      .select(col("source"), bkt.as("bkt"), explode(split(col("text"), " ")).as("tok"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(MixShiftTerms).select(col("tok"))
+    val counts = toks.join(broadcast(top), Seq("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(sum(when(col("bkt") <= 8, 1L).otherwise(0L)).as("cy"),
+           sum(when(col("bkt") >= 1, 1L).otherwise(0L)).as("ct"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("cy")).as("ty"), sum(col("ct")).as("tt"))
+    counts.join(broadcast(totals), "source")
+      .groupBy(col("source"))
+      .agg(max(col("ty")).as("n_y_occ"), max(col("tt")).as("n_t_occ"),
+           sum(abs(col("cy") * col("tt") - col("ct") * col("ty"))).as("num"))
+      .select(col("source"), col("n_y_occ"), col("n_t_occ"),
+              when(col("n_y_occ") * col("n_t_occ") === 0, lit(null).cast("double"))
+                .otherwise(round(col("num").cast("double") /
+                  (col("n_y_occ") * col("n_t_occ") * 2).cast("double"), 4))
+                .as("tv_dist"))
+      .orderBy(col("source"))
+  }
+
   /** Tokenizer-vocabulary coverage: fix the vocabulary at the global
     * top-[[OovVocabSize]] tokens (count desc, token asc — a total order
     * both engines share) and report each source's out-of-vocabulary
@@ -1252,6 +1290,7 @@ object TextOps {
     "curriculum_bins_bound"     -> (curriculumBinsBound _),
     "quality_pct_bound"         -> (qualityPctBound _),
     "snapshot_delta"            -> (snapshotDelta _),
+    "mix_shift"                 -> (mixShift _),
     "vocab_oov_rate"            -> (vocabOovRate _),
     "bucket_balance"            -> (bucketBalance _),
     "length_zipf"               -> (lengthZipf _),
@@ -1686,6 +1725,28 @@ object TextOps {
         |       CAST(COALESCE(add.n_today, 0) - COALESCE(add.n_added, 0) AS BIGINT) AS n_retained
         |FROM add FULL JOIN rem USING (source)
         |ORDER BY source""".stripMargin,
+
+    "mix_shift" ->
+      s"""WITH toks AS (
+         |  SELECT source,
+         |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bkt,
+         |         unnest(str_split(text, ' ')) AS tok
+         |  FROM documents),
+         |top AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM toks GROUP BY 1)
+         |        ORDER BY c DESC, tok LIMIT $MixShiftTerms),
+         |counts AS (
+         |  SELECT source, tok,
+         |         CAST(sum(CASE WHEN bkt <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS cy,
+         |         CAST(sum(CASE WHEN bkt >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM toks JOIN top USING (tok) GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(cy) AS BIGINT) AS ty,
+         |               CAST(sum(ct) AS BIGINT) AS tt FROM counts GROUP BY 1)
+         |SELECT source, ty AS n_y_occ, tt AS n_t_occ,
+         |       CASE WHEN ty * tt = 0 THEN CAST(NULL AS DOUBLE)
+         |            ELSE round(CAST(sum(abs(cy * tt - ct * ty)) AS DOUBLE)
+         |                       / CAST(ty * tt * 2 AS DOUBLE), 4) END AS tv_dist
+         |FROM counts JOIN tot USING (source)
+         |GROUP BY source, ty, tt ORDER BY source""".stripMargin,
 
     "vocab_oov_rate" ->
       s"""WITH toks AS (

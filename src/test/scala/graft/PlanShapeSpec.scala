@@ -170,6 +170,35 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"packing scan not pruned: $read")
   }
 
+  test("vocab_oov_rate / mix_shift: vocab cut is TakeOrdered (no global sort); probe broadcast") {
+    for (name <- Seq("vocab_oov_rate", "mix_shift")) {
+      val df = graft.llm.TextOps.queries(name)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name: top-term cut must be TakeOrderedAndProject:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: token probe must be a broadcast hash join:\n$plan")
+    }
+  }
+
+  test("profile_approx_bound: sketch and exact aggregates NEVER share an Expand") {
+    val df = graft.rel.RelQueries.queries("profile_approx_bound")(spark, sfDir)
+    df.collect()
+    // the combined form plans HLL partial buffers under the
+    // countDistinct Expand (one KB-scale sketch per (gid, value)
+    // partial group — measured 36 s vs ~3 s at sf0.1); the split form
+    // keeps Expand on the exact branch only
+    val expands = collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.nonEmpty, "exact branch must still plan its multi-distinct Expand")
+    expands.foreach { e =>
+      assert(!e.treeString.contains("approx_count_distinct"),
+        s"HLL aggregate must not sit under the Expand:\n${e.treeString}")
+    }
+  }
+
   test("minhash_sig: documents scan pruned to (doc_id, text)") {
     val df = graft.llm.HashDedup.queries("minhash_sig")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

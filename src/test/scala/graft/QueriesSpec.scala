@@ -483,6 +483,38 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("mix_shift is a [0,1] distance, zero for identical slices; lsh_plan's kept never exceeds cand") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("mix_shift")(spark, sf).collect().foreach { r =>
+      if (!r.isNullAt(3)) {
+        val tv = r.getDouble(3)
+        assert(tv >= 0.0 && tv <= 1.0, s"${r.getString(0)}: TV $tv outside [0,1]")
+      }
+    }
+    // a single-doc-per-id corpus whose every doc lands in BOTH slices
+    // (buckets 1..8 only) has identical distributions → TV exactly 0
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mixshift").toString
+    val both = (1L to 4000L).filter { i =>
+      val b = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString).take(8), 16) % 10
+      b >= 1 && b <= 8
+    }
+    both.map(i => (i, s"w${i % 50} common tokens here", "en", s"s${i % 3}", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    graft.llm.TextOps.mixShift(s, tmp).collect().foreach { r =>
+      assert(r.getDouble(3) === 0.0, s"${r.getString(0)}: identical slices must have TV 0")
+    }
+    val plan = SparkEntry.queries("lsh_plan")(spark, sf).collect()
+    assert(plan.nonEmpty)
+    plan.foreach { r =>
+      val (nb, mx, cand, kept) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(kept <= cand && mx >= 1 && nb >= 1)
+      assert(cand >= mx * (mx - 1) / 2, "cand must cover the worst bucket alone")
+    }
+  }
+
   test("length_zipf buckets are exact log2 ranges; vocab_oov_rate and bucket_balance invariants") {
     import org.apache.spark.sql.functions._
     SparkEntry.queries("length_zipf")(spark, sf).collect().foreach { r =>
