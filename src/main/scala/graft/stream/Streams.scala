@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.functions.GraftFunctions.mqtt_matches
 
@@ -280,6 +280,86 @@ object Streams {
       .as[(String, String, Long)]
       .groupByKey(r => (r._1, r._2))
       .transformWithState(new FirstSeenGate, TimeMode.None(), OutputMode.Append())
+  }
+
+  case class DriftScore(source: String, n_occ: Long, tv_dist: Double)
+
+  /** Running-distribution gate behind [[mixShiftStream]]: per source, a
+    * MapState of term→count over the reference vocabulary (state bound
+    * = |vocab|, NEVER stream length) plus the implied running total.
+    * Each micro-batch folds its arrivals into the counts and emits one
+    * [[DriftScore]] against the broadcast reference distribution, in
+    * the batch twin's exact integer form — Σ|cs·Tr − cr·Ts| with one
+    * double division, so live and batch TV agree to the rounding. */
+  private[stream] class DriftGate(ref: Map[String, Map[String, Long]])
+      extends StatefulProcessor[String, (String, String), DriftScore] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(source: String, rows: Iterator[(String, String)],
+                                 timerValues: TimerValues): Iterator[DriftScore] = {
+      rows.foreach { case (_, tok) =>
+        val prev = if (counts.containsKey(tok)) counts.getValue(tok) else 0L
+        counts.updateValue(tok, prev + 1L)
+      }
+      val refDist = ref.getOrElse(source, Map.empty)
+      val tr = refDist.valuesIterator.sum
+      val cur = scala.collection.mutable.Map.empty[String, Long]
+      counts.iterator().foreach { case (k, v) => cur(k) = v }
+      val ts = cur.valuesIterator.sum
+      if (ts == 0L || tr == 0L) Iterator.empty
+      else {
+        val num = (refDist.keySet ++ cur.keySet).iterator
+          .map(k => math.abs(cur.getOrElse(k, 0L) * tr - refDist.getOrElse(k, 0L) * ts))
+          .sum
+        val tv = math.rint(num.toDouble / (2.0 * ts * tr) * 1e4) / 1e4
+        Iterator.single(DriftScore(source, ts, tv))
+      }
+    }
+  }
+
+  /** STREAMING distribution-drift monitor — the live twin of
+    * [[graft.llm.TextOps.mixShift]]: each micro-batch updates the
+    * per-source token distribution over the reference vocabulary and
+    * emits the total-variation distance of the RUNNING stream
+    * distribution against the static reference — the "did the crawl
+    * shift under us" alarm, fired as data arrives rather than at the
+    * next batch audit. Arrivals are pre-filtered to the ≤|vocab| term
+    * set map-side, so neither the exchange nor the state ever sees the
+    * long tail; a source with no in-vocab arrivals this batch emits
+    * nothing (its drift is unchanged). Checkpoint-restart safe: the
+    * counts live in keyed MapState, so a restarted query resumes the
+    * same running distribution (spec'd). */
+  def mixShiftStream(docs: DataFrame, reference: Map[String, Map[String, Long]])
+                    (implicit spark: SparkSession): Dataset[DriftScore] = {
+    import spark.implicits._
+    val vocab = reference.valuesIterator.flatMap(_.keysIterator).toSet
+    docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isInCollection(vocab))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new DriftGate(reference), TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Build [[mixShiftStream]]'s reference from a static corpus: the
+    * per-source distribution over the GLOBAL top-`k` tokens (count
+    * desc, token asc — the [[graft.llm.TextOps.mixShift]] cut). The
+    * collected frame is ≤ sources·k rows — driver-bounded by
+    * construction, not by data size. */
+  def mixShiftReference(docs: DataFrame, k: Int = 100): Map[String, Map[String, Long]] = {
+    val toks = docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(k).select(col("tok"))
+    toks.join(broadcast(top), Seq("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        src -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      }
   }
 
   /** STREAMING incremental-ingestion dedup — the live twin of

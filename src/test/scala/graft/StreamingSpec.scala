@@ -516,6 +516,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mixShiftStream: running TV drops to exactly 0 once the stream matches the reference, " +
+      "batch-by-batch scores are the integer-exact TV") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val static = Seq((1L, "a a a b b c", "en", "s1", 11L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val ref = Streams.mixShiftReference(static)
+      assert(ref === Map("s1" -> Map("a" -> 3L, "b" -> 2L, "c" -> 1L)))
+      val in = MemoryStream[(Long, String, String)]
+      val q = Streams.mixShiftStream(in.toDF().toDF("doc_id", "text", "source"), ref)
+        .writeStream.outputMode("append").format("memory").queryName("drift").start()
+      try {
+        in.addData((10L, "a a a", "s1")); q.processAllAvailable()
+        in.addData((11L, "b b c", "s1")); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("drift").as[Streams.DriftScore].collect()
+        .map(d => (d.n_occ, d.tv_dist)).sortBy(_._1).toSeq
+      // batch 1: cur={a:3}, ts=3, tr=6 → Σ|cs·Tr−cr·Ts| = 9+6+3 = 18 → 18/36 = 0.5
+      // batch 2: cur == ref scaled → 0
+      assert(got === Seq((3L, 0.5), (6L, 0.0)))
+    }
+  }
+
+  test("mixShiftStream resumes its running distribution from a checkpoint: " +
+      "the post-restart score reflects PRE-restart arrivals") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val ref = Map("s1" -> Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+      val dir = java.nio.file.Files.createTempDirectory("drift_restart").toString
+      val in = MemoryStream[(Long, String, String)]
+      def start() = Streams.mixShiftStream(in.toDF().toDF("doc_id", "text", "source"), ref)
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.DriftScore], _: Long) =>
+          b.write.mode("append").parquet(s"$dir/out")
+        }
+        .start()
+      val q1 = start()
+      try { in.addData((10L, "a a a", "s1")); q1.processAllAvailable() } finally q1.stop()
+      val q2 = start()
+      try { in.addData((11L, "b b c", "s1")); q2.processAllAvailable() } finally q2.stop()
+      val got = spark.read.parquet(s"$dir/out").as[Streams.DriftScore].collect()
+        .map(d => (d.n_occ, d.tv_dist)).sortBy(_._1).toSeq
+      // lost state would make the post-restart batch score {b:2,c:1}
+      // alone (TV 0.5, n_occ 3); recovery must land the full-corpus 0.0
+      assert(got === Seq((3L, 0.5), (6L, 0.0)),
+        "post-restart score must include pre-restart counts")
+    }
+  }
+
   test("streaming near-dup refresh gate pairs an arriving crawl doc with the static snapshot index") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
