@@ -333,6 +333,26 @@ object RelQueries {
       .orderBy(col("event_id"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the behavioral-model audit next to the funnel: for
+    * every (from, to) event-type pair, the transition count and its
+    * per-from probability. The sequencing window partitions by user
+    * (bounded, the repo's accepted window shape); the probability
+    * denominator is a window sum over the ≤|types|²-row transition
+    * frame — never the event stream — and the single division is
+    * rounded, everything else integer. */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(s, d)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    t.withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"), 4))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Running sum over a frame spec. */
   def windowRunning(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -1476,6 +1496,7 @@ object RelQueries {
     "window_rank_kinds"  -> (windowRankKinds _),
     "window_lag_gap"     -> (windowLagGap _),
     "window_lead_next"   -> (windowLeadNext _),
+    "event_transitions"  -> (eventTransitions _),
     "window_running"     -> (windowRunning _),
     "window_ntile"       -> (windowNtile _),
     "window_pct_rank"    -> (windowPctRank _),
@@ -2099,6 +2120,20 @@ object RelQueries {
                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         FROM events)
       GROUP BY user_id ORDER BY user_id""",
+
+    "event_transitions" -> """
+      WITH t AS (
+        SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT event_type,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+          FROM events)
+        WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             round(CAST(n AS DOUBLE)
+                   / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
+      FROM t ORDER BY from_type, to_type""",
 
     "window_lead_next" -> """
       SELECT event_id, user_id, next_type,
