@@ -513,6 +513,24 @@ class QueriesSpec extends AnyFunSuite {
       assert(kept <= cand && mx >= 1 && nb >= 1)
       assert(cand >= mx * (mx - 1) / 2, "cand must cover the worst bucket alone")
     }
+    // the plan must UPPER-BOUND reality: every distinct candidate pair
+    // comes from at least one kept bucket, so Σ kept_pairs across bands
+    // ≥ the deduplicated pair count the actual expansion produces
+    val keptTotal = plan.map(_.getLong(4)).sum
+    val actual = SparkEntry.queries("minhash_pairs")(spark, sf).count()
+    assert(keptTotal >= actual,
+      s"plan says $keptTotal kept pairs but the expansion produced $actual")
+  }
+
+  test("event_transitions: rows are a row-stochastic matrix (per-from p sums to 1 within rounding)") {
+    val rows = SparkEntry.queries("event_transitions")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) <= 0.0005 * rs.length,
+        s"$from: probabilities sum to $pSum")
+      assert(rs.forall(_.getLong(2) > 0))
+    }
   }
 
   test("length_zipf buckets are exact log2 ranges; vocab_oov_rate and bucket_balance invariants") {
