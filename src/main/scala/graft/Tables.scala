@@ -21,17 +21,24 @@ object Tables {
   def part(s: SparkSession, d: String)      = load(s, d, "part")
   def orders(s: SparkSession, d: String)    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = load(s, d, "lineitem")
-  /** `events` with `ts` restored to TIMESTAMP: the file stores
-    * TIMESTAMP(NANOS) (driver generator used ns precision), which Spark
-    * reads as epoch-nanos BIGINT under `nanosAsLong`; all residues below
-    * the microsecond are zero in the testdata, so `ts div 1000` micros is
-    * lossless. Integer division on LONG — a double intermediate would lose
-    * precision above 2^53 ns. */
+  /** `events` with `ts` restored to session-zoned TIMESTAMP, whatever
+    * precision/annotation the generator wrote:
+    *  - TIMESTAMP(NANOS) reads as epoch-nanos BIGINT under `nanosAsLong`;
+    *    all residues below the microsecond are zero in the testdata, so
+    *    `ts div 1000` micros is lossless. Integer division on LONG — a
+    *    double intermediate would lose precision above 2^53 ns.
+    *  - timestamp[us] without a timezone annotation reads as
+    *    TIMESTAMP_NTZ; the cast to TIMESTAMP interprets the wall-clock in
+    *    the session timezone (pinned UTC by every entry point), exactly
+    *    how DuckDB's naive TIMESTAMP treats the same bytes — lossless and
+    *    oracle-identical. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
@@ -54,6 +61,12 @@ object Tables {
           cutoffUtc.getNano.toLong)
         df.filter(col("ts") <= ns)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // compare on the STORED NTZ column (pushes to parquet stats),
+        // with the cutoff rendered as the same UTC wall-clock
+        df.filter(col("ts") <= lit(java.time.LocalDateTime.ofInstant(
+            cutoffUtc, java.time.ZoneOffset.UTC)))
+          .withColumn("ts", col("ts").cast("timestamp"))
       case _ =>
         df.filter(col("ts") <= lit(java.sql.Timestamp.from(cutoffUtc)))
     }

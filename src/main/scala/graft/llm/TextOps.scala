@@ -238,6 +238,112 @@ object TextOps {
       .limit(20)
   }
 
+  /** k greedy BPE merge iterations — the full tokenizer-training loop
+    * [[bpeMergeStep]] grades one step of: pick the most frequent
+    * adjacent symbol pair, fuse it everywhere, re-count, repeat. Emits
+    * the k-row merge table (step, pair, merged, n_words, total_occ) —
+    * exactly what `merges.txt` of a trained BPE tokenizer holds.
+    *
+    * Representation: each word's symbol sequence is a boundary-
+    * delimited string `" a  b  c "` (single space flanks, double space
+    * between symbols; words are space-split so symbols can never
+    * contain the delimiter). Fusing pair (a, b) is then ONE
+    * `replace(s, " a  b ", " ab ")` — and because `replace` scans
+    * left-to-right non-overlapping in both Spark and DuckDB, the
+    * classic BPE greedy semantics ("aaa" + merge(a,a) → [aa, a]) fall
+    * out for free, with no per-row fold/UDF and no codegen fallback.
+    * The pair key is the plain string "a b", so the deterministic
+    * tie-break (desc mass, then pair text) compares identical strings
+    * on both engines.
+    *
+    * Scale shape: like [[bpeMergeStep]], the loop runs on the
+    * DISTINCT-WORD frame (|vocab| rows, not |corpus| tokens), weighted
+    * by word frequency. Each iteration is one hash agg over that frame
+    * plus a broadcast of the 1-row winner into the fuse expression —
+    * the argmax never touches the driver. The re-symbolized frame is
+    * localCheckpointed per iteration ([[graft.llm.HashDedup]]
+    * `dedup_components` discipline) so lineage stays k-deep-free and
+    * the word frame materializes once per step, not once per
+    * downstream consumer. k is a constant (3 graded); at 32k merges
+    * the same loop runs with the winner batched per iteration. */
+  def bpeMergeK(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    bpeLearn(s, d, k)._1.reduce(_.unionByName(_))
+      .select(col("step"), col("pair"),
+        regexp_replace(col("pair"), " ", "").as("merged"),
+        col("n_words"), col("total_occ"))
+      .orderBy(col("step"))
+
+  /** The shared BPE training loop behind [[bpeMergeK]] (the merge table)
+    * and [[bpeApply]] (the segmentation it produces): returns the k
+    * 1-row argmax frames and the final re-symbolized distinct-word
+    * frame. Precondition: the corpus offers at least one fusable pair
+    * at every step (any real corpus does) — an empty argmax would fuse
+    * nothing and empty the word frame via the crossJoin. */
+  private def bpeLearn(s: SparkSession, d: String, k: Int): (Seq[DataFrame], DataFrame) = {
+    val words0 = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("s", regexp_replace(col("w"), "(.)", " $1 "))
+    var cur = words0.localCheckpoint()
+    val steps = Seq.newBuilder[DataFrame]
+    for (i <- 1 to k) {
+      val top = cur
+        .withColumn("syms", split(trim(col("s")), "  "))
+        .filter(size(col("syms")) >= 2)
+        .select(col("w"), col("c"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            j => concat_ws(" ",
+              element_at(col("syms"), j),
+              element_at(col("syms"), j + 1)))).as("pair"))
+        .groupBy(col("pair"))
+        .agg(countDistinct(col("w")).as("n_words"),
+             sum(col("c")).as("total_occ"))
+        .orderBy(col("total_occ").desc, col("pair"))
+        .limit(1)
+        .select(lit(i).as("step"), col("pair"), col("n_words"), col("total_occ"))
+        .localCheckpoint()
+      steps += top
+      cur = cur
+        .crossJoin(broadcast(top.select(col("pair").as("mp"))))
+        .withColumn("s", expr(
+          "replace(s, ' ' || replace(mp, ' ', '  ') || ' ', " +
+          "' ' || replace(mp, ' ', '') || ' ')"))
+        .select(col("w"), col("c"), col("s"))
+        .localCheckpoint()
+    }
+    (steps.result(), cur)
+  }
+
+  /** BPE tokenizer APPLICATION — the inference path next to
+    * [[bpeMergeK]]'s training path: segment every word with the k = 3
+    * learned merges and report the per-source compression the merge
+    * table buys (char-level token count vs post-merge symbol count).
+    * This is the table a tokenizer rollout decision reads: compression
+    * ≈ 1 for a source means the learned merges don't help it.
+    *
+    * Scale shape: each DISTINCT word is segmented exactly once (the
+    * |vocab|-row frame from the shared loop), then a hash join fans the
+    * per-word symbol count out to the per-(source, word) occurrence
+    * counts — the corpus is never re-segmented per occurrence. Both
+    * sides of the join key on the word; the ratio divides two exact
+    * integer sums once, rounded at 4 decimals. */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val seg = bpeLearn(s, d, 3)._2
+      .select(col("w"),
+        size(split(trim(col("s")), "  ")).cast("long").as("n_syms"))
+    Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .join(seg, "w")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("w")).as("n_words"),
+           sum(col("c") * length(col("w"))).as("n_tokens_char"),
+           sum(col("c") * col("n_syms")).as("n_tokens_bpe"),
+           round(sum(col("c") * length(col("w"))).cast("double") /
+                 sum(col("c") * col("n_syms")), 4).as("compression"))
+      .orderBy(col("source"))
+  }
+
   /** Heaps-law vocabulary-growth audit: cumulative token mass vs
     * cumulative DISTINCT vocabulary per source at corpus-order deciles
     * (global doc_id range split in 10 — the ingestion-order proxy). The
@@ -1324,6 +1430,8 @@ object TextOps {
     "gopher_rules"     -> (gopherRules _),
     "rep_ngram_frac"   -> (repNgramFrac _),
     "bpe_merge_step"   -> (bpeMergeStep _),
+    "bpe_merge_k"      -> ((s: SparkSession, d: String) => bpeMergeK(s, d)),
+    "bpe_apply"        -> (bpeApply _),
     "vocab_growth"     -> (vocabGrowth _))
 
   /** Unigram-LM cross-entropy scoring — the CCNet-style quality signal
@@ -1549,6 +1657,109 @@ object TextOps {
         |SELECT pair, count(DISTINCT w) AS n_words, CAST(sum(c) AS BIGINT) AS total_occ
         |FROM pairs GROUP BY pair
         |ORDER BY total_occ DESC, pair LIMIT 20""".stripMargin,
+
+    // Three unrolled greedy BPE stages. Symbol sequences live in the
+    // same boundary-delimited string the Spark side uses (" a  b  c "),
+    // so fusing the winning pair is the identical non-overlapping
+    // left-to-right replace() on both engines.
+    "bpe_merge_k" ->
+      """WITH wc AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |w0 AS (SELECT w, c, regexp_replace(w, '(.)', ' \1 ', 'g') AS s FROM wc),
+        |p1 AS (
+        |  SELECT pair, count(DISTINCT w) AS n_words, CAST(sum(c) AS BIGINT) AS total_occ
+        |  FROM (SELECT w, c, unnest(list_transform(generate_series(1, len(syms) - 1),
+        |          i -> syms[i] || ' ' || syms[i + 1])) AS pair
+        |        FROM (SELECT w, c, str_split(trim(s), '  ') AS syms FROM w0)
+        |        WHERE len(syms) >= 2)
+        |  GROUP BY pair),
+        |t1 AS (SELECT 1 AS step, pair, n_words, total_occ FROM p1
+        |       ORDER BY total_occ DESC, pair LIMIT 1),
+        |w1 AS (SELECT w, c, replace(s, ' ' || replace(t.pair, ' ', '  ') || ' ',
+        |                            ' ' || replace(t.pair, ' ', '') || ' ') AS s
+        |       FROM w0 CROSS JOIN t1 t),
+        |p2 AS (
+        |  SELECT pair, count(DISTINCT w) AS n_words, CAST(sum(c) AS BIGINT) AS total_occ
+        |  FROM (SELECT w, c, unnest(list_transform(generate_series(1, len(syms) - 1),
+        |          i -> syms[i] || ' ' || syms[i + 1])) AS pair
+        |        FROM (SELECT w, c, str_split(trim(s), '  ') AS syms FROM w1)
+        |        WHERE len(syms) >= 2)
+        |  GROUP BY pair),
+        |t2 AS (SELECT 2 AS step, pair, n_words, total_occ FROM p2
+        |       ORDER BY total_occ DESC, pair LIMIT 1),
+        |w2 AS (SELECT w, c, replace(s, ' ' || replace(t.pair, ' ', '  ') || ' ',
+        |                            ' ' || replace(t.pair, ' ', '') || ' ') AS s
+        |       FROM w1 CROSS JOIN t2 t),
+        |p3 AS (
+        |  SELECT pair, count(DISTINCT w) AS n_words, CAST(sum(c) AS BIGINT) AS total_occ
+        |  FROM (SELECT w, c, unnest(list_transform(generate_series(1, len(syms) - 1),
+        |          i -> syms[i] || ' ' || syms[i + 1])) AS pair
+        |        FROM (SELECT w, c, str_split(trim(s), '  ') AS syms FROM w2)
+        |        WHERE len(syms) >= 2)
+        |  GROUP BY pair),
+        |t3 AS (SELECT 3 AS step, pair, n_words, total_occ FROM p3
+        |       ORDER BY total_occ DESC, pair LIMIT 1)
+        |SELECT step, pair, replace(pair, ' ', '') AS merged, n_words, total_occ
+        |FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3)
+        |ORDER BY step""".stripMargin,
+
+    // Same three learned merges as bpe_merge_k, then the application
+    // path: segment each distinct word once, fan out to per-source
+    // occurrence counts, report the compression the merges buy.
+    "bpe_apply" ->
+      """WITH wc AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |w0 AS (SELECT w, c, regexp_replace(w, '(.)', ' \1 ', 'g') AS s FROM wc),
+        |p1 AS (
+        |  SELECT pair, CAST(sum(c) AS BIGINT) AS total_occ
+        |  FROM (SELECT w, c, unnest(list_transform(generate_series(1, len(syms) - 1),
+        |          i -> syms[i] || ' ' || syms[i + 1])) AS pair
+        |        FROM (SELECT w, c, str_split(trim(s), '  ') AS syms FROM w0)
+        |        WHERE len(syms) >= 2)
+        |  GROUP BY pair),
+        |t1 AS (SELECT pair FROM p1 ORDER BY total_occ DESC, pair LIMIT 1),
+        |w1 AS (SELECT w, c, replace(s, ' ' || replace(t.pair, ' ', '  ') || ' ',
+        |                            ' ' || replace(t.pair, ' ', '') || ' ') AS s
+        |       FROM w0 CROSS JOIN t1 t),
+        |p2 AS (
+        |  SELECT pair, CAST(sum(c) AS BIGINT) AS total_occ
+        |  FROM (SELECT w, c, unnest(list_transform(generate_series(1, len(syms) - 1),
+        |          i -> syms[i] || ' ' || syms[i + 1])) AS pair
+        |        FROM (SELECT w, c, str_split(trim(s), '  ') AS syms FROM w1)
+        |        WHERE len(syms) >= 2)
+        |  GROUP BY pair),
+        |t2 AS (SELECT pair FROM p2 ORDER BY total_occ DESC, pair LIMIT 1),
+        |w2 AS (SELECT w, c, replace(s, ' ' || replace(t.pair, ' ', '  ') || ' ',
+        |                            ' ' || replace(t.pair, ' ', '') || ' ') AS s
+        |       FROM w1 CROSS JOIN t2 t),
+        |p3 AS (
+        |  SELECT pair, CAST(sum(c) AS BIGINT) AS total_occ
+        |  FROM (SELECT w, c, unnest(list_transform(generate_series(1, len(syms) - 1),
+        |          i -> syms[i] || ' ' || syms[i + 1])) AS pair
+        |        FROM (SELECT w, c, str_split(trim(s), '  ') AS syms FROM w2)
+        |        WHERE len(syms) >= 2)
+        |  GROUP BY pair),
+        |t3 AS (SELECT pair FROM p3 ORDER BY total_occ DESC, pair LIMIT 1),
+        |w3 AS (SELECT w, c, replace(s, ' ' || replace(t.pair, ' ', '  ') || ' ',
+        |                            ' ' || replace(t.pair, ' ', '') || ' ') AS s
+        |       FROM w2 CROSS JOIN t3 t),
+        |seg AS (SELECT w, CAST(len(str_split(trim(s), '  ')) AS BIGINT) AS n_syms
+        |        FROM w3),
+        |ws AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(str_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY source, w)
+        |SELECT ws.source, count(DISTINCT ws.w) AS n_words,
+        |       CAST(sum(ws.c * len(ws.w)) AS BIGINT) AS n_tokens_char,
+        |       CAST(sum(ws.c * seg.n_syms) AS BIGINT) AS n_tokens_bpe,
+        |       round(CAST(sum(ws.c * len(ws.w)) AS DOUBLE) /
+        |             CAST(sum(ws.c * seg.n_syms) AS DOUBLE), 4) AS compression
+        |FROM ws JOIN seg ON ws.w = seg.w
+        |GROUP BY ws.source ORDER BY ws.source""".stripMargin,
 
     "vocab_growth" ->
       """WITH toks AS (

@@ -628,6 +628,68 @@ class QueriesSpec extends AnyFunSuite {
     g.foreach(r => assert(r.getLong(1) <= r.getLong(2)))
   }
 
+  test("bpe_merge_k: the k=3 greedy loop replays Sennrich's low/lower/lowest " +
+      "merges; overlapping pairs fuse left-to-right; greedy mass is monotone") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpek").toString
+    Seq((0L, "low low lower lowest", "en", "src0", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("bpe_merge_k")(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // merge 1: l+o and o+w tie at mass 4 over 3 word forms; pair text
+    // breaks it to "l o". merge 2 fuses the resulting (lo, w); merge 3
+    // fuses (low, e), carried by lower + lowest only.
+    assert(rows.toSeq === Seq(
+      (1, "l o", "lo", 3L, 4L),
+      (2, "lo w", "low", 3L, 4L),
+      (3, "low e", "lowe", 2L, 2L)))
+    // greedy left-to-right: "aaa" counts the (a,a) position twice but
+    // fuses to [aa, a] — so merge 2 is (aa, a), and after it the word is
+    // a single symbol: stage 3 has no pairs and emits nothing.
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_bpek2").toString
+    Seq((0L, "aaa aaa", "en", "src0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val ovl = SparkEntry.queries("bpe_merge_k")(spark, tmp2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(ovl.toSeq === Seq(
+      (1, "a a", "aa", 1L, 4L),
+      (2, "aa a", "aaa", 1L, 2L)))
+    // graded table: 3 steps, and greedy argmax mass can never increase
+    // (a merge only removes or splits existing pair mass)
+    val g = SparkEntry.queries("bpe_merge_k")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(g.map(_._1).toSeq === Seq(1, 2, 3))
+    assert(g.sliding(2).forall { case Array(a, b) => a._5 >= b._5 })
+    g.foreach { r =>
+      assert(r._3 === r._2.replace(" ", ""))
+      assert(r._4 <= r._5)
+    }
+  }
+
+  test("bpe_apply: segmentation under the 3 learned merges compresses " +
+      "low/lower/lowest from 17 char tokens to 7; graded ratios stay >= 1") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpea").toString
+    Seq((0L, "low low lower lowest", "en", "src0", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("bpe_apply")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // merges l+o, lo+w, low+e segment low→[low], lower→[lowe,r],
+    // lowest→[lowe,s,t]: chars 2·3+5+6 = 17, bpe tokens 2·1+2+3 = 7
+    assert(rows.toSeq === Seq(("src0", 3L, 17L, 7L, 2.4286)))
+    // graded table: merges can only fuse, so every source compresses
+    // (ratio >= 1) and bpe mass never exceeds char mass
+    val g = SparkEntry.queries("bpe_apply")(spark, sf).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getDouble(4) >= 1.0)
+    }
+  }
+
   test("vocab_growth: hand-computed Heaps curve; empty deciles carry the " +
       "cumulative forward on both sides of the grid") {
     val s = spark; import s.implicits._
