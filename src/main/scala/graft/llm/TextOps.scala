@@ -344,6 +344,53 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Deterministic waterfilling token-budget allocation — the mix
+    * planner's core step: fill a budget B (half the corpus here) from
+    * per-source availabilities with EQUAL priority, capping each source
+    * at what it has. Small sources are taken whole ("saturated"); the
+    * rest split the remaining budget evenly, the classic max-min-fair
+    * waterline. Emits per source: available tokens, allocated tokens,
+    * the saturation flag, and the take rate — Σ alloc = B exactly.
+    *
+    * All in INTEGER math so the allocation is byte-stable cross-engine:
+    * sources sort by (avail, source); a source saturates iff
+    * avail·m ≤ rem (m = sources from it on, rem = budget left before
+    * it — saturation is provably a prefix of that order); the first
+    * unsaturated row fixes the waterline rem* div m* with the rem* mod
+    * m* remainder handed to the first unsaturated sources in order.
+    *
+    * Scale shape: the only corpus-sized work is the per-source token
+    * count (one scan, map-side combinable). Everything after — the
+    * total orders, the global windows — runs on the ≤|sources| aggregate
+    * frame, the documented exception to the no-total-order rule. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail"))
+    val tot = per.agg(sum(col("avail")).as("t"), count(lit(1)).as("n"))
+    val w = Window.orderBy(col("avail"), col("source"))
+    val all = Window.partitionBy()
+    per.crossJoin(broadcast(tot))
+      .withColumn("b", expr("t div 2"))
+      .withColumn("j", row_number().over(w).cast("long"))
+      .withColumn("pre", coalesce(
+        sum(col("avail")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("m", col("n") - col("j") + 1L)
+      .withColumn("rem", col("b") - col("pre"))
+      .withColumn("sat", col("avail") * col("m") <= col("rem"))
+      .withColumn("jstar", min(when(!col("sat"), col("j"))).over(all))
+      .withColumn("rem_star", max(when(col("j") === col("jstar"), col("rem"))).over(all))
+      .withColumn("m_star", max(when(col("j") === col("jstar"), col("m"))).over(all))
+      .withColumn("alloc", when(col("sat"), col("avail")).otherwise(
+        expr("rem_star div m_star") +
+          when(col("j") - col("jstar") + 1L <= expr("rem_star % m_star"), 1L)
+            .otherwise(0L)))
+      .select(col("source"), col("avail"), col("alloc"),
+        col("sat").as("saturated"),
+        round(col("alloc").cast("double") / col("avail"), 4).as("take_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Heaps-law vocabulary-growth audit: cumulative token mass vs
     * cumulative DISTINCT vocabulary per source at corpus-order deciles
     * (global doc_id range split in 10 — the ingestion-order proxy). The
@@ -1432,6 +1479,8 @@ object TextOps {
     "bpe_merge_step"   -> (bpeMergeStep _),
     "bpe_merge_k"      -> ((s: SparkSession, d: String) => bpeMergeK(s, d)),
     "bpe_apply"        -> (bpeApply _),
+    "token_budget"     -> (tokenBudget _),
+    "bigram_xent"      -> (bigramXent _),
     "vocab_growth"     -> (vocabGrowth _))
 
   /** Unigram-LM cross-entropy scoring — the CCNet-style quality signal
@@ -1472,6 +1521,54 @@ object TextOps {
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
            round(avg(col("nll") / col("n_tok") / log(lit(2.0))), 3)
+             .as("avg_xent_bits"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Bigram-LM cross-entropy — the order-2 companion to [[lmXent]],
+    * one step toward the 5-gram KenLM filter CCNet actually ships:
+    * P(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁·) + α(V+1)), α = 0.5, where
+    * c(w₁·) is the CONTEXT count (bigrams starting with w₁, derived
+    * from the bigram counts — not a third corpus pass) and V is the
+    * context vocabulary |{w₁}| (+1 the unclaimed OOV slot, same
+    * convention as [[lmXent]]). Captures word-ORDER surprise the
+    * unigram score is blind to: a bag of frequent words in scrambled
+    * order scores high here, identically to its unscrambled twin there.
+    *
+    * Scale shape: the exploded bigram frame has three consumers
+    * (bigram counts, the scoring join, and nothing else — context
+    * counts fold from bigram counts) so it is localCheckpointed; both
+    * LM joins key on token text and shuffle only if the LM outgrows
+    * AQE's broadcast threshold, the standard LM-scoring shape. Docs
+    * with fewer than two tokens carry no bigram and are excluded up
+    * front (mirrored in the twin). */
+  def bigramXent(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+              split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bi = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          j => struct(element_at(col("ws"), j).as("w1"),
+                      element_at(col("ws"), j + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("lang"), col("source"),
+              col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint()
+    val c2 = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2")).localCheckpoint()
+    val cctx = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val st = cctx.agg(count(lit(1)).as("v"))
+    bi.join(c2, Seq("w1", "w2"))
+      .join(cctx, Seq("w1"))
+      .crossJoin(broadcast(st))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_bi"),
+           sum(-log((col("c2") + 0.5) /
+             (col("c1") + (col("v") + 1) * 0.5))).as("nll"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("nll") / col("n_bi") / log(lit(2.0))), 3)
              .as("avg_xent_bits"))
       .orderBy(col("lang"), col("source"))
   }
@@ -1592,6 +1689,32 @@ object TextOps {
         |  GROUP BY 1, 2, 3)
         |SELECT lang, source, count(*) AS n_docs,
         |       round(avg(nll / n_tok / ln(2)), 3) AS avg_xent_bits
+        |FROM scored GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+
+    // Order-2 twin of lm_xent. DuckDB zips the two equal-length unnests
+    // in lockstep, pairing ws[i] with ws[i+1] positionally.
+    "bigram_xent" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, source, str_split(text, ' ') AS ws
+        |  FROM documents WHERE len(str_split(text, ' ')) >= 2),
+        |bi AS (
+        |  SELECT doc_id, lang, source,
+        |         unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[i])) AS w1,
+        |         unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[i + 1])) AS w2
+        |  FROM docs),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |       FROM bi GROUP BY w1, w2),
+        |cctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cctx),
+        |scored AS (
+        |  SELECT b.doc_id, b.lang, b.source, count(*) AS n_bi,
+        |         sum(-ln((c.c2 + 0.5) / (x.c1 + 0.5 * (s.v + 1)))) AS nll
+        |  FROM bi b JOIN c2 c ON b.w1 = c.w1 AND b.w2 = c.w2
+        |            JOIN cctx x ON b.w1 = x.w1
+        |            CROSS JOIN st s
+        |  GROUP BY 1, 2, 3)
+        |SELECT lang, source, count(*) AS n_docs,
+        |       round(avg(nll / n_bi / ln(2)), 3) AS avg_xent_bits
         |FROM scored GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
 
     "gopher_rules" ->
@@ -1760,6 +1883,42 @@ object TextOps {
         |             CAST(sum(ws.c * seg.n_syms) AS DOUBLE), 4) AS compression
         |FROM ws JOIN seg ON ws.w = seg.w
         |GROUP BY ws.source ORDER BY ws.source""".stripMargin,
+
+    // Integer waterfilling: saturation is a prefix of the (avail, source)
+    // order; the first unsaturated row fixes the waterline and remainder.
+    "token_budget" ->
+      """WITH per AS (
+        |  SELECT source, CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS avail
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(avail) AS BIGINT) AS t,
+        |               CAST(count(*) AS BIGINT) AS n FROM per),
+        |rk AS (
+        |  SELECT source, avail, t // 2 AS b, n,
+        |         CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS j,
+        |         CAST(coalesce(sum(avail) OVER (ORDER BY avail, source
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+        |  FROM per CROSS JOIN tot),
+        |st AS (
+        |  SELECT *, n - j + 1 AS m, b - pre AS rem,
+        |         avail * (n - j + 1) <= b - pre AS sat
+        |  FROM rk),
+        |gl AS (
+        |  SELECT *, min(CASE WHEN NOT sat THEN j END) OVER () AS jstar FROM st),
+        |g2 AS (
+        |  SELECT *, max(CASE WHEN j = jstar THEN rem END) OVER () AS rem_star,
+        |            max(CASE WHEN j = jstar THEN m END) OVER () AS m_star
+        |  FROM gl),
+        |fin AS (
+        |  SELECT source, avail, sat,
+        |         CASE WHEN sat THEN avail
+        |              ELSE rem_star // m_star +
+        |                   CASE WHEN j - jstar + 1 <= rem_star % m_star
+        |                        THEN 1 ELSE 0 END
+        |         END AS alloc
+        |  FROM g2)
+        |SELECT source, avail, CAST(alloc AS BIGINT) AS alloc, sat AS saturated,
+        |       round(CAST(alloc AS DOUBLE) / avail, 4) AS take_rate
+        |FROM fin ORDER BY source""".stripMargin,
 
     "vocab_growth" ->
       """WITH toks AS (

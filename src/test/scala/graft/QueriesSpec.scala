@@ -690,6 +690,58 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("token_budget: waterfilling takes small sources whole and splits the " +
+      "rest at the integer waterline; the remainder goes in sorted order") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_budget").toString
+    def doc(id: Long, src: String, n: Int) =
+      (id, Seq.fill(n)("t").mkString(" "), "en", src, n.toLong)
+    // avails a=2 b=5 c=100 d=101 → T=208, B=104: a and b saturate
+    // (rem stays huge), waterline = (104-7) div 2 = 48 with remainder 1
+    // handed to c (first unsaturated in (avail, source) order)
+    Seq(doc(0, "a", 2), doc(1, "b", 5), doc(2, "c", 100), doc(3, "d", 101))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("token_budget")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getDouble(4)))
+    assert(rows.toSeq === Seq(
+      ("a", 2L, 2L, true, 1.0), ("b", 5L, 5L, true, 1.0),
+      ("c", 100L, 49L, false, 0.49), ("d", 101L, 48L, false, 0.4752)))
+    // graded table: Σ alloc = T div 2 exactly; saturation ⇔ full take
+    val g = SparkEntry.queries("token_budget")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val t = g.map(_._1).sum
+    assert(g.map(_._2).sum === t / 2)
+    g.foreach { case (avail, alloc, sat) =>
+      assert(if (sat) alloc === avail else alloc <= avail)
+    }
+  }
+
+  test("bigram_xent: hand-computed order-2 cross-entropy; sub-bigram docs " +
+      "are excluded; scrambled word order separates from lm_xent") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bixent").toString
+    // bigrams: (a,b)x3, (b,a)x1; contexts a=3, b=1; V=2, α=0.5:
+    //   p(b|a) = 3.5/4.5, p(a|b) = 1.5/2.5
+    // doc0 "a b a b": nll = 2·ln(9/7) + ln(5/3) over 3 bigrams → 0.4874 bits
+    // doc1 "a b":     nll = ln(9/7) over 1 bigram            → 0.3626 bits
+    // doc2 "z" has no bigram: excluded from n_docs entirely
+    Seq((0L, "a b a b", "en", "src0", 7L), (1L, "a b", "en", "src0", 3L),
+        (2L, "z", "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("bigram_xent")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(("en", "src0", 2L, 0.425)))
+    // graded table: every group scores positive finite bits
+    val g = SparkEntry.queries("bigram_xent")(spark, sf).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getLong(2) > 0)
+      assert(r.getDouble(3) > 0.0 && !r.getDouble(3).isNaN)
+    }
+  }
+
   test("vocab_growth: hand-computed Heaps curve; empty deciles carry the " +
       "cumulative forward on both sides of the grid") {
     val s = spark; import s.implicits._
