@@ -1481,6 +1481,7 @@ object TextOps {
     "bpe_apply"        -> (bpeApply _),
     "token_budget"     -> (tokenBudget _),
     "bigram_xent"      -> (bigramXent _),
+    "logreg_step"      -> (logregStep _),
     "vocab_growth"     -> (vocabGrowth _))
 
   /** Unigram-LM cross-entropy scoring — the CCNet-style quality signal
@@ -1523,6 +1524,55 @@ object TextOps {
            round(avg(col("nll") / col("n_tok") / log(lit(2.0))), 3)
              .as("avg_xent_bits"))
       .orderBy(col("lang"), col("source"))
+  }
+
+  /** Distributed logistic-regression training step ×2 — the
+    * quality-classifier shape (fastText-style linear scorer over cheap
+    * document features) graded the way `kmeans_step` grades clustering:
+    * two unrolled batch-gradient-descent iterations on the language
+    * label (y = lang='en') with features (bias, clipped length,
+    * stopword ratio), emitting the 3-row weight table after each step.
+    * From w = 0 the first step is closed-form (σ ≡ 0.5); the second
+    * evaluates the sigmoid per document — the part that makes this a
+    * real distributed-training kernel, not algebra.
+    *
+    * Scale shape: ONE corpus scan builds the feature frame
+    * (localCheckpointed — both steps consume it); each step is one
+    * map-side-combinable agg to a single row, and step 1's weights
+    * broadcast into step 2's sigmoid — weights never touch the driver,
+    * the same discipline as [[bpeMergeK]]'s argmax. Cross-engine FP:
+    * both engines compute 0.1·Σ/n in the same association; Σ over
+    * ~1e-15-noise doubles is invisible at the 4-decimal rounding
+    * ([[lmXent]] precedent). */
+  def logregStep(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val f = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(
+        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"),
+        lit(1.0d).as("x0"),
+        (least(size(col("ws")), lit(200)).cast("double") / 200.0d).as("x1"),
+        (size(filter(col("ws"), w => array_contains(stopArr, w))).cast("double") /
+          size(col("ws"))).as("x2"))
+      .localCheckpoint()
+    val s1 = f.agg(
+      (lit(0.1d) * sum(col("x0") * (col("y") - 0.5d)) / count(lit(1))).as("w0"),
+      (lit(0.1d) * sum(col("x1") * (col("y") - 0.5d)) / count(lit(1))).as("w1"),
+      (lit(0.1d) * sum(col("x2") * (col("y") - 0.5d)) / count(lit(1))).as("w2"))
+    f.crossJoin(broadcast(s1))
+      .withColumn("sig", lit(1.0d) / (lit(1.0d) + exp(-(
+        col("w0") * col("x0") + col("w1") * col("x1") + col("w2") * col("x2")))))
+      .agg(
+        max(col("w0")).as("w0"), max(col("w1")).as("w1"), max(col("w2")).as("w2"),
+        (lit(0.1d) * sum(col("x0") * (col("sig") - col("y"))) / count(lit(1))).as("g0"),
+        (lit(0.1d) * sum(col("x1") * (col("sig") - col("y"))) / count(lit(1))).as("g1"),
+        (lit(0.1d) * sum(col("x2") * (col("sig") - col("y"))) / count(lit(1))).as("g2"))
+      .select(expr(
+        "stack(3, 'bias', round(w0, 4), round(w0 - g0, 4), " +
+        "'len', round(w1, 4), round(w1 - g1, 4), " +
+        "'stop_ratio', round(w2, 4), round(w2 - g2, 4)) " +
+        "AS (feature, w_step1, w_step2)"))
+      .orderBy(col("feature"))
   }
 
   /** Bigram-LM cross-entropy — the order-2 companion to [[lmXent]],
@@ -1690,6 +1740,41 @@ object TextOps {
         |SELECT lang, source, count(*) AS n_docs,
         |       round(avg(nll / n_tok / ln(2)), 3) AS avg_xent_bits
         |FROM scored GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+
+    // Two unrolled GD steps; expressions kept in the same association
+    // (0.1 * sum / count) as the Spark side so FP noise stays ~1e-15.
+    "logreg_step" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |         1.0 AS x0,
+        |         CAST(least(len(ws), 200) AS DOUBLE) / 200.0 AS x1,
+        |         CAST(len(list_filter(ws, w -> list_contains(
+        |           ['the', 'a', 'of', 'and', 'to', 'in', 'is'], w))) AS DOUBLE)
+        |           / len(ws) AS x2
+        |  FROM (SELECT lang, str_split(text, ' ') AS ws FROM documents)),
+        |s1 AS (
+        |  SELECT 0.1 * sum(x0 * (y - 0.5)) / count(*) AS w0,
+        |         0.1 * sum(x1 * (y - 0.5)) / count(*) AS w1,
+        |         0.1 * sum(x2 * (y - 0.5)) / count(*) AS w2
+        |  FROM f),
+        |sc AS (
+        |  SELECT f.*, s1.w0 AS w0, s1.w1 AS w1, s1.w2 AS w2,
+        |         1.0 / (1.0 + exp(-(s1.w0 * x0 + s1.w1 * x1 + s1.w2 * x2))) AS sig
+        |  FROM f CROSS JOIN s1),
+        |s2 AS (
+        |  SELECT max(w0) AS w0, max(w1) AS w1, max(w2) AS w2,
+        |         0.1 * sum(x0 * (sig - y)) / count(*) AS g0,
+        |         0.1 * sum(x1 * (sig - y)) / count(*) AS g1,
+        |         0.1 * sum(x2 * (sig - y)) / count(*) AS g2
+        |  FROM sc)
+        |SELECT feature, w_step1, w_step2 FROM (
+        |  SELECT 'bias' AS feature, round(w0, 4) AS w_step1,
+        |         round(w0 - g0, 4) AS w_step2 FROM s2
+        |  UNION ALL
+        |  SELECT 'len', round(w1, 4), round(w1 - g1, 4) FROM s2
+        |  UNION ALL
+        |  SELECT 'stop_ratio', round(w2, 4), round(w2 - g2, 4) FROM s2)
+        |ORDER BY feature""".stripMargin,
 
     // Order-2 twin of lm_xent. DuckDB zips the two equal-length unnests
     // in lockstep, pairing ws[i] with ws[i+1] positionally.

@@ -742,6 +742,33 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("logreg_step: two hand-computed GD steps on a 2-doc corpus; step 1 " +
+      "is the closed σ=0.5 form, step 2 evaluates the sigmoid") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lr").toString
+    // doc0 (en, y=1): x = (1, 2/200, stop ratio 1.0)
+    // doc1 (fr, y=0): x = (1, 3/200, 0.0)
+    // w1 = 0.1·Σx(y−.5)/2 = (0, −0.000125, 0.025) → rounds (0, −0.0001, 0.025)
+    // step 2 (python-mirrored): (−0.0003, −0.0003, 0.0497)
+    Seq((0L, "the a", "en", "src0", 5L), (1L, "zz zz zz", "fr", "src0", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("logreg_step")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq(
+      ("bias", 0.0, -0.0003), ("len", -0.0001, -0.0003),
+      ("stop_ratio", 0.025, 0.0497)))
+    // graded table: 3 finite weight rows inside the learning-rate bound
+    // |w_stepK| ≤ K·lr·max|x·(σ−y)| = K·0.05 (all features lie in [0,1])
+    val g = SparkEntry.queries("logreg_step")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(g.map(_._1).toSeq === Seq("bias", "len", "stop_ratio"))
+    g.foreach { r =>
+      assert(math.abs(r._2) <= 0.05)
+      assert(math.abs(r._3) <= 0.10)
+    }
+  }
+
   test("vocab_growth: hand-computed Heaps curve; empty deciles carry the " +
       "cumulative forward on both sides of the grid") {
     val s = spark; import s.implicits._
