@@ -140,6 +140,46 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Hard-negative mining — the contrastive-training staple: for each
+    * query vector, the 2 most-similar vectors carrying a DIFFERENT
+    * label. A contrastive or metric-learning objective is only as good
+    * as its negatives; the valuable ones are the near-misses this
+    * emits, not random draws. Routing composes [[annIvf]]'s machinery
+    * with the label constraint PUSHED INTO THE ROUTER: the query ranks
+    * only FOREIGN cells (its own label's centroid is filtered before
+    * the rank), so the per-query candidate set is 2 foreign cells'
+    * members — never the corpus, and never a same-label vector to
+    * discard later.
+    *
+    * Scale shape: identical to [[annIvf]] — broadcast ≤|labels|-row
+    * centroid frame, corpus streams once through the cell-membership
+    * join, per-query top-2 via the bounded window over probed-cell
+    * candidates only. At 100 TB the router would take k-means cells
+    * rather than label cells; the label filter stays a constant-cost
+    * predicate on the broadcast side. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("n2"))
+    val cents = centroids(e)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+              col("v").as("qv"), col("n2").as("qn2"))
+    val wCells = Window.partitionBy(col("qid")).orderBy(col("cellcos").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(cents))
+      .filter(col("cell") =!= col("qlabel"))
+      .withColumn("cellcos", dot(col("qv"), col("cv")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("crk", row_number().over(wCells))
+      .filter(col("crk") <= 2)
+      .select(col("qid"), col("qv"), col("qn2"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
+    probed.join(e, col("label") === col("cell"))
+      .withColumn("cos_raw", dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .select(col("qid"), col("vec_id").as("neg_id"), col("rank"),
+              round(col("cos_raw"), 5).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Symmetric int8 quantization stats per label cell: per-vector scale
     * 127/max|x|, saturation = elements hitting the clip boundary
     * (floor(|x|·scale) ≥ 127 — exact integer predicate, so the count is
@@ -460,6 +500,7 @@ object VectorOps {
     "ann_buckets" -> (annBuckets _),
     "ann_topk"    -> (annTopk _),
     "ann_ivf"     -> (annIvf _),
+    "hard_negatives" -> (hardNegatives _),
     "ivf_recall_sweep" -> (ivfRecallSweep _),
     "embed_quantize" -> (embedQuantize _),
     "embed_neardup" -> (nearDup _),
@@ -689,6 +730,26 @@ object VectorOps {
          |               list_dot_product(p.qv, e.v) / (sqrt(p.qn2) * sqrt(e.n2)) AS cos_raw
          |        FROM probed p JOIN e ON e.label = p.cell AND e.vec_id != p.qid))
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "hard_negatives" ->
+      s"""WITH $VecCte, $CentsCte,
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, n2 AS qn2
+         |      FROM e WHERE vec_id < $NQueries),
+         |probed AS (
+         |  SELECT qid, qv, qn2, cell FROM (
+         |    SELECT qid, qv, qn2, cell,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cellcos DESC, cell) AS crk
+         |    FROM (SELECT qid, qv, qn2, cell,
+         |                 list_dot_product(qv, cv) / (sqrt(qn2) * sqrt(cn2)) AS cellcos
+         |          FROM q CROSS JOIN cents WHERE cell != qlabel))
+         |  WHERE crk <= 2)
+         |SELECT qid, neg_id, rank, round(cos_raw, 5) AS cos FROM (
+         |  SELECT qid, neg_id, cos_raw,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, neg_id) AS BIGINT) AS rank
+         |  FROM (SELECT p.qid AS qid, e.vec_id AS neg_id,
+         |               list_dot_product(p.qv, e.v) / (sqrt(p.qn2) * sqrt(e.n2)) AS cos_raw
+         |        FROM probed p JOIN e ON e.label = p.cell))
+         |WHERE rank <= 2 ORDER BY qid, rank""".stripMargin,
 
     "ivf_recall_sweep" ->
       s"""WITH $VecCte, $CentsCte,

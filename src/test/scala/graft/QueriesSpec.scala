@@ -769,6 +769,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("hard_negatives: every mined negative carries a FOREIGN label; " +
+      "per-query ranks are {1,2} with monotone cosine") {
+    val rows = SparkEntry.queries("hard_negatives")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val label = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (qid, negId, _, cos) =>
+      assert(label(negId) !== label(qid),
+        s"negative $negId shares query $qid's label")
+      assert(cos >= -1.0001 && cos <= 1.0001)
+    }
+    rows.groupBy(_._1).values.foreach { qr =>
+      val byRank = qr.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq === (1L to byRank.length).toSeq)
+      assert(byRank.length <= 2)
+      if (byRank.length == 2) assert(byRank(0)._4 >= byRank(1)._4)
+    }
+  }
+
   test("vocab_growth: hand-computed Heaps curve; empty deciles carry the " +
       "cumulative forward on both sides of the grid") {
     val s = spark; import s.implicits._
