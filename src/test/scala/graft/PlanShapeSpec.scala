@@ -372,6 +372,45 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"embed_outliers: centroid join is not broadcast:\n$outPlan")
   }
 
+  test("r8 additions: hard_negatives broadcasts centroids (no cartesian); " +
+      "token_budget scans documents once; bigram_xent exchanges carry " +
+      "tokens not text; logreg_step's GD steps are scan-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // hard_negatives: the ≤|labels| centroid frame must come to the data
+    // (broadcast), and nothing may plan an unbounded cartesian
+    val hn = SparkEntry.queries("hard_negatives")(spark, sfDir)
+    hn.collect()
+    val hnPlan = hn.queryExecution.executedPlan.toString
+    assert(hnPlan.contains("BroadcastHashJoin"),
+      s"hard_negatives: cell-membership join is not broadcast:\n$hnPlan")
+    assert(!hnPlan.contains("CartesianProduct"),
+      s"hard_negatives: cartesian product in plan:\n$hnPlan")
+
+    // token_budget: the corpus contributes ONE scan — the waterline runs
+    // on the ≤|sources| aggregate frame
+    val tb = SparkEntry.queries("token_budget")(spark, sfDir)
+    tb.collect()
+    graft.tools.ScanAudit.tableScanCounts(tb).foreach { case (t, n) =>
+      assert(n <= 1, s"token_budget: $t scanned $n times")
+    }
+
+    // bigram_xent: LM joins shuffle token keys, never the document body
+    val bx = SparkEntry.queries("bigram_xent")(spark, sfDir)
+    bx.collect()
+    collectWithSubqueries(bx.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e.child.output.map(_.name.toLowerCase)
+    }.foreach(cols => assert(!cols.contains("text"),
+      s"bigram_xent: an exchange carries the document body: $cols"))
+
+    // logreg_step: both GD steps read the checkpointed feature frame —
+    // no parquet rescan after construction
+    val lr = SparkEntry.queries("logreg_step")(spark, sfDir)
+    lr.collect()
+    val lrPlan = lr.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Scan parquet.*documents".r.findAllIn(lrPlan).isEmpty,
+      s"logreg_step: GD steps must not rescan documents:\n$lrPlan")
+  }
+
   test("dup_substring_frac: one scan feeds the checkpoint; remainder scan-free") {
     // pre-checkpoint frame carries the only documents scan…
     val dsh = graft.llm.HashDedup.dupShingles(spark, sfDir)
