@@ -1544,17 +1544,22 @@ object TextOps {
     * both engines compute 0.1·Σ/n in the same association; Σ over
     * ~1e-15-noise doubles is invisible at the 4-decimal rounding
     * ([[lmXent]] precedent). */
-  def logregStep(s: SparkSession, d: String): DataFrame = {
+  /** Shared feature projection for [[logregStep]] and the streaming
+    * twin `Streams.logregStream`: label (lang='en') plus (bias, clipped
+    * length, stopword ratio), all map-side expressions. */
+  private[graft] def lrFeatures(df: DataFrame): DataFrame = {
     val stopArr = array(stopwords.map(lit): _*)
-    val f = Tables.documents(s, d)
-      .withColumn("ws", split(col("text"), " "))
+    df.withColumn("ws", split(col("text"), " "))
       .select(
         when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"),
         lit(1.0d).as("x0"),
         (least(size(col("ws")), lit(200)).cast("double") / 200.0d).as("x1"),
         (size(filter(col("ws"), w => array_contains(stopArr, w))).cast("double") /
           size(col("ws"))).as("x2"))
-      .localCheckpoint()
+  }
+
+  def logregStep(s: SparkSession, d: String): DataFrame = {
+    val f = lrFeatures(Tables.documents(s, d)).localCheckpoint()
     val s1 = f.agg(
       (lit(0.1d) * sum(col("x0") * (col("y") - 0.5d)) / count(lit(1))).as("w0"),
       (lit(0.1d) * sum(col("x1") * (col("y") - 0.5d)) / count(lit(1))).as("w1"),

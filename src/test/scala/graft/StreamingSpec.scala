@@ -571,6 +571,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("logregStream: a full-corpus micro-batch replays batch GD — two " +
+      "batches reproduce logreg_step's step-1 and step-2 weights exactly") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val in = MemoryStream[(Long, String, String)]
+      val q = Streams.logregStream(in.toDF().toDF("doc_id", "text", "lang"))
+        .writeStream.outputMode("append").format("memory").queryName("lr").start()
+      try {
+        // the logreg_step fixture: (en, "the a"), (fr, "zz zz zz")
+        in.addData((0L, "the a", "en"), (1L, "zz zz zz", "fr"))
+        q.processAllAvailable()
+        in.addData((2L, "the a", "en"), (3L, "zz zz zz", "fr"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("lr").as[Streams.LrUpdate].collect()
+        .map(u => (u.n_seen, u.w0, u.w1, u.w2)).sortBy(_._1).toSeq
+      assert(got === Seq(
+        (2L, 0.0, -0.0001, 0.025),
+        (4L, -0.0003, -0.0003, 0.0497)),
+        "full-corpus micro-batches must replay logreg_step's trajectory")
+    }
+  }
+
+  test("logregStream resumes training from a checkpoint: the post-restart " +
+      "step starts at the recovered weights, not zero") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val dir = java.nio.file.Files.createTempDirectory("lr_restart").toString
+      val in = MemoryStream[(Long, String, String)]
+      def start() = Streams.logregStream(in.toDF().toDF("doc_id", "text", "lang"))
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.LrUpdate], _: Long) =>
+          b.write.mode("append").parquet(s"$dir/out")
+        }
+        .start()
+      val q1 = start()
+      try {
+        in.addData((0L, "the a", "en"), (1L, "zz zz zz", "fr"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        in.addData((2L, "the a", "en"), (3L, "zz zz zz", "fr"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = spark.read.parquet(s"$dir/out").as[Streams.LrUpdate].collect()
+        .map(u => (u.n_seen, u.w0, u.w1, u.w2)).sortBy(_._1).toSeq
+      // lost state would repeat step 1's weights; recovery must continue
+      // the trajectory to step 2's
+      assert(got === Seq(
+        (2L, 0.0, -0.0001, 0.025),
+        (4L, -0.0003, -0.0003, 0.0497)),
+        "post-restart step must start from recovered weights")
+    }
+  }
+
   test("streaming near-dup refresh gate pairs an arriving crawl doc with the static snapshot index") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
