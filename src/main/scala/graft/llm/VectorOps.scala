@@ -180,6 +180,44 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Embedding-distribution drift between two corpus slices — the
+    * VECTOR twin of `mix_shift`'s token drift: split the corpus by
+    * vec_id parity (the deterministic stand-in for two crawl epochs),
+    * compute per-(label, slice) QUANTIZED-integer centroids (the
+    * [[centroids]] discipline — exact integer sums, one IEEE division
+    * per coordinate, so both engines agree bit-for-bit), and emit each
+    * label's centroid displacement ‖μ_a − μ_b‖ with the slice
+    * populations. A label whose centroid moved between epochs is a
+    * cluster whose CONTENT shifted — the retrain/resample signal an
+    * embedding-space monitor watches.
+    *
+    * Scale shape: one corpus scan, map-side quantization, hash agg to
+    * the ≤|labels|·2·dim centroid frame (localCheckpointed — both
+    * slice branches read it), self-join on (label, pos) over that tiny
+    * frame; FP enters once per coordinate plus the dim-term sum,
+    * rounded at 5. */
+  def embedCentroidDrift(s: SparkSession, d: String): DataFrame = {
+    val cm = vecs(s, d)
+      .select(col("label"), (col("vec_id") % 2).cast("int").as("half"),
+              posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("xq", floor(col("x") * 1000d))
+      .groupBy(col("label"), col("half"), col("pos"))
+      .agg((sum(col("xq")).cast("double") / count(lit(1)).cast("double") / 1000d).as("m"),
+           count(lit(1)).as("n"))
+      .localCheckpoint()
+    val a = cm.filter(col("half") === 0)
+      .select(col("label"), col("pos"), col("m").as("ma"), col("n").as("na"))
+    val b = cm.filter(col("half") === 1)
+      .select(col("label").as("lb"), col("pos").as("pb"),
+              col("m").as("mb"), col("n").as("nb"))
+    a.join(b, col("label") === col("lb") && col("pos") === col("pb"))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+           round(sqrt(sum((col("ma") - col("mb")) * (col("ma") - col("mb")))), 5)
+             .as("drift"))
+      .orderBy(col("label"))
+  }
+
   /** Symmetric int8 quantization stats per label cell: per-vector scale
     * 127/max|x|, saturation = elements hitting the clip boundary
     * (floor(|x|·scale) ≥ 127 — exact integer predicate, so the count is
@@ -501,6 +539,7 @@ object VectorOps {
     "ann_topk"    -> (annTopk _),
     "ann_ivf"     -> (annIvf _),
     "hard_negatives" -> (hardNegatives _),
+    "embed_centroid_drift" -> (embedCentroidDrift _),
     "ivf_recall_sweep" -> (ivfRecallSweep _),
     "embed_quantize" -> (embedQuantize _),
     "embed_neardup" -> (nearDup _),
@@ -730,6 +769,26 @@ object VectorOps {
          |               list_dot_product(p.qv, e.v) / (sqrt(p.qn2) * sqrt(e.n2)) AS cos_raw
          |        FROM probed p JOIN e ON e.label = p.cell AND e.vec_id != p.qid))
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "embed_centroid_drift" ->
+      s"""WITH $VecCte,
+         |cq AS (
+         |  SELECT label, half, px.pos AS pos, CAST(floor(px.x * 1000) AS BIGINT) AS xq
+         |  FROM (SELECT label, CAST(vec_id % 2 AS INTEGER) AS half,
+         |               unnest(list_transform(v, (x, i) -> struct_pack(pos := i, x := x))) AS px
+         |        FROM e)),
+         |cm AS (
+         |  SELECT label, half, pos,
+         |         CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0 AS m,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM cq GROUP BY 1, 2, 3)
+         |SELECT CAST(a.label AS BIGINT) AS label,
+         |       max(a.n) AS n_a, max(b.n) AS n_b,
+         |       round(sqrt(sum((a.m - b.m) * (a.m - b.m))), 5) AS drift
+         |FROM (SELECT * FROM cm WHERE half = 0) a
+         |JOIN (SELECT * FROM cm WHERE half = 1) b
+         |  ON a.label = b.label AND a.pos = b.pos
+         |GROUP BY 1 ORDER BY label""".stripMargin,
 
     "hard_negatives" ->
       s"""WITH $VecCte, $CentsCte,

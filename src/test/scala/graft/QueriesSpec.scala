@@ -790,6 +790,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_centroid_drift: hand-computed displacement between parity " +
+      "slices; identical slices drift exactly 0") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdrift").toString
+    // label 0: even slice {(1,0),(3,0)} → μ_a=(2,0); odd {(5,4)} → μ_b=(5,4)
+    //   drift = √(9+16) = 5. label 1: both slices {(1,1)} → drift 0.
+    Seq((0L, Array(1f, 0f), 0), (2L, Array(3f, 0f), 0), (1L, Array(5f, 4f), 0),
+        (4L, Array(1f, 1f), 1), (5L, Array(1f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = SparkEntry.queries("embed_centroid_drift")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq((0L, 2L, 1L, 5.0), (1L, 1L, 1L, 0.0)))
+    // graded table: drift is nonnegative and both slices are populated
+    val g = SparkEntry.queries("embed_centroid_drift")(spark, sf).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("vocab_growth: hand-computed Heaps curve; empty deciles carry the " +
       "cumulative forward on both sides of the grid") {
     val s = spark; import s.implicits._
