@@ -546,6 +546,32 @@ object TextOps {
            sum(col("n_ip")).as("total_ips"))
       .orderBy(col("source"))
 
+  /** PII REDACTION — the transform [[piiScan]] only plans: emails →
+    * `<email>` then IPv4 → `<ip>` (fixed pass order, both engines),
+    * reduced to a per-source audit whose `content_fp` column is the sum
+    * of 32-bit md5 prefixes of every REDACTED document — so the graded
+    * hash pins the transformed TEXT itself, not just counts. A
+    * redaction bug that counted right but scrubbed wrong bytes flips
+    * the fingerprint.
+    *
+    * Scale shape: one linear scan, two non-overlapping regex passes per
+    * document map-side (same RE2/Java common-subset patterns as the
+    * scan), exact-integer aggregation; nothing shuffles but the
+    * ≤|sources|-row agg. `chars_removed` may go negative when a match
+    * is shorter than its placeholder — it is a delta, not a loss. */
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("lo", lower(col("text")))
+      .withColumn("red", regexp_replace(
+        regexp_replace(col("lo"), EmailRx, "<email>"), Ipv4Rx, "<ip>"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("red") =!= col("lo"), 1L).otherwise(0L)).as("docs_changed"),
+           sum(length(col("lo")).cast("long") - length(col("red"))).as("chars_removed"),
+           sum(conv(substring(md5(col("red")), 1, 8), 16, 10).cast("long"))
+             .as("content_fp"))
+      .orderBy(col("source"))
+
   private val SegWords = 3
 
   /** Segment-level exact dedup: non-overlapping [[SegWords]]-word
@@ -1459,6 +1485,7 @@ object TextOps {
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "vocab_ttr"       -> (vocabTtr _),
     "pii_scan"         -> (piiScan _),
+    "pii_redact"       -> (piiRedact _),
     "segment_dedup"    -> (segmentDedup _),
     "sample_split"     -> (sampleSplit _),
     "corpus_mix"       -> (corpusMix _),
@@ -2453,6 +2480,21 @@ object TextOps {
          |         len(regexp_extract_all(lower(text), '$EmailRx')) AS n_email,
          |         len(regexp_extract_all(lower(text), '$Ipv4Rx')) AS n_ip
          |  FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same fixed two-pass redaction; content_fp sums 32-bit md5 prefixes
+    // of the redacted text so the hash pins the transform output itself.
+    "pii_redact" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN red != lo THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed,
+         |       CAST(sum(len(lo) - len(red)) AS BIGINT) AS chars_removed,
+         |       CAST(sum(CAST(concat('0x', substr(md5(red), 1, 8)) AS BIGINT)) AS BIGINT)
+         |         AS content_fp
+         |FROM (
+         |  SELECT source, lo,
+         |         regexp_replace(regexp_replace(lo, '$EmailRx', '<email>', 'g'),
+         |                        '$Ipv4Rx', '<ip>', 'g') AS red
+         |  FROM (SELECT source, lower(text) AS lo FROM documents))
          |GROUP BY source ORDER BY source""".stripMargin,
 
     "segment_dedup" ->

@@ -812,6 +812,34 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("pii_redact: placeholder deltas are exact; a clean doc changes " +
+      "nothing; changed-doc counts brace pii_scan's per-type incidence") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_redact").toString
+    // 'bob@example.com' (15) → '<email>' (7) removes 8; '10.0.0.1' (8)
+    // → '<ip>' (4) removes 4
+    Seq((0L, "contact Bob@Example.COM or 10.0.0.1 now", "en", "src0", 39L),
+        (1L, "nothing sensitive here", "en", "src0", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("pii_redact")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length === 1)
+    val (src, nDocs, changed, removed, fp) = rows.head
+    assert((src, nDocs, changed, removed) === (("src0", 2L, 1L, 12L)))
+    assert(fp != 0L)
+    // graded table vs pii_scan: a doc changes iff it holds an email OR an
+    // ip, so changed ∈ [max(per-type docs), their sum]
+    val scan = SparkEntry.queries("pii_scan")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    SparkEntry.queries("pii_redact")(spark, sf).collect().foreach { r =>
+      val (em, ip) = scan(r.getString(0))
+      val ch = r.getLong(2)
+      assert(ch >= math.max(em, ip) && ch <= em + ip,
+        s"${r.getString(0)}: changed $ch outside [${math.max(em, ip)}, ${em + ip}]")
+    }
+  }
+
   test("vocab_growth: hand-computed Heaps curve; empty deciles carry the " +
       "cumulative forward on both sides of the grid") {
     val s = spark; import s.implicits._
