@@ -218,6 +218,49 @@ object VectorOps {
       .orderBy(col("label"))
   }
 
+  /** Two power-iteration steps toward the corpus's top principal
+    * direction — the PCA kernel an embedding pipeline runs before
+    * quantization/whitening, graded like [[kmeansStep]] and
+    * `logreg_step` grade their iterations. The Gram matrix
+    * C = Σ x xᵀ is accumulated from QUANTIZED coordinates
+    * (floor(x·1000), BIGINT products — sum order cannot change an
+    * integer), so both engines hold the IDENTICAL matrix; the two
+    * matrix-vector steps from v₀ = e₀ each do one join + hash agg over
+    * the dim²-row frame with one normalization division per
+    * coordinate, rounded at 6.
+    *
+    * Scale shape: the pair explode costs dim² rows per vector (64² here
+    * — the standard Gram-accumulation shape; block matrices take over
+    * at transformer dims), map-side combined into the dim²-row C, which
+    * is checkpointed once for its two consumers. Iterations touch only
+    * C — the corpus is scanned once, and more steps cost dim²-sized
+    * aggs, not scans. */
+  def pcaPowerStep(s: SparkSession, d: String): DataFrame = {
+    val q = vecs(s, d)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("xq", floor(col("x") * 1000d))
+      .select(col("vec_id"), col("pos"), col("xq"))
+    val cov = q.as("a").join(q.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.pos").as("j"), col("b.pos").as("k"))
+      .agg(sum(col("a.xq") * col("b.xq")).as("c"))
+      .localCheckpoint()
+    val u1 = cov.filter(col("k") === 0)
+      .select(col("j"), col("c").cast("double").as("u"))
+    val n1 = u1.agg(sqrt(sum(col("u") * col("u"))).as("nrm"))
+    val v1 = u1.crossJoin(broadcast(n1))
+      .select(col("j"), (col("u") / col("nrm")).as("v1"))
+      .localCheckpoint()
+    val u2 = cov.join(v1.withColumnRenamed("j", "k2"), col("k") === col("k2"))
+      .groupBy(col("j")).agg(sum(col("c").cast("double") * col("v1")).as("u"))
+    val n2 = u2.agg(sqrt(sum(col("u") * col("u"))).as("nrm"))
+    u2.crossJoin(broadcast(n2))
+      .join(v1, Seq("j"))
+      .select(col("j").cast("long").as("pos"),
+              round(col("v1"), 6).as("v_step1"),
+              round(col("u") / col("nrm"), 6).as("v_step2"))
+      .orderBy(col("pos"))
+  }
+
   /** Symmetric int8 quantization stats per label cell: per-vector scale
     * 127/max|x|, saturation = elements hitting the clip boundary
     * (floor(|x|·scale) ≥ 127 — exact integer predicate, so the count is
@@ -540,6 +583,7 @@ object VectorOps {
     "ann_ivf"     -> (annIvf _),
     "hard_negatives" -> (hardNegatives _),
     "embed_centroid_drift" -> (embedCentroidDrift _),
+    "pca_power_step" -> (pcaPowerStep _),
     "ivf_recall_sweep" -> (ivfRecallSweep _),
     "embed_quantize" -> (embedQuantize _),
     "embed_neardup" -> (nearDup _),
@@ -769,6 +813,31 @@ object VectorOps {
          |               list_dot_product(p.qv, e.v) / (sqrt(p.qn2) * sqrt(e.n2)) AS cos_raw
          |        FROM probed p JOIN e ON e.label = p.cell AND e.vec_id != p.qid))
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // Gram matrix in exact integers; DuckDB's 1-based list index is
+    // shifted to the Spark side's 0-based pos at the source.
+    "pca_power_step" ->
+      s"""WITH $VecCte,
+         |q AS (
+         |  SELECT vec_id, px.pos - 1 AS pos, CAST(floor(px.x * 1000) AS BIGINT) AS xq
+         |  FROM (SELECT vec_id,
+         |               unnest(list_transform(v, (x, i) -> struct_pack(pos := i, x := x))) AS px
+         |        FROM e)),
+         |cov AS (
+         |  SELECT a.pos AS j, b.pos AS k, CAST(sum(a.xq * b.xq) AS BIGINT) AS c
+         |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |u1 AS (SELECT j, CAST(c AS DOUBLE) AS u FROM cov WHERE k = 0),
+         |n1 AS (SELECT sqrt(sum(u * u)) AS nrm FROM u1),
+         |v1 AS (SELECT j, u / nrm AS v1 FROM u1 CROSS JOIN n1),
+         |u2 AS (
+         |  SELECT cov.j AS j, sum(CAST(cov.c AS DOUBLE) * v1.v1) AS u
+         |  FROM cov JOIN v1 ON cov.k = v1.j GROUP BY 1),
+         |n2 AS (SELECT sqrt(sum(u * u)) AS nrm FROM u2)
+         |SELECT CAST(u2.j AS BIGINT) AS pos,
+         |       round(v1.v1, 6) AS v_step1,
+         |       round(u2.u / n2.nrm, 6) AS v_step2
+         |FROM u2 CROSS JOIN n2 JOIN v1 ON v1.j = u2.j
+         |ORDER BY pos""".stripMargin,
 
     "embed_centroid_drift" ->
       s"""WITH $VecCte,

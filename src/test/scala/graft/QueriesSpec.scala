@@ -840,6 +840,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("pca_power_step: two power iterations on a hand-computed 2x2 Gram " +
+      "matrix; graded steps stay unit-norm") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    // vectors (1,1), (2,0) → C = [[5e6, 1e6], [1e6, 1e6]] (quantized);
+    // v1 = normalize(C·e0), v2 = normalize(C·v1) — python-mirrored
+    Seq((0L, Array(1f, 1f), 0), (1L, Array(2f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = SparkEntry.queries("pca_power_step")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.toSeq === Seq(
+      (0L, 0.980581, 0.974391), (1L, 0.196116, 0.22486)))
+    // graded table: both step vectors are unit-norm to the rounding
+    val g = SparkEntry.queries("pca_power_step")(spark, sf).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(g.nonEmpty)
+    val (s1, s2) = (g.map(v => v._1 * v._1).sum, g.map(v => v._2 * v._2).sum)
+    assert(math.abs(s1 - 1.0) < 1e-4 && math.abs(s2 - 1.0) < 1e-4,
+      s"step vectors not unit-norm: $s1, $s2")
+  }
+
   test("vocab_growth: hand-computed Heaps curve; empty deciles carry the " +
       "cumulative forward on both sides of the grid") {
     val s = spark; import s.implicits._
