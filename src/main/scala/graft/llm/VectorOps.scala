@@ -156,7 +156,10 @@ object VectorOps {
     * join, per-query top-2 via the bounded window over probed-cell
     * candidates only. At 100 TB the router would take k-means cells
     * rather than label cells; the label filter stays a constant-cost
-    * predicate on the broadcast side. */
+    * predicate on the broadcast side. Three embeddings scans (query
+    * slice, centroid build, membership side) — the identical committed
+    * [[annIvf]] budget in tools/scan_budget.tsv; query and centroid
+    * reads prune to the slim column set. */
   def hardNegatives(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("n2"))
     val cents = centroids(e)

@@ -344,6 +344,84 @@ object Streams {
       .transformWithState(new DriftGate(reference), TimeMode.None(), OutputMode.Append())
   }
 
+  case class CentroidDrift(label: Int, n_seen: Long, drift: Double)
+
+  /** Running-centroid gate behind [[centroidDriftStream]]: per label, a
+    * ValueState of (count, per-coordinate QUANTIZED sums as Long — the
+    * exact-integer discipline of the batch twin, immune to arrival
+    * order) folds each micro-batch and emits the displacement of the
+    * RUNNING centroid against the broadcast reference centroid. */
+  private[stream] case class CentroidState(n: Long, sums: Array[Long])
+
+  private[stream] class CentroidDriftGate(ref: Map[Int, Array[Double]])
+      extends StatefulProcessor[Int, (Int, Array[Long]), CentroidDrift] {
+    @transient private var st: ValueState[CentroidState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CentroidState](
+        "c", Encoders.product[CentroidState], TTLConfig.NONE)
+
+    override def handleInputRows(label: Int, rows: Iterator[(Int, Array[Long])],
+                                 timerValues: TimerValues): Iterator[CentroidDrift] = {
+      var cur = if (st.exists()) st.get() else CentroidState(0L, Array.emptyLongArray)
+      rows.foreach { case (_, xq) =>
+        val sums = if (cur.sums.isEmpty) new Array[Long](xq.length) else cur.sums
+        var i = 0
+        while (i < xq.length) { sums(i) += xq(i); i += 1 }
+        cur = CentroidState(cur.n + 1L, sums)
+      }
+      st.update(cur)
+      ref.get(label).filter(_ => cur.n > 0L).map { rc =>
+        var d2 = 0.0
+        var i = 0
+        while (i < rc.length) {
+          val m = cur.sums(i).toDouble / cur.n.toDouble / 1000.0
+          val diff = m - rc(i)
+          d2 += diff * diff
+          i += 1
+        }
+        CentroidDrift(label, cur.n, math.rint(math.sqrt(d2) * 1e5) / 1e5)
+      }.iterator
+    }
+  }
+
+  /** STREAMING embedding-centroid drift — the live twin of
+    * [[graft.llm.VectorOps.embedCentroidDrift]]: per label, the running
+    * centroid of ARRIVING vectors (quantized-integer sums in ValueState,
+    * so the state is exact and arrival-order-free) scored each
+    * micro-batch against a static reference centroid — the
+    * embedding-space "did the new crawl's clusters move" alarm, fired
+    * as vectors arrive. Quantization happens map-side (the exchange
+    * carries dim longs per vector); state is one (count, dim-long
+    * vector) per label — bounded by |labels|·dim, never stream length.
+    * Checkpoint-restart safe (spec'd). */
+  def centroidDriftStream(embs: DataFrame, reference: Map[Int, Array[Double]])
+                         (implicit spark: SparkSession): Dataset[CentroidDrift] = {
+    import spark.implicits._
+    embs.select(col("label").cast("int").as("label"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000) AS BIGINT))")
+          .as("xq"))
+      .as[(Int, Array[Long])]
+      .groupByKey(_._1)
+      .transformWithState(new CentroidDriftGate(reference), TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Build [[centroidDriftStream]]'s reference from a static embeddings
+    * frame: per-label quantized-integer centroids, the
+    * [[graft.llm.VectorOps]] discipline. ≤|labels| rows — driver-bounded
+    * by construction. */
+  def centroidDriftReference(embs: DataFrame): Map[Int, Array[Double]] =
+    embs.select(col("label").cast("int").as("label"),
+        posexplode(expr("CAST(embedding AS ARRAY<DOUBLE>)")).as(Seq("pos", "x")))
+      .withColumn("xq", floor(col("x") * 1000d))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("xq")).cast("double") / count(lit(1)).cast("double") / 1000d).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }
+
   case class LrState(n_seen: Long, w0: Double, w1: Double, w2: Double)
   case class LrUpdate(n_seen: Long, w0: Double, w1: Double, w2: Double)
 

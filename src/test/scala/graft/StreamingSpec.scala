@@ -633,6 +633,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("centroidDriftStream: running centroid scores against the static " +
+      "reference; the batch twin's 3-4-5 fixture reproduces drift 5") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      // reference = the even parity slice of the embed_centroid_drift
+      // fixture: label 0 → centroid (2,0); label 1 → (1,1)
+      val static = Seq((0L, Array(1f, 0f), 0), (2L, Array(3f, 0f), 0),
+                       (4L, Array(1f, 1f), 1))
+        .toDF("vec_id", "embedding", "label")
+      val ref = Streams.centroidDriftReference(static)
+      assert(ref(0).toSeq === Seq(2.0, 0.0) && ref(1).toSeq === Seq(1.0, 1.0))
+      val in = MemoryStream[(Long, Array[Float], Int)]
+      val q = Streams.centroidDriftStream(
+          in.toDF().toDF("vec_id", "embedding", "label"), ref)
+        .writeStream.outputMode("append").format("memory").queryName("cdrift").start()
+      try {
+        // odd slice: label 0 gets (5,4) → drift √(9+16) = 5; label 1
+        // matches its reference exactly → drift 0
+        in.addData((1L, Array(5f, 4f), 0), (5L, Array(1f, 1f), 1))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("cdrift").as[Streams.CentroidDrift].collect()
+        .map(c => (c.label, c.n_seen, c.drift)).sortBy(_._1).toSeq
+      assert(got === Seq((0, 1L, 5.0), (1, 1L, 0.0)))
+    }
+  }
+
+  test("centroidDriftStream resumes its running centroid from a checkpoint: " +
+      "the post-restart score averages PRE-restart vectors in") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val ref = Map(0 -> Array(2.0, 0.0))
+      val dir = java.nio.file.Files.createTempDirectory("cdrift_restart").toString
+      val in = MemoryStream[(Long, Array[Float], Int)]
+      def start() = Streams.centroidDriftStream(
+          in.toDF().toDF("vec_id", "embedding", "label"), ref)
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.CentroidDrift], _: Long) =>
+          b.write.mode("append").parquet(s"$dir/out")
+        }
+        .start()
+      val q1 = start()
+      try { in.addData((1L, Array(5f, 4f), 0)); q1.processAllAvailable() } finally q1.stop()
+      val q2 = start()
+      try { in.addData((3L, Array(1f, 0f), 0)); q2.processAllAvailable() } finally q2.stop()
+      val got = spark.read.parquet(s"$dir/out").as[Streams.CentroidDrift].collect()
+        .map(c => (c.n_seen, c.drift)).sortBy(_._1).toSeq
+      // lost state would score (1,0) alone (drift 1); recovery must land
+      // the running mean (3,2) → drift √5
+      assert(got === Seq((1L, 5.0), (2L, 2.23607)),
+        "post-restart drift must average pre-restart vectors in")
+    }
+  }
+
   test("streaming near-dup refresh gate pairs an arriving crawl doc with the static snapshot index") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
