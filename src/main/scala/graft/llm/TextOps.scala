@@ -612,6 +612,48 @@ object TextOps {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** BM25 per-source top terms — the retrieval-grade scorer next to
+    * [[tfidfTopTerms]] (Robertson–Spärck Jones idf, k₁ = 1.2,
+    * b = 0.75): per-(doc, term) saturated tf with length
+    * normalization, summed to per-(source, term) mass, top-3 per
+    * source. The length normalization is what tf-idf lacks — a term
+    * stuffed into one long document stops accumulating score.
+    *
+    * Scale shape: ONE explode pass reduces to the per-(doc, term)
+    * frame; dl is a window sum PARTITIONED BY doc (bounded by one
+    * doc's vocabulary — never a corpus order), and the frame is
+    * localCheckpointed for its three consumers (df agg, corpus stats,
+    * scoring join). Stats broadcast; df joins on the term key; the
+    * per-source cut is the bounded top-3 window. Constants are spelled
+    * identically in both engines so the FP expression trees match
+    * term-for-term. */
+  def bm25TopTerms(s: SparkSession, d: String): DataFrame = {
+    val tfd = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dl", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      .localCheckpoint()
+    val dft = tfd.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val st = tfd.agg(countDistinct(col("doc_id")).as("n_docs"),
+                     sum(col("c")).as("n_toks"))
+    val scored = tfd.join(dft, Seq("w"))
+      .crossJoin(broadcast(st))
+      .withColumn("avgdl", col("n_toks").cast("double") / col("n_docs"))
+      .withColumn("sc",
+        log(lit(1.0d) + (col("n_docs") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d))) *
+          (col("c") * lit(2.2d)) /
+          (col("c") + lit(1.2d) *
+            (lit(1.0d) - lit(0.75d) + lit(0.75d) * col("dl") / col("avgdl"))))
+      .groupBy(col("source"), col("w"))
+      .agg(sum(col("sc")).as("score"))
+    val win = Window.partitionBy(col("source")).orderBy(col("score").desc, col("w"))
+    scored.withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("source"), col("w"), col("rnk"), round(col("score"), 3).as("score"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   /** Per-(source, word) tf-idf scores — shared lineage of the two top-k
     * forms. ONE explode pass, no materialization: reduce to per-(doc,
     * word) counts, cascade to per-(source, word) tf carrying the
@@ -1483,6 +1525,7 @@ object TextOps {
     "seq_packing"       -> (seqPacking _),
     "stratified_sample" -> (stratifiedSample _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
+    "bm25_top_terms"  -> (bm25TopTerms _),
     "vocab_ttr"       -> (vocabTtr _),
     "pii_scan"         -> (piiScan _),
     "pii_redact"       -> (piiRedact _),
@@ -2465,6 +2508,32 @@ object TextOps {
         |FROM words GROUP BY 1 ORDER BY source""".stripMargin,
 
     "tfidf_top_terms" -> TfidfTopSql,
+
+    // Constants spelled identically to the Spark expression tree so the
+    // per-row FP math matches term-for-term before the rounded cut.
+    "bm25_top_terms" ->
+      """WITH tfd AS (
+        |  SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, source, unnest(str_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |tfdl AS (
+        |  SELECT *, CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS dl FROM tfd),
+        |dft AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tfd GROUP BY w),
+        |st AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |              CAST(sum(c) AS BIGINT) AS n_toks FROM tfd),
+        |scored AS (
+        |  SELECT source, w, sum(
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |    (c * 2.2) / (c + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+        |  FROM (SELECT t.*, d.df, s.n_docs,
+        |               CAST(s.n_toks AS DOUBLE) / s.n_docs AS avgdl
+        |        FROM tfdl t JOIN dft d USING (w) CROSS JOIN st s)
+        |  GROUP BY 1, 2)
+        |SELECT source, w, rnk, round(score, 3) AS score FROM (
+        |  SELECT source, w, score,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, w) AS BIGINT) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
     // the aggregator form is row-identical by construction (same total
     // order) — it earns the SAME oracle, making the no-window rewrite
     // hash-checked rather than merely parity-spec'd

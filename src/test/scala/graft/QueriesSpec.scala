@@ -862,6 +862,33 @@ class QueriesSpec extends AnyFunSuite {
       s"step vectors not unit-norm: $s1, $s2")
   }
 
+  test("bm25_top_terms: python-mirrored scores on a 2-doc corpus — the " +
+      "rare term in the SHORT doc outranks the common term; tf-idf cannot " +
+      "see the difference") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    // docs 'a a b' (dl 3) and 'b c' (dl 2): idf(a)=idf(c)=ln 2, but c sits
+    // in the shorter doc so its normalized score beats b everywhere
+    Seq((0L, "a a b", "en", "src0", 5L), (1L, "b c", "en", "src0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("bm25_top_terms")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(
+      ("src0", "a", 1L, 0.902), ("src0", "c", 2L, 0.755), ("src0", "b", 3L, 0.367)))
+    // graded table: 3 ranked rows per source, positive scores, rank-monotone
+    val g = SparkEntry.queries("bm25_top_terms")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(g.nonEmpty)
+    g.groupBy(_._1).values.foreach { sc =>
+      val byRank = sc.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1L to byRank.length).toSeq)
+      assert(byRank.sliding(2).forall {
+        case Array(x, y) => x._3 >= y._3; case _ => true })
+      byRank.foreach(r => assert(r._3 > 0.0))
+    }
+  }
+
   test("vocab_growth: hand-computed Heaps curve; empty deciles carry the " +
       "cumulative forward on both sides of the grid") {
     val s = spark; import s.implicits._
