@@ -612,6 +612,30 @@ object TextOps {
       .orderBy(col("source"), col("rnk"))
   }
 
+  /** Per-source token-distribution Shannon entropy — the corpus
+    * DIVERSITY audit (a source whose entropy collapses toward 0 is
+    * template spam; one near ln V is healthy prose): H in nats plus
+    * the V-normalized form, computed as H = ln T − (Σ c·ln c)/T so
+    * both engines evaluate the identical expression tree — the inner
+    * sum is over per-term counts (map-side-combinable hash agg to the
+    * ≤|sources|·|vocab| frame, then ≤|sources| rows), never per-token
+    * FP. */
+  def tokenEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+           count(lit(1)).as("vocab"),
+           sum(col("c").cast("double") * log(col("c").cast("double"))).as("sclc"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(log(col("n_tokens").cast("double")) -
+              col("sclc") / col("n_tokens"), 4).as("entropy"),
+        round((log(col("n_tokens").cast("double")) - col("sclc") / col("n_tokens")) /
+              log(col("vocab").cast("double")), 4).as("norm_entropy"))
+      .orderBy(col("source"))
+
   /** BM25 per-source top terms — the retrieval-grade scorer next to
     * [[tfidfTopTerms]] (Robertson–Spärck Jones idf, k₁ = 1.2,
     * b = 0.75): per-(doc, term) saturated tf with length
@@ -1526,6 +1550,7 @@ object TextOps {
     "stratified_sample" -> (stratifiedSample _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "bm25_top_terms"  -> (bm25TopTerms _),
+    "token_entropy"   -> (tokenEntropy _),
     "vocab_ttr"       -> (vocabTtr _),
     "pii_scan"         -> (piiScan _),
     "pii_redact"       -> (piiRedact _),
@@ -2508,6 +2533,23 @@ object TextOps {
         |FROM words GROUP BY 1 ORDER BY source""".stripMargin,
 
     "tfidf_top_terms" -> TfidfTopSql,
+
+    // H = ln T − Σ(c·ln c)/T — the identical expression tree on both
+    // engines; the inner sum runs over per-term counts, never tokens.
+    "token_entropy" ->
+      """SELECT source, n_tokens, vocab,
+        |       round(ln(CAST(n_tokens AS DOUBLE)) - sclc / n_tokens, 4) AS entropy,
+        |       round((ln(CAST(n_tokens AS DOUBLE)) - sclc / n_tokens)
+        |             / ln(CAST(vocab AS DOUBLE)), 4) AS norm_entropy
+        |FROM (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS vocab,
+        |         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sclc
+        |  FROM (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT source, unnest(str_split(text, ' ')) AS w FROM documents)
+        |        GROUP BY source, w)
+        |  GROUP BY source)
+        |ORDER BY source""".stripMargin,
 
     // Constants spelled identically to the Spark expression tree so the
     // per-row FP math matches term-for-term before the rounded cut.

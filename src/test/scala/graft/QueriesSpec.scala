@@ -889,6 +889,25 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("token_entropy: uniform source scores exactly ln 2 with normalized " +
+      "entropy 1; skew lowers both; graded values stay in [0, 1]") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ent").toString
+    Seq((0L, "a a b b", "en", "u", 7L), (1L, "x x x y", "en", "v", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("token_entropy")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSeq === Seq(
+      ("u", 4L, 2L, 0.6931, 1.0), ("v", 4L, 2L, 0.5623, 0.8113)))
+    val g = SparkEntry.queries("token_entropy")(spark, sf).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getDouble(3) >= 0.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("vocab_growth: hand-computed Heaps curve; empty deciles carry the " +
       "cumulative forward on both sides of the grid") {
     val s = spark; import s.implicits._
