@@ -1009,6 +1009,30 @@ object RelQueries {
       .orderBy(col("d"))
   }
 
+  /** Behavioral feature-store table — the bridge from the CDC/events
+    * bus to model training: one feature ROW per user (type-conditional
+    * counts, spend, active days, activity span, purchase rate), the
+    * exact shape a ranking model's offline feature join consumes. ONE
+    * scan, every feature a conditional aggregate in a single
+    * partial+final hash agg keyed by user — no window, no self-join;
+    * at 100 TB this is the canonical billion-key agg AQE handles, and
+    * new features are new agg expressions, not new passes. `span_us`
+    * stays in integer microseconds; the one double sum (spend) rounds
+    * at 2. */
+  def userFeatures(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+           sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+           round(sum(col("value")), 2).as("total_value"),
+           countDistinct(to_date(col("ts"))).as("active_days"),
+           (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("span_us"))
+      .withColumn("purchase_rate",
+        round(col("n_purchases").cast("double") / col("n_events"), 4))
+      .orderBy(col("user_id"))
+
   private val ProfileCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -1460,6 +1484,7 @@ object RelQueries {
     "hourly_profile"     -> (hourlyProfile _),
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),
+    "user_features"      -> (userFeatures _),
     "q19_disjunct"       -> (q19Disjunct _),
     "q10_returns"        -> (q10Returns _),
     "q18_big_orders"     -> (q18BigOrders _),
@@ -1791,6 +1816,19 @@ object RelQueries {
         |       round(CAST(sum(direct) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS stickiness
         |FROM contrib
         |GROUP BY wd HAVING sum(direct) > 0 ORDER BY d""".stripMargin,
+
+    "user_features" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |       round(sum(value), 2) AS total_value,
+        |       count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS active_days,
+        |       epoch_us(max(CAST(ts AS TIMESTAMP))) - epoch_us(min(CAST(ts AS TIMESTAMP)))
+        |         AS span_us,
+        |       round(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 4) AS purchase_rate
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "cohort_retention" ->
       """WITH ue AS (

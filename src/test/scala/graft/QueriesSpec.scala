@@ -908,6 +908,33 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("user_features: one feature row per user from a hand-built event " +
+      "stream; graded counts are consistent and rates bounded") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_uf").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    Seq((10L, t0, 1L, "click", 1.5, "{}"), (11L, t1, 1L, "purchase", 2.5, "{}"),
+        (12L, t0, 2L, "view", 0.25, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = SparkEntry.queries("user_features")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getDouble(5), r.getLong(6), r.getLong(7),
+                 r.getDouble(8)))
+    assert(rows.toSeq === Seq(
+      (1L, 2L, 1L, 0L, 1L, 4.0, 2L, 86400000000L, 0.5),
+      (2L, 1L, 0L, 1L, 0L, 0.25, 1L, 0L, 0.0)))
+    // graded table: per-type counts never exceed the total; rate in [0,1]
+    val g = SparkEntry.queries("user_features")(spark, sf).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) <= r.getLong(1))
+      assert(r.getDouble(8) >= 0.0 && r.getDouble(8) <= 1.0)
+      assert(r.getLong(7) >= 0L)
+    }
+  }
+
   test("vocab_growth: hand-computed Heaps curve; empty deciles carry the " +
       "cumulative forward on both sides of the grid") {
     val s = spark; import s.implicits._
