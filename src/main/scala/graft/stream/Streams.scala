@@ -422,6 +422,59 @@ object Streams {
         l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
       }
 
+  case class UserFeats(user_id: Long, n_events: Long, n_purchases: Long,
+                       total_value: Double, last_us: Long)
+
+  /** Running per-user feature gate behind [[userFeaturesStream]]: one
+    * ValueState row per user folds arrivals (counts, spend, last-seen
+    * micros) and re-emits that user's fresh feature row each
+    * micro-batch it appears in — silent users emit nothing and cost
+    * nothing. */
+  private[stream] class UserFeatureGate
+      extends StatefulProcessor[Long, (Long, String, Double, Long), UserFeats] {
+    @transient private var st: ValueState[UserFeats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserFeats]("f", Encoders.product[UserFeats], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, String, Double, Long)],
+                                 timerValues: TimerValues): Iterator[UserFeats] = {
+      var cur = if (st.exists()) st.get() else UserFeats(uid, 0L, 0L, 0.0, Long.MinValue)
+      var n = 0L
+      rows.foreach { case (_, typ, v, us) =>
+        cur = UserFeats(uid, cur.n_events + 1L,
+          cur.n_purchases + (if (typ == "purchase") 1L else 0L),
+          cur.total_value + v, math.max(cur.last_us, us))
+        n += 1L
+      }
+      if (n == 0L) Iterator.empty
+      else {
+        st.update(cur)
+        Iterator.single(cur.copy(total_value = math.rint(cur.total_value * 100.0) / 100.0))
+      }
+    }
+  }
+
+  /** STREAMING feature store — the live twin of
+    * [[graft.rel.RelQueries.userFeatures]]: each user's behavioral
+    * features (event count, purchases, spend, last-seen) fold into one
+    * ValueState row per user and the UPDATED row is emitted on every
+    * micro-batch that touches the user — exactly what an online
+    * ranking model reads between offline feature rebuilds. State is
+    * one fixed-size row per user (|users|-bounded, never stream
+    * length); arrivals reduce map-side to (uid, type, value, micros)
+    * before the keyed exchange. Checkpoint-restart safe (spec'd): a
+    * restarted query keeps accumulating the same totals. */
+  def userFeaturesStream(events: DataFrame)
+                        (implicit spark: SparkSession): Dataset[UserFeats] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_type"),
+        col("value").cast("double"), unix_micros(col("ts")))
+      .as[(Long, String, Double, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserFeatureGate, TimeMode.None(), OutputMode.Append())
+  }
+
   case class LrState(n_seen: Long, w0: Double, w1: Double, w2: Double)
   case class LrUpdate(n_seen: Long, w0: Double, w1: Double, w2: Double)
 

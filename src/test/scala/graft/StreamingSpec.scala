@@ -633,6 +633,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("userFeaturesStream: per-user rows re-emit with running totals; " +
+      "silent users emit nothing") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+      val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val q = Streams.userFeaturesStream(
+          in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .writeStream.outputMode("append").format("memory").queryName("uf").start()
+      try {
+        in.addData((10L, t0, 1L, "click", 1.5), (11L, t0, 2L, "view", 0.25))
+        q.processAllAvailable()
+        // only user 1 appears in batch 2: user 2 must NOT re-emit
+        in.addData((12L, t1, 1L, "purchase", 2.5))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("uf").as[Streams.UserFeats].collect()
+        .map(u => (u.user_id, u.n_events, u.n_purchases, u.total_value, u.last_us))
+        .sortBy(r => (r._1, r._2)).toSeq
+      val us0 = t0.getTime * 1000L
+      val us1 = t1.getTime * 1000L
+      assert(got === Seq(
+        (1L, 1L, 0L, 1.5, us0), (1L, 2L, 1L, 4.0, us1),
+        (2L, 1L, 0L, 0.25, us0)))
+    }
+  }
+
+  test("userFeaturesStream resumes running totals from a checkpoint: the " +
+      "post-restart row carries pre-restart counts and spend") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+      val dir = java.nio.file.Files.createTempDirectory("uf_restart").toString
+      val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      def start() = Streams.userFeaturesStream(
+          in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.UserFeats], _: Long) =>
+          b.write.mode("append").parquet(s"$dir/out")
+        }
+        .start()
+      val q1 = start()
+      try { in.addData((10L, t0, 1L, "click", 1.5)); q1.processAllAvailable() } finally q1.stop()
+      val q2 = start()
+      try { in.addData((11L, t1, 1L, "purchase", 2.5)); q2.processAllAvailable() } finally q2.stop()
+      val got = spark.read.parquet(s"$dir/out").as[Streams.UserFeats].collect()
+        .map(u => (u.n_events, u.n_purchases, u.total_value)).sortBy(_._1).toSeq
+      // lost state would report (1, 1, 2.5) after the restart; recovery
+      // must carry the pre-restart click and spend forward
+      assert(got === Seq((1L, 0L, 1.5), (2L, 1L, 4.0)),
+        "post-restart features must include pre-restart history")
+    }
+  }
+
   test("centroidDriftStream: running centroid scores against the static " +
       "reference; the batch twin's 3-4-5 fixture reproduces drift 5") {
     implicit val sq = spark.sqlContext
