@@ -1033,6 +1033,40 @@ object RelQueries {
         round(col("n_purchases").cast("double") / col("n_events"), 4))
       .orderBy(col("user_id"))
 
+  /** Schema-on-read payload audit — the classic CDC pain made
+    * measurable: per (event_type, JSON key) presence count, coverage,
+    * and numeric value stats over the bus's `props` payloads. A key
+    * whose coverage drifts from 1.0, or whose values stop parsing as
+    * numbers, is an upstream producer change — caught here before a
+    * consumer's extract breaks. Payloads parse as `map<string,string>`
+    * (schema-free — NEW keys appear as rows, not errors; null/invalid
+    * JSON contributes nothing on either engine), values probe numeric
+    * via try_cast so ANSI mode cannot throw on strings.
+    *
+    * Scale shape: one exploded pass to the ≤|types|·|keys| agg plus a
+    * count-only second scan for the per-type totals (broadcast,
+    * committed in the scan budget) — the ≤|types|-row denominator is
+    * not worth materializing the whole bus for. */
+  def propsProfile(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    ev.select(col("event_type"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+          .as(Seq("key", "v")))
+      .withColumn("vn", expr("try_cast(v AS BIGINT)"))
+      .groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("n"),
+           count(col("vn")).as("n_numeric"),
+           min(col("vn")).as("min_v"), max(col("vn")).as("max_v"),
+           round(sum(col("vn")).cast("double") / count(col("vn")), 2).as("avg_v"))
+      .join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("key"), col("n"),
+        round(col("n").cast("double") / col("n_events"), 4).as("coverage"),
+        col("n_numeric"), col("min_v"), col("max_v"), col("avg_v"))
+      .orderBy(col("event_type"), col("key"))
+  }
+
   private val ProfileCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -1485,6 +1519,7 @@ object RelQueries {
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),
     "user_features"      -> (userFeatures _),
+    "props_profile"      -> (propsProfile _),
     "q19_disjunct"       -> (q19Disjunct _),
     "q10_returns"        -> (q10Returns _),
     "q18_big_orders"     -> (q18BigOrders _),
@@ -1829,6 +1864,25 @@ object RelQueries {
         |       round(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
         |             / count(*), 4) AS purchase_rate
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "props_profile" ->
+      """WITH kvv AS (
+        |  SELECT event_type, key,
+        |         TRY_CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS vn
+        |  FROM (SELECT event_type, unnest(json_keys(props)) AS key, props
+        |        FROM events)),
+        |agg AS (
+        |  SELECT event_type, key, count(*) AS n,
+        |         CAST(count(vn) AS BIGINT) AS n_numeric,
+        |         min(vn) AS min_v, max(vn) AS max_v,
+        |         round(CAST(sum(vn) AS DOUBLE) / count(vn), 2) AS avg_v
+        |  FROM kvv GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT a.event_type, a.key, a.n,
+        |       round(CAST(a.n AS DOUBLE) / t.n_events, 4) AS coverage,
+        |       a.n_numeric, a.min_v, a.max_v, a.avg_v
+        |FROM agg a JOIN tot t USING (event_type)
+        |ORDER BY event_type, key""".stripMargin,
 
     "cohort_retention" ->
       """WITH ue AS (

@@ -935,6 +935,37 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("props_profile: a new payload key appears as a row with partial " +
+      "coverage; non-numeric values don't break the stats; invalid JSON " +
+      "contributes nothing") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_props").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((10L, t0, 1L, "click", 0.0, """{"k": 1, "m": "x"}"""),
+        (11L, t0, 2L, "click", 0.0, """{"k": 3}"""),
+        (12L, t0, 3L, "click", 0.0, "not json"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = SparkEntry.queries("props_profile")(spark, tmp).collect()
+    // 3 click events total; 'k' on 2 of them (numeric 1 and 3), the
+    // drifted 'm' on 1 (non-numeric), the bad payload on none
+    assert(rows.length === 2)
+    val k = rows(0); val m = rows(1)
+    assert((k.getString(1), k.getLong(2), k.getDouble(3), k.getLong(4),
+            k.getLong(5), k.getLong(6), k.getDouble(7)) ===
+      (("k", 2L, 0.6667, 2L, 1L, 3L, 2.0)))
+    assert((m.getString(1), m.getLong(2), m.getDouble(3), m.getLong(4)) ===
+      (("m", 1L, 0.3333, 0L)))
+    assert(m.isNullAt(5) && m.isNullAt(6) && m.isNullAt(7))
+    // graded table: coverage in (0, 1]; numeric count never exceeds n
+    val g = SparkEntry.queries("props_profile")(spark, sf).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(4) <= r.getLong(2))
+    }
+  }
+
   test("vocab_growth: hand-computed Heaps curve; empty deciles carry the " +
       "cumulative forward on both sides of the grid") {
     val s = spark; import s.implicits._
