@@ -1067,6 +1067,37 @@ object RelQueries {
       .orderBy(col("event_type"), col("key"))
   }
 
+  /** Daily traffic-anomaly audit — the bus-monitoring twin of
+    * [[graft.llm.TextOps.lengthOutliers]]: per event type, flag days
+    * whose event count sits beyond 1.5σ of that type's daily mean.
+    * Mean/variance come from exact integer window sums with a FIXED
+    * operation order (never built-in stddev, whose reduction order is
+    * engine-specific) and the 1.5σ gate is the squared cross-multiplied
+    * compare, so both engines flag the identical day set.
+    *
+    * Scale shape: one scan reduces to the ≤|types|·|days| daily frame;
+    * the stats window partitions by type over ≤|days| rows — an
+    * aggregate-frame order, never a corpus one. */
+  def anomalyDays(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("sx", sum(col("n")).over(w))
+      .withColumn("sxx", sum(col("n") * col("n")).over(w))
+      .withColumn("nd", count(lit(1)).over(w))
+      .withColumn("mean", col("sx").cast("double") / col("nd"))
+      .withColumn("variance",
+        (col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("nd"))
+          / (col("nd") - 1))
+      .filter((col("n").cast("double") - col("mean")) *
+              (col("n").cast("double") - col("mean")) >
+              lit(2.25d) * col("variance"))
+      .select(col("event_type"), col("d"), col("n"),
+              round(col("mean"), 2).as("mean_n"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
   private val ProfileCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -1520,6 +1551,7 @@ object RelQueries {
     "dau_wau"            -> (dauWau _),
     "user_features"      -> (userFeatures _),
     "props_profile"      -> (propsProfile _),
+    "anomaly_days"       -> (anomalyDays _),
     "q19_disjunct"       -> (q19Disjunct _),
     "q10_returns"        -> (q10Returns _),
     "q18_big_orders"     -> (q18BigOrders _),
@@ -1864,6 +1896,25 @@ object RelQueries {
         |       round(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
         |             / count(*), 4) AS purchase_rate
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT *, CAST(sum(n) OVER w AS BIGINT) AS sx,
+        |         CAST(sum(n * n) OVER w AS BIGINT) AS sxx,
+        |         CAST(count(*) OVER w AS BIGINT) AS nd
+        |  FROM daily WINDOW w AS (PARTITION BY event_type)),
+        |fin AS (
+        |  SELECT event_type, d, n, CAST(sx AS DOUBLE) / nd AS mean,
+        |         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / nd) / (nd - 1) AS variance
+        |  FROM st)
+        |SELECT event_type, d, n, round(mean, 2) AS mean_n
+        |FROM fin
+        |WHERE (CAST(n AS DOUBLE) - mean) * (CAST(n AS DOUBLE) - mean) > 2.25 * variance
+        |ORDER BY event_type, d""".stripMargin,
 
     "props_profile" ->
       """WITH kvv AS (

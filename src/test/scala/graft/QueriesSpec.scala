@@ -966,6 +966,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("anomaly_days: a 10x traffic spike flags exactly its day; steady " +
+      "days pass; graded flags genuinely deviate from their mean") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    // 10 days of 10 clicks + one day of 100: mean 18.18, only the spike
+    // clears the squared 1.5σ gate
+    val rowsIn = (0 until 10).flatMap { day =>
+      val t = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+      (0 until 10).map(i => (day * 100L + i, t, i.toLong, "click", 1.0, "{}"))
+    } ++ (0 until 100).map { i =>
+      (9000L + i, java.sql.Timestamp.valueOf("2024-01-11 12:00:00"),
+        i.toLong, "click", 1.0, "{}")
+    }
+    rowsIn.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = SparkEntry.queries("anomaly_days")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq === Seq(("click", "2024-01-11", 100L, 18.18)))
+    // graded table: flagged days exist and really deviate
+    val g = SparkEntry.queries("anomaly_days")(spark, sf).collect()
+    assert(g.nonEmpty)
+    g.foreach(r => assert(math.abs(r.getLong(2).toDouble - r.getDouble(3)) > 0.0))
+  }
+
   test("vocab_growth: hand-computed Heaps curve; empty deciles carry the " +
       "cumulative forward on both sides of the grid") {
     val s = spark; import s.implicits._
