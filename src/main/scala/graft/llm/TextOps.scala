@@ -363,10 +363,16 @@ object TextOps {
     * count (one scan, map-side combinable). Everything after — the
     * total orders, the global windows — runs on the ≤|sources| aggregate
     * frame, the documented exception to the no-total-order rule. */
-  def tokenBudget(s: SparkSession, d: String): DataFrame = {
-    val per = Tables.documents(s, d)
-      .groupBy(col("source"))
-      .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail"))
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    tokenBudgetFrom(
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail")))
+
+  /** Waterfilling core over a prepared (source, avail) frame — split out
+    * so the scalacheck property can drive ARBITRARY availability sets
+    * through the exact production plan. */
+  private[graft] def tokenBudgetFrom(per: DataFrame): DataFrame = {
     val tot = per.agg(sum(col("avail")).as("t"), count(lit(1)).as("n"))
     val w = Window.orderBy(col("avail"), col("source"))
     val all = Window.partitionBy()

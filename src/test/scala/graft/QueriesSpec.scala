@@ -990,6 +990,46 @@ class QueriesSpec extends AnyFunSuite {
     g.foreach(r => assert(math.abs(r.getLong(2).toDouble - r.getDouble(3)) > 0.0))
   }
 
+  test("scalacheck: waterfilling holds its contract on ARBITRARY " +
+      "availability sets — exact budget, caps, max-min fairness") {
+    val s = spark; import s.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val genCase: Gen[List[Long]] = for {
+      n      <- Gen.choose(1, 9)
+      avails <- Gen.listOfN(n, Gen.choose(1L, 500L))
+    } yield avails
+    val prop = Prop.forAll(genCase) { avails =>
+      val per = avails.zipWithIndex
+        .map { case (a, i) => (f"s$i%02d", a) }.toDF("source", "avail")
+      val rows = graft.llm.TextOps.tokenBudgetFrom(per).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      val t = avails.sum
+      val b = t / 2
+      val sat = rows.filter(_._4)
+      val unsat = rows.filterNot(_._4)
+      import Prop.propBoolean
+      Prop.all(
+        (rows.map(_._3).sum == b)
+          :| s"sum(alloc)=${rows.map(_._3).sum} != B=$b for $avails",
+        rows.forall(r => r._3 <= r._2 && r._3 >= 0)
+          :| s"alloc outside [0, avail] in ${rows.toSeq}",
+        sat.forall(r => r._3 == r._2)
+          :| s"saturated source not taken whole in ${rows.toSeq}",
+        (unsat.isEmpty ||
+          unsat.map(_._3).max - unsat.map(_._3).min <= 1L)
+          :| s"unsaturated allocs not max-min fair in ${rows.toSeq}",
+        (sat.isEmpty || unsat.isEmpty ||
+          sat.map(_._2).max <= unsat.map(_._3).min)
+          :| s"a saturated avail exceeds the waterline in ${rows.toSeq}")
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(12)
+        .withInitialSeed(Seed(0xF00DL)), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   test("vocab_growth: hand-computed Heaps curve; empty deciles carry the " +
       "cumulative forward on both sides of the grid") {
     val s = spark; import s.implicits._
