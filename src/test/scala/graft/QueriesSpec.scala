@@ -1030,6 +1030,47 @@ class QueriesSpec extends AnyFunSuite {
     assert(res.passed, s"property failed: ${res.status}")
   }
 
+  test("scalacheck: the boundary-delimited BPE fuse equals a reference " +
+      "greedy left-to-right fold for ARBITRARY words and merge chains") {
+    val s = spark; import s.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.functions.{col, expr, regexp_replace, split, trim}
+    // reference: standard BPE apply — scan symbols left to right, fuse
+    // each non-overlapping (a, b) occurrence
+    def fuse(syms: List[String], a: String, b: String): List[String] = syms match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: fuse(rest, a, b)
+      case x :: rest => x :: fuse(rest, a, b)
+      case Nil => Nil
+    }
+    val sym = Gen.choose(1, 2).flatMap(n =>
+      Gen.listOfN(n, Gen.choose('a', 'c')).map(_.mkString))
+    val genCase = for {
+      wlen   <- Gen.choose(1, 12)
+      word   <- Gen.listOfN(wlen, Gen.choose('a', 'c')).map(_.mkString)
+      merges <- Gen.listOfN(3, Gen.zip(sym, sym))
+    } yield (word, merges)
+    val prop = Prop.forAll(genCase) { case (word, merges) =>
+      val base = Seq(word).toDF("w")
+        .withColumn("s", regexp_replace(col("w"), "(.)", " $1 "))
+      val fused = merges.foldLeft(base) { case (d, (a, b)) =>
+        d.withColumn("s", expr(s"replace(s, ' $a  $b ', ' $a$b ')"))
+      }
+      val got = fused.select(split(trim(col("s")), "  ")).collect()
+        .head.getSeq[String](0).toList
+      val want = merges.foldLeft(word.map(_.toString).toList) {
+        case (syms, (a, b)) => fuse(syms, a, b)
+      }
+      import Prop.propBoolean
+      (got == want) :| s"word=$word merges=$merges got=$got want=$want"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(16)
+        .withInitialSeed(Seed(0xCAFEL)), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   test("vocab_growth: hand-computed Heaps curve; empty deciles carry the " +
       "cumulative forward on both sides of the grid") {
     val s = spark; import s.implicits._
