@@ -23,11 +23,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcBus.queries ++ RelQueries.queries ++ TextOps.queries ++
-      HashDedup.queries ++ VectorOps.queries ++ Multimodal.queries
+      HashDedup.queries ++ VectorOps.queries ++ Multimodal.queries ++
+      graft.stream.StreamGrade.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CdcBus.oracle ++ RelQueries.oracle ++ TextOps.oracle ++
-      HashDedup.oracle ++ VectorOps.oracle ++ Multimodal.oracle
+      HashDedup.oracle ++ VectorOps.oracle ++ Multimodal.oracle ++
+      graft.stream.StreamGrade.oracle
 }

@@ -75,7 +75,7 @@ object CdcBus {
       .select(element_at(typedlit(pats), col("pi") + 1).as("pattern"), col("hits"))
   }
 
-  private val subs = Seq(
+  private[graft] val subs = Seq(
     "s_all"      -> "cdc/#",
     "s_click"    -> "cdc/click/#",
     "s_err"      -> "cdc/error/#",

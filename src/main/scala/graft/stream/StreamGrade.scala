@@ -1,0 +1,220 @@
+package graft.stream
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+
+/** ORACLE-GATED streaming queries — the reference's native domain
+  * (lib/nats.js is entirely streaming semantics: per-subscription
+  * counters, the retained-message cache, per-channel version history)
+  * driven through the hash-checked correctness gate, not just scalatest.
+  *
+  * Pattern (the `cdc_wire_tcp` lineage): the events bus is replayed as a
+  * BOUNDED STREAM — three time-sliced parquet files consumed oldest-first
+  * by the file source under `Trigger.AvailableNow` with
+  * `maxFilesPerTrigger=1`, so each graded run executes THREE micro-batches
+  * whose state genuinely accumulates/revises across batches — into a
+  * memory sink, and the sink is the returned DataFrame. The DuckDB twin
+  * computes the same answer from the parquet directly, so the STREAMING
+  * engine (stateful aggregation / transformWithState), not its batch
+  * shadow, produces the hash-matched rows.
+  *
+  * Determinism: the three graded views are arrival-order-insensitive by
+  * construction — counts and `max_by((ts, event_id))` are commutative
+  * monoids, and the SCD2 gate sorts within batch while the slice cut
+  * preserves per-channel ts order ACROSS batches (slices are disjoint
+  * half-open ts ranges consumed oldest-first).
+  */
+object StreamGrade {
+
+  // memory-sink names must be unique per invocation (the bench re-runs
+  // each query within one JVM)
+  private val runs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Slice boundaries inside the testdata's Jan-2024 span: three
+    * non-empty half-open ranges at every sf. */
+  private val cuts = Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00")
+
+  /** Replay the captured bus as a bounded 3-file stream: write disjoint
+    * time slices with strictly increasing modification times (the file
+    * source processes oldest-first), stream them one file per trigger,
+    * hand the streaming frame to `body`, and clean up. The slice write
+    * is part of the harness, not the graded operator — production would
+    * `readStream` the live bus ([[graft.nats.NatsSource]]); this replay
+    * exists so the DuckDB oracle can grade the same rows. */
+  private def withBusStream[A](s: SparkSession, d: String)(body: DataFrame => A): A = {
+    val tmp = Files.createTempDirectory("graft_stream_bus_")
+    try {
+      val bus = Tables.bus(s, d)
+      val bounds = Seq(
+        col("ts") < lit(cuts(0)).cast("timestamp"),
+        col("ts") >= lit(cuts(0)).cast("timestamp") &&
+          col("ts") < lit(cuts(1)).cast("timestamp"),
+        col("ts") >= lit(cuts(1)).cast("timestamp"))
+      val inDir = Files.createDirectory(tmp.resolve("in"))
+      val base = System.currentTimeMillis() - 60000L
+      bounds.zipWithIndex.foreach { case (pred, i) =>
+        import scala.jdk.CollectionConverters._
+        val stage = tmp.resolve(s"w_$i")
+        bus.filter(pred).coalesce(1).write
+          .mode("overwrite").parquet(stage.toString)
+        val src = Files.list(stage).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+        val dst = inDir.resolve(s"slice_$i.parquet")
+        Files.move(src, dst)
+        // strictly increasing mtimes => oldest-first == ts order
+        dst.toFile.setLastModified(base + i * 2000L)
+      }
+      val streamed = s.readStream.schema(bus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+      body(streamed)
+    } finally deleteRecursively(tmp)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  /** Data-carrying micro-batch count of the last [[runToSink]] run —
+    * spec hook asserting the 3-slice replay genuinely multi-batches
+    * (state accumulates ACROSS batches, not one batch in disguise). */
+  @volatile private[graft] var lastBatchCount: Int = -1
+
+  /** Run a streaming frame to completion under `Trigger.AvailableNow`
+    * into a uniquely-named memory sink; return the sink table. */
+  private def runToSink(s: SparkSession, out: DataFrame, mode: String,
+                        name: String): DataFrame = {
+    val sink = s"${name}_${runs.incrementAndGet()}"
+    val q = out.writeStream.outputMode(mode).format("memory")
+      .queryName(sink).trigger(Trigger.AvailableNow()).start()
+    try {
+      if (!q.awaitTermination(180000L))
+        throw new IllegalStateException(s"streaming query $sink did not finish")
+      lastBatchCount = q.recentProgress.count(_.numInputRows > 0L)
+    } finally q.stop()
+    s.table(sink)
+  }
+
+  /** Scope the RocksDB state store provider (required by
+    * `transformWithState`) to `body`, restoring the prior provider — and
+    * unload the loaded providers afterwards so the RocksDB maintenance
+    * thread never races JVM shutdown (the StreamingSpec discipline). */
+  private def withRocksDb[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally {
+      prior.fold(s.conf.unset(key))(s.conf.set(key, _))
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
+  }
+
+  /** STREAMING per-subscription delivery counters, graded: the
+    * reference's `sub.received += 1` (lib/nats.js:97) executed by the
+    * streaming engine — the k-way trie dispatch runs map-side on each
+    * micro-batch and the running `groupBy(pattern).count()` state REVISES
+    * across the three batches (complete mode); the sink holds the final
+    * revision. Shares [[graft.cdc.CdcBus.subCounters]]'s oracle shape:
+    * the ≤k-row counter table broadcast-joins back onto the subscription
+    * dim so zero-delivery subs surface as 0. */
+  def streamCounters(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val spark = s; import spark.implicits._
+      val counts = runToSink(s,
+        Streams.subCounters(busStream, graft.cdc.CdcBus.subs.map(_._2)),
+        "complete", "stream_counters")
+      graft.cdc.CdcBus.subs.toDF("sub", "pattern")
+        .join(broadcast(counts), Seq("pattern"), "left")
+        .select(col("sub"), coalesce(col("received"), lit(0L)).as("received"))
+        .orderBy(col("sub"))
+    }
+
+  /** STREAMING retained-message cache, graded: the last-value cache a
+    * new subscriber receives ([[graft.cdc.CdcBus.retained]]'s semantics)
+    * as a continuously-revising `max_by` aggregation — state is one row
+    * per channel, revised across the three micro-batches; the sink's
+    * final revision hash-matches the batch window-rank twin. */
+  def streamRetained(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val cache = runToSink(s,
+        Streams.retained(busStream.filter(col("user_id") < 20)),
+        "complete", "stream_retained")
+      cache.select(col("channel"), col("event_id"), col("ts"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("channel"))
+    }
+
+  /** STREAMING SCD2, graded: [[Streams.scd2Stream]]'s per-channel
+    * version gate (transformWithState + RocksDB) emits each version row
+    * THE MOMENT the channel's next event closes it — the open version
+    * rides ValueState across micro-batch boundaries, so a version opened
+    * in slice 1 and closed in slice 3 proves genuine cross-batch state.
+    * The sink accumulates closed intervals in append mode; the DuckDB
+    * twin is the batch SCD2 restricted to closed rows
+    * (`valid_to IS NOT NULL` — a stream cannot emit the still-open
+    * version, which is exactly the state). */
+  def streamScd2(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val spark = s; import spark.implicits._
+      implicit val ss: SparkSession = s
+      val typed = busStream.filter(col("user_id") < 20)
+        .select(col("channel").as("_1"),
+          struct(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props")).as("_2"))
+        .as[(String, Streams.BusEvent)]
+      val closed = withRocksDb(s) {
+        runToSink(s, Streams.scd2Stream(typed).toDF(), "append", "stream_scd2")
+      }
+      closed.select(col("channel"), col("event_id"), col("valid_from"),
+          col("valid_to"), round(col("value"), 2).as("value"))
+        .orderBy(col("channel"), col("valid_from"), col("event_id"))
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_stream_counters" -> (streamCounters _),
+    "cdc_stream_retained" -> (streamRetained _),
+    "cdc_stream_scd2"     -> (streamScd2 _))
+
+  private def rx(pattern: String): String = graft.cdc.MqttPattern.toRegex(pattern)
+
+  val oracle: Map[String, String] = Map(
+    // shares cdc_sub_counters' twin verbatim — the stream transports and
+    // counts losslessly, so the direct batch count is the contract
+    "cdc_stream_counters" ->
+      s"""${Tables.BusCte}
+         |SELECT sub, count(channel) AS received
+         |FROM (VALUES ${graft.cdc.CdcBus.subs.map { case (n, p) => s"('$n', '${rx(p)}')" }.mkString(", ")}) pats(sub, pat_rx)
+         |LEFT JOIN ev ON regexp_matches(ev.channel, pats.pat_rx)
+         |GROUP BY sub ORDER BY sub""".stripMargin,
+
+    "cdc_stream_retained" ->
+      s"""${Tables.BusCte}
+         |SELECT channel, event_id, ts, round(value, 2) AS value FROM (
+         |  SELECT channel, event_id, ts, value,
+         |         row_number() OVER (PARTITION BY channel
+         |           ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM ev WHERE user_id < 20)
+         |WHERE rn = 1 ORDER BY channel""".stripMargin,
+
+    // batch SCD2 restricted to CLOSED intervals: the open version is
+    // held state, not an emitted row
+    "cdc_stream_scd2" ->
+      s"""${Tables.BusCte}
+         |SELECT channel, event_id, ts AS valid_from,
+         |       lead(ts) OVER w AS valid_to,
+         |       round(value, 2) AS value
+         |FROM ev WHERE user_id < 20
+         |WINDOW w AS (PARTITION BY channel ORDER BY ts, event_id)
+         |QUALIFY valid_to IS NOT NULL
+         |ORDER BY channel, valid_from, event_id""".stripMargin)
+}

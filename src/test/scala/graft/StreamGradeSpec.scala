@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.state.StateStore
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stream.StreamGrade
+
+/** The oracle-gated streaming queries (SURVEY §2b streaming — the
+  * reference's native domain driven through the hash gate): each graded
+  * streaming result must equal its Spark BATCH twin row-for-row, and the
+  * 3-slice bus replay must execute as three genuine micro-batches so the
+  * cross-batch state (running counters, the retained cache's revisions,
+  * the SCD2 open version riding ValueState over a batch boundary) is
+  * actually exercised — not one batch in disguise. */
+class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = {
+    StateStore.stop()
+    super.afterAll()
+  }
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString)
+
+  test("cdc_stream_counters: streaming == batch subCounters, across 3 micro-batches") {
+    val got = rows(StreamGrade.streamCounters(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.cdc.CdcBus.subCounters(spark, dir))
+    assert(got === want)
+  }
+
+  test("cdc_stream_retained: streaming cache == batch window twin, across 3 micro-batches") {
+    val got = rows(StreamGrade.streamRetained(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.cdc.CdcBus.retained(spark, dir))
+    assert(got === want)
+  }
+
+  test("cdc_stream_scd2: streamed closed versions == batch SCD2 closed rows, across 3 micro-batches") {
+    val got = rows(StreamGrade.streamScd2(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.cdc.CdcBus.scd2(spark, dir)
+      .filter(col("valid_to").isNotNull)
+      .select(col("channel"), col("event_id"), col("valid_from"),
+              col("valid_to"), col("value"))
+      .orderBy(col("channel"), col("valid_from"), col("event_id")))
+    assert(got === want)
+  }
+}
