@@ -479,27 +479,33 @@ object Streams {
   case class LrUpdate(n_seen: Long, w0: Double, w1: Double, w2: Double)
 
   /** Online-SGD gate behind [[logregStream]]: the weight vector lives
-    * in ONE ValueState row; each micro-batch folds its examples into a
-    * gradient at the CURRENT weights in a single pass, applies one
-    * step, and emits the rounded weights with the cumulative example
-    * count. When a micro-batch carries the full corpus this replays
-    * batch GD exactly — the parity the spec pins against
-    * `logreg_step`. */
+    * in ONE ValueState row; each micro-batch's PRE-AGGREGATED feature
+    * groups (distinct vector, multiplicity) fold into a gradient at the
+    * CURRENT weights — one sigmoid per GROUP, weighted by its count —
+    * then one step applies and the rounded weights emit with the
+    * cumulative example count. Groups are sorted before the fold so the
+    * FP summation order is deterministic run-to-run. When a micro-batch
+    * carries the full corpus this replays batch GD exactly — the parity
+    * the spec pins against `logreg_step` (grouping identical vectors
+    * re-associates a sum of identical terms: `n·x(σ−y)` is
+    * term-for-term the per-row sum). */
   private[stream] class OnlineLrGate(lr: Double)
-      extends StatefulProcessor[Int, (Int, Double, Double, Double, Double), LrUpdate] {
+      extends StatefulProcessor[Int, (Int, Double, Double, Double, Double, Long), LrUpdate] {
     @transient private var st: ValueState[LrState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[LrState]("w", Encoders.product[LrState], TTLConfig.NONE)
 
-    override def handleInputRows(key: Int, rows: Iterator[(Int, Double, Double, Double, Double)],
+    override def handleInputRows(key: Int, rows: Iterator[(Int, Double, Double, Double, Double, Long)],
                                  timerValues: TimerValues): Iterator[LrUpdate] = {
       val cur = if (st.exists()) st.get() else LrState(0L, 0.0, 0.0, 0.0)
+      val groups = rows.map { case (_, y, x0, x1, x2, n) => (y, x0, x1, x2, n) }
+        .toSeq.sortBy(g => (g._1, g._2, g._3, g._4))
       var n = 0L; var g0 = 0.0; var g1 = 0.0; var g2 = 0.0
-      rows.foreach { case (_, y, x0, x1, x2) =>
+      groups.foreach { case (y, x0, x1, x2, m) =>
         val sig = 1.0 / (1.0 + math.exp(-(cur.w0 * x0 + cur.w1 * x1 + cur.w2 * x2)))
-        val e = sig - y
-        g0 += x0 * e; g1 += x1 * e; g2 += x2 * e; n += 1L
+        val e = (sig - y) * m.toDouble
+        g0 += x0 * e; g1 += x1 * e; g2 += x2 * e; n += m
       }
       if (n == 0L) Iterator.empty
       else {
@@ -522,19 +528,30 @@ object Streams {
     * replays batch GD exactly; at streaming rates each arrival batch is
     * a mini-batch — classic online SGD.
     *
-    * Scale note, stated honestly: the weight vector is GLOBAL state, so
-    * each micro-batch's feature rows reduce to the single weight key —
-    * the streaming analogue of the batch twin's final 1-row agg. The
-    * per-row feature math stays map-side; at production rates the
-    * standard refinements (per-partition gradient pre-aggregation, or
-    * mini-batch subsampling before the key) bound the single task's
-    * fold, and the state discipline graded here is unchanged. */
+    * Scale shape: the weight vector is GLOBAL state (the streaming
+    * analogue of the batch twin's final 1-row agg), but the exchange
+    * into it carries PARTIAL SUMS, not rows — each partition reduces
+    * its feature rows BATCH-LOCALLY (stateless mapPartitions, not a
+    * running streaming agg) to (distinct feature vector, count) groups,
+    * the logistic gradient's exact sufficient statistic at any weights:
+    * `Σ n_v · x_v (σ(w·x_v) − y_v)`. The single weight task folds
+    * ≤ Σ_p |distinct vectors in p| group rows — bounded by the
+    * quantized feature space (bias is constant, length is clipped to
+    * 201 values), never by micro-batch row count — computing one
+    * sigmoid per group. The per-row feature math and the grouping both
+    * stay map-side, mirroring `logreg_step`'s map-side agg. */
   def logregStream(docs: DataFrame, lr: Double = 0.1)
                   (implicit spark: SparkSession): Dataset[LrUpdate] = {
     import spark.implicits._
     graft.llm.TextOps.lrFeatures(docs)
-      .select(lit(0).as("k"), col("y"), col("x0"), col("x1"), col("x2"))
-      .as[(Int, Double, Double, Double, Double)]
+      .select(col("y"), col("x0"), col("x1"), col("x2"))
+      .as[(Double, Double, Double, Double)]
+      .mapPartitions { rows =>
+        val acc = scala.collection.mutable.HashMap
+          .empty[(Double, Double, Double, Double), Long]
+        rows.foreach(v => acc.update(v, acc.getOrElse(v, 0L) + 1L))
+        acc.iterator.map { case ((y, x0, x1, x2), m) => (0, y, x0, x1, x2, m) }
+      }
       .groupByKey(_._1)
       .transformWithState(new OnlineLrGate(lr), TimeMode.None(), OutputMode.Append())
   }
