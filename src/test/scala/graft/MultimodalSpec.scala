@@ -63,4 +63,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(uncapped.forall(_.getLong(1) === perBand),
       "uncapped candidate volume must be the full pair expansion")
   }
+
+  test("PNG codec round trip is real and lossless: genuine PNG container, " +
+      "decode(encode(px)) == px for every payload") {
+    // arbitrary 16-byte rasters, including the extremes a signed-byte
+    // bug would corrupt
+    val seeds = Seq(
+      Array.fill(16)(0.toByte),
+      Array.fill(16)(255.toByte),
+      (0 until 16).map(i => (i * 17).toByte).toArray,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("round trip me".getBytes("UTF-8")))
+    seeds.foreach { px =>
+      val png = Multimodal.pngEncode(px)
+      // PNG signature: \x89 P N G \r \n \x1a \n
+      assert(png.take(8).toSeq ===
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+        "encoder must emit a genuine PNG container")
+      assert(png.length > 16, "container overhead proves a real format")
+      assert(Multimodal.pngDecode(png).toSeq === px.toSeq,
+        "grayscale PNG round trip must be lossless")
+    }
+  }
+
+  test("extractFeatures runs the codec round trip per row: features come " +
+      "from DECODED pixels and equal the payload-byte arithmetic") {
+    val feats = Multimodal.extractFeatures(spark, "/root/testdata/sf0.001")
+      .collect().map(f => f.doc_id -> f).toMap
+    val raw = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("img")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(feats.keySet === raw.keySet)
+    raw.foreach { case (id, bytes) =>
+      val f = feats(id)
+      assert(f.n_px === 16)
+      val mean = bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+      assert(math.abs(f.mean_px - mean) < 1e-12,
+        s"doc $id: decoded-pixel mean must equal payload-byte mean")
+      val expect = new Array[Float](8)
+      bytes.indices.foreach(i => expect(i % 8) += (bytes(i) & 0xff) / 255.0f)
+      assert(f.feature.toSeq === expect.toSeq,
+        s"doc $id: features must derive from the decoded raster")
+    }
+  }
+
+  test("the graded pHash signature IS the decoded-pixel signature: " +
+      "relational sig == sig computed from PNG-decoded intensities") {
+    val sigs = Multimodal.phashBanded(spark, "/root/testdata/sf0.001", 16, 4)
+      .select(col("doc_id"), col("sig")).distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("img")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(sigs.keySet === raw.keySet)
+    raw.foreach { case (id, bytes) =>
+      val px = Multimodal.pngDecode(Multimodal.pngEncode(bytes))
+      var sig = 0L
+      (0 until 16).foreach { i =>
+        if ((px(i % 16) & 0xff).toLong > Multimodal.PhashThresholds(i / 16))
+          sig |= (1L << i)
+      }
+      assert(sigs(id) === sig,
+        s"doc $id: graded signature must equal the decoded-pixel signature")
+    }
+  }
 }

@@ -1154,12 +1154,12 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal feature extraction: real plumbing, deterministic stub codec") {
+  test("multimodal feature extraction: real PNG codec round trip per row") {
     val feats = Multimodal.extractFeatures(spark, sf).collect()
     assert(feats.length === 500)
-    assert(feats.forall(_.n_bytes === 16))    // md5 payload
+    assert(feats.forall(_.n_px === 16))    // 4×4 grayscale thumbnail
     assert(feats.forall(_.feature.length === 8))
     val f0 = feats.find(_.doc_id == 0L).get
-    assert(f0.mean_byte > 0.0 && f0.mean_byte < 255.0)
+    assert(f0.mean_px > 0.0 && f0.mean_px < 255.0)
   }
 }
