@@ -654,9 +654,14 @@ object TextOps {
     * doc's vocabulary — never a corpus order), and the frame is
     * localCheckpointed for its three consumers (df agg, corpus stats,
     * scoring join). Stats broadcast; df joins on the term key; the
-    * per-source cut is the bounded top-3 window. Constants are spelled
-    * identically in both engines so the FP expression trees match
-    * term-for-term. */
+    * per-source cut rides the mergeable [[graft.functions.TopKByScoreAgg]]
+    * (partial top-3 per partition + O(k) merges in ONE hash aggregate —
+    * never a window sort over the per-source term frame, the
+    * [[tfidfTopTermsAgg]] discipline). Constants are spelled identically
+    * in both engines so the FP expression trees match term-for-term,
+    * and the ORDERING score is quantized at 1e-9 on both sides so an
+    * FP-tie-adjacent term pair cannot flip ranks cross-engine as the
+    * corpus grows (ADVICE r8). */
   def bm25TopTerms(s: SparkSession, d: String): DataFrame = {
     val tfd = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
@@ -676,11 +681,13 @@ object TextOps {
           (col("c") + lit(1.2d) *
             (lit(1.0d) - lit(0.75d) + lit(0.75d) * col("dl") / col("avgdl"))))
       .groupBy(col("source"), col("w"))
-      .agg(sum(col("sc")).as("score"))
-    val win = Window.partitionBy(col("source")).orderBy(col("score").desc, col("w"))
-    scored.withColumn("rnk", row_number().over(win).cast("long"))
-      .filter(col("rnk") <= 3)
-      .select(col("source"), col("w"), col("rnk"), round(col("score"), 3).as("score"))
+      .agg(round(sum(col("sc")), 9).as("score"))
+    scored.groupBy(col("source"))
+      .agg(graft.functions.GraftFunctions.topk_by_score(col("w"), col("score"), 3).as("tops"))
+      .select(col("source"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("source"), col("t.w").as("w"),
+              (col("pos") + 1).cast("long").as("rnk"),
+              round(col("t.score"), 3).as("score"))
       .orderBy(col("source"), col("rnk"))
   }
 
@@ -2570,9 +2577,9 @@ object TextOps {
         |st AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |              CAST(sum(c) AS BIGINT) AS n_toks FROM tfd),
         |scored AS (
-        |  SELECT source, w, sum(
+        |  SELECT source, w, round(sum(
         |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-        |    (c * 2.2) / (c + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+        |    (c * 2.2) / (c + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 9) AS score
         |  FROM (SELECT t.*, d.df, s.n_docs,
         |               CAST(s.n_toks AS DOUBLE) / s.n_docs AS avgdl
         |        FROM tfdl t JOIN dft d USING (w) CROSS JOIN st s)

@@ -224,6 +224,22 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(exchanges <= 2, s"expected <=2 exchanges (agg + sort), found $exchanges:\n$finalPlan")
   }
 
+  test("bm25_top_terms: the per-source cut is the mergeable top-k agg — " +
+      "no Window sorts the per-source term frame") {
+    val df = graft.llm.TextOps.queries("bm25_top_terms")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the ONLY window is the per-doc length sum (partitioned by doc_id,
+    // bounded by one document's vocabulary); the top-3 cut must ride
+    // TopKByScoreAgg inside a hash aggregate, never a source-partition
+    // row_number sort
+    val windows = "Window".r.findAllIn(plan).length
+    assert(windows <= 1, s"expected only the dl window, found $windows:\n$plan")
+    assert(!plan.contains("row_number"),
+      s"top-3 cut must not be a window rank:\n$plan")
+    assert(plan.contains("topk_by_score"),
+      s"expected the mergeable TopKByScoreAgg in the plan:\n$plan")
+  }
+
   test("editdist_pairs: blocked equi-join, never a cartesian/BNLJ pair expansion") {
     val df = graft.llm.TextOps.queries("editdist_pairs")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
