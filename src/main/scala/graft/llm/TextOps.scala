@@ -1543,8 +1543,8 @@ object TextOps {
     "domain_caps"        -> (domainCaps _),
     "domain_caps_salted" -> (domainCapsSalted _),
     "curriculum_bins"    -> (curriculumBins _),
-    "curriculum_bins_approx"    -> (curriculumBinsApprox _),
-    "quality_filter_pct_approx" -> (qualityFilterPctApprox _),
+    // curriculumBinsApprox / qualityFilterPctApprox are UNLISTED
+    // diagnostics since r9 — graded via their hash-checked *_bound twins
     "curriculum_bins_bound"     -> (curriculumBinsBound _),
     "quality_pct_bound"         -> (qualityPctBound _),
     "snapshot_delta"            -> (snapshotDelta _),
@@ -1832,9 +1832,10 @@ object TextOps {
       |  FROM tf JOIN dfc USING (w) CROSS JOIN nd)
       |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin
 
-  // `quality_filter_pct_approx` and `curriculum_bins_approx` carry NO
-  // oracle entry (rows-only by design, like the sketch family): their
-  // GK cut points aren't bit-reproducible against DuckDB's t-digest.
+  // `qualityFilterPctApprox` and `curriculumBinsApprox` are UNLISTED
+  // diagnostics (r9): their GK cut points aren't bit-reproducible
+  // against DuckDB's t-digest, so the graded surface is the
+  // hash-checked `quality_pct_bound` / `curriculum_bins_bound` twins.
   // Parity with their exact windowed twins is pinned in SaltSpec
   // (dominant corpus) and QueriesSpec (graded tables).
   val oracle: Map[String, String] = Map(

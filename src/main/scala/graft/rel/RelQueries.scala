@@ -1543,9 +1543,10 @@ object RelQueries {
     "q22_prospects"      -> (q22Prospects _),
     "set_ops_all"        -> (setOpsAll _),
     "table_profile"      -> (tableProfile _),
-    // rows-only by design: HLL sketches aren't bit-reproducible
-    // cross-engine — error bound pinned in QueriesSpec instead
-    "table_profile_approx" -> (tableProfileApprox _),
+    // the raw sketch queries (tableProfileApprox, approxDistinct,
+    // approxPercentiles) are UNLISTED diagnostics since r9: HLL/GK
+    // sketches aren't bit-reproducible cross-engine, so the graded
+    // surface is their hash-checked *_bound twins + QueriesSpec
     "hourly_profile"     -> (hourlyProfile _),
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),
@@ -1566,8 +1567,6 @@ object RelQueries {
     "q1_pricing"         -> (q1Pricing _),
     "agg_stats"          -> (aggStats _),
     "percentiles"        -> (percentiles _),
-    "approx_distinct"    -> (approxDistinct _),
-    "approx_percentiles" -> (approxPercentiles _),
     "approx_distinct_bound"    -> (approxDistinctBound _),
     "approx_percentiles_bound" -> (approxPercentilesBound _),
     "profile_approx_bound"     -> (profileApproxBound _),

@@ -84,7 +84,7 @@ class QueriesSpec extends AnyFunSuite {
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("exact"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    SparkEntry.queries("approx_distinct")(spark, sf).collect().foreach { r =>
+    graft.rel.RelQueries.approxDistinct(spark, sf).collect().foreach { r =>
       val (flag, approx) = (r.getString(0), r.getLong(1))
       val e = exact(flag).toDouble
       assert(math.abs(approx - e) / e < 0.1, s"$flag: approx=$approx exact=$e")
@@ -94,7 +94,7 @@ class QueriesSpec extends AnyFunSuite {
   test("table_profile_approx: sketch NDV within bound, exact stats identical, no Expand") {
     val exact = SparkEntry.queries("table_profile")(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
-    val df = SparkEntry.queries("table_profile_approx")(spark, sf)
+    val df = graft.rel.RelQueries.tableProfileApprox(spark, sf)
     df.collect().foreach { r =>
       val c = r.getString(0)
       val e = exact(c)
@@ -261,7 +261,7 @@ class QueriesSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val exact = SparkEntry.queries("quality_filter_pct")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val approx = SparkEntry.queries("quality_filter_pct_approx")(spark, sf).collect()
+    val approx = graft.llm.TextOps.qualityFilterPctApprox(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(approx.keySet === exact.keySet)
     val ties = graft.Tables.documents(spark, sf)
@@ -279,7 +279,7 @@ class QueriesSpec extends AnyFunSuite {
   test("curriculum_bins_approx bins agree with ntile within edge tie runs, totals exact") {
     val exact = SparkEntry.queries("curriculum_bins")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val approx = SparkEntry.queries("curriculum_bins_approx")(spark, sf).collect()
+    val approx = graft.llm.TextOps.curriculumBinsApprox(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     val sources = exact.keySet.map(_._1)
     import org.apache.spark.sql.functions._
@@ -307,7 +307,7 @@ class QueriesSpec extends AnyFunSuite {
       .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
            percentile(col("l_quantity"), lit(0.9)).as("p90"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    SparkEntry.queries("approx_percentiles")(spark, sf).collect().foreach { r =>
+    graft.rel.RelQueries.approxPercentiles(spark, sf).collect().foreach { r =>
       val (flag, a50, a90) = (r.getString(0), r.getDouble(1), r.getDouble(2))
       assert(math.abs(a50 - exact(flag)._1) <= 2.0, s"$flag p50: $a50 vs ${exact(flag)._1}")
       assert(math.abs(a90 - exact(flag)._2) <= 2.0, s"$flag p90: $a90 vs ${exact(flag)._2}")
