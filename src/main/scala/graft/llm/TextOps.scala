@@ -275,10 +275,13 @@ object TextOps {
 
   /** The shared BPE training loop behind [[bpeMergeK]] (the merge table)
     * and [[bpeApply]] (the segmentation it produces): returns the k
-    * 1-row argmax frames and the final re-symbolized distinct-word
-    * frame. Precondition: the corpus offers at least one fusable pair
-    * at every step (any real corpus does) — an empty argmax would fuse
-    * nothing and empty the word frame via the crossJoin. */
+    * ≤1-row argmax frames and the final re-symbolized distinct-word
+    * frame. A step with NO fusable pair (e.g. an all-single-character
+    * corpus) yields an empty argmax and the fuse is a NO-OP — the
+    * winner attaches by LEFT join and `coalesce` keeps the unfused
+    * symbols, so the word frame survives and [[bpeApply]] reports
+    * compression 1 instead of silently returning zero rows
+    * (ADVICE r8; spec-pinned). */
   private def bpeLearn(s: SparkSession, d: String, k: Int): (Seq[DataFrame], DataFrame) = {
     val words0 = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
@@ -304,10 +307,10 @@ object TextOps {
         .localCheckpoint()
       steps += top
       cur = cur
-        .crossJoin(broadcast(top.select(col("pair").as("mp"))))
-        .withColumn("s", expr(
+        .join(broadcast(top.select(col("pair").as("mp"))), lit(true), "left")
+        .withColumn("s", coalesce(expr(
           "replace(s, ' ' || replace(mp, ' ', '  ') || ' ', " +
-          "' ' || replace(mp, ' ', '') || ' ')"))
+          "' ' || replace(mp, ' ', '') || ' ')"), col("s")))
         .select(col("w"), col("c"), col("s"))
         .localCheckpoint()
     }

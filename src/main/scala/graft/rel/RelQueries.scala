@@ -1039,9 +1039,19 @@ object RelQueries {
     * whose coverage drifts from 1.0, or whose values stop parsing as
     * numbers, is an upstream producer change — caught here before a
     * consumer's extract breaks. Payloads parse as `map<string,string>`
-    * (schema-free — NEW keys appear as rows, not errors; null/invalid
-    * JSON contributes nothing on either engine), values probe numeric
-    * via try_cast so ANSI mode cannot throw on strings.
+    * (schema-free — NEW keys appear as rows, not errors), values probe
+    * numeric via try_cast so ANSI mode cannot throw on strings.
+    *
+    * Dirty-bus contract (ADVICE r8, fuzz-spec'd in QueriesSpec): a
+    * NULL, malformed, or non-object payload contributes NOTHING on
+    * either engine (Spark's from_json returns null and the explode
+    * drops the row; the twin filters json_valid and json_keys of a
+    * scalar/array is empty), and keys read LITERALLY — '.', '"', '['
+    * or '\' in a key never become path syntax (the twin quotes and
+    * escapes the key into its extraction path). The one divergence
+    * corner: duplicate keys inside a single object (Spark's map keeps
+    * the last occurrence, DuckDB extracts the first) — pathological
+    * JSON no serializer emits, excluded by contract.
     *
     * Scale shape: one exploded pass to the ≤|types|·|keys| agg plus a
     * count-only second scan for the per-type totals (broadcast,
@@ -1915,12 +1925,31 @@ object RelQueries {
         |WHERE (CAST(n AS DOUBLE) - mean) * (CAST(n AS DOUBLE) - mean) > 2.25 * variance
         |ORDER BY event_type, d""".stripMargin,
 
+    // Guards mirror the Spark side's from_json semantics (ADVICE r8):
+    // NULL/invalid/non-object payloads contribute nothing (json_valid
+    // filter; json_keys of a scalar/array is already empty), and the key
+    // is QUOTED into the extraction path with '"' and '\' escaped so
+    // keys containing '.', '"', '[' or '\' read literally instead of as
+    // nested-path syntax. Duplicate keys inside ONE object are deduped
+    // (list_distinct) to keep row counts aligned; which VALUE such a
+    // pathological object contributes is the one documented divergence
+    // (Spark's map parse keeps the last occurrence, DuckDB's extract
+    // reads the first) — excluded by contract, see the query scaladoc.
+    // The numeric probe is gated on the INTEGRAL regex before TRY_CAST:
+    // DuckDB's bare TRY_CAST accepts '1.5'->2, '1e3'->1000, '0x10'->16
+    // where Spark's try_cast is integral-only — the regex pins both
+    // engines to Spark's stricter contract (space padding allowed).
     "props_profile" ->
       """WITH kvv AS (
         |  SELECT event_type, key,
-        |         TRY_CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS vn
-        |  FROM (SELECT event_type, unnest(json_keys(props)) AS key, props
-        |        FROM events)),
+        |         TRY_CAST(CASE WHEN regexp_matches(vs, '^ *[+-]?[0-9]+ *$')
+        |                       THEN trim(vs) END AS BIGINT) AS vn
+        |  FROM (SELECT event_type, key,
+        |               json_extract_string(props,
+        |                 '$."' || replace(replace(key, '\', '\\'), '"', '\"') || '"') AS vs
+        |        FROM (SELECT event_type, unnest(list_distinct(json_keys(props))) AS key, props
+        |              FROM events
+        |              WHERE props IS NOT NULL AND json_valid(props)))),
         |agg AS (
         |  SELECT event_type, key, count(*) AS n,
         |         CAST(count(vn) AS BIGINT) AS n_numeric,

@@ -1162,4 +1162,115 @@ class QueriesSpec extends AnyFunSuite {
     val f0 = feats.find(_.doc_id == 0L).get
     assert(f0.mean_px > 0.0 && f0.mean_px < 255.0)
   }
+
+  test("bpe: a corpus with no fusable pair fuses as a NO-OP, not an empty frame (ADVICE r8)") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_nofuse").toString
+    // every word is a single character: no step ever finds an adjacent
+    // symbol pair, so all 3 argmaxes are empty
+    Seq((1L, "a b c", "en", "s1", 5L), (2L, "x y", "en", "s2", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(SparkEntry.queries("bpe_merge_k")(spark, tmp).collect().isEmpty,
+      "no fusable pair must yield an empty merge table")
+    val applied = SparkEntry.queries("bpe_apply")(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(applied === Map("s1" -> 1.0, "s2" -> 1.0),
+      "bpe_apply must report compression 1 per source, never zero rows")
+  }
+
+  test("scalacheck: props_profile's parse surfaces EXACTLY the documented " +
+      "(key, value) pairs on adversarial payloads — dirty-bus contract") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val s = spark; import s.implicits._
+
+    // structured value space rendered to JSON text, with the model of
+    // what Spark's map<string,string> + try_cast(BIGINT) surfaces
+    sealed trait JV
+    case class JInt(n: Long) extends JV
+    case class JStr(v: String) extends JV
+    case object JFloat extends JV
+    case object JTrue extends JV
+    case object JNull extends JV
+    case object JArr extends JV
+    case class JObj(inner: Long) extends JV
+    def esc(str: String): String = str.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def render(v: JV): String = v match {
+      case JInt(n)  => n.toString
+      case JStr(x)  => "\"" + esc(x) + "\""
+      case JFloat   => "1.5"
+      case JTrue    => "true"
+      case JNull    => "null"
+      case JArr     => "[1,2]"
+      case JObj(n)  => s"""{"e":$n}"""
+    }
+    // the numeric contract: integral text (space padding allowed), Long
+    // range — Spark's try_cast; the DuckDB twin pins itself to the same
+    // rule with the regex gate
+    def vnOf(v: JV): Option[Long] = v match {
+      case JInt(n) => Some(n)
+      case JStr(x) =>
+        val t = x.trim
+        if (t.matches("[+-]?[0-9]+") && scala.util.Try(t.toLong).isSuccess)
+          Some(t.toLong)
+        else None
+      case _ => None
+    }
+    val keyGen = Gen.oneOf("plain", "a.b", "a\"b", "a\\b", "$.x", "arr[0]",
+      "sp ace", "dash-key", "ключ")
+    val valGen: Gen[JV] = Gen.oneOf(
+      Gen.choose(-1000000L, 1000000L).map(JInt),
+      Gen.oneOf("42", " 7 ", "+5", "-0", "1.5", "1e3", "0x10", "abc", "",
+        "9223372036854775808").map(JStr),
+      Gen.const(JFloat), Gen.const(JTrue), Gen.const(JNull),
+      Gen.const(JArr), Gen.choose(0L, 9L).map(JObj))
+    val objGen: Gen[(String, Seq[(String, JV)])] = for {
+      n  <- Gen.choose(0, 4)
+      ks <- Gen.pick(n, Seq("plain", "a.b", "a\"b", "a\\b", "$.x", "arr[0]",
+              "sp ace", "dash-key", "ключ"))
+      vs <- Gen.listOfN(n, valGen)
+    } yield {
+      val entries = ks.toSeq.zip(vs) // distinct keys by construction
+      val json = entries.map { case (k, v) => "\"" + esc(k) + "\":" + render(v) }
+        .mkString("{", ",", "}")
+      (json, entries)
+    }
+    val invalidGen: Gen[(String, Seq[(String, JV)])] =
+      Gen.oneOf("not json", "{\"a\":1", "", "   ", "42", "[1,2]", "\"s\"",
+        "{", "null", "true", "{]").map(p => (p, Nil))
+    val docGen = Gen.frequency(3 -> objGen, 1 -> invalidGen)
+    val caseGen: Gen[List[(String, Seq[(String, JV)])]] =
+      Gen.listOfN(6, docGen).map(_.toList)
+
+    val mapDdl = org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")
+    val prop = Prop.forAll(caseGen) { docs =>
+      val df = docs.map(_._1).zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("id", "props")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.from_json(
+              org.apache.spark.sql.functions.col("props"), mapDdl))
+            .as(Seq("key", "v")))
+        .selectExpr("id", "key", "try_cast(v AS BIGINT) AS vn")
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      val want = docs.zipWithIndex.flatMap { case ((_, entries), i) =>
+        entries.map { case (k, v) => (i.toLong, k, vnOf(v)) }
+      }.toSet
+      import Prop.propBoolean
+      (got == want) :| s"surfaced=$got expected=$want docs=${docs.map(_._1)}"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(15)
+        .withInitialSeed(Seed(0xD17L)), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
 }
