@@ -330,10 +330,16 @@ object TextOps {
     * counts — the corpus is never re-segmented per occurrence. Both
     * sides of the join key on the word; the ratio divides two exact
     * integer sums once, rounded at 4 decimals. */
-  def bpeApply(s: SparkSession, d: String): DataFrame = {
-    val seg = bpeLearn(s, d, 3)._2
-      .select(col("w"),
-        size(split(trim(col("s")), "  ")).cast("long").as("n_syms"))
+  def bpeApply(s: SparkSession, d: String): DataFrame =
+    bpeCompression(s, d,
+      bpeLearn(s, d, 3)._2
+        .select(col("w"),
+          size(split(trim(col("s")), "  ")).cast("long").as("n_syms")))
+
+  /** Shared per-source compression aggregation behind [[bpeApply]] and
+    * [[bpeApplyFrom]]: fan the per-distinct-word symbol count out to the
+    * (source, word) occurrence counts and reduce. */
+  private def bpeCompression(s: SparkSession, d: String, seg: DataFrame): DataFrame =
     Tables.documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
@@ -345,6 +351,74 @@ object TextOps {
            round(sum(col("c") * length(col("w"))).cast("double") /
                  sum(col("c") * col("n_syms")), 4).as("compression"))
       .orderBy(col("source"))
+
+  // ---- persisted merge-table lifecycle (the bandStoreOf contract,
+  //      graft.llm.HashDedup.writeBandStore:288-316 lineage) ----
+
+  /** Persist the learned BPE merge table WITH its freshness contract:
+    * the store directory carries a `_built_from.json` sidecar recording
+    * a fingerprint of the training corpus's documents table (underscore-
+    * prefixed so parquet readers ignore it, like _SUCCESS). This is
+    * `merges.txt` of a trained tokenizer as a governed artifact: built
+    * once per corpus snapshot, consumed by every later [[bpeApplyFrom]]
+    * without re-running the training loop. */
+  def writeMerges(s: SparkSession, corpusDir: String, outPath: String,
+                  k: Int = 3): Unit = {
+    bpeMergeK(s, corpusDir, k).write.mode("overwrite").parquet(outPath)
+    val fp = graft.llm.HashDedup.dirFingerprint(corpusDir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath, "_built_from.json"),
+      s"""{"corpus_dir":"$corpusDir","fingerprint":"$fp","k":$k}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a persisted merge table, failing FAST unless its `_built_from`
+    * fingerprint still matches `corpusDir`'s documents table — a merge
+    * table trained on a superseded snapshot must never silently segment
+    * the rebuilt corpus (the [[graft.llm.HashDedup.loadBandStore]]
+    * discipline extended to the tokenizer artifact). */
+  def loadMerges(s: SparkSession, storePath: String,
+                 corpusDir: String): DataFrame = {
+    val metaPath = java.nio.file.Paths.get(storePath, "_built_from.json")
+    require(java.nio.file.Files.exists(metaPath),
+      s"merge store at $storePath has no _built_from.json fingerprint — " +
+        "rebuild it with writeMerges (an unfingerprinted merge table " +
+        "cannot prove which corpus trained it)")
+    val meta = new String(java.nio.file.Files.readAllBytes(metaPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val stored = """"fingerprint"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(meta).map(_.group(1))
+    val now = graft.llm.HashDedup.dirFingerprint(corpusDir)
+    require(stored.contains(now),
+      s"stale merge table: $storePath was trained on corpus fingerprint " +
+        s"${stored.getOrElse("<unreadable>")} but $corpusDir now " +
+        s"fingerprints $now — retrain before applying")
+    s.read.parquet(storePath)
+  }
+
+  /** [[bpeApply]] from a PERSISTED merge table instead of the in-session
+    * training loop: replay the merges in step order as sequential fuse
+    * expressions over the distinct-word frame (later merges see earlier
+    * fusions, exactly the training-time semantics), then the shared
+    * compression aggregation. The merge list is collected to the driver
+    * deliberately — it is the tokenizer ARTIFACT, ≤k rows by
+    * construction (a tokenizer's merges.txt is loaded by every consumer
+    * the same way), never data-scale. Row-identical to [[bpeApply]] on
+    * the training corpus (spec-pinned). */
+  def bpeApplyFrom(s: SparkSession, d: String, merges: DataFrame): DataFrame = {
+    val ms = merges.select(col("step"), col("pair")).collect()
+      .sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .withColumn("s", regexp_replace(col("w"), "(.)", " $1 "))
+    val fused = ms.foldLeft(vocab) { (df, pair) =>
+      df.withColumn("s", org.apache.spark.sql.functions.replace(col("s"),
+        lit(" " + pair.replace(" ", "  ") + " "),
+        lit(" " + pair.replace(" ", "") + " ")))
+    }
+    bpeCompression(s, d,
+      fused.select(col("w"),
+        size(split(trim(col("s")), "  ")).cast("long").as("n_syms")))
   }
 
   /** Deterministic waterfilling token-budget allocation — the mix

@@ -1179,6 +1179,32 @@ class QueriesSpec extends AnyFunSuite {
       "bpe_apply must report compression 1 per source, never zero rows")
   }
 
+  test("bpe merge-table lifecycle: persist -> reload -> apply is row-identical; " +
+      "stale or fingerprint-less stores fail fast") {
+    import graft.llm.TextOps
+    val store = java.nio.file.Files.createTempDirectory("graft_bpe_store")
+      .resolve("merges").toString
+    TextOps.writeMerges(spark, sf, store)
+    // round trip: application from the persisted artifact must be
+    // row-identical to the in-session training loop's application
+    val fromStore = TextOps.bpeApplyFrom(spark, sf,
+      TextOps.loadMerges(spark, store, sf)).collect().toSeq.map(_.toString)
+    val inSession = TextOps.bpeApply(spark, sf).collect().toSeq.map(_.toString)
+    assert(fromStore === inSession)
+    // stale store: a DIFFERENT corpus fingerprint must refuse to load
+    val stale = intercept[IllegalArgumentException] {
+      TextOps.loadMerges(spark, store, "/root/testdata/sf0.01")
+    }
+    assert(stale.getMessage.contains("stale merge table"))
+    // fingerprint-less store: refuse, with the rebuild hint
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(store, "_built_from.json"))
+    val bare = intercept[IllegalArgumentException] {
+      TextOps.loadMerges(spark, store, sf)
+    }
+    assert(bare.getMessage.contains("_built_from.json"))
+  }
+
   test("scalacheck: props_profile's parse surfaces EXACTLY the documented " +
       "(key, value) pairs on adversarial payloads — dirty-bus contract") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
