@@ -426,12 +426,30 @@ object VectorOps {
 
   /** ANN quality audit: recall@3 of the hyperplane-LSH path against the
     * exact brute-force top-3, per query — the metric that decides whether
-    * an approximate index is good enough to ship. Both sides reuse the
-    * graded query lineages; the join is on (query, neighbor) pairs. */
+    * an approximate index is good enough to ship. Value-identical to
+    * joining the graded `ann_cos`/`ann_topk` lineages, but both sides
+    * derive from ONE localCheckpointed signature frame (the
+    * `ivf_recall_sweep` checkpoint discipline): the corpus is scanned
+    * once, the brute-force side simply ignores the bucket column the LSH
+    * side keys on — r8 read the embeddings 4×, this reads them once. */
   def annRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = cosTopk(s, d).filter(col("rank") <= 3)
-      .select(col("qid"), col("vec_id"))
-    val approx = annTopk(s, d)
+    val e = sigs(s, d).select(col("vec_id"), col("v"), col("n2"), col("bucket"))
+      .localCheckpoint()
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
+              col("bucket").as("qbucket"))
+    def top3(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
+      cand.withColumn("cos_raw",
+          dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vec_id"))
+    }
+    val exact = top3(e.join(broadcast(q.drop("qbucket")),
+      col("vec_id") =!= col("qid")))
+    val approx = top3(e.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid")))
       .select(col("qid").as("aqid"), col("vec_id").as("avid"))
     exact.join(approx,
         col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")
@@ -453,11 +471,16 @@ object VectorOps {
     * at the end (cross-engine deterministic, like ann_recall). Like
     * ann_recall this is an AUDIT: the brute-force ground truth prices a
     * query SAMPLE (NQueries) — at 100 TB it runs on a held-out query
-    * set, never the full corpus, so the extra embeddings scans are
-    * sample-bounded. */
+    * set, never the full corpus — and every consumer (corpus side,
+    * query side, centroids, ground truth) reads the ONE checkpointed
+    * scan (r9). */
   def ivfRecallSweep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // ONE embeddings scan: corpus side, query side, centroid build and
+    // the brute-force ground truth all derive from this checkpoint
+    // (r8 read the embeddings 5×)
     val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("n2"))
+      .localCheckpoint()
     val cents = centroids(e)
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
@@ -479,7 +502,14 @@ object VectorOps {
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= 3)
       .select(col("nprobe").as("anp"), col("qid").as("aqid"), col("vec_id").as("avid"))
-    val exact = cosTopk(s, d).filter(col("rank") <= 3)
+    // brute-force ground truth from the SAME checkpoint (value-identical
+    // to the graded ann_cos lineage's top-3)
+    val wx = Window.partitionBy(col("qid")).orderBy(col("cos_x").desc, col("vec_id"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_x",
+        dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(wx).cast("long"))
+      .filter(col("rank") <= 3)
       .select(col("qid"), col("vec_id"))
     exact.crossJoin(broadcast(probes))
       .join(approx,
