@@ -430,6 +430,92 @@ class NatsTcpSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("CONCURRENT wire clients: 8 parallel publishers + 5 subscribers (plain + " +
+      "queue group) interleave frames over real sockets; aggregate delivery " +
+      "counts equal batch matchCounts") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+
+    val slice = graft.Tables.bus(spark, "/root/testdata/sf0.001")
+      .filter(col("event_id") % 3 === 0)
+      .select(col("channel"))
+    val channels = slice.collect().map(_.getString(0)).toSeq
+    assert(channels.length > 100, "need a slice big enough to interleave")
+
+    val patterns = Seq("cdc/#", "cdc/click/#", "cdc/+/1")
+    val batch = graft.cdc.CdcBus.matchCounts(slice.toDF("channel"), patterns)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def want(p: String): Long = batch.getOrElse(p, 0L)
+
+    val server = new NatsServer()
+    try {
+      // 5 concurrent subscriber connections: 3 plain + a 2-member queue group
+      val subAll   = new RawClient(server.port)
+      val subClick = new RawClient(server.port)
+      val subU1    = new RawClient(server.port)
+      val qw1      = new RawClient(server.port)
+      val qw2      = new RawClient(server.port)
+      try {
+        subAll.handshake();   subAll.send(NatsWire.sub("cdc.>", 1L));       subAll.flush()
+        subClick.handshake(); subClick.send(NatsWire.sub("cdc.click.>", 2L)); subClick.flush()
+        subU1.handshake();    subU1.send(NatsWire.sub("cdc.*.1", 3L));      subU1.flush()
+        qw1.handshake(); qw1.send(NatsWire.sub("cdc.>", 10L, queue = Some("workers"))); qw1.flush()
+        qw2.handshake(); qw2.send(NatsWire.sub("cdc.>", 11L, queue = Some("workers"))); qw2.flush()
+
+        // 8 publisher connections publishing disjoint shards IN PARALLEL —
+        // a start latch maximizes frame interleaving at the server; each
+        // publisher's closing flush() proves its PUBs were all processed
+        val nPub = 8
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(nPub)
+        val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val futures = (0 until nPub).map { i =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              try {
+                val c = new RawClient(server.port)
+                try {
+                  c.handshake()
+                  start.await()
+                  channels.zipWithIndex.collect { case (ch, j) if j % nPub == i => ch }
+                    .foreach { ch =>
+                      c.send(NatsWire.pub(ch.replace('/', '.'), ch.getBytes(US_ASCII)))
+                    }
+                  c.flush()
+                } finally c.close()
+              } catch { case t: Throwable => errs.add(t) }
+          })
+        }
+        start.countDown()
+        futures.foreach(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+        pool.shutdown()
+        assert(errs.isEmpty, s"publisher failures: ${errs.toArray.mkString("; ")}")
+
+        def drain(c: RawClient): Map[Long, Long] = {
+          c.send(ping)
+          val got = scala.collection.mutable.ArrayBuffer.empty[Msg]
+          var op = c.next()
+          while (op != Pong) { op match { case m: Msg => got += m; case _ => () }; op = c.next() }
+          got.groupBy(_.sid).view.mapValues(_.length.toLong).toMap
+        }
+        // no frame lost, duplicated, or corrupted across 13 concurrent
+        // sockets: per-subscription totals equal the batch dispatch
+        assert(drain(subAll).getOrElse(1L, 0L) === want("cdc/#"))
+        assert(drain(subClick).getOrElse(2L, 0L) === want("cdc/click/#"))
+        assert(drain(subU1).getOrElse(3L, 0L) === want("cdc/+/1"))
+        val q1 = drain(qw1).getOrElse(10L, 0L)
+        val q2 = drain(qw2).getOrElse(11L, 0L)
+        assert(q1 + q2 === want("cdc/#"), "queue group total = per-pattern count")
+        assert(q1 > 0 && q2 > 0, "concurrent load must spread across the group")
+      } finally Seq(subAll, subClick, subU1, qw1, qw2).foreach(_.close())
+    } finally server.close()
+  }
+
   test("Graft.live: the reference's connect-by-url over the short-name source") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
