@@ -446,6 +446,111 @@ object TextOps {
         .groupBy(col("source"))
         .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail")))
 
+  /** Temperature-scaled sampling mix — the multilingual-corpus classic
+    * (share ∝ avail^α, α = 0.7): flattens the raw size distribution so
+    * small sources upsample and giants downsample, the standard
+    * alternative to [[tokenBudget]]'s hard waterline. Emits per source
+    * the raw share, the temperature share, and the effective
+    * upsampling factor.
+    *
+    * Scale shape: one corpus scan to the ≤|sources| avail frame; the
+    * two normalizers broadcast as a 1-row crossJoin. FP note: `power`
+    * is libm on both engines (the `ln` precedent of [[lmXent]]); the
+    * Σ over ≤|sources| doubles is rounding-absorbed like the tfidf
+    * family — no SELECTION rides the float, only reported shares. */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val av = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail"))
+    val tot = av.agg(sum(col("avail")).as("tot"),
+                     sum(pow(col("avail").cast("double"), lit(0.7d))).as("ptot"))
+    av.crossJoin(broadcast(tot))
+      .select(col("source"), col("avail"),
+        round(col("avail").cast("double") / col("tot"), 6).as("raw_share"),
+        round(pow(col("avail").cast("double"), lit(0.7d)) / col("ptot"), 6)
+          .as("temp_share"),
+        round((pow(col("avail").cast("double"), lit(0.7d)) / col("ptot")) /
+              (col("avail").cast("double") / col("tot")), 4).as("upsample"))
+      .orderBy(col("source"))
+  }
+
+  private val DsirBuckets = 64
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023 — hashed n-gram features): score every
+    * document by Σ_b c_doc[b]·(ln p_target[b] − ln p_raw[b]) over
+    * [[DsirBuckets]] hashed unigram buckets, target = the corpus's
+    * English slice (the "quality domain" stand-in), raw = everything;
+    * Laplace-smoothed bucket distributions. A source whose mean weight
+    * is high looks like the target under the hashed-feature model —
+    * the cheap pre-filter that decides what the expensive quality
+    * classifier even sees.
+    *
+    * Scale shape: ONE explode pass to the (doc, bucket, count) frame
+    * (localCheckpointed: it feeds the two ≤64-row distributions AND the
+    * scoring join); both distributions broadcast back as ≤64-row
+    * lookup tables. The bucket hash is the md5-prefix arithmetic every
+    * cross-engine hash in this repo uses. Only the per-source MEAN of
+    * the log weight is reported (rounded; no selection rides the
+    * float). */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val db = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .withColumn("b",
+        conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % DsirBuckets)
+      .groupBy(col("doc_id"), col("source"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // smoothed distribution over the FULL bucket domain: a bucket the
+    // slice never hit still carries the Laplace floor 1/(T+64), so the
+    // scoring join below is total
+    def dist(df: DataFrame, name: String): DataFrame = {
+      val spine = s.range(DsirBuckets).select(col("id").as("b"))
+      val tot = df.agg(sum(col("c")).as("t"))
+      spine.join(df.groupBy(col("b")).agg(sum(col("c")).as("cb")), Seq("b"), "left")
+        .na.fill(0L, Seq("cb"))
+        .crossJoin(broadcast(tot))
+        .select(col("b"),
+          ((col("cb") + 1).cast("double") /
+           (col("t") + DsirBuckets).cast("double")).as(name))
+    }
+    val pt = dist(db.filter(col("lang") === "en"), "p_t")
+    val pr = dist(db, "p_r")
+    db.join(broadcast(pt), Seq("b"))
+      .join(broadcast(pr), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c").cast("double") * (log(col("p_t")) - log(col("p_r"))))
+        .as("logw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(col("logw")), 4).as("mean_logw"))
+      .orderBy(col("source"))
+  }
+
+  /** T5-style span-corruption PLAN: deterministic masking arithmetic per
+    * document — budget = ⌊0.15·n⌋ masked tokens in mean-length-3 spans,
+    * n_spans = ⌈budget/3⌉ — aggregated per source (total spans, masked
+    * tokens, realized mask rate). The plan a span-corruption dataloader
+    * executes; keeping it deterministic-integer makes the realized rate
+    * auditable cross-engine (the stochastic jitter of a real sampler
+    * changes nothing about the totals a budget reviewer reads).
+    * One scan, map-side integer arithmetic, ≤|sources| output rows. */
+  def spanCorruptionPlan(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("budget", expr("(n * 15) DIV 100"))
+      .withColumn("n_spans", expr("CASE WHEN budget = 0 THEN 0 ELSE (budget + 2) DIV 3 END"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n")).as("n_tokens"),
+           sum(col("budget")).as("n_masked"),
+           sum(col("n_spans")).as("n_spans"),
+           round(sum(col("budget")).cast("double") / sum(col("n")), 4)
+             .as("mask_rate"))
+      .orderBy(col("source"))
+
   /** Waterfilling core over a prepared (source, avail) frame — split out
     * so the scalacheck property can drive ARBITRARY availability sets
     * through the exact production plan. */
@@ -1620,6 +1725,9 @@ object TextOps {
     "domain_caps"        -> (domainCaps _),
     "domain_caps_salted" -> (domainCapsSalted _),
     "curriculum_bins"    -> (curriculumBins _),
+    "mix_temperature"    -> (mixTemperature _),
+    "dsir_weights"       -> (dsirWeights _),
+    "span_corruption_plan" -> (spanCorruptionPlan _),
     // curriculumBinsApprox / qualityFilterPctApprox are UNLISTED
     // diagnostics since r9 — graded via their hash-checked *_bound twins
     "curriculum_bins_bound"     -> (curriculumBinsBound _),
@@ -2162,6 +2270,62 @@ object TextOps {
 
     // Integer waterfilling: saturation is a prefix of the (avail, source)
     // order; the first unsaturated row fixes the waterline and remainder.
+    // power() is libm on both engines (the ln precedent); only rounded
+    // shares ride the float — no selection
+    "mix_temperature" ->
+      """WITH av AS (
+        |  SELECT source, CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS avail
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(avail) AS BIGINT) AS tot,
+        |               sum(pow(CAST(avail AS DOUBLE), 0.7)) AS ptot FROM av)
+        |SELECT source, avail,
+        |       round(CAST(avail AS DOUBLE) / tot, 6) AS raw_share,
+        |       round(pow(CAST(avail AS DOUBLE), 0.7) / ptot, 6) AS temp_share,
+        |       round((pow(CAST(avail AS DOUBLE), 0.7) / ptot) /
+        |             (CAST(avail AS DOUBLE) / tot), 4) AS upsample
+        |FROM av CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    // bucket hash = the repo's cross-engine md5-prefix arithmetic;
+    // Laplace floor covers the full 64-bucket spine on both engines
+    "dsir_weights" ->
+      """WITH db AS (
+        |  SELECT doc_id, source, lang,
+        |         CAST(concat('0x', substr(md5(w), 1, 6)) AS BIGINT) % 64 AS b,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, source, lang, unnest(str_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2, 3, 4),
+        |spine AS (SELECT unnest(range(0, 64)) AS b),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM db WHERE lang = 'en'),
+        |tr AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM db),
+        |pt AS (SELECT spine.b, CAST(coalesce(x.cb, 0) + 1 AS DOUBLE) / (tt.t + 64) AS p_t
+        |       FROM spine LEFT JOIN (SELECT b, CAST(sum(c) AS BIGINT) AS cb
+        |                             FROM db WHERE lang = 'en' GROUP BY 1) x USING (b)
+        |       CROSS JOIN tt),
+        |pr AS (SELECT spine.b, CAST(coalesce(x.cb, 0) + 1 AS DOUBLE) / (tr.t + 64) AS p_r
+        |       FROM spine LEFT JOIN (SELECT b, CAST(sum(c) AS BIGINT) AS cb
+        |                             FROM db GROUP BY 1) x USING (b)
+        |       CROSS JOIN tr),
+        |dw AS (SELECT doc_id, source,
+        |              sum(CAST(c AS DOUBLE) * (ln(p_t) - ln(p_r))) AS logw
+        |       FROM db JOIN pt USING (b) JOIN pr USING (b) GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs, round(avg(logw), 4) AS mean_logw
+        |FROM dw GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "span_corruption_plan" ->
+      """WITH d AS (
+        |  SELECT source, CAST(len(str_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |p AS (SELECT source, n, (n * 15) // 100 AS budget,
+        |             CASE WHEN (n * 15) // 100 = 0 THEN 0
+        |                  ELSE ((n * 15) // 100 + 2) // 3 END AS n_spans
+        |      FROM d)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       CAST(sum(budget) AS BIGINT) AS n_masked,
+        |       CAST(sum(n_spans) AS BIGINT) AS n_spans,
+        |       round(CAST(sum(budget) AS DOUBLE) / sum(n), 4) AS mask_rate
+        |FROM p GROUP BY 1 ORDER BY source""".stripMargin,
+
     "token_budget" ->
       """WITH per AS (
         |  SELECT source, CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS avail

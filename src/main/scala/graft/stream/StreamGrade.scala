@@ -23,11 +23,14 @@ import graft.Tables
   * engine (stateful aggregation / transformWithState), not its batch
   * shadow, produces the hash-matched rows.
   *
-  * Determinism: the three graded views are arrival-order-insensitive by
-  * construction — counts and `max_by((ts, event_id))` are commutative
-  * monoids, and the SCD2 gate sorts within batch while the slice cut
-  * preserves per-channel ts order ACROSS batches (slices are disjoint
-  * half-open ts ranges consumed oldest-first).
+  * Determinism: the graded views are arrival-order-insensitive by
+  * construction — counts, `max_by((ts, event_id))` and exact dedup are
+  * commutative, and the SCD2/seq-gap gates sort within batch while the
+  * slice cut preserves per-channel (and per-type sequence) order ACROSS
+  * batches: slices are half-open ts ranges consumed oldest-first, and
+  * event_id is monotone in ts on this bus. The dedup grade runs the
+  * slices OVERLAPPED — deliberate at-least-once redelivery the gate
+  * must absorb.
   */
 object StreamGrade {
 
@@ -37,24 +40,32 @@ object StreamGrade {
 
   /** Slice boundaries inside the testdata's Jan-2024 span: three
     * non-empty half-open ranges at every sf. */
-  private val cuts = Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00")
+  private[graft] val cuts = Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00")
 
-  /** Replay the captured bus as a bounded 3-file stream: write disjoint
-    * time slices with strictly increasing modification times (the file
+  /** Replay the captured bus as a bounded 3-file stream: write time
+    * slices with strictly increasing modification times (the file
     * source processes oldest-first), stream them one file per trigger,
     * hand the streaming frame to `body`, and clean up. The slice write
     * is part of the harness, not the graded operator — production would
     * `readStream` the live bus ([[graft.nats.NatsSource]]); this replay
-    * exists so the DuckDB oracle can grade the same rows. */
-  private def withBusStream[A](s: SparkSession, d: String)(body: DataFrame => A): A = {
+    * exists so the DuckDB oracle can grade the same rows.
+    *
+    * `overlapDays > 0` widens each later slice's lower bound backwards,
+    * REDELIVERING the tail of the previous slice — the harness's
+    * at-least-once transport emulation ([[streamDedup]] grades the gate
+    * that absorbs it). Slices stay disjoint at 0. */
+  private def withBusStream[A](s: SparkSession, d: String, overlapDays: Int = 0)
+                              (body: DataFrame => A): A = {
     val tmp = Files.createTempDirectory("graft_stream_bus_")
     try {
       val bus = Tables.bus(s, d)
+      def t(c: String): org.apache.spark.sql.Column = lit(c).cast("timestamp")
+      def back(c: String): org.apache.spark.sql.Column =
+        t(c) - expr(s"INTERVAL $overlapDays DAYS")
       val bounds = Seq(
-        col("ts") < lit(cuts(0)).cast("timestamp"),
-        col("ts") >= lit(cuts(0)).cast("timestamp") &&
-          col("ts") < lit(cuts(1)).cast("timestamp"),
-        col("ts") >= lit(cuts(1)).cast("timestamp"))
+        col("ts") < t(cuts(0)),
+        col("ts") >= back(cuts(0)) && col("ts") < t(cuts(1)),
+        col("ts") >= back(cuts(1)))
       val inDir = Files.createDirectory(tmp.resolve("in"))
       val base = System.currentTimeMillis() - 60000L
       bounds.zipWithIndex.foreach { case (pred, i) =>
@@ -180,10 +191,55 @@ object StreamGrade {
         .orderBy(col("channel"), col("valid_from"), col("event_id"))
     }
 
+  /** STREAMING sequence-gap audit, graded: [[Streams.seqGapStream]]'s
+    * per-sub-stream high-water gate emits a gap row THE MOMENT the
+    * message after a hole arrives. Safe across the 3-batch replay
+    * because event_id is monotone in ts on this bus (verified), so the
+    * ts slicing preserves per-type sequence order and the gate's
+    * in-order contract holds exactly as it would on a FIFO transport.
+    * The DuckDB twin derives the same gap rows with one lag window. */
+  def streamGaps(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val spark = s; import spark.implicits._
+      implicit val ss: SparkSession = s
+      val typed = busStream
+        .select(col("event_type").as("_1"), col("event_id").as("_2"))
+        .as[(String, Long)]
+      val gaps = withRocksDb(s) {
+        runToSink(s, Streams.seqGapStream(typed).toDF(), "append", "stream_gaps")
+      }
+      gaps.select(col("event_type"), col("prev_seq"), col("next_seq"), col("missing"))
+        .orderBy(col("event_type"), col("next_seq"))
+    }
+
+  /** STREAMING exact-dedup under at-least-once REDELIVERY, graded: the
+    * replay overlaps each slice 2 days back, so the transport delivers
+    * the previous slice's tail AGAIN (~thousands of duplicate frames);
+    * [[Streams.dedupStream]]'s watermark-bounded
+    * `dropDuplicatesWithinWatermark` must restore exactly-once before
+    * the aggregate — the DuckDB twin computes from the parquet, which
+    * never had duplicates, so any frame counted twice (or dropped)
+    * breaks the hash. The overlap sits INSIDE the 2-day allowed
+    * lateness, so duplicates are absorbed by dedup STATE, not by the
+    * late-row filter. */
+  def streamDedup(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d, overlapDays = 2) { busStream =>
+      val once = runToSink(s,
+        Streams.dedupStream(busStream, watermark = "2 days"),
+        "append", "stream_dedup")
+      once.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("user_id")).as("n_users"),
+             round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stream_counters" -> (streamCounters _),
     "cdc_stream_retained" -> (streamRetained _),
-    "cdc_stream_scd2"     -> (streamScd2 _))
+    "cdc_stream_scd2"     -> (streamScd2 _),
+    "cdc_stream_gaps"     -> (streamGaps _),
+    "cdc_stream_dedup"    -> (streamDedup _))
 
   private def rx(pattern: String): String = graft.cdc.MqttPattern.toRegex(pattern)
 
@@ -216,5 +272,24 @@ object StreamGrade {
          |FROM ev WHERE user_id < 20
          |WINDOW w AS (PARTITION BY channel ORDER BY ts, event_id)
          |QUALIFY valid_to IS NOT NULL
-         |ORDER BY channel, valid_from, event_id""".stripMargin)
+         |ORDER BY channel, valid_from, event_id""".stripMargin,
+
+    "cdc_stream_gaps" ->
+      """SELECT event_type, prev_seq, next_seq, next_seq - prev_seq - 1 AS missing
+        |FROM (
+        |  SELECT event_type,
+        |         lag(event_id) OVER (PARTITION BY event_type
+        |           ORDER BY event_id) AS prev_seq,
+        |         event_id AS next_seq
+        |  FROM events)
+        |WHERE prev_seq IS NOT NULL AND next_seq - prev_seq > 1
+        |ORDER BY event_type, next_seq""".stripMargin,
+
+    // the parquet never had duplicates — a redelivered frame surviving
+    // the dedup gate inflates n and breaks the hash
+    "cdc_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)
 }

@@ -48,6 +48,35 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("cdc_stream_gaps: streamed gap rows == batch lag-window gaps, across 3 micro-batches") {
+    val got = rows(StreamGrade.streamGaps(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    val want = rows(graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"))
+      .withColumn("prev_seq", lag(col("event_id"), 1).over(w))
+      .filter(col("prev_seq").isNotNull && col("event_id") - col("prev_seq") > 1)
+      .select(col("event_type"), col("prev_seq"),
+              col("event_id").as("next_seq"),
+              (col("event_id") - col("prev_seq") - 1).as("missing"))
+      .orderBy(col("event_type"), col("next_seq")))
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("cdc_stream_dedup: overlapped slices REALLY redeliver frames, and the " +
+      "dedup gate restores exactly-once") {
+    val got = rows(StreamGrade.streamDedup(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("user_id")).as("n_users"),
+           round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type")))
+    assert(got === want)
+  }
+
   test("cdc_stream_scd2: streamed closed versions == batch SCD2 closed rows, across 3 micro-batches") {
     val got = rows(StreamGrade.streamScd2(spark, dir))
     assert(StreamGrade.lastBatchCount === 3)
