@@ -234,12 +234,68 @@ object StreamGrade {
         .orderBy(col("event_type"))
     }
 
+  /** STREAMING tumbling event-time windows, graded: the watermarked
+    * 5-minute window counts ([[Streams.tumblingCounts]]) revise across
+    * the three micro-batches in complete mode — the windowed-aggregation
+    * family's first hash-checked row (it was scalatest-only before r9).
+    * The twin floors the epoch to the same 5-minute grid. */
+  def streamTumbling(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val wins = runToSink(s, Streams.tumblingCounts(busStream),
+        "complete", "stream_tumbling")
+      wins.select(col("w_start"), col("event_type"), col("n"))
+        .orderBy(col("w_start"), col("event_type"))
+    }
+
+  /** STREAMING session windows, graded: gap-based per-user sessions
+    * ([[Streams.sessionCounts]], 30-minute gap) built by the streaming
+    * engine's session-merge state across the three micro-batches — a
+    * session straddling a slice boundary MUST merge, which is exactly
+    * the state machinery the batch shadow never exercises. Shares the
+    * batch `events_session_native` oracle verbatim. */
+  def streamSessions(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val sess = runToSink(s, Streams.sessionCounts(busStream),
+        "complete", "stream_sessions")
+      sess.select(col("s_start"), col("s_end"), col("user_id"), col("n"))
+        .orderBy(col("user_id"), col("s_start"))
+    }
+
+  /** STREAMING feature store, graded: [[Streams.userFeaturesStream]]
+    * re-emits a user's running feature row on every micro-batch that
+    * touches the user; the LATEST emission per user (greatest n_events —
+    * strictly increasing per touch) must equal the batch aggregate the
+    * twin computes from parquet. This grades the live serving path: the
+    * row an online ranker would read after the final batch. */
+  def streamUserFeatures(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val spark = s; import spark.implicits._
+      implicit val ss: SparkSession = s
+      val feats = withRocksDb(s) {
+        runToSink(s, Streams.userFeaturesStream(busStream).toDF(),
+          "append", "stream_user_features")
+      }
+      feats.groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("n_events"), col("n_purchases"),
+                 col("total_value"), col("last_us")),
+          col("n_events")).as("f"))
+        .select(col("user_id"), col("f.n_events").as("n_events"),
+                col("f.n_purchases").as("n_purchases"),
+                col("f.total_value").as("total_value"),
+                col("f.last_us").as("last_us"))
+        .orderBy(col("user_id"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stream_counters" -> (streamCounters _),
     "cdc_stream_retained" -> (streamRetained _),
     "cdc_stream_scd2"     -> (streamScd2 _),
     "cdc_stream_gaps"     -> (streamGaps _),
-    "cdc_stream_dedup"    -> (streamDedup _))
+    "cdc_stream_dedup"    -> (streamDedup _),
+    "cdc_stream_tumbling" -> (streamTumbling _),
+    "cdc_stream_sessions" -> (streamSessions _),
+    "cdc_stream_user_features" -> (streamUserFeatures _))
 
   private def rx(pattern: String): String = graft.cdc.MqttPattern.toRegex(pattern)
 
@@ -291,5 +347,43 @@ object StreamGrade {
       """SELECT event_type, count(*) AS n,
         |       count(DISTINCT user_id) AS n_users,
         |       round(sum(value), 2) AS total_value
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Spark's window() buckets on the epoch-aligned 5-minute grid
+    "cdc_stream_tumbling" ->
+      """SELECT TIMESTAMP '1970-01-01 00:00:00'
+        |         + CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 AS BIGINT)
+        |           * INTERVAL 1 SECOND AS w_start,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // shares the batch events_session_native twin verbatim: gap-based
+    // session reconstruction, s_end = last event + gap
+    "cdc_stream_sessions" -> """
+      SELECT min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end,
+             user_id, count(*) AS n
+      FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN gap_us IS NULL OR gap_us >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+          FROM (
+            SELECT user_id, ts, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP))
+                     - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events)))
+      GROUP BY user_id, sess_id ORDER BY user_id, s_start""",
+
+    // the final re-emission per user == the batch aggregate
+    "cdc_stream_user_features" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_purchases,
+        |       round(sum(value), 2) AS total_value,
+        |       epoch_us(max(CAST(ts AS TIMESTAMP))) AS last_us
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin)
 }

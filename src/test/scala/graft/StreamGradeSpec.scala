@@ -77,6 +77,38 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("cdc_stream_tumbling: streamed 5-min window counts == batch window agg, across 3 micro-batches") {
+    val got = rows(StreamGrade.streamTumbling(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("event_type")))
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("cdc_stream_sessions: streamed gap sessions == batch session_window, " +
+      "MERGING sessions across micro-batch boundaries") {
+    val got = rows(StreamGrade.streamSessions(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.rel.RelQueries.queries("events_session_native")(spark, dir))
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("cdc_stream_user_features: final re-emission per user == batch aggregate") {
+    val got = rows(StreamGrade.streamUserFeatures(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+           round(sum(col("value")), 2).as("total_value"),
+           max(unix_micros(col("ts"))).as("last_us"))
+      .orderBy(col("user_id")))
+    assert(got.nonEmpty && got === want)
+  }
+
   test("cdc_stream_scd2: streamed closed versions == batch SCD2 closed rows, across 3 micro-batches") {
     val got = rows(StreamGrade.streamScd2(spark, dir))
     assert(StreamGrade.lastBatchCount === 3)
