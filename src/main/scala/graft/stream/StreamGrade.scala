@@ -54,38 +54,51 @@ object StreamGrade {
     * REDELIVERING the tail of the previous slice — the harness's
     * at-least-once transport emulation ([[streamDedup]] grades the gate
     * that absorbs it). Slices stay disjoint at 0. */
+  // Slice builds are cached for the JVM lifetime per (sf dir, overlap):
+  // the bench re-runs each streaming query 4× and all 8 graded queries
+  // share the disjoint replay — rebuilding identical slice files every
+  // invocation would bill ~1 s of harness cost to every run. Cleanup is
+  // a shutdown hook; the testdata directory never changes mid-JVM.
+  private val sliceCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Path]()
+
+  private def buildSlices(s: SparkSession, d: String, overlapDays: Int): Path = {
+    val tmp = Files.createTempDirectory("graft_stream_bus_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmp)))
+    val bus = Tables.bus(s, d)
+    def t(c: String): org.apache.spark.sql.Column = lit(c).cast("timestamp")
+    def back(c: String): org.apache.spark.sql.Column =
+      t(c) - expr(s"INTERVAL $overlapDays DAYS")
+    val bounds = Seq(
+      col("ts") < t(cuts(0)),
+      col("ts") >= back(cuts(0)) && col("ts") < t(cuts(1)),
+      col("ts") >= back(cuts(1)))
+    val inDir = Files.createDirectory(tmp.resolve("in"))
+    val base = System.currentTimeMillis() - 60000L
+    bounds.zipWithIndex.foreach { case (pred, i) =>
+      import scala.jdk.CollectionConverters._
+      val stage = tmp.resolve(s"w_$i")
+      bus.filter(pred).coalesce(1).write
+        .mode("overwrite").parquet(stage.toString)
+      val src = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+      val dst = inDir.resolve(s"slice_$i.parquet")
+      Files.move(src, dst)
+      // strictly increasing mtimes => oldest-first == ts order
+      dst.toFile.setLastModified(base + i * 2000L)
+    }
+    inDir
+  }
+
   private def withBusStream[A](s: SparkSession, d: String, overlapDays: Int = 0)
                               (body: DataFrame => A): A = {
-    val tmp = Files.createTempDirectory("graft_stream_bus_")
-    try {
-      val bus = Tables.bus(s, d)
-      def t(c: String): org.apache.spark.sql.Column = lit(c).cast("timestamp")
-      def back(c: String): org.apache.spark.sql.Column =
-        t(c) - expr(s"INTERVAL $overlapDays DAYS")
-      val bounds = Seq(
-        col("ts") < t(cuts(0)),
-        col("ts") >= back(cuts(0)) && col("ts") < t(cuts(1)),
-        col("ts") >= back(cuts(1)))
-      val inDir = Files.createDirectory(tmp.resolve("in"))
-      val base = System.currentTimeMillis() - 60000L
-      bounds.zipWithIndex.foreach { case (pred, i) =>
-        import scala.jdk.CollectionConverters._
-        val stage = tmp.resolve(s"w_$i")
-        bus.filter(pred).coalesce(1).write
-          .mode("overwrite").parquet(stage.toString)
-        val src = Files.list(stage).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
-        val dst = inDir.resolve(s"slice_$i.parquet")
-        Files.move(src, dst)
-        // strictly increasing mtimes => oldest-first == ts order
-        dst.toFile.setLastModified(base + i * 2000L)
-      }
-      val streamed = s.readStream.schema(bus.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir.toString)
-      body(streamed)
-    } finally deleteRecursively(tmp)
+    val inDir = sliceCache.computeIfAbsent((d, overlapDays),
+      _ => buildSlices(s, d, overlapDays))
+    val streamed = s.readStream.schema(Tables.bus(s, d).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.toString)
+    body(streamed)
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -287,7 +300,44 @@ object StreamGrade {
         .orderBy(col("user_id"))
     }
 
+  /** STREAMING RPC, graded: [[Streams.rpcStream]]'s per-request state
+    * machine — first-response-wins 200, event-time TIMER-fired 408, and
+    * the tombstone discipline — producing hash-checked outcomes. The
+    * conversation stream derives from the bus: every event_id % 4 == 0
+    * is a request; only the % 8 == 0 half gets a response (the % 8 == 1
+    * successor event), so both codes are exercised. The 5-day timeout
+    * dwarfs every adjacent-event gap AND every slice-boundary lag, so
+    * the outcome is pure event-time arithmetic the twin reproduces:
+    * 200 with the response payload when a response exists, 408 once the
+    * final watermark passes the request's deadline, and NO row for the
+    * unanswered tail the watermark never reaches — exactly what a
+    * restarted consumer would see. (The watermark is the max ts of the
+    * FILTERED message stream — the twin's `mx` mirrors that, not the
+    * bus max.) */
+  def streamRpc(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val spark = s; import spark.implicits._
+      implicit val ss: SparkSession = s
+      val msgs = busStream
+        .filter(col("event_id") % 4 === 0 || col("event_id") % 8 === 1)
+        .select(
+          when(col("event_id") % 8 === 1, col("event_id") - 1)
+            .otherwise(col("event_id")).as("req_id"),
+          when(col("event_id") % 8 === 1, lit("res"))
+            .otherwise(lit("req")).as("kind"),
+          col("ts"), col("event_id"), col("channel").as("payload"))
+        .as[Streams.RpcMsg]
+      val outcomes = withRocksDb(s) {
+        runToSink(s,
+          Streams.rpcStream(msgs, timeoutMs = 5L * 24 * 3600 * 1000).toDF(),
+          "append", "stream_rpc")
+      }
+      outcomes.select(col("req_id"), col("code"), col("event_id"), col("payload"))
+        .orderBy(col("req_id"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_stream_rpc"      -> (streamRpc _),
     "cdc_stream_counters" -> (streamCounters _),
     "cdc_stream_retained" -> (streamRetained _),
     "cdc_stream_scd2"     -> (streamScd2 _),
@@ -385,5 +435,24 @@ object StreamGrade {
         |         AS n_purchases,
         |       round(sum(value), 2) AS total_value,
         |       epoch_us(max(CAST(ts AS TIMESTAMP))) AS last_us
-        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // pure event-time outcome: 200 with the response payload when the
+    // %8==1 successor exists, 408 once the final watermark (max ts)
+    // passes the 5-day deadline, NO row for the unanswered tail
+    "cdc_stream_rpc" ->
+      s"""${Tables.BusCte}
+         |, mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS maxts FROM ev
+         |         WHERE event_id % 4 = 0 OR event_id % 8 = 1),
+         |req AS (SELECT event_id AS req_id, CAST(ts AS TIMESTAMP) AS rts
+         |        FROM ev WHERE event_id % 4 = 0),
+         |res AS (SELECT event_id - 1 AS req_id, event_id, channel AS payload
+         |        FROM ev WHERE event_id % 8 = 1)
+         |SELECT r.req_id,
+         |       CAST(CASE WHEN s.req_id IS NOT NULL THEN 200 ELSE 408 END AS BIGINT) AS code,
+         |       coalesce(s.event_id, -1) AS event_id,
+         |       coalesce(s.payload, 'request time out') AS payload
+         |FROM req r LEFT JOIN res s USING (req_id) CROSS JOIN mx
+         |WHERE s.req_id IS NOT NULL OR r.rts + INTERVAL 5 DAY < mx.maxts
+         |ORDER BY req_id""".stripMargin)
 }

@@ -109,6 +109,31 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got === want)
   }
 
+  test("cdc_stream_rpc: timer-fired outcomes == event-time arithmetic, both codes present") {
+    val out = StreamGrade.streamRpc(spark, dir).collect()
+    val codes = out.map(_.getLong(1)).toSet
+    assert(codes === Set(200L, 408L), s"both outcomes must occur, got $codes")
+    // event-time model: 200 iff the %8==1 successor exists; 408 iff
+    // unanswered AND deadline < the message stream's max ts; else silent
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("user_id"))
+    val msgs = ev.filter(col("event_id") % 4 === 0 || col("event_id") % 8 === 1)
+    val maxTs = msgs.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val reqs = ev.filter(col("event_id") % 4 === 0)
+      .select(col("event_id").as("req_id"), unix_micros(col("ts")).as("rus"))
+    val res = ev.filter(col("event_id") % 8 === 1)
+      .select((col("event_id") - 1).as("req_id"), col("event_id").as("res_id"))
+    val want = reqs.join(res, Seq("req_id"), "left")
+      .filter(col("res_id").isNotNull ||
+        col("rus") + 5L * 24 * 3600 * 1000000 < maxTs)
+      .select(col("req_id"),
+        when(col("res_id").isNotNull, 200L).otherwise(408L).as("code"))
+      .orderBy(col("req_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === want)
+  }
+
   test("cdc_stream_scd2: streamed closed versions == batch SCD2 closed rows, across 3 micro-batches") {
     val got = rows(StreamGrade.streamScd2(spark, dir))
     assert(StreamGrade.lastBatchCount === 3)
