@@ -1168,17 +1168,17 @@ object HashDedup {
 
   // ---- DuckDB twins (generated with the same constants) --------------
 
-  private val ShingleCte =
+  private[graft] val ShingleCte =
     """sh AS (
       |  SELECT doc_id, source, unnest(list_transform(generate_series(1, len(ws)-2),
       |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
       |  FROM (SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents
       |        WHERE len(str_split(text, ' ')) >= 3))""".stripMargin
 
-  private val HashCte =
+  private[graft] val HashCte =
     s"""h AS (SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) % $P AS h FROM sh)"""
 
-  private val SigCte = {
+  private[graft] val SigCte = {
     val cols = mhParams.zipWithIndex.map { case ((a, b), j) =>
       s"min(($a * h + $b) % $P) AS mh$j"
     }.mkString(",\n         ")
@@ -1188,7 +1188,7 @@ object HashDedup {
        |  FROM h GROUP BY doc_id)""".stripMargin
   }
 
-  private val BandsCte = {
+  private[graft] val BandsCte = {
     val bands = (0 until 4).map { bnd =>
       val concat = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(" || ',' || ")
       s"SELECT doc_id, CAST($bnd AS BIGINT) AS band_id, md5($concat) AS bh FROM sig"

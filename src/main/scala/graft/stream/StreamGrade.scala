@@ -336,7 +336,89 @@ object StreamGrade {
         .orderBy(col("req_id"))
     }
 
+  // ---- document-stream grades: the ingestion-pipeline gates live ----
+
+  private val docSliceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  /** Replay the documents table as a bounded 3-file stream sliced by
+    * doc_id thirds (crawl arrival order) — the ingestion-side twin of
+    * [[withBusStream]], feeding the live dedup/novelty gates. */
+  private def withDocStream[A](s: SparkSession, d: String)(body: DataFrame => A): A = {
+    val docs = Tables.documents(s, d)
+    val inDir = docSliceCache.computeIfAbsent(d, _ => {
+      val tmp = Files.createTempDirectory("graft_stream_docs_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmp)))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val bounds = Seq(
+        col("doc_id") < mx / 3,
+        col("doc_id") >= mx / 3 && col("doc_id") < 2 * mx / 3,
+        col("doc_id") >= 2 * mx / 3)
+      val in = Files.createDirectory(tmp.resolve("in"))
+      val base = System.currentTimeMillis() - 60000L
+      bounds.zipWithIndex.foreach { case (pred, i) =>
+        import scala.jdk.CollectionConverters._
+        val stage = tmp.resolve(s"w_$i")
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val src = Files.list(stage).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+        val dst = in.resolve(s"slice_$i.parquet")
+        Files.move(src, dst)
+        dst.toFile.setLastModified(base + i * 2000L)
+      }
+      in
+    })
+    body(s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString))
+  }
+
+  /** STREAMING MinHash-LSH near-dup gate, graded: every arriving doc is
+    * banded map-side and paired against its buckets' existing members
+    * ([[Streams.streamingNearDup]]'s `transformWithState` list state —
+    * pairs emit AS THE DUPLICATE ARRIVES, across the three crawl
+    * batches). The distinct emitted pair set must equal the batch
+    * `minhash_pairs` candidate set (its oracle verbatim): the bucket
+    * membership an arrival joins is exactly the batch bucket, and
+    * graded buckets stay under the cap (HashDedupSpec's zero-skip pin),
+    * so the live gate loses no pair the batch audit would find. */
+  def streamNearDup(s: SparkSession, d: String): DataFrame =
+    withDocStream(s, d) { docStream =>
+      val spark = s; import spark.implicits._
+      implicit val ss: SparkSession = s
+      val pairs = withRocksDb(s) {
+        runToSink(s,
+          Streams.streamingNearDup(
+            docStream.filter(size(split(col("text"), " ")) >= 3)).toDF(),
+          "append", "stream_neardup")
+      }
+      pairs.select(col("a"), col("b")).distinct()
+        .orderBy(col("a"), col("b"))
+    }
+
+  /** STREAMING vocabulary-novelty gate, graded: each (source, token)
+    * emits exactly once, on the micro-batch where it first appears,
+    * carrying the smallest doc_id of that batch
+    * ([[Streams.vocabNoveltyStream]]). With the crawl replayed in
+    * doc_id order, that doc_id IS the global first sighting — the
+    * twin's plain `min(doc_id)` GROUP BY. Redelivery-safe novelty is
+    * what makes live Heaps-curve monitoring trustworthy; this pins it
+    * to the hash gate. */
+  def streamVocabNovelty(s: SparkSession, d: String): DataFrame =
+    withDocStream(s, d) { docStream =>
+      val spark = s; import spark.implicits._
+      implicit val ss: SparkSession = s
+      val first = withRocksDb(s) {
+        runToSink(s, Streams.vocabNoveltyStream(docStream).toDF(),
+          "append", "stream_vocab_novelty")
+      }
+      first.select(col("source"), col("tok"), col("doc_id").as("first_doc"))
+        .orderBy(col("source"), col("tok"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_stream_neardup"       -> (streamNearDup _),
+    "doc_stream_vocab_novelty" -> (streamVocabNovelty _),
     "cdc_stream_rpc"      -> (streamRpc _),
     "cdc_stream_counters" -> (streamCounters _),
     "cdc_stream_retained" -> (streamRetained _),
@@ -454,5 +536,23 @@ object StreamGrade {
          |       coalesce(s.payload, 'request time out') AS payload
          |FROM req r LEFT JOIN res s USING (req_id) CROSS JOIN mx
          |WHERE s.req_id IS NOT NULL OR r.rts + INTERVAL 5 DAY < mx.maxts
-         |ORDER BY req_id""".stripMargin)
+         |ORDER BY req_id""".stripMargin,
+
+    // shares the batch minhash_pairs twin verbatim (the cap-free
+    // candidate set — graded buckets stay under the cap)
+    "doc_stream_neardup" ->
+      s"""WITH ${graft.llm.HashDedup.ShingleCte}, ${graft.llm.HashDedup.HashCte},
+         |${graft.llm.HashDedup.SigCte}, ${graft.llm.HashDedup.BandsCte}
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM bands x JOIN bands y
+         |  ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin,
+
+    // first sighting per (source, token) — the crawl replays in doc_id
+    // order, so the first-batch minimum is the global minimum
+    "doc_stream_vocab_novelty" ->
+      """SELECT source, tok, min(doc_id) AS first_doc
+        |FROM (SELECT source, doc_id, unnest(str_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY source, tok""".stripMargin)
 }

@@ -109,6 +109,25 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got === want)
   }
 
+  test("doc_stream_neardup: live LSH pair emissions == batch minhash_pairs, across 3 crawl batches") {
+    val got = rows(StreamGrade.streamNearDup(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.llm.HashDedup.queries("minhash_pairs")(spark, dir))
+    assert(got === want)
+  }
+
+  test("doc_stream_vocab_novelty: one emission per (source, token) at its first sighting") {
+    val got = rows(StreamGrade.streamVocabNovelty(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .select(col("source"), col("tok"), col("first_doc"))
+      .orderBy(col("source"), col("tok")))
+    assert(got.nonEmpty && got === want)
+  }
+
   test("cdc_stream_rpc: timer-fired outcomes == event-time arithmetic, both codes present") {
     val out = StreamGrade.streamRpc(spark, dir).collect()
     val codes = out.map(_.getLong(1)).toSet
