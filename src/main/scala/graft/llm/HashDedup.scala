@@ -210,7 +210,7 @@ object HashDedup {
     * discipline): bucket 9 is "today's crawl", the other 90 % the
     * standing snapshot — uncorrelated with source, reproducible
     * cross-engine. */
-  private def refreshBucket: Column =
+  private[graft] def refreshBucket: Column =
     conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long") % 10
 

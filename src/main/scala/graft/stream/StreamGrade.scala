@@ -416,9 +416,52 @@ object StreamGrade {
         .orderBy(col("source"), col("tok"))
     }
 
+  /** STREAMING incremental near-dup probe, graded: the persisted-index
+    * refresh story live — the 90% snapshot's band store is built
+    * batch-side ([[graft.llm.HashDedup.bandStoreOf]]), the 10%
+    * increment ARRIVES as a stream, and each arrival probes the static
+    * store by stream-static equi-join ([[Streams.incrementalNearDupGate]]
+    * — stateless: the store IS the state). Shares the batch
+    * `incremental_neardup` twin verbatim. */
+  def streamIncrNearDup(s: SparkSession, d: String): DataFrame =
+    withDocStream(s, d) { docStream =>
+      val snapshot = Tables.documents(s, d)
+        .withColumn("bkt", graft.llm.HashDedup.refreshBucket)
+        .filter(col("bkt") =!= 9).drop("bkt")
+      val store = graft.llm.HashDedup.bandStoreOf(snapshot).localCheckpoint()
+      val incr = docStream
+        .withColumn("bkt", graft.llm.HashDedup.refreshBucket)
+        .filter(col("bkt") === 9).drop("bkt")
+      val pairs = runToSink(s,
+        Streams.incrementalNearDupGate(incr, store), "append", "stream_incr_neardup")
+      pairs.select(col("a"), col("b")).distinct()
+        .orderBy(col("a"), col("b"))
+    }
+
+  /** STREAMING online SGD, graded: [[Streams.logregStream]] takes one
+    * mini-batch step per crawl slice — the weight trajectory
+    * w₀=0 → w₁ → w₂ → w₃, each gradient evaluated AT THE RUNNING
+    * WEIGHTS over that slice's feature rows — and every rounded
+    * emission must hash-match the twin's three unrolled CTE steps.
+    * This grades online learning END-TO-END: the map-side partial
+    * sufficient statistics, the single weight state, and the
+    * mini-batch trajectory itself. */
+  def streamLogreg(s: SparkSession, d: String): DataFrame =
+    withDocStream(s, d) { docStream =>
+      implicit val ss: SparkSession = s
+      val updates = withRocksDb(s) {
+        runToSink(s, Streams.logregStream(docStream).toDF(),
+          "append", "stream_logreg")
+      }
+      updates.select(col("n_seen"), col("w0"), col("w1"), col("w2"))
+        .orderBy(col("n_seen"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_stream_neardup"       -> (streamNearDup _),
     "doc_stream_vocab_novelty" -> (streamVocabNovelty _),
+    "doc_stream_incr_neardup"  -> (streamIncrNearDup _),
+    "doc_stream_logreg"        -> (streamLogreg _),
     "cdc_stream_rpc"      -> (streamRpc _),
     "cdc_stream_counters" -> (streamCounters _),
     "cdc_stream_retained" -> (streamRetained _),
@@ -554,5 +597,61 @@ object StreamGrade {
       """SELECT source, tok, min(doc_id) AS first_doc
         |FROM (SELECT source, doc_id, unnest(str_split(text, ' ')) AS tok
         |      FROM documents)
-        |GROUP BY 1, 2 ORDER BY source, tok""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY source, tok""".stripMargin,
+
+    // shares the batch incremental_neardup twin verbatim: arrivals are
+    // the doc_id-hash bucket 9, the store holds buckets 0-8
+    "doc_stream_incr_neardup" ->
+      s"""WITH ${graft.llm.HashDedup.ShingleCte}, ${graft.llm.HashDedup.HashCte},
+         |${graft.llm.HashDedup.SigCte}, ${graft.llm.HashDedup.BandsCte},
+         |k AS (SELECT doc_id, band_id, bh,
+         |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |          AS BIGINT) % 10 AS bkt
+         |      FROM bands)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM k x JOIN k y ON x.band_id = y.band_id AND x.bh = y.bh
+         |WHERE x.bkt = 9 AND y.bkt <> 9
+         |ORDER BY a, b""".stripMargin,
+
+    // the 3-step mini-batch SGD trajectory, unrolled: gradient of slice
+    // k evaluated AT the weights after slice k-1 (w0 = 0, lr = 0.1);
+    // features and constants spelled exactly as the logreg_step twin
+    "doc_stream_logreg" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |f AS (
+        |  SELECT CASE WHEN doc_id < m // 3 THEN 1
+        |              WHEN doc_id < 2 * m // 3 THEN 2 ELSE 3 END AS slice,
+        |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |         1.0 AS x0,
+        |         CAST(least(len(ws), 200) AS DOUBLE) / 200.0 AS x1,
+        |         CAST(len(list_filter(ws, w -> list_contains(
+        |           ['the', 'a', 'of', 'and', 'to', 'in', 'is'], w))) AS DOUBLE)
+        |           / len(ws) AS x2
+        |  FROM (SELECT doc_id, lang, str_split(text, ' ') AS ws FROM documents)
+        |  CROSS JOIN mx),
+        |s1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         -0.1 * sum(x0 * (0.5 - y)) / count(*) AS w0,
+        |         -0.1 * sum(x1 * (0.5 - y)) / count(*) AS w1,
+        |         -0.1 * sum(x2 * (0.5 - y)) / count(*) AS w2
+        |  FROM f WHERE slice = 1),
+        |s2 AS (
+        |  SELECT CAST(s1.n + count(*) AS BIGINT) AS n,
+        |         s1.w0 - 0.1 * sum(x0 * (1.0 / (1.0 + exp(-(s1.w0 * x0 + s1.w1 * x1 + s1.w2 * x2))) - y)) / count(*) AS w0,
+        |         s1.w1 - 0.1 * sum(x1 * (1.0 / (1.0 + exp(-(s1.w0 * x0 + s1.w1 * x1 + s1.w2 * x2))) - y)) / count(*) AS w1,
+        |         s1.w2 - 0.1 * sum(x2 * (1.0 / (1.0 + exp(-(s1.w0 * x0 + s1.w1 * x1 + s1.w2 * x2))) - y)) / count(*) AS w2
+        |  FROM f CROSS JOIN s1 WHERE slice = 2
+        |  GROUP BY s1.n, s1.w0, s1.w1, s1.w2),
+        |s3 AS (
+        |  SELECT CAST(s2.n + count(*) AS BIGINT) AS n,
+        |         s2.w0 - 0.1 * sum(x0 * (1.0 / (1.0 + exp(-(s2.w0 * x0 + s2.w1 * x1 + s2.w2 * x2))) - y)) / count(*) AS w0,
+        |         s2.w1 - 0.1 * sum(x1 * (1.0 / (1.0 + exp(-(s2.w0 * x0 + s2.w1 * x1 + s2.w2 * x2))) - y)) / count(*) AS w1,
+        |         s2.w2 - 0.1 * sum(x2 * (1.0 / (1.0 + exp(-(s2.w0 * x0 + s2.w1 * x1 + s2.w2 * x2))) - y)) / count(*) AS w2
+        |  FROM f CROSS JOIN s2 WHERE slice = 3
+        |  GROUP BY s2.n, s2.w0, s2.w1, s2.w2)
+        |SELECT n AS n_seen, round(w0, 4) AS w0, round(w1, 4) AS w1,
+        |       round(w2, 4) AS w2
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |      UNION ALL SELECT * FROM s3)
+        |ORDER BY n_seen""".stripMargin)
 }

@@ -128,6 +128,23 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got === want)
   }
 
+  test("doc_stream_incr_neardup: streamed increment probes == batch incremental_neardup") {
+    val got = rows(StreamGrade.streamIncrNearDup(spark, dir))
+    assert(StreamGrade.lastBatchCount >= 1) // increment rows may skip empty slices
+    val want = rows(graft.llm.HashDedup.queries("incremental_neardup")(spark, dir))
+    assert(got === want)
+  }
+
+  test("doc_stream_logreg: the 3-slice mini-batch SGD trajectory emits one " +
+      "update per crawl batch, cumulative counts covering the corpus") {
+    val out = StreamGrade.streamLogreg(spark, dir).collect()
+    assert(StreamGrade.lastBatchCount === 3)
+    assert(out.length === 3, "one weight update per mini-batch")
+    val nTotal = graft.Tables.documents(spark, dir).count()
+    assert(out.map(_.getLong(0)).toSeq == out.map(_.getLong(0)).toSeq.sorted)
+    assert(out.last.getLong(0) === nTotal, "final n_seen covers the corpus")
+  }
+
   test("cdc_stream_rpc: timer-fired outcomes == event-time arithmetic, both codes present") {
     val out = StreamGrade.streamRpc(spark, dir).collect()
     val codes = out.map(_.getLong(1)).toSet
