@@ -1217,7 +1217,7 @@ object HashDedup {
 
   /** Positional winnowing lineage shared by the winnow_* twins:
     * 1-based pos, so the last full w=4 window starts at n - 3. */
-  private val WinnowCte =
+  private[graft] val WinnowCte =
     s"""p AS (
        |  SELECT doc_id,
        |         unnest(generate_series(1, len(ws)-2)) AS pos,

@@ -1775,6 +1775,7 @@ object TextOps {
     "token_budget"     -> (tokenBudget _),
     "bigram_xent"      -> (bigramXent _),
     "logreg_step"      -> (logregStep _),
+    "logreg_infer"     -> (logregInfer _),
     "vocab_growth"     -> (vocabGrowth _))
 
   /** Unigram-LM cross-entropy scoring — the CCNet-style quality signal
@@ -1840,15 +1841,15 @@ object TextOps {
   /** Shared feature projection for [[logregStep]] and the streaming
     * twin `Streams.logregStream`: label (lang='en') plus (bias, clipped
     * length, stopword ratio), all map-side expressions. */
-  private[graft] def lrFeatures(df: DataFrame): DataFrame = {
+  private[graft] def lrFeatures(df: DataFrame, extra: Seq[Column] = Nil): DataFrame = {
     val stopArr = array(stopwords.map(lit): _*)
     df.withColumn("ws", split(col("text"), " "))
-      .select(
+      .select(extra ++ Seq(
         when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"),
         lit(1.0d).as("x0"),
         (least(size(col("ws")), lit(200)).cast("double") / 200.0d).as("x1"),
         (size(filter(col("ws"), w => array_contains(stopArr, w))).cast("double") /
-          size(col("ws"))).as("x2"))
+          size(col("ws"))).as("x2")): _*)
   }
 
   def logregStep(s: SparkSession, d: String): DataFrame = {
@@ -1871,6 +1872,51 @@ object TextOps {
         "'stop_ratio', round(w2, 4), round(w2 - g2, 4)) " +
         "AS (feature, w_step1, w_step2)"))
       .orderBy(col("feature"))
+  }
+
+  /** Trained-classifier DEPLOYMENT — the step after [[logregStep]]'s
+    * training kernel: quantize the 2-step weights to 4 decimals (the
+    * shipped model — deliberately, because the ROUNDED weights are
+    * bit-identical cross-engine, so every downstream margin comparison
+    * is exact, the way a production filter pins a model artifact rather
+    * than a training run's last-bit float state) and run the corpus
+    * through the gate: keep when w·x > 0 (σ(w·x) > ½). Emits the
+    * per-source curation report — docs, kept, mean classifier score —
+    * the fastText-quality-filter audit every pretraining pipeline runs
+    * before committing a mix.
+    *
+    * Scale shape: ONE corpus scan builds the feature frame
+    * (localCheckpointed — training consumes it twice, scoring once);
+    * both training steps are map-side-combinable aggs to a 1-row frame
+    * that BROADCASTS into the scoring pass — weights never touch the
+    * driver. The margin is a fixed-association dot product over
+    * identical doubles, so n_keep is exact; only avg_score rounds. */
+  def logregInfer(s: SparkSession, d: String): DataFrame = {
+    val f = lrFeatures(Tables.documents(s, d), Seq(col("source")))
+      .localCheckpoint()
+    val s1 = f.agg(
+      (lit(0.1d) * sum(col("x0") * (col("y") - 0.5d)) / count(lit(1))).as("w0"),
+      (lit(0.1d) * sum(col("x1") * (col("y") - 0.5d)) / count(lit(1))).as("w1"),
+      (lit(0.1d) * sum(col("x2") * (col("y") - 0.5d)) / count(lit(1))).as("w2"))
+    val s2 = f.crossJoin(broadcast(s1))
+      .withColumn("sig", lit(1.0d) / (lit(1.0d) + exp(-(
+        col("w0") * col("x0") + col("w1") * col("x1") + col("w2") * col("x2")))))
+      .agg(
+        round(max(col("w0")) -
+          lit(0.1d) * sum(col("x0") * (col("sig") - col("y"))) / count(lit(1)), 4).as("w0"),
+        round(max(col("w1")) -
+          lit(0.1d) * sum(col("x1") * (col("sig") - col("y"))) / count(lit(1)), 4).as("w1"),
+        round(max(col("w2")) -
+          lit(0.1d) * sum(col("x2") * (col("sig") - col("y"))) / count(lit(1)), 4).as("w2"))
+    f.crossJoin(broadcast(s2))
+      .withColumn("margin",
+        col("w0") * col("x0") + col("w1") * col("x1") + col("w2") * col("x2"))
+      .withColumn("score", lit(1.0d) / (lit(1.0d) + exp(-col("margin"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("margin") > 0d, 1L).otherwise(0L)).as("n_keep"),
+           round(avg(col("score")), 4).as("avg_score"))
+      .orderBy(col("source"))
   }
 
   /** Bigram-LM cross-entropy — the order-2 companion to [[lmXent]],
@@ -2042,6 +2088,41 @@ object TextOps {
 
     // Two unrolled GD steps; expressions kept in the same association
     // (0.1 * sum / count) as the Spark side so FP noise stays ~1e-15.
+    // quantized deployment: s2's ROUNDED weights are bit-identical
+    // cross-engine, so the margin gate (w·x > 0) is an exact comparison
+    // of identical doubles — only avg_score carries summation noise,
+    // absorbed at 4 decimals (the logreg_step precedent)
+    "logreg_infer" ->
+      """WITH f AS (
+        |  SELECT source,
+        |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |         1.0 AS x0,
+        |         CAST(least(len(ws), 200) AS DOUBLE) / 200.0 AS x1,
+        |         CAST(len(list_filter(ws, w -> list_contains(
+        |           ['the', 'a', 'of', 'and', 'to', 'in', 'is'], w))) AS DOUBLE)
+        |           / len(ws) AS x2
+        |  FROM (SELECT source, lang, str_split(text, ' ') AS ws FROM documents)),
+        |s1 AS (
+        |  SELECT 0.1 * sum(x0 * (y - 0.5)) / count(*) AS w0,
+        |         0.1 * sum(x1 * (y - 0.5)) / count(*) AS w1,
+        |         0.1 * sum(x2 * (y - 0.5)) / count(*) AS w2
+        |  FROM f),
+        |sc AS (
+        |  SELECT f.*, s1.w0 AS w0, s1.w1 AS w1, s1.w2 AS w2,
+        |         1.0 / (1.0 + exp(-(s1.w0 * x0 + s1.w1 * x1 + s1.w2 * x2))) AS sig
+        |  FROM f CROSS JOIN s1),
+        |s2 AS (
+        |  SELECT round(max(w0) - 0.1 * sum(x0 * (sig - y)) / count(*), 4) AS w0,
+        |         round(max(w1) - 0.1 * sum(x1 * (sig - y)) / count(*), 4) AS w1,
+        |         round(max(w2) - 0.1 * sum(x2 * (sig - y)) / count(*), 4) AS w2
+        |  FROM sc)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN s2.w0 * x0 + s2.w1 * x1 + s2.w2 * x2 > 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |       round(avg(1.0 / (1.0 + exp(-(s2.w0 * x0 + s2.w1 * x1 + s2.w2 * x2)))), 4)
+        |         AS avg_score
+        |FROM f CROSS JOIN s2 GROUP BY source ORDER BY source""".stripMargin,
+
     "logreg_step" ->
       """WITH f AS (
         |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,

@@ -558,15 +558,15 @@ object VectorOps {
     * codebook frame as an argument so a caller with a second consumer
     * ([[annAdc]]'s LUT) can materialize it ONCE. */
   private def pqCodes(s: SparkSession, d: String, cents: DataFrame): DataFrame = {
-    val e = vecs(s, d).select(col("vec_id"), col("v"))
+    val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"))
     val w = Window.partitionBy(col("vec_id"), col("subspace"))
       .orderBy(col("d2"), col("cell"))
     e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cell"),
+      .select(col("vec_id"), col("label"), col("cell"),
         posexplode(array(pqSubDists(col("v")): _*)).as(Seq("subspace", "d2")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("subspace"), col("cell").as("code"))
+      .select(col("vec_id"), col("label"), col("subspace"), col("cell").as("code"))
   }
 
   /** PQ asymmetric-distance (ADC) top-k search — the query path an
@@ -604,7 +604,104 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF-PQ search END TO END — the index layout a billion-vector
+    * deployment actually serves (the FAISS IVFADC shape): the coarse
+    * quantizer routes each query to its 2 nearest cells ([[annIvf]]'s
+    * router), and ONLY those cells' members are scored, by PQ
+    * asymmetric distance ([[annAdc]]'s integer lookup tables). The two
+    * graded halves compose: the corpus is touched as 4-small-int codes
+    * (never raw floats) and only |probed cells| / |cells| of it per
+    * query. Here the label-means codebook doubles as the coarse
+    * quantizer; a production index trains a separate k-means coarse
+    * codebook, but the plan shape — broadcast routing table, broadcast
+    * LUT, map-side partial sum over an integer — is identical.
+    *
+    * Scale shape: the ≤10-row centroid frame is localCheckpointed once
+    * for its three consumers (router, code assignment, LUT — SCALE.md:
+    * AQE does not reuse identical agg subtrees); the 5-row query slice
+    * likewise for its two. Candidate restriction is a BROADCAST join of
+    * the (query, cell) routing table onto the code stream — the corpus
+    * never shuffles — and the ADC sum is an exact BIGINT, so reduction
+    * order cannot perturb the ranking. Three embeddings scans
+    * (committed budget): centroid build, query slice, code stream. */
+  def annIvfAdc(s: SparkSession, d: String): DataFrame = {
+    val cents = centroids(vecs(s, d)).localCheckpoint(true)
+    val q = vecs(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+      .localCheckpoint(true)
+    val wCells = Window.partitionBy(col("qid")).orderBy(col("cellcos").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("cellcos",
+        dot(col("qv"), col("cv")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("crk", row_number().over(wCells))
+      .filter(col("crk") <= 2)
+      .select(col("qid"), col("cell"))
+    val lut = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cell").as("code"),
+        posexplode(array(pqSubDists(col("qv")): _*)).as(Seq("subspace", "d2")))
+      .withColumn("d2q", floor(col("d2") * 1e6d).cast("long"))
+      .select(col("qid"), col("subspace"), col("code"), col("d2q"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_q"), col("vec_id"))
+    pqCodes(s, d, cents)
+      .join(broadcast(probed), col("label") === col("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "subspace", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2q")).as("adc_q"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .withColumn("adc", round(col("adc_q").cast("double") / 1e6d, 6))
+      .select(col("qid"), col("vec_id"), col("rank"), col("adc"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Matryoshka (MRL) prefix dimensions retained in [[embedMatryoshka]]:
+    * the first quarter of the 64-dim vector. */
+  private val MrlDim = 16
+
+  /** Matryoshka truncation audit — the "can we serve the 4×-cheaper
+    * prefix index" decision (Kusupati et al. 2022: MRL-trained
+    * embeddings keep their head dimensions meaningful, so a prefix
+    * slice is a legitimate cheap index): recall@3 of cosine top-3 under
+    * the first-[[MrlDim]]-dims metric against the full-64-dim exact
+    * top-3, per query. At 100 TB the prefix index is a quarter of the
+    * scan bytes and memory; this query prices the recall it costs —
+    * the same ship/no-ship audit as [[annRecall]], for dimension
+    * truncation instead of hashing.
+    *
+    * Scale shape: broadcast 5-row query slice, ONE corpus pass scores
+    * both metrics per candidate (the prefix slice is a map-side
+    * expression, not a second table), one shuffle on the query key
+    * serves both rank windows. Selection uses raw doubles with the
+    * vec_id tie-break (the [[cosTopk]] FP-parity discipline); counts
+    * are exact integers, one rounded division at the end. */
+  def embedMatryoshka(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("n2"))
+      .withColumn("vp", slice(col("v"), 1, MrlDim))
+      .withColumn("pn2", dot(col("vp"), col("vp")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
+              col("vp").as("qvp"), col("pn2").as("qpn2"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_full",
+        dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("cos_pre",
+        dot(col("qvp"), col("vp")) / (sqrt(col("qpn2")) * sqrt(col("pn2"))))
+      .select(col("qid"), col("vec_id"), col("cos_full"), col("cos_pre"))
+    val wF = Window.partitionBy(col("qid")).orderBy(col("cos_full").desc, col("vec_id"))
+    val wP = Window.partitionBy(col("qid")).orderBy(col("cos_pre").desc, col("vec_id"))
+    scored
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rp", row_number().over(wP))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("rf") <= 3 && col("rp") <= 3, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall", round(col("n_hit").cast("double") / 3d, 4))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivfadc"  -> (annIvfAdc _),
+    "embed_matryoshka" -> (embedMatryoshka _),
     "ann_adc"     -> (annAdc _),
     "ann_recall"  -> (annRecall _),
     "embed_pq"    -> (embedPq _),
@@ -736,6 +833,63 @@ object VectorOps {
          |       round(CAST(count(avid) AS DOUBLE) / count(*), 4) AS recall
          |FROM exact LEFT JOIN approx ON qid = aqid AND vec_id = avid
          |GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "ann_ivfadc" ->
+      s"""WITH $VecCte, $CentsCte,
+         |sp AS (SELECT j FROM (VALUES (0), (1), (2), (3)) s(j)),
+         |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
+         |probed AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT qid, cell,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cellcos DESC, cell) AS crk
+         |    FROM (SELECT qid, cell,
+         |                 list_dot_product(qv, cv) / (sqrt(qn2) * sqrt(cn2)) AS cellcos
+         |          FROM q CROSS JOIN cents))
+         |  WHERE crk <= 2),
+         |codes AS (
+         |  SELECT vec_id, label, j, cell AS code FROM (
+         |    SELECT vec_id, label, j, cell,
+         |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cell) AS rk
+         |    FROM (SELECT vec_id, label, cell, j,
+         |                 list_dot_product(v[j*$PqDim+1:j*$PqDim+$PqDim], v[j*$PqDim+1:j*$PqDim+$PqDim])
+         |                 - 2 * list_dot_product(v[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim])
+         |                 + list_dot_product(cv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim]) AS d2
+         |          FROM e CROSS JOIN cents CROSS JOIN sp))
+         |  WHERE rk = 1),
+         |lut AS (
+         |  SELECT qid, j, cell AS code, CAST(floor(d2 * 1000000) AS BIGINT) AS d2q
+         |  FROM (SELECT qid, cell, j,
+         |               list_dot_product(qv[j*$PqDim+1:j*$PqDim+$PqDim], qv[j*$PqDim+1:j*$PqDim+$PqDim])
+         |               - 2 * list_dot_product(qv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim])
+         |               + list_dot_product(cv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim]) AS d2
+         |        FROM q CROSS JOIN cents CROSS JOIN sp))
+         |SELECT qid, vec_id, rank, adc FROM (
+         |  SELECT qid, vec_id,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_q, vec_id) AS BIGINT) AS rank,
+         |         round(CAST(adc_q AS DOUBLE) / 1000000, 6) AS adc
+         |  FROM (SELECT p.qid AS qid, c.vec_id AS vec_id, CAST(sum(d2q) AS BIGINT) AS adc_q
+         |        FROM codes c JOIN probed p ON c.label = p.cell
+         |        JOIN lut ON lut.qid = p.qid AND lut.j = c.j AND lut.code = c.code
+         |        WHERE c.vec_id != p.qid GROUP BY 1, 2))
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "embed_matryoshka" ->
+      s"""WITH $VecCte,
+         |p AS (SELECT vec_id, v, n2, v[1:$MrlDim] AS vp,
+         |             list_dot_product(v[1:$MrlDim], v[1:$MrlDim]) AS pn2 FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, vp AS qvp, pn2 AS qpn2
+         |      FROM p WHERE vec_id < $NQueries),
+         |sc AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) DESC, vec_id) AS rf,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY list_dot_product(qvp, vp) / (sqrt(qpn2) * sqrt(pn2)) DESC, vec_id) AS rp
+         |  FROM p CROSS JOIN q WHERE vec_id != qid)
+         |SELECT qid,
+         |       CAST(sum(CASE WHEN rf <= 3 AND rp <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |       round(CAST(sum(CASE WHEN rf <= 3 AND rp <= 3 THEN 1 ELSE 0 END) AS DOUBLE) / 3, 4) AS recall
+         |FROM sc GROUP BY qid ORDER BY qid""".stripMargin,
 
     "ann_adc" ->
       s"""WITH $VecCte, $CentsCte,

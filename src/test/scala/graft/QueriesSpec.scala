@@ -41,6 +41,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(ids.sorted.sameElements(ids))
   }
 
+  test("logreg_infer: the deployed gate agrees with a driver-side replay at the " +
+      "quantized logreg_step weights") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("logreg_infer")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    got.values.foreach { case (nDocs, nKeep, avgScore) =>
+      assert(nKeep >= 0L && nKeep <= nDocs)
+      assert(avgScore > 0.0 && avgScore < 1.0)
+    }
+    // the deployed weights ARE logreg_step's rounded w_step2 column
+    val w = SparkEntry.queries("logreg_step")(spark, sf).collect()
+      .map(r => r.getString(0) -> math.rint(r.getDouble(2) * 1e4) / 1e4).toMap
+    val (w0, w1, w2) = (w("bias"), w("len"), w("stop_ratio"))
+    val stops = Set("the", "a", "of", "and", "to", "in", "is")
+    val want = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        val x1 = math.min(ws.length, 200).toDouble / 200.0
+        val x2 = ws.count(stops).toDouble / ws.length
+        (r.getString(0), if (w0 * 1.0 + w1 * x1 + w2 * x2 > 0) 1L else 0L)
+      }
+      .groupBy(_._1).view.mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+    want.foreach { case (src, (nDocs, nKeep)) =>
+      assert(got(src)._1 === nDocs, s"$src doc count")
+      assert(got(src)._2 === nKeep, s"$src keep count at the quantized weights")
+    }
+  }
+
   test("rpc timeout resolves the 408 sentinel when nothing matches") {
     val row = SparkEntry.queries("cdc_rpc_timeout")(spark, sf).collect().head
     assert(row.getInt(1) === 408)

@@ -170,6 +170,73 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("cdc_stream_take: the take(5) gate caps per-sub delivery ACROSS micro-batches, " +
+      "zero-delivery subs kept") {
+    val got = StreamGrade.streamTake(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(StreamGrade.lastBatchCount === 3)
+    val bus = graft.Tables.bus(spark, dir)
+    val want = graft.cdc.CdcBus.subs.map { case (n, p) =>
+      val m = bus.filter(
+        graft.functions.GraftFunctions.mqtt_matches(lit(p), col("channel"))).count()
+      (n, math.min(m, 5L))
+    }.sortBy(_._1)
+    assert(got === want)
+    // both regimes must be exercised: a silent sub stays at 0, a busy
+    // sub is capped at exactly 5 (its slice-1 matches alone exceed 5)
+    assert(want.exists(_._2 == 0L) && want.exists(_._2 == 5L))
+  }
+
+  test("cdc_stream_rpc_join: stream-stream interval join == the event-time twin, " +
+      "and the 30-min window excludes real pairs") {
+    import org.apache.spark.sql.functions.expr
+    val got = rows(StreamGrade.streamRpcJoin(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val bus = graft.Tables.bus(spark, dir)
+    val reqs = bus.filter(col("event_id") % 4 === 0)
+      .select(col("event_id").as("req_id"), col("ts").as("req_ts"))
+    val ress = bus.filter(col("event_id") % 8 === 1)
+      .select((col("event_id") - 1).as("req_id"), col("ts").as("res_ts"),
+              col("channel").as("res_channel"))
+    val all = reqs.join(ress, Seq("req_id"))
+    val want = rows(all
+      .filter(col("res_ts") >= col("req_ts") &&
+        col("res_ts") <= col("req_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("req_id"), col("req_ts"), col("res_ts"), col("res_channel"))
+      .orderBy(col("req_id"), col("res_ts")))
+    assert(got.nonEmpty && got === want)
+    // the window must do real work: some correlated pairs fall outside it
+    assert(all.count() > want.length, "every pair inside the window — widen the test")
+  }
+
+  test("doc_stream_substring_dup: live winnowing-gate emission counts == batch " +
+      "winnow_pairs shared-fingerprint counts") {
+    val got = rows(StreamGrade.streamSubstringDup(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.llm.HashDedup.queries("winnow_pairs")(spark, dir))
+    assert(got === want)
+  }
+
+  test("doc_stream_mix_shift: final live TV drift per source == the batch mix_shift audit") {
+    val got = rows(StreamGrade.streamMixShift(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.llm.TextOps.queries("mix_shift")(spark, dir)
+      .filter(col("tv_dist").isNotNull)
+      .select(col("source"), col("n_t_occ").as("n_occ"), col("tv_dist"))
+      .orderBy(col("source")))
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("emb_stream_centroid_drift: final live drift per label == the batch " +
+      "embed_centroid_drift audit") {
+    val got = rows(StreamGrade.streamCentroidDrift(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.llm.VectorOps.queries("embed_centroid_drift")(spark, dir)
+      .select(col("label"), col("n_b").as("n_seen"), col("drift"))
+      .orderBy(col("label")))
+    assert(got.nonEmpty && got === want)
+  }
+
   test("cdc_stream_scd2: streamed closed versions == batch SCD2 closed rows, across 3 micro-batches") {
     val got = rows(StreamGrade.streamScd2(spark, dir))
     assert(StreamGrade.lastBatchCount === 3)

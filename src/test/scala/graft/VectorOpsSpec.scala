@@ -48,6 +48,50 @@ class VectorOpsSpec extends AnyFunSuite {
     info(f"IVF recall@3 vs exact top-5: ${recalls.sum / recalls.length}%.2f")
   }
 
+  test("ann_ivfadc: deterministic, and never beats the full-corpus ADC distance at any rank") {
+    val a = VectorOps.annIvfAdc(spark, sf).collect()
+    val b = VectorOps.annIvfAdc(spark, sf).collect()
+    assert(a.sameElements(b), "IVF-PQ search must be deterministic")
+    val byQ = a.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 5L).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sorted.sameElements(Array(1L, 2L, 3L)))
+      val d = rows.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(d.zip(d.tail).forall { case (x, y) => x <= y }, "ADC ascends with rank")
+    }
+    // the probed-cell restriction can only LOSE candidates: at each rank the
+    // IVF-PQ distance is >= the full-corpus ADC distance for that query
+    val full = VectorOps.annAdc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    a.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(r.getDouble(3) >= full(key) - 1e-9,
+        s"probed search beat the full scan at $key")
+    }
+  }
+
+  test("embed_matryoshka: n_hit equals the brute-force prefix∩full top-3 intersection") {
+    import org.apache.spark.sql.functions._
+    val got = VectorOps.embedMatryoshka(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === (0L until 5L).toSet)
+    got.values.foreach(h => assert(h >= 0L && h <= 3L))
+    // independent brute force on the driver (sf0.001 is small)
+    val vs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(x: Array[Double], y: Array[Double], n: Int): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < n) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    (0L until 5L).foreach { q =>
+      def top3(n: Int): Set[Long] = vs.keys.filter(_ != q).toSeq
+        .sortBy(v => (-cos(vs(q), vs(v), n), v)).take(3).toSet
+      assert(got(q) === top3(64).intersect(top3(16)).size.toLong, s"query $q")
+    }
+  }
+
   test("embed_neardup matches the graded query at the default cap (no block near it)") {
     val rows = VectorOps.nearDup(spark, sf).collect()
     // sf0.001 has ≤63-vector label blocks — nothing skipped, so results
