@@ -92,27 +92,41 @@ object TextOps {
     * (contrast `approx_distinct`, rows-only). At 100 TB the sketch side
     * never shuffles more than depth·width cells per partition; only the
     * audit's exact side pays a vocabulary-keyed shuffle. */
-  def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
-    def bucket(seed: Int, c: Column): Column =
+  /** The depth-[[CmsDepth]] CMS bucket coordinates of a token — shared
+    * by [[cmsHeavyHitters]] and the streaming sketch grade
+    * (`StreamGrade.streamCms`), so batch and live build the
+    * bit-identical counter grid. */
+  private[graft] def cmsBuckets(c: Column): Column = {
+    def bucket(seed: Int): Column =
       conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 8), 16, 10)
         .cast("long") % CmsWidth
-    def buckets(c: Column): Column =
-      array((0 until CmsDepth).map(j => bucket(j, c)): _*)
+    array((0 until CmsDepth).map(bucket): _*)
+  }
+
+  /** The top-20-by-exact-count audit over a given CMS counter grid —
+    * factored so the streaming grade can point the SAME audit at a
+    * sketch the STREAMING engine maintained. */
+  private[graft] def cmsAudit(s: SparkSession, d: String, cms: DataFrame): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
-    val cms = toks
-      .select(posexplode(buckets(col("word"))).as(Seq("seed", "bucket")))
-      .groupBy(col("seed"), col("bucket")).agg(count(lit(1)).as("c"))
     val top = toks.groupBy(col("word")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("word")).limit(20)
     top
       .select(col("word"), col("exact_n"),
-        posexplode(buckets(col("word"))).as(Seq("seed", "bucket")))
+        posexplode(cmsBuckets(col("word"))).as(Seq("seed", "bucket")))
       .join(broadcast(cms), Seq("seed", "bucket"))
       .groupBy(col("word"), col("exact_n"))
       .agg(min(col("c")).as("est_n"))
       .withColumn("overcount", col("est_n") - col("exact_n"))
       .orderBy(col("exact_n").desc, col("word"))
+  }
+
+  def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val cms = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .select(posexplode(cmsBuckets(col("word"))).as(Seq("seed", "bucket")))
+      .groupBy(col("seed"), col("bucket")).agg(count(lit(1)).as("c"))
+    cmsAudit(s, d, cms)
   }
 
   /** Corpus-balance audit: per-language source diversity as Gini

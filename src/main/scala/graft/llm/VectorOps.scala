@@ -655,6 +655,39 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Recall@3 of the composed IVF-PQ index ([[annIvfAdc]]) against the
+    * EXACT squared-L2 top-3 — the ship/no-ship audit of the production
+    * index shape, completing the recall family ([[annRecall]] audits
+    * the LSH path, [[ivfRecallSweep]] the IVF router alone; this prices
+    * the cell restriction AND the PQ quantization TOGETHER against the
+    * true metric ADC approximates). Scale shape: the approximate side
+    * is the graded [[annIvfAdc]] lineage; the exact side is one
+    * broadcast-query corpus pass ranked by raw-double L2 with the
+    * vec_id tie-break (the [[cosTopk]] FP-parity discipline); the
+    * recall reduction is exact integer hit counts and one rounded
+    * division. */
+  def ivfadcRecall(s: SparkSession, d: String): DataFrame = {
+    val approx = annIvfAdc(s, d)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("n2"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("d2",
+        col("qn2") - lit(2d) * dot(col("qv"), col("v")) + col("n2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("vec_id"))
+    exact.join(approx,
+        col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"), count(col("avid")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+      .orderBy(col("qid"))
+  }
+
   /** Matryoshka (MRL) prefix dimensions retained in [[embedMatryoshka]]:
     * the first quarter of the 64-dim vector. */
   private val MrlDim = 16
@@ -701,6 +734,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfadc"  -> (annIvfAdc _),
+    "ivfadc_recall" -> (ivfadcRecall _),
     "embed_matryoshka" -> (embedMatryoshka _),
     "ann_adc"     -> (annAdc _),
     "ann_recall"  -> (annRecall _),
@@ -770,6 +804,49 @@ object VectorOps {
       |  SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
       |    SELECT label AS cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY label))""".stripMargin
 
+  /** Shared CTE prefix of the ann_ivfadc / ivfadc_recall twins: query
+    * slice, routing table (2 nearest cells), PQ code assignment (with
+    * cell-membership label), and the per-query integer LUT. */
+  private val IvfAdcCtes =
+    s"""$VecCte, $CentsCte,
+       |sp AS (SELECT j FROM (VALUES (0), (1), (2), (3)) s(j)),
+       |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
+       |probed AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cellcos DESC, cell) AS crk
+       |    FROM (SELECT qid, cell,
+       |                 list_dot_product(qv, cv) / (sqrt(qn2) * sqrt(cn2)) AS cellcos
+       |          FROM q CROSS JOIN cents))
+       |  WHERE crk <= 2),
+       |codes AS (
+       |  SELECT vec_id, label, j, cell AS code FROM (
+       |    SELECT vec_id, label, j, cell,
+       |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cell) AS rk
+       |    FROM (SELECT vec_id, label, cell, j,
+       |                 list_dot_product(v[j*$PqDim+1:j*$PqDim+$PqDim], v[j*$PqDim+1:j*$PqDim+$PqDim])
+       |                 - 2 * list_dot_product(v[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim])
+       |                 + list_dot_product(cv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim]) AS d2
+       |          FROM e CROSS JOIN cents CROSS JOIN sp))
+       |  WHERE rk = 1),
+       |lut AS (
+       |  SELECT qid, j, cell AS code, CAST(floor(d2 * 1000000) AS BIGINT) AS d2q
+       |  FROM (SELECT qid, cell, j,
+       |               list_dot_product(qv[j*$PqDim+1:j*$PqDim+$PqDim], qv[j*$PqDim+1:j*$PqDim+$PqDim])
+       |               - 2 * list_dot_product(qv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim])
+       |               + list_dot_product(cv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim]) AS d2
+       |        FROM q CROSS JOIN cents CROSS JOIN sp))""".stripMargin
+
+  /** The IVF-PQ ranked candidate list (shared final SELECT body). */
+  private val IvfAdcRanked =
+    """SELECT qid, vec_id,
+      |       CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_q, vec_id) AS BIGINT) AS rank,
+      |       round(CAST(adc_q AS DOUBLE) / 1000000, 6) AS adc
+      |FROM (SELECT p.qid AS qid, c.vec_id AS vec_id, CAST(sum(d2q) AS BIGINT) AS adc_q
+      |      FROM codes c JOIN probed p ON c.label = p.cell
+      |      JOIN lut ON lut.qid = p.qid AND lut.j = c.j AND lut.code = c.code
+      |      WHERE c.vec_id != p.qid GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "embed_label_mix" ->
       """SELECT source, CAST(label AS BIGINT) AS label,
@@ -835,43 +912,28 @@ object VectorOps {
          |GROUP BY qid ORDER BY qid""".stripMargin,
 
     "ann_ivfadc" ->
-      s"""WITH $VecCte, $CentsCte,
-         |sp AS (SELECT j FROM (VALUES (0), (1), (2), (3)) s(j)),
-         |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
-         |probed AS (
-         |  SELECT qid, cell FROM (
-         |    SELECT qid, cell,
-         |           row_number() OVER (PARTITION BY qid ORDER BY cellcos DESC, cell) AS crk
-         |    FROM (SELECT qid, cell,
-         |                 list_dot_product(qv, cv) / (sqrt(qn2) * sqrt(cn2)) AS cellcos
-         |          FROM q CROSS JOIN cents))
-         |  WHERE crk <= 2),
-         |codes AS (
-         |  SELECT vec_id, label, j, cell AS code FROM (
-         |    SELECT vec_id, label, j, cell,
-         |           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cell) AS rk
-         |    FROM (SELECT vec_id, label, cell, j,
-         |                 list_dot_product(v[j*$PqDim+1:j*$PqDim+$PqDim], v[j*$PqDim+1:j*$PqDim+$PqDim])
-         |                 - 2 * list_dot_product(v[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim])
-         |                 + list_dot_product(cv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim]) AS d2
-         |          FROM e CROSS JOIN cents CROSS JOIN sp))
-         |  WHERE rk = 1),
-         |lut AS (
-         |  SELECT qid, j, cell AS code, CAST(floor(d2 * 1000000) AS BIGINT) AS d2q
-         |  FROM (SELECT qid, cell, j,
-         |               list_dot_product(qv[j*$PqDim+1:j*$PqDim+$PqDim], qv[j*$PqDim+1:j*$PqDim+$PqDim])
-         |               - 2 * list_dot_product(qv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim])
-         |               + list_dot_product(cv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim]) AS d2
-         |        FROM q CROSS JOIN cents CROSS JOIN sp))
-         |SELECT qid, vec_id, rank, adc FROM (
-         |  SELECT qid, vec_id,
-         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_q, vec_id) AS BIGINT) AS rank,
-         |         round(CAST(adc_q AS DOUBLE) / 1000000, 6) AS adc
-         |  FROM (SELECT p.qid AS qid, c.vec_id AS vec_id, CAST(sum(d2q) AS BIGINT) AS adc_q
-         |        FROM codes c JOIN probed p ON c.label = p.cell
-         |        JOIN lut ON lut.qid = p.qid AND lut.j = c.j AND lut.code = c.code
-         |        WHERE c.vec_id != p.qid GROUP BY 1, 2))
+      s"""WITH $IvfAdcCtes
+         |SELECT qid, vec_id, rank, adc FROM ($IvfAdcRanked)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the exact ground truth is TRUE squared L2 (the metric ADC
+    // approximates); recall loss prices BOTH the cell restriction and
+    // the PQ quantization
+    "ivfadc_recall" ->
+      s"""WITH $IvfAdcCtes,
+         |approx AS (SELECT qid, vec_id FROM ($IvfAdcRanked) WHERE rank <= 3),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY qn2 - 2 * list_dot_product(qv, v) + n2, vec_id) AS rk
+         |    FROM e CROSS JOIN q WHERE vec_id != qid)
+         |  WHERE rk <= 3)
+         |SELECT x.qid AS qid, CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+         |       round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 4) AS recall
+         |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vec_id = a.vec_id
+         |GROUP BY 1 ORDER BY qid""".stripMargin,
 
     "embed_matryoshka" ->
       s"""WITH $VecCte,

@@ -113,17 +113,32 @@ object StreamGrade {
   @volatile private[graft] var lastBatchCount: Int = -1
 
   /** Run a streaming frame to completion under `Trigger.AvailableNow`
-    * into a uniquely-named memory sink; return the sink table. */
+    * into a uniquely-named memory sink; return the sink table.
+    *
+    * The streaming query plans with 8 shuffle partitions (scoped —
+    * restored after stop): state-store INSTANCES scale with the state
+    * partition count (a stream-stream join opens four per partition,
+    * per micro-batch), and at the graded replay's row volume the
+    * per-instance open/commit overhead dominates — 32 partitions cost
+    * ~12 s where 8 cost ~5 s on the same data. Every graded view is an
+    * order-insensitive reduction, so the partition count cannot change
+    * a result. A production deployment sizes this to its state volume;
+    * the replay's state is tiny. */
   private def runToSink(s: SparkSession, out: DataFrame, mode: String,
                         name: String): DataFrame = {
     val sink = s"${name}_${runs.incrementAndGet()}"
-    val q = out.writeStream.outputMode(mode).format("memory")
-      .queryName(sink).trigger(Trigger.AvailableNow()).start()
+    val key = "spark.sql.shuffle.partitions"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "8")
     try {
-      if (!q.awaitTermination(180000L))
-        throw new IllegalStateException(s"streaming query $sink did not finish")
-      lastBatchCount = q.recentProgress.count(_.numInputRows > 0L)
-    } finally q.stop()
+      val q = out.writeStream.outputMode(mode).format("memory")
+        .queryName(sink).trigger(Trigger.AvailableNow()).start()
+      try {
+        if (!q.awaitTermination(180000L))
+          throw new IllegalStateException(s"streaming query $sink did not finish")
+        lastBatchCount = q.recentProgress.count(_.numInputRows > 0L)
+      } finally q.stop()
+    } finally prior.fold(s.conf.unset(key))(s.conf.set(key, _))
     s.table(sink)
   }
 
@@ -540,6 +555,26 @@ object StreamGrade {
         .orderBy(col("req_id"), col("res_ts"))
     }
 
+  /** STREAMING Count-Min sketch, graded: the 4×16 counter grid as a
+    * complete-mode streaming aggregation — exactly how a live
+    * heavy-hitter monitor runs (state is depth·width = 64 rows FOREVER,
+    * regardless of stream length — the sketch IS the state bound). The
+    * batch top-20 audit then reads its estimates from the sketch the
+    * STREAMING engine maintained across the three crawl batches; the
+    * result shares the batch `cms_heavy_hitters` twin verbatim, so the
+    * hash proves the live grid bit-identical to the batch grid (exact
+    * integer counts over md5 buckets — a fully checkable sketch). */
+  def streamCms(s: SparkSession, d: String): DataFrame =
+    withDocStream(s, d) { docStream =>
+      val sketch = runToSink(s,
+        docStream.select(explode(split(col("text"), " ")).as("word"))
+          .select(posexplode(graft.llm.TextOps.cmsBuckets(col("word")))
+            .as(Seq("seed", "bucket")))
+          .groupBy(col("seed"), col("bucket")).agg(count(lit(1)).as("c")),
+        "complete", "stream_cms")
+      graft.llm.TextOps.cmsAudit(s, d, sketch)
+    }
+
   /** Reference distribution for [[streamMixShift]]: per-source counts
     * of the global top-[[graft.llm.TextOps.MixShiftTerms]] terms over
     * the "yesterday" hash-buckets (0-8), ZERO-FILLED over the full
@@ -656,6 +691,7 @@ object StreamGrade {
     "cdc_stream_take"          -> (streamTake _),
     "cdc_stream_rpc_join"      -> (streamRpcJoin _),
     "doc_stream_substring_dup" -> (streamSubstringDup _),
+    "doc_stream_cms"           -> (streamCms _),
     "doc_stream_mix_shift"     -> (streamMixShift _),
     "emb_stream_centroid_drift" -> (streamCentroidDrift _),
     "doc_stream_neardup"       -> (streamNearDup _),
@@ -706,6 +742,10 @@ object StreamGrade {
          |FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
          |GROUP BY 1, 2
          |ORDER BY a, b""".stripMargin,
+
+    // shares the batch cms_heavy_hitters twin verbatim: the live grid
+    // must be bit-identical to the batch grid
+    "doc_stream_cms" -> graft.llm.TextOps.oracle("cms_heavy_hitters"),
 
     // the batch mix_shift audit re-keyed to (source, today-total, tv):
     // yesterday = hash-buckets 0-8 (the gate's static reference), today

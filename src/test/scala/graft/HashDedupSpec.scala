@@ -41,6 +41,65 @@ class HashDedupSpec extends AnyFunSuite {
     tmp
   }
 
+  test("scalacheck: the compiled shingle kernels == the built-in HOF lineage on " +
+      "ARBITRARY documents (unicode, empty tokens, short docs)") {
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    // reference lineages built from Spark's own HOFs — the pre-r9 forms
+    // the kernels replaced (slow, but test-scale)
+    val P = 2147483647L
+    def refShingleHashes(text: org.apache.spark.sql.Column) = {
+      val ws = split(text, " ")
+      val sh = transform(sequence(lit(0), size(ws) - 3),
+        i => concat_ws(" ",
+          element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
+      transform(sh, x => conv(substring(md5(x), 1, 8), 16, 10).cast("long") % P)
+    }
+    def refWinnow(text: org.apache.spark.sql.Column) = {
+      val hs = refShingleHashes(text)
+      val wmins = transform(sequence(lit(0), size(hs) - 4),
+        i => array_min(slice(hs, i + 1, lit(4))))
+      when(size(split(text, " ")) >= 6, array_distinct(wmins))
+    }
+    def refBands(text: org.apache.spark.sql.Column) = {
+      val hs = refShingleHashes(text)
+      val mins = HashDedup.mhParams.map { case (a, b) =>
+        array_min(transform(hs, h => (lit(a) * h + lit(b)) % P))
+      }
+      val bands = (0 until 4).map { b =>
+        md5(concat_ws(",", (0 until 4).map(r => mins(b * 4 + r)): _*))
+      }
+      when(size(split(text, " ")) >= 3, array(bands: _*))
+    }
+    val word = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(8)),
+      2 -> Gen.oneOf("é", "日本語", "emoji🙂", "tab\tin", "quote\"q"),
+      1 -> Gen.const("")) // empty token — split(" ") produces these
+    val doc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(30, doc)) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = df.select(col("doc_id"),
+          HashDedup.winnowFpExpr(col("text")).as("w"),
+          HashDedup.bandHashExpr(col("text")).as("b"))
+        .collect().map(r => (r.getLong(0),
+          Option(r.getSeq[Long](1)).map(_.toList),
+          Option(r.getSeq[String](2)).map(_.toList))).toList
+      val want = df.select(col("doc_id"),
+          refWinnow(col("text")).as("w"), refBands(col("text")).as("b"))
+        .collect().map(r => (r.getLong(0),
+          Option(r.getSeq[Long](1)).map(_.toList),
+          Option(r.getSeq[String](2)).map(_.toList))).toList
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40)
+        .withInitialSeed(Seed(20260814L)), prop)
+    assert(res.passed, s"kernel/HOF divergence: ${res.status}")
+  }
+
   test("bandHashExpr (per-row) == batch minhash signature band lineage") {
     import org.apache.spark.sql.functions._
     // batch side: band md5 over the graded minhash_sig columns

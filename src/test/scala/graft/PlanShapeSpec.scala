@@ -388,6 +388,24 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"embed_outliers: centroid join is not broadcast:\n$outPlan")
   }
 
+  test("r9: ann_ivfadc's routing table and LUT come to the code stream as " +
+      "broadcasts — no cartesian, no shuffle of the embedding column") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("ann_ivfadc")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ann_ivfadc: candidate restriction is not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"ann_ivfadc: cartesian product in plan:\n$plan")
+    // the raw vector column must never ride an exchange: the corpus is
+    // touched as PQ codes only
+    collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e.child.output.map(_.name.toLowerCase)
+    }.foreach(cols => assert(!cols.contains("v") && !cols.contains("embedding"),
+      s"ann_ivfadc: an exchange carries raw vectors: $cols"))
+  }
+
   test("r8 additions: hard_negatives broadcasts centroids (no cartesian); " +
       "token_budget scans documents once; bigram_xent exchanges carry " +
       "tokens not text; logreg_step's GD steps are scan-free") {

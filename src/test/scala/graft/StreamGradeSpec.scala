@@ -217,6 +217,14 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("doc_stream_cms: the streaming-maintained CMS grid serves the batch audit " +
+      "bit-identically") {
+    val got = rows(StreamGrade.streamCms(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.llm.TextOps.queries("cms_heavy_hitters")(spark, dir))
+    assert(got.nonEmpty && got === want)
+  }
+
   test("doc_stream_mix_shift: final live TV drift per source == the batch mix_shift audit") {
     val got = rows(StreamGrade.streamMixShift(spark, dir))
     assert(StreamGrade.lastBatchCount === 3)
