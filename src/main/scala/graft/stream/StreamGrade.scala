@@ -555,6 +555,51 @@ object StreamGrade {
         .orderBy(col("req_id"), col("res_ts"))
     }
 
+  /** STREAMING curation pipeline COMPOSED, graded: the full
+    * "what reaches training" audit with every gate verdict produced by
+    * the streaming engine — [[Streams.firstArrivalPerKey]] claims one
+    * representative per md5 content fingerprint as the crawl arrives
+    * (doc_id-ordered replay ⇒ the claim is the batch min-id canonical
+    * rep), [[Streams.streamingNearDup]] emits LSH candidate pairs as
+    * the duplicate arrives (== the batch candidate set, proved by
+    * `doc_stream_neardup`), and the length gate is stateless. The
+    * composition — kept ⟺ rep ∧ ≥30 tokens ∧ not the later side of a
+    * near-dup pair, reduced to per-source survival — shares the batch
+    * `pipeline_kept` twin VERBATIM: the live gates compose to exactly
+    * the offline audit. */
+  def streamPipeline(s: SparkSession, d: String): DataFrame =
+    withDocStream(s, d) { docStream =>
+      val spark = s; import spark.implicits._
+      implicit val ss: SparkSession = s
+      val reps = withRocksDb(s) {
+        runToSink(s,
+          Streams.firstArrivalPerKey(
+            docStream.select(md5(col("text")).as("_1"), col("doc_id").as("_2"))
+              .as[(String, Long)]).toDF(),
+          "append", "stream_pipe_reps")
+      }.select(col("doc_id"), lit(1).as("isrep"))
+      val drops = withRocksDb(s) {
+        runToSink(s,
+          Streams.streamingNearDup(
+            docStream.filter(size(split(col("text"), " ")) >= 3)).toDF(),
+          "append", "stream_pipe_pairs")
+      }.select(col("b").as("doc_id")).distinct()
+        .withColumn("neardup", lit(1))
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .join(reps, Seq("doc_id"), "left")
+        .join(drops, Seq("doc_id"), "left")
+        .withColumn("kept",
+          col("isrep").isNotNull && col("n_tok") >= 30 && col("neardup").isNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("kept_pct",
+          round(col("n_kept").cast("double") * 100d / col("n_docs"), 2))
+        .orderBy(col("source"))
+    }
+
   /** STREAMING Count-Min sketch, graded: the 4×16 counter grid as a
     * complete-mode streaming aggregation — exactly how a live
     * heavy-hitter monitor runs (state is depth·width = 64 rows FOREVER,
@@ -692,6 +737,7 @@ object StreamGrade {
     "cdc_stream_rpc_join"      -> (streamRpcJoin _),
     "doc_stream_substring_dup" -> (streamSubstringDup _),
     "doc_stream_cms"           -> (streamCms _),
+    "doc_stream_pipeline"      -> (streamPipeline _),
     "doc_stream_mix_shift"     -> (streamMixShift _),
     "emb_stream_centroid_drift" -> (streamCentroidDrift _),
     "doc_stream_neardup"       -> (streamNearDup _),
@@ -746,6 +792,10 @@ object StreamGrade {
     // shares the batch cms_heavy_hitters twin verbatim: the live grid
     // must be bit-identical to the batch grid
     "doc_stream_cms" -> graft.llm.TextOps.oracle("cms_heavy_hitters"),
+
+    // shares the batch pipeline_kept twin verbatim: the composed live
+    // gates must reproduce the offline survival audit exactly
+    "doc_stream_pipeline" -> graft.llm.HashDedup.oracle("pipeline_kept"),
 
     // the batch mix_shift audit re-keyed to (source, today-total, tv):
     // yesterday = hash-buckets 0-8 (the gate's static reference), today

@@ -282,6 +282,47 @@ object Streams {
       .transformWithState(new FirstSeenGate, TimeMode.None(), OutputMode.Append())
   }
 
+  /** A content fingerprint's representative claim (see
+    * [[firstArrivalPerKey]]). */
+  case class RepClaim(fp: String, doc_id: Long)
+
+  /** First-arrival gate behind [[firstArrivalPerKey]]: one Boolean of
+    * keyed state per distinct fingerprint; the claim carries the
+    * smallest id in the first batch that contained the key. */
+  private[stream] class FirstArrivalGate
+      extends StatefulProcessor[String, (String, Long), RepClaim] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                                 timerValues: TimerValues): Iterator[RepClaim] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        Iterator.single(RepClaim(key, rows.map(_._2).min))
+      }
+    }
+  }
+
+  /** The exact-dedup INGESTION gate — "have I stored this content
+    * before": per distinct key (an md5 content fingerprint), exactly one
+    * representative claim is emitted, on the micro-batch where the key
+    * first appears, carrying that batch's smallest id (with in-order
+    * ingestion that id is the global minimum — the batch canonical-rep
+    * rule). Arrivals after the claim emit nothing: a crawler's
+    * duplicate re-fetch costs one state lookup, no storage write.
+    * State: one boolean per distinct content — bounded by corpus
+    * CONTENT diversity, not stream length; redelivery-safe by the same
+    * argument as [[vocabNoveltyStream]]'s gate. */
+  def firstArrivalPerKey(ds: Dataset[(String, Long)])
+                        (implicit spark: SparkSession): Dataset[RepClaim] = {
+    import spark.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new FirstArrivalGate, TimeMode.None(), OutputMode.Append())
+  }
+
   case class DriftScore(source: String, n_occ: Long, tv_dist: Double)
 
   /** Running-distribution gate behind [[mixShiftStream]]: per source, a

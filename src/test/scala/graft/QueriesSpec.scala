@@ -27,6 +27,11 @@ class QueriesSpec extends AnyFunSuite {
     val qs = SparkEntry.queries
     assert(qs.nonEmpty)
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle without query: $k"))
+    // zero gray rows, LOCKED: every graded query carries a DuckDB twin —
+    // a new query without an oracle would grade rows-only and regress
+    // the r9 "every row hash-checked" state
+    qs.keys.foreach(k =>
+      assert(SparkEntry.oracleSql.contains(k), s"query without oracle: $k"))
     qs.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty, s"$name has no columns")

@@ -217,6 +217,14 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("doc_stream_pipeline: the composed live gates (rep claim + near-dup + length) " +
+      "== the batch pipeline_kept audit") {
+    val got = rows(StreamGrade.streamPipeline(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.llm.HashDedup.queries("pipeline_kept")(spark, dir))
+    assert(got.nonEmpty && got === want)
+  }
+
   test("doc_stream_cms: the streaming-maintained CMS grid serves the batch audit " +
       "bit-identically") {
     val got = rows(StreamGrade.streamCms(spark, dir))
