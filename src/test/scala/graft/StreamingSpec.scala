@@ -395,6 +395,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("firstArrivalPerKey claims once per fingerprint, survives a restart, and " +
+      "ignores redelivered content") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val dir = java.nio.file.Files.createTempDirectory("first_arrival").toString
+      val in = MemoryStream[(String, Long)]
+      def start() = Streams.firstArrivalPerKey(in.toDS())
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .foreachBatch { (bt: org.apache.spark.sql.Dataset[Streams.RepClaim], _: Long) =>
+          bt.write.mode("append").parquet(s"$dir/out")
+        }
+        .start()
+      val q1 = start()
+      try {
+        // two docs share content: one claim, smallest id
+        in.addData(("fpA", 7L), ("fpA", 3L), ("fpB", 10L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        // post-restart: fpA redelivered (crawler re-fetch) must NOT
+        // re-claim; a new fingerprint still claims
+        in.addData(("fpA", 99L), ("fpC", 20L))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = spark.read.parquet(s"$dir/out").as[Streams.RepClaim].collect()
+        .map(c => c.fp -> c.doc_id).sorted.toSeq
+      assert(got === Seq("fpA" -> 3L, "fpB" -> 10L, "fpC" -> 20L),
+        "exactly one claim per fingerprint, min id, across the restart")
+    }
+  }
+
   test("streaming incremental gate drops snapshot members, passes fresh docs, every batch") {
     implicit val sq = spark.sqlContext
     val s = spark; import s.implicits._
