@@ -44,6 +44,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MqttDispatchExpr].getName, "mqtt_dispatch"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftFunctions.dispatchBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[graft.functions.WinnowFpsExpr].getName, "winnow_fps"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.WinnowFpsExpr(exprs(0), graft.llm.HashDedup.shingleKernel)))
+    e.injectFunction((
+      FunctionIdentifier("band_hashes"),
+      new ExpressionInfo(classOf[graft.functions.BandHashesExpr].getName, "band_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.BandHashesExpr(exprs(0), graft.llm.HashDedup.shingleKernel)))
     e.injectOptimizerRule(_ => MqttPrefixPushdown)
   }
 }

@@ -118,5 +118,11 @@ object GraftFunctions {
       "decode_cdc_msg", exprs => DecodeCdcMsgExpr(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mqtt_dispatch", dispatchBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps",
+      exprs => WinnowFpsExpr(exprs(0), graft.llm.HashDedup.shingleKernel), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "band_hashes",
+      exprs => BandHashesExpr(exprs(0), graft.llm.HashDedup.shingleKernel), "built-in")
   }
 }

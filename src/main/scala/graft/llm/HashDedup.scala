@@ -98,7 +98,7 @@ object HashDedup {
     * [[winnowFpExpr]] — ONE shared instance so the hash width / modulus
     * / permutation parameters can never silently diverge between the
     * two streaming twins. */
-  private lazy val shingleKernel = new graft.functions.ShingleKernel(
+  private[graft] lazy val shingleKernel = new graft.functions.ShingleKernel(
     P, WinnowW, mhParams.map(_._1).toArray, mhParams.map(_._2).toArray)
 
   /** Per-ROW minhash band hashes as a pure column expression (no

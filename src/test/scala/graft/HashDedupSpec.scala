@@ -100,6 +100,23 @@ class HashDedupSpec extends AnyFunSuite {
     assert(res.passed, s"kernel/HOF divergence: ${res.status}")
   }
 
+  test("winnow_fps / band_hashes are SQL-registered: ANSI text == column API") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.documents(spark, dir).createOrReplaceTempView("docs_sqlfn")
+    val sqlSide = spark.sql(
+      "SELECT doc_id, winnow_fps(text) AS w, band_hashes(text) AS b FROM docs_sqlfn")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getSeq[Long](1)), Option(r.getSeq[String](2)))).toSeq.sortBy(_._1)
+    val colSide = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), HashDedup.winnowFpExpr(col("text")).as("w"),
+        HashDedup.bandHashExpr(col("text")).as("b"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getSeq[Long](1)), Option(r.getSeq[String](2)))).toSeq.sortBy(_._1)
+    assert(sqlSide === colSide)
+    assert(sqlSide.nonEmpty)
+  }
+
   test("bandHashExpr (per-row) == batch minhash signature band lineage") {
     import org.apache.spark.sql.functions._
     // batch side: band md5 over the graded minhash_sig columns
