@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Compare two graft Bench JSON recordings with box-speed normalization.
+
+Raw totals from different sessions/boxes are not comparable: r8 and r9
+both observed UNIFORM 1.2-1.7x inflations with byte-identical code
+(virtualized CPU variance). This tool estimates the box factor as the
+median new/old ratio over a CANARY set of trivial, dependency-free
+queries (scalar/window ops that no engine change plausibly touches),
+divides it out, and reports only residual per-query regressions.
+
+Usage: python3 tools/bench_compare.py OLD.json NEW.json [threshold]
+Exit 1 if any query regresses more than threshold (default 1.5x) after
+normalization.
+"""
+import json
+import statistics
+import sys
+
+CANARIES = [
+    "scalar_string", "scalar_string2", "scalar_date", "scalar_math",
+    "case_buckets", "window_running", "window_lag_gap", "window_lead_next",
+    "set_ops", "value_hist", "hourly_profile", "map_funcs",
+]
+
+
+def main(old_path, new_path, threshold=1.5):
+    old = json.load(open(old_path))["queries"]
+    new = json.load(open(new_path))["queries"]
+    canary = [new[q] / old[q] for q in CANARIES
+              if q in old and q in new and old[q] > 0.02]
+    box = statistics.median(canary) if len(canary) >= 3 else 1.0
+    print(f"box factor (median over {len(canary)} canaries): {box:.2f}x")
+    shared = [q for q in new if q in old and old[q] > 0.05]
+    resid = sorted(((new[q] / old[q] / box, q) for q in shared), reverse=True)
+    bad = [(r, q) for r, q in resid if r > threshold]
+    print(f"{len(shared)} shared queries; "
+          f"median residual {statistics.median(r for r, _ in resid):.2f}x")
+    for r, q in resid[:10]:
+        flag = " <-- REGRESSION" if r > threshold else ""
+        print(f"  {r:5.2f}x  {old[q]:6.2f} -> {new[q]:6.2f}  {q}{flag}")
+    added = sorted(set(new) - set(old))
+    if added:
+        print(f"new queries ({len(added)}): " + ", ".join(added[:12]) +
+              (" ..." if len(added) > 12 else ""))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    t = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    sys.exit(main(sys.argv[1], sys.argv[2], t))
