@@ -620,6 +620,32 @@ object StreamGrade {
       graft.llm.TextOps.cmsAudit(s, d, sketch)
     }
 
+  /** STREAMING RPC with the 408 fallback as a LEFT-OUTER interval join,
+    * graded: [[Streams.rpcJoinWithTimeout]] — this grades Spark's
+    * outer-join WATERMARK EVICTION machinery itself (the third
+    * implementation of the reference's timeout semantics after the
+    * batch coalesce and the event-time-timer state machine, each a
+    * different engine path). Matched requests emit 200 on arrival;
+    * an unmatched request emits its 408 row only once the global
+    * watermark (min of both sides' max ts − 30 min) proves no
+    * watermark-legal response can still match — requests nearer the
+    * stream end than 2·timeout stay in state forever, exactly what a
+    * restarted consumer would see, and the twin reproduces that tail
+    * arithmetic. */
+  def streamRpcOuter(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val reqs = busStream.filter(col("event_id") % 4 === 0)
+        .select(col("event_id").as("req_id"), col("ts"))
+      val ress = busStream.filter(col("event_id") % 8 === 1)
+        .select((col("event_id") - 1).as("req_id"), col("ts"), col("channel"))
+      val joined = runToSink(s,
+        Streams.rpcJoinWithTimeout(reqs, ress, timeout = "30 minutes"),
+        "append", "stream_rpc_outer")
+      joined.select(col("req_id"), col("req_ts"),
+          col("res_channel"), col("code").cast("long").as("code"))
+        .orderBy(col("req_id"), col("req_ts"))
+    }
+
   /** Reference distribution for [[streamMixShift]]: per-source counts
     * of the global top-[[graft.llm.TextOps.MixShiftTerms]] terms over
     * the "yesterday" hash-buckets (0-8), ZERO-FILLED over the full
@@ -735,6 +761,7 @@ object StreamGrade {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_stream_take"          -> (streamTake _),
     "cdc_stream_rpc_join"      -> (streamRpcJoin _),
+    "cdc_stream_rpc_outer"     -> (streamRpcOuter _),
     "doc_stream_substring_dup" -> (streamSubstringDup _),
     "doc_stream_cms"           -> (streamCms _),
     "doc_stream_pipeline"      -> (streamPipeline _),
@@ -778,6 +805,37 @@ object StreamGrade {
          |  ON r.event_id = s.rid
          |WHERE s.ts >= r.ts AND s.ts <= r.ts + INTERVAL 30 MINUTE
          |ORDER BY req_id, res_ts""".stripMargin,
+
+    // the outer-join eviction arithmetic: a 408 row exists iff the
+    // request is unmatched AND its deadline precedes the final global
+    // watermark min(max req ts, max res ts) - 30 min (probed exact —
+    // the boundary predicate was verified empirically at two SFs)
+    "cdc_stream_rpc_outer" ->
+      s"""${Tables.BusCte}
+         |, req AS (SELECT event_id AS req_id, ts AS req_ts FROM ev
+         |          WHERE event_id % 4 = 0),
+         |res AS (SELECT event_id - 1 AS rid, ts AS res_ts, channel FROM ev
+         |        WHERE event_id % 8 = 1),
+         |mr AS (SELECT max(req_ts) AS m FROM req),
+         |ms AS (SELECT max(res_ts) AS m FROM res),
+         |matched AS (
+         |  SELECT r.req_id, r.req_ts, s.channel AS res_channel,
+         |         CAST(200 AS BIGINT) AS code
+         |  FROM req r JOIN res s ON r.req_id = s.rid
+         |  WHERE s.res_ts >= r.req_ts
+         |    AND s.res_ts <= r.req_ts + INTERVAL 30 MINUTE),
+         |timeouts AS (
+         |  SELECT r.req_id, r.req_ts, '__timeout__' AS res_channel,
+         |         CAST(408 AS BIGINT) AS code
+         |  FROM req r CROSS JOIN mr CROSS JOIN ms
+         |  WHERE NOT EXISTS (SELECT 1 FROM res s WHERE s.rid = r.req_id
+         |        AND s.res_ts >= r.req_ts
+         |        AND s.res_ts <= r.req_ts + INTERVAL 30 MINUTE)
+         |    AND r.req_ts + INTERVAL 30 MINUTE
+         |        < least(mr.m, ms.m) - INTERVAL 30 MINUTE)
+         |SELECT req_id, req_ts, res_channel, code FROM matched
+         |UNION ALL SELECT req_id, req_ts, res_channel, code FROM timeouts
+         |ORDER BY req_id, req_ts""".stripMargin,
 
     // shares the batch winnow_pairs twin verbatim: per-pair emission
     // count == shared-fingerprint count (each (doc, fp) arrives once)

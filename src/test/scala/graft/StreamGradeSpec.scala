@@ -209,6 +209,41 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() > want.length, "every pair inside the window — widen the test")
   }
 
+  test("cdc_stream_rpc_outer: left-outer interval join — 200s on arrival, 408s by " +
+      "watermark eviction, unanswered tail held in state") {
+    import org.apache.spark.sql.functions.expr
+    val out = StreamGrade.streamRpcOuter(spark, dir).collect()
+    assert(StreamGrade.lastBatchCount === 3)
+    val codes = out.map(_.getLong(3)).toSet
+    assert(codes === Set(200L, 408L), s"both outcomes must occur, got $codes")
+    val bus = graft.Tables.bus(spark, dir)
+    val reqs = bus.filter(col("event_id") % 4 === 0)
+      .select(col("event_id").as("req_id"), col("ts").as("req_ts"))
+    val ress = bus.filter(col("event_id") % 8 === 1)
+      .select((col("event_id") - 1).as("rid"), col("ts").as("res_ts"), col("channel"))
+    val t = expr("INTERVAL 30 MINUTES")
+    val mr = reqs.agg(max(col("req_ts"))).head.getTimestamp(0)
+    val ms = ress.agg(max(col("res_ts"))).head.getTimestamp(0)
+    val wm = if (mr.before(ms)) mr else ms
+    val matched = reqs.join(ress, col("req_id") === col("rid") &&
+        col("res_ts") >= col("req_ts") && col("res_ts") <= col("req_ts") + t)
+      .select(col("req_id"), col("req_ts"), col("channel").as("res_channel"),
+        lit(200L).as("code"))
+    val timeouts = reqs.join(matched.select(col("req_id").as("mid")),
+        col("req_id") === col("mid"), "left_anti")
+      .filter(col("req_ts") + t < lit(wm) - t)
+      .select(col("req_id"), col("req_ts"), lit("__timeout__").as("res_channel"),
+        lit(408L).as("code"))
+    val want = rows(matched.unionByName(timeouts).orderBy(col("req_id"), col("req_ts")))
+    assert(out.map(_.toString).toSeq === want)
+    // the tail does real work: some unanswered requests are newer than
+    // the eviction horizon and must NOT have emitted
+    val allUnmatched = reqs.join(matched.select(col("req_id").as("mid")),
+      col("req_id") === col("mid"), "left_anti").count()
+    assert(allUnmatched > out.count(_.getLong(3) == 408L),
+      "every unanswered request emitted — the watermark tail is vacuous")
+  }
+
   test("doc_stream_substring_dup: live winnowing-gate emission counts == batch " +
       "winnow_pairs shared-fingerprint counts") {
     val got = rows(StreamGrade.streamSubstringDup(spark, dir))
