@@ -620,6 +620,25 @@ object StreamGrade {
       graft.llm.TextOps.cmsAudit(s, d, sketch)
     }
 
+  /** STREAMING stream-static broadcast enrichment, graded:
+    * [[Streams.enrich]] — the reference-data-lookup shape (the
+    * customer dim ships to every executor once per micro-batch, the
+    * stream never shuffles, no streaming state for the join) — feeding
+    * a complete-mode per-(segment, type) revenue rollup whose state
+    * revises across the three batches. The last previously
+    * scalatest-only stream shape; the twin is the plain batch join. */
+  def streamEnrich(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val agg = runToSink(s,
+        Streams.enrich(busStream, dim, "user_id")
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value")),
+        "complete", "stream_enrich")
+      agg.orderBy(col("c_mktsegment"), col("event_type"))
+    }
+
   /** STREAMING RPC with the 408 fallback as a LEFT-OUTER interval join,
     * graded: [[Streams.rpcJoinWithTimeout]] — this grades Spark's
     * outer-join WATERMARK EVICTION machinery itself (the third
@@ -762,6 +781,7 @@ object StreamGrade {
     "cdc_stream_take"          -> (streamTake _),
     "cdc_stream_rpc_join"      -> (streamRpcJoin _),
     "cdc_stream_rpc_outer"     -> (streamRpcOuter _),
+    "cdc_stream_enrich"        -> (streamEnrich _),
     "doc_stream_substring_dup" -> (streamSubstringDup _),
     "doc_stream_cms"           -> (streamCms _),
     "doc_stream_pipeline"      -> (streamPipeline _),
@@ -805,6 +825,15 @@ object StreamGrade {
          |  ON r.event_id = s.rid
          |WHERE s.ts >= r.ts AND s.ts <= r.ts + INTERVAL 30 MINUTE
          |ORDER BY req_id, res_ts""".stripMargin,
+
+    // stream-static broadcast enrichment + complete-mode rollup: the
+    // twin is the plain batch join over the same dim
+    "cdc_stream_enrich" ->
+      s"""${Tables.BusCte}
+         |SELECT c.c_mktsegment AS c_mktsegment, ev.event_type AS event_type,
+         |       count(*) AS n, round(sum(ev.value), 2) AS total_value
+         |FROM ev LEFT JOIN customer c ON ev.user_id = c.c_custkey
+         |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
 
     // the outer-join eviction arithmetic: a 408 row exists iff the
     // request is unmatched AND its deadline precedes the final global

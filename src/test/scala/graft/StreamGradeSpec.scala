@@ -209,6 +209,20 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() > want.length, "every pair inside the window — widen the test")
   }
 
+  test("cdc_stream_enrich: stream-static broadcast enrichment + complete-mode " +
+      "rollup == the batch join") {
+    val got = rows(StreamGrade.streamEnrich(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.Tables.bus(spark, dir)
+      .join(graft.Tables.customer(spark, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+        Seq("user_id"), "left")
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("c_mktsegment"), col("event_type")))
+    assert(got.nonEmpty && got === want)
+  }
+
   test("cdc_stream_rpc_outer: left-outer interval join — 200s on arrival, 408s by " +
       "watermark eviction, unanswered tail held in state") {
     import org.apache.spark.sql.functions.expr
