@@ -620,6 +620,71 @@ object StreamGrade {
       graft.llm.TextOps.cmsAudit(s, d, sketch)
     }
 
+  /** STREAMING CHECKPOINT RECOVERY, graded: the SCD2 version gate run
+    * as TWO SEPARATE QUERY LIFETIMES against one checkpoint — slices
+    * 1-2, clean stop, a NEW query start that must RECOVER the RocksDB
+    * ValueState (every channel's open version) from the checkpoint,
+    * then slice 3. The combined appended output hash-matches the same
+    * closed-intervals twin as `cdc_stream_scd2`: a version OPENED
+    * before the restart and CLOSED after it only lands correctly if
+    * recovery restored the open-version state exactly — so recovery is
+    * a graded row, not just a spec. Fresh checkpoint/output dirs per
+    * invocation (a reused checkpoint would make the second lifetime a
+    * no-op); the slice files come from the shared replay cache. */
+  def streamRestartScd2(s: SparkSession, d: String): DataFrame = {
+    val spark = s; import spark.implicits._
+    implicit val ss: SparkSession = s
+    val srcAll = sliceCache.computeIfAbsent((d, 0), _ => buildSlices(s, d, 0))
+    val tmp = Files.createTempDirectory("graft_stream_restart_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmp)))
+    val in = Files.createDirectory(tmp.resolve("in"))
+    val ckpt = tmp.resolve("ckpt").toString
+    val outDir = tmp.resolve("out").toString
+    import scala.jdk.CollectionConverters._
+    val slices = Files.list(srcAll).iterator().asScala.toSeq
+      .sortBy(_.getFileName.toString)
+    def copySlice(i: Int): Unit = {
+      val dst = in.resolve(slices(i).getFileName.toString)
+      Files.copy(slices(i), dst)
+      dst.toFile.setLastModified(slices(i).toFile.lastModified)
+    }
+    def runLifetime(): Unit = {
+      val typed = s.readStream.schema(Tables.bus(s, d).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+        .filter(col("user_id") < 20)
+        .select(col("channel").as("_1"),
+          struct(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props")).as("_2"))
+        .as[(String, Streams.BusEvent)]
+      val q = Streams.scd2Stream(typed).toDF()
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (bt: DataFrame, _: Long) =>
+          bt.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try {
+        if (!q.awaitTermination(180000L))
+          throw new IllegalStateException("restart-grade query did not finish")
+      } finally q.stop()
+    }
+    withRocksDb(s) {
+      val key = "spark.sql.shuffle.partitions"
+      val prior = s.conf.getOption(key)
+      s.conf.set(key, "8")
+      try {
+        copySlice(0); copySlice(1)
+        runLifetime() // lifetime 1: two micro-batches, state into ckpt
+        copySlice(2)
+        runLifetime() // lifetime 2: RECOVERS state, processes slice 3
+      } finally prior.fold(s.conf.unset(key))(s.conf.set(key, _))
+    }
+    s.read.parquet(outDir)
+      .select(col("channel"), col("event_id"), col("valid_from"),
+        col("valid_to"), round(col("value"), 2).as("value"))
+      .orderBy(col("channel"), col("valid_from"), col("event_id"))
+  }
+
   /** STREAMING stream-static broadcast enrichment, graded:
     * [[Streams.enrich]] — the reference-data-lookup shape (the
     * customer dim ships to every executor once per micro-batch, the
@@ -782,6 +847,7 @@ object StreamGrade {
     "cdc_stream_rpc_join"      -> (streamRpcJoin _),
     "cdc_stream_rpc_outer"     -> (streamRpcOuter _),
     "cdc_stream_enrich"        -> (streamEnrich _),
+    "cdc_stream_restart_scd2"  -> (streamRestartScd2 _),
     "doc_stream_substring_dup" -> (streamSubstringDup _),
     "doc_stream_cms"           -> (streamCms _),
     "doc_stream_pipeline"      -> (streamPipeline _),
@@ -803,7 +869,24 @@ object StreamGrade {
 
   private def rx(pattern: String): String = graft.cdc.MqttPattern.toRegex(pattern)
 
+  /** Batch SCD2 restricted to CLOSED intervals — shared by
+    * `cdc_stream_scd2` and the checkpoint-recovery grade
+    * `cdc_stream_restart_scd2` (the recovered run must produce the
+    * identical closed set). */
+  private val Scd2ClosedTwin =
+    s"""${Tables.BusCte}
+       |SELECT channel, event_id, ts AS valid_from,
+       |       lead(ts) OVER w AS valid_to,
+       |       round(value, 2) AS value
+       |FROM ev WHERE user_id < 20
+       |WINDOW w AS (PARTITION BY channel ORDER BY ts, event_id)
+       |QUALIFY valid_to IS NOT NULL
+       |ORDER BY channel, valid_from, event_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // recovery graded: two query lifetimes over one checkpoint must
+    // reproduce the single-lifetime closed-interval set exactly
+    "cdc_stream_restart_scd2" -> Scd2ClosedTwin,
     // the cap contract, order-insensitive: exactly min(matching, 5)
     // deliveries per subscription, zero-delivery subs kept
     "cdc_stream_take" ->
@@ -952,15 +1035,7 @@ object StreamGrade {
 
     // batch SCD2 restricted to CLOSED intervals: the open version is
     // held state, not an emitted row
-    "cdc_stream_scd2" ->
-      s"""${Tables.BusCte}
-         |SELECT channel, event_id, ts AS valid_from,
-         |       lead(ts) OVER w AS valid_to,
-         |       round(value, 2) AS value
-         |FROM ev WHERE user_id < 20
-         |WINDOW w AS (PARTITION BY channel ORDER BY ts, event_id)
-         |QUALIFY valid_to IS NOT NULL
-         |ORDER BY channel, valid_from, event_id""".stripMargin,
+    "cdc_stream_scd2" -> Scd2ClosedTwin,
 
     "cdc_stream_gaps" ->
       """SELECT event_type, prev_seq, next_seq, next_seq - prev_seq - 1 AS missing

@@ -302,6 +302,23 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got === want)
   }
 
+  test("cdc_stream_restart_scd2: a SECOND query lifetime recovers the open-version " +
+      "state from the checkpoint and completes the identical closed set") {
+    val got = StreamGrade.streamRestartScd2(spark, dir).collect()
+    val want = graft.cdc.CdcBus.scd2(spark, dir)
+      .filter(col("valid_to").isNotNull)
+      .select(col("channel"), col("event_id"), col("valid_from"),
+              col("valid_to"), col("value"))
+      .orderBy(col("channel"), col("valid_from"), col("event_id")).collect()
+    assert(got.map(_.toString).toSeq === want.map(_.toString).toSeq)
+    // recovery did real work: some version OPENED before the restart cut
+    // and CLOSED after it — only correct if the recovered state held it
+    val cut = java.sql.Timestamp.valueOf(StreamGrade.cuts(1))
+    assert(got.exists(r =>
+      r.getTimestamp(2).before(cut) && !r.getTimestamp(3).before(cut)),
+      "no version straddles the restart boundary — the recovery claim is vacuous")
+  }
+
   test("cdc_stream_scd2: streamed closed versions == batch SCD2 closed rows, across 3 micro-batches") {
     val got = rows(StreamGrade.streamScd2(spark, dir))
     assert(StreamGrade.lastBatchCount === 3)
