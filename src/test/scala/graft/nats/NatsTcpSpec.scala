@@ -83,7 +83,7 @@ class NatsTcpSpec extends AnyFunSuite {
   private class RawClient(port: Int) extends AutoCloseable {
     val socket = new java.net.Socket(java.net.InetAddress.getLoopbackAddress, port)
     socket.setTcpNoDelay(true)
-    socket.setSoTimeout(5000)
+    socket.setSoTimeout(30000)
     private val in = socket.getInputStream
     private val out = socket.getOutputStream
     private val parser = new Parser
@@ -91,7 +91,8 @@ class NatsTcpSpec extends AnyFunSuite {
 
     def send(bytes: Array[Byte]): Unit = { out.write(bytes); out.flush() }
 
-    /** Blocking read of the next server op (5 s timeout). */
+    /** Blocking read of the next server op (30 s timeout — sized for a
+      * busy shared box; a wedged server still fails, just not spuriously). */
     def next(): ServerOp = {
       val buf = new Array[Byte](8192)
       while (pendingOps.isEmpty) {
@@ -280,7 +281,7 @@ class NatsTcpSpec extends AnyFunSuite {
         pub1.flush()
       } finally pub1.close()
 
-      val deadline = System.nanoTime() + 10000000000L
+      val deadline = System.nanoTime() + 30000000000L
       while (broker.latestSeq() < 5 && System.nanoTime() < deadline) Thread.sleep(2)
       assert(broker.latestSeq() === 5L)
       val frames = broker.fetch(0L, 5L, 0, 1).toVector
@@ -309,7 +310,7 @@ class NatsTcpSpec extends AnyFunSuite {
             "p", "cdc/click/6", "json", "http", "", 0, false, Array(6.toByte)))))
           pub2.flush()
         } finally pub2.close()
-        val d3 = System.nanoTime() + 10000000000L
+        val d3 = System.nanoTime() + 30000000000L
         while (broker.latestSeq() < 6 && System.nanoTime() < d3) Thread.sleep(2)
         assert(broker.latestSeq() === 6L, "sequencing must resume after redial")
         assert(broker.fetch(5L, 6L, 0, 1).map(_.seq).toSeq === Seq(6L))
@@ -542,7 +543,7 @@ class NatsTcpSpec extends AnyFunSuite {
         }
         pub1.flush()
       } finally pub1.close()
-      val deadline = System.nanoTime() + 10000000000L
+      val deadline = System.nanoTime() + 30000000000L
       while (probe.latestSeq() < 30 && System.nanoTime() < deadline) Thread.sleep(2)
 
       // subscribe() on the LIVE bus is a streaming view; errors land in
@@ -576,7 +577,7 @@ class NatsTcpSpec extends AnyFunSuite {
         }
         pub2.flush()
       } finally pub2.close()
-      val d2 = System.nanoTime() + 10000000000L
+      val d2 = System.nanoTime() + 30000000000L
       while (probe.latestSeq() < 60 && System.nanoTime() < d2) Thread.sleep(2)
 
       val q2 = bus.subscribe("cdc/error/#")
