@@ -55,5 +55,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.BandHashesExpr(exprs(0), graft.llm.HashDedup.shingleKernel)))
     e.injectOptimizerRule(_ => MqttPrefixPushdown)
+    e.injectOptimizerRule(_ => graft.plans.BusPartitionPruning)
   }
 }

@@ -106,6 +106,52 @@ class MqttPushdownSpec extends AnyFunSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("BusPartitionPruning: a PLAIN mqtt filter over the partitioned layout " +
+      "prunes partitions — no manual conjunct needed") {
+    val dir = Files.createTempDirectory("graft_rule_prune").toString
+    graft.sources.BusLayout.writePartitioned(
+      Tables.events(spark, "/root/testdata/sf0.001"), dir)
+    val re = graft.sources.BusLayout.readPartitioned(spark, dir)
+      .withColumn("channel", concat_ws("/",
+        lit("cdc"), col("event_type"), col("user_id").cast("string")))
+    val df = re.filter(mqtt_matches(lit("cdc/error/#"), col("channel")))
+    val got = df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters"), s"no partition filter:\n$plan")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = plan.collectLeaves().collectFirst { case f: FileSourceScanExec => f }.get
+    val readFiles = scan.metrics("numFiles").value
+    val allFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(readFiles > 0 && readFiles < allFiles,
+      s"rule should prune: read $readFiles of $allFiles files")
+    // semantics intact: identical row set to the unpartitioned bus filter
+    val want = Tables.bus(spark, "/root/testdata/sf0.001")
+      .filter(mqtt_matches(lit("cdc/error/#"), col("channel"))).count()
+    assert(got.length.toLong === want)
+  }
+
+  test("BusPartitionPruning preserves semantics on ADVERSARIAL second levels " +
+      "(null, embedded '/', prefix near-misses)") {
+    val spark2 = spark; import spark2.implicits._
+    val ets = Seq(null, "error", "error/x", "err", "errorx", "e/rror", "", "other")
+    val rows = ets.zipWithIndex.map { case (et, i) => (i.toLong, et) }
+    val df = rows.toDF("uid", "et")
+      .withColumn("channel", concat_ws("/",
+        lit("cdc"), col("et"), col("uid").cast("string")))
+    for (pat <- Seq("cdc/error/#", "cdc/error/+", "cdc/+/0", "cdc/error")) {
+      val got = df.filter(mqtt_matches(lit(pat), col("channel")))
+        .select(col("uid")).collect().map(_.getLong(0)).toSet
+      val want = rows.filter { case (i, et) =>
+        // concat_ws skips NULL args (empty strings stay)
+        val ch = Seq(Option("cdc"), Option(et), Option(i.toString))
+          .flatten.mkString("/")
+        graft.cdc.MqttPattern.matches(pat, ch)
+      }.map(_._1).toSet
+      assert(got === want, s"pattern $pat diverged under the pruning rule")
+    }
+  }
+
   test("bottomk_by_hash via SQL: deterministic, k validated") {
     val a = spark.sql("SELECT bottomk_by_hash(id, 3) FROM range(100)")
       .collect().head.getSeq[Long](0)
