@@ -220,7 +220,7 @@ class HashDedupSpec extends AnyFunSuite {
     assert(pairs === Set((5000L, 5001L)))
 
     // the skip is observable, not silent: poll for the async listener
-    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     var metric: Option[org.apache.spark.sql.Row] = None
     while (metric.isEmpty && System.nanoTime() < deadline) {
       import scala.jdk.CollectionConverters._
@@ -475,7 +475,7 @@ class HashDedupSpec extends AnyFunSuite {
 
     // every lsh_skew metric from these runs must report ZERO skipped rows
     // (poll: listener delivery is async)
-    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while (observed.size < expected && System.nanoTime() < deadline) Thread.sleep(100)
     import scala.jdk.CollectionConverters._
     val skews = observed.asScala.filter(_._1.startsWith("lsh_skew")).toSeq

@@ -131,7 +131,7 @@ class VectorOpsSpec extends AnyFunSuite {
       === Seq((1L, 100L, 101L)))
 
     // the skip is observable, not silent: poll for the async listener
-    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     var metric: Option[org.apache.spark.sql.Row] = None
     while (metric.isEmpty && System.nanoTime() < deadline) {
       import scala.jdk.CollectionConverters._
