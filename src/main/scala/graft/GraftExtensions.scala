@@ -18,17 +18,37 @@ import graft.plans.MqttPrefixPushdown
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Mirror Spark's built-in ExpressionBuilder arity errors: a wrong
+    * argument count must be a clean AnalysisException naming the function,
+    * not an IndexOutOfBoundsException (and extra args must not be silently
+    * dropped). */
+  private def arity(name: String, n: Int)(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> n.toString,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("mqtt_matches"),
       new ExpressionInfo(classOf[MqttMatchesExpr].getName, "mqtt_matches"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MqttMatchesExpr(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("mqtt_matches", 2)(exprs)
+        MqttMatchesExpr(exprs(0), exprs(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProductExpr(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("dot_product", 2)(exprs)
+        DotProductExpr(exprs(0), exprs(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("bottomk_by_hash"),
       new ExpressionInfo(classOf[graft.functions.BottomKByHashAgg].getName, "bottomk_by_hash"),
@@ -37,8 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("decode_cdc_msg"),
       new ExpressionInfo(classOf[DecodeCdcMsgExpr].getName, "decode_cdc_msg"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DecodeCdcMsgExpr(exprs(0))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("decode_cdc_msg", 1)(exprs)
+        DecodeCdcMsgExpr(exprs(0))
+      }))
     e.injectFunction((
       FunctionIdentifier("mqtt_dispatch"),
       new ExpressionInfo(classOf[graft.functions.MqttDispatchExpr].getName, "mqtt_dispatch"),
@@ -47,13 +69,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[graft.functions.WinnowFpsExpr].getName, "winnow_fps"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.WinnowFpsExpr(exprs(0), graft.llm.HashDedup.shingleKernel)))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("winnow_fps", 1)(exprs)
+        graft.functions.WinnowFpsExpr(exprs(0), graft.llm.HashDedup.shingleKernel)
+      }))
     e.injectFunction((
       FunctionIdentifier("band_hashes"),
       new ExpressionInfo(classOf[graft.functions.BandHashesExpr].getName, "band_hashes"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.BandHashesExpr(exprs(0), graft.llm.HashDedup.shingleKernel)))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("band_hashes", 1)(exprs)
+        graft.functions.BandHashesExpr(exprs(0), graft.llm.HashDedup.shingleKernel)
+      }))
     e.injectOptimizerRule(_ => MqttPrefixPushdown)
     e.injectOptimizerRule(_ => graft.plans.BusPartitionPruning)
   }

@@ -544,14 +544,17 @@ object VectorOps {
       .orderBy(col("subspace"), col("cell"))
 
   /** Per-subspace squared-L2 distance expressions between `vcol`'s j-th
-    * 16-dim slice and the codebook entry's (`cv`) — the shared arithmetic
-    * of PQ assignment and the ADC lookup tables. */
-  private def pqSubDists(vcol: Column): Seq[Column] =
-    (0 until PqSubs).map { j =>
-      val xs = slice(vcol, j * PqDim + 1, PqDim)
-      val cs = slice(col("cv"), j * PqDim + 1, PqDim)
+    * `dim`-dim slice and the codebook entry's (`cv`) — the shared
+    * arithmetic of PQ assignment and the ADC lookup tables. */
+  private def pqSubDists(vcol: Column, subs: Int, dim: Int): Seq[Column] =
+    (0 until subs).map { j =>
+      val xs = slice(vcol, j * dim + 1, dim)
+      val cs = slice(col("cv"), j * dim + 1, dim)
       dot(xs, xs) - lit(2d) * dot(xs, cs) + dot(cs, cs)
     }
+
+  private def pqSubDists(vcol: Column): Seq[Column] =
+    pqSubDists(vcol, PqSubs, PqDim)
 
   /** PQ code assignment per (vector, subspace): nearest sub-codebook
     * entry by squared L2, deterministic cell-id tie-break. Takes the
@@ -688,6 +691,102 @@ object VectorOps {
       .orderBy(col("qid"))
   }
 
+  /** The [[ivfadcRecallSweep]] code-budget grid: (subspaces, dims each).
+    * 4×16 stores 4 small ints per vector; 8×8 doubles the code budget
+    * (finer quantization, 2× the stored bytes). */
+  private val SweepBudgets = Seq((4, 16), (8, 8))
+
+  /** Price the COMPOSED IVF-PQ index ([[annIvfAdc]]'s shape): recall@3
+    * against the exact squared-L2 top-3 over the full
+    * nprobe ∈ {1,2,4} × PQ code budget (4×16 vs 8×8 subspaces) grid —
+    * the accuracy/scan/storage trade a deployment actually tunes
+    * ([[ivfRecallSweep]] prices the router alone; this prices routing
+    * AND quantization together, per operating point). More probed cells
+    * monotonically widen the candidate set; a bigger code budget
+    * refines the distance the top-3 cut uses.
+    *
+    * Scale shape: ONE checkpointed embeddings scan serves every
+    * consumer (codebook build, query slice, code stream, exact ground
+    * truth — the r9 `ivf_recall_sweep` discipline, scan budget 1 vs
+    * `ivfadc_recall`'s 3); ONE ranked query→cell frame (crk ≤ max
+    * nprobe) serves every nprobe via a 3-row broadcast; ONE code pass
+    * computes BOTH budgets' assignments (the per-budget sub-distances
+    * are one exploded map-side expression, not a second corpus pass).
+    * ADC sums are exact BIGINTs, recall is integer hit counts with one
+    * rounded division — cross-engine deterministic. */
+  def ivfadcRecallSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("n2"))
+      .localCheckpoint()
+    val cents = centroids(e).localCheckpoint(true)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+      .localCheckpoint(true)
+    // every budget's sub-distances in one exploded expression
+    def subDistCols(vcol: Column): Column = array(SweepBudgets.flatMap {
+      case (subs, dim) =>
+        pqSubDists(vcol, subs, dim).zipWithIndex.map { case (d2, j) =>
+          struct(lit(subs).as("subs"), lit(j).as("j"), d2.as("d2"))
+        }
+    }: _*)
+    // one ranked query→cell frame serves every nprobe
+    val wCells = Window.partitionBy(col("qid")).orderBy(col("cellcos").desc, col("cell"))
+    val routing = q.crossJoin(broadcast(cents))
+      .withColumn("cellcos",
+        dot(col("qv"), col("cv")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("crk", row_number().over(wCells))
+      .filter(col("crk") <= 4)
+      .join(broadcast(Seq(1L, 2L, 4L).toDF("nprobe")), col("crk") <= col("nprobe"))
+      .select(col("nprobe"), col("qid"), col("cell"))
+    // one code pass, both budgets
+    val wCode = Window.partitionBy(col("vec_id"), col("subs"), col("j"))
+      .orderBy(col("d2"), col("cell"))
+    val codes = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("cell"),
+        explode(subDistCols(col("v"))).as("sd"))
+      .select(col("vec_id"), col("label"), col("cell"),
+        col("sd.subs").as("subs"), col("sd.j").as("j"), col("sd.d2").as("d2"))
+      .withColumn("rk", row_number().over(wCode))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("subs"), col("j"),
+        col("cell").as("code"))
+    val lut = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cell"), explode(subDistCols(col("qv"))).as("sd"))
+      .select(col("qid"), col("sd.subs").as("subs"), col("sd.j").as("j"),
+        col("cell").as("code"), floor(col("sd.d2") * 1e6d).cast("long").as("d2q"))
+    val wRank = Window.partitionBy(col("nprobe"), col("subs"), col("qid"))
+      .orderBy(col("adc_q"), col("vec_id"))
+    val approx = codes
+      .join(broadcast(routing), col("label") === col("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(lut), Seq("qid", "subs", "j", "code"))
+      .groupBy(col("nprobe"), col("subs"), col("qid"), col("vec_id"))
+      .agg(sum(col("d2q")).as("adc_q"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("nprobe").as("anp"), col("subs").cast("long").as("asubs"),
+        col("qid").as("aqid"), col("vec_id").as("avid"))
+    // exact ground truth: TRUE squared L2, from the same checkpoint
+    val wx = Window.partitionBy(col("qid")).orderBy(col("d2x"), col("vec_id"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("d2x",
+        col("qn2") - lit(2d) * dot(col("qv"), col("v")) + col("n2"))
+      .withColumn("rk", row_number().over(wx))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("vec_id"))
+    val grid = SweepBudgets.map(_._1.toLong).toDF("pq_subs")
+      .crossJoin(Seq(1L, 2L, 4L).toDF("nprobe"))
+    exact.crossJoin(broadcast(grid))
+      .join(approx,
+        col("nprobe") === col("anp") && col("pq_subs") === col("asubs") &&
+          col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")
+      .groupBy(col("pq_subs"), col("nprobe"))
+      .agg(count(lit(1)).as("n_exact"), count(col("avid")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+      .orderBy(col("pq_subs"), col("nprobe"))
+  }
+
   /** Matryoshka (MRL) prefix dimensions retained in [[embedMatryoshka]]:
     * the first quarter of the 64-dim vector. */
   private val MrlDim = 16
@@ -735,6 +834,7 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfadc"  -> (annIvfAdc _),
     "ivfadc_recall" -> (ivfadcRecall _),
+    "ivfadc_recall_sweep" -> (ivfadcRecallSweep _),
     "embed_matryoshka" -> (embedMatryoshka _),
     "ann_adc"     -> (annAdc _),
     "ann_recall"  -> (annRecall _),
@@ -934,6 +1034,77 @@ object VectorOps {
          |       round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 4) AS recall
          |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vec_id = a.vec_id
          |GROUP BY 1 ORDER BY qid""".stripMargin,
+
+    // the full operating-point grid of the production index shape: each
+    // budget's codes/LUT derive from the same (subs, j, dim) driver rows
+    // the Spark side explodes map-side
+    "ivfadc_recall_sweep" -> {
+      val spRows = SweepBudgets.flatMap { case (sb, dim) =>
+        (0 until sb).map(j => s"($sb, $j, $dim)")
+      }.mkString(", ")
+      s"""WITH $VecCte, $CentsCte,
+         |sp AS (SELECT subs, j, dim FROM (VALUES $spRows) s(subs, j, dim)),
+         |np AS (SELECT n FROM (VALUES (1), (2), (4)) t(n)),
+         |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
+         |ranked AS (
+         |  SELECT qid, cell, crk FROM (
+         |    SELECT qid, cell,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cellcos DESC, cell) AS crk
+         |    FROM (SELECT qid, cell,
+         |                 list_dot_product(qv, cv) / (sqrt(qn2) * sqrt(cn2)) AS cellcos
+         |          FROM q CROSS JOIN cents))
+         |  WHERE crk <= 4),
+         |codes AS (
+         |  SELECT vec_id, label, subs, j, cell AS code FROM (
+         |    SELECT vec_id, label, subs, j, cell,
+         |           row_number() OVER (PARTITION BY vec_id, subs, j ORDER BY d2, cell) AS rk
+         |    FROM (SELECT vec_id, label, cell, subs, j,
+         |                 list_dot_product(list_slice(v, j*dim+1, j*dim+dim), list_slice(v, j*dim+1, j*dim+dim))
+         |                 - 2 * list_dot_product(list_slice(v, j*dim+1, j*dim+dim), list_slice(cv, j*dim+1, j*dim+dim))
+         |                 + list_dot_product(list_slice(cv, j*dim+1, j*dim+dim), list_slice(cv, j*dim+1, j*dim+dim)) AS d2
+         |          FROM e CROSS JOIN cents CROSS JOIN sp))
+         |  WHERE rk = 1),
+         |lut AS (
+         |  SELECT qid, subs, j, cell AS code, CAST(floor(d2 * 1000000) AS BIGINT) AS d2q
+         |  FROM (SELECT qid, cell, subs, j,
+         |               list_dot_product(list_slice(qv, j*dim+1, j*dim+dim), list_slice(qv, j*dim+1, j*dim+dim))
+         |               - 2 * list_dot_product(list_slice(qv, j*dim+1, j*dim+dim), list_slice(cv, j*dim+1, j*dim+dim))
+         |               + list_dot_product(list_slice(cv, j*dim+1, j*dim+dim), list_slice(cv, j*dim+1, j*dim+dim)) AS d2
+         |        FROM q CROSS JOIN cents CROSS JOIN sp)),
+         |cand AS (
+         |  SELECT np.n AS nprobe, c.subs AS subs, p.qid AS qid, c.vec_id AS vec_id,
+         |         CAST(sum(d2q) AS BIGINT) AS adc_q
+         |  FROM codes c
+         |  JOIN ranked p ON c.label = p.cell
+         |  JOIN np ON p.crk <= np.n
+         |  JOIN lut ON lut.qid = p.qid AND lut.subs = c.subs
+         |          AND lut.j = c.j AND lut.code = c.code
+         |  WHERE c.vec_id != p.qid
+         |  GROUP BY 1, 2, 3, 4),
+         |approx AS (
+         |  SELECT nprobe, subs, qid, vec_id FROM (
+         |    SELECT nprobe, subs, qid, vec_id,
+         |           row_number() OVER (PARTITION BY nprobe, subs, qid
+         |             ORDER BY adc_q, vec_id) AS rank
+         |    FROM cand)
+         |  WHERE rank <= 3),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY qn2 - 2 * list_dot_product(qv, v) + n2, vec_id) AS rk
+         |    FROM e CROSS JOIN q WHERE vec_id != qid)
+         |  WHERE rk <= 3),
+         |grid AS (SELECT DISTINCT subs, n AS nprobe FROM sp CROSS JOIN np)
+         |SELECT CAST(g.subs AS BIGINT) AS pq_subs, CAST(g.nprobe AS BIGINT) AS nprobe,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+         |       round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 4) AS recall
+         |FROM exact x CROSS JOIN grid g
+         |LEFT JOIN approx a ON a.nprobe = g.nprobe AND a.subs = g.subs
+         |  AND a.qid = x.qid AND a.vec_id = x.vec_id
+         |GROUP BY 1, 2 ORDER BY pq_subs, nprobe""".stripMargin
+    },
 
     "embed_matryoshka" ->
       s"""WITH $VecCte,

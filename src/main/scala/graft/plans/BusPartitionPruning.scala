@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{And, ConcatWs, EqualTo, Expression, IsNull, Literal, Or, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.cdc.MqttPattern
@@ -51,12 +52,18 @@ object BusPartitionPruning extends Rule[LogicalPlan] {
       case ConcatWs(Seq(Literal(sep: UTF8String, _), Literal(root: UTF8String, _),
           level2, _*))
           if sep != null && root != null &&
-            sep.toString == "/" && root.toString == prefix(0) =>
+            sep.toString == "/" && root.toString == prefix(0) &&
+            // concat_ws also accepts ARRAY<STRING> args (each element its own
+            // level); the implied single-level algebra below only holds for a
+            // scalar STRING arg, and the synthesized literals must match the
+            // arg's type. Non-deterministic args can't be duplicated into a
+            // second predicate (independent re-evaluation breaks implication).
+            level2.dataType == StringType && level2.deterministic =>
         val l2 = prefix(1)
         Some(Or(IsNull(level2),
-          Or(EqualTo(level2, Literal(UTF8String.fromString(l2), level2.dataType)),
+          Or(EqualTo(level2, Literal(UTF8String.fromString(l2), StringType)),
              StartsWith(level2,
-               Literal(UTF8String.fromString(l2 + "/"), level2.dataType)))))
+               Literal(UTF8String.fromString(l2 + "/"), StringType)))))
       case _ => None
     }
   }

@@ -38,6 +38,20 @@ object StreamGrade {
   // each query within one JVM)
   private val runs = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Graded streaming runs mutate shared session conf (shuffle
+    * partitions, state-store provider) around a set/restore window; two
+    * concurrent graded queries in one session would race the restore and
+    * leak an override onto unrelated batch queries. All graded entry
+    * points serialize on this lock (reentrant — a graded body may start
+    * several sinks). Verify/Bench already run queries serially, so the
+    * lock costs nothing there; it makes concurrent spec suites safe. */
+  private val gradeLock = new java.util.concurrent.locks.ReentrantLock()
+
+  private def graded[A](body: => A): A = {
+    gradeLock.lock()
+    try body finally gradeLock.unlock()
+  }
+
   /** Slice boundaries inside the testdata's Jan-2024 span: three
     * non-empty half-open ranges at every sf. */
   private[graft] val cuts = Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00")
@@ -92,7 +106,7 @@ object StreamGrade {
   }
 
   private def withBusStream[A](s: SparkSession, d: String, overlapDays: Int = 0)
-                              (body: DataFrame => A): A = {
+                              (body: DataFrame => A): A = graded {
     val inDir = sliceCache.computeIfAbsent((d, overlapDays),
       _ => buildSlices(s, d, overlapDays))
     val streamed = s.readStream.schema(Tables.bus(s, d).schema)
@@ -395,7 +409,7 @@ object StreamGrade {
   /** Replay the documents table as a bounded 3-file stream sliced by
     * doc_id thirds (crawl arrival order) — the ingestion-side twin of
     * [[withBusStream]], feeding the live dedup/novelty gates. */
-  private def withDocStream[A](s: SparkSession, d: String)(body: DataFrame => A): A = {
+  private def withDocStream[A](s: SparkSession, d: String)(body: DataFrame => A): A = graded {
     val docs = Tables.documents(s, d)
     val inDir = docSliceCache.computeIfAbsent(d, _ => {
       val tmp = Files.createTempDirectory("graft_stream_docs_")
@@ -631,12 +645,15 @@ object StreamGrade {
     * a graded row, not just a spec. Fresh checkpoint/output dirs per
     * invocation (a reused checkpoint would make the second lifetime a
     * no-op); the slice files come from the shared replay cache. */
-  def streamRestartScd2(s: SparkSession, d: String): DataFrame = {
+  def streamRestartScd2(s: SparkSession, d: String): DataFrame = graded {
     val spark = s; import spark.implicits._
     implicit val ss: SparkSession = s
     val srcAll = sliceCache.computeIfAbsent((d, 0), _ => buildSlices(s, d, 0))
+    // fresh dirs per invocation (a reused checkpoint would make lifetime
+    // 2 a no-op) — deleted EAGERLY in the finally below, not by a
+    // shutdown hook: the bench re-runs this 4×/JVM and per-run hooks +
+    // on-disk checkpoint copies would accumulate for the JVM lifetime
     val tmp = Files.createTempDirectory("graft_stream_restart_")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmp)))
     val in = Files.createDirectory(tmp.resolve("in"))
     val ckpt = tmp.resolve("ckpt").toString
     val outDir = tmp.resolve("out").toString
@@ -668,21 +685,25 @@ object StreamGrade {
           throw new IllegalStateException("restart-grade query did not finish")
       } finally q.stop()
     }
-    withRocksDb(s) {
-      val key = "spark.sql.shuffle.partitions"
-      val prior = s.conf.getOption(key)
-      s.conf.set(key, "8")
-      try {
-        copySlice(0); copySlice(1)
-        runLifetime() // lifetime 1: two micro-batches, state into ckpt
-        copySlice(2)
-        runLifetime() // lifetime 2: RECOVERS state, processes slice 3
-      } finally prior.fold(s.conf.unset(key))(s.conf.set(key, _))
-    }
-    s.read.parquet(outDir)
-      .select(col("channel"), col("event_id"), col("valid_from"),
-        col("valid_to"), round(col("value"), 2).as("value"))
-      .orderBy(col("channel"), col("valid_from"), col("event_id"))
+    try {
+      withRocksDb(s) {
+        val key = "spark.sql.shuffle.partitions"
+        val prior = s.conf.getOption(key)
+        s.conf.set(key, "8")
+        try {
+          copySlice(0); copySlice(1)
+          runLifetime() // lifetime 1: two micro-batches, state into ckpt
+          copySlice(2)
+          runLifetime() // lifetime 2: RECOVERS state, processes slice 3
+        } finally prior.fold(s.conf.unset(key))(s.conf.set(key, _))
+      }
+      // materialize (localCheckpoint is eager) BEFORE deleting outDir
+      s.read.parquet(outDir)
+        .select(col("channel"), col("event_id"), col("valid_from"),
+          col("valid_to"), round(col("value"), 2).as("value"))
+        .localCheckpoint()
+        .orderBy(col("channel"), col("valid_from"), col("event_id"))
+    } finally deleteRecursively(tmp)
   }
 
   /** STREAMING stream-static broadcast enrichment, graded:
@@ -788,7 +809,7 @@ object StreamGrade {
 
   /** Replay the embeddings table as a bounded 3-file stream sliced by
     * vec_id thirds — the vector-side twin of [[withDocStream]]. */
-  private def withEmbStream[A](s: SparkSession, d: String)(body: DataFrame => A): A = {
+  private def withEmbStream[A](s: SparkSession, d: String)(body: DataFrame => A): A = graded {
     val embs = Tables.embeddings(s, d)
     val inDir = embSliceCache.computeIfAbsent(d, _ => {
       val tmp = Files.createTempDirectory("graft_stream_embs_")

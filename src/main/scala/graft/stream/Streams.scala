@@ -540,8 +540,11 @@ object Streams {
     override def handleInputRows(key: Int, rows: Iterator[(Int, Double, Double, Double, Double, Long)],
                                  timerValues: TimerValues): Iterator[LrUpdate] = {
       val cur = if (st.exists()) st.get() else LrState(0L, 0.0, 0.0, 0.0)
+      // count included in the sort key: capped partials can emit several
+      // groups of the same vector with different counts, and the fold's
+      // float-sum order must not depend on their arrival order
       val groups = rows.map { case (_, y, x0, x1, x2, n) => (y, x0, x1, x2, n) }
-        .toSeq.sortBy(g => (g._1, g._2, g._3, g._4))
+        .toSeq.sortBy(g => (g._1, g._2, g._3, g._4, g._5))
       var n = 0L; var g0 = 0.0; var g1 = 0.0; var g2 = 0.0
       groups.foreach { case (y, x0, x1, x2, m) =>
         val sig = 1.0 / (1.0 + math.exp(-(cur.w0 * x0 + cur.w1 * x1 + cur.w2 * x2)))
@@ -580,8 +583,17 @@ object Streams {
     * quantized feature space (bias is constant, length is clipped to
     * 201 values), never by micro-batch row count — computing one
     * sigmoid per group. The per-row feature math and the grouping both
-    * stay map-side, mirroring `logreg_step`'s map-side agg. */
-  def logregStream(docs: DataFrame, lr: Double = 0.1)
+    * stay map-side, mirroring `logreg_step`'s map-side agg.
+    *
+    * Memory bound: the per-partition group map holds at most
+    * `partialCap` distinct vectors. With genuinely CONTINUOUS features
+    * the map would otherwise degrade to partition size; past the cap,
+    * rows stream through UNGROUPED as count-1 partials — any
+    * decomposition of the batch into (vector, count) partials yields
+    * the same exact sufficient statistic, so the cap trades exchange
+    * rows for memory, never correctness (capped-vs-uncapped trajectory
+    * parity is spec'd on high-cardinality features). */
+  def logregStream(docs: DataFrame, lr: Double = 0.1, partialCap: Int = 1 << 14)
                   (implicit spark: SparkSession): Dataset[LrUpdate] = {
     import spark.implicits._
     graft.llm.TextOps.lrFeatures(docs)
@@ -590,8 +602,14 @@ object Streams {
       .mapPartitions { rows =>
         val acc = scala.collection.mutable.HashMap
           .empty[(Double, Double, Double, Double), Long]
-        rows.foreach(v => acc.update(v, acc.getOrElse(v, 0L) + 1L))
-        acc.iterator.map { case ((y, x0, x1, x2), m) => (0, y, x0, x1, x2, m) }
+        // lazily-concatenated: overflow rows stream out count-1 while the
+        // first `partialCap` distinct vectors keep map-side combining
+        rows.flatMap { v =>
+          if (acc.contains(v) || acc.size < partialCap) {
+            acc.update(v, acc.getOrElse(v, 0L) + 1L)
+            Iterator.empty
+          } else Iterator.single((0, v._1, v._2, v._3, v._4, 1L))
+        } ++ acc.iterator.map { case ((y, x0, x1, x2), m) => (0, y, x0, x1, x2, m) }
       }
       .groupByKey(_._1)
       .transformWithState(new OnlineLrGate(lr), TimeMode.None(), OutputMode.Append())

@@ -70,6 +70,30 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfadc_recall_sweep: full grid, recall monotone in nprobe, and the " +
+      "nprobe=2/4x16 point agrees with ivfadc_recall's aggregate") {
+    val rows = VectorOps.ivfadcRecallSweep(spark, sf).collect()
+    // complete operating-point grid: {4,8} subspaces x nprobe {1,2,4}
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      (for (s <- Set(4L, 8L); n <- Set(1L, 2L, 4L)) yield (s, n)))
+    rows.foreach(r => assert(r.getLong(2) === 15L, "n_exact = 5 queries x top-3"))
+    // more probed cells monotonically widen the candidate set; at this
+    // codebook scale recall never decreases along nprobe
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val byProbe = g.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(byProbe.zip(byProbe.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone in nprobe: ${g.mkString(", ")}")
+    }
+    // the (4x16, nprobe=2) sweep point IS the graded ivfadc_recall
+    // pipeline's operating point: total hits must agree
+    val sweepHits = rows
+      .find(r => r.getLong(0) == 4L && r.getLong(1) == 2L).get.getLong(3)
+    val recallHits = VectorOps.ivfadcRecall(spark, sf).collect()
+      .map(_.getLong(2)).sum
+    assert(sweepHits === recallHits,
+      s"sweep point (4x16, nprobe=2) hits $sweepHits != ivfadc_recall $recallHits")
+  }
+
   test("embed_matryoshka: n_hit equals the brute-force prefix∩full top-3 intersection") {
     import org.apache.spark.sql.functions._
     val got = VectorOps.embedMatryoshka(spark, sf).collect()
