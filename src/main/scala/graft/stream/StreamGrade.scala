@@ -289,6 +289,20 @@ object StreamGrade {
         .orderBy(col("w_start"), col("event_type"))
     }
 
+  /** STREAMING sliding event-time windows, graded: the watermarked
+    * 1-hour/30-minute hop counts ([[Streams.slidingCounts]]) revise
+    * across the three micro-batches in complete mode — each event feeds
+    * TWO concurrently-open windows, the overlap state the tumbling
+    * grade never exercises. Shares the batch `events_sliding` twin
+    * verbatim (each event unnested into its 2 hop windows). */
+  def streamSliding(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val wins = runToSink(s, Streams.slidingCounts(busStream),
+        "complete", "stream_sliding")
+      wins.select(col("w_start"), col("event_type"), col("n"))
+        .orderBy(col("w_start"), col("event_type"))
+    }
+
   /** STREAMING session windows, graded: gap-based per-user sessions
     * ([[Streams.sessionCounts]], 30-minute gap) built by the streaming
     * engine's session-merge state across the three micro-batches — a
@@ -706,6 +720,40 @@ object StreamGrade {
     } finally deleteRecursively(tmp)
   }
 
+  /** STREAMING live-bus→table capture, graded: [[Streams.captureTo]]'s
+    * checkpointed foreachBatch append — the last spec-only stream op —
+    * run end to end: the replayed bus lands in the partitioned
+    * [[graft.sources.BusLayout]] (one append per micro-batch), is
+    * RE-READ from the layout, and aggregated; the twin aggregates the
+    * events parquet directly, so a frame lost or duplicated anywhere in
+    * the capture→layout→re-read loop breaks the hash (the
+    * `cdc_wire_tcp` discipline with the capture leg executed by the
+    * streaming engine). Fresh layout/checkpoint dirs per invocation,
+    * deleted eagerly after the result materializes. */
+  def streamCapture(s: SparkSession, d: String): DataFrame = graded {
+    val tmp = Files.createTempDirectory("graft_stream_capture_")
+    try {
+      val layout = tmp.resolve("layout").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      withBusStream(s, d) { busStream =>
+        val q = Streams.captureTo(busStream, layout, ckpt,
+          Some(Trigger.AvailableNow()))
+        try {
+          if (!q.awaitTermination(180000L))
+            throw new IllegalStateException("capture-grade query did not finish")
+          lastBatchCount = q.recentProgress.count(_.numInputRows > 0L)
+        } finally q.stop()
+      }
+      graft.sources.BusLayout.readPartitioned(s, layout)
+        .groupBy(col("event_type").cast("string").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("user_id")).as("n_users"),
+             round(sum(col("value")), 2).as("total_value"))
+        .localCheckpoint()
+        .orderBy(col("event_type"))
+    } finally deleteRecursively(tmp)
+  }
+
   /** STREAMING stream-static broadcast enrichment, graded:
     * [[Streams.enrich]] — the reference-data-lookup shape (the
     * customer dim ships to every executor once per micro-batch, the
@@ -868,6 +916,7 @@ object StreamGrade {
     "cdc_stream_rpc_join"      -> (streamRpcJoin _),
     "cdc_stream_rpc_outer"     -> (streamRpcOuter _),
     "cdc_stream_enrich"        -> (streamEnrich _),
+    "cdc_stream_capture"       -> (streamCapture _),
     "cdc_stream_restart_scd2"  -> (streamRestartScd2 _),
     "doc_stream_substring_dup" -> (streamSubstringDup _),
     "doc_stream_cms"           -> (streamCms _),
@@ -885,6 +934,7 @@ object StreamGrade {
     "cdc_stream_gaps"     -> (streamGaps _),
     "cdc_stream_dedup"    -> (streamDedup _),
     "cdc_stream_tumbling" -> (streamTumbling _),
+    "cdc_stream_sliding"  -> (streamSliding _),
     "cdc_stream_sessions" -> (streamSessions _),
     "cdc_stream_user_features" -> (streamUserFeatures _))
 
@@ -1077,6 +1127,15 @@ object StreamGrade {
         |       round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    // same twin shape as cdc_stream_dedup, but the Spark side aggregates
+    // the RE-READ partitioned capture the streaming engine wrote — a
+    // frame lost/duplicated in the capture loop breaks the hash
+    "cdc_stream_capture" ->
+      """SELECT event_type, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     // Spark's window() buckets on the epoch-aligned 5-minute grid
     "cdc_stream_tumbling" ->
       """SELECT TIMESTAMP '1970-01-01 00:00:00'
@@ -1084,6 +1143,10 @@ object StreamGrade {
         |           * INTERVAL 1 SECOND AS w_start,
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // shares the batch events_sliding twin verbatim: the hop family's
+    // windowed state graded live next to tumbling and session
+    "cdc_stream_sliding" -> graft.rel.RelQueries.oracle("events_sliding"),
 
     // shares the batch events_session_native twin verbatim: gap-based
     // session reconstruction, s_end = last event + gap

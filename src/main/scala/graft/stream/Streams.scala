@@ -46,6 +46,18 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Sliding (overlapping) event-time windows under a watermark — each
+    * event lands in window_/slide windows (2 at the defaults), the state
+    * the tumbling form never exercises: one event updates SEVERAL
+    * concurrently-open window rows. */
+  def slidingCounts(bus: DataFrame, window_ : String = "1 hour",
+                    slide: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    bus.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
   /** Session windows on event time (gap-based). */
   def sessionCounts(bus: DataFrame, gap: String = "30 minutes"): DataFrame =
     bus.withWatermark("ts", "10 minutes")
@@ -141,14 +153,16 @@ object Streams {
     * downstream on event_id, for exactly-once). Pair with
     * [[graft.sources.BusLayout.compact]] on a schedule — a long capture
     * otherwise accretes one file per (batch × task). */
-  def captureTo(bus: DataFrame, path: String,
-                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    bus.writeStream
+  def captureTo(bus: DataFrame, path: String, checkpoint: String,
+                trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = bus.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.partitionBy("event_type").mode("append").parquet(path)
       }
-      .start()
+    trigger.fold(w)(w.trigger).start()
+  }
 
   /** Stream-static enrichment: join the streaming bus against a static
     * dimension table, broadcast — the dimension ships to every executor

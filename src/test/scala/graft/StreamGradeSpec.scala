@@ -88,6 +88,34 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got === want)
   }
 
+  test("cdc_stream_sliding: streamed 1h/30min hop counts == the batch " +
+      "events_sliding query, across 3 micro-batches") {
+    val got = rows(StreamGrade.streamSliding(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.rel.RelQueries.queries("events_sliding")(spark, dir))
+    assert(got.nonEmpty && got === want)
+    // genuinely overlapping: the hop total is ~2x the event count (every
+    // event lands in window/slide = 2 windows)
+    val hopTotal = StreamGrade.streamSliding(spark, dir)
+      .agg(sum(col("n"))).head().getLong(0)
+    val nEvents = graft.Tables.events(spark, dir).count()
+    assert(hopTotal === 2L * nEvents,
+      s"each event must land in exactly 2 hop windows ($hopTotal vs $nEvents)")
+  }
+
+  test("cdc_stream_capture: the checkpointed foreachBatch capture lands the " +
+      "full replay in the partitioned layout — re-read aggregate == events direct") {
+    val got = rows(StreamGrade.streamCapture(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    val want = rows(graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("user_id")).as("n_users"),
+           round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type")))
+    assert(got.nonEmpty && got === want)
+  }
+
   test("cdc_stream_sessions: streamed gap sessions == batch session_window, " +
       "MERGING sessions across micro-batch boundaries") {
     val got = rows(StreamGrade.streamSessions(spark, dir))

@@ -632,6 +632,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("logregStream partial-map cap: high-cardinality features stream " +
+      "through as exact count-1 partials — trajectory identical to uncapped") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    // 60 distinct lengths -> >= 60 distinct feature vectors per batch,
+    // far past a cap of 2: almost every row overflows the group map
+    val docs = (0L until 60L).map { i =>
+      (i, Seq.fill(1 + (i % 57).toInt)("w").mkString(" "),
+        if (i % 2 == 0) "en" else "fr")
+    }
+    def run(cap: Int): Seq[(Long, Double, Double, Double)] = withRocksDbProvider {
+      val in = MemoryStream[(Long, String, String)]
+      val name = s"lr_cap_$cap"
+      val q = Streams.logregStream(in.toDF().toDF("doc_id", "text", "lang"),
+          partialCap = cap)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        in.addData(docs.take(30): _*); q.processAllAvailable()
+        in.addData(docs.drop(30): _*); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).as[Streams.LrUpdate].collect()
+        .map(u => (u.n_seen, u.w0, u.w1, u.w2)).sortBy(_._1).toSeq
+    }
+    val capped = run(2)
+    val uncapped = run(1 << 14)
+    assert(capped.nonEmpty && capped.map(_._1) === Seq(30L, 60L))
+    // any (vector, count) decomposition is the same exact sufficient
+    // statistic; the deterministic fold order makes it bit-equal here
+    assert(capped === uncapped,
+      s"capped trajectory $capped must equal uncapped $uncapped")
+  }
+
   test("logregStream resumes training from a checkpoint: the post-restart " +
       "step starts at the recovered weights, not zero") {
     implicit val sq = spark.sqlContext
