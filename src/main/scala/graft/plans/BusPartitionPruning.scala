@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, ConcatWs, EqualTo, Expression, IsNull, Literal, Or, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{And, ConcatWs, Contains, EqualTo, Expression, IsNull, Literal, Or, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
@@ -43,27 +43,55 @@ import graft.functions.MqttMatchesExpr
   */
 object BusPartitionPruning extends Rule[LogicalPlan] {
 
-  /** The implied source-column disjunction, when the pattern pins the
-    * second level and the channel is a rooted concat_ws synthesis. */
+  /** The implied source-column conjunction, when the pattern pins
+    * literal levels and the channel is a rooted concat_ws synthesis —
+    * one conjunct per literal level with a matching concat arg, so a
+    * TWO-level hive layout prunes on BOTH directory levels for a
+    * `cdc/error/login/#`-shaped pattern.
+    *
+    * Per-level soundness: level k+2 of the channel aligns with concat
+    * arg k+2 only when every earlier arg contributed exactly one level —
+    * an earlier NULL (concat_ws skips it, later args shift up) or an
+    * earlier value embedding '/' (one arg, several levels) breaks the
+    * alignment, so each deeper conjunct admits those cases explicitly:
+    *
+    *   implied_k = (∨_{j<k} a_j IS NULL ∨ contains(a_j, '/'))
+    *               ∨ a_k IS NULL ∨ a_k = 'L_k' ∨ a_k LIKE 'L_k/%'
+    *
+    * Every disjunct is weaker when an earlier arg is degenerate, so the
+    * conjunction stays IMPLIED by the match for arbitrary data (the
+    * MqttPushdownSpec adversarial sweep covers null/embedded-'/'/
+    * near-miss values on both levels). Only scalar-STRING, deterministic
+    * args participate: concat_ws also accepts ARRAY<STRING> args (each
+    * element its own level), and a non-deterministic arg can't be
+    * duplicated into a second predicate (independent re-evaluation
+    * breaks the implication). */
   private def impliedOnSource(pattern: String, ch: Expression): Option[Expression] = {
     val prefix = MqttPattern.literalPrefix(pattern)._1.split("/", -1)
     if (prefix.length < 2) return None
     ch match {
-      case ConcatWs(Seq(Literal(sep: UTF8String, _), Literal(root: UTF8String, _),
-          level2, _*))
+      case ConcatWs(Literal(sep: UTF8String, _) +: Literal(root: UTF8String, _) +: rest)
           if sep != null && root != null &&
-            sep.toString == "/" && root.toString == prefix(0) &&
-            // concat_ws also accepts ARRAY<STRING> args (each element its own
-            // level); the implied single-level algebra below only holds for a
-            // scalar STRING arg, and the synthesized literals must match the
-            // arg's type. Non-deterministic args can't be duplicated into a
-            // second predicate (independent re-evaluation breaks implication).
-            level2.dataType == StringType && level2.deterministic =>
-        val l2 = prefix(1)
-        Some(Or(IsNull(level2),
-          Or(EqualTo(level2, Literal(UTF8String.fromString(l2), StringType)),
-             StartsWith(level2,
-               Literal(UTF8String.fromString(l2 + "/"), StringType)))))
+            sep.toString == "/" && root.toString == prefix(0) && rest.nonEmpty =>
+        // args stay usable only up to the first non-string/non-det one:
+        // a later arg's level alignment depends on every earlier arg
+        val usable = rest.takeWhile(a =>
+          a.dataType == StringType && a.deterministic)
+        val n = math.min(prefix.length - 1, usable.length)
+        if (n < 1) return None
+        val conjuncts = (0 until n).map { k =>
+          val a = usable(k)
+          val lk = prefix(k + 1)
+          val aligned = Or(IsNull(a),
+            Or(EqualTo(a, Literal(UTF8String.fromString(lk), StringType)),
+               StartsWith(a, Literal(UTF8String.fromString(lk + "/"), StringType))))
+          (0 until k).foldRight(aligned) { (j, acc) =>
+            Or(Or(IsNull(usable(j)),
+                  Contains(usable(j),
+                    Literal(UTF8String.fromString("/"), StringType))), acc)
+          }
+        }
+        Some(conjuncts.reduce(And))
       case _ => None
     }
   }

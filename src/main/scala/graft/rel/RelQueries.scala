@@ -1077,6 +1077,53 @@ object RelQueries {
       .orderBy(col("event_type"), col("key"))
   }
 
+  /** Schema INFERENCE over the schema-on-read payload — the CDC
+    * schema-registry bridge on [[propsProfile]]'s profiled keys: per
+    * event_type, emit the inferred payload StructType as a DETERMINISTIC
+    * DDL string (keys sorted; each key's dominant type is the most
+    * specific type EVERY present value parses as — BIGINT ⊃ DOUBLE ⊃
+    * BOOLEAN ⊃ STRING fallback; full-coverage keys are NOT NULL). Type
+    * classification is pure regex/equality on the trimmed value —
+    * identical Java-regex/RE2 semantics — so both engines infer the
+    * identical DDL character-for-character; a registry diff against
+    * yesterday's DDL is then plain string inequality.
+    *
+    * Scale shape: one events scan explodes to (type, key, value), one
+    * hash agg to the ≤|types|·|keys| classification frame, one ≤|types|
+    * broadcast of totals, one tiny agg to DDL strings — the 100 TB cost
+    * is the scan, everything downstream is bounded by schema width. */
+  def propsSchema(s: SparkSession, d: String): DataFrame = {
+    val IntRx = "^[+-]?[0-9]+$"
+    val NumRx = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+    val ev = Tables.events(s, d)
+    val tot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    ev.select(col("event_type"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+          .as(Seq("key", "v")))
+      .withColumn("t", trim(col("v")))
+      .groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("t").rlike(IntRx), 1L).otherwise(0L)).as("n_int"),
+           sum(when(col("t").rlike(NumRx), 1L).otherwise(0L)).as("n_num"),
+           sum(when(lower(col("t")).isin("true", "false"), 1L).otherwise(0L))
+             .as("n_bool"))
+      .join(broadcast(tot), Seq("event_type"))
+      .withColumn("typ",
+        when(col("n_int") === col("n"), "BIGINT")
+          .when(col("n_num") === col("n"), "DOUBLE")
+          .when(col("n_bool") === col("n"), "BOOLEAN")
+          .otherwise("STRING"))
+      .withColumn("fld", concat(lit("`"), col("key"), lit("`: "), col("typ"),
+        when(col("n") === col("n_events"), lit(" NOT NULL")).otherwise(lit(""))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"),
+           concat(lit("STRUCT<"),
+             array_join(array_sort(collect_list(col("fld"))), ", "),
+             lit(">")).as("ddl"))
+      .orderBy(col("event_type"))
+  }
+
   /** Daily traffic-anomaly audit — the bus-monitoring twin of
     * [[graft.llm.TextOps.lengthOutliers]]: per event type, flag days
     * whose event count sits beyond 1.5σ of that type's daily mean.
@@ -1562,6 +1609,7 @@ object RelQueries {
     "dau_wau"            -> (dauWau _),
     "user_features"      -> (userFeatures _),
     "props_profile"      -> (propsProfile _),
+    "props_schema"       -> (propsSchema _),
     "anomaly_days"       -> (anomalyDays _),
     "q19_disjunct"       -> (q19Disjunct _),
     "q10_returns"        -> (q10Returns _),
@@ -1962,6 +2010,42 @@ object RelQueries {
         |       a.n_numeric, a.min_v, a.max_v, a.avg_v
         |FROM agg a JOIN tot t USING (event_type)
         |ORDER BY event_type, key""".stripMargin,
+
+    // the same exploded-kv spine as props_profile; type classification is
+    // shared regex/equality on the trimmed value, DDL assembly is a
+    // sorted string_agg — character-identical across engines
+    "props_schema" ->
+      """WITH kvv AS (
+        |  SELECT event_type, key, trim(vs) AS t
+        |  FROM (SELECT event_type, key,
+        |               json_extract_string(props,
+        |                 '$."' || replace(replace(key, '\', '\\'), '"', '\"') || '"') AS vs
+        |        FROM (SELECT event_type, unnest(list_distinct(json_keys(props))) AS key, props
+        |              FROM events
+        |              WHERE props IS NOT NULL AND json_valid(props)))),
+        |cls AS (
+        |  SELECT event_type, key, count(*) AS n,
+        |         CAST(sum(CASE WHEN regexp_matches(t, '^[+-]?[0-9]+$')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+        |         CAST(sum(CASE WHEN regexp_matches(t,
+        |                    '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_num,
+        |         CAST(sum(CASE WHEN lower(t) IN ('true', 'false')
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_bool
+        |  FROM kvv GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1),
+        |flds AS (
+        |  SELECT c.event_type,
+        |         '`' || c.key || '`: ' ||
+        |         (CASE WHEN n_int = n THEN 'BIGINT'
+        |               WHEN n_num = n THEN 'DOUBLE'
+        |               WHEN n_bool = n THEN 'BOOLEAN'
+        |               ELSE 'STRING' END) ||
+        |         (CASE WHEN n = t.n_events THEN ' NOT NULL' ELSE '' END) AS fld
+        |  FROM cls c JOIN tot t USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys,
+        |       'STRUCT<' || string_agg(fld, ', ' ORDER BY fld) || '>' AS ddl
+        |FROM flds GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "cohort_retention" ->
       """WITH ue AS (

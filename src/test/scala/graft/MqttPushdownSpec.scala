@@ -131,6 +131,37 @@ class MqttPushdownSpec extends AnyFunSuite {
     assert(got.length.toLong === want)
   }
 
+  test("BusPartitionPruning: a level-3 literal pattern prunes BOTH directory " +
+      "levels of the two-level layout") {
+    val dir = Files.createTempDirectory("graft_rule_prune2").toString
+    graft.sources.BusLayout.writePartitioned2(
+      Tables.events(spark, "/root/testdata/sf0.001"), dir)
+    val re = graft.sources.BusLayout.readPartitioned(spark, dir)
+      .withColumn("channel", concat_ws("/",
+        lit("cdc"), col("event_type"), col("user_id").cast("string")))
+    val df = re.filter(mqtt_matches(lit("cdc/error/7/#"), col("channel")))
+    val got = df.collect()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    val readFiles = scan.metrics("numFiles").value
+    // both levels must prune: strictly fewer files than event_type=error
+    // alone holds (one user directory inside one event_type directory)
+    val errorFiles = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(dir, "event_type=error"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val oneUserFiles = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(dir, "event_type=error", "user_id=7"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(readFiles === oneUserFiles && readFiles < errorFiles,
+      s"level-3 literal should prune to one user dir: read $readFiles, " +
+        s"error-dir total $errorFiles")
+    // semantics intact vs the unpartitioned bus
+    val want = Tables.bus(spark, "/root/testdata/sf0.001")
+      .filter(mqtt_matches(lit("cdc/error/7/#"), col("channel"))).count()
+    assert(got.length.toLong === want && want > 0)
+  }
+
   test("BusPartitionPruning preserves semantics on ADVERSARIAL second levels " +
       "(null, embedded '/', prefix near-misses)") {
     val spark2 = spark; import spark2.implicits._
@@ -149,6 +180,30 @@ class MqttPushdownSpec extends AnyFunSuite {
         graft.cdc.MqttPattern.matches(pat, ch)
       }.map(_._1).toSet
       assert(got === want, s"pattern $pat diverged under the pruning rule")
+    }
+  }
+
+  test("BusPartitionPruning preserves semantics on ADVERSARIAL level-2 x " +
+      "level-3 combinations (nulls, embedded '/', empties, near-misses)") {
+    val spark2 = spark; import spark2.implicits._
+    val l2s = Seq(null, "error", "error/login", "err", "")
+    val l3s = Seq(null, "login", "login/x", "log", "", "l/ogin")
+    val rows = for { (a, i) <- l2s.zipWithIndex; (b, j) <- l3s.zipWithIndex }
+      yield (i.toLong * 10 + j, a, b)
+    val df = rows.toDF("uid", "l2", "l3")
+      .withColumn("channel", concat_ws("/",
+        lit("cdc"), col("l2"), col("l3"), col("uid").cast("string")))
+    for (pat <- Seq("cdc/error/login/#", "cdc/error/login/+", "cdc/+/login/#",
+                    "cdc/error/login", "cdc/error/l/ogin/#")) {
+      val got = df.filter(mqtt_matches(lit(pat), col("channel")))
+        .select(col("uid")).collect().map(_.getLong(0)).toSet
+      val want = rows.filter { case (i, a, b) =>
+        // concat_ws skips NULL args (empty strings stay)
+        val ch = Seq(Option("cdc"), Option(a), Option(b), Option(i.toString))
+          .flatten.mkString("/")
+        graft.cdc.MqttPattern.matches(pat, ch)
+      }.map(_._1).toSet
+      assert(got === want, s"pattern $pat diverged under the deep pruning rule")
     }
   }
 

@@ -1000,6 +1000,45 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("props_schema: the drifted fixture infers all four types, NOT NULL " +
+      "only at full coverage, and the DDL is deterministic") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_props_ddl").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // k: all ints; b: all booleans; d: mixed int/decimal -> DOUBLE;
+    // s: mixed -> STRING; m: drifted-in on one event only (nullable);
+    // the invalid payload keeps every key under full coverage
+    Seq((10L, t0, 1L, "click", 0.0,
+          """{"k": 1, "b": "true", "d": "1.5", "s": "x", "m": 2}"""),
+        (11L, t0, 2L, "click", 0.0,
+          """{"k": 3, "b": "false", "d": "2", "s": "7"}"""),
+        (12L, t0, 3L, "click", 0.0, "not json"),
+        (13L, t0, 4L, "view", 0.0, """{"k": 9}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = SparkEntry.queries("props_schema")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq === Seq(
+      ("click", 5L,
+        "STRUCT<`b`: BOOLEAN, `d`: DOUBLE, `k`: BIGINT, `m`: BIGINT, `s`: STRING>"),
+      ("view", 1L, "STRUCT<`k`: BIGINT NOT NULL>")))
+    // deterministic: a second run yields the identical DDL strings
+    val again = SparkEntry.queries("props_schema")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(again.toSeq === rows.toSeq)
+    // graded table: every type's DDL is well-formed and key counts agree
+    // with props_profile's per-key rows
+    val g = SparkEntry.queries("props_schema")(spark, sf).collect()
+    assert(g.nonEmpty)
+    val prof = SparkEntry.queries("props_profile")(spark, sf).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    g.foreach { r =>
+      assert(r.getString(2).startsWith("STRUCT<") && r.getString(2).endsWith(">"))
+      assert(r.getLong(1) === prof(r.getString(0)),
+        s"${r.getString(0)}: n_keys must equal props_profile's key rows")
+    }
+  }
+
   test("anomaly_days: a 10x traffic spike flags exactly its day; steady " +
       "days pass; graded flags genuinely deviate from their mean") {
     val s = spark; import s.implicits._
