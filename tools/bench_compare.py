@@ -13,6 +13,7 @@ Exit 1 if any query regresses more than threshold (default 1.5x) after
 normalization.
 """
 import json
+import re
 import statistics
 import sys
 
@@ -22,21 +23,46 @@ CANARIES = [
     "set_ops", "value_hist", "hourly_profile", "map_funcs",
 ]
 
+# The graded streaming queries co-schedule as families (StreamGrade
+# .families): the first-invoked member bills the family's wall-clock and
+# siblings bill ~0, so the billing query CHANGES whenever the catalog
+# gains an alphabetically-earlier member. Compare the family as ONE
+# summed entry — member-level ratios are attribution noise, the summed
+# wall-clock is the real signal.
+STREAM_MEMBER = re.compile(r"^(cdc|doc|emb)_stream_")
+
+
+def fold_stream_family(queries):
+    folded = {q: t for q, t in queries.items() if not STREAM_MEMBER.match(q)}
+    fam = [t for q, t in queries.items() if STREAM_MEMBER.match(q)]
+    if fam:
+        folded["stream_family[sum]"] = sum(fam)
+    return folded
+
 
 def main(old_path, new_path, threshold=1.5):
-    old = json.load(open(old_path))["queries"]
-    new = json.load(open(new_path))["queries"]
+    old = fold_stream_family(json.load(open(old_path))["queries"])
+    new = fold_stream_family(json.load(open(new_path))["queries"])
     canary = [new[q] / old[q] for q in CANARIES
               if q in old and q in new and old[q] > 0.02]
     box = statistics.median(canary) if len(canary) >= 3 else 1.0
     print(f"box factor (median over {len(canary)} canaries): {box:.2f}x")
     shared = [q for q in new if q in old and old[q] > 0.05]
     resid = sorted(((new[q] / old[q] / box, q) for q in shared), reverse=True)
-    bad = [(r, q) for r, q in resid if r > threshold]
+    # a regression must be BOTH relative (>threshold after normalization)
+    # and absolute (>0.25s of normalized cost): sub-second queries show
+    # up to 5x per-sample spread (documented box variance), and a 1.6x
+    # ratio on a 0.2s query is jitter, not a plan change — verified by
+    # isolated re-measurement whenever flagged
+    min_abs = 0.25
+    bad = [(r, q) for r, q in resid
+           if r > threshold and new[q] - box * old[q] > min_abs]
     print(f"{len(shared)} shared queries; "
           f"median residual {statistics.median(r for r, _ in resid):.2f}x")
+    badset = {q for _, q in bad}
     for r, q in resid[:10]:
-        flag = " <-- REGRESSION" if r > threshold else ""
+        flag = (" <-- REGRESSION" if q in badset
+                else " (jitter-floor)" if r > threshold else "")
         print(f"  {r:5.2f}x  {old[q]:6.2f} -> {new[q]:6.2f}  {q}{flag}")
     added = sorted(set(new) - set(old))
     if added:
@@ -46,5 +72,7 @@ def main(old_path, new_path, threshold=1.5):
 
 
 if __name__ == "__main__":
+    import signal
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # clean exit under | head
     t = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     sys.exit(main(sys.argv[1], sys.argv[2], t))
