@@ -315,6 +315,59 @@ object VectorOps {
               round(col("cos_raw"), 4).as("cos"))
       .orderBy(col("a"), col("b"))
 
+  /** SEMANTIC dedup — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540: k-means the embedding space, then within each
+    * cluster treat pairs above a cosine threshold as semantic
+    * duplicates and KEEP the member farthest from the centroid — the
+    * farthest member is the least prototypical, so dropping the inner
+    * one debiases the cluster): per cell, the duplicate-pair set is the
+    * graded [[nearDup]] lineage (bucket-local bounded pair expansion at
+    * cos ≥ 0.4), each pair drops the member NEARER its centroid
+    * (higher centroid cosine; vec_id tie-break — deterministic raw-
+    * double comparison, the [[cosTopk]] FP-parity discipline), and the
+    * audit reports per-cluster volume, duplicate pairs, drops, and the
+    * drop rate.
+    *
+    * Scale shape: ONE checkpointed corpus scan serves the centroid
+    * build, the centroid-cosine frame AND the pair expansion; pair
+    * expansion stays behind the counted block cap (never all-pairs —
+    * the zero-skip pin holds at graded SFs); the drop decision joins
+    * the SMALL pair frame against the scored frame twice (pair-sized
+    * output); the result is a ≤|cells|-row aggregate of exact integer
+    * counts with one rounded division. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("n2"))
+      .localCheckpoint()
+    val scored = e.filter(col("n2") > 0d)
+      .join(broadcast(centroids(e)), col("label") === col("cell"))
+      .withColumn("cc",
+        dot(col("v"), col("cv")) / (sqrt(col("n2")) * sqrt(col("cn2"))))
+      .select(col("label"), col("vec_id"), col("cc"))
+    val pairs = nearDupPairs(e.filter(col("n2") > 0d), HashDedup.DefaultMaxBucket)
+      .select(col("label"), col("a"), col("b"))
+    val dropped = pairs
+      .join(scored.select(col("vec_id").as("a"), col("cc").as("cca")), Seq("a"))
+      .join(scored.select(col("vec_id").as("b"), col("cc").as("ccb")), Seq("b"))
+      .select(col("label"),
+        when(col("cca") > col("ccb") ||
+             (col("cca") === col("ccb") && col("a") > col("b")),
+          col("a")).otherwise(col("b")).as("vec_id"))
+      .distinct()
+    val perCell = scored.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    perCell
+      .join(broadcast(pairs.groupBy(col("label")).agg(count(lit(1)).as("n_pairs"))),
+        Seq("label"), "left")
+      .join(broadcast(dropped.groupBy(col("label")).agg(count(lit(1)).as("n_dropped"))),
+        Seq("label"), "left")
+      .select(col("label"), col("n_vecs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        round(coalesce(col("n_dropped"), lit(0L)).cast("double") /
+          col("n_vecs"), 4).as("drop_pct"))
+      .orderBy(col("label"))
+  }
+
   /** One k-means assignment step: every vector scores the 10 broadcast
     * cell centroids and moves to the nearest (cosine, deterministic
     * cell-id tie-break); output is the label→assigned transition matrix.
@@ -835,6 +888,7 @@ object VectorOps {
     "ann_ivfadc"  -> (annIvfAdc _),
     "ivfadc_recall" -> (ivfadcRecall _),
     "ivfadc_recall_sweep" -> (ivfadcRecallSweep _),
+    "semantic_dedup" -> (semanticDedup _),
     "embed_matryoshka" -> (embedMatryoshka _),
     "ann_adc"     -> (annAdc _),
     "ann_recall"  -> (annRecall _),
@@ -1105,6 +1159,42 @@ object VectorOps {
          |  AND a.qid = x.qid AND a.vec_id = x.vec_id
          |GROUP BY 1, 2 ORDER BY pq_subs, nprobe""".stripMargin
     },
+
+    // SemDeDup: pair set = the embed_neardup lineage; each pair drops
+    // the member nearer its centroid (higher centroid cosine, vec_id
+    // tie-break); per-cell integer counts, one rounded division
+    "semantic_dedup" ->
+      s"""WITH $VecCte, $CentsCte,
+         |scored AS (
+         |  SELECT label, vec_id,
+         |         list_dot_product(v, cv) / (sqrt(n2) * sqrt(cn2)) AS cc
+         |  FROM e JOIN cents ON label = cell WHERE n2 > 0),
+         |pairs AS (
+         |  SELECT x.label AS label, x.vec_id AS a, y.vec_id AS b
+         |  FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+         |  WHERE x.n2 > 0 AND y.n2 > 0
+         |    AND list_dot_product(x.v, y.v) / (sqrt(x.n2) * sqrt(y.n2)) >= 0.4),
+         |dropped AS (
+         |  SELECT DISTINCT p.label,
+         |         CASE WHEN sa.cc > sb.cc OR (sa.cc = sb.cc AND p.a > p.b)
+         |              THEN p.a ELSE p.b END AS vec_id
+         |  FROM pairs p
+         |  JOIN scored sa ON sa.vec_id = p.a
+         |  JOIN scored sb ON sb.vec_id = p.b),
+         |pc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM pairs GROUP BY 1),
+         |dc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_dropped
+         |       FROM dropped GROUP BY 1)
+         |SELECT CAST(s.label AS BIGINT) AS label,
+         |       CAST(count(*) AS BIGINT) AS n_vecs,
+         |       coalesce(any_value(pc.n_pairs), 0) AS n_pairs,
+         |       coalesce(any_value(dc.n_dropped), 0) AS n_dropped,
+         |       round(CAST(coalesce(any_value(dc.n_dropped), 0) AS DOUBLE)
+         |             / count(*), 4) AS drop_pct
+         |FROM scored s
+         |LEFT JOIN pc ON pc.label = s.label
+         |LEFT JOIN dc ON dc.label = s.label
+         |GROUP BY s.label ORDER BY label""".stripMargin,
 
     "embed_matryoshka" ->
       s"""WITH $VecCte,

@@ -94,6 +94,42 @@ class VectorOpsSpec extends AnyFunSuite {
       s"sweep point (4x16, nprobe=2) hits $sweepHits != ivfadc_recall $recallHits")
   }
 
+  test("semantic_dedup: hand-built clusters pin the keep-farthest rule — a " +
+      "chain through the nearest member drops ONLY that member") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    Seq(
+      // label 1: two identical + one orthogonal → 1 pair, tie drops the
+      // higher vec_id
+      (10L, Array(1f, 0f), 1), (11L, Array(1f, 0f), 1), (12L, Array(0f, 1f), 1),
+      // label 2: singleton → nothing to drop
+      (20L, Array(3f, 4f), 2),
+      // label 3: (2,1) is nearer the (1.5,0.5) centroid than (1,0) → the
+      // nearer member drops, the farther is kept
+      (30L, Array(1f, 0f), 3), (31L, Array(2f, 1f), 3),
+      // label 4: A-B and B-C are dup pairs, A-C is not; B is the cluster
+      // center (cc=1.0) → keep-farthest drops ONLY B (a keep-nearest
+      // rule would drop A and C — 2 drops — so the count distinguishes)
+      (40L, Array(1f, 0f), 4), (41L, Array(1f, 1f), 4), (42L, Array(0f, 1f), 4))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = SparkEntry.queries("semantic_dedup")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4)))
+    assert(rows.toSeq === Seq(
+      (1L, 3L, 1L, 1L, 0.3333),
+      (2L, 1L, 0L, 0L, 0.0),
+      (3L, 2L, 1L, 1L, 0.5),
+      (4L, 3L, 2L, 1L, 0.3333)))
+    // graded table: drops never exceed pairs or volume; rate in [0, 1]
+    val g = SparkEntry.queries("semantic_dedup")(spark, sf).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(3) < r.getLong(1))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("embed_matryoshka: n_hit equals the brute-force prefix∩full top-3 intersection") {
     import org.apache.spark.sql.functions._
     val got = VectorOps.embedMatryoshka(spark, sf).collect()
