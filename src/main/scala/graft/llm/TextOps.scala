@@ -1781,6 +1781,7 @@ object TextOps {
     "token_count_bpe"  -> (tokenCountBpe _),
     "token_fertility"  -> (tokenFertility _),
     "lm_xent"          -> (lmXent _),
+    "ccnet_buckets"    -> (ccnetBuckets _),
     "gopher_rules"     -> (gopherRules _),
     "rep_ngram_frac"   -> (repNgramFrac _),
     "bpe_merge_step"   -> (bpeMergeStep _),
@@ -1832,6 +1833,55 @@ object TextOps {
            round(avg(col("nll") / col("n_tok") / log(lit(2.0))), 3)
              .as("avg_xent_bits"))
       .orderBy(col("lang"), col("source"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020: score every
+    * document with an LM, split each source into head/middle/tail
+    * PERPLEXITY TERCILES, and train preferentially on the head — the
+    * curation cut CCNet used to mine Common Crawl): per-document
+    * surprisal under the [[lmXent]] smoothed unigram LM, ranked within
+    * source, tercile = exact integer arithmetic on the rank.
+    *
+    * Determinism discipline: per-token surprisal is quantized ONCE PER
+    * DISTINCT WORD (`floor(-ln p · 10⁴)` — both engines floor the same
+    * double, and the 1e-4 grid keeps any last-ulp `ln` disagreement ~8
+    * orders of magnitude away from a grid edge), so the per-doc score
+    * is an EXACT BIGINT sum — reduction order cannot perturb the
+    * ranking — and the rank key is one integer division; the tercile is
+    * `((rank−1)·3) div n`. The reported bits/token divides exact sums
+    * once.
+    *
+    * Scale shape: one corpus scan tokenizes; the vocab frame is
+    * checkpointed (scored twice: stats + surprisal); per-doc reduce is
+    * a map-side-combinable integer agg; the rank window partitions by
+    * source over the ≤|docs|-row doc frame, never token rows. */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val stats = vocab.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v"))
+    val vq = vocab.crossJoin(broadcast(stats))
+      .select(col("tok"),
+        floor(-log((col("c") + 0.5) /
+          (col("n_total") + lit(0.5) * (col("v") + 1))) * 1e4).cast("long").as("sq"))
+    val perDoc = toks.join(vq, "tok")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("sq")).as("nllq"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("nllq").cast("double") / col("n_tok"), col("doc_id"))
+    perDoc
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("bucket", expr("CAST(((rk - 1) * 3) DIV n AS BIGINT)"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+           sum(col("nllq")).as("sqsum"))
+      .select(col("source"), col("bucket"), col("n_docs"), col("n_tokens"),
+        round(col("sqsum").cast("double") / 1e4 / col("n_tokens") /
+          log(lit(2.0)), 4).as("bits_per_tok"))
+      .orderBy(col("source"), col("bucket"))
   }
 
   /** Distributed logistic-regression training step ×2 — the
@@ -2084,6 +2134,35 @@ object TextOps {
   // Parity with their exact windowed twins is pinned in SaltSpec
   // (dominant corpus) and QueriesSpec (graded tables).
   val oracle: Map[String, String] = Map(
+    // per-word surprisal quantized ONCE (floor(-ln p * 1e4)) so the
+    // per-doc score is an exact BIGINT sum; tercile = ((rk-1)*3) div n
+    "ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(str_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+        |stats AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+        |                 CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |vq AS (SELECT tok,
+        |              CAST(floor(-ln((c + 0.5) / (n_total + 0.5 * (v + 1))) * 10000)
+        |                AS BIGINT) AS sq
+        |       FROM vocab CROSS JOIN stats),
+        |perdoc AS (
+        |  SELECT doc_id, source, count(*) AS n_tok,
+        |         CAST(sum(sq) AS BIGINT) AS nllq
+        |  FROM toks JOIN vq USING (tok) GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT source, n_tok, nllq,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY CAST(nllq AS DOUBLE) / n_tok, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM perdoc)
+        |SELECT source, CAST(((rk - 1) * 3) // n AS BIGINT) AS bucket,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(nllq) AS DOUBLE) / 10000 / sum(n_tok) / ln(2), 4)
+        |         AS bits_per_tok
+        |FROM ranked GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin,
+
     "lm_xent" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, source, unnest(str_split(text, ' ')) AS tok

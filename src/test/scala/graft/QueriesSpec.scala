@@ -1000,6 +1000,42 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ccnet_buckets: hand-built corpus terciles by rarity (common-word " +
+      "docs head, rare-word docs tail); graded buckets are balanced and " +
+      "bits/token nondecreasing head->tail") {
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ccnet").toString
+    // 'a' is common (10 occurrences), 'z' rare (3): docs of only-'a' rank
+    // ahead of docs touching 'z'; within-ppl ties break by doc_id
+    Seq((0L, "a a a", "en", "s"), (1L, "a a a", "en", "s"),
+        (2L, "a a", "en", "s"), (3L, "a a", "en", "s"),
+        (4L, "a z", "en", "s"), (5L, "z z", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("ccnet_buckets")(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4)))
+    assert(rows.map(t => (t._1, t._2, t._3, t._4)).toSeq === Seq(
+      ("s", 0L, 2L, 6L), ("s", 1L, 2L, 4L), ("s", 2L, 2L, 4L)),
+      s"tercile membership wrong: ${rows.mkString(", ")}")
+    assert(rows(0)._5 <= rows(1)._5 && rows(1)._5 < rows(2)._5,
+      "rare-word tail must cost more bits/token")
+    // graded table: per source exactly 3 buckets, sizes within 1 of each
+    // other, and bits/token nondecreasing head -> tail
+    val g = SparkEntry.queries("ccnet_buckets")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(g.nonEmpty)
+    g.groupBy(_._1).values.foreach { bs =>
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === Seq(0L, 1L, 2L))
+      assert(sorted.map(_._3).max - sorted.map(_._3).min <= 1L,
+        "terciles must be balanced within 1 doc")
+      val bits = sorted.map(_._4)
+      assert(bits.zip(bits.tail).forall { case (x, y) => x <= y },
+        s"bits/token must not decrease head->tail: $bs")
+    }
+  }
+
   test("props_schema: the drifted fixture infers all four types, NOT NULL " +
       "only at full coverage, and the DDL is deterministic") {
     val s = spark; import s.implicits._
