@@ -368,6 +368,66 @@ object VectorOps {
       .orderBy(col("label"))
   }
 
+  /** LIVE ANN serving — the query path of [[annIvf]] run by the
+    * STREAMING engine: each ARRIVING query vector routes map-side to
+    * its 2 nearest cells (the ≤|cells|-row centroid table is collected
+    * once and baked into the routing expression — no window, no
+    * broadcast join, nothing a streaming plan disallows), probes only
+    * those cells' members by stream-static equi-join against the static
+    * corpus, and keeps its top-3 in the mergeable [[graft.functions
+    * .TopKByScoreAgg]] (its serialize/deserialize IS the streaming
+    * state encoding). Complete mode: the sink holds every served
+    * query's current answer — the online vector-search serving shape.
+    *
+    * Determinism: routing sorts a 10-entry array with an integer
+    * comparator on (cos desc, cell); candidate ranking pads vec_ids to
+    * 19 digits so the aggregate's string order equals numeric order
+    * (the [[embedOutliers]] discipline); scores are the shared
+    * sequential-fold dot product. */
+  def annServeStream(queryStream: DataFrame, corpusRaw: DataFrame): DataFrame = {
+    val corpus = corpusRaw
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .select(col("vec_id"), col("label"), col("v"), col("n2"))
+    // ≤|cells| rows — driver-bounded by construction (the
+    // centroidDriftReference discipline)
+    val cents = centroids(corpus).collect()
+    val q = queryStream
+      .withColumn("qv", col("embedding").cast("array<double>"))
+      .withColumn("qn2", dot(col("qv"), col("qv")))
+      .filter(col("qn2") > 0d)
+      .select(col("vec_id").as("qid"), col("qv"), col("qn2"))
+    val entries = cents.map { r =>
+      val cell = r.getAs[Number]("cell").longValue
+      val cv = r.getSeq[Double](r.fieldIndex("cv"))
+      val cn2 = r.getAs[Double]("cn2")
+      struct(
+        (dot(col("qv"), typedlit(cv)) /
+          (sqrt(col("qn2")) * sqrt(lit(cn2)))).as("s"),
+        lit(cell).as("cell"))
+    }
+    val cmp = (l: Column, r: Column) =>
+      when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+        .when(l("cell") < r("cell"), -1).when(l("cell") > r("cell"), 1)
+        .otherwise(0)
+    val routed = q
+      .withColumn("cs", array_sort(array(entries.toIndexedSeq: _*), cmp))
+      .select(col("qid"), col("qv"), col("qn2"),
+        explode(slice(col("cs"), 1, 2)).as("rc"))
+      .select(col("qid"), col("qv"), col("qn2"), col("rc.cell").as("cell"))
+    routed
+      .join(corpus.filter(col("n2") > 0d)
+          .select(col("label").cast("long").as("cell"),
+            col("vec_id"), col("v"), col("n2")),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw",
+        dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .groupBy(col("qid"))
+      .agg(graft.functions.GraftFunctions.topk_by_score(
+        lpad(col("vec_id").cast("string"), 19, "0"), col("cos_raw"), 3).as("top"))
+  }
+
   /** One k-means assignment step: every vector scores the 10 broadcast
     * cell centroids and moves to the nearest (cosine, deterministic
     * cell-id tie-break); output is the label→assigned transition matrix.

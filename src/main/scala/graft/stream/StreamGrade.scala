@@ -94,12 +94,13 @@ object StreamGrade {
     (Set("doc_stream_neardup", "doc_stream_vocab_novelty",
          "doc_stream_substring_dup", "doc_stream_logreg", "doc_stream_cms",
          "doc_stream_mix_shift", "doc_stream_pipeline",
-         "doc_stream_incr_neardup"), true))
+         "doc_stream_incr_neardup"), true),
+    // embeddings-crawl replay
+    (Set("emb_stream_centroid_drift", "emb_stream_ann"), true))
   // singletons (no co-schedule): cdc_stream_restart_scd2 (two sequential
-  // query LIFETIMES by design), emb_stream_centroid_drift (own replay)
+  // query LIFETIMES by design)
 
-  private val rocksSingletons = Set("cdc_stream_restart_scd2",
-    "emb_stream_centroid_drift")
+  private val rocksSingletons = Set("cdc_stream_restart_scd2")
 
   private def familyOf(name: String): (Set[String], Boolean) =
     families.find(_._1.contains(name))
@@ -1050,6 +1051,7 @@ object StreamGrade {
     "doc_stream_pipeline"      -> (streamPipeline _),
     "doc_stream_mix_shift"     -> (streamMixShift _),
     "emb_stream_centroid_drift" -> (streamCentroidDrift _),
+    "emb_stream_ann"           -> (streamAnn _),
     "doc_stream_neardup"       -> (streamNearDup _),
     "doc_stream_vocab_novelty" -> (streamVocabNovelty _),
     "doc_stream_incr_neardup"  -> (streamIncrNearDup _),
@@ -1064,6 +1066,29 @@ object StreamGrade {
     "cdc_stream_sliding"  -> (streamSliding _),
     "cdc_stream_sessions" -> (streamSessions _),
     "cdc_stream_user_features" -> (streamUserFeatures _))
+
+  /** LIVE ANN SERVING, graded: [[graft.llm.VectorOps.annServeStream]] —
+    * arriving query vectors (vec_id ≡ 1 mod 26, the odd sample) route
+    * map-side to their 2 nearest cells of the STATIC even-half corpus
+    * and probe only those cells by stream-static equi-join; each
+    * query's top-3 lives in the mergeable TopKByScoreAgg whose
+    * serialize/deserialize IS the streaming state encoding, revised in
+    * complete mode across the three crawl batches. The twin is the
+    * batch IVF probe over the same halves — the online vector-search
+    * serving path agrees with the offline index to the digit. */
+  def streamAnn(s: SparkSession, d: String): DataFrame =
+    withEmbStream(s, d) { embStream =>
+      val served = runToSink(s,
+        graft.llm.VectorOps.annServeStream(
+          embStream.filter(col("vec_id") % 26 === 1),
+          Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0)),
+        "complete", "stream_ann")
+      served.select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+          col("t.w").cast("long").as("vec_id"),
+          round(col("t.score"), 5).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     raw.map { case (n, f) => n -> entry(n, f) }
@@ -1201,6 +1226,50 @@ object StreamGrade {
          |FROM counts JOIN tot USING (source)
          |WHERE ty * tt <> 0
          |GROUP BY source, ty, tt ORDER BY source""".stripMargin,
+
+    // the batch IVF probe over the same halves: queries = arriving
+    // vec_id % 26 == 1 sample, corpus/centroids = the static even half;
+    // route to 2 cells, rank candidates (cos desc, vec_id)
+    "emb_stream_ann" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |             list_dot_product(CAST(embedding AS DOUBLE[]),
+         |               CAST(embedding AS DOUBLE[])) AS n2
+         |           FROM embeddings),
+         |ee AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |cq AS (
+         |  SELECT label, px.pos AS pos, CAST(floor(px.x * 1000) AS BIGINT) AS xq
+         |  FROM (SELECT label,
+         |               unnest(list_transform(v, (x, i) -> struct_pack(pos := i, x := x))) AS px
+         |        FROM ee)),
+         |cm AS (
+         |  SELECT label, pos,
+         |         CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0 AS m
+         |  FROM cq GROUP BY 1, 2),
+         |cents AS (
+         |  SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
+         |    SELECT label AS cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY label)),
+         |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e
+         |      WHERE vec_id % 26 = 1 AND n2 > 0),
+         |routed AS (
+         |  SELECT qid, qv, qn2, cell FROM (
+         |    SELECT qid, qv, qn2, cell,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY cellcos DESC, cell) AS crk
+         |    FROM (SELECT qid, qv, qn2, cell,
+         |                 list_dot_product(qv, cv) / (sqrt(qn2) * sqrt(cn2)) AS cellcos
+         |          FROM q CROSS JOIN cents))
+         |  WHERE crk <= 2),
+         |cand AS (
+         |  SELECT r.qid AS qid, c.vec_id AS vec_id,
+         |         list_dot_product(r.qv, c.v) / (sqrt(r.qn2) * sqrt(c.n2)) AS cos_raw
+         |  FROM routed r JOIN ee c ON c.label = r.cell AND c.vec_id != r.qid
+         |  WHERE c.n2 > 0)
+         |SELECT qid, rank, vec_id, round(cos_raw, 5) AS cos FROM (
+         |  SELECT qid, vec_id, cos_raw,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rank
+         |  FROM cand)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // the batch embed_centroid_drift twin re-keyed: reference = even
     // half (a), stream = odd half (b); n_seen = odd-half count

@@ -330,6 +330,46 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got === want)
   }
 
+  test("emb_stream_ann: live-served top-3 per arriving query == the batch IVF " +
+      "probe over the same halves, across 3 micro-batches") {
+    val got = rows(StreamGrade.streamAnn(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    // batch twin: route each sampled query to 2 cells of the even-half
+    // corpus, rank candidates (cos desc, vec_id)
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.Tables.embeddings(spark, dir)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("n2", expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0d, (a, x) -> a + x)"))
+    val ee = e.filter(col("vec_id") % 2 === 0)
+    val q = e.filter(col("vec_id") % 26 === 1 && col("n2") > 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val cents = ee
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("xq", floor(col("x") * 1000).cast("long"))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("xq")).cast("double") / count(lit(1)) / 1000d).as("m"))
+      .groupBy(col("label").as("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
+      .withColumn("cn2", expr("aggregate(zip_with(cv, cv, (x, y) -> x * y), 0d, (a, x) -> a + x)"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("cellcos").desc, col("cell"))
+    val routed = q.crossJoin(broadcast(cents))
+      .withColumn("cellcos",
+        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0d, (a, x) -> a + x)")
+          / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("crk", row_number().over(wc)).filter(col("crk") <= 2)
+      .select(col("qid"), col("qv"), col("qn2"), col("cell"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
+    val want = rows(routed
+      .join(ee.filter(col("n2") > 0), col("label") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw",
+        expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0d, (a, x) -> a + x)")
+          / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(wr).cast("long")).filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vec_id"), round(col("cos_raw"), 5).as("cos"))
+      .orderBy(col("qid"), col("rank")))
+    assert(got.nonEmpty && got === want)
+  }
+
   test("cdc_stream_restart_scd2: a SECOND query lifetime recovers the open-version " +
       "state from the checkpoint and completes the identical closed set") {
     val got = StreamGrade.streamRestartScd2(spark, dir).collect()
