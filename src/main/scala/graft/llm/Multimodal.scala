@@ -249,20 +249,41 @@ object Multimodal {
     * arithmetic-shift sign extension of a negative 64-bit signature out
     * of the bucket key on both engines. */
   private[graft] def phashBanded(s: SparkSession, d: String,
-                                 sigBits: Int, bandBits: Int): DataFrame = {
+                                 sigBits: Int, bandBits: Int): DataFrame =
+    phashBandedOf(mediaTable(s, d), sigBits, bandBits)
+
+  /** Frame-based [[phashBanded]]: any frame with (doc_id, img BINARY) —
+    * the batch media table or a STREAMING arrival frame. */
+  private[graft] def phashBandedOf(media: DataFrame,
+                                   sigBits: Int, bandBits: Int): DataFrame = {
     require(bandBits >= 1 && sigBits % bandBits == 0,
       s"sigBits=$sigBits must be a multiple of bandBits=$bandBits")
     require(sigBits <= 64 && sigBits % 16 == 0,
       s"sigBits=$sigBits must be 16/32/48/64 (threshold groups of 16)")
     val nBands = sigBits / bandBits
     val mask = (1L << bandBits) - 1
-    mediaTable(s, d)
+    media
       .select(col("doc_id"), phashSigCol(sigBits).as("sig"))
       .select(col("doc_id"), col("sig"),
         posexplode(array((0 until nBands).map(b =>
           shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
           .as(Seq("band", "nib")))
   }
+
+  /** The graded 16-bit signature per document — the batch scorer the
+    * streaming pHash gate's candidate audit joins against. */
+  private[graft] def phashSigs(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d).select(col("doc_id"), phashSigCol(16).as("sig"))
+
+  /** Streaming arrival projection for the live pHash near-dup gate:
+    * each arriving document's media payload banded to its
+    * (band, nib) bucket coordinates, shaped for
+    * [[graft.stream.Streams.bucketPairs]]. */
+  private[graft] def phashArrivals(docs: DataFrame): DataFrame =
+    phashBandedOf(docs.select(col("doc_id"), unhex(md5(col("text"))).as("img")),
+        sigBits = 16, bandBits = 4)
+      .select(col("doc_id"), col("band").as("band_id"),
+        col("nib").cast("string").as("bh"))
 
   private[graft] def mmPhashPairsSized(s: SparkSession, d: String,
       sigBits: Int, bandBits: Int,

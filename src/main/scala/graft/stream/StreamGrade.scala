@@ -94,7 +94,7 @@ object StreamGrade {
     (Set("doc_stream_neardup", "doc_stream_vocab_novelty",
          "doc_stream_substring_dup", "doc_stream_logreg", "doc_stream_cms",
          "doc_stream_mix_shift", "doc_stream_pipeline",
-         "doc_stream_incr_neardup"), true),
+         "doc_stream_incr_neardup", "mm_stream_phash_dup"), true),
     // embeddings-crawl replay
     (Set("emb_stream_centroid_drift", "emb_stream_ann"), true))
   // singletons (no co-schedule): cdc_stream_restart_scd2 (two sequential
@@ -1055,6 +1055,7 @@ object StreamGrade {
     "doc_stream_neardup"       -> (streamNearDup _),
     "doc_stream_vocab_novelty" -> (streamVocabNovelty _),
     "doc_stream_incr_neardup"  -> (streamIncrNearDup _),
+    "mm_stream_phash_dup"      -> (streamPhashDup _),
     "doc_stream_logreg"        -> (streamLogreg _),
     "cdc_stream_rpc"      -> (streamRpc _),
     "cdc_stream_counters" -> (streamCounters _),
@@ -1066,6 +1067,35 @@ object StreamGrade {
     "cdc_stream_sliding"  -> (streamSliding _),
     "cdc_stream_sessions" -> (streamSessions _),
     "cdc_stream_user_features" -> (streamUserFeatures _))
+
+  /** STREAMING MULTIMODAL near-dup gate, graded: the pHash analogue of
+    * [[streamNearDup]] — each arriving document's media payload is
+    * banded to its 16-bit-signature (band, nib) coordinates map-side
+    * ([[graft.llm.Multimodal.phashArrivals]], the batch `mm_phash_pairs`
+    * lineage) and paired against the bucket's earlier members by the
+    * same bounded [[Streams.bucketPairs]] state machine; the candidate
+    * audit then scores each distinct emitted pair by signature hamming
+    * and keeps the near ones (≤3 bits). Buckets stay under the member
+    * cap at graded scale (max occupancy 355 at sf0.1 vs the 1024 cap),
+    * so the live candidate set equals the batch band join — the twin
+    * derives the same near pairs from the parquet directly. */
+  def streamPhashDup(s: SparkSession, d: String): DataFrame =
+    withDocStream(s, d) { docStream =>
+      implicit val ss: SparkSession = s
+      val pairs = withRocksDb(s) {
+        runToSink(s,
+          Streams.bucketPairs(graft.llm.Multimodal.phashArrivals(docStream)).toDF(),
+          "append", "stream_mm_phash")
+      }.select(col("a"), col("b")).distinct()
+      val sigs = graft.llm.Multimodal.phashSigs(s, d)
+      pairs
+        .join(sigs.select(col("doc_id").as("a"), col("sig").as("sa")), Seq("a"))
+        .join(sigs.select(col("doc_id").as("b"), col("sig").as("sb")), Seq("b"))
+        .withColumn("ham", expr("bit_count(sa ^ sb)").cast("long"))
+        .filter(col("ham") <= 3)
+        .select(col("a"), col("b"), col("ham"))
+        .orderBy(col("a"), col("b"))
+    }
 
   /** LIVE ANN SERVING, graded: [[graft.llm.VectorOps.annServeStream]] —
     * arriving query vectors (vec_id ≡ 1 mod 26, the odd sample) route
@@ -1226,6 +1256,29 @@ object StreamGrade {
          |FROM counts JOIN tot USING (source)
          |WHERE ty * tt <> 0
          |GROUP BY source, ty, tt ORDER BY source""".stripMargin,
+
+    // the batch pHash band join's near pairs (ham <= 3), distinct over
+    // bands, a < b — graded buckets stay under the member cap so the
+    // live gate's candidate set equals this exactly
+    "mm_stream_phash_dup" -> {
+      val bits = (0 until 16).map { i =>
+        s"(CASE WHEN CAST(concat('0x', substr(hx, ${(i % 16) * 2 + 1}, 2)) AS BIGINT) " +
+          s"> ${graft.llm.Multimodal.PhashThresholds(i / 16)} " +
+          s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" | ")
+      s"""WITH mm AS (SELECT doc_id, md5(text) AS hx FROM documents),
+         |sig AS (SELECT doc_id, $bits AS sig FROM mm),
+         |banded AS (
+         |  SELECT doc_id, sig, band, (sig >> (band * 4)) & 15 AS nib
+         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS ham
+         |FROM cands WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY a, b""".stripMargin
+    },
 
     // the batch IVF probe over the same halves: queries = arriving
     // vec_id % 26 == 1 sample, corpus/centroids = the static even half;

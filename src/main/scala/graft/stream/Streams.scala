@@ -708,6 +708,26 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Generic bucket-keyed pair gate: any map-side (doc_id, band_id, bh)
+    * arrival frame — MinHash bands, winnowing fingerprints, pHash
+    * (band, nib) coordinates — through the SAME bounded
+    * [[BucketPairEmitter]] state machine [[streamingNearDup]] uses.
+    * Emissions are orientation-normalized (a = min, b = max); dedup
+    * (a, b) downstream (an arrival sharing several buckets with the
+    * same earlier doc emits once per bucket). */
+  def bucketPairs(arrivals: DataFrame,
+                  maxBucket: Int = graft.llm.HashDedup.DefaultMaxBucket)
+                 (implicit spark: SparkSession): Dataset[CandidatePair] = {
+    import spark.implicits._
+    arrivals.select(col("doc_id").cast("long").as("doc_id"),
+        col("band_id").cast("int").as("band_id"),
+        col("bh").cast("string").as("bh"))
+      .as[DocArrival]
+      .groupByKey(r => (r.band_id, r.bh))
+      .transformWithState(new BucketPairEmitter(maxBucket),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** STREAMING substring-level dup gate: winnowing fingerprints instead
     * of LSH bands as the bucket key. [[graft.llm.HashDedup.winnowFpExpr]]
     * selects ~2/(w+1) of the shingle hashes per arriving doc (the batch

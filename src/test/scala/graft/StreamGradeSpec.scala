@@ -330,6 +330,27 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got === want)
   }
 
+  test("mm_stream_phash_dup: live pHash-banded pair emissions score to the " +
+      "batch band join's near set, across 3 crawl batches") {
+    val got = rows(StreamGrade.streamPhashDup(spark, dir))
+    assert(StreamGrade.lastBatchCount === 3)
+    // batch twin in Spark: distinct band-join pairs, hamming <= 3
+    val banded = graft.llm.Multimodal.phashArrivals(
+      graft.Tables.documents(spark, dir))
+    val sigs = graft.llm.Multimodal.phashSigs(spark, dir)
+    val x = banded.select(col("doc_id").as("a"), col("band_id"), col("bh"))
+    val y = banded.select(col("doc_id").as("b"), col("band_id"), col("bh"))
+    val want = rows(x.join(y, Seq("band_id", "bh")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("sa")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sb")), Seq("b"))
+      .withColumn("ham", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("ham") <= 3)
+      .select(col("a"), col("b"), col("ham"))
+      .orderBy(col("a"), col("b")))
+    assert(got.nonEmpty && got === want)
+  }
+
   test("emb_stream_ann: live-served top-3 per arriving query == the batch IVF " +
       "probe over the same halves, across 3 micro-batches") {
     val got = rows(StreamGrade.streamAnn(spark, dir))
