@@ -12,7 +12,9 @@ import graft.plans.MqttPrefixPushdown
   *     (codegen'd Catalyst expressions) and `bottomk_by_hash(v, k)` (the
   *     deterministic KMV sample aggregate);
   *   - the [[MqttPrefixPushdown]] optimizer rule that turns constant
-  *     routing patterns into parquet-pushdown-able prefix predicates.
+  *     routing patterns into parquet-pushdown-able prefix predicates;
+  *   - the [[graft.plans.AsOfJoinStrategy]] planner strategy backing the
+  *     native as-of join operator ([[graft.plans.AsOfJoin]]).
   *
   * Use: `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
@@ -82,5 +84,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     e.injectOptimizerRule(_ => MqttPrefixPushdown)
     e.injectOptimizerRule(_ => graft.plans.BusPartitionPruning)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -967,7 +967,73 @@ object VectorOps {
     "embed_neardup" -> (nearDup _),
     "embed_outliers" -> (embedOutliers _),
     "label_purity" -> (labelPurity _),
-    "embed_label_mix" -> (embedLabelMix _))
+    "embed_label_mix" -> (embedLabelMix _),
+    "rrf_fusion" -> (rrfFusion _))
+
+  private val RrfK = 60
+  private val RrfDepth = 20
+  private val RrfOut = 10
+
+  /** HYBRID RETRIEVAL — Reciprocal Rank Fusion (Cormack et al., SIGIR
+    * 2009), the standard dense+lexical combiner every production RAG
+    * retriever runs: per query, fuse the DENSE ranking (exact cosine,
+    * the [[cosTopk]] pipeline at depth 20) with a LEXICAL ranking
+    * (query-by-example inverted-index overlap: candidates share a term
+    * with the query document, scored by Σ integer idf surrogate
+    * `N - df(term)` over the shared DISTINCT terms — exact integer
+    * arithmetic, so the ranking is bit-deterministic cross-engine) into
+    * `rrf = Σ_legs 1/(60 + rank_leg)`, missing legs contributing 0.
+    * The rrf double is a sum of two IEEE divisions computed in the same
+    * order on both engines; ties break on doc_id.
+    *
+    * Scale shape: the lexical leg is the inverted-index probe — the big
+    * term frame joins a BROADCAST query-term list (queries are few),
+    * then one hash aggregation on (qid, doc_id); the dense leg
+    * broadcasts the query vectors over one corpus scan (cos_topk's
+    * audited shape); the fusion full-outer-joins two ≤ depth·|q| row
+    * frames. Nothing all-pairs, no per-candidate rescans. The term
+    * frame is localCheckpointed: one documents scan feeds the df table,
+    * the query terms AND the candidate side. */
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("n2"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val dw = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("doc_id"))
+    val dense = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .select(col("qid"), col("vec_id").as("doc_id"), col("cos_raw"))
+      .withColumn("dense_rank", row_number().over(dw).cast("long"))
+      .filter(col("dense_rank") <= RrfDepth)
+      .select(col("qid"), col("doc_id"), col("dense_rank"))
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      .localCheckpoint()
+    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ntot = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+    val qterms = terms.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("qid"), col("term"))
+    val lw = Window.partitionBy(col("qid")).orderBy(col("lex_score").desc, col("doc_id"))
+    val lex = terms.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(ntot))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("n_total") - col("df")).as("lex_score"))
+      .withColumn("lex_rank", row_number().over(lw).cast("long"))
+      .filter(col("lex_rank") <= RrfDepth)
+      .select(col("qid"), col("doc_id"), col("lex_rank"))
+    val rw = Window.partitionBy(col("qid")).orderBy(col("rrf_raw").desc, col("doc_id"))
+    dense.join(lex, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_raw",
+        coalesce(lit(1d) / (lit(RrfK) + col("dense_rank")), lit(0d)) +
+        coalesce(lit(1d) / (lit(RrfK) + col("lex_rank")), lit(0d)))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= RrfOut)
+      .select(col("qid"), col("doc_id"), col("rank"),
+              round(col("rrf_raw"), 9).as("rrf"),
+              col("dense_rank"), col("lex_rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
 
   /** Cross-modal mix audit — the one query here that JOINS the text and
     * vector tables: documents with their embedding's cluster label (id
@@ -1068,6 +1134,40 @@ object VectorOps {
         |       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |GROUP BY 1, 2 ORDER BY source, label""".stripMargin,
+
+    "rrf_fusion" ->
+      s"""WITH $VecCte,
+         |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
+         |dense AS (
+         |  SELECT qid, vec_id AS doc_id,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS dense_rank
+         |  FROM (SELECT qid, vec_id, list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos_raw
+         |        FROM q JOIN e ON vec_id != qid)
+         |  QUALIFY dense_rank <= $RrfDepth),
+         |terms AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS term FROM documents),
+         |dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+         |ntot AS (SELECT count(*) AS n_total FROM documents),
+         |lexs AS (
+         |  SELECT qt.doc_id AS qid, t.doc_id AS doc_id, sum(n_total - df) AS lex_score
+         |  FROM terms qt
+         |  JOIN terms t ON t.term = qt.term AND t.doc_id != qt.doc_id
+         |  JOIN dfreq ON dfreq.term = qt.term
+         |  CROSS JOIN ntot
+         |  WHERE qt.doc_id < $NQueries GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT qid, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY lex_score DESC, doc_id) AS BIGINT) AS lex_rank
+         |  FROM lexs QUALIFY lex_rank <= $RrfDepth)
+         |SELECT qid, doc_id, rank, rrf, dense_rank, lex_rank FROM (
+         |  SELECT qid, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY
+         |           (COALESCE(CAST(1 AS DOUBLE) / ($RrfK + dense_rank), 0) +
+         |            COALESCE(CAST(1 AS DOUBLE) / ($RrfK + lex_rank), 0)) DESC, doc_id) AS BIGINT) AS rank,
+         |         round(COALESCE(CAST(1 AS DOUBLE) / ($RrfK + dense_rank), 0) +
+         |               COALESCE(CAST(1 AS DOUBLE) / ($RrfK + lex_rank), 0), 9) AS rrf,
+         |         dense_rank, lex_rank
+         |  FROM dense FULL JOIN lex USING (qid, doc_id))
+         |WHERE rank <= $RrfOut ORDER BY qid, rank""".stripMargin,
 
     "label_purity" ->
       s"""WITH $VecCte, $SigCte,

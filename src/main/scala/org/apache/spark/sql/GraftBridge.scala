@@ -1,12 +1,35 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.SparkStrategy
 
-/** Minimal bridge to `private[sql]` Column <-> Expression converters
-  * (org.apache.spark.sql.classic.ExpressionUtils). Lives in the sql
-  * package solely to re-export the two converters graft's Column-level
-  * API needs; no Spark internals are modified. */
+/** Minimal bridge to `private[sql]` converters and constructors
+  * (org.apache.spark.sql.classic). Lives in the sql package solely to
+  * re-export what graft's Column-level API and the custom logical
+  * operator ([[graft.plans.AsOfJoin]]) need; no Spark internals are
+  * modified. */
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The analyzed logical plan behind a DataFrame — the resolved child a
+    * custom logical node composes over. */
+  def analyzed(df: Dataset[_]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Wrap a (resolved) logical plan back into a DataFrame. */
+  def ofRows(s: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently make `strat` visible to the session's planner: a
+    * no-op when [[graft.GraftExtensions]] already injected it, else
+    * appended to `experimental.extraStrategies` (which the planner
+    * consults first). */
+  def ensureStrategy(s: SparkSession, strat: SparkStrategy): Unit = {
+    val cs = s.asInstanceOf[classic.SparkSession]
+    if (!cs.sessionState.planner.strategies.contains(strat))
+      cs.experimental.extraStrategies =
+        cs.experimental.extraStrategies :+ strat
+  }
 }

@@ -1,0 +1,223 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{AsOf, AsOfJoinExec}
+import graft.rel.RelQueries
+
+/** The native as-of join operator ([[graft.plans.AsOfJoin]] →
+  * [[AsOfJoinExec]]): semantics against an independent driver-side
+  * reference and against the engine's own window re-expression, edge
+  * cases (null keys/times, ties, empty sides, unmatched keys), the
+  * executed plan shape (one exchange + one sort per side, no window, no
+  * join fan-out), API error modes, and strategy self-registration in a
+  * session built without GraftExtensions. */
+class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  import scala.jdk.CollectionConverters._
+  private def df(rows: Seq[(java.lang.Long, java.lang.Long, String)],
+                 kCol: String, tCol: String, pCol: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(kCol, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(tCol, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(pCol, org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)).asJava, schema)
+  }
+
+  test("edge semantics: latest <=, inclusive tie, null key/time, unmatched, empty right") {
+    val left = df(Seq(
+      (1L: java.lang.Long, 10L: java.lang.Long, "l-a"),
+      (1L: java.lang.Long, 20L: java.lang.Long, "l-b"),
+      (1L: java.lang.Long, 5L: java.lang.Long, "l-early"),
+      (2L: java.lang.Long, 10L: java.lang.Long, "l-c"),
+      (3L: java.lang.Long, 10L: java.lang.Long, "l-nokey"),
+      (null, 10L: java.lang.Long, "l-nullk"),
+      (4L: java.lang.Long, null, "l-nullt")), "k", "t", "lp")
+    val right = df(Seq(
+      (1L: java.lang.Long, 7L: java.lang.Long, "r-7"),
+      (1L: java.lang.Long, 10L: java.lang.Long, "r-10"),   // tie: inclusive
+      (1L: java.lang.Long, 15L: java.lang.Long, "r-15"),
+      (1L: java.lang.Long, 99L: java.lang.Long, "r-late"),
+      (2L: java.lang.Long, 11L: java.lang.Long, "r-after"), // after left t=10
+      (2L: java.lang.Long, null, "r-nullt"),               // never matches
+      (null, 1L: java.lang.Long, "r-nullk"),               // never matches
+      (4L: java.lang.Long, 1L: java.lang.Long, "r-k4")), "rk", "rt", "rp")
+
+    val got = AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("lp"), col("rp")).collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map(
+      "l-a" -> "r-10",      // tie at t=10 matches inclusively, beats r-7
+      "l-b" -> "r-15",      // latest <= 20
+      "l-early" -> null,    // nothing at or before 5
+      "l-c" -> null,        // only r-after (t=11) and a null-time row
+      "l-nokey" -> null, "l-nullk" -> null, "l-nullt" -> null))
+
+    // empty right: all left rows survive with null payload
+    val gotEmpty = AsOf.join(left, right.filter(col("rt") < 0),
+        Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("lp"), col("rp")).collect()
+    assert(gotEmpty.length == left.count() && gotEmpty.forall(_.isNullAt(1)))
+
+    // empty left: empty result
+    assert(AsOf.join(left.filter(col("t") < 0), right,
+      Seq("k"), Seq("rk"), "t", "rt").count() == 0)
+  }
+
+  test("randomized parity against a driver-side reference") {
+    val rnd = new scala.util.Random(20260814L)
+    def nk(): java.lang.Long = if (rnd.nextInt(20) == 0) null else (rnd.nextInt(15).toLong: java.lang.Long)
+    def nt(): java.lang.Long = if (rnd.nextInt(25) == 0) null else (rnd.nextInt(50).toLong: java.lang.Long)
+    val lRows = Seq.tabulate(400)(i => (nk(), nt(), s"L$i"))
+    // distinct (key, time) on the right so the as-of match is unique and
+    // the reference needs no tie-break (mirrors the graded query's dedup)
+    val rRows = Seq.tabulate(300)(i => (nk(), nt(), s"R$i"))
+      .filter(r => r._1 != null && r._2 != null)
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val expected = {
+      val byKey = rRows.groupBy(_._1).map { case (k, rs) => k -> rs.sortBy(_._2.longValue()) }
+      lRows.map { case (k, t, lp) =>
+        val m = if (k == null || t == null) None
+                else byKey.getOrElse(k, Seq.empty).takeWhile(_._2.longValue() <= t.longValue()).lastOption
+        (lp, m.map(_._3).orNull)
+      }.toMap
+    }
+    val got = AsOf.join(df(lRows, "k", "t", "lp"), df(rRows, "rk", "rt", "rp"),
+        Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("lp"), col("rp")).collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == expected)
+  }
+
+  test("asof_native matches the window re-expression row for row, with real matches") {
+    val native = RelQueries.queries("asof_native")(spark, sfDir).collect()
+    // the engine's own composed form: one window over the interleaved
+    // click/purchase stream; (ts, kind, event_id) ordering makes the
+    // same-ts click inclusive and reproduces the max-event_id dedup
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+              when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val composed = ev
+      .withColumn("last_click_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+              col("last_click_id"), col("last_click_ts"))
+      .orderBy(col("event_id"))
+      .collect()
+    assert(native.length == composed.length && native.length > 0)
+    native.zip(composed).foreach { case (n, c) => assert(n == c, s"$n != $c") }
+    // non-degenerate both ways: matches exist AND the outer path fires
+    assert(native.exists(!_.isNullAt(3)), "no purchase matched any click")
+    assert(native.exists(_.isNullAt(3)), "outer-null path never exercised")
+  }
+
+  test("asof_tolerance equals asof_native with stale candidates nullified") {
+    val native = RelQueries.queries("asof_native")(spark, sfDir).collect()
+    val tol = RelQueries.queries("asof_tolerance")(spark, sfDir).collect()
+    assert(native.length == tol.length)
+    val hourUs = 3600L * 1000000L
+    def us(t: Timestamp) = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    native.zip(tol).foreach { case (n, t) =>
+      assert(n.getLong(0) == t.getLong(0))
+      val keep = !n.isNullAt(3) &&
+        us(n.getTimestamp(2)) - us(n.getTimestamp(4)) <= hourUs
+      if (keep) assert(t.getLong(3) == n.getLong(3) &&
+                       t.getTimestamp(4) == n.getTimestamp(4))
+      else assert(t.isNullAt(3) && t.isNullAt(4), s"stale match kept: $n -> $t")
+    }
+    // the tolerance must genuinely bite: strictly fewer matches, not zero
+    val nMatched = native.count(!_.isNullAt(3))
+    val tMatched = tol.count(!_.isNullAt(3))
+    assert(tMatched > 0 && tMatched < nMatched,
+      s"tolerance degenerate: $tMatched of $nMatched")
+  }
+
+  test("plan shape: AsOfJoinExec, one exchange and one sort per side, no window") {
+    val ev = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderdate").cast("timestamp").as("ots"))
+    val joined = AsOf.join(ord, ev, Seq("o_custkey"), Seq("user_id"), "ots", "ts")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) { case e: AsOfJoinExec => e }.size == 1,
+      s"no AsOfJoinExec in:\n$plan")
+    val shuffles = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    // one shuffle for the events groupBy, one per join side; the join's
+    // left side reuses nothing (orders arrives unshuffled), so <= 3 total
+    assert(shuffles.size <= 3, s"extra exchanges:\n$plan")
+    val sorts = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.SortExec => e }
+    assert(sorts.size == 2, s"expected exactly the two (key, time) sorts:\n$plan")
+    val s = plan.toString
+    assert(!s.contains("Window") && !s.contains("BroadcastNestedLoopJoin") &&
+           !s.contains("CartesianProduct"), s"bad shape:\n$s")
+  }
+
+  test("API errors: unknown column, shared attributes, key arity") {
+    val a = df(Seq((1L: java.lang.Long, 1L: java.lang.Long, "x")), "k", "t", "p")
+    val b = df(Seq((1L: java.lang.Long, 1L: java.lang.Long, "y")), "rk", "rt", "rp")
+    intercept[AnalysisException] { AsOf.join(a, b, Seq("nope"), Seq("rk"), "t", "rt") }
+    intercept[AnalysisException] { AsOf.join(a, a, Seq("k"), Seq("k"), "t", "t") }
+    intercept[IllegalArgumentException] { AsOf.join(a, b, Seq("k", "t"), Seq("rk"), "t", "rt") }
+    // aliasing one side un-shares the attributes: the self-join works
+    val selfed = AsOf.join(a, a.select(col("k").as("rk"), col("t").as("rt"),
+        col("p").as("rp")), Seq("k"), Seq("rk"), "t", "rt")
+    assert(selfed.collect().map(r => (r.getString(2), r.getString(5))).toSeq ==
+      Seq(("x", "x")))
+  }
+
+  test("self-registers its strategy in a session without GraftExtensions") {
+    spark // force the fixture first so restoring defaults below is safe
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val plain = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val a = plain.range(0, 10).select(col("id").as("k"), (col("id") * 10).as("t"))
+      val b = plain.range(0, 5).select(col("id").as("rk"), (col("id") * 10 - 5).as("rt"))
+      val out = AsOf.join(a, b, Seq("k"), Seq("rk"), "t", "rt")
+      // rk=k has rt=10k-5 <= t=10k for k in 0..4; keys 5..9 have no right row
+      val rows = out.collect()
+      assert(rows.length == 10 && rows.count(!_.isNullAt(2)) == 5)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}

@@ -208,4 +208,36 @@ class VectorOpsSpec extends AnyFunSuite {
     // re-executes the observe subtree, so the counter can double
     assert(metric.get.getAs[Long]("rows_in_oversized_buckets") >= 40L)
   }
+
+  test("rrf_fusion: contiguous ranks, rrf recomputes from the leg ranks, " +
+       "fusion genuinely outer (some rows carry one leg only), lexical " +
+       "join broadcasts the query terms") {
+    val df = VectorOps.rrfFusion(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 5L).toSet)
+    byQ.values.foreach { rs =>
+      val ranks = rs.map(_.getLong(2)).sorted
+      assert(ranks.sameElements(1L to ranks.length), s"ranks not contiguous: ${ranks.toSeq}")
+      assert(ranks.length <= 10)
+    }
+    rows.foreach { r =>
+      val dr = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      val lr = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      assert(dr.isDefined || lr.isDefined, "row in neither ranking")
+      val expect = dr.map(x => 1d / (60 + x)).getOrElse(0d) +
+                   lr.map(x => 1d / (60 + x)).getOrElse(0d)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-9,
+        s"rrf ${r.getDouble(3)} != recomputed $expect")
+    }
+    // outer fusion: depth 20 legs over a 10-row cut should surface at
+    // least one single-leg row at this sf (both legs disagree plenty)
+    assert(rows.exists(r => r.isNullAt(4) ^ r.isNullAt(5)),
+      "every output row appeared in both legs — outer fusion not exercised")
+    // the lexical probe must broadcast the small query-term side, never
+    // shuffle the corpus term frame against it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
 }
