@@ -914,6 +914,29 @@ object RelQueries {
       .orderBy(col("event_id"))
   }
 
+  /** [[asofNative]] with FORWARD direction (pandas
+    * `merge_asof(direction='forward')`): per purchase, the user's
+    * EARLIEST click at-or-after it — post-purchase follow-up
+    * attribution. The forward merge is even lighter than backward: no
+    * remembered candidate at all, just the lookahead right row, which
+    * serves every left row it is the successor of. Twin = DuckDB ASOF
+    * with the inequality flipped (`c.ts >= p.ts`). */
+  def asofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+    graft.plans.AsOf.join(purchases, clicks,
+        Seq("user_id"), Seq("cu"), "purchase_ts", "cts",
+        tolerance = None, direction = graft.plans.AsOfForward)
+      .select(col("event_id"), col("user_id"), col("purchase_ts"),
+              col("click_id").as("next_click_id"), col("cts").as("next_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Event-time interval join (range join): per purchase, the same
     * user's clicks in the trailing day. The equi-key (user_id) bounds the
     * join — each user's events co-locate on one reducer and the time
@@ -1694,6 +1717,7 @@ object RelQueries {
     "asof_enrich"        -> (asofEnrich _),
     "asof_native"        -> (asofNative _),
     "asof_tolerance"     -> (asofTolerance _),
+    "asof_forward"       -> (asofForward _),
     "rollup_acct"        -> (rollupAcct _),
     "cube_flags"         -> (cubeFlags _),
     "grouping_sets"      -> (groupingSets _),
@@ -2382,6 +2406,18 @@ object RelQueries {
         |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
         |       c.click_id AS last_click_id, CAST(c.ts AS TIMESTAMP) AS last_click_ts
         |FROM p ASOF LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "asof_forward" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        |       c.click_id AS next_click_id, CAST(c.ts AS TIMESTAMP) AS next_click_ts
+        |FROM p ASOF LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY p.event_id""".stripMargin,
 
     "asof_tolerance" ->

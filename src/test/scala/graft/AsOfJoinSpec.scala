@@ -84,6 +84,36 @@ class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       Seq("k"), Seq("rk"), "t", "rt").count() == 0)
   }
 
+  test("forward direction: earliest >=, inclusive tie, tolerance, null paths") {
+    val left = df(Seq(
+      (1L: java.lang.Long, 10L: java.lang.Long, "l-a"),
+      (1L: java.lang.Long, 16L: java.lang.Long, "l-b"),
+      (1L: java.lang.Long, 100L: java.lang.Long, "l-late"),
+      (2L: java.lang.Long, 10L: java.lang.Long, "l-c"),
+      (null, 10L: java.lang.Long, "l-nullk")), "k", "t", "lp")
+    val right = df(Seq(
+      (1L: java.lang.Long, 5L: java.lang.Long, "r-5"),     // behind: never forward-matches
+      (1L: java.lang.Long, 10L: java.lang.Long, "r-10"),   // tie: inclusive
+      (1L: java.lang.Long, 15L: java.lang.Long, "r-15"),
+      (1L: java.lang.Long, 40L: java.lang.Long, "r-40"),
+      (2L: java.lang.Long, 9L: java.lang.Long, "r-9")), "rk", "rt", "rp")
+    def run(tol: Option[Long]) =
+      AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", tol,
+          graft.plans.AsOfForward)
+        .select(col("lp"), col("rp")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(run(None) == Map(
+      "l-a" -> "r-10",    // inclusive tie beats r-15
+      "l-b" -> "r-40",    // earliest >= 16
+      "l-late" -> null,   // nothing at or after 100
+      "l-c" -> null,      // r-9 is behind
+      "l-nullk" -> null))
+    // tolerance bounds the forward gap: r-40 is 24 units ahead of l-b
+    assert(run(Some(10L)) == Map(
+      "l-a" -> "r-10", "l-b" -> null, "l-late" -> null,
+      "l-c" -> null, "l-nullk" -> null))
+  }
+
   test("randomized parity against a driver-side reference") {
     val rnd = new scala.util.Random(20260814L)
     def nk(): java.lang.Long = if (rnd.nextInt(20) == 0) null else (rnd.nextInt(15).toLong: java.lang.Long)
@@ -106,6 +136,19 @@ class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         Seq("k"), Seq("rk"), "t", "rt")
       .select(col("lp"), col("rp")).collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(got == expected)
+    // forward over the same data, against the mirrored reference
+    val expectedF = {
+      val byKey = rRows.groupBy(_._1).map { case (k, rs) => k -> rs.sortBy(_._2.longValue()) }
+      lRows.map { case (k, t, lp) =>
+        val m = if (k == null || t == null) None
+                else byKey.getOrElse(k, Seq.empty).dropWhile(_._2.longValue() < t.longValue()).headOption
+        (lp, m.map(_._3).orNull)
+      }.toMap
+    }
+    val gotF = AsOf.join(df(lRows, "k", "t", "lp"), df(rRows, "rk", "rt", "rp"),
+        Seq("k"), Seq("rk"), "t", "rt", None, graft.plans.AsOfForward)
+      .select(col("lp"), col("rp")).collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(gotF == expectedF)
   }
 
   test("asof_native matches the window re-expression row for row, with real matches") {
