@@ -62,11 +62,18 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 /** Match direction: [[AsOfBackward]] takes the greatest right time
   * `<=` the left time (the default, DuckDB `ASOF ... ON rt <= lt`);
   * [[AsOfForward]] the smallest right time `>=` the left time (pandas
-  * `merge_asof(direction='forward')`, DuckDB `ON rt >= lt`). Both
-  * inclusive. */
+  * `merge_asof(direction='forward')`, DuckDB `ON rt >= lt`);
+  * [[AsOfNearest]] whichever of those two candidates has the smaller
+  * absolute gap, ties going backward (both candidates are already the
+  * merge's O(1) state — the remembered backward match and the lookahead
+  * row). All inclusive. Nearest compares gaps numerically and so
+  * requires an integral-backed time type, like a tolerance does; a
+  * tolerance under nearest filters EACH candidate before the choice
+  * (pandas: the nearest row within the tolerance). */
 sealed trait AsOfDirection extends Serializable
 case object AsOfBackward extends AsOfDirection
 case object AsOfForward extends AsOfDirection
+case object AsOfNearest extends AsOfDirection
 
 case class AsOfJoin(
     left: LogicalPlan,
@@ -88,10 +95,11 @@ case class AsOfJoin(
       leftKeys.zip(rightKeys).forall { case (l, r) =>
         DataTypeUtils.sameType(l.dataType, r.dataType) } &&
       DataTypeUtils.sameType(leftTime.dataType, rightTime.dataType) &&
-      // tolerance subtracts internal representations — integral-backed
-      // time types only (timestamp = long micros, date = int days,
-      // plain integral columns as-is)
-      (tolerance.isEmpty || AsOfJoinExec.integralBacked(leftTime.dataType))
+      // tolerance and nearest subtract internal representations —
+      // integral-backed time types only (timestamp = long micros,
+      // date = int days, plain integral columns as-is)
+      ((tolerance.isEmpty && direction != AsOfNearest) ||
+        AsOfJoinExec.integralBacked(leftTime.dataType))
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
@@ -161,9 +169,10 @@ case class AsOfJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val tol = tolerance
-    val forward = direction == AsOfForward
-    require(tol.isEmpty || AsOfJoinExec.integralBacked(timeType),
-      s"as-of tolerance needs an integral-backed time type, got $timeType")
+    val dir = direction
+    require((tol.isEmpty && dir != AsOfNearest) ||
+        AsOfJoinExec.integralBacked(timeType),
+      s"as-of tolerance/nearest needs an integral-backed time type, got $timeType")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       if (!lIter.hasNext) Iterator.empty
@@ -212,27 +221,7 @@ case class AsOfJoinExec(
             val lKey = lKeyProj(l)
             val lTimeVal = if (lKey.anyNull) null else lTime.eval(l)
             var out: InternalRow = nullRight
-            if (lTimeVal != null && !forward) {
-              // BACKWARD: drop right groups strictly behind the current
-              // left key, then absorb this key's rows up to the left
-              // time; the last one absorbed is the as-of match (right
-              // sorted by time asc)
-              while (rRow != null && keyOrd.compare(rKey, lKey) < 0) advanceRight()
-              while (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
-                     timeOrd.asInstanceOf[Ordering[Any]].compare(rTimeVal, lTimeVal) <= 0) {
-                matched = rRow; matchedKey = rKey; matchedTime = rTimeVal
-                advanceRight()
-              }
-              // `matched` survives across left rows of one key (left time
-              // ascending); a key change invalidates it by comparison.
-              // A tolerance filters the candidate AFTER selection (pandas
-              // merge_asof semantics): the nearest-behind match either
-              // lies within the window or the row gets no match at all.
-              if (matched != null && keyOrd.compare(matchedKey, lKey) == 0 &&
-                  tol.forall(t => AsOfJoinExec.asLong(lTimeVal) -
-                                  AsOfJoinExec.asLong(matchedTime) <= t))
-                out = matched
-            } else if (lTimeVal != null) {
+            if (lTimeVal != null && dir == AsOfForward) {
               // FORWARD: discard right rows strictly before (key, time) —
               // left times ascend within a key, so nothing discarded is
               // needed later; the lookahead row itself is NOT consumed
@@ -246,6 +235,40 @@ case class AsOfJoinExec(
                   tol.forall(t => AsOfJoinExec.asLong(rTimeVal) -
                                   AsOfJoinExec.asLong(lTimeVal) <= t))
                 out = rRow
+            } else if (lTimeVal != null) {
+              // BACKWARD and NEAREST share the absorption: drop right
+              // groups strictly behind the current left key, then absorb
+              // this key's rows up to the left time; the last absorbed is
+              // the backward candidate, the lookahead `rRow` (same key,
+              // time > left) the forward one.
+              while (rRow != null && keyOrd.compare(rKey, lKey) < 0) advanceRight()
+              while (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
+                     timeOrd.asInstanceOf[Ordering[Any]].compare(rTimeVal, lTimeVal) <= 0) {
+                matched = rRow; matchedKey = rKey; matchedTime = rTimeVal
+                advanceRight()
+              }
+              // `matched` survives across left rows of one key (left time
+              // ascending); a key change invalidates it by comparison.
+              // A tolerance filters candidates BEFORE the nearest choice
+              // and AFTER backward selection — both are pandas semantics
+              // (there is only one backward candidate, so filter order is
+              // indistinguishable there).
+              val hasB = matched != null && keyOrd.compare(matchedKey, lKey) == 0 &&
+                tol.forall(t => AsOfJoinExec.asLong(lTimeVal) -
+                                AsOfJoinExec.asLong(matchedTime) <= t)
+              if (dir == AsOfBackward) {
+                if (hasB) out = matched
+              } else { // nearest: smaller gap wins, tie goes backward
+                val hasF = rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
+                  tol.forall(t => AsOfJoinExec.asLong(rTimeVal) -
+                                  AsOfJoinExec.asLong(lTimeVal) <= t)
+                if (hasB && hasF) {
+                  val lt = AsOfJoinExec.asLong(lTimeVal)
+                  out = if (lt - AsOfJoinExec.asLong(matchedTime) <=
+                            AsOfJoinExec.asLong(rTimeVal) - lt) matched else rRow
+                } else if (hasB) out = matched
+                else if (hasF) out = rRow
+              }
             }
             numOutputRows += 1
             resultProj(joined(l, out))

@@ -937,6 +937,32 @@ object RelQueries {
       .orderBy(col("event_id"))
   }
 
+  /** [[asofNative]] with NEAREST direction (pandas
+    * `merge_asof(direction='nearest')`): per purchase, the closest
+    * click on EITHER side, ties going backward — completing the
+    * operator's direction surface. Both candidates are already the
+    * merge's O(1) state (the remembered backward match and the
+    * lookahead row), so nearest costs the same single forward pass.
+    * DuckDB has no nearest ASOF; the twin composes its backward and
+    * forward ASOF joins and picks the smaller gap with the same
+    * tie-break — which is exactly the operator's definition, stated in
+    * SQL. */
+  def asofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+    graft.plans.AsOf.join(purchases, clicks,
+        Seq("user_id"), Seq("cu"), "purchase_ts", "cts",
+        tolerance = None, direction = graft.plans.AsOfNearest)
+      .select(col("event_id"), col("user_id"), col("purchase_ts"),
+              col("click_id").as("near_click_id"), col("cts").as("near_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Event-time interval join (range join): per purchase, the same
     * user's clicks in the trailing day. The equi-key (user_id) bounds the
     * join — each user's events co-locate on one reducer and the time
@@ -1718,6 +1744,7 @@ object RelQueries {
     "asof_native"        -> (asofNative _),
     "asof_tolerance"     -> (asofTolerance _),
     "asof_forward"       -> (asofForward _),
+    "asof_nearest"       -> (asofNearest _),
     "rollup_acct"        -> (rollupAcct _),
     "cube_flags"         -> (cubeFlags _),
     "grouping_sets"      -> (groupingSets _),
@@ -2418,6 +2445,27 @@ object RelQueries {
         |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
         |       c.click_id AS next_click_id, CAST(c.ts AS TIMESTAMP) AS next_click_ts
         |FROM p ASOF LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "asof_nearest" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT p.event_id, c.click_id AS b_id, CAST(c.ts AS TIMESTAMP) AS b_ts
+        |  FROM p ASOF LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.pts),
+        |f AS (
+        |  SELECT p.event_id, c.click_id AS f_id, CAST(c.ts AS TIMESTAMP) AS f_ts
+        |  FROM p ASOF LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.pts)
+        |SELECT p.event_id, p.user_id, p.pts AS purchase_ts,
+        |       CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR p.pts - b_ts <= f_ts - p.pts)
+        |            THEN b_id ELSE f_id END AS near_click_id,
+        |       CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL OR p.pts - b_ts <= f_ts - p.pts)
+        |            THEN b_ts ELSE f_ts END AS near_click_ts
+        |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
         |ORDER BY p.event_id""".stripMargin,
 
     "asof_tolerance" ->

@@ -114,6 +114,37 @@ class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "l-c" -> null, "l-nullk" -> null))
   }
 
+  test("nearest direction: min gap either side, tie backward, per-candidate tolerance") {
+    val left = df(Seq(
+      (1L: java.lang.Long, 10L: java.lang.Long, "l-backNearer"),  // gaps 2 back, 5 fwd
+      (1L: java.lang.Long, 18L: java.lang.Long, "l-fwdNearer"),   // gaps 10 back, 2 fwd
+      (1L: java.lang.Long, 30L: java.lang.Long, "l-tie"),         // gaps 10 back, 10 fwd
+      (2L: java.lang.Long, 10L: java.lang.Long, "l-onlyFwd"),
+      (3L: java.lang.Long, 10L: java.lang.Long, "l-none")), "k", "t", "lp")
+    val right = df(Seq(
+      (1L: java.lang.Long, 8L: java.lang.Long, "r-8"),
+      (1L: java.lang.Long, 15L: java.lang.Long, "r-15"),
+      (1L: java.lang.Long, 20L: java.lang.Long, "r-20"),
+      (1L: java.lang.Long, 40L: java.lang.Long, "r-40"),
+      (2L: java.lang.Long, 13L: java.lang.Long, "r-13")), "rk", "rt", "rp")
+    def run(tol: Option[Long]) =
+      AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", tol,
+          graft.plans.AsOfNearest)
+        .select(col("lp"), col("rp")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(run(None) == Map(
+      "l-backNearer" -> "r-8",   // 2 behind beats 5 ahead
+      "l-fwdNearer" -> "r-20",   // 2 ahead beats 10 behind
+      "l-tie" -> "r-20",         // 10 either way: backward wins
+      "l-onlyFwd" -> "r-13",
+      "l-none" -> null))
+    // tolerance filters each candidate BEFORE the choice: at tol=5 the
+    // tie row keeps neither (both gaps 10), fwdNearer keeps its forward
+    assert(run(Some(5L)) == Map(
+      "l-backNearer" -> "r-8", "l-fwdNearer" -> "r-20",
+      "l-tie" -> null, "l-onlyFwd" -> "r-13", "l-none" -> null))
+  }
+
   test("randomized parity against a driver-side reference") {
     val rnd = new scala.util.Random(20260814L)
     def nk(): java.lang.Long = if (rnd.nextInt(20) == 0) null else (rnd.nextInt(15).toLong: java.lang.Long)
@@ -149,6 +180,24 @@ class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         Seq("k"), Seq("rk"), "t", "rt", None, graft.plans.AsOfForward)
       .select(col("lp"), col("rp")).collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(gotF == expectedF)
+    // nearest = argmin gap over the two directional candidates, tie backward
+    val expectedN = lRows.map { case (k, t, lp) =>
+      val b = expected(lp); val f = expectedF(lp)
+      val bT = rRows.collectFirst { case (rk, rt, rp) if rp == b => rt }
+      val fT = rRows.collectFirst { case (rk, rt, rp) if rp == f => rt }
+      val pick = (bT, fT) match {
+        case (Some(bt), Some(ft)) =>
+          if (t.longValue() - bt.longValue() <= ft.longValue() - t.longValue()) b else f
+        case (Some(_), None) => b
+        case (None, Some(_)) => f
+        case _ => null
+      }
+      (lp, pick)
+    }.toMap
+    val gotN = AsOf.join(df(lRows, "k", "t", "lp"), df(rRows, "rk", "rt", "rp"),
+        Seq("k"), Seq("rk"), "t", "rt", None, graft.plans.AsOfNearest)
+      .select(col("lp"), col("rp")).collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(gotN == expectedN)
   }
 
   test("asof_native matches the window re-expression row for row, with real matches") {
