@@ -84,6 +84,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     e.injectOptimizerRule(_ => MqttPrefixPushdown)
     e.injectOptimizerRule(_ => graft.plans.BusPartitionPruning)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinPushdown)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -303,6 +303,60 @@ object AsOfJoinExec {
   }
 }
 
+/** Catalyst can neither prune columns through nor push predicates into
+  * a logical node it does not know — without help, an [[AsOfJoin]]
+  * under a two-column projection still scans every column of both
+  * sides, which at 100 TB is the difference between reading the key
+  * columns and reading the table. This rule restores both properties,
+  * stated narrowly enough to be obviously sound:
+  *
+  *   - '''column pruning''': a `Project` above the join keeps only the
+  *     attributes it references plus the join's own keys/times; each
+  *     child gets a pruned `Project` (only when it actually drops
+  *     something, so the fixpoint terminates), which the stock rules
+  *     then collapse into the scans (`ReadSchema` shrinks);
+  *   - '''left predicate pushdown''': the operator emits every left row
+  *     exactly once, and a left row's match depends only on its own
+  *     key/time — a deterministic conjunct over left attributes
+  *     commutes with the join and moves into the left child. Right-side
+  *     conjuncts DO NOT commute (dropping right rows changes which row
+  *     is "latest", and null-extended outputs would survive a filter
+  *     the underlying row failed) and are never pushed.
+  *
+  * Runs inside the operator-optimization fixpoint via
+  * [[graft.GraftExtensions]], composing with the stock ColumnPruning /
+  * PushDownPredicates. */
+object AsOfJoinPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, NamedExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, j: AsOfJoin) =>
+      val needed = AttributeSet(p.projectList.flatMap(_.references)) ++
+        AttributeSet((j.leftKeys ++ j.rightKeys :+ j.leftTime :+ j.rightTime)
+          .flatMap(_.references))
+      def pruned(child: LogicalPlan): LogicalPlan = {
+        val keep = child.output.filter(needed.contains)
+        if (keep.length == child.output.length) child
+        else Project(keep.map(_.asInstanceOf[NamedExpression]), child)
+      }
+      val (nl, nr) = (pruned(j.left), pruned(j.right))
+      if (nl.eq(j.left) && nr.eq(j.right)) p
+      else p.copy(child = j.copy(left = nl, right = nr))
+    case f @ Filter(cond, j: AsOfJoin) =>
+      val (push, keep) = splitConjunctivePredicates(cond).partition(c =>
+        c.deterministic && c.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val joined = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, joined)).getOrElse(joined)
+      }
+  }
+}
+
 /** DataFrame-level API for the native as-of join. */
 object AsOf {
 

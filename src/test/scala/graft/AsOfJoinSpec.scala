@@ -275,6 +275,48 @@ class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
            !s.contains("CartesianProduct"), s"bad shape:\n$s")
   }
 
+  test("optimizer: projection prunes both scans, left filter reaches PushedFilters") {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+              col("event_id").as("click_id"), col("props").as("cprops"),
+              col("value").as("cvalue"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+    // join carries WIDE rows; the query reads only ids + times
+    val narrow = AsOf.join(purchases, clicks, Seq("user_id"), Seq("cu"), "ts", "cts")
+      .filter(col("value") > 10d) // left-side predicate, post-join
+      .select(col("event_id"), col("click_id"))
+    narrow.collect()
+    val planStr = narrow.queryExecution.executedPlan.toString
+    // pruning: neither side's scan reads props (left) / cprops (right);
+    // events stores props as a top-level column, so ReadSchema shows it
+    assert(!planStr.contains("props"),
+      s"props survived into a scan despite the narrow projection:\n$planStr")
+    // the left-only value predicate commutes with the join and reaches
+    // the left scan's pushed filters
+    assert(planStr.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,10.0)]") ||
+           planStr.contains("GreaterThan(value,10.0)"),
+      s"left predicate not pushed:\n$planStr")
+    // and it must sit BELOW the as-of join in the optimized plan
+    val opt = narrow.queryExecution.optimizedPlan
+    val joins = opt.collect { case j: graft.plans.AsOfJoin => j }
+    assert(joins.size == 1)
+    assert(joins.head.left.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("value") => f }.isDefined ||
+      joins.head.left.toString.contains("value"),
+      s"filter not inside the left child:\n$opt")
+    // a RIGHT-side predicate must NOT move below the join (it would
+    // change which row is latest and break null extension)
+    val rightFiltered = AsOf.join(purchases.select(col("event_id"), col("user_id"), col("ts")),
+        clicks, Seq("user_id"), Seq("cu"), "ts", "cts")
+      .filter(col("cvalue") > 10d)
+    val opt2 = rightFiltered.queryExecution.optimizedPlan
+    val j2 = opt2.collect { case j: graft.plans.AsOfJoin => j }
+    assert(j2.size == 1 && !j2.head.right.toString.contains("cvalue > 10"),
+      s"right predicate was pushed:\n$opt2")
+  }
+
   test("API errors: unknown column, shared attributes, key arity") {
     val a = df(Seq((1L: java.lang.Long, 1L: java.lang.Long, "x")), "k", "t", "p")
     val b = df(Seq((1L: java.lang.Long, 1L: java.lang.Long, "y")), "rk", "rt", "rp")
