@@ -83,7 +83,8 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     tolerance: Option[Long] = None,
-    direction: AsOfDirection = AsOfBackward) extends BinaryNode {
+    direction: AsOfDirection = AsOfBackward,
+    broadcastRight: Option[Boolean] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -106,13 +107,28 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoin]] as [[AsOfJoinExec]]; injected by
-  * [[graft.GraftExtensions]] and self-registered by [[AsOf.join]] for
-  * sessions built without the extensions. */
+/** Plans [[AsOfJoin]] physically — ONE logical operator, TWO physical
+  * strategies, chosen the way Spark's own JoinSelection chooses: a
+  * small right side (estimated under `autoBroadcastJoinThreshold`, or
+  * an explicit `broadcast()` hint / [[AsOf.join]] override) plans as
+  * [[BroadcastAsOfJoinExec]] — the 100 TB fact side is neither shuffled
+  * NOR sorted, the dimension history ships to every executor once —
+  * otherwise the co-partitioned sort-merge [[AsOfJoinExec]]. Injected
+  * by [[graft.GraftExtensions]] and self-registered by [[AsOf.join]]
+  * for sessions built without the extensions. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol, dir) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, dir, planLater(l), planLater(r)) :: Nil
+    case j @ AsOfJoin(l, r, lk, rk, lt, rt, tol, dir, hint) =>
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val bcast = hint.getOrElse(
+        r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= threshold)
+      if (bcast)
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, tol, dir,
+          planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, rk, lt, rt, tol, dir,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -279,6 +295,151 @@ case class AsOfJoinExec(
   }
 }
 
+/** Broadcast as-of join: the right side (a dimension-history table —
+  * small by the strategy's own admission test) broadcasts as plain rows
+  * ([[IdentityBroadcastMode]], the BroadcastNestedLoopJoin plumbing);
+  * each task builds a key → time-sorted-rows index from the broadcast
+  * value and answers every probe with a binary search. The left side
+  * keeps its partitioning AND ordering — at 100 TB the fact scan flows
+  * straight through with zero exchanges and zero sorts, which is the
+  * entire point of choosing this plan. Index build is O(R log R) per
+  * task over the broadcast rows (a production refinement would memoize
+  * it per executor keyed on the broadcast id; R is
+  * threshold-bounded, so the build is noise next to the scan it
+  * saves). Same match semantics as [[AsOfJoinExec]] in all three
+  * directions and under tolerance — parity is spec-asserted on random
+  * data. */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    tolerance: Option[Long],
+    direction: AsOfDirection,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val lOut = left.output
+    val rOut = right.output
+    val allOut = output
+    val timeType = leftTime.dataType
+    val tol = tolerance
+    val dir = direction
+    require((tol.isEmpty && dir != AsOfNearest) ||
+        AsOfJoinExec.integralBacked(timeType),
+      s"as-of tolerance/nearest needs an integral-backed time type, got $timeType")
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions({ lIter =>
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val rTime = BindReferences.bindReference(rTimeExpr, rOut)
+      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+        .asInstanceOf[Ordering[Any]]
+      // key → (times sorted asc, rows in the same order); null keys and
+      // null times can never match and are dropped at build
+      val index = new java.util.HashMap[UnsafeRow, (Array[Any], Array[InternalRow])]()
+      locally {
+        val buckets = new java.util.HashMap[UnsafeRow,
+          scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
+        broadcastRows.value.foreach { r =>
+          val k = rKeyProj(r)
+          if (!k.anyNull) {
+            val t = rTime.eval(r)
+            if (t != null) {
+              var b = buckets.get(k)
+              if (b == null) {
+                b = new scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]()
+                buckets.put(k.copy(), b)
+              }
+              b += ((t, r))
+            }
+          }
+        }
+        buckets.forEach { (k, b) =>
+          val sorted = b.sortInPlace()(Ordering.by[(Any, InternalRow), Any](_._1)(timeOrd))
+          index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+        }
+      }
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val lTime = BindReferences.bindReference(lTimeExpr, lOut)
+      val resultProj = UnsafeProjection.create(allOut, allOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+
+      lIter.map { l =>
+        val lKey = lKeyProj(l)
+        val lTimeVal = if (lKey.anyNull) null else lTime.eval(l)
+        var out: InternalRow = nullRight
+        if (lTimeVal != null) {
+          val entry = index.get(lKey)
+          if (entry != null) {
+            val (times, rows) = entry
+            // first index with time > lt (upper) / >= lt (lower)
+            var lo = 0; var hi = times.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              val c = timeOrd.compare(times(mid), lTimeVal)
+              if (c <= 0) lo = mid + 1 else hi = mid
+            }
+            val upper = lo // backward candidate = upper - 1 (time <= lt)
+            var lo2 = 0; var hi2 = times.length
+            while (lo2 < hi2) {
+              val mid = (lo2 + hi2) >>> 1
+              val c = timeOrd.compare(times(mid), lTimeVal)
+              if (c < 0) lo2 = mid + 1 else hi2 = mid
+            }
+            val lower = lo2 // forward candidate = lower (time >= lt)
+            def okB = upper > 0 && tol.forall(t =>
+              AsOfJoinExec.asLong(lTimeVal) -
+                AsOfJoinExec.asLong(times(upper - 1)) <= t)
+            def okF = lower < times.length && tol.forall(t =>
+              AsOfJoinExec.asLong(times(lower)) -
+                AsOfJoinExec.asLong(lTimeVal) <= t)
+            dir match {
+              case AsOfBackward => if (okB) out = rows(upper - 1)
+              case AsOfForward  => if (okF) out = rows(lower)
+              case AsOfNearest  =>
+                if (okB && okF) {
+                  val lt = AsOfJoinExec.asLong(lTimeVal)
+                  out = if (lt - AsOfJoinExec.asLong(times(upper - 1)) <=
+                            AsOfJoinExec.asLong(times(lower)) - lt)
+                    rows(upper - 1) else rows(lower)
+                } else if (okB) out = rows(upper - 1)
+                else if (okF) out = rows(lower)
+            }
+          }
+        }
+        numOutputRows += 1
+        resultProj(joined(l, out))
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
 object AsOfJoinExec {
   /** Time types a tolerance can subtract over: internally a long
     * (timestamp = micros), an int (date = days), or any integral. */
@@ -379,17 +540,32 @@ object AsOf {
     * microseconds for timestamps, days for dates, raw units for
     * integral columns — and requires one of those integral-backed
     * types. */
+  /** Physical-strategy override: `None` (default) lets the planner
+    * decide — a `broadcast(right)` hint or a right side whose size
+    * estimate sits under `autoBroadcastJoinThreshold` takes
+    * [[BroadcastAsOfJoinExec]] (fact side untouched: no shuffle, no
+    * sort), anything else the co-partitioned merge [[AsOfJoinExec]];
+    * `Some(true)`/`Some(false)` force one path. */
   def join(left: DataFrame, right: DataFrame,
            leftOn: Seq[String], rightOn: Seq[String],
            leftTime: String, rightTime: String,
            tolerance: Option[Long],
-           direction: AsOfDirection = AsOfBackward): DataFrame = {
+           direction: AsOfDirection = AsOfBackward,
+           broadcastRight: Option[Boolean] = None): DataFrame = {
     require(leftOn.length == rightOn.length && leftOn.nonEmpty,
       s"asof join needs matching non-empty key lists, got $leftOn / $rightOn")
     val s = left.sparkSession
     GraftBridge.ensureStrategy(s, AsOfJoinStrategy)
     val lPlan = GraftBridge.analyzed(left)
-    val rPlan = GraftBridge.analyzed(right)
+    // a broadcast() hint on the right side is honored here (the stock
+    // EliminateResolvedHint only transfers hints into Join nodes and
+    // would drop one left above a custom operator)
+    val (rPlan, hinted) = GraftBridge.analyzed(right) match {
+      case org.apache.spark.sql.catalyst.plans.logical.ResolvedHint(child, info)
+          if info.strategy.contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST) =>
+        (child, Some(true))
+      case p => (p, broadcastRight)
+    }
     val dup = lPlan.outputSet.intersect(rPlan.outputSet)
     if (dup.nonEmpty)
       throw new AnalysisException(
@@ -409,6 +585,7 @@ object AsOf {
       }
     GraftBridge.ofRows(s, AsOfJoin(lPlan, rPlan,
       leftOn.map(attr(lPlan, _)), rightOn.map(attr(rPlan, _)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), tolerance, direction))
+      attr(lPlan, leftTime), attr(rPlan, rightTime), tolerance, direction,
+      hinted))
   }
 }

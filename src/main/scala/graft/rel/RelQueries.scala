@@ -884,7 +884,8 @@ object RelQueries {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
     graft.plans.AsOf.join(purchases, clicks,
-        Seq("user_id"), Seq("cu"), "purchase_ts", "cts")
+        Seq("user_id"), Seq("cu"), "purchase_ts", "cts",
+        tolerance = None, broadcastRight = Some(false)) // pin the merge path
       .select(col("event_id"), col("user_id"), col("purchase_ts"),
               col("click_id").as("last_click_id"), col("cts").as("last_click_ts"))
       .orderBy(col("event_id"))
@@ -908,7 +909,8 @@ object RelQueries {
       .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
     graft.plans.AsOf.join(purchases, clicks,
         Seq("user_id"), Seq("cu"), "purchase_ts", "cts",
-        tolerance = Some(3600L * 1000000L)) // 1 h in timestamp micros
+        tolerance = Some(3600L * 1000000L), // 1 h in timestamp micros
+        broadcastRight = Some(false))
       .select(col("event_id"), col("user_id"), col("purchase_ts"),
               col("click_id").as("last_click_id"), col("cts").as("last_click_ts"))
       .orderBy(col("event_id"))
@@ -931,7 +933,8 @@ object RelQueries {
       .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
     graft.plans.AsOf.join(purchases, clicks,
         Seq("user_id"), Seq("cu"), "purchase_ts", "cts",
-        tolerance = None, direction = graft.plans.AsOfForward)
+        tolerance = None, direction = graft.plans.AsOfForward,
+        broadcastRight = Some(false))
       .select(col("event_id"), col("user_id"), col("purchase_ts"),
               col("click_id").as("next_click_id"), col("cts").as("next_click_ts"))
       .orderBy(col("event_id"))
@@ -957,9 +960,34 @@ object RelQueries {
       .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
     graft.plans.AsOf.join(purchases, clicks,
         Seq("user_id"), Seq("cu"), "purchase_ts", "cts",
-        tolerance = None, direction = graft.plans.AsOfNearest)
+        tolerance = None, direction = graft.plans.AsOfNearest,
+        broadcastRight = Some(false))
       .select(col("event_id"), col("user_id"), col("purchase_ts"),
               col("click_id").as("near_click_id"), col("cts").as("near_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** [[asofNative]] through the BROADCAST physical strategy
+    * ([[graft.plans.BroadcastAsOfJoinExec]]): the click history ships
+    * to every executor once via a `broadcast()` hint (honored by
+    * `AsOf.join` since the stock hint-elimination only knows `Join`
+    * nodes) and the purchase side is probed map-side by binary search —
+    * ZERO exchanges and ZERO sorts on the probe side, the plan a 100 TB
+    * fact scan against an SCD2 dimension history needs
+    * (plan-asserted). Same oracle as the merge-path `asof_native`: one
+    * logical operator, two physical strategies, one answer. */
+  def asofBcast(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+    graft.plans.AsOf.join(purchases, broadcast(clicks),
+        Seq("user_id"), Seq("cu"), "purchase_ts", "cts")
+      .select(col("event_id"), col("user_id"), col("purchase_ts"),
+              col("click_id").as("last_click_id"), col("cts").as("last_click_ts"))
       .orderBy(col("event_id"))
   }
 
@@ -1745,6 +1773,7 @@ object RelQueries {
     "asof_tolerance"     -> (asofTolerance _),
     "asof_forward"       -> (asofForward _),
     "asof_nearest"       -> (asofNearest _),
+    "asof_bcast"         -> (asofBcast _),
     "rollup_acct"        -> (rollupAcct _),
     "cube_flags"         -> (cubeFlags _),
     "grouping_sets"      -> (groupingSets _),
@@ -2445,6 +2474,20 @@ object RelQueries {
         |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
         |       c.click_id AS next_click_id, CAST(c.ts AS TIMESTAMP) AS next_click_ts
         |FROM p ASOF LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // the broadcast physical strategy answers the identical logical
+    // question — same twin as asof_native, different executed plan
+    "asof_bcast" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        |       c.click_id AS last_click_id, CAST(c.ts AS TIMESTAMP) AS last_click_ts
+        |FROM p ASOF LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
 
     "asof_nearest" ->

@@ -257,7 +257,8 @@ class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val ord = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"),
               col("o_orderdate").cast("timestamp").as("ots"))
-    val joined = AsOf.join(ord, ev, Seq("o_custkey"), Seq("user_id"), "ots", "ts")
+    val joined = AsOf.join(ord, ev, Seq("o_custkey"), Seq("user_id"), "ots", "ts",
+      tolerance = None, broadcastRight = Some(false))
     joined.collect()
     val plan = joined.queryExecution.executedPlan
     assert(collectWithSubqueries(plan) { case e: AsOfJoinExec => e }.size == 1,
@@ -273,6 +274,63 @@ class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val s = plan.toString
     assert(!s.contains("Window") && !s.contains("BroadcastNestedLoopJoin") &&
            !s.contains("CartesianProduct"), s"bad shape:\n$s")
+  }
+
+  test("broadcast path: parity with the merge path on random data, all directions") {
+    val rnd = new scala.util.Random(77001L)
+    def nk(): java.lang.Long = if (rnd.nextInt(15) == 0) null else (rnd.nextInt(12).toLong: java.lang.Long)
+    def nt(): java.lang.Long = if (rnd.nextInt(20) == 0) null else (rnd.nextInt(60).toLong: java.lang.Long)
+    val lRows = Seq.tabulate(300)(i => (nk(), nt(), s"L$i"))
+    val rRows = Seq.tabulate(200)(i => (nk(), nt(), s"R$i"))
+      .filter(r => r._1 != null && r._2 != null)
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val l = df(lRows, "k", "t", "lp"); val r = df(rRows, "rk", "rt", "rp")
+    for (dir <- Seq(graft.plans.AsOfBackward, graft.plans.AsOfForward,
+                    graft.plans.AsOfNearest);
+         tol <- Seq(None, Some(7L))) {
+      val merge = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", tol, dir,
+          broadcastRight = Some(false))
+        .select(col("lp"), col("rp")).collect()
+        .map(x => (x.getString(0), x.getString(1))).toMap
+      val bcast = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", tol, dir,
+          broadcastRight = Some(true))
+        .select(col("lp"), col("rp")).collect()
+        .map(x => (x.getString(0), x.getString(1))).toMap
+      assert(bcast == merge, s"divergence at dir=$dir tol=$tol")
+    }
+  }
+
+  test("broadcast path plan: BroadcastExchange, zero shuffles/sorts on the probe side") {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("pts"))
+    val joined = AsOf.join(purchases, broadcast(clicks),
+        Seq("user_id"), Seq("cu"), "pts", "cts")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan
+    val bj = collectWithSubqueries(plan) {
+      case e: graft.plans.BroadcastAsOfJoinExec => e }
+    assert(bj.size == 1, s"no BroadcastAsOfJoinExec:\n$plan")
+    // the probe (left) subtree must be exchange- and sort-free: the scan
+    // flows straight into the join
+    val probe = bj.head.left
+    assert(probe.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      case e: org.apache.spark.sql.execution.SortExec => e }.isEmpty,
+      s"probe side pays an exchange/sort:\n$probe")
+    assert(plan.toString.contains("BroadcastExchange"), s"no broadcast:\n$plan")
+    // stats-driven auto-choice: with no hint and a tiny right side, the
+    // planner should also pick the broadcast exec on its own
+    val auto = AsOf.join(purchases, clicks.limit(50), Seq("user_id"), Seq("cu"),
+        "pts", "cts")
+    auto.collect()
+    assert(collectWithSubqueries(auto.queryExecution.executedPlan) {
+      case e: graft.plans.BroadcastAsOfJoinExec => e }.nonEmpty,
+      s"auto-broadcast not chosen:\n${auto.queryExecution.executedPlan}")
   }
 
   test("optimizer: projection prunes both scans, left filter reaches PushedFilters") {
