@@ -39,7 +39,14 @@ object AsOfBench {
 
     def native(): DataFrame =
       graft.plans.AsOf.join(purchases, clicks,
-          Seq("user_id"), Seq("cu"), "pts", "cts")
+          Seq("user_id"), Seq("cu"), "pts", "cts",
+          tolerance = None, broadcastRight = Some(false))
+        .select(Seq("event_id", "user_id", "pts").map(col) ++ payload.map(col): _*)
+
+    def bcast(): DataFrame =
+      graft.plans.AsOf.join(purchases, clicks,
+          Seq("user_id"), Seq("cu"), "pts", "cts",
+          tolerance = None, broadcastRight = Some(true))
         .select(Seq("event_id", "user_id", "pts").map(col) ++ payload.map(col): _*)
 
     def window(): DataFrame = {
@@ -70,13 +77,14 @@ object AsOfBench {
       df.agg(sum(hash(df.columns.map(col): _*)).cast("long")).head().getLong(0)
 
     val sums = scala.collection.mutable.Map[String, Long]()
-    for (r <- 1 to 4; (name, f) <- Seq("native" -> (native _), "window" -> (window _))) {
+    for (r <- 1 to 4; (name, f) <- Seq("native" -> (native _),
+        "bcast" -> (bcast _), "window" -> (window _))) {
       val t0 = System.nanoTime(); sums(name) = checksum(f())
       val dt = (System.nanoTime() - t0) / 1e9
       if (r > 1) println(f"[asof] $name round$r: $dt%.3f s")
     }
-    require(sums("native") == sums("window"),
-      s"checksum mismatch: $sums — the two forms disagree")
+    require(sums("native") == sums("window") && sums("native") == sums("bcast"),
+      s"checksum mismatch: $sums — the forms disagree")
     println(s"[asof] checksums agree: ${sums("native")}")
     spark.stop()
   }
