@@ -23,9 +23,11 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * right time `<=` the left time (backward, the default) or the SMALLEST
   * right time `>=` the left time ([[AsOfForward]]); left rows with no
   * such match keep null right columns. An optional tolerance bounds the
-  * accepted gap (candidate first, tolerance second — pandas semantics).
-  * SQL equality semantics on keys (a null key never matches) and a null
-  * time on either side never matches.
+  * accepted gap (candidate first, tolerance second — pandas semantics),
+  * and `allowExactMatches = false` makes the boundary strict (`<` /
+  * `>`, pandas `allow_exact_matches=False` — the "previous row, not
+  * this one" self-join shape). SQL equality semantics on keys (a null
+  * key never matches) and a null time on either side never matches.
   *
   * Why a custom physical operator instead of the composed forms the
   * engine already grades (`rel/RelQueries.asofEnrich`'s union-merge
@@ -84,7 +86,8 @@ case class AsOfJoin(
     rightTime: Expression,
     tolerance: Option[Long] = None,
     direction: AsOfDirection = AsOfBackward,
-    broadcastRight: Option[Boolean] = None) extends BinaryNode {
+    broadcastRight: Option[Boolean] = None,
+    allowExactMatches: Boolean = true) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -118,16 +121,16 @@ case class AsOfJoin(
   * for sessions built without the extensions. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case j @ AsOfJoin(l, r, lk, rk, lt, rt, tol, dir, hint) =>
+    case j @ AsOfJoin(l, r, lk, rk, lt, rt, tol, dir, hint, exact) =>
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       val bcast = hint.getOrElse(
         r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= threshold)
       if (bcast)
-        BroadcastAsOfJoinExec(lk, rk, lt, rt, tol, dir,
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, tol, dir, exact,
           planLater(l), planLater(r)) :: Nil
       else
-        AsOfJoinExec(lk, rk, lt, rt, tol, dir,
+        AsOfJoinExec(lk, rk, lt, rt, tol, dir, exact,
           planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -145,6 +148,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     tolerance: Option[Long],
     direction: AsOfDirection,
+    allowExactMatches: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -186,6 +190,7 @@ case class AsOfJoinExec(
     val timeType = leftTime.dataType
     val tol = tolerance
     val dir = direction
+    val exact = allowExactMatches
     require((tol.isEmpty && dir != AsOfNearest) ||
         AsOfJoinExec.integralBacked(timeType),
       s"as-of tolerance/nearest needs an integral-backed time type, got $timeType")
@@ -214,6 +219,13 @@ case class AsOfJoinExec(
           private var matched: InternalRow = _
           private var matchedKey: UnsafeRow = _
           private var matchedTime: Any = _
+          // strict-nearest only: the last right row whose time EQUALS the
+          // current left time — ineligible both ways for this left row,
+          // but the backward candidate for any later one; stashing it
+          // lets the lookahead advance to the true strict-forward row
+          private var equalStash: InternalRow = _
+          private var equalStashKey: UnsafeRow = _
+          private var equalStashTime: Any = _
 
           private def advanceRight(): Unit = {
             rRow = null
@@ -242,10 +254,15 @@ case class AsOfJoinExec(
               // left times ascend within a key, so nothing discarded is
               // needed later; the lookahead row itself is NOT consumed
               // and serves every left row it is the successor of
+              // strict mode shifts the boundary: the first eligible
+              // forward row has time > lt instead of >= lt
               while (rRow != null && {
                        val c = keyOrd.compare(rKey, lKey)
-                       c < 0 || (c == 0 && timeOrd.asInstanceOf[Ordering[Any]]
-                                   .compare(rTimeVal, lTimeVal) < 0)
+                       c < 0 || (c == 0 && {
+                         val tc = timeOrd.asInstanceOf[Ordering[Any]]
+                           .compare(rTimeVal, lTimeVal)
+                         if (exact) tc < 0 else tc <= 0
+                       })
                      }) advanceRight()
               if (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
                   tol.forall(t => AsOfJoinExec.asLong(rTimeVal) -
@@ -258,10 +275,38 @@ case class AsOfJoinExec(
               // the backward candidate, the lookahead `rRow` (same key,
               // time > left) the forward one.
               while (rRow != null && keyOrd.compare(rKey, lKey) < 0) advanceRight()
-              while (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
-                     timeOrd.asInstanceOf[Ordering[Any]].compare(rTimeVal, lTimeVal) <= 0) {
+              // a stashed equal-time row from an EARLIER left time is now
+              // strictly behind — promote it before absorbing (stream
+              // order guarantees anything absorbed below is no earlier)
+              if (!exact && equalStash != null &&
+                  keyOrd.compare(equalStashKey, lKey) == 0 &&
+                  timeOrd.asInstanceOf[Ordering[Any]]
+                    .compare(equalStashTime, lTimeVal) < 0) {
+                matched = equalStash; matchedKey = equalStashKey
+                matchedTime = equalStashTime
+                equalStash = null
+              }
+              // strict mode absorbs only rows with time < lt
+              while (rRow != null && keyOrd.compare(rKey, lKey) == 0 && {
+                       val tc = timeOrd.asInstanceOf[Ordering[Any]]
+                         .compare(rTimeVal, lTimeVal)
+                       if (exact) tc <= 0 else tc < 0
+                     }) {
                 matched = rRow; matchedKey = rKey; matchedTime = rTimeVal
                 advanceRight()
+              }
+              // strict nearest: park equal-time rows so the lookahead
+              // reaches the first strictly-later row (plain strict
+              // backward leaves them in the lookahead — they absorb
+              // naturally once the left time passes them)
+              if (!exact && dir == AsOfNearest) {
+                while (rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
+                       timeOrd.asInstanceOf[Ordering[Any]]
+                         .compare(rTimeVal, lTimeVal) == 0) {
+                  equalStash = rRow; equalStashKey = rKey
+                  equalStashTime = rTimeVal
+                  advanceRight()
+                }
               }
               // `matched` survives across left rows of one key (left time
               // ascending); a key change invalidates it by comparison.
@@ -316,6 +361,7 @@ case class BroadcastAsOfJoinExec(
     rightTime: Expression,
     tolerance: Option[Long],
     direction: AsOfDirection,
+    allowExactMatches: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -349,6 +395,7 @@ case class BroadcastAsOfJoinExec(
     val timeType = leftTime.dataType
     val tol = tolerance
     val dir = direction
+    val exact = allowExactMatches
     require((tol.isEmpty && dir != AsOfNearest) ||
         AsOfJoinExec.integralBacked(timeType),
       s"as-of tolerance/nearest needs an integral-backed time type, got $timeType")
@@ -405,31 +452,36 @@ case class BroadcastAsOfJoinExec(
               val c = timeOrd.compare(times(mid), lTimeVal)
               if (c <= 0) lo = mid + 1 else hi = mid
             }
-            val upper = lo // backward candidate = upper - 1 (time <= lt)
+            val upper = lo // first index with time > lt
             var lo2 = 0; var hi2 = times.length
             while (lo2 < hi2) {
               val mid = (lo2 + hi2) >>> 1
               val c = timeOrd.compare(times(mid), lTimeVal)
               if (c < 0) lo2 = mid + 1 else hi2 = mid
             }
-            val lower = lo2 // forward candidate = lower (time >= lt)
-            def okB = upper > 0 && tol.forall(t =>
+            val lower = lo2 // first index with time >= lt
+            // inclusive: backward = upper-1 (<= lt), forward = lower (>= lt);
+            // strict swaps the bounds: backward = lower-1 (< lt),
+            // forward = upper (> lt)
+            val bIdx = (if (exact) upper else lower) - 1
+            val fIdx = if (exact) lower else upper
+            def okB = bIdx >= 0 && tol.forall(t =>
               AsOfJoinExec.asLong(lTimeVal) -
-                AsOfJoinExec.asLong(times(upper - 1)) <= t)
-            def okF = lower < times.length && tol.forall(t =>
-              AsOfJoinExec.asLong(times(lower)) -
+                AsOfJoinExec.asLong(times(bIdx)) <= t)
+            def okF = fIdx < times.length && tol.forall(t =>
+              AsOfJoinExec.asLong(times(fIdx)) -
                 AsOfJoinExec.asLong(lTimeVal) <= t)
             dir match {
-              case AsOfBackward => if (okB) out = rows(upper - 1)
-              case AsOfForward  => if (okF) out = rows(lower)
+              case AsOfBackward => if (okB) out = rows(bIdx)
+              case AsOfForward  => if (okF) out = rows(fIdx)
               case AsOfNearest  =>
                 if (okB && okF) {
                   val lt = AsOfJoinExec.asLong(lTimeVal)
-                  out = if (lt - AsOfJoinExec.asLong(times(upper - 1)) <=
-                            AsOfJoinExec.asLong(times(lower)) - lt)
-                    rows(upper - 1) else rows(lower)
-                } else if (okB) out = rows(upper - 1)
-                else if (okF) out = rows(lower)
+                  out = if (lt - AsOfJoinExec.asLong(times(bIdx)) <=
+                            AsOfJoinExec.asLong(times(fIdx)) - lt)
+                    rows(bIdx) else rows(fIdx)
+                } else if (okB) out = rows(bIdx)
+                else if (okF) out = rows(fIdx)
             }
           }
         }
@@ -551,7 +603,8 @@ object AsOf {
            leftTime: String, rightTime: String,
            tolerance: Option[Long],
            direction: AsOfDirection = AsOfBackward,
-           broadcastRight: Option[Boolean] = None): DataFrame = {
+           broadcastRight: Option[Boolean] = None,
+           allowExactMatches: Boolean = true): DataFrame = {
     require(leftOn.length == rightOn.length && leftOn.nonEmpty,
       s"asof join needs matching non-empty key lists, got $leftOn / $rightOn")
     val s = left.sparkSession
@@ -586,6 +639,6 @@ object AsOf {
     GraftBridge.ofRows(s, AsOfJoin(lPlan, rPlan,
       leftOn.map(attr(lPlan, _)), rightOn.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime), tolerance, direction,
-      hinted))
+      hinted, allowExactMatches))
   }
 }

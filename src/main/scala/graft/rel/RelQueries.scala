@@ -991,6 +991,31 @@ object RelQueries {
       .orderBy(col("event_id"))
   }
 
+  /** STRICT as-of self-join (pandas `allow_exact_matches=False`): per
+    * order, the same customer's most recent STRICTLY-EARLIER order —
+    * the "previous row, not this one" shape an inclusive as-of cannot
+    * express against the table itself (the row would match its own
+    * date). Right side is the per-(customer, date) dedup (max orderkey)
+    * re-aliased, so the self-join's attributes are disjoint and the
+    * boundary tie is deterministic. Substantive on TPC-H time:
+    * 13499/15000 orders have a predecessor at sf0.01. Twin = DuckDB
+    * ASOF with the strict `<` inequality. */
+  def asofPrevOrder(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val prev = o.groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("prev_orderkey"))
+      .select(col("o_custkey").as("ck"), col("o_orderdate").as("prev_date"),
+              col("prev_orderkey"))
+    graft.plans.AsOf.join(
+        o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        prev, Seq("o_custkey"), Seq("ck"), "o_orderdate", "prev_date",
+        tolerance = None, broadcastRight = Some(false),
+        allowExactMatches = false)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+              col("prev_orderkey"), col("prev_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Event-time interval join (range join): per purchase, the same
     * user's clicks in the trailing day. The equi-key (user_id) bounds the
     * join — each user's events co-locate on one reducer and the time
@@ -1774,6 +1799,7 @@ object RelQueries {
     "asof_forward"       -> (asofForward _),
     "asof_nearest"       -> (asofNearest _),
     "asof_bcast"         -> (asofBcast _),
+    "asof_prev_order"    -> (asofPrevOrder _),
     "rollup_acct"        -> (rollupAcct _),
     "cube_flags"         -> (cubeFlags _),
     "grouping_sets"      -> (groupingSets _),
@@ -2475,6 +2501,17 @@ object RelQueries {
         |       c.click_id AS next_click_id, CAST(c.ts AS TIMESTAMP) AS next_click_ts
         |FROM p ASOF LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "asof_prev_order" ->
+      """WITH o2 AS (
+        |  SELECT o_custkey AS ck, o_orderdate AS prev_date,
+        |         max(o_orderkey) AS prev_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+        |       o2.prev_orderkey, o2.prev_date
+        |FROM orders o
+        |ASOF LEFT JOIN o2 ON o2.ck = o.o_custkey AND o2.prev_date < o.o_orderdate
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     // the broadcast physical strategy answers the identical logical
     // question — same twin as asof_native, different executed plan

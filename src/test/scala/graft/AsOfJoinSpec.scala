@@ -145,6 +145,53 @@ class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "l-tie" -> null, "l-onlyFwd" -> "r-13", "l-none" -> null))
   }
 
+  test("strict mode (allowExactMatches=false): boundary exclusion, all directions") {
+    val left = df(Seq(
+      (1L: java.lang.Long, 10L: java.lang.Long, "l-10"),
+      (1L: java.lang.Long, 20L: java.lang.Long, "l-20"),
+      (2L: java.lang.Long, 10L: java.lang.Long, "l-only-eq")), "k", "t", "lp")
+    val right = df(Seq(
+      (1L: java.lang.Long, 5L: java.lang.Long, "r-5"),
+      (1L: java.lang.Long, 10L: java.lang.Long, "r-10"),  // equal: excluded strictly
+      (1L: java.lang.Long, 12L: java.lang.Long, "r-12"),
+      (1L: java.lang.Long, 20L: java.lang.Long, "r-20"),  // equal for l-20
+      (1L: java.lang.Long, 30L: java.lang.Long, "r-30"),
+      (2L: java.lang.Long, 10L: java.lang.Long, "r-eq")), "rk", "rt", "rp")
+    def run(dir: graft.plans.AsOfDirection, bc: Boolean) =
+      AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt", None, dir,
+          broadcastRight = Some(bc), allowExactMatches = false)
+        .select(col("lp"), col("rp")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+    for (bc <- Seq(false, true)) {
+      assert(run(graft.plans.AsOfBackward, bc) == Map(
+        "l-10" -> "r-5",       // r-10 excluded
+        "l-20" -> "r-12",      // r-20 excluded
+        "l-only-eq" -> null),  // the only row is the equal one
+        s"backward bc=$bc")
+      assert(run(graft.plans.AsOfForward, bc) == Map(
+        "l-10" -> "r-12",      // r-10 excluded, first strictly later
+        "l-20" -> "r-30",
+        "l-only-eq" -> null), s"forward bc=$bc")
+      assert(run(graft.plans.AsOfNearest, bc) == Map(
+        "l-10" -> "r-12",      // gaps: 5 back vs 2 fwd (r-10 excluded)
+        "l-20" -> "r-12",      // 8 back vs 10 fwd (r-20 excluded)
+        "l-only-eq" -> null), s"nearest bc=$bc")
+      // the equal row excluded for l-10 must still serve l-20 backward
+      // via the stash (merge path) / index (broadcast path): raise l-20
+      // to 11 so r-10 becomes its nearest-behind
+      val l2 = df(Seq(
+        (1L: java.lang.Long, 10L: java.lang.Long, "l-10"),
+        (1L: java.lang.Long, 11L: java.lang.Long, "l-11")), "k", "t", "lp")
+      val got = AsOf.join(l2, right, Seq("k"), Seq("rk"), "t", "rt", None,
+          graft.plans.AsOfNearest, broadcastRight = Some(bc),
+          allowExactMatches = false)
+        .select(col("lp"), col("rp")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(got == Map("l-10" -> "r-12", "l-11" -> "r-10"),
+        s"stashed equal row lost (bc=$bc): $got")
+    }
+  }
+
   test("randomized parity against a driver-side reference") {
     val rnd = new scala.util.Random(20260814L)
     def nk(): java.lang.Long = if (rnd.nextInt(20) == 0) null else (rnd.nextInt(15).toLong: java.lang.Long)
@@ -287,16 +334,17 @@ class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val l = df(lRows, "k", "t", "lp"); val r = df(rRows, "rk", "rt", "rp")
     for (dir <- Seq(graft.plans.AsOfBackward, graft.plans.AsOfForward,
                     graft.plans.AsOfNearest);
-         tol <- Seq(None, Some(7L))) {
+         tol <- Seq(None, Some(7L));
+         exact <- Seq(true, false)) {
       val merge = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", tol, dir,
-          broadcastRight = Some(false))
+          broadcastRight = Some(false), allowExactMatches = exact)
         .select(col("lp"), col("rp")).collect()
         .map(x => (x.getString(0), x.getString(1))).toMap
       val bcast = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", tol, dir,
-          broadcastRight = Some(true))
+          broadcastRight = Some(true), allowExactMatches = exact)
         .select(col("lp"), col("rp")).collect()
         .map(x => (x.getString(0), x.getString(1))).toMap
-      assert(bcast == merge, s"divergence at dir=$dir tol=$tol")
+      assert(bcast == merge, s"divergence at dir=$dir tol=$tol exact=$exact")
     }
   }
 
