@@ -830,34 +830,38 @@ object RelQueries {
                    / sum(col("rev")), 2).as("promo_pct"),
            count(lit(1)).as("n_items"))
 
-  /** TWO-TABLE as-of join (trade/quote shape): each order picks the
-    * latest event of the matching user at ts ≤ o_orderdate — as a
-    * union-merge WINDOW, not a join: tag both streams, sort each key
-    * partition by (ts, kind) and carry the last non-null event forward.
-    * One shuffle on the key, zero join fan-out, per-key linear — the
-    * shape that survives when the probe side is dense (a per-order range
-    * join would re-scan each user's history per order). Events are
+  /** As-of enrichment as a union-merge WINDOW, not a join: tag both
+    * streams, sort each key partition by (ts, kind) and carry the last
+    * non-null probe forward. One shuffle on the key, zero join fan-out,
+    * per-key linear — the relational re-expression the native operator
+    * ([[asofNative]], same data, same twin shape) replaces; keeping
+    * both graded pins the equivalence cross-engine. Events are
     * pre-deduped to one row per (user, ts) so the as-of tie is
     * impossible BY CONSTRUCTION — DuckDB's native ASOF JOIN (the twin)
     * has unspecified tie-break, so determinism must come from the data.
-    * Cross-engine proof: our window re-expression hash-matches DuckDB's
-    * built-in ASOF JOIN operator. */
+    * (Until late r10 this row ran orders-vs-events, which the testdata
+    * makes DEGENERATE — orders end 2001, events start 2024, every match
+    * null; it now runs the substantive purchase↔click shape where ~93%
+    * of probes match and the outer path still fires.) */
   def asofEnrich(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+    val evAll = Tables.events(s, d)
+    val clicks = evAll.filter(col("event_type") === "click")
       .groupBy(col("user_id"), col("ts"))
-      .agg(max(col("event_id")).as("event_id"))
+      .agg(max(col("event_id")).as("click_id"))
       .select(col("user_id").as("k"), col("ts"), lit(0).as("kind"),
-              col("event_id"), lit(null).cast("long").as("o_orderkey"))
-    val ord = Tables.orders(s, d)
-      .select(col("o_custkey").as("k"), col("o_orderdate").as("ts"), lit(1).as("kind"),
-              lit(null).cast("long").as("event_id"), col("o_orderkey"))
+              col("click_id"), lit(null).cast("long").as("purchase_id"))
+    val purchases = evAll.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), col("ts"), lit(1).as("kind"),
+              lit(null).cast("long").as("click_id"),
+              col("event_id").as("purchase_id"))
     val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("kind"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.unionByName(ord)
-      .withColumn("last_event_id", last(col("event_id"), ignoreNulls = true).over(w))
+    clicks.unionByName(purchases)
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
       .filter(col("kind") === 1)
-      .select(col("o_orderkey"), col("k").as("custkey"), col("last_event_id"))
-      .orderBy(col("o_orderkey"))
+      .select(col("purchase_id").as("event_id"), col("k").as("user_id"),
+              col("last_click_id"))
+      .orderBy(col("event_id"))
   }
 
   /** As-of enrichment through the NATIVE operator
@@ -2470,13 +2474,15 @@ object RelQueries {
       GROUP BY 1 ORDER BY regionkey""",
 
     "asof_enrich" ->
-      """WITH e AS (
-        |  SELECT user_id, ts, max(event_id) AS event_id
-        |  FROM events GROUP BY 1, 2)
-        |SELECT o.o_orderkey, o.o_custkey AS custkey, e.event_id AS last_event_id
-        |FROM orders o
-        |ASOF LEFT JOIN e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
-        |ORDER BY o_orderkey""".stripMargin,
+      """WITH c AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, c.click_id AS last_click_id
+        |FROM p ASOF LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "asof_native" ->
       """WITH c AS (

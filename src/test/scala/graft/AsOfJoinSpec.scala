@@ -247,6 +247,65 @@ class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(gotN == expectedN)
   }
 
+  test("randomized grid: direction x strictness x tolerance vs a driver model") {
+    val rnd = new scala.util.Random(424242L)
+    def reference(lRows: Seq[(java.lang.Long, java.lang.Long, String)],
+                  rRows: Seq[(java.lang.Long, java.lang.Long, String)],
+                  dir: graft.plans.AsOfDirection, exact: Boolean,
+                  tol: Option[Long]): Map[String, String] = {
+      val byKey = rRows.filter(r => r._1 != null && r._2 != null)
+        .groupBy(_._1).map { case (k, rs) => k -> rs.sortBy(_._2.longValue()) }
+      lRows.map { case (k, t, lp) =>
+        val pick: Option[(java.lang.Long, java.lang.Long, String)] =
+          if (k == null || t == null) None
+          else {
+            val seq = byKey.getOrElse(k, Seq.empty)
+            val lt = t.longValue()
+            val back = seq.filter(r => if (exact) r._2.longValue() <= lt
+                                       else r._2.longValue() < lt)
+              .lastOption.filter(r => tol.forall(lt - r._2.longValue() <= _))
+            val fwd = seq.filter(r => if (exact) r._2.longValue() >= lt
+                                      else r._2.longValue() > lt)
+              .headOption.filter(r => tol.forall(r._2.longValue() - lt <= _))
+            dir match {
+              case graft.plans.AsOfBackward => back
+              case graft.plans.AsOfForward  => fwd
+              case graft.plans.AsOfNearest  => (back, fwd) match {
+                case (Some(b), Some(f)) =>
+                  Some(if (lt - b._2.longValue() <= f._2.longValue() - lt) b else f)
+                case (b, f) => b.orElse(f)
+              }
+            }
+          }
+        (lp, pick.map(_._3).orNull)
+      }.toMap
+    }
+    for (trial <- 1 to 5) {
+      // small, tie-dense datasets: keys 0..3, times 0..12, plus nulls
+      def nk(): java.lang.Long = if (rnd.nextInt(10) == 0) null else (rnd.nextInt(4).toLong: java.lang.Long)
+      def nt(): java.lang.Long = if (rnd.nextInt(12) == 0) null else (rnd.nextInt(13).toLong: java.lang.Long)
+      val lRows = Seq.tabulate(20 + rnd.nextInt(30))(i => (nk(), nt(), s"L$i"))
+      val rRows = Seq.tabulate(15 + rnd.nextInt(25))(i => (nk(), nt(), s"R$i"))
+        .filter(r => r._1 != null && r._2 != null)
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val l = df(lRows, "k", "t", "lp"); val r = df(rRows, "rk", "rt", "rp")
+      for (dir <- Seq(graft.plans.AsOfBackward, graft.plans.AsOfForward,
+                      graft.plans.AsOfNearest);
+           exact <- Seq(true, false);
+           tol <- Seq(None, Some(3L))) {
+        val bc = (trial + (if (exact) 1 else 0)) % 2 == 0
+        val got = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", tol, dir,
+            broadcastRight = Some(bc), allowExactMatches = exact)
+          .select(col("lp"), col("rp")).collect()
+          .map(x => (x.getString(0), x.getString(1))).toMap
+        val want = reference(lRows, rRows, dir, exact, tol)
+        assert(got == want,
+          s"trial=$trial dir=$dir exact=$exact tol=$tol bc=$bc\n" +
+            s"diff=${(got.toSet -- want.toSet) ++ (want.toSet -- got.toSet)}")
+      }
+    }
+  }
+
   test("asof_native matches the window re-expression row for row, with real matches") {
     val native = RelQueries.queries("asof_native")(spark, sfDir).collect()
     // the engine's own composed form: one window over the interleaved

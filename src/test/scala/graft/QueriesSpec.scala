@@ -395,18 +395,25 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("asof_enrich: one row per order; matched events never post-date the order") {
+  test("asof_enrich: one row per purchase; matched clicks never post-date it, and matches exist") {
     import org.apache.spark.sql.functions._
-    val nOrders = graft.Tables.orders(spark, sf).count()
-    val df = SparkEntry.queries("asof_enrich")(spark, sf)
-    assert(df.count() === nOrders)
-    // re-derive the match and check the as-of bound holds
     val ev = graft.Tables.events(spark, sf)
-      .select(col("event_id"), col("ts").as("ev_ts"))
-    val joined = df.filter(col("last_event_id").isNotNull)
-      .join(ev, col("last_event_id") === col("event_id"))
-      .join(graft.Tables.orders(spark, sf), "o_orderkey")
-    assert(joined.filter(col("ev_ts") > col("o_orderdate")).count() === 0)
+    val nPurchases = ev.filter(col("event_type") === "purchase").count()
+    val df = SparkEntry.queries("asof_enrich")(spark, sf)
+    assert(df.count() === nPurchases)
+    // re-derive the match and check the as-of bound holds — and that the
+    // row is substantive (matches AND outer-nulls both present)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts").as("purchase_ts"))
+    val joined = df.filter(col("last_click_id").isNotNull)
+      .join(clicks, col("last_click_id") === col("cid"))
+      .join(purchases, "event_id")
+    assert(joined.filter(col("click_ts") > col("purchase_ts")).count() === 0)
+    val matched = df.filter(col("last_click_id").isNotNull).count()
+    assert(matched > 0 && matched < nPurchases,
+      s"degenerate: $matched of $nPurchases matched")
   }
 
   test("dedup_semantic_verify scores every LSH candidate pair, cos in [-1,1]") {
