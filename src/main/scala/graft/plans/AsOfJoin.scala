@@ -55,6 +55,15 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * as every other shuffle because the requirement is declared, not
   * hand-implemented.
   *
+  * Not to be confused with Spark's internal
+  * `catalyst.plans.logical.AsOfJoin` (the pandas-on-Spark API's
+  * helper): that node is REWRITTEN at analysis into a regular join
+  * whose condition admits every key-matching pair, reduced by a
+  * `min_by` aggregation — join fan-out proportional to per-key history
+  * size, then a shuffle to collapse it. This operator never materializes
+  * the fan-out: the physical plans are a sorted merge or a broadcast
+  * binary-search, both emitting exactly one row per left row.
+  *
   * The reference (a messaging client, `lib/nats.js`) has no joins at
   * all; this belongs to the derived analytic surface (SURVEY §2b, the
   * as-of family) and is graded as `asof_native` against DuckDB's native
