@@ -97,6 +97,15 @@ object Bench {
     val runsJson = results.map { case (k, _, _, ts) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // member → billing-family id for the streaming co-schedules: the
+    // family's wall-clock bills to its first-invoked member (siblings
+    // ~0), so comparers must fold these entries before ratioing. Emitted
+    // here so the raw artifact is self-describing (bench_compare.py
+    // reads this field instead of guessing from name patterns).
+    val famJson = graft.stream.StreamGrade.billingFamilies.toSeq
+      .filter { case (m, _) => times.contains(m) }.sorted
+      .map { case (m, f) => "\"" + m + "\":\"" + f + "\"" }
+      .mkString("{", ",", "}")
     val okTotal = results.collect { case (_, v, true, _) => v }.sum
     // ONE set of summary fields, interpolated into both lines — the
     // short tail-capture summary and the full per-query line can never
@@ -105,14 +114,19 @@ object Bench {
     val tail = s""""n_ok":${results.count(_._3)},"n_fail":${failed.length},""" +
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""bench_runs":$nRuns,"sf":"$sfDir""""
-    val json = s"""{$head,"queries":$qs,"runs":$runsJson,$tail}"""
+    val json = s"""{$head,"queries":$qs,"runs":$runsJson,"families":$famJson,$tail}"""
     val summary = s"""{$head,$tail}"""
     println(json)
     System.out.flush()
     // ALSO persist the full per-query map: the driver's tail capture
     // clips the stdout line past ~60 queries, so the committed file is
     // the only place every timing stays auditable round over round
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    // a SPARK_GRAFT_ONLY-filtered run must never clobber the default
+    // full-suite recording (comparers normalize off its canary set —
+    // a 2-query debug file there poisons every later comparison), so
+    // filtered runs divert to a _partial file unless explicitly routed
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_local_partial.json" else "BENCH_local.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { // an unwritable cwd must not fail the bench — but say so

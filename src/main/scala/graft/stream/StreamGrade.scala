@@ -102,6 +102,17 @@ object StreamGrade {
 
   private val rocksSingletons = Set("cdc_stream_restart_scd2")
 
+  /** member → billing-family id (the alphabetically first member) for
+    * bench artifacts: a co-schedule bills the family's wall-clock to
+    * its FIRST-INVOKED member and siblings bill ~0, so any
+    * round-over-round comparer must fold members by this map before
+    * ratioing — member-level times are attribution noise whenever the
+    * catalog gains an alphabetically earlier member. Emitted into the
+    * bench JSON (`"families"`) so the artifact is self-describing;
+    * `tools/bench_compare.py` folds by it. */
+  private[graft] def billingFamilies: Map[String, String] =
+    families.flatMap { case (ms, _) => val id = ms.min; ms.map(_ -> id) }.toMap
+
   private def familyOf(name: String): (Set[String], Boolean) =
     families.find(_._1.contains(name))
       .getOrElse((Set(name), rocksSingletons.contains(name)))
@@ -211,10 +222,20 @@ object StreamGrade {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
   }
 
-  /** Data-carrying micro-batch count of the last [[runToSink]] run —
-    * spec hook asserting the 3-slice replay genuinely multi-batches
-    * (state accumulates ACROSS batches, not one batch in disguise). */
-  @volatile private[graft] var lastBatchCount: Int = -1
+  /** Data-carrying micro-batch count per sink base name (the `name`
+    * argument of [[runToSink]]) — the spec hook asserting the 3-slice
+    * replay genuinely multi-batches (state accumulates ACROSS batches,
+    * not one batch in disguise). Keyed per sink, not a last-writer-wins
+    * global: family co-schedules and the multi-sink pipeline run sinks
+    * CONCURRENTLY, so "the last run's count" is not well defined —
+    * "this sink's last count" is. */
+  private val batchCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
+  /** The data-carrying micro-batch count of sink `name`'s most recent
+    * completed run (-1 if it never ran in this JVM). */
+  private[graft] def batchCount(name: String): Int =
+    batchCounts.getOrDefault(name, -1)
 
   /** Run a streaming frame to completion under `Trigger.AvailableNow`
     * into a uniquely-named memory sink; return the sink table.
@@ -245,7 +266,7 @@ object StreamGrade {
       try {
         if (!q.awaitTermination(180000L))
           throw new IllegalStateException(s"streaming query $sink did not finish")
-        lastBatchCount = q.recentProgress.count(_.numInputRows > 0L)
+        batchCounts.put(name, q.recentProgress.count(_.numInputRows > 0L))
       } finally q.stop()
     } finally if (!preset) prior.fold(s.conf.unset(key))(s.conf.set(key, _))
     s.table(sink)
@@ -863,7 +884,8 @@ object StreamGrade {
         try {
           if (!q.awaitTermination(180000L))
             throw new IllegalStateException("capture-grade query did not finish")
-          lastBatchCount = q.recentProgress.count(_.numInputRows > 0L)
+          batchCounts.put("stream_capture",
+            q.recentProgress.count(_.numInputRows > 0L))
         } finally q.stop()
       }
       graft.sources.BusLayout.readPartitioned(s, layout)

@@ -36,21 +36,21 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("cdc_stream_counters: streaming == batch subCounters, across 3 micro-batches") {
     val got = rows(StreamGrade.streamCounters(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_counters") === 3)
     val want = rows(graft.cdc.CdcBus.subCounters(spark, dir))
     assert(got === want)
   }
 
   test("cdc_stream_retained: streaming cache == batch window twin, across 3 micro-batches") {
     val got = rows(StreamGrade.streamRetained(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_retained") === 3)
     val want = rows(graft.cdc.CdcBus.retained(spark, dir))
     assert(got === want)
   }
 
   test("cdc_stream_gaps: streamed gap rows == batch lag-window gaps, across 3 micro-batches") {
     val got = rows(StreamGrade.streamGaps(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_gaps") === 3)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
     val want = rows(graft.Tables.events(spark, dir)
@@ -67,7 +67,7 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("cdc_stream_dedup: overlapped slices REALLY redeliver frames, and the " +
       "dedup gate restores exactly-once") {
     val got = rows(StreamGrade.streamDedup(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_dedup") === 3)
     val want = rows(graft.Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -79,7 +79,7 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("cdc_stream_tumbling: streamed 5-min window counts == batch window agg, across 3 micro-batches") {
     val got = rows(StreamGrade.streamTumbling(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_tumbling") === 3)
     val want = rows(graft.Tables.events(spark, dir)
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -91,7 +91,7 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("cdc_stream_sliding: streamed 1h/30min hop counts == the batch " +
       "events_sliding query, across 3 micro-batches") {
     val got = rows(StreamGrade.streamSliding(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_sliding") === 3)
     val want = rows(graft.rel.RelQueries.queries("events_sliding")(spark, dir))
     assert(got.nonEmpty && got === want)
     // genuinely overlapping: the hop total is ~2x the event count (every
@@ -106,7 +106,7 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("cdc_stream_capture: the checkpointed foreachBatch capture lands the " +
       "full replay in the partitioned layout — re-read aggregate == events direct") {
     val got = rows(StreamGrade.streamCapture(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_capture") === 3)
     val want = rows(graft.Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -119,14 +119,14 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("cdc_stream_sessions: streamed gap sessions == batch session_window, " +
       "MERGING sessions across micro-batch boundaries") {
     val got = rows(StreamGrade.streamSessions(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_sessions") === 3)
     val want = rows(graft.rel.RelQueries.queries("events_session_native")(spark, dir))
     assert(got.nonEmpty && got === want)
   }
 
   test("cdc_stream_user_features: final re-emission per user == batch aggregate") {
     val got = rows(StreamGrade.streamUserFeatures(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_user_features") === 3)
     val want = rows(graft.Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -139,14 +139,14 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("doc_stream_neardup: live LSH pair emissions == batch minhash_pairs, across 3 crawl batches") {
     val got = rows(StreamGrade.streamNearDup(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_neardup") === 3)
     val want = rows(graft.llm.HashDedup.queries("minhash_pairs")(spark, dir))
     assert(got === want)
   }
 
   test("doc_stream_vocab_novelty: one emission per (source, token) at its first sighting") {
     val got = rows(StreamGrade.streamVocabNovelty(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_vocab_novelty") === 3)
     val want = rows(graft.Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("source"), col("tok"))
@@ -158,7 +158,7 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("doc_stream_incr_neardup: streamed increment probes == batch incremental_neardup") {
     val got = rows(StreamGrade.streamIncrNearDup(spark, dir))
-    assert(StreamGrade.lastBatchCount >= 1) // increment rows may skip empty slices
+    assert(StreamGrade.batchCount("stream_incr_neardup") >= 1) // increment rows may skip empty slices
     val want = rows(graft.llm.HashDedup.queries("incremental_neardup")(spark, dir))
     assert(got === want)
   }
@@ -166,7 +166,7 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("doc_stream_logreg: the 3-slice mini-batch SGD trajectory emits one " +
       "update per crawl batch, cumulative counts covering the corpus") {
     val out = StreamGrade.streamLogreg(spark, dir).collect()
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_logreg") === 3)
     assert(out.length === 3, "one weight update per mini-batch")
     val nTotal = graft.Tables.documents(spark, dir).count()
     assert(out.map(_.getLong(0)).toSeq == out.map(_.getLong(0)).toSeq.sorted)
@@ -202,7 +202,7 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "zero-delivery subs kept") {
     val got = StreamGrade.streamTake(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_take") === 3)
     val bus = graft.Tables.bus(spark, dir)
     val want = graft.cdc.CdcBus.subs.map { case (n, p) =>
       val m = bus.filter(
@@ -219,7 +219,7 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "and the 30-min window excludes real pairs") {
     import org.apache.spark.sql.functions.expr
     val got = rows(StreamGrade.streamRpcJoin(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_rpc_join") === 3)
     val bus = graft.Tables.bus(spark, dir)
     val reqs = bus.filter(col("event_id") % 4 === 0)
       .select(col("event_id").as("req_id"), col("ts").as("req_ts"))
@@ -240,7 +240,7 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("cdc_stream_enrich: stream-static broadcast enrichment + complete-mode " +
       "rollup == the batch join") {
     val got = rows(StreamGrade.streamEnrich(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_enrich") === 3)
     val want = rows(graft.Tables.bus(spark, dir)
       .join(graft.Tables.customer(spark, dir)
         .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
@@ -255,7 +255,7 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "watermark eviction, unanswered tail held in state") {
     import org.apache.spark.sql.functions.expr
     val out = StreamGrade.streamRpcOuter(spark, dir).collect()
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_rpc_outer") === 3)
     val codes = out.map(_.getLong(3)).toSet
     assert(codes === Set(200L, 408L), s"both outcomes must occur, got $codes")
     val bus = graft.Tables.bus(spark, dir)
@@ -289,7 +289,7 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("doc_stream_substring_dup: live winnowing-gate emission counts == batch " +
       "winnow_pairs shared-fingerprint counts") {
     val got = rows(StreamGrade.streamSubstringDup(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_subdup") === 3)
     val want = rows(graft.llm.HashDedup.queries("winnow_pairs")(spark, dir))
     assert(got === want)
   }
@@ -297,7 +297,7 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("doc_stream_pipeline: the composed live gates (rep claim + near-dup + length) " +
       "== the batch pipeline_kept audit") {
     val got = rows(StreamGrade.streamPipeline(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_pipe_pairs") === 3)
     val want = rows(graft.llm.HashDedup.queries("pipeline_kept")(spark, dir))
     assert(got.nonEmpty && got === want)
   }
@@ -305,14 +305,14 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("doc_stream_cms: the streaming-maintained CMS grid serves the batch audit " +
       "bit-identically") {
     val got = rows(StreamGrade.streamCms(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_cms") === 3)
     val want = rows(graft.llm.TextOps.queries("cms_heavy_hitters")(spark, dir))
     assert(got.nonEmpty && got === want)
   }
 
   test("doc_stream_mix_shift: final live TV drift per source == the batch mix_shift audit") {
     val got = rows(StreamGrade.streamMixShift(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_mix_shift") === 3)
     val want = rows(graft.llm.TextOps.queries("mix_shift")(spark, dir)
       .filter(col("tv_dist").isNotNull)
       .select(col("source"), col("n_t_occ").as("n_occ"), col("tv_dist"))
@@ -323,7 +323,7 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("emb_stream_centroid_drift: final live drift per label == the batch " +
       "embed_centroid_drift audit") {
     val got = rows(StreamGrade.streamCentroidDrift(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_centroid_drift") === 3)
     val want = rows(graft.llm.VectorOps.queries("embed_centroid_drift")(spark, dir)
       .select(col("label"), col("n_b").as("n_seen"), col("drift"))
       .orderBy(col("label")))
@@ -333,7 +333,7 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("mm_stream_phash_dup: live pHash-banded pair emissions score to the " +
       "batch band join's near set, across 3 crawl batches") {
     val got = rows(StreamGrade.streamPhashDup(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_mm_phash") === 3)
     // batch twin in Spark: distinct band-join pairs, hamming <= 3
     val banded = graft.llm.Multimodal.phashArrivals(
       graft.Tables.documents(spark, dir))
@@ -354,7 +354,7 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("emb_stream_ann: live-served top-3 per arriving query == the batch IVF " +
       "probe over the same halves, across 3 micro-batches") {
     val got = rows(StreamGrade.streamAnn(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_ann") === 3)
     // batch twin: route each sampled query to 2 cells of the even-half
     // corpus, rank candidates (cos desc, vec_id)
     import org.apache.spark.sql.expressions.Window
@@ -410,7 +410,7 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("cdc_stream_scd2: streamed closed versions == batch SCD2 closed rows, across 3 micro-batches") {
     val got = rows(StreamGrade.streamScd2(spark, dir))
-    assert(StreamGrade.lastBatchCount === 3)
+    assert(StreamGrade.batchCount("stream_scd2") === 3)
     val want = rows(graft.cdc.CdcBus.scd2(spark, dir)
       .filter(col("valid_to").isNotNull)
       .select(col("channel"), col("event_id"), col("valid_from"),

@@ -26,23 +26,43 @@ CANARIES = [
 # The graded streaming queries co-schedule as families (StreamGrade
 # .families): the first-invoked member bills the family's wall-clock and
 # siblings bill ~0, so the billing query CHANGES whenever the catalog
-# gains an alphabetically-earlier member. Compare the family as ONE
+# gains an alphabetically-earlier member. Compare each family as ONE
 # summed entry — member-level ratios are attribution noise, the summed
-# wall-clock is the real signal.
-STREAM_MEMBER = re.compile(r"^(cdc|doc|emb)_stream_")
+# wall-clock is the real signal. The member → family map is read from
+# the recording's own "families" field (Bench emits StreamGrade's
+# billing map); recordings predating that field fall back to the name
+# pattern, folded as one pooled family.
+STREAM_MEMBER = re.compile(r"^(cdc|doc|emb|mm)_stream_")
 
 
-def fold_stream_family(queries):
-    folded = {q: t for q, t in queries.items() if not STREAM_MEMBER.match(q)}
-    fam = [t for q, t in queries.items() if STREAM_MEMBER.match(q)]
-    if fam:
-        folded["stream_family[sum]"] = sum(fam)
+def fold_stream_family(rec):
+    queries = rec["queries"]
+    fams = rec.get("families")
+    if fams:
+        folded = {q: t for q, t in queries.items() if q not in fams}
+        sums = {}
+        for q, t in queries.items():
+            if q in fams:
+                sums[fams[q]] = sums.get(fams[q], 0.0) + t
+        for f, t in sums.items():
+            folded[f"family[{f}]"] = t
+    else:
+        folded = {q: t for q, t in queries.items() if not STREAM_MEMBER.match(q)}
+        fam = [t for q, t in queries.items() if STREAM_MEMBER.match(q)]
+        if fam:
+            folded["stream_family[sum]"] = sum(fam)
     return folded
 
 
 def main(old_path, new_path, threshold=1.5):
-    old = fold_stream_family(json.load(open(old_path))["queries"])
-    new = fold_stream_family(json.load(open(new_path))["queries"])
+    old_rec, new_rec = json.load(open(old_path)), json.load(open(new_path))
+    # per-id family folds only compare when BOTH recordings carry the
+    # map; a mixed pair degrades to the pooled pattern fold on each side
+    if ("families" in old_rec) != ("families" in new_rec):
+        old_rec.pop("families", None)
+        new_rec.pop("families", None)
+    old = fold_stream_family(old_rec)
+    new = fold_stream_family(new_rec)
     canary = [new[q] / old[q] for q in CANARIES
               if q in old and q in new and old[q] > 0.02]
     box = statistics.median(canary) if len(canary) >= 3 else 1.0
