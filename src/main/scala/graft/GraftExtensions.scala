@@ -82,6 +82,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("band_hashes", 1)(exprs)
         graft.functions.BandHashesExpr(exprs(0), graft.llm.HashDedup.shingleKernel)
       }))
+    // the SQL ASOF JOIN surface: marker function + delegating parser +
+    // resolution rule + the no-marker-survives analysis check
+    // (graft.plans.AsOfSql)
+    e.injectFunction((
+      FunctionIdentifier(graft.plans.AsOfSqlRewrite.MarkerFn),
+      new ExpressionInfo(classOf[graft.plans.AsOfMarkerExpr].getName,
+        graft.plans.AsOfSqlRewrite.MarkerFn),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity(graft.plans.AsOfSqlRewrite.MarkerFn, 1)(exprs)
+        graft.plans.AsOfMarkerExpr(exprs(0))
+      }))
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    e.injectResolutionRule(_ => graft.plans.AsOfSqlResolution)
+    e.injectCheckRule(_ => graft.plans.AsOfSqlCheck)
     e.injectOptimizerRule(_ => MqttPrefixPushdown)
     e.injectOptimizerRule(_ => graft.plans.BusPartitionPruning)
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinPushdown)

@@ -32,4 +32,23 @@ object GraftBridge {
       cs.experimental.extraStrategies =
         cs.experimental.extraStrategies :+ strat
   }
+
+  /** Parse SQL text with the session's own parser (the injected
+    * [[graft.plans.GraftSqlParser]] when extensions are installed, the
+    * stock parser otherwise). */
+  def parsePlan(s: SparkSession, sqlText: String): LogicalPlan =
+    s.asInstanceOf[classic.SparkSession].sessionState.sqlParser.parsePlan(sqlText)
+
+  /** Idempotently register a session function — the
+    * [[ensureStrategy]] discipline for expression builders, letting
+    * SQL surfaces that need an injected function self-install in
+    * sessions built without [[graft.GraftExtensions]]. */
+  def ensureFunction(
+      s: SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit = {
+    val reg = s.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+    if (!reg.functionExists(name)) reg.registerFunction(name, info, builder)
+  }
 }

@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.parser.ParseException
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{AsOf, AsOfForward, AsOfJoinExec, AsOfSqlRewrite,
+  BroadcastAsOfJoinExec}
+
+/** The SQL entry point for the native as-of join (VERDICT r10 #1):
+  * `spark.sql` accepts DuckDB's `ASOF [LEFT] JOIN` syntax
+  * ([[graft.plans.GraftSqlParser]] + [[graft.plans.AsOfSqlResolution]])
+  * and must plan the SAME physical execs as [[AsOf.join]] — plus the
+  * rewrite's token discipline (strings/comments/identifiers are never
+  * rewritten) and every loud-error mode (no ON, USING, unsupported join
+  * kinds, non-as-of shapes — a marker must never silently degrade to a
+  * plain left join). */
+class AsOfSqlSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private def mkViews(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val lschema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lp", org.apache.spark.sql.types.StringType)))
+    val rschema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rk", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rt", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rp", org.apache.spark.sql.types.StringType)))
+    val l = Seq((1L, 10L, "l-a"), (1L, 20L, "l-b"), (1L, 5L, "l-early"),
+      (2L, 10L, "l-c"), (3L, 10L, "l-nokey"))
+      .map { case (a, b, c) => org.apache.spark.sql.Row(a, b, c) }
+    val r = Seq((1L, 7L, "r-7"), (1L, 10L, "r-10"), (1L, 15L, "r-15"),
+      (2L, 11L, "r-after"))
+      .map { case (a, b, c) => org.apache.spark.sql.Row(a, b, c) }
+    spark.createDataFrame(l.asJava, lschema).createOrReplaceTempView("lv")
+    spark.createDataFrame(r.asJava, rschema).createOrReplaceTempView("rv")
+  }
+
+  private def asofExecs(df: DataFrame): (Int, Int) = {
+    val plan = df.queryExecution.executedPlan
+    (collectWithSubqueries(plan) { case e: AsOfJoinExec => e }.size,
+     collectWithSubqueries(plan) { case e: BroadcastAsOfJoinExec => e }.size)
+  }
+
+  // ---------- rewrite: token discipline ----------
+
+  test("rewrite leaves non-ASOF text untouched, including strings/comments/identifiers") {
+    assert(AsOfSqlRewrite.rewrite("SELECT * FROM a LEFT JOIN b ON a.x = b.x").isEmpty)
+    assert(AsOfSqlRewrite.rewrite("SELECT 'asof join me' AS s FROM t").isEmpty)
+    assert(AsOfSqlRewrite.rewrite(
+      "SELECT x FROM t -- asof join in a comment\nWHERE x > 0").isEmpty)
+    assert(AsOfSqlRewrite.rewrite(
+      "SELECT x /* asof /* nested */ join */ FROM t").isEmpty)
+    assert(AsOfSqlRewrite.rewrite("SELECT `asof join` FROM t").isEmpty)
+    assert(AsOfSqlRewrite.rewrite("SELECT a.asof FROM t a").isEmpty)
+  }
+
+  test("rewrite forms: ASOF JOIN / ASOF LEFT JOIN / ASOF LEFT OUTER JOIN") {
+    val inner = AsOfSqlRewrite.rewrite("SELECT * FROM a ASOF JOIN b ON b.t <= a.t").get
+    assert(inner.contains("LEFT JOIN b ON graft_asof_marker(false) AND"))
+    val outer = AsOfSqlRewrite.rewrite(
+      "SELECT * FROM a ASOF LEFT JOIN b ON b.t <= a.t").get
+    assert(outer.contains("LEFT JOIN b ON graft_asof_marker(true) AND"))
+    assert(!outer.toLowerCase.contains("asof left"))
+    val outer2 = AsOfSqlRewrite.rewrite(
+      "SELECT * FROM a ASOF LEFT OUTER JOIN b ON b.t <= a.t").get
+    assert(outer2.contains("LEFT OUTER JOIN b ON graft_asof_marker(true) AND"))
+    // a subquery rhs with its own parenthesized ON is skipped by the
+    // depth tracking; the marker lands on the OUTER join's ON
+    val sub = AsOfSqlRewrite.rewrite(
+      "SELECT * FROM a ASOF LEFT JOIN (SELECT * FROM x JOIN y ON x.i = y.i) s " +
+        "ON s.t <= a.t").get
+    assert(sub.contains("ON x.i = y.i) s ON graft_asof_marker(true) AND "))
+  }
+
+  test("rewrite errors: missing ON, USING, unsupported join kinds") {
+    intercept[ParseException] {
+      AsOfSqlRewrite.rewrite("SELECT * FROM a ASOF JOIN b WHERE a.x = 1")
+    }
+    intercept[ParseException] {
+      AsOfSqlRewrite.rewrite("SELECT * FROM a ASOF JOIN b USING (k)")
+    }
+    intercept[ParseException] {
+      AsOfSqlRewrite.rewrite("SELECT * FROM a ASOF RIGHT JOIN b ON b.t <= a.t")
+    }
+    intercept[ParseException] {
+      AsOfSqlRewrite.rewrite("SELECT * FROM a ASOF FULL OUTER JOIN b ON b.t <= a.t")
+    }
+  }
+
+  // ---------- SQL == DataFrame API, same physical operator ----------
+
+  test("ASOF LEFT JOIN == AsOf.join, and plans a native as-of exec") {
+    mkViews()
+    val sql = spark.sql(
+      "SELECT l.lp, r.rp FROM lv l ASOF LEFT JOIN rv r " +
+        "ON l.k = r.rk AND r.rt <= l.t ORDER BY l.lp")
+    val api = AsOf.join(spark.table("lv"), spark.table("rv"),
+        Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("lp"), col("rp")).orderBy(col("lp"))
+    assert(sql.collect().toSeq.map(_.toString) ===
+      api.collect().toSeq.map(_.toString))
+    val (m, b) = asofExecs(sql)
+    assert(m + b === 1, s"expected exactly one native as-of exec, got merge=$m bcast=$b")
+    // semantic spot-check: inclusive tie, latest-<=, unmatched key nulls
+    val got = sql.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got === Map("l-a" -> "r-10", "l-b" -> "r-15", "l-early" -> null,
+      "l-c" -> null, "l-nokey" -> null))
+  }
+
+  test("physical selection from SQL: small right broadcasts; threshold -1 forces the merge") {
+    mkViews()
+    val q = "SELECT l.lp, r.rp FROM lv l ASOF LEFT JOIN rv r " +
+      "ON l.k = r.rk AND r.rt <= l.t"
+    val (m1, b1) = asofExecs(spark.sql(q))
+    assert(b1 === 1 && m1 === 0, "tiny right side must take the broadcast exec")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (m2, b2) = asofExecs(spark.sql(q))
+      assert(m2 === 1 && b2 === 0, "threshold -1 must take the co-partitioned merge")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("inner ASOF JOIN drops unmatched probes; strict and forward inequalities map") {
+    mkViews()
+    val inner = spark.sql(
+      "SELECT l.lp, r.rp FROM lv l ASOF JOIN rv r " +
+        "ON l.k = r.rk AND r.rt <= l.t ORDER BY l.lp")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(inner === Seq("l-a" -> "r-10", "l-b" -> "r-15"))
+    // strict backward: the t=10 tie must NOT match (r-7 wins for l-a)
+    val strict = spark.sql(
+      "SELECT l.lp, r.rp FROM lv l ASOF LEFT JOIN rv r " +
+        "ON l.k = r.rk AND r.rt < l.t ORDER BY l.lp")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(strict("l-a") === "r-7")
+    val strictApi = AsOf.join(spark.table("lv"), spark.table("rv"),
+        Seq("k"), Seq("rk"), "t", "rt", tolerance = None,
+        allowExactMatches = false)
+      .select(col("lp"), col("rp")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(strict === strictApi)
+    // forward: earliest >= — l-c now matches r-after
+    val fwd = spark.sql(
+      "SELECT l.lp, r.rp FROM lv l ASOF LEFT JOIN rv r " +
+        "ON l.k = r.rk AND r.rt >= l.t ORDER BY l.lp")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val fwdApi = AsOf.join(spark.table("lv"), spark.table("rv"),
+        Seq("k"), Seq("rk"), "t", "rt", tolerance = None,
+        direction = AsOfForward)
+      .select(col("lp"), col("rp")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(fwd === fwdApi && fwd("l-c") === "r-after")
+    // flipped operand order reads identically (lt >= rt == rt <= lt)
+    val flipped = spark.sql(
+      "SELECT l.lp, r.rp FROM lv l ASOF LEFT JOIN rv r " +
+        "ON l.k = r.rk AND l.t >= r.rt ORDER BY l.lp")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(flipped("l-a") === "r-10" && flipped("l-b") === "r-15")
+  }
+
+  test("shape errors are loud: OR-rooted ON, two inequalities, no time bound, no key") {
+    mkViews()
+    // OR above the conjunction hides the marker from splitting — the
+    // check rule must reject, never run as a plain left join
+    val or = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM lv l ASOF LEFT JOIN rv r " +
+        "ON (l.k = r.rk AND r.rt <= l.t) OR l.k = 99").collect()
+    }
+    assert(or.getMessage.contains("ASOF"))
+    val two = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM lv l ASOF LEFT JOIN rv r " +
+        "ON l.k = r.rk AND r.rt <= l.t AND r.rt >= l.t - 5").collect()
+    }
+    assert(two.getMessage.toLowerCase.contains("inequalit"))
+    val notime = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM lv l ASOF LEFT JOIN rv r ON l.k = r.rk").collect()
+    }
+    assert(notime.getMessage.toLowerCase.contains("time inequality"))
+    val nokey = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM lv l ASOF LEFT JOIN rv r ON r.rt <= l.t").collect()
+    }
+    assert(nokey.getMessage.toLowerCase.contains("equality key"))
+  }
+
+  test("AsOfSql self-installs in a session without GraftExtensions") {
+    spark // force the fixture first so restoring defaults below is safe
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val plain = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      plain.range(0, 10).select(col("id").as("k"), (col("id") * 10).as("t"))
+        .createOrReplaceTempView("pa")
+      plain.range(0, 5).select(col("id").as("rk"), (col("id") * 10 - 5).as("rt"))
+        .createOrReplaceTempView("pb")
+      val out = graft.plans.AsOfSql(plain,
+        "SELECT a.k, a.t, b.rt FROM pa a ASOF LEFT JOIN pb b " +
+          "ON a.k = b.rk AND b.rt <= a.t")
+      val rows = out.collect()
+      assert(rows.length == 10 && rows.count(!_.isNullAt(2)) == 5)
+      val (m, b) = {
+        val plan = out.queryExecution.executedPlan
+        (collectWithSubqueries(plan) { case e: AsOfJoinExec => e }.size,
+         collectWithSubqueries(plan) { case e: BroadcastAsOfJoinExec => e }.size)
+      }
+      assert(m + b === 1, "plain session must still plan the native exec")
+      // the loud-error discipline holds without the injected check rule
+      intercept[AnalysisException] {
+        graft.plans.AsOfSql(plain,
+          "SELECT * FROM pa a ASOF LEFT JOIN pb b " +
+            "ON (a.k = b.rk AND b.rt <= a.t) OR a.k = 99").collect()
+      }
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("graded rows: asof_sql text == asof_native result; inner is the matched subset") {
+    val d = "/root/testdata/sf0.001"
+    val sqlRows = graft.rel.RelQueries.queries("asof_sql")(spark, d)
+      .collect().map(_.toString).toSeq
+    val nativeRows = graft.rel.RelQueries.queries("asof_native")(spark, d)
+      .collect().map(_.toString).toSeq
+    assert(sqlRows === nativeRows)
+    val innerRows = graft.rel.RelQueries.queries("asof_sql_inner")(spark, d)
+      .collect().map(_.toString).toSeq
+    assert(innerRows === nativeRows.filterNot(_.contains("null")) &&
+      innerRows.nonEmpty && innerRows.length < nativeRows.length)
+  }
+}
