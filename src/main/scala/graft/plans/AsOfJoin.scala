@@ -352,17 +352,20 @@ case class AsOfJoinExec(
 /** Broadcast as-of join: the right side (a dimension-history table —
   * small by the strategy's own admission test) broadcasts as plain rows
   * ([[IdentityBroadcastMode]], the BroadcastNestedLoopJoin plumbing);
-  * each task builds a key → time-sorted-rows index from the broadcast
-  * value and answers every probe with a binary search. The left side
-  * keeps its partitioning AND ordering — at 100 TB the fact scan flows
-  * straight through with zero exchanges and zero sorts, which is the
-  * entire point of choosing this plan. Index build is O(R log R) per
-  * task over the broadcast rows (a production refinement would memoize
-  * it per executor keyed on the broadcast id; R is
-  * threshold-bounded, so the build is noise next to the scan it
-  * saves). Same match semantics as [[AsOfJoinExec]] in all three
-  * directions and under tolerance — parity is spec-asserted on random
-  * data. */
+  * the key → time-sorted-rows index built from the broadcast value
+  * answers every probe with a binary search. The left side keeps its
+  * partitioning AND ordering — at 100 TB the fact scan flows straight
+  * through with zero exchanges and zero sorts, which is the entire
+  * point of choosing this plan. The O(R log R) index build is MEMOIZED
+  * PER EXECUTOR (companion cache keyed on broadcast id + canonicalized
+  * key/time expressions — the expression part matters because
+  * ReuseExchange can hand the same broadcast to two different as-of
+  * joins): with thousands of probe tasks per stage the build happens
+  * once per executor, not once per task, and soft references let
+  * memory pressure reclaim it (spec-asserted: one build across an
+  * 8-partition probe, zero on re-execution). Same match semantics as
+  * [[AsOfJoinExec]] in all three directions and under tolerance —
+  * parity is spec-asserted on random data. */
 case class BroadcastAsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
@@ -409,37 +412,43 @@ case class BroadcastAsOfJoinExec(
         AsOfJoinExec.integralBacked(timeType),
       s"as-of tolerance/nearest needs an integral-backed time type, got $timeType")
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    // driver-side: part of the memo key — two joins can consume the SAME
+    // reused broadcast exchange with different key/time expressions
+    val exprFingerprint =
+      (rKeyExprs.map(_.canonicalized) :+ rTimeExpr.canonicalized).mkString(";")
 
     left.execute().mapPartitions({ lIter =>
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val rTime = BindReferences.bindReference(rTimeExpr, rOut)
       val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
         .asInstanceOf[Ordering[Any]]
-      // key → (times sorted asc, rows in the same order); null keys and
-      // null times can never match and are dropped at build
-      val index = new java.util.HashMap[UnsafeRow, (Array[Any], Array[InternalRow])]()
-      locally {
-        val buckets = new java.util.HashMap[UnsafeRow,
-          scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
-        broadcastRows.value.foreach { r =>
-          val k = rKeyProj(r)
-          if (!k.anyNull) {
-            val t = rTime.eval(r)
-            if (t != null) {
-              var b = buckets.get(k)
-              if (b == null) {
-                b = new scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]()
-                buckets.put(k.copy(), b)
+      val index = BroadcastAsOfJoinExec.indexFor(
+        broadcastRows.id, exprFingerprint, () => {
+          // key → (times sorted asc, rows in the same order); null keys
+          // and null times can never match and are dropped at build
+          val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+          val rTime = BindReferences.bindReference(rTimeExpr, rOut)
+          val built = new java.util.HashMap[UnsafeRow, (Array[Any], Array[InternalRow])]()
+          val buckets = new java.util.HashMap[UnsafeRow,
+            scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
+          broadcastRows.value.foreach { r =>
+            val k = rKeyProj(r)
+            if (!k.anyNull) {
+              val t = rTime.eval(r)
+              if (t != null) {
+                var b = buckets.get(k)
+                if (b == null) {
+                  b = new scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]()
+                  buckets.put(k.copy(), b)
+                }
+                b += ((t, r))
               }
-              b += ((t, r))
             }
           }
-        }
-        buckets.forEach { (k, b) =>
-          val sorted = b.sortInPlace()(Ordering.by[(Any, InternalRow), Any](_._1)(timeOrd))
-          index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
-        }
-      }
+          buckets.forEach { (k, b) =>
+            val sorted = b.sortInPlace()(Ordering.by[(Any, InternalRow), Any](_._1)(timeOrd))
+            built.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+          }
+          built
+        })
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val lTime = BindReferences.bindReference(lTimeExpr, lOut)
       val resultProj = UnsafeProjection.create(allOut, allOut)
@@ -498,6 +507,46 @@ case class BroadcastAsOfJoinExec(
         resultProj(joined(l, out))
       }
     }, preservesPartitioning = true)
+  }
+}
+
+object BroadcastAsOfJoinExec {
+  private type Index =
+    java.util.HashMap[UnsafeRow, (Array[Any], Array[InternalRow])]
+
+  /** Per-executor memo of built probe indexes. Keyed on (broadcast id,
+    * canonicalized right key/time expressions); soft-referenced so an
+    * executor under memory pressure reclaims indexes instead of
+    * OOMing — a reclaimed entry is simply rebuilt. The index is
+    * read-only after construction and safely published through the
+    * ConcurrentHashMap, so concurrent probe tasks share one build. */
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
+    (Long, String), java.lang.ref.SoftReference[Index]]()
+
+  /** Build counter — the spec hook proving once-per-executor (in
+    * local mode: once per JVM across all probe tasks). */
+  private[graft] val buildCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[plans] def indexFor(broadcastId: Long, fingerprint: String,
+                              build: () => Index): Index = {
+    val key = (broadcastId, fingerprint)
+    val cached = indexCache.get(key)
+    val hit = if (cached == null) null else cached.get()
+    if (hit != null) hit
+    else {
+      val ref = indexCache.compute(key, (_, old) => {
+        if (old != null && old.get() != null) old
+        else {
+          buildCount.incrementAndGet()
+          new java.lang.ref.SoftReference(build())
+        }
+      })
+      val got = ref.get()
+      // reclaimed between compute and get — vanishingly rare; build
+      // task-locally rather than loop on the cache
+      if (got != null) got
+      else { buildCount.incrementAndGet(); build() }
+    }
   }
 }
 

@@ -495,6 +495,31 @@ class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       Seq(("x", "x")))
   }
 
+  test("broadcast index is memoized per executor: one build across an " +
+      "8-partition probe, zero on re-execution") {
+    import graft.plans.BroadcastAsOfJoinExec
+    val left = spark.range(0, 1000, 1, 8)
+      .select((col("id") % 10).as("k"), (col("id") * 3).as("t"))
+    val right = spark.range(0, 50)
+      .select((col("id") % 10).as("rk"), (col("id") * 7).as("rt"))
+    val joined = AsOf.join(left, broadcast(right),
+      Seq("k"), Seq("rk"), "t", "rt")
+    val before = BroadcastAsOfJoinExec.buildCount.get()
+    assert(joined.count() === 1000L)
+    assert(collectWithSubqueries(joined.queryExecution.executedPlan) {
+      case e: graft.plans.BroadcastAsOfJoinExec => e }.nonEmpty)
+    val afterFirst = BroadcastAsOfJoinExec.buildCount.get()
+    assert(afterFirst - before === 1L,
+      s"expected ONE index build for 8 probe tasks on one executor, " +
+        s"got ${afterFirst - before}")
+    // a fresh action re-plans and re-broadcasts (new broadcast id), so
+    // it builds exactly once more — the memo's scope is one broadcast
+    // variable: all tasks of all stages consuming it share one build
+    assert(joined.count() === 1000L)
+    assert(BroadcastAsOfJoinExec.buildCount.get() === afterFirst + 1,
+      "a new broadcast builds once, never per task")
+  }
+
   test("self-registers its strategy in a session without GraftExtensions") {
     spark // force the fixture first so restoring defaults below is safe
     SparkSession.clearActiveSession()
