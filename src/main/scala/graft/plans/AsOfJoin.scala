@@ -51,9 +51,18 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * a single forward pass over both sorted streams (no re-scan of the
   * right history per probe, no window frame buffer), and the only
   * exchanges in the plan are the two key shuffles any correct as-of
-  * evaluation needs. Skewed probe keys ride the same AQE skew handling
-  * as every other shuffle because the requirement is declared, not
-  * hand-implemented.
+  * evaluation needs. SKEW, honestly stated (spec-pinned in
+  * AsOfJoinSpec): declaring `ClusteredDistribution` buys shuffle
+  * planning and AQE partition COALESCING, but Spark's
+  * `OptimizeSkewedJoin` pattern-matches `SortMergeJoinExec` /
+  * `ShuffledHashJoinExec` specifically and will NOT split a skewed
+  * partition feeding a custom `BinaryExecNode` — a hot probe key lands
+  * in one task. The merge holds O(1) state so it cannot OOM, but it
+  * serializes; the remedies are [[AsOf.joinSalted]] (deterministic
+  * time-hash salting: the hot key's probes spread over N buckets, the
+  * right history replicates N ways — bounded, it is dimension-sized)
+  * or, when the right side fits the threshold, the broadcast path,
+  * which has no shuffle to skew.
   *
   * Not to be confused with Spark's internal
   * `catalyst.plans.logical.AsOfJoin` (the pandas-on-Spark API's
@@ -698,5 +707,51 @@ object AsOf {
       leftOn.map(attr(lPlan, _)), rightOn.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime), tolerance, direction,
       hinted, allowExactMatches))
+  }
+
+  /** SKEW-SALTED as-of join — the hot-key path for the co-partitioned
+    * merge (see the skew note on [[AsOfJoin]]: `OptimizeSkewedJoin`
+    * will not split a custom operator's shuffle, so a dominant probe
+    * key otherwise serializes in one task). Classic two-sided salting
+    * adapted to as-of semantics:
+    *
+    *   - every LEFT row gets a deterministic salt from the HASH OF ITS
+    *     TIME value (not a random number — results must be stable and
+    *     re-runnable), spreading a hot key's probes over `buckets`
+    *     shuffle partitions;
+    *   - every RIGHT row replicates to ALL `buckets` salt values, so
+    *     each salted partition sees the key's FULL history — which is
+    *     why every direction, strictness and tolerance carries over
+    *     unchanged (each probe still chooses from the complete
+    *     candidate set; parity is spec-asserted on a 90%-hot-key
+    *     corpus).
+    *
+    * Cost model: the right shuffle volume multiplies by `buckets` —
+    * bounded, because the merge path's right side is a dimension
+    * history, not a fact table (a right side too big for N-way
+    * replication is too big to be the right side of an as-of join at
+    * all; bucket the TIME instead, or flip the roles). The left
+    * (100 TB) side still shuffles exactly once. Degenerate case: a hot
+    * key whose rows all carry ONE identical time still lands in one
+    * bucket — salting cannot help a key that is hot at a single
+    * instant. */
+  def joinSalted(left: DataFrame, right: DataFrame,
+                 leftOn: Seq[String], rightOn: Seq[String],
+                 leftTime: String, rightTime: String,
+                 buckets: Int = 16,
+                 tolerance: Option[Long] = None,
+                 direction: AsOfDirection = AsOfBackward,
+                 allowExactMatches: Boolean = true): DataFrame = {
+    require(buckets > 1, s"salting needs >1 bucket, got $buckets")
+    import org.apache.spark.sql.functions.{col, explode, hash, lit, pmod, typedLit}
+    val salt = "__graft_asof_salt"
+    require(!left.columns.exists(_.equalsIgnoreCase(salt)) &&
+      !right.columns.exists(_.equalsIgnoreCase(salt)),
+      s"column name $salt is reserved by joinSalted")
+    val l2 = left.withColumn(salt, pmod(hash(col(leftTime)), lit(buckets)))
+    val r2 = right.withColumn(salt, explode(typedLit((0 until buckets).toArray)))
+    join(l2, r2, leftOn :+ salt, rightOn :+ salt, leftTime, rightTime,
+      tolerance, direction, broadcastRight = Some(false), allowExactMatches)
+      .drop(salt)
   }
 }

@@ -495,6 +495,111 @@ class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       Seq(("x", "x")))
   }
 
+  private def withConfs[A](confs: (String, String)*)(body: => A): A = {
+    val priors = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally priors.foreach { case (k, p) =>
+      p.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  // 90% of probes on key 1; times deterministic, right times unique
+  // (so tie-breaks cannot differ between plans under comparison)
+  private def hotLeft = spark.range(0, 20000, 1, 4).select(
+    when(col("id") % 10 < 9, 1L).otherwise(col("id") % 90 + 2).as("k"),
+    ((col("id") * 2654435761L) % 1000003L).as("t"),
+    col("id").as("lid"))
+  private def hotRight = spark.range(0, 2000).select(
+    when(col("id") % 10 < 9, 1L).otherwise(col("id") % 90 + 2).as("rk"),
+    (col("id") * 487L).as("rt"),
+    col("id").as("rid"))
+
+  test("honest skew contract: OptimizeSkewedJoin splits a skewed SMJ but NOT " +
+      "the custom as-of shuffle — the scaladoc's claim, pinned") {
+    import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      def skewedReads(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect() // execute THIS QueryExecution (count() would plan a new one)
+        collectWithSubqueries(df.queryExecution.executedPlan) {
+          case r: AQEShuffleReadExec if r.hasSkewedPartition => r
+        }.size
+      }
+      // control: the SAME skewed probe side through a stock sort-merge
+      // join — AQE must split it, proving these thresholds bite. The dim
+      // side must shuffle DIRECTLY into the join (OptimizeSkewedJoin
+      // pattern-matches SMJ(Sort(Stage), Sort(Stage)); an aggregate in
+      // between defeats it even for stock joins) and have unique keys so
+      // the left join does not fan out
+      val dim = spark.range(0, 100)
+        .select((col("id") + 1).as("rk"), (col("id") * 487L).as("rt"))
+      val smj = hotLeft.join(dim, col("k") === col("rk"), "left")
+      assert(skewedReads(smj) > 0,
+        "thresholds too lax: the control SMJ did not skew-split")
+      // the custom operator: same corpus, same confs — NO split (the
+      // hot key serializes in one task; that is the honest contract,
+      // remedied by joinSalted below)
+      val asof = AsOf.join(hotLeft, hotRight, Seq("k"), Seq("rk"), "t", "rt",
+        tolerance = None, broadcastRight = Some(false))
+      assert(skewedReads(asof) === 0,
+        "OptimizeSkewedJoin split a custom BinaryExecNode — the scaladoc " +
+          "and joinSalted rationale need updating")
+    }
+  }
+
+  test("joinSalted: parity with the unsalted merge on the 90%-hot corpus " +
+      "across direction/strictness/tolerance, and the exchange is salted") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val variants = Seq[(String, (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame))](
+      ("backward", (l, r) => (
+        AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt",
+          tolerance = None, broadcastRight = Some(false)),
+        AsOf.joinSalted(l, r, Seq("k"), Seq("rk"), "t", "rt", buckets = 8))),
+      ("forward-strict", (l, r) => (
+        AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt", tolerance = None,
+          direction = graft.plans.AsOfForward, broadcastRight = Some(false),
+          allowExactMatches = false),
+        AsOf.joinSalted(l, r, Seq("k"), Seq("rk"), "t", "rt", buckets = 8,
+          direction = graft.plans.AsOfForward, allowExactMatches = false))),
+      ("backward-tolerance", (l, r) => (
+        AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt",
+          tolerance = Some(50000L), broadcastRight = Some(false)),
+        AsOf.joinSalted(l, r, Seq("k"), Seq("rk"), "t", "rt", buckets = 8,
+          tolerance = Some(50000L)))))
+    variants.foreach { case (name, mk) =>
+      val (plainDf, saltedDf) = mk(hotLeft, hotRight)
+      assert(rows(saltedDf) === rows(plainDf), s"salted parity broke: $name")
+    }
+    // the salted plan really spreads the hot key: its exchange hashes on
+    // (key, salt), not key alone
+    val salted = AsOf.joinSalted(hotLeft, hotRight,
+      Seq("k"), Seq("rk"), "t", "rt", buckets = 8)
+    val exchanges = collectWithSubqueries(salted.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty && exchanges.forall(
+      _.outputPartitioning.toString.contains("__graft_asof_salt")),
+      "salt column missing from the shuffle partitioning")
+    // reserved-name and bucket-count guards
+    intercept[IllegalArgumentException] {
+      AsOf.joinSalted(hotLeft, hotRight, Seq("k"), Seq("rk"), "t", "rt",
+        buckets = 1)
+    }
+    intercept[IllegalArgumentException] {
+      AsOf.joinSalted(hotLeft.withColumn("__graft_asof_salt", lit(1)),
+        hotRight, Seq("k"), Seq("rk"), "t", "rt")
+    }
+  }
+
   test("broadcast index is memoized per executor: one build across an " +
       "8-partition probe, zero on re-execution") {
     import graft.plans.BroadcastAsOfJoinExec
