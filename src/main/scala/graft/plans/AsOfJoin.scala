@@ -113,7 +113,9 @@ case class AsOfJoin(
   override lazy val resolved: Boolean =
     childrenResolved &&
       (leftKeys ++ rightKeys :+ leftTime :+ rightTime).forall(_.resolved) &&
-      leftKeys.length == rightKeys.length && leftKeys.nonEmpty &&
+      // empty keys = KEYLESS (global) as-of: pandas merge_asof without
+      // `by` — every probe matches against the one global right history
+      leftKeys.length == rightKeys.length &&
       leftKeys.zip(rightKeys).forall { case (l, r) =>
         DataTypeUtils.sameType(l.dataType, r.dataType) } &&
       DataTypeUtils.sameType(leftTime.dataType, rightTime.dataType) &&
@@ -175,9 +177,18 @@ case class AsOfJoinExec(
 
   // the same co-partitioning contract SortMergeJoinExec declares — two
   // ClusteredDistributions over the join keys, EnsureRequirements makes
-  // them compatible (one shuffle per side at most)
+  // them compatible (one shuffle per side at most). KEYLESS: there is
+  // nothing to cluster on — both sides gather to one partition, the
+  // correctness fallback (the scale paths for keyless are the broadcast
+  // exec, which never shuffles the probe side, and
+  // [[AsOf.joinKeylessBucketed]], which re-expresses the global as-of
+  // as a keyed one over time-range buckets)
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+    if (leftKeys.isEmpty)
+      org.apache.spark.sql.catalyst.plans.physical.AllTuples ::
+        org.apache.spark.sql.catalyst.plans.physical.AllTuples :: Nil
+    else
+      ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
@@ -672,8 +683,9 @@ object AsOf {
            direction: AsOfDirection = AsOfBackward,
            broadcastRight: Option[Boolean] = None,
            allowExactMatches: Boolean = true): DataFrame = {
-    require(leftOn.length == rightOn.length && leftOn.nonEmpty,
-      s"asof join needs matching non-empty key lists, got $leftOn / $rightOn")
+    require(leftOn.length == rightOn.length,
+      s"asof join needs matching key lists, got $leftOn / $rightOn " +
+        "(both empty = keyless/global as-of)")
     val s = left.sparkSession
     GraftBridge.ensureStrategy(s, AsOfJoinStrategy)
     val lPlan = GraftBridge.analyzed(left)
@@ -735,6 +747,112 @@ object AsOf {
     * key whose rows all carry ONE identical time still lands in one
     * bucket — salting cannot help a key that is hot at a single
     * instant. */
+  /** KEYLESS (global) as-of at scale — pandas `merge_asof` without
+    * `by`, re-expressed as a KEYED as-of over time-range buckets so the
+    * probe side still distributes (the operator's own keyless form
+    * gathers both sides to ONE partition — correct, but serial; the
+    * broadcast path needs a small right side; this path needs neither):
+    *
+    *   1. bucket boundaries: fixed-width over the LEFT time span (one
+    *      tiny min/max job; deterministic — never sampled);
+    *   2. both sides get a clamped bucket id — the bucket map is
+    *      monotone in time, so every backward candidate of a probe in
+    *      bucket p sits in buckets `<= p`;
+    *   3. '''boundary hand-off''': per bucket, the latest right row
+    *      (and/or earliest, per direction) is computed — a `<= buckets`
+    *      row frame — and each bucket p receives a copy of the latest
+    *      right row from the nearest earlier non-empty bucket (forward:
+    *      earliest from the nearest later). Within a bucket the
+    *      operator then chooses among the complete global candidate
+    *      set: own-bucket rows plus the hand-off rows;
+    *   4. the keyed operator runs on the bucket id.
+    *
+    * Shuffle volume: left once, right once plus `<= 2·buckets`
+    * hand-off rows — against the single-partition fallback this is the
+    * difference between one task and `buckets` tasks on a 100 TB probe
+    * side. Skewed TIME (all probes in one bucket) degrades toward the
+    * fallback; widen `buckets` or pre-transform the time axis.
+    * Tolerance/direction/strictness carry over unchanged (hand-off
+    * rows are strictly outside their target bucket's time range, so
+    * boundary strictness never involves them); parity with the
+    * single-partition operator is spec-asserted, including right rows
+    * outside the left span. Ties on the hand-off's time pick an
+    * arbitrary payload row — exactly the base operator's tie behavior. */
+  def joinKeylessBucketed(left: DataFrame, right: DataFrame,
+                          leftTime: String, rightTime: String,
+                          buckets: Int = 64,
+                          tolerance: Option[Long] = None,
+                          direction: AsOfDirection = AsOfBackward,
+                          allowExactMatches: Boolean = true): DataFrame = {
+    require(buckets > 0, s"need a positive bucket count, got $buckets")
+    import org.apache.spark.sql.functions.{
+      broadcast, col, expr, lit, max_by, min_by, row_number, struct}
+    val bcol = "__graft_asof_bucket"
+    val tcol = "__graft_asof_tlong"
+    Seq(bcol, tcol).foreach { n =>
+      require(!left.columns.exists(_.equalsIgnoreCase(n)) &&
+        !right.columns.exists(_.equalsIgnoreCase(n)),
+        s"column name $n is reserved by joinKeylessBucketed") }
+    def asLong(df: DataFrame, name: String): org.apache.spark.sql.Column =
+      df.schema(df.schema.fieldIndex(name)).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          org.apache.spark.sql.functions.unix_micros(col(name))
+        case org.apache.spark.sql.types.DateType =>
+          org.apache.spark.sql.functions.unix_date(col(name)).cast("long")
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => col(name).cast("long")
+        case dt => throw new IllegalArgumentException(
+          s"joinKeylessBucketed needs an integral-backed time, got $dt")
+      }
+    val mm = left.agg(
+      org.apache.spark.sql.functions.min(asLong(left, leftTime)).as("mn"),
+      org.apache.spark.sql.functions.max(asLong(left, leftTime)).as("mx")).head()
+    // empty probe side: bucket arithmetic is moot — one constant bucket
+    // keeps the schema (and the operator's null handling) intact
+    val (mn, mx) =
+      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (mx - mn) / buckets + 1)
+    def withBucket(df: DataFrame, time: String): DataFrame =
+      df.withColumn(tcol, asLong(df, time))
+        .withColumn(bcol,
+          expr(s"least(greatest(($tcol - ${mn}L) div ${width}L, 0L), " +
+            s"${(buckets - 1).toLong}L)"))
+    val l2 = withBucket(left, leftTime).drop(tcol)
+    val r2 = withBucket(right, rightTime)
+    val rCols = right.columns.toSeq
+    val rStruct = struct(rCols.map(col): _*)
+    // per-bucket extremes, <= buckets rows each — broadcast everywhere
+    def handOff(pickLatest: Boolean): DataFrame = {
+      val per = r2.groupBy(col(bcol).as("q"))
+        .agg((if (pickLatest) max_by(rStruct, col(tcol))
+              else min_by(rStruct, col(tcol))).as("s"))
+      val ids = left.sparkSession.range(buckets).select(col("id").as("p"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p"))
+        .orderBy(if (pickLatest) col("q").desc else col("q").asc)
+      ids.join(broadcast(per),
+          if (pickLatest) col("q") < col("p") else col("q") > col("p"))
+        .withColumn("__rnk", row_number().over(w))
+        .filter(col("__rnk") === 1)
+        .select((col("p").as(bcol) +: rCols.map(n => col(s"s.$n").as(n))): _*)
+    }
+    val carries = direction match {
+      case AsOfBackward => handOff(pickLatest = true)
+      case AsOfForward  => handOff(pickLatest = false)
+      case AsOfNearest  =>
+        handOff(pickLatest = true).unionByName(handOff(pickLatest = false))
+    }
+    val rightAug = r2.drop(tcol)
+      .select((col(bcol) +: rCols.map(col)): _*)
+      .unionByName(carries)
+    join(l2, rightAug, Seq(bcol), Seq(bcol), leftTime, rightTime,
+        tolerance, direction, broadcastRight = Some(false), allowExactMatches)
+      .drop(bcol)
+  }
+
   def joinSalted(left: DataFrame, right: DataFrame,
                  leftOn: Seq[String], rightOn: Seq[String],
                  leftTime: String, rightTime: String,

@@ -320,9 +320,10 @@ object AsOfSqlResolution extends Rule[LogicalPlan] with PredicateHelper {
           "(e.g. r.ts <= l.ts)"))
       val lks = lk.result()
       val rks = rk.result()
-      if (lks.isEmpty)
-        analysisErr("ASOF JOIN needs at least one equality key " +
-          "(keyless as-of is available via the AsOf.join DataFrame API)")
+      // empty keys = keyless/global as-of (DuckDB accepts it too);
+      // plans as broadcast when the right side admits it, else the
+      // single-partition merge — AsOf.joinKeylessBucketed is the
+      // distributed form for a large-right keyless join
       // let TypeCoercion finish first: mismatched operand types mean the
       // stock coercion rules still owe this condition a cast — leave the
       // Join untouched, the fixpoint revisits

@@ -1013,6 +1013,18 @@ object RelQueries {
       |FROM p ASOF LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Keyless ASOF twin ([[asofGlobal]]/[[asofGlobalBcast]]): DuckDB
+    * accepts an inequality-only ON. */
+  private[graft] val AsOfGlobalSql =
+    """WITH e AS (
+      |  SELECT ts AS err_ts, max(event_id) AS err_id
+      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |       e.err_id, CAST(e.err_ts AS TIMESTAMP) AS err_ts
+      |FROM p ASOF LEFT JOIN e ON e.err_ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
+
   /** The INNER `ASOF JOIN` form of [[AsOfSqlText]] (DuckDB drops
     * unmatched probes; the engine's rewrite expresses that as the
     * operator plus a matched-rows filter) — again one text, both
@@ -1047,6 +1059,49 @@ object RelQueries {
   def asofSqlInner(s: SparkSession, d: String): DataFrame = {
     Tables.events(s, d).createOrReplaceTempView("events")
     graft.plans.AsOfSql(s, AsOfSqlInnerText)
+  }
+
+  /** KEYLESS (global) as-of, graded through the BUCKETED scale path
+    * ([[graft.plans.AsOf.joinKeylessBucketed]]): per purchase, the most
+    * recent error event anywhere on the bus — incident attribution with
+    * no join key at all (pandas `merge_asof` without `by`). The naive
+    * keyless form gathers everything to one partition; the graded plan
+    * instead runs the keyed operator over 32 time-range buckets with
+    * per-bucket boundary hand-off, so the probe side distributes
+    * (parity with the single-partition fallback is spec-asserted in
+    * AsOfJoinSpec). Right side deduped to unique timestamps so the
+    * hand-off tie-break cannot differ between engines. Twin = DuckDB's
+    * keyless `ASOF LEFT JOIN` (inequality-only ON). */
+  def asofGlobal(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errs = ev.filter(col("event_type") === "error")
+      .groupBy(col("ts")).agg(max(col("event_id")).as("err_id"))
+      .select(col("ts").as("err_ts"), col("err_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts").as("purchase_ts"))
+    graft.plans.AsOf.joinKeylessBucketed(purchases, errs,
+        "purchase_ts", "err_ts", buckets = 32)
+      .select(col("event_id"), col("purchase_ts"), col("err_id"), col("err_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** [[asofGlobal]] through the BROADCAST keyless path: the deduped
+    * error history ships to every executor once and the purchase scan
+    * is probed map-side — zero exchanges on the probe side, the plan a
+    * keyless 100 TB enrichment wants whenever the global history fits
+    * the broadcast threshold. Same twin, same answer, third physical
+    * strategy for the same logical operator. */
+  def asofGlobalBcast(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errs = ev.filter(col("event_type") === "error")
+      .groupBy(col("ts")).agg(max(col("event_id")).as("err_id"))
+      .select(col("ts").as("err_ts"), col("err_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts").as("purchase_ts"))
+    graft.plans.AsOf.join(purchases, broadcast(errs),
+        Seq(), Seq(), "purchase_ts", "err_ts")
+      .select(col("event_id"), col("purchase_ts"), col("err_id"), col("err_ts"))
+      .orderBy(col("event_id"))
   }
 
   /** STRICT as-of self-join (pandas `allow_exact_matches=False`): per
@@ -1862,6 +1917,8 @@ object RelQueries {
     "asof_native"        -> (asofNative _),
     "asof_sql"           -> (asofSql _),
     "asof_sql_inner"     -> (asofSqlInner _),
+    "asof_global"        -> (asofGlobal _),
+    "asof_global_bcast"  -> (asofGlobalBcast _),
     "asof_tolerance"     -> (asofTolerance _),
     "asof_forward"       -> (asofForward _),
     "asof_nearest"       -> (asofNearest _),
@@ -2554,6 +2611,11 @@ object RelQueries {
     "asof_native" -> AsOfSqlText,
     "asof_sql" -> AsOfSqlText,
     "asof_sql_inner" -> AsOfSqlInnerText,
+
+    // keyless ASOF (inequality-only ON) — two physical strategies, one
+    // twin
+    "asof_global" -> AsOfGlobalSql,
+    "asof_global_bcast" -> AsOfGlobalSql,
 
     "asof_forward" ->
       """WITH c AS (

@@ -600,6 +600,44 @@ class AsOfJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("keyless (global) as-of: merge fallback, broadcast path and the bucketed " +
+      "scale path agree across direction/strictness/tolerance") {
+    // right rows extend OUTSIDE the left span on both ends (the
+    // bucket-clamping edge); times strictly increasing => unique, so
+    // tie-breaks cannot differ between plans
+    val left = spark.range(0, 5000, 1, 4).select(
+      ((col("id") * 2654435761L) % 100000L + 5000L).as("t"), col("id").as("lid"))
+    val right = spark.range(0, 700).select(
+      (col("id") * 171L - 3000L).as("rt"), col("id").as("rid"))
+    def rows(df: DataFrame): Seq[String] = df.collect().map(_.toString).sorted.toSeq
+    val variants: Seq[(String, Option[Long], graft.plans.AsOfDirection, Boolean)] = Seq(
+      ("backward", None, graft.plans.AsOfBackward, true),
+      ("backward-strict-tol", Some(4000L), graft.plans.AsOfBackward, false),
+      ("forward", None, graft.plans.AsOfForward, true),
+      ("nearest", Some(9000L), graft.plans.AsOfNearest, true))
+    variants.foreach { case (name, tol, dir, exact) =>
+      val merged = rows(AsOf.join(left, right, Seq(), Seq(), "t", "rt",
+        tol, dir, broadcastRight = Some(false), exact))
+      val bcast = rows(AsOf.join(left, right, Seq(), Seq(), "t", "rt",
+        tol, dir, broadcastRight = Some(true), exact))
+      val bucketed = rows(AsOf.joinKeylessBucketed(left, right, "t", "rt",
+        buckets = 16, tol, dir, exact))
+      assert(bcast === merged, s"broadcast keyless parity broke: $name")
+      assert(bucketed === merged, s"bucketed keyless parity broke: $name")
+    }
+    // the bucketed plan genuinely distributes: its exchange hashes on
+    // the bucket column
+    val bucketedDf = AsOf.joinKeylessBucketed(left, right, "t", "rt", buckets = 16)
+    val exchanges = collectWithSubqueries(bucketedDf.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.exists(
+      _.outputPartitioning.toString.contains("__graft_asof_bucket")))
+    // empty probe side: schema survives, result empty
+    assert(AsOf.joinKeylessBucketed(left.filter(col("t") < 0), right,
+      "t", "rt").count() === 0)
+  }
+
   test("broadcast index is memoized per executor: one build across an " +
       "8-partition probe, zero on re-execution") {
     import graft.plans.BroadcastAsOfJoinExec

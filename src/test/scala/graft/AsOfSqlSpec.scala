@@ -192,10 +192,22 @@ class AsOfSqlSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       spark.sql("SELECT * FROM lv l ASOF LEFT JOIN rv r ON l.k = r.rk").collect()
     }
     assert(notime.getMessage.toLowerCase.contains("time inequality"))
-    val nokey = intercept[AnalysisException] {
-      spark.sql("SELECT * FROM lv l ASOF LEFT JOIN rv r ON r.rt <= l.t").collect()
-    }
-    assert(nokey.getMessage.toLowerCase.contains("equality key"))
+  }
+
+  test("keyless ASOF from SQL: inequality-only ON matches the global history") {
+    mkViews()
+    // rv times: 7, 10, 11, 15 globally; backward keyless
+    val got = spark.sql(
+      "SELECT l.lp, r.rp FROM lv l ASOF LEFT JOIN rv r ON r.rt <= l.t " +
+        "ORDER BY l.lp")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got === Map("l-a" -> "r-10", "l-b" -> "r-15", "l-early" -> null,
+      "l-c" -> "r-10", "l-nokey" -> "r-10"))
+    val api = graft.plans.AsOf.join(spark.table("lv"), spark.table("rv"),
+        Seq(), Seq(), "t", "rt")
+      .select(col("lp"), col("rp")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got === api)
   }
 
   test("AsOfSql self-installs in a session without GraftExtensions") {
