@@ -240,4 +240,42 @@ class VectorOpsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
+
+  test("IVF-PQ store lifecycle: loaded index answers identically to inline; " +
+      "stale or fingerprint-less stores fail fast") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    // private copy of the embeddings fixture — this test mutates it
+    val snap = Files.createTempDirectory("graft_ivfpq_snap").toString
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(s"$snap/embeddings.parquet")
+    val store = Files.createTempDirectory("graft_ivfpq_store").toString
+    VectorOps.writeIvfPq(spark, snap, store)
+    val (cents, codes) = VectorOps.loadIvfPq(spark, store, snap)
+    assert(cents.count() > 0 && codes.count() > 0)
+    assert(cents.columns.toSeq === Seq("cell", "cv", "cn2"))
+    assert(codes.columns.toSeq === Seq("vec_id", "label", "subspace", "code"))
+    // the graded parity itself: loaded == inline on the real sf dir
+    val inline0 = VectorOps.annIvfAdc(spark, sf).collect().map(_.toString).toSeq
+    val loaded0 = VectorOps.annIvfAdcLoaded(spark, sf).collect().map(_.toString).toSeq
+    assert(loaded0 === inline0,
+      "persisted IVF-PQ index must answer exactly like the inline build")
+
+    // rebuild the snapshot (same path, new bytes): the store must refuse
+    Thread.sleep(1100) // distinct mtime even on coarse filesystems
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("label", col("label") + 1)
+      .coalesce(1).write.mode("overwrite").parquet(s"$snap/embeddings.parquet")
+    val stale = intercept[IllegalArgumentException] {
+      VectorOps.loadIvfPq(spark, store, snap)
+    }
+    assert(stale.getMessage.contains("stale IVF-PQ store"))
+
+    // a store without the sidecar proves nothing: also fail fast
+    java.nio.file.Files.delete(java.nio.file.Paths.get(store, "_built_from.json"))
+    val unfingerprinted = intercept[IllegalArgumentException] {
+      VectorOps.loadIvfPq(spark, store, snap)
+    }
+    assert(unfingerprinted.getMessage.contains("_built_from"))
+  }
 }
