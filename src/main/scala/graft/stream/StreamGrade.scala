@@ -83,7 +83,7 @@ object StreamGrade {
     // bus replay, no transformWithState (default state provider)
     (Set("cdc_stream_counters", "cdc_stream_retained", "cdc_stream_tumbling",
          "cdc_stream_sliding", "cdc_stream_sessions", "cdc_stream_dedup",
-         "cdc_stream_enrich", "cdc_stream_capture"), false),
+         "cdc_stream_enrich", "cdc_stream_asof", "cdc_stream_capture"), false),
     // bus replay, transformWithState (RocksDB)
     (Set("cdc_stream_scd2", "cdc_stream_gaps", "cdc_stream_rpc",
          "cdc_stream_take", "cdc_stream_user_features"), true),
@@ -917,6 +917,36 @@ object StreamGrade {
       agg.orderBy(col("c_mktsegment"), col("event_type"))
     }
 
+  /** STREAM-STATIC AS-OF ENRICHMENT, graded: the SCD2/dimension-history
+    * READ path live — each ARRIVING purchase is enriched with the
+    * user's latest click at-or-before its timestamp from the STATIC
+    * click history, through the native operator's broadcast path
+    * ([[graft.plans.BroadcastAsOfJoinExec]]): the deduped history ships
+    * to the executors once per micro-batch and the stream is probed
+    * MAP-SIDE by binary search — no shuffle on the stream, no streaming
+    * state for the join ([[streamEnrich]]'s reference-lookup shape
+    * upgraded from equi-join to as-of semantics). Enrichment is
+    * per-row and arrival-order-insensitive, so the appended sink equals
+    * the batch operator row-for-row; the twin is `asof_native`'s DuckDB
+    * ASOF text VERBATIM (one text now graded across FOUR surfaces:
+    * DataFrame merge, DataFrame broadcast, spark.sql, and the streaming
+    * ingestion gate). */
+  def streamAsOfEnrich(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id").as("cu"), col("ts").as("cts"), col("click_id"))
+      val purchases = busStream.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+      val enriched = graft.plans.AsOf.join(purchases, broadcast(clicks),
+        Seq("user_id"), Seq("cu"), "purchase_ts", "cts")
+      runToSink(s, enriched, "append", "stream_asof")
+        .select(col("event_id"), col("user_id"), col("purchase_ts"),
+          col("click_id").as("last_click_id"), col("cts").as("last_click_ts"))
+        .orderBy(col("event_id"))
+    }
+
   /** STREAMING RPC with the 408 fallback as a LEFT-OUTER interval join,
     * graded: [[Streams.rpcJoinWithTimeout]] — this grades Spark's
     * outer-join WATERMARK EVICTION machinery itself (the third
@@ -1066,6 +1096,7 @@ object StreamGrade {
     "cdc_stream_rpc_join"      -> (streamRpcJoin _),
     "cdc_stream_rpc_outer"     -> (streamRpcOuter _),
     "cdc_stream_enrich"        -> (streamEnrich _),
+    "cdc_stream_asof"          -> (streamAsOfEnrich _),
     "cdc_stream_capture"       -> (streamCapture _),
     "cdc_stream_restart_scd2"  -> (streamRestartScd2 _),
     "doc_stream_substring_dup" -> (streamSubstringDup _),
@@ -1203,6 +1234,11 @@ object StreamGrade {
          |       count(*) AS n, round(sum(ev.value), 2) AS total_value
          |FROM ev LEFT JOIN customer c ON ev.user_id = c.c_custkey
          |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    // stream-static broadcast AS-OF enrichment: per-row and
+    // order-insensitive, so the live sink shares the batch operator's
+    // ASOF twin text verbatim (RelQueries.AsOfSqlText)
+    "cdc_stream_asof" -> graft.rel.RelQueries.AsOfSqlText,
 
     // the outer-join eviction arithmetic: a 408 row exists iff the
     // request is unmatched AND its deadline precedes the final global

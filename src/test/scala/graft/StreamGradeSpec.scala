@@ -251,6 +251,20 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got === want)
   }
 
+  test("cdc_stream_asof: stream-static broadcast as-of enrichment == the batch " +
+      "native operator, across 3 micro-batches") {
+    val got = rows(StreamGrade.streamAsOfEnrich(spark, dir))
+    assert(StreamGrade.batchCount("stream_asof") === 3)
+    val want = rows(graft.rel.RelQueries.queries("asof_native")(spark, dir))
+    assert(got.nonEmpty && got === want)
+    // the enrichment does real work: matched and unmatched probes both occur
+    val matched = StreamGrade.streamAsOfEnrich(spark, dir)
+      .filter(col("last_click_id").isNotNull).count()
+    val total = want.length
+    assert(matched > 0 && matched < total,
+      s"degenerate corpus: $matched of $total purchases matched")
+  }
+
   test("cdc_stream_rpc_outer: left-outer interval join — 200s on arrival, 408s by " +
       "watermark eviction, unanswered tail held in state") {
     import org.apache.spark.sql.functions.expr
