@@ -1071,7 +1071,8 @@ object VectorOps {
     "embed_outliers" -> (embedOutliers _),
     "label_purity" -> (labelPurity _),
     "embed_label_mix" -> (embedLabelMix _),
-    "rrf_fusion" -> (rrfFusion _))
+    "rrf_fusion" -> (rrfFusion _),
+    "mmr_rerank" -> (mmrRerank _))
 
   private val RrfK = 60
   private val RrfDepth = 20
@@ -1138,6 +1139,112 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** MMR selection depth and the λ=0.7 relevance/diversity trade,
+    * carried as INTEGERS (7/10 and 3/10 against 10⁶-quantized cosines)
+    * so every MMR score is an exact BIGINT. */
+  private val MmrK = 5
+
+  /** MMR RE-RANK — the stage after hybrid retrieval in a production RAG
+    * pipeline (Carbonell & Goldstein, SIGIR 1998): [[rrfFusion]]'s
+    * fused candidates are re-scored by EXACT cosine relevance and
+    * greedily selected under a Maximal-Marginal-Relevance diversity
+    * term — step 1 takes the most relevant candidate, each later step
+    * takes `argmax [λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)]`, so
+    * near-duplicates of already-selected passages are pushed down and
+    * the k passages handed to the generator COVER the query instead of
+    * repeating one answer.
+    *
+    * Exact-arithmetic form (the hash discipline): relevance and
+    * pairwise similarity quantize to `floor(10⁶·cos)` BIGINTs and λ
+    * scales to integers (7·rel − 3·maxsim), so every greedy comparison
+    * is integer with a doc_id tie-break — bit-deterministic
+    * cross-engine; the twin replays the identical k-step selection as
+    * chained CTEs.
+    *
+    * Scale shape: beyond the fused frame (checkpointed, ≤ |q|·10 rows)
+    * the re-rank touches the corpus ONCE — candidate and query vectors
+    * fetched in one broadcast-semi-join scan and materialized (tiny) —
+    * and every greedy step is plan-level work over ≤ |q|·10-row frames:
+    * no driver loop over data, no per-step corpus access, candidate
+    * count bounded by retrieval depth (the property that makes MMR
+    * serve-able at all). */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    val fused = rrfFusion(s, d).select(col("qid"), col("doc_id"))
+      .localCheckpoint(true)
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("n2"))
+    // ONE corpus scan: candidate ∪ query ids, broadcast onto the scan
+    val wanted = fused.select(col("doc_id"))
+      .union(s.range(0, NQueries).select(col("id").as("doc_id"))).distinct()
+    val vv = e.join(broadcast(wanted), col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("v"), col("n2"))
+      .localCheckpoint(true)
+    val qv = vv.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val cvv = fused.join(vv, col("vec_id") === col("doc_id"))
+      .select(col("qid"), col("doc_id"), col("v"), col("n2"))
+    val rel = cvv.join(broadcast(qv), Seq("qid"))
+      .withColumn("rel_q",
+        floor(lit(1e6d) * dot(col("qv"), col("v"))
+          / (sqrt(col("qn2")) * sqrt(col("n2")))).cast("long"))
+      .select(col("qid"), col("doc_id"), col("rel_q"))
+    val sim = cvv.select(col("qid"), col("doc_id").as("a"),
+        col("v").as("av"), col("n2").as("an2"))
+      .join(cvv.select(col("qid"), col("doc_id").as("b"),
+        col("v").as("bv"), col("n2").as("bn2")), Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim_q",
+        floor(lit(1e6d) * dot(col("av"), col("bv"))
+          / (sqrt(col("an2")) * sqrt(col("bn2")))).cast("long"))
+      .select(col("qid"), col("a"), col("b"), col("sim_q"))
+    def pick(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col("mmr_q").desc, col("doc_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("doc_id"), col("mmr_q"))
+    }
+    var all = pick(rel.withColumn("mmr_q", lit(7L) * col("rel_q")))
+      .withColumn("rank", lit(1L))
+    (2 to MmrK).foreach { i =>
+      val selected = all.select(col("qid"), col("doc_id"))
+      val msim = sim.join(selected.withColumnRenamed("doc_id", "b"), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a"))
+        .agg(max(col("sim_q")).as("msim"))
+        .withColumnRenamed("a", "doc_id")
+      val scored = rel
+        .join(selected, Seq("qid", "doc_id"), "left_anti")
+        .join(msim, Seq("qid", "doc_id"))
+        .withColumn("mmr_q", lit(7L) * col("rel_q") - lit(3L) * col("msim"))
+      all = all.unionByName(pick(scored).withColumn("rank", lit(i.toLong)))
+    }
+    all.select(col("qid"), col("rank"), col("doc_id"), col("mmr_q"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Spec hook: the PURE-RELEVANCE top-[[MmrK]] picks per query over
+    * the fused candidates (what λ=1 MMR would select) — the diversity
+    * spec asserts the actual MMR order differs somewhere. Driver-side
+    * map bounded by |queries|. */
+  private[graft] def relevanceTop5ForSpec(
+      s: SparkSession, d: String): Map[Long, Seq[Long]] = {
+    val fused = rrfFusion(s, d).select(col("qid"), col("doc_id"))
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("n2"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rel_q").desc, col("doc_id"))
+    fused.join(e, col("vec_id") === col("doc_id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("rel_q",
+        floor(lit(1e6d) * dot(col("qv"), col("v"))
+          / (sqrt(col("qn2")) * sqrt(col("n2")))).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MmrK)
+      .select(col("qid"), col("rn"), col("doc_id"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) =>
+        k -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+  }
+
   /** Cross-modal mix audit — the one query here that JOINS the text and
     * vector tables: documents with their embedding's cluster label (id
     * equi-join), reduced to per-(source, label) document counts and
@@ -1186,6 +1293,44 @@ object VectorOps {
       |cents AS (
       |  SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
       |    SELECT label AS cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY label))""".stripMargin
+
+  /** Shared CTE chain of the rrf_fusion twin, ending in the `fused`
+    * candidate frame — reused verbatim by the mmr_rerank twin so the
+    * re-rank provably runs over the identical fused candidates. */
+  private val RrfCtes =
+    s"""$VecCte,
+       |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
+       |dense AS (
+       |  SELECT qid, vec_id AS doc_id,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS dense_rank
+       |  FROM (SELECT qid, vec_id, list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos_raw
+       |        FROM q JOIN e ON vec_id != qid)
+       |  QUALIFY dense_rank <= $RrfDepth),
+       |terms AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS term FROM documents),
+       |dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+       |ntot AS (SELECT count(*) AS n_total FROM documents),
+       |lexs AS (
+       |  SELECT qt.doc_id AS qid, t.doc_id AS doc_id, sum(n_total - df) AS lex_score
+       |  FROM terms qt
+       |  JOIN terms t ON t.term = qt.term AND t.doc_id != qt.doc_id
+       |  JOIN dfreq ON dfreq.term = qt.term
+       |  CROSS JOIN ntot
+       |  WHERE qt.doc_id < $NQueries GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT qid, doc_id,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY lex_score DESC, doc_id) AS BIGINT) AS lex_rank
+       |  FROM lexs QUALIFY lex_rank <= $RrfDepth),
+       |fused AS (
+       |  SELECT qid, doc_id, rank, rrf, dense_rank, lex_rank FROM (
+       |    SELECT qid, doc_id,
+       |           CAST(row_number() OVER (PARTITION BY qid ORDER BY
+       |             (COALESCE(CAST(1 AS DOUBLE) / ($RrfK + dense_rank), 0) +
+       |              COALESCE(CAST(1 AS DOUBLE) / ($RrfK + lex_rank), 0)) DESC, doc_id) AS BIGINT) AS rank,
+       |           round(COALESCE(CAST(1 AS DOUBLE) / ($RrfK + dense_rank), 0) +
+       |                 COALESCE(CAST(1 AS DOUBLE) / ($RrfK + lex_rank), 0), 9) AS rrf,
+       |           dense_rank, lex_rank
+       |    FROM dense FULL JOIN lex USING (qid, doc_id))
+       |  WHERE rank <= $RrfOut)""".stripMargin
 
   /** Shared CTE prefix of the ann_ivfadc / ivfadc_recall twins: query
     * slice, routing table (2 nearest cells), PQ code assignment (with
@@ -1239,38 +1384,55 @@ object VectorOps {
         |GROUP BY 1, 2 ORDER BY source, label""".stripMargin,
 
     "rrf_fusion" ->
-      s"""WITH $VecCte,
-         |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
-         |dense AS (
-         |  SELECT qid, vec_id AS doc_id,
-         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS dense_rank
-         |  FROM (SELECT qid, vec_id, list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos_raw
-         |        FROM q JOIN e ON vec_id != qid)
-         |  QUALIFY dense_rank <= $RrfDepth),
-         |terms AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS term FROM documents),
-         |dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
-         |ntot AS (SELECT count(*) AS n_total FROM documents),
-         |lexs AS (
-         |  SELECT qt.doc_id AS qid, t.doc_id AS doc_id, sum(n_total - df) AS lex_score
-         |  FROM terms qt
-         |  JOIN terms t ON t.term = qt.term AND t.doc_id != qt.doc_id
-         |  JOIN dfreq ON dfreq.term = qt.term
-         |  CROSS JOIN ntot
-         |  WHERE qt.doc_id < $NQueries GROUP BY 1, 2),
-         |lex AS (
-         |  SELECT qid, doc_id,
-         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY lex_score DESC, doc_id) AS BIGINT) AS lex_rank
-         |  FROM lexs QUALIFY lex_rank <= $RrfDepth)
-         |SELECT qid, doc_id, rank, rrf, dense_rank, lex_rank FROM (
-         |  SELECT qid, doc_id,
-         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY
-         |           (COALESCE(CAST(1 AS DOUBLE) / ($RrfK + dense_rank), 0) +
-         |            COALESCE(CAST(1 AS DOUBLE) / ($RrfK + lex_rank), 0)) DESC, doc_id) AS BIGINT) AS rank,
-         |         round(COALESCE(CAST(1 AS DOUBLE) / ($RrfK + dense_rank), 0) +
-         |               COALESCE(CAST(1 AS DOUBLE) / ($RrfK + lex_rank), 0), 9) AS rrf,
-         |         dense_rank, lex_rank
-         |  FROM dense FULL JOIN lex USING (qid, doc_id))
-         |WHERE rank <= $RrfOut ORDER BY qid, rank""".stripMargin,
+      s"""WITH $RrfCtes
+         |SELECT qid, doc_id, rank, rrf, dense_rank, lex_rank FROM fused
+         |ORDER BY qid, rank""".stripMargin,
+
+    // the greedy k-step MMR selection replayed as chained CTEs — every
+    // comparison an exact BIGINT (10^6-quantized cosines, integer λ),
+    // step by step the same argmax the Spark loop takes
+    "mmr_rerank" -> {
+      val steps = (2 to MmrK).map { i =>
+        val prevUnion = (1 until i)
+          .map(j => s"SELECT qid, doc_id FROM s$j").mkString(" UNION ALL ")
+        s"""p$i AS ($prevUnion),
+           |m$i AS (
+           |  SELECT r.qid, r.doc_id, 7 * r.rel_q - 3 * max(sm.sim_q) AS mmr_q
+           |  FROM rel r
+           |  JOIN sim sm ON sm.qid = r.qid AND sm.a = r.doc_id
+           |  JOIN p$i p ON p.qid = sm.qid AND p.doc_id = sm.b
+           |  WHERE NOT EXISTS (SELECT 1 FROM p$i x
+           |                    WHERE x.qid = r.qid AND x.doc_id = r.doc_id)
+           |  GROUP BY r.qid, r.doc_id, r.rel_q),
+           |s$i AS (SELECT qid, doc_id, mmr_q FROM (
+           |  SELECT qid, doc_id, mmr_q,
+           |         row_number() OVER (PARTITION BY qid ORDER BY mmr_q DESC, doc_id) AS rn
+           |  FROM m$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val finalUnion = (1 to MmrK).map(i =>
+        s"SELECT qid, CAST($i AS BIGINT) AS rank, doc_id, mmr_q FROM s$i")
+        .mkString("\n|UNION ALL ".stripMargin)
+      s"""WITH $RrfCtes,
+         |cand AS (SELECT qid, doc_id FROM fused),
+         |cvv AS (SELECT cand.qid AS qid, cand.doc_id AS doc_id,
+         |               e.v AS v, e.n2 AS n2
+         |        FROM cand JOIN e ON e.vec_id = cand.doc_id),
+         |rel AS (SELECT c.qid AS qid, c.doc_id AS doc_id,
+         |               CAST(floor(1000000 * list_dot_product(q.qv, c.v)
+         |                    / (sqrt(q.qn2) * sqrt(c.n2))) AS BIGINT) AS rel_q
+         |        FROM cvv c JOIN q ON q.qid = c.qid),
+         |sim AS (SELECT a.qid AS qid, a.doc_id AS a, b.doc_id AS b,
+         |               CAST(floor(1000000 * list_dot_product(a.v, b.v)
+         |                    / (sqrt(a.n2) * sqrt(b.n2))) AS BIGINT) AS sim_q
+         |        FROM cvv a JOIN cvv b ON b.qid = a.qid AND b.doc_id != a.doc_id),
+         |s1 AS (SELECT qid, doc_id, 7 * rel_q AS mmr_q FROM (
+         |  SELECT qid, doc_id, rel_q,
+         |         row_number() OVER (PARTITION BY qid ORDER BY rel_q DESC, doc_id) AS rn
+         |  FROM rel) WHERE rn = 1),
+         |$steps
+         |$finalUnion
+         |ORDER BY qid, rank""".stripMargin
+    },
 
     "label_purity" ->
       s"""WITH $VecCte, $SigCte,

@@ -278,4 +278,33 @@ class VectorOpsSpec extends AnyFunSuite {
     }
     assert(unfingerprinted.getMessage.contains("_built_from"))
   }
+
+  test("mmr_rerank: 5 selections per query; step 1 is the relevance argmax; " +
+      "the diversity term reorders at least one later step") {
+    import org.apache.spark.sql.functions._
+    val mmr = VectorOps.mmrRerank(spark, sf).collect()
+    val byQ = mmr.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      // greedy scores never increase along the selection
+      val scores = rows.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
+      assert(scores === scores.sorted.reverse,
+        s"MMR scores must be non-increasing, got $scores")
+    }
+    // selections come from the fused candidate set only
+    val cand = VectorOps.queries("rrf_fusion")(spark, sf)
+      .select(col("qid"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mmr.forall(r => cand.contains((r.getLong(0), r.getLong(2)))))
+    // the diversity term does real work: the MMR order differs from the
+    // pure-relevance order for at least one query (else lambda is vacuous
+    // on this corpus and the operator is untested)
+    val mmrPicks = byQ.map { case (q, rows) =>
+      q -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    val relTop = VectorOps.relevanceTop5ForSpec(spark, sf)
+    assert(mmrPicks.exists { case (q, picks) => relTop.get(q).exists(_ != picks) },
+      "MMR selection identical to pure relevance on every query — " +
+        "diversity term never fired")
+  }
 }
