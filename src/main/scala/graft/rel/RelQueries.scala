@@ -1104,6 +1104,40 @@ object RelQueries {
       .orderBy(col("event_id"))
   }
 
+  /** [[asofNative]] through the SALTED hot-key path
+    * ([[graft.plans.AsOf.joinSalted]]): purchases salt by
+    * hash(purchase_ts) over 8 buckets and the click history replicates
+    * 8 ways, so a dominant user's probes spread across 8 tasks instead
+    * of serializing in one (the remedy for the operator's honest skew
+    * contract — Spark's OptimizeSkewedJoin never splits a custom
+    * exec's shuffle). Same DuckDB twin as `asof_native`: one logical
+    * operator, FOUR graded evaluation paths (merge, broadcast, salted,
+    * SQL) plus the live gate, one answer. */
+  def asofSalted(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+    graft.plans.AsOf.joinSalted(purchases, clicks,
+        Seq("user_id"), Seq("cu"), "purchase_ts", "cts", buckets = 8)
+      .select(col("event_id"), col("user_id"), col("purchase_ts"),
+              col("click_id").as("last_click_id"), col("cts").as("last_click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** [[asofGlobal]] through the SQL surface: the keyless
+    * (inequality-only ON) `ASOF LEFT JOIN` parsed by the injected
+    * parser and planned into the native operator — the same
+    * one-text-two-engines discipline as `asof_sql`, completing SQL
+    * coverage of the keyless form. */
+  def asofGlobalSql(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events")
+    graft.plans.AsOfSql(s, AsOfGlobalSql)
+  }
+
   /** STRICT as-of self-join (pandas `allow_exact_matches=False`): per
     * order, the same customer's most recent STRICTLY-EARLIER order —
     * the "previous row, not this one" shape an inclusive as-of cannot
@@ -1919,6 +1953,8 @@ object RelQueries {
     "asof_sql_inner"     -> (asofSqlInner _),
     "asof_global"        -> (asofGlobal _),
     "asof_global_bcast"  -> (asofGlobalBcast _),
+    "asof_global_sql"    -> (asofGlobalSql _),
+    "asof_salted"        -> (asofSalted _),
     "asof_tolerance"     -> (asofTolerance _),
     "asof_forward"       -> (asofForward _),
     "asof_nearest"       -> (asofNearest _),
@@ -2616,6 +2652,8 @@ object RelQueries {
     // twin
     "asof_global" -> AsOfGlobalSql,
     "asof_global_bcast" -> AsOfGlobalSql,
+    "asof_global_sql" -> AsOfGlobalSql,
+    "asof_salted" -> AsOfSqlText,
 
     "asof_forward" ->
       """WITH c AS (
