@@ -54,9 +54,12 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StructType}
   *      executes as something else.
   *
   * Physical strategy selection is untouched: the converted node plans
-  * through [[AsOfJoinStrategy]] like an `AsOf.join` call — a small right
-  * side (or one under an explicit `/*+ BROADCAST(r) */`-less stats
-  * estimate) takes the broadcast exec with zero probe-side exchanges.
+  * through [[AsOfJoinStrategy]] like an `AsOf.join` call — a small
+  * right side takes the broadcast exec with zero probe-side exchanges,
+  * and the standard join-strategy hints steer it explicitly
+  * (`/*+ BROADCAST(r) */` forces the broadcast path,
+  * `/*+ MERGE(r) */` the co-partitioned merge — the ResolvedHint
+  * wrapper is consumed at conversion, spec-pinned).
   *
   * Out of scope, loud errors (spec-pinned): `USING` syntax, `ASOF`
   * with RIGHT/FULL/SEMI/ANTI/CROSS, a missing `ON`, an OR-rooted or
@@ -251,6 +254,24 @@ object AsOfSqlResolution extends Rule[LogicalPlan] with PredicateHelper {
     case j @ Join(left, right, LeftOuter, Some(cond), _)
         if j.childrenResolved && cond.resolved &&
           splitConjunctivePredicates(cond).exists(_.isInstanceOf[AsOfMarkerExpr]) =>
+      // a /*+ BROADCAST(r) */ or /*+ MERGE(r) */ naming the ASOF right
+      // side is, AT ANALYSIS TIME, still a ResolvedHint wrapper around
+      // that relation (only the optimizer's EliminateResolvedHint folds
+      // it into Join.hint — too late for this rule, and it only knows
+      // stock Join nodes anyway; the AsOf.join DataFrame API handles
+      // the same wrapper). Consume it here into the operator's
+      // physical-strategy override; a left-side hint is ignored the way
+      // Spark ignores inapplicable hints (the probe side cannot
+      // broadcast).
+      import org.apache.spark.sql.catalyst.plans.logical.{
+        BROADCAST, ResolvedHint, SHUFFLE_MERGE}
+      val (bareRight, bcastOverride) = right match {
+        case ResolvedHint(child, info) if info.strategy.contains(BROADCAST) =>
+          (child, Some(true))
+        case ResolvedHint(child, info) if info.strategy.contains(SHUFFLE_MERGE) =>
+          (child, Some(false))
+        case r => (r, None)
+      }
       val conjuncts = splitConjunctivePredicates(cond)
       val markers = conjuncts.collect { case m: AsOfMarkerExpr => m }
       if (markers.length > 1)
@@ -334,8 +355,8 @@ object AsOfSqlResolution extends Rule[LogicalPlan] with PredicateHelper {
           .sameType(lt.dataType, rt.dataType)
       if (!typed) j
       else {
-        val asof = AsOfJoin(left, right, lks, rks, lt, rt,
-          tolerance = None, direction = dir, broadcastRight = None,
+        val asof = AsOfJoin(left, bareRight, lks, rks, lt, rt,
+          tolerance = None, direction = dir, broadcastRight = bcastOverride,
           allowExactMatches = exact)
         if (outer) asof
         // inner ASOF JOIN = matched rows only; the candidate's time is

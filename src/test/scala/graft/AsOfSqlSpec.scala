@@ -194,6 +194,25 @@ class AsOfSqlSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(notime.getMessage.toLowerCase.contains("time inequality"))
   }
 
+  test("join-strategy hints steer the ASOF physical path: BROADCAST(r) beats a " +
+      "disabled threshold, MERGE(r) beats a tiny-side estimate") {
+    mkViews()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = spark.sql(
+        "SELECT /*+ BROADCAST(r) */ l.lp, r.rp FROM lv l ASOF LEFT JOIN rv r " +
+          "ON l.k = r.rk AND r.rt <= l.t")
+      val (m, b) = asofExecs(hinted)
+      assert(b === 1 && m === 0, "BROADCAST(r) hint must force the broadcast exec")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    val merged = spark.sql(
+      "SELECT /*+ MERGE(r) */ l.lp, r.rp FROM lv l ASOF LEFT JOIN rv r " +
+        "ON l.k = r.rk AND r.rt <= l.t")
+    val (m2, b2) = asofExecs(merged)
+    assert(m2 === 1 && b2 === 0,
+      "MERGE(r) hint must force the co-partitioned merge despite the tiny side")
+  }
+
   test("keyless ASOF from SQL: inequality-only ON matches the global history") {
     mkViews()
     // rv times: 7, 10, 11, 15 globally; backward keyless
