@@ -269,6 +269,96 @@ class AsOfSqlSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("scalacheck: rewrite marks EXACTLY the ASOF joins of arbitrary join chains " +
+      "(decoy strings/comments/identifiers untouched) and is idempotent") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val decoy = Gen.oneOf(
+      "'asof join me'", "\"asof left join\"", "`asof join`",
+      "/* asof join */ 1", "1 -- asof join\n")
+    val joinKind = Gen.oneOf(0, 1, 2) // plain, ASOF JOIN, ASOF LEFT JOIN
+    val chain = for {
+      n <- Gen.choose(0, 4)
+      kinds <- Gen.listOfN(n, joinKind)
+      d <- decoy
+    } yield {
+      val joins = kinds.zipWithIndex.map { case (k, i) =>
+        val kw = k match {
+          case 0 => "JOIN"
+          case 1 => "ASOF JOIN"
+          case 2 => "ASOF LEFT JOIN"
+        }
+        s"$kw t$i x$i ON x$i.rt <= a.t" +
+          (if (k == 0) s" AND x$i.k = a.k" else s" AND x$i.k = a.k")
+      }.mkString(" ")
+      (s"SELECT $d, a.x FROM base a $joins WHERE a.x > 0",
+        kinds.count(_ != 0))
+    }
+    val prop = Prop.forAll(chain) { case (sql, nAsof) =>
+      AsOfSqlRewrite.rewrite(sql) match {
+        case None => nAsof == 0
+        case Some(out) =>
+          val markers = "graft_asof_marker\\(".r.findAllIn(out).length
+          // idempotent: the rewritten text has no ASOF-join sequence left
+          markers == nAsof && nAsof > 0 && AsOfSqlRewrite.rewrite(out).isEmpty
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200)
+        .withInitialSeed(Seed(20260815L)), prop)
+    assert(res.passed, s"rewrite property failed: ${res.status}")
+  }
+
+  test("scalacheck: SQL ASOF == AsOf.join on random corpora across all four " +
+      "inequality forms") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    import graft.plans.{AsOfBackward, AsOfForward}
+    val rows = for {
+      n <- Gen.choose(0, 25)
+      m <- Gen.choose(0, 20)
+      l <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 30L)))
+      r <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 30L)))
+      op <- Gen.oneOf("<=", "<", ">=", ">")
+    } yield (l, r.distinct, op) // unique (rk, rt): ties would make the
+                                // matched PAYLOAD row ambiguous
+    val prop = Prop.forAll(rows) { case (l, r, op) =>
+      import scala.jdk.CollectionConverters._
+      def mk(data: Seq[(Long, Long)], kc: String, tc: String, pc: String) = {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(kc, org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(tc, org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(pc, org.apache.spark.sql.types.LongType)))
+        spark.createDataFrame(data.zipWithIndex.map { case ((k, t), i) =>
+          org.apache.spark.sql.Row(k, t, i.toLong) }.asJava, schema)
+      }
+      val lv = mk(l, "k", "t", "lid")
+      val rv = mk(r, "rk", "rt", "rid")
+      lv.createOrReplaceTempView("pl")
+      rv.createOrReplaceTempView("pr")
+      val sql = spark.sql(
+        s"SELECT l.lid, r.rid FROM pl l ASOF LEFT JOIN pr r " +
+          s"ON l.k = r.rk AND r.rt $op l.t")
+        .collect().map(_.toString).sorted.toSeq
+      val (dir, exact) = op match {
+        case "<=" => (AsOfBackward, true)
+        case "<"  => (AsOfBackward, false)
+        case ">=" => (AsOfForward, true)
+        case ">"  => (AsOfForward, false)
+      }
+      val api = graft.plans.AsOf.join(lv, rv, Seq("k"), Seq("rk"), "t", "rt",
+          tolerance = None, direction = dir, broadcastRight = Some(false),
+          allowExactMatches = exact)
+        .select(col("lid"), col("rid"))
+        .collect().map(_.toString).sorted.toSeq
+      sql == api
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15)
+        .withInitialSeed(Seed(20260815L)), prop)
+    assert(res.passed, s"SQL/API asof divergence: ${res.status}")
+  }
+
   test("graded rows: asof_sql text == asof_native result; inner is the matched subset") {
     val d = "/root/testdata/sf0.001"
     val sqlRows = graft.rel.RelQueries.queries("asof_sql")(spark, d)
