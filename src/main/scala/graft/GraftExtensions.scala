@@ -11,8 +11,14 @@ import graft.plans.MqttPrefixPushdown
   *   - SQL functions `mqtt_matches(pattern, channel)`, `dot_product(a, b)`
   *     (codegen'd Catalyst expressions) and `bottomk_by_hash(v, k)` (the
   *     deterministic KMV sample aggregate);
-  *   - the [[MqttPrefixPushdown]] optimizer rule that turns constant
-  *     routing patterns into parquet-pushdown-able prefix predicates;
+  *   - the `ASOF [LEFT] JOIN` SQL surface ([[graft.plans.AsOfSql]]):
+  *     delegating parser + `graft_asof_marker` function + resolution
+  *     rule + the no-marker-survives check rule;
+  *   - optimizer rules [[MqttPrefixPushdown]] (constant routing
+  *     patterns → parquet-pushdown-able prefix predicates),
+  *     [[graft.plans.BusPartitionPruning]] (pattern → partition-value
+  *     pruning) and [[graft.plans.AsOfJoinPushdown]] (column pruning +
+  *     left-predicate pushdown through the custom as-of node);
   *   - the [[graft.plans.AsOfJoinStrategy]] planner strategy backing the
   *     native as-of join operator ([[graft.plans.AsOfJoin]]).
   *
