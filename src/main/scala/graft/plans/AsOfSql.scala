@@ -61,10 +61,18 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StructType}
   * `/*+ MERGE(r) */` the co-partitioned merge — the ResolvedHint
   * wrapper is consumed at conversion, spec-pinned).
   *
+  * TOLERANCE in SQL is the inclusive band form — backward:
+  * `r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 HOUR` (forward
+  * mirrored) — which in ON-clause semantics IS pandas tolerance: ON
+  * conditions define matching, so an out-of-band probe keeps its null
+  * row, and the backward candidate being the maximum makes
+  * filter-then-latest coincide with candidate-then-filter.
+  *
   * Out of scope, loud errors (spec-pinned): `USING` syntax, `ASOF`
   * with RIGHT/FULL/SEMI/ANTI/CROSS, a missing `ON`, an OR-rooted or
-  * non-as-of-shaped condition. Tolerance and `nearest` have no DuckDB
-  * SQL form and stay DataFrame-only ([[AsOf.join]]).
+  * non-as-of-shaped condition, strict or year-month-interval tolerance
+  * bands. `nearest` has no SQL form and stays DataFrame-only
+  * ([[AsOf.join]]).
   *
   * The reference's only SQL-ish surface is MQTT pattern routing
   * (`lib/nats.js:92-95`); this entry point belongs to the derived
@@ -290,15 +298,7 @@ object AsOfSqlResolution extends Rule[LogicalPlan] with PredicateHelper {
       }
       val lk = Vector.newBuilder[Expression]
       val rk = Vector.newBuilder[Expression]
-      // (leftTime, rightTime, direction, allowExactMatches)
-      var time: Option[(Expression, Expression, AsOfDirection, Boolean)] = None
-      def setTime(lt: Expression, rt: Expression, dir: AsOfDirection,
-                  exact: Boolean): Unit = {
-        if (time.isDefined)
-          analysisErr("ASOF JOIN condition has two inequalities; exactly " +
-            "one (the time bound) is allowed")
-        time = Some((lt, rt, dir, exact))
-      }
+      val ineqs = Vector.newBuilder[BinaryComparison]
       rest.foreach {
         case EqualTo(a, b) => (sideOf(a), sideOf(b)) match {
           case (Some(true), Some(false)) => lk += a; rk += b
@@ -309,36 +309,135 @@ object AsOfSqlResolution extends Rule[LogicalPlan] with PredicateHelper {
         case cmp: BinaryComparison if cmp.isInstanceOf[LessThanOrEqual] ||
             cmp.isInstanceOf[LessThan] || cmp.isInstanceOf[GreaterThanOrEqual] ||
             cmp.isInstanceOf[GreaterThan] =>
-          val (a, b) = (cmp.left, cmp.right)
-          val rFirst = (sideOf(a), sideOf(b)) match {
-            case (Some(false), Some(true)) => true  // rt <op> lt
-            case (Some(true), Some(false)) => false // lt <op> rt
-            case _ => analysisErr(s"ASOF JOIN inequality must compare the " +
-              s"two sides: ${cmp.sql}")
-          }
-          cmp match {
-            // DuckDB reading: rt <= lt backward, rt >= lt forward,
-            // strict comparison = allow_exact_matches=false
-            case _: LessThanOrEqual =>
-              if (rFirst) setTime(b, a, AsOfBackward, exact = true)
-              else setTime(a, b, AsOfForward, exact = true)
-            case _: GreaterThanOrEqual =>
-              if (rFirst) setTime(b, a, AsOfForward, exact = true)
-              else setTime(a, b, AsOfBackward, exact = true)
-            case _: LessThan =>
-              if (rFirst) setTime(b, a, AsOfBackward, exact = false)
-              else setTime(a, b, AsOfForward, exact = false)
-            case _: GreaterThan =>
-              if (rFirst) setTime(b, a, AsOfForward, exact = false)
-              else setTime(a, b, AsOfBackward, exact = false)
-          }
+          ineqs += cmp
         case other =>
           analysisErr(s"ASOF JOIN condition must be equalities plus one " +
-            s"time inequality; cannot accept: ${other.sql}")
+            s"time inequality (optionally with an inclusive tolerance " +
+            s"band); cannot accept: ${other.sql}")
       }
-      val (lt, rt, dir, exact) = time.getOrElse(
-        analysisErr("ASOF JOIN condition needs a time inequality " +
-          "(e.g. r.ts <= l.ts)"))
+      // DuckDB reading of the primary inequality: rt <= lt backward,
+      // rt >= lt forward, strict comparison = allow_exact_matches=false
+      def directionOf(cmp: BinaryComparison)
+          : Option[(Expression, Expression, AsOfDirection, Boolean)] = {
+        val (a, b) = (cmp.left, cmp.right)
+        val rFirst = (sideOf(a), sideOf(b)) match {
+          case (Some(false), Some(true)) => Some(true)  // rt <op> lt
+          case (Some(true), Some(false)) => Some(false) // lt <op> rt
+          case _ => None
+        }
+        rFirst.map { rf =>
+          cmp match {
+            case _: LessThanOrEqual =>
+              if (rf) (b, a, AsOfBackward, true) else (a, b, AsOfForward, true)
+            case _: GreaterThanOrEqual =>
+              if (rf) (b, a, AsOfForward, true) else (a, b, AsOfBackward, true)
+            case _: LessThan =>
+              if (rf) (b, a, AsOfBackward, false) else (a, b, AsOfForward, false)
+            case _ =>
+              if (rf) (b, a, AsOfForward, false) else (a, b, AsOfBackward, false)
+          }
+        }
+      }
+      // TOLERANCE as the SQL band form (pandas `tolerance` has no ASOF
+      // keyword spelling, but in ON-clause semantics the inclusive band
+      // IS tolerance: the backward candidate is the max rt <= lt, so
+      // "candidate within [lt - c, lt]" and "filter-then-latest"
+      // coincide, and an out-of-band probe keeps its null row because
+      // ON conditions define MATCHING, not filtering). Accepted shapes,
+      // inclusive only: backward + `rt >= lt - c`; forward +
+      // `rt <= lt + c` — c a non-negative foldable integral offset or a
+      // day-time interval literal on timestamps (year-month intervals
+      // have no fixed length and are rejected).
+      def offsetOf(bound: Expression, base: Expression,
+                   wantMinus: Boolean): Option[Long] = {
+        def strip(e: Expression): Expression = e match {
+          case c: org.apache.spark.sql.catalyst.expressions.Cast => strip(c.child)
+          case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+            strip(r.replacement)
+          case o => o
+        }
+        def evalLong(e: Expression): Option[Long] =
+          if (!e.foldable) None
+          else e.eval() match {
+            case l: java.lang.Long => Some(l.longValue())
+            case i: java.lang.Integer => Some(i.longValue())
+            case s: java.lang.Short => Some(s.longValue())
+            case bb: java.lang.Byte => Some(bb.longValue())
+            case _ => None
+          }
+        strip(bound) match {
+          case s: org.apache.spark.sql.catalyst.expressions.Subtract
+              if wantMinus && strip(s.left).semanticEquals(strip(base)) =>
+            evalLong(s.right).filter(_ >= 0)
+          case a: org.apache.spark.sql.catalyst.expressions.Add
+              if !wantMinus && strip(a.left).semanticEquals(strip(base)) =>
+            evalLong(a.right).filter(_ >= 0)
+          case a: org.apache.spark.sql.catalyst.expressions.Add
+              if !wantMinus && strip(a.right).semanticEquals(strip(base)) =>
+            evalLong(a.left).filter(_ >= 0)
+          case ta: org.apache.spark.sql.catalyst.expressions.TimestampAddInterval
+              if strip(ta.left).semanticEquals(strip(base)) &&
+                ta.right.foldable =>
+            ta.right.dataType match {
+              case _: org.apache.spark.sql.types.DayTimeIntervalType =>
+                val micros = ta.right.eval().asInstanceOf[Long]
+                if (wantMinus && micros <= 0) Some(-micros)
+                else if (!wantMinus && micros >= 0) Some(micros)
+                else None
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+      def bandToleranceOf(band: BinaryComparison, lt: Expression,
+                          rt: Expression, dir: AsOfDirection): Option[Long] = {
+        // normalize so rt is first: (bound, rtIsGe)
+        val norm: Option[(Expression, Boolean)] = band match {
+          case GreaterThanOrEqual(a, b)
+              if a.references.subsetOf(rOut) && a.semanticEquals(rt) &&
+                b.references.subsetOf(lOut) => Some((b, true))
+          case LessThanOrEqual(a, b)
+              if a.references.subsetOf(rOut) && a.semanticEquals(rt) &&
+                b.references.subsetOf(lOut) => Some((b, false))
+          case GreaterThanOrEqual(a, b)
+              if b.references.subsetOf(rOut) && b.semanticEquals(rt) &&
+                a.references.subsetOf(lOut) => Some((a, false))
+          case LessThanOrEqual(a, b)
+              if b.references.subsetOf(rOut) && b.semanticEquals(rt) &&
+                a.references.subsetOf(lOut) => Some((a, true))
+          case _ => None
+        }
+        norm.flatMap { case (bound, rtIsGe) =>
+          if (dir == AsOfBackward && rtIsGe) offsetOf(bound, lt, wantMinus = true)
+          else if (dir == AsOfForward && !rtIsGe) offsetOf(bound, lt, wantMinus = false)
+          else None
+        }
+      }
+      val (lt, rt, dir, exact, tol) = ineqs.result() match {
+        case Vector(one) =>
+          val (a, b, c, d) = directionOf(one).getOrElse(
+            analysisErr(s"ASOF JOIN inequality must compare the two " +
+              s"sides: ${one.sql}"))
+          (a, b, c, d, None)
+        case Vector(x, y) =>
+          def attempt(d: BinaryComparison, band: BinaryComparison) =
+            directionOf(d).flatMap { case (a, b, c, e) =>
+              bandToleranceOf(band, a, b, c).map(t => (a, b, c, e, Some(t)))
+            }
+          attempt(x, y).orElse(attempt(y, x)).getOrElse(
+            analysisErr("ASOF JOIN accepts one time inequality, optionally " +
+              "with an inclusive tolerance band (backward: " +
+              "r.ts <= l.ts AND r.ts >= l.ts - <offset>; forward " +
+              "mirrored); cannot interpret: " +
+              s"${x.sql} AND ${y.sql}"))
+        case Vector() =>
+          analysisErr("ASOF JOIN condition needs a time inequality " +
+            "(e.g. r.ts <= l.ts)")
+        case more =>
+          analysisErr(s"ASOF JOIN condition has ${more.length} " +
+            "inequalities; at most two (time bound + tolerance band) " +
+            "are allowed")
+      }
       val lks = lk.result()
       val rks = rk.result()
       // empty keys = keyless/global as-of (DuckDB accepts it too);
@@ -356,7 +455,7 @@ object AsOfSqlResolution extends Rule[LogicalPlan] with PredicateHelper {
       if (!typed) j
       else {
         val asof = AsOfJoin(left, bareRight, lks, rks, lt, rt,
-          tolerance = None, direction = dir, broadcastRight = bcastOverride,
+          tolerance = tol, direction = dir, broadcastRight = bcastOverride,
           allowExactMatches = exact)
         if (outer) asof
         // inner ASOF JOIN = matched rows only; the candidate's time is

@@ -1025,6 +1025,28 @@ object RelQueries {
       |FROM p ASOF LEFT JOIN e ON e.err_ts <= p.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** DuckDB twin of the 1-hour tolerance rows — ASOF picks the
+    * candidate, a CASE nullifies it beyond the interval (DuckDB ASOF
+    * takes exactly one inequality, so the band form is engine-side
+    * only; semantics coincide because the candidate is the maximum). */
+  private[graft] val AsOfToleranceTwin =
+    """WITH c AS (
+      |  SELECT user_id, ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_id, user_id, ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |         c.click_id, CAST(c.ts AS TIMESTAMP) AS cts
+      |  FROM p ASOF LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+      |SELECT event_id, user_id, purchase_ts,
+      |       CASE WHEN cts IS NOT NULL AND purchase_ts - cts <= INTERVAL 1 HOUR
+      |            THEN click_id END AS last_click_id,
+      |       CASE WHEN cts IS NOT NULL AND purchase_ts - cts <= INTERVAL 1 HOUR
+      |            THEN cts END AS last_click_ts
+      |FROM m ORDER BY event_id""".stripMargin
+
   /** The INNER `ASOF JOIN` form of [[AsOfSqlText]] (DuckDB drops
     * unmatched probes; the engine's rewrite expresses that as the
     * operator plus a matched-rows filter) — again one text, both
@@ -1126,6 +1148,31 @@ object RelQueries {
       .select(col("event_id"), col("user_id"), col("purchase_ts"),
               col("click_id").as("last_click_id"), col("cts").as("last_click_ts"))
       .orderBy(col("event_id"))
+  }
+
+  /** [[asofTolerance]] through the SQL surface: tolerance spelled as
+    * the inclusive band — `c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1
+    * HOUR` — which in ON-clause semantics IS pandas tolerance (ON
+    * defines matching, so out-of-band purchases keep their null row;
+    * the backward candidate is the maximum, so band-then-latest and
+    * latest-then-band coincide). The resolution rule folds the band
+    * into the operator's tolerance (1 h in micros), and the row shares
+    * `asof_tolerance`'s DuckDB CASE-nullify twin. */
+  def asofSqlTolerance(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events")
+    graft.plans.AsOfSql(s,
+      """WITH c AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        |       c.click_id AS last_click_id, CAST(c.ts AS TIMESTAMP) AS last_click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY p.event_id""".stripMargin)
   }
 
   /** [[asofGlobal]] through the SQL surface: the keyless
@@ -1955,6 +2002,7 @@ object RelQueries {
     "asof_global_bcast"  -> (asofGlobalBcast _),
     "asof_global_sql"    -> (asofGlobalSql _),
     "asof_salted"        -> (asofSalted _),
+    "asof_sql_tolerance" -> (asofSqlTolerance _),
     "asof_tolerance"     -> (asofTolerance _),
     "asof_forward"       -> (asofForward _),
     "asof_nearest"       -> (asofNearest _),
@@ -2713,23 +2761,10 @@ object RelQueries {
         |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
         |ORDER BY p.event_id""".stripMargin,
 
-    "asof_tolerance" ->
-      """WITH c AS (
-        |  SELECT user_id, ts, max(event_id) AS click_id
-        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
-        |p AS (
-        |  SELECT event_id, user_id, ts
-        |  FROM events WHERE event_type = 'purchase'),
-        |m AS (
-        |  SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
-        |         c.click_id, CAST(c.ts AS TIMESTAMP) AS cts
-        |  FROM p ASOF LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
-        |SELECT event_id, user_id, purchase_ts,
-        |       CASE WHEN cts IS NOT NULL AND purchase_ts - cts <= INTERVAL 1 HOUR
-        |            THEN click_id END AS last_click_id,
-        |       CASE WHEN cts IS NOT NULL AND purchase_ts - cts <= INTERVAL 1 HOUR
-        |            THEN cts END AS last_click_ts
-        |FROM m ORDER BY event_id""".stripMargin,
+    // shared by asof_tolerance (DataFrame API) and asof_sql_tolerance
+    // (the SQL band form folded into the same operator tolerance)
+    "asof_tolerance" -> AsOfToleranceTwin,
+    "asof_sql_tolerance" -> AsOfToleranceTwin,
 
     "asof_prev_click" -> """
       SELECT event_id, user_id, ts, prev_click_ts FROM (

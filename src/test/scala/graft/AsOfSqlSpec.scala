@@ -183,11 +183,18 @@ class AsOfSqlSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         "ON (l.k = r.rk AND r.rt <= l.t) OR l.k = 99").collect()
     }
     assert(or.getMessage.contains("ASOF"))
+    // two inequalities that do NOT form a tolerance band stay loud
     val two = intercept[AnalysisException] {
       spark.sql("SELECT * FROM lv l ASOF LEFT JOIN rv r " +
-        "ON l.k = r.rk AND r.rt <= l.t AND r.rt >= l.t - 5").collect()
+        "ON l.k = r.rk AND r.rt <= l.t AND r.rt >= l.t").collect()
     }
-    assert(two.getMessage.toLowerCase.contains("inequalit"))
+    assert(two.getMessage.toLowerCase.contains("tolerance band"))
+    // a STRICT band is not pandas tolerance: also loud
+    val strictBand = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM lv l ASOF LEFT JOIN rv r " +
+        "ON l.k = r.rk AND r.rt <= l.t AND r.rt > l.t - 5").collect()
+    }
+    assert(strictBand.getMessage.toLowerCase.contains("tolerance band"))
     val notime = intercept[AnalysisException] {
       spark.sql("SELECT * FROM lv l ASOF LEFT JOIN rv r ON l.k = r.rk").collect()
     }
@@ -211,6 +218,60 @@ class AsOfSqlSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val (m2, b2) = asofExecs(merged)
     assert(m2 === 1 && b2 === 0,
       "MERGE(r) hint must force the co-partitioned merge despite the tiny side")
+  }
+
+  test("tolerance as the inclusive SQL band: integral offsets and interval " +
+      "arithmetic both map to the operator's tolerance") {
+    mkViews()
+    // backward band, integral: rv has rt 7/10/15 for k=1; probe l-b t=20
+    // takes r-15 unbanded but NOTHING within 4 units
+    val banded = spark.sql(
+      "SELECT l.lp, r.rp FROM lv l ASOF LEFT JOIN rv r " +
+        "ON l.k = r.rk AND r.rt <= l.t AND r.rt >= l.t - 4 ORDER BY l.lp")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(banded("l-a") === "r-10" && banded("l-b") === null)
+    val apiTol = AsOf.join(spark.table("lv"), spark.table("rv"),
+        Seq("k"), Seq("rk"), "t", "rt", tolerance = Some(4L))
+      .select(col("lp"), col("rp")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(banded === apiTol)
+    // flipped operand order reads identically
+    val flipped = spark.sql(
+      "SELECT l.lp, r.rp FROM lv l ASOF LEFT JOIN rv r " +
+        "ON l.k = r.rk AND r.rt <= l.t AND l.t - 4 <= r.rt ORDER BY l.lp")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(flipped === apiTol)
+    // forward band mirrors (+ offset on the left time)
+    val fwd = spark.sql(
+      "SELECT l.lp, r.rp FROM lv l ASOF LEFT JOIN rv r " +
+        "ON l.k = r.rk AND r.rt >= l.t AND r.rt <= l.t + 2 ORDER BY l.lp")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val fwdApi = AsOf.join(spark.table("lv"), spark.table("rv"),
+        Seq("k"), Seq("rk"), "t", "rt", tolerance = Some(2L),
+        direction = AsOfForward)
+      .select(col("lp"), col("rp")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(fwd === fwdApi)
+    // timestamp + INTERVAL arithmetic (DatetimeSub/TimestampAddInterval
+    // shapes): 1-minute band over second-spaced timestamps
+    spark.range(0, 4)
+      .select(col("id").as("k"), (col("id") * 90).cast("timestamp").as("ts"),
+        col("id").as("lid"))
+      .createOrReplaceTempView("tlv")
+    spark.range(0, 4)
+      .select(col("id").as("rk"), ((col("id") * 90) - 30).cast("timestamp").as("rts"),
+        col("id").as("rid"))
+      .createOrReplaceTempView("trv")
+    val ivl = spark.sql(
+      "SELECT l.lid, r.rid FROM tlv l ASOF LEFT JOIN trv r " +
+        "ON l.k = r.rk AND r.rts <= l.ts AND r.rts >= l.ts - INTERVAL 1 MINUTE " +
+        "ORDER BY l.lid")
+      .collect().map(_.toString).toSeq
+    val ivlApi = AsOf.join(spark.table("tlv"), spark.table("trv"),
+        Seq("k"), Seq("rk"), "ts", "rts", tolerance = Some(60L * 1000000L))
+      .select(col("lid"), col("rid")).orderBy(col("lid"))
+      .collect().map(_.toString).toSeq
+    assert(ivl === ivlApi && ivl.nonEmpty)
   }
 
   test("keyless ASOF from SQL: inequality-only ON matches the global history") {
