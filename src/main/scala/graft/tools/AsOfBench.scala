@@ -86,6 +86,44 @@ object AsOfBench {
     require(sums("native") == sums("window") && sums("native") == sums("bcast"),
       s"checksum mismatch: $sums — the forms disagree")
     println(s"[asof] checksums agree: ${sums("native")}")
+
+    // SKEW section: 90% of 2M probes on ONE key. The plain merge
+    // serializes the hot key in one task (OptimizeSkewedJoin never
+    // splits a custom exec — the honest contract); joinSalted spreads
+    // it over 32 hash(time) buckets; the broadcast path has no shuffle
+    // to skew. Right (key, time) pairs are unique so every form picks
+    // identical payload rows — checksums must agree.
+    val n = 2000000L
+    val hotLeft = spark.range(0, n, 1, 32).select(
+      when(col("id") % 10 < 9, 1L).otherwise(col("id") % 997 + 2).as("k"),
+      ((col("id") * 2654435761L) % 100000000L).as("t"),
+      col("id").as("lid"))
+    val hotRight = spark.range(0, 20000).select(
+      when(col("id") % 10 < 9, 1L).otherwise(col("id") % 997 + 2).as("rk"),
+      (col("id") * 4999L).as("rt"),
+      col("id").as("rid"))
+    def plainSkew(): DataFrame =
+      graft.plans.AsOf.join(hotLeft, hotRight, Seq("k"), Seq("rk"), "t", "rt",
+          tolerance = None, broadcastRight = Some(false))
+        .select(col("lid"), col("rid"))
+    def saltedSkew(): DataFrame =
+      graft.plans.AsOf.joinSalted(hotLeft, hotRight, Seq("k"), Seq("rk"),
+          "t", "rt", buckets = 32)
+        .select(col("lid"), col("rid"))
+    def bcastSkew(): DataFrame =
+      graft.plans.AsOf.join(hotLeft, hotRight, Seq("k"), Seq("rk"), "t", "rt",
+          tolerance = None, broadcastRight = Some(true))
+        .select(col("lid"), col("rid"))
+    val skewSums = scala.collection.mutable.Map[String, Long]()
+    for (r <- 1 to 3; (name, f) <- Seq("skew-plain" -> (plainSkew _),
+        "skew-salted" -> (saltedSkew _), "skew-bcast" -> (bcastSkew _))) {
+      val t0 = System.nanoTime(); skewSums(name) = checksum(f())
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (r > 1) println(f"[asof] $name round$r: $dt%.3f s")
+    }
+    require(skewSums.values.toSet.size == 1,
+      s"skew checksum mismatch: $skewSums — the forms disagree")
+    println(s"[asof] skew checksums agree: ${skewSums("skew-plain")}")
     spark.stop()
   }
 }
