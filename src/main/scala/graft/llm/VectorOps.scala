@@ -673,8 +673,14 @@ object VectorOps {
     * entry by squared L2, deterministic cell-id tie-break. Takes the
     * codebook frame as an argument so a caller with a second consumer
     * ([[annAdc]]'s LUT) can materialize it ONCE. */
-  private def pqCodes(s: SparkSession, d: String, cents: DataFrame): DataFrame = {
-    val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"))
+  private def pqCodes(s: SparkSession, d: String, cents: DataFrame): DataFrame =
+    pqCodesOf(vecs(s, d), cents)
+
+  /** PQ code assignment over an explicit vector frame — the form
+    * [[appendIvfPq]] needs, where the frame is a delta slice encoded
+    * against a FROZEN codebook rather than the whole snapshot. */
+  private def pqCodesOf(vecFrame: DataFrame, cents: DataFrame): DataFrame = {
+    val e = vecFrame.select(col("vec_id"), col("label"), col("v"))
     val w = Window.partitionBy(col("vec_id"), col("subspace"))
       .orderBy(col("d2"), col("cell"))
     e.crossJoin(broadcast(cents))
@@ -805,17 +811,57 @@ object VectorOps {
     * sidecar fingerprinting the embeddings table they were built from.
     * [[loadIvfPq]] fail-fasts on a stale or unfingerprinted store —
     * never silently serves yesterday's index against today's corpus. */
-  def writeIvfPq(s: SparkSession, snapshotDir: String, outPath: String): Unit = {
-    val cents = centroids(vecs(s, snapshotDir)).localCheckpoint(true)
+  def writeIvfPq(s: SparkSession, snapshotDir: String, outPath: String): Unit =
+    writeIvfPqFrom(vecs(s, snapshotDir), outPath,
+      snapshotDir, embFingerprint(snapshotDir))
+
+  /** [[writeIvfPq]] over an explicit vector frame with a caller-supplied
+    * fingerprint token — the seam [[annIvfAdcAppend]] uses to build a
+    * store from yesterday's (base) slice of the corpus. */
+  private[graft] def writeIvfPqFrom(vecFrame: DataFrame, outPath: String,
+                                    snapshotDir: String, fp: String): Unit = {
+    val cents = centroids(vecFrame).localCheckpoint(true)
     cents.write.mode("overwrite")
       .parquet(new java.io.File(outPath, "centroids").toString)
-    pqCodes(s, snapshotDir, cents).write.mode("overwrite")
+    pqCodesOf(vecFrame, cents).write.mode("overwrite")
       .parquet(new java.io.File(outPath, "codes").toString)
-    val fp = embFingerprint(snapshotDir)
+    writeIvfPqMeta(outPath, snapshotDir, fp)
+  }
+
+  private def writeIvfPqMeta(outPath: String, snapshotDir: String,
+                             fp: String): Unit = {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath, "_built_from.json"),
       s"""{"snapshot_dir":"$snapshotDir","fingerprint":"$fp"}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** INCREMENTAL index maintenance — the lifecycle step between full
+    * rebuilds ([[writeIvfPq]]) that a production index performs when a
+    * delta of new vectors lands: the delta is encoded with the store's
+    * FROZEN codebooks (centroids are NOT retrained — exactly FAISS
+    * `add()` on a trained IVFADC index; [[embedCentroidDrift]] is the
+    * audit that decides when drift warrants a rebuild), the code rows
+    * append to `codes/`, and the `_built_from` fingerprint advances to
+    * the grown snapshot so [[loadIvfPq]] accepts the store against
+    * today's corpus. Scale shape: the append touches ONLY the delta
+    * (delta × broadcast codebook), never the existing corpus or codes —
+    * appending 1% of a billion-vector index costs 1% of a rebuild.
+    * Cell membership keeps the family's label-cell convention (the
+    * label doubles as the coarse cell, as in [[annIvfAdc]]); a k-means
+    * coarse quantizer would route by nearest frozen centroid instead —
+    * same plan shape, the routing expression is the only difference. */
+  def appendIvfPq(s: SparkSession, storePath: String, delta: DataFrame,
+                  snapshotDir: String, newFp: String): Unit = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(storePath, "_built_from.json")),
+      s"cannot append to $storePath: no _built_from.json — only a " +
+        "fingerprinted writeIvfPq store can absorb a delta")
+    val cents = s.read.parquet(new java.io.File(storePath, "centroids").toString)
+    pqCodesOf(delta, broadcast(cents)).write.mode("append")
+      .parquet(new java.io.File(storePath, "codes").toString)
+    writeIvfPqMeta(storePath, snapshotDir, newFp)
   }
 
   /** Load a persisted IVF-PQ index as (centroids, codes), failing FAST
@@ -864,6 +910,47 @@ object VectorOps {
         del(tmp.toFile)
       }))
       writeIvfPq(s, d, tmp.toString)
+      tmp.toString
+    })
+    val (cents, codes) = loadIvfPq(s, store, d)
+    val q = vecs(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+      .localCheckpoint(true)
+    ivfAdcServe(q, broadcast(cents), codes)
+  }
+
+  /** The delta slice an incremental refresh absorbs: every 10th vector
+    * (vec_id ≡ 7 mod 10) — disjoint from the query slice so the graded
+    * serve exercises both base- and delta-resident candidates. */
+  private def isAppendDelta(c: Column): Column = c % 10 === 7
+
+  private val ivfPqAppendStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** IVF-PQ serving AFTER AN INCREMENTAL APPEND, graded — the steady
+    * state of a production index between rebuilds: the store is built
+    * from the BASE slice (yesterday's snapshot: vec_id ≢ 7 mod 10), the
+    * remaining tenth arrives as a delta absorbed by [[appendIvfPq]]
+    * with the codebooks FROZEN, and the fingerprint advances so
+    * [[loadIvfPq]]'s staleness gate passes against the full corpus. The
+    * twin recomputes the whole thing from scratch — centroids over the
+    * base slice only, codes over everything — so the hash proves the
+    * append path encodes the delta EXACTLY as a rebuild-with-frozen-
+    * codebooks would: no drift, no loss, no re-touching of base codes. */
+  def annIvfAdcAppend(s: SparkSession, d: String): DataFrame = {
+    val store = ivfPqAppendStoreCache.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_app_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+        }
+        del(tmp.toFile)
+      }))
+      val all = vecs(s, d)
+      writeIvfPqFrom(all.filter(!isAppendDelta(col("vec_id"))), tmp.toString,
+        d, "base:" + embFingerprint(d))
+      appendIvfPq(s, tmp.toString, all.filter(isAppendDelta(col("vec_id"))),
+        d, embFingerprint(d))
       tmp.toString
     })
     val (cents, codes) = loadIvfPq(s, store, d)
@@ -1049,6 +1136,7 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfadc"  -> (annIvfAdc _),
     "ann_ivfadc_loaded" -> (annIvfAdcLoaded _),
+    "ann_ivfadc_append" -> (annIvfAdcAppend _),
     "ivfadc_recall" -> (ivfadcRecall _),
     "ivfadc_recall_sweep" -> (ivfadcRecallSweep _),
     "semantic_dedup" -> (semanticDedup _),
@@ -1291,13 +1379,15 @@ object VectorOps {
   }
 
   /** DuckDB twin of [[centroids]] (quantized-integer means — the same
-    * exact arithmetic, so the lists are bit-identical). */
-  private val CentsCte =
-    """cq AS (
+    * exact arithmetic, so the lists are bit-identical), over a caller-
+    * chosen source relation: `e` for the whole corpus, a base-slice CTE
+    * for the frozen-codebook append twin. */
+  private def centsCteOver(rel: String): String =
+    s"""cq AS (
       |  SELECT label, px.pos AS pos, CAST(floor(px.x * 1000) AS BIGINT) AS xq
       |  FROM (SELECT label,
       |               unnest(list_transform(v, (x, i) -> struct_pack(pos := i, x := x))) AS px
-      |        FROM e)),
+      |        FROM $rel)),
       |cm AS (
       |  SELECT label, pos,
       |         CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000.0 AS m
@@ -1305,6 +1395,8 @@ object VectorOps {
       |cents AS (
       |  SELECT cell, cv, list_dot_product(cv, cv) AS cn2 FROM (
       |    SELECT label AS cell, list(m ORDER BY pos) AS cv FROM cm GROUP BY label))""".stripMargin
+
+  private val CentsCte = centsCteOver("e")
 
   /** Shared CTE chain of the rrf_fusion twin, ending in the `fused`
     * candidate frame — reused verbatim by the mmr_rerank twin so the
@@ -1347,9 +1439,13 @@ object VectorOps {
   /** Shared CTE prefix of the ann_ivfadc / ivfadc_recall twins: query
     * slice, routing table (2 nearest cells), PQ code assignment (with
     * cell-membership label), and the per-query integer LUT. */
-  private val IvfAdcCtes =
-    s"""$VecCte, $CentsCte,
-       |sp AS (SELECT j FROM (VALUES (0), (1), (2), (3)) s(j)),
+  /** The serve chain downstream of the codebook (query slice, routing,
+    * code assignment over the WHOLE corpus, LUT) — shared by the inline
+    * twins (cents over `e`) and the append twin (cents over the base
+    * slice `eb`): codes always cover everything, only the training set
+    * of the codebook differs. */
+  private val IvfAdcTail =
+    s"""sp AS (SELECT j FROM (VALUES (0), (1), (2), (3)) s(j)),
        |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
        |probed AS (
        |  SELECT qid, cell FROM (
@@ -1376,6 +1472,18 @@ object VectorOps {
        |               - 2 * list_dot_product(qv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim])
        |               + list_dot_product(cv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim]) AS d2
        |        FROM q CROSS JOIN cents CROSS JOIN sp))""".stripMargin
+
+  private val IvfAdcCtes = s"$VecCte, $CentsCte,\n$IvfAdcTail"
+
+  /** The append twin's CTE chain: the codebook trains on the BASE slice
+    * only (`eb` — the corpus minus the delta), codes/LUT/serve identical
+    * — the from-scratch recomputation of what [[annIvfAdcAppend]]'s
+    * build-then-append store must contain. */
+  private val IvfAdcAppendCtes =
+    s"""$VecCte,
+       |eb AS (SELECT * FROM e WHERE vec_id % 10 != 7),
+       |${centsCteOver("eb")},
+       |$IvfAdcTail""".stripMargin
 
   /** The IVF-PQ ranked candidate list (shared final SELECT body). */
   private val IvfAdcRanked =
@@ -1511,6 +1619,14 @@ object VectorOps {
     // same twin, so the hash proves the persist->load round trip
     "ann_ivfadc_loaded" ->
       s"""WITH $IvfAdcCtes
+         |SELECT qid, vec_id, rank, adc FROM ($IvfAdcRanked)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the incrementally-appended store must answer exactly like a
+    // from-scratch recompute with the codebook frozen on the base
+    // slice: cents over eb (vec_id % 10 != 7), codes over everything
+    "ann_ivfadc_append" ->
+      s"""WITH $IvfAdcAppendCtes
          |SELECT qid, vec_id, rank, adc FROM ($IvfAdcRanked)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 

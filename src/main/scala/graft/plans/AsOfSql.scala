@@ -172,11 +172,17 @@ object AsOfSqlRewrite {
           Some((true, i + 3))
         else if (w(i + 1, "LEFT") && w(i + 2, "JOIN")) Some((true, i + 2))
         else if (w(i + 1, "JOIN")) Some((false, i + 1))
-        else if (Seq("RIGHT", "FULL", "INNER", "CROSS", "SEMI", "ANTI")
+        else if (Seq("RIGHT", "FULL", "INNER", "CROSS", "SEMI", "ANTI",
+                     "NATURAL", "LEFT")
                    .exists(k => w(i + 1, k)) &&
-                 (w(i + 2, "JOIN") || w(i + 3, "JOIN")))
+                 (2 to 4).exists(o => w(i + o, "JOIN")))
+          // covers every other join-modifier sequence after ASOF —
+          // RIGHT/FULL/INNER/CROSS [OUTER] JOIN, LEFT SEMI/ANTI JOIN,
+          // NATURAL [...] JOIN: refuse LOUDLY, otherwise the stock
+          // parser would read `ASOF` as a table alias and run the join
+          // with silently different semantics
           parseErr(s"ASOF supports only [LEFT [OUTER]] JOIN, not " +
-            s"ASOF ${toks(i + 1).text.toUpperCase(java.util.Locale.ROOT)} JOIN")
+            s"ASOF ${toks(i + 1).text.toUpperCase(java.util.Locale.ROOT)} … JOIN")
         else None
       hit match {
         case None => i += 1
@@ -210,7 +216,13 @@ object AsOfSqlRewrite {
           if (onIdx < 0) parseErr("ASOF JOIN requires an ON clause")
           edits += ((toks(onIdx).end, toks(onIdx).end,
             s" $MarkerFn($outer) AND "))
-          i = onIdx + 1
+          // resume right AFTER the join keyword, not after ON: the
+          // right-side relation region (between JOIN and ON) can hold a
+          // parenthesized subquery with its OWN ASOF joins — skipping
+          // to onIdx would leave those unrewritten for the stock parser
+          // to misread as `asof`-aliased plain joins (edits are
+          // position-disjoint, so nested passes compose)
+          i = joinIdx + 1
       }
     }
     if (!any) None

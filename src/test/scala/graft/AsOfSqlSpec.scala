@@ -86,6 +86,36 @@ class AsOfSqlSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "SELECT * FROM a ASOF LEFT JOIN (SELECT * FROM x JOIN y ON x.i = y.i) s " +
         "ON s.t <= a.t").get
     assert(sub.contains("ON x.i = y.i) s ON graft_asof_marker(true) AND "))
+    // an ASOF join NESTED in the parenthesized right side (between the
+    // outer JOIN and its ON) must be rewritten too — left raw, the stock
+    // parser would read the inner `ASOF` as a table alias and run a
+    // plain inner join with silently different semantics
+    val nested = AsOfSqlRewrite.rewrite(
+      "SELECT * FROM a ASOF JOIN " +
+        "(SELECT * FROM x ASOF LEFT JOIN y ON y.t <= x.t) s ON s.t <= a.t").get
+    assert("graft_asof_marker".r.findAllMatchIn(nested).length === 2,
+      s"both ASOF joins must carry a marker: $nested")
+    assert(!nested.split("[^A-Za-z_]+").exists(_.equalsIgnoreCase("asof")),
+      s"no raw ASOF token may survive the rewrite: $nested")
+  }
+
+  test("nested ASOF in a subquery right side executes: two native execs, == composed API") {
+    mkViews()
+    val sql = spark.sql(
+      "SELECT l.lp, s.rp FROM lv l ASOF LEFT JOIN " +
+        "(SELECT a.k AS sk, a.t AS st, r.rp AS rp FROM lv a " +
+        " ASOF JOIN rv r ON a.k = r.rk AND r.rt <= a.t) s " +
+        "ON l.k = s.sk AND s.st <= l.t ORDER BY l.lp, s.rp")
+    val (m, b) = asofExecs(sql)
+    assert(m + b === 2, s"expected two native as-of execs, got merge=$m bcast=$b")
+    val innerApi = AsOf.join(spark.table("lv").as("a"), spark.table("rv"),
+        Seq("k"), Seq("rk"), "t", "rt")
+      .filter(col("rt").isNotNull) // inner ASOF JOIN = matched rows only
+      .select(col("k").as("sk"), col("t").as("st"), col("rp"))
+    val api = AsOf.join(spark.table("lv"), innerApi, Seq("k"), Seq("sk"), "t", "st")
+      .select(col("lp"), col("rp")).orderBy(col("lp"), col("rp"))
+    assert(sql.collect().toSeq.map(_.toString) ===
+      api.collect().toSeq.map(_.toString))
   }
 
   test("rewrite errors: missing ON, USING, unsupported join kinds") {
@@ -100,6 +130,17 @@ class AsOfSqlSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
     intercept[ParseException] {
       AsOfSqlRewrite.rewrite("SELECT * FROM a ASOF FULL OUTER JOIN b ON b.t <= a.t")
+    }
+    // these would otherwise slip through every branch and let `ASOF`
+    // parse as a table alias — they must refuse loudly instead
+    intercept[ParseException] {
+      AsOfSqlRewrite.rewrite("SELECT * FROM a ASOF LEFT SEMI JOIN b ON b.t <= a.t")
+    }
+    intercept[ParseException] {
+      AsOfSqlRewrite.rewrite("SELECT * FROM a ASOF LEFT ANTI JOIN b ON b.t <= a.t")
+    }
+    intercept[ParseException] {
+      AsOfSqlRewrite.rewrite("SELECT * FROM a ASOF NATURAL JOIN b")
     }
   }
 

@@ -279,6 +279,52 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(unfingerprinted.getMessage.contains("_built_from"))
   }
 
+  test("IVF-PQ incremental append: codebook frozen, codes grow by exactly the " +
+      "delta, fingerprint advances through the load gate, bare dirs refuse") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val base = all.filter(col("vec_id") % 10 =!= 7)
+    val delta = all.filter(col("vec_id") % 10 === 7)
+    assert(delta.count() > 0, "fixture must contain a nonempty delta slice")
+    val store = Files.createTempDirectory("graft_ivfpq_appspec").toString
+    VectorOps.writeIvfPqFrom(base, store, sf, "yesterday")
+    val centsBefore = spark.read.parquet(s"$store/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    val codesBefore = spark.read.parquet(s"$store/codes").count()
+
+    VectorOps.appendIvfPq(spark, store, delta, sf, VectorOps.embFingerprint(sf))
+
+    // FROZEN codebook: the append must not touch a single centroid byte
+    val centsAfter = spark.read.parquet(s"$store/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    assert(centsAfter === centsBefore, "append retrained the codebook")
+    // codes grew by exactly the delta, and every delta vector is encoded
+    val codesAfter = spark.read.parquet(s"$store/codes")
+    assert(codesAfter.count() === codesBefore + delta.count() * 4,
+      "append must add 4 subspace codes per delta vector, nothing else")
+    val deltaIds = delta.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val codedIds = codesAfter.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(deltaIds.subsetOf(codedIds), "a delta vector is missing its codes")
+    // the fingerprint advanced: the load gate now accepts the store
+    // against the FULL corpus (this is what makes the append usable)
+    val (cents, codes) = VectorOps.loadIvfPq(spark, store, sf)
+    assert(cents.count() > 0 && codes.count() === codesBefore + delta.count() * 4)
+    // an unfingerprinted directory cannot absorb a delta
+    val bare = Files.createTempDirectory("graft_ivfpq_bare").toString
+    val refused = intercept[IllegalArgumentException] {
+      VectorOps.appendIvfPq(spark, bare, delta, sf, "x")
+    }
+    assert(refused.getMessage.contains("_built_from"))
+    // graded shape: 5 queries x ranks 1..3, deterministic
+    val served = VectorOps.annIvfAdcAppend(spark, sf).collect()
+    assert(served.map(r => (r.getLong(0), r.getLong(2))).toSet ===
+      (for (q <- 0L until 5L; r <- 1L to 3L) yield (q, r)).toSet)
+    assert(served.sameElements(VectorOps.annIvfAdcAppend(spark, sf).collect()))
+  }
+
   test("mmr_rerank: 5 selections per query; step 1 is the relevance argmax; " +
       "the diversity term reorders at least one later step") {
     import org.apache.spark.sql.functions._
