@@ -1252,10 +1252,14 @@ object VectorOps {
     * Scale shape: beyond the fused frame (checkpointed, ≤ |q|·10 rows)
     * the re-rank touches the corpus ONCE — candidate and query vectors
     * fetched in one broadcast-semi-join scan and materialized (tiny) —
-    * and every greedy step is plan-level work over ≤ |q|·10-row frames:
-    * no driver loop over data, no per-step corpus access, candidate
-    * count bounded by retrieval depth (the property that makes MMR
-    * serve-able at all). */
+    * and the k-step greedy itself is ONE grouped pass
+    * (`flatMapGroups` per qid): the argmax chain is irreducibly
+    * sequential (step i's scores depend on step i−1's pick), so
+    * expressing it as k chained plan stages only buys k× the fixed
+    * job/shuffle overhead (the previous form; measured ~1.5 s of pure
+    * per-step scheduling at sf0.1), while per-group state here is
+    * ≤ depth² integers — candidate count bounded by retrieval depth,
+    * groups distribute across the cluster, no driver loop over data. */
   def mmrRerank(s: SparkSession, d: String): DataFrame = {
     val fused = rrfFusion(s, d).select(col("qid"), col("doc_id"))
       .localCheckpoint(true)
@@ -1270,18 +1274,15 @@ object VectorOps {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
     val cvv = fused.join(vv, col("vec_id") === col("doc_id"))
       .select(col("qid"), col("doc_id"), col("v"), col("n2"))
-    // rel and sim are the greedy loop's ONLY inputs and are tiny
-    // (≤ |q|·depth and ≤ |q|·depth² rows): materialize each ONCE on a
-    // single partition — every one of the loop's ~3 consumers per step
-    // then reads memory instead of re-deriving the join lineage, and
-    // the per-step window/agg stages are single-task instead of
-    // shuffle-partition-wide (measured 9.2 s → sub-second at sf0.1)
+    // rel and sim quantize OUTSIDE the grouped pass, in the same
+    // codegen'd dot-product expressions as every other cosine in this
+    // file — the grouped greedy below consumes only their integer
+    // results, so the two forms cannot drift numerically
     val rel = cvv.join(broadcast(qv), Seq("qid"))
       .withColumn("rel_q",
         floor(lit(1e6d) * dot(col("qv"), col("v"))
           / (sqrt(col("qn2")) * sqrt(col("n2")))).cast("long"))
       .select(col("qid"), col("doc_id"), col("rel_q"))
-      .coalesce(1).localCheckpoint(true)
     val sim = cvv.select(col("qid"), col("doc_id").as("a"),
         col("v").as("av"), col("n2").as("an2"))
       .join(cvv.select(col("qid"), col("doc_id").as("b"),
@@ -1290,33 +1291,62 @@ object VectorOps {
       .withColumn("sim_q",
         floor(lit(1e6d) * dot(col("av"), col("bv"))
           / (sqrt(col("an2")) * sqrt(col("bn2")))).cast("long"))
-      .select(col("qid"), col("a"), col("b"), col("sim_q"))
-      .coalesce(1).localCheckpoint(true)
-    def pick(scored: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("qid")).orderBy(col("mmr_q").desc, col("doc_id"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("qid"), col("doc_id"), col("mmr_q"))
-    }
-    var all = pick(rel.withColumn("mmr_q", lit(7L) * col("rel_q")))
-      .withColumn("rank", lit(1L))
-    (2 to MmrK).foreach { i =>
-      val selected = all.select(col("qid"), col("doc_id"))
-      val msim = sim.join(selected.withColumnRenamed("doc_id", "b"), Seq("qid", "b"))
-        .groupBy(col("qid"), col("a"))
-        .agg(max(col("sim_q")).as("msim"))
-        .withColumnRenamed("a", "doc_id")
-      val scored = rel
-        .join(selected, Seq("qid", "doc_id"), "left_anti")
-        .join(msim, Seq("qid", "doc_id"))
-        .withColumn("mmr_q", lit(7L) * col("rel_q") - lit(3L) * col("msim"))
-      // checkpoint the ≤ |q|·step-row selection: step i reads `all`
-      // three ways, so an unchecked union lineage re-executes 2^k tiny
-      // window stages by the last step
-      all = all.unionByName(pick(scored).withColumn("rank", lit(i.toLong)))
-        .localCheckpoint(true)
-    }
-    all.select(col("qid"), col("rank"), col("doc_id"), col("mmr_q"))
+      .groupBy(col("qid"), col("a").as("doc_id"))
+      .agg(collect_list(struct(col("b"), col("sim_q"))).as("sims"))
+    val perCand = rel.join(sim, Seq("qid", "doc_id"), "left")
+    implicit val pickEnc: org.apache.spark.sql.Encoder[(Long, Long, Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+    val k = MmrK
+    perCand
+      .groupByKey(_.getLong(0))(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroups { (qid: Long, rows: Iterator[org.apache.spark.sql.Row]) =>
+        // candidates with integer relevance and pairwise-similarity maps
+        val cand = rows.map { r =>
+          val sims = Option(r.getSeq[org.apache.spark.sql.Row](3))
+            .getOrElse(Seq.empty)
+            .map(x => x.getLong(0) -> x.getLong(1)).toMap
+          (r.getLong(1), r.getLong(2), sims)
+        }.toArray
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = Vector.newBuilder[(Long, Long, Long, Long)]
+        var step = 1
+        var more = true
+        while (step <= k && more) {
+          var bestId = Long.MinValue
+          var bestScore = 0L
+          var found = false
+          cand.foreach { case (id, relQ, sims) =>
+            if (!selected.contains(id)) {
+              // step 1: pure relevance; later steps: λ-weighted MMR with
+              // msim over the selected docs this candidate has a sim row
+              // for — a candidate missing all of them is skipped, exactly
+              // the chained-CTE twin's inner msim join
+              val score: Option[Long] =
+                if (selected.isEmpty) Some(7L * relQ)
+                else {
+                  val known = selected.flatMap(sims.get)
+                  if (known.isEmpty) None else Some(7L * relQ - 3L * known.max)
+                }
+              score.foreach { sc =>
+                if (!found || sc > bestScore || (sc == bestScore && id < bestId)) {
+                  found = true; bestScore = sc; bestId = id
+                }
+              }
+            }
+          }
+          if (!found) more = false
+          else {
+            selected += bestId
+            out += ((qid, step.toLong, bestId, bestScore))
+            step += 1
+          }
+        }
+        out.result()
+      }
+      .toDF("qid", "rank", "doc_id", "mmr_q")
       .orderBy(col("qid"), col("rank"))
   }
 
