@@ -86,7 +86,8 @@ object StreamGrade {
          "cdc_stream_enrich", "cdc_stream_asof", "cdc_stream_capture"), false),
     // bus replay, transformWithState (RocksDB)
     (Set("cdc_stream_scd2", "cdc_stream_gaps", "cdc_stream_rpc",
-         "cdc_stream_take", "cdc_stream_user_features"), true),
+         "cdc_stream_take", "cdc_stream_user_features",
+         "cdc_stream_asof_join"), true),
     // bus replay, stream-stream interval joins
     (Set("cdc_stream_rpc_join", "cdc_stream_rpc_outer"), false),
     // document-crawl replay (mixed: the TWS members need RocksDB; the
@@ -947,6 +948,38 @@ object StreamGrade {
         .orderBy(col("event_id"))
     }
 
+  /** STREAM-STREAM AS-OF JOIN, graded: BOTH sides live —
+    * [[streamAsOfEnrich]]'s static click history is itself still being
+    * written while the purchases flow, so the engine must decide WHEN a
+    * purchase's "latest click ≤ ts" is final. [[Streams.asOfStream]]'s
+    * per-user state machine buffers each probe until the event-time
+    * watermark passes it (the only instant the match is provably
+    * final), keeps the click history compacted to what a future
+    * watermark-legal probe can still reach, and emits exactly the batch
+    * as-of row. The twin is the batch ASOF text with the watermark's
+    * one honest consequence modeled: purchases AT the stream's final
+    * watermark instant (`ts ≥ ms-floor of max event time`) are still
+    * buffered when the replay ends — a restarted consumer would emit
+    * them on the next arrival — so the twin excludes exactly those
+    * (same discipline as `cdc_stream_rpc_outer`'s eviction tail). */
+  def streamAsOfJoin(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      implicit val sp: SparkSession = s
+      val msgs = busStream
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(
+          when(col("event_type") === "purchase", lit("p")).otherwise(lit("c"))
+            .as("side"),
+          col("user_id"), col("event_id"), col("ts"))
+      val hits = Streams.asOfStream(msgs)
+      withRocksDb(s) { runToSink(s, hits.toDF(), "append", "stream_asof_join") }
+        .select(col("event_id"), col("user_id"),
+          expr("timestamp_micros(purchase_us)").as("purchase_ts"),
+          col("last_click_id"),
+          expr("timestamp_micros(last_click_us)").as("last_click_ts"))
+        .orderBy(col("event_id"))
+    }
+
   /** STREAMING RPC with the 408 fallback as a LEFT-OUTER interval join,
     * graded: [[Streams.rpcJoinWithTimeout]] — this grades Spark's
     * outer-join WATERMARK EVICTION machinery itself (the third
@@ -1097,6 +1130,7 @@ object StreamGrade {
     "cdc_stream_rpc_outer"     -> (streamRpcOuter _),
     "cdc_stream_enrich"        -> (streamEnrich _),
     "cdc_stream_asof"          -> (streamAsOfEnrich _),
+    "cdc_stream_asof_join"     -> (streamAsOfJoin _),
     "cdc_stream_capture"       -> (streamCapture _),
     "cdc_stream_restart_scd2"  -> (streamRestartScd2 _),
     "doc_stream_substring_dup" -> (streamSubstringDup _),
@@ -1239,6 +1273,26 @@ object StreamGrade {
     // order-insensitive, so the live sink shares the batch operator's
     // ASOF twin text verbatim (RelQueries.AsOfSqlText)
     "cdc_stream_asof" -> graft.rel.RelQueries.AsOfSqlText,
+
+    // stream-STREAM as-of: the batch ASOF text over the same sides, with
+    // the final-watermark tail modeled — the stream's watermark is the
+    // ms-floor of max(ts) over the purchase+click subset (delay 0), and
+    // a purchase emits only at ts strictly below it; clicks need no tail
+    // term (a click influences output only through some emitted purchase
+    // at-or-after it)
+    "cdc_stream_asof_join" ->
+      """WITH mx AS (SELECT date_trunc('milliseconds', max(ts)) AS m
+        |            FROM events WHERE event_type IN ('click', 'purchase')),
+        |c AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts
+        |  FROM events, mx WHERE event_type = 'purchase' AND ts < mx.m)
+        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        |       c.click_id AS last_click_id, CAST(c.ts AS TIMESTAMP) AS last_click_ts
+        |FROM p ASOF LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     // the outer-join eviction arithmetic: a 408 row exists iff the
     // request is unmatched AND its deadline precedes the final global

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.functions.GraftFunctions.mqtt_matches
 
@@ -1021,5 +1021,156 @@ object Streams {
     import spark.implicits._
     bus.groupByKey(_._1)
       .transformWithState(new TakeNGate(max), TimeMode.None(), OutputMode.Append())
+  }
+
+  // ---------------------------------------------------------------------
+  // Stream-STREAM as-of join
+  // ---------------------------------------------------------------------
+
+  /** One side-tagged event of the self-correlated as-of stream: a probe
+    * (`side = "p"`, e.g. a purchase) or a history row (`side = "c"`, e.g.
+    * a click). Event time rides twice — `ts` (the watermark column) and
+    * `ts_us` (`unix_micros(ts)`): the engine's watermark/timer arithmetic
+    * is MILLISECOND-truncated, while as-of tie semantics (a history row
+    * at exactly the probe instant matches) must compare at the data's
+    * own microsecond precision, so the gate never derives one from the
+    * other. */
+  case class AsOfMsg(side: String, user_id: Long, event_id: Long,
+                     ts: Timestamp, ts_us: Long)
+
+  /** An emitted enrichment: the probe row plus its latest history row at
+    * or before the probe instant (`None` = LEFT-outer miss). Times stay
+    * microsecond longs; callers render timestamps (`timestamp_micros`). */
+  case class AsOfHit(event_id: Long, user_id: Long, purchase_us: Long,
+                     last_click_id: Option[Long], last_click_us: Option[Long])
+
+  /** A (instant, id) state element of [[AsOfGate]]. */
+  private[stream] case class Stamped(ts_us: Long, id: Long)
+
+  /** Per-key stream-STREAM as-of state machine: both the probe side and
+    * the history side arrive LIVE (the batch/broadcast forms of
+    * [[graft.plans.AsOfJoin]] require the history to be a static frame;
+    * here it is still being written while probes flow). Semantics are
+    * the operator's backward + allow-exact form: each probe matches the
+    * latest history row at-or-before its instant — which is only KNOWN
+    * once the event-time watermark passes the probe, because a legal
+    * (non-late) history row at-or-before the probe can arrive until
+    * exactly then. So probes BUFFER until `wm > ts`, history rows
+    * accumulate compacted, and each probe arms an event-time timer at
+    * `ms(ts)+1` — with Spark firing timers at `expiry ≤ eviction
+    * watermark`, the timer fires on the first micro-batch where
+    * `wm_ms ≥ ms(ts)+1`, which at microsecond precision guarantees
+    * `ts_us < wm_ms·1000`: no history row ≤ the probe can still be
+    * watermark-legal (such a row has `ms(ts) < wm_ms` — already dropped
+    * as late upstream), and any same-batch arrival has already been
+    * folded into state because input rows are handled before expired
+    * timers within a batch.
+    *
+    * State per key is BOUNDED: pending probes drain at the watermark,
+    * and the history list compacts on every firing to the rows still
+    * reachable by a future probe — everything after the horizon
+    * `min(wm, oldest pending probe)` plus the single latest row at or
+    * before it (a future probe is watermark-legal only at `ts ≥ wm`, so
+    * of the history at-or-below the horizon only the LATEST row can
+    * ever win again). Equal-instant history rows collapse to the max id
+    * (the graded twin's `max(event_id) GROUP BY user_id, ts`) — applied
+    * during compaction AND at match time, so duplicates never survive a
+    * probe. A key with history but no probes compacts on its own
+    * once-per-batch timer instead of pinning its full history forever. */
+  private[stream] class AsOfGate extends StatefulProcessor[Long, AsOfMsg, AsOfHit] {
+    @transient private var lefts: ListState[Stamped] = _
+    @transient private var rights: ListState[Stamped] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lefts = getHandle.getListState[Stamped]("lefts",
+        Encoders.product[Stamped], TTLConfig.NONE)
+      rights = getHandle.getListState[Stamped]("rights",
+        Encoders.product[Stamped], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[AsOfMsg],
+                                 timerValues: TimerValues): Iterator[AsOfHit] = {
+      var sawLeft = false
+      var maxRightMs = Long.MinValue
+      rows.foreach { m =>
+        if (m.side == "p") {
+          lefts.appendValue(Stamped(m.ts_us, m.event_id))
+          getHandle.registerTimer(m.ts_us / 1000L + 1L)
+          sawLeft = true
+        } else {
+          rights.appendValue(Stamped(m.ts_us, m.event_id))
+          maxRightMs = math.max(maxRightMs, m.ts_us / 1000L + 1L)
+        }
+      }
+      // history-only key: arm ONE compaction point per batch, not one
+      // per row (registerTimer is a state-store write)
+      if (!sawLeft && maxRightMs != Long.MinValue && !lefts.exists())
+        getHandle.registerTimer(maxRightMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[AsOfHit] = {
+      // k ready probes mean k armed timers fire this batch: the first
+      // firing emits and rewrites state, the rest see no ready probes.
+      // The horizon maxes the FIRING timer's expiry over the handle's
+      // current watermark: a timer fires only at expiry ≤ the eviction
+      // watermark, so the max is a sound lower bound on it even if the
+      // handle reports the previous batch's (late-events) value — and
+      // the firing probe's own `ms(ts)+1` expiry always releases it.
+      val wmUs = math.multiplyExact(
+        math.max(expiredTimerInfo.getExpiryTimeInMs(),
+                 timerValues.getCurrentWatermarkInMs()), 1000L)
+      val all = if (lefts.exists()) lefts.get().toArray else Array.empty[Stamped]
+      val (ready, pend) = all.partition(_.ts_us < wmUs)
+      val hist: Array[Stamped] =
+        (if (rights.exists()) rights.get().toArray else Array.empty[Stamped])
+          .groupBy(_.ts_us).iterator
+          .map { case (t, xs) => Stamped(t, xs.map(_.id).max) }
+          .toArray.sortBy(_.ts_us)
+      val out = ready.sortBy(p => (p.ts_us, p.id)).iterator.map { p =>
+        // latest history instant ≤ probe instant, by binary search
+        var lo = 0; var hi = hist.length - 1; var best = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (hist(mid).ts_us <= p.ts_us) { best = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        if (best >= 0)
+          AsOfHit(p.id, uid, p.ts_us, Some(hist(best).id), Some(hist(best).ts_us))
+        else AsOfHit(p.id, uid, p.ts_us, None, None)
+      }.toVector
+      if (ready.nonEmpty) { if (pend.isEmpty) lefts.clear() else lefts.put(pend) }
+      // compact the history to what a future probe can still reach
+      val horizon = (pend.map(_.ts_us) :+ wmUs).min
+      var lastAtOrBelow = -1
+      var i = 0
+      while (i < hist.length && hist(i).ts_us <= horizon) { lastAtOrBelow = i; i += 1 }
+      val keep = (if (lastAtOrBelow >= 0) Array(hist(lastAtOrBelow))
+                  else Array.empty[Stamped]) ++ hist.drop(i)
+      if (keep.isEmpty) rights.clear() else rights.put(keep)
+      out.iterator
+    }
+  }
+
+  /** STREAM-STREAM AS-OF JOIN — the last as-of surface: both sides LIVE
+    * on one correlated stream (the [[rpcStream]] self-correlation shape;
+    * two distinct sources `union` into it identically). Input needs
+    * columns (side 'p'|'c', user_id, event_id, ts); output rows carry
+    * the probe plus its latest ≤-instant history row, emitted exactly
+    * when the event-time watermark proves the match final. Late probes
+    * and late history rows (ts before the watermark) are dropped by the
+    * engine's own watermark filter — the operator never emits a row it
+    * would later have to retract, which is what makes the appended sink
+    * equal the batch as-of on the watermark-covered prefix. */
+  def asOfStream(msgs: DataFrame, watermarkDelay: String = "0 seconds")
+                (implicit spark: SparkSession): Dataset[AsOfHit] = {
+    import spark.implicits._
+    msgs.withWatermark("ts", watermarkDelay)
+      .selectExpr("side", "user_id", "event_id", "ts", "unix_micros(ts) AS ts_us")
+      .as[AsOfMsg]
+      .groupByKey(_.user_id)
+      .transformWithState(new AsOfGate, TimeMode.EventTime(), OutputMode.Append())
   }
 }

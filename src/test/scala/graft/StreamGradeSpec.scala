@@ -265,6 +265,25 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"degenerate corpus: $matched of $total purchases matched")
   }
 
+  test("cdc_stream_asof_join: stream-STREAM as-of == the batch native operator " +
+      "on the watermark-covered prefix, across 3 micro-batches") {
+    val got = rows(StreamGrade.streamAsOfJoin(spark, dir))
+    assert(StreamGrade.batchCount("stream_asof_join") === 3)
+    // the stream's final watermark: ms-floor of max event time over the
+    // purchase+click subset it actually carried (delay 0)
+    val wmUs = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .agg(expr("max(unix_micros(ts))")).head.getLong(0) / 1000L * 1000L
+    val want = rows(graft.rel.RelQueries.queries("asof_native")(spark, dir)
+      .filter(expr(s"unix_micros(purchase_ts) < $wmUs")))
+    assert(got.nonEmpty && got === want)
+    // real work on both sides of the outer join
+    val matched = StreamGrade.streamAsOfJoin(spark, dir)
+      .filter(col("last_click_id").isNotNull).count()
+    assert(matched > 0 && matched < want.length,
+      s"degenerate corpus: $matched of ${want.length} purchases matched")
+  }
+
   test("cdc_stream_rpc_outer: left-outer interval join — 200s on arrival, 408s by " +
       "watermark eviction, unanswered tail held in state") {
     import org.apache.spark.sql.functions.expr

@@ -230,6 +230,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(o => o.req_id > 2L && o.code != 408L).isEmpty)
   }
 
+  test("asOfStream: stream-stream as-of — probes emit at the watermark with " +
+       "the latest click ≤ ts; exact ties match; same-instant dups collapse " +
+       "to max id; tail probes stay buffered") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val in = MemoryStream[(String, Long, Long, Timestamp)]
+      // a micro-precision instant: 10 min + 800 µs
+      val tMicro = { val t = new Timestamp(ts(10).getTime); t.setNanos(800000); t }
+      val q = Streams.asOfStream(
+          in.toDS().toDF("side", "user_id", "event_id", "ts"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("asof_ss").start()
+      try {
+        // batch 1 — history before/at the probe; wm ends at t=5
+        in.addData(
+          ("c", 1L, 10L, ts(0)), ("c", 1L, 11L, ts(0)), // same-instant dup
+          ("p", 1L, 101L, ts(2)),                       // sees only the t=0 pair
+          ("p", 1L, 100L, ts(5)),
+          ("c", 1L, 12L, ts(5)),                        // exact tie: must win
+          ("c", 2L, 20L, ts(1)))
+        q.processAllAvailable()
+        // batch 2 — more probes; u1's probe still pends (wm=5 < its timer);
+        // the t=6 click must NOT match the t=5 probe (backward only)
+        in.addData(
+          ("p", 2L, 200L, ts(20)),
+          ("p", 3L, 300L, ts(10)),                      // no history at all
+          ("p", 4L, 400L, tMicro),
+          ("c", 4L, 40L, tMicro),                       // µs-precision tie
+          ("c", 1L, 13L, ts(6)))
+        q.processAllAvailable()
+        // batch 3 — wm jumps to 60: every earlier probe's timer fires
+        in.addData(("c", 2L, 21L, ts(60)))
+        q.processAllAvailable()
+        // batch 4 — a probe AT the final watermark instant: stays buffered
+        in.addData(("p", 2L, 201L, ts(60)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val got = spark.table("asof_ss").as[Streams.AsOfHit].collect()
+      .map(h => h.event_id -> h).toMap
+    assert(got.keySet === Set(100L, 101L, 200L, 300L, 400L)) // 201 still pending
+    assert(got(101L).last_click_id === Some(11L)) // same-instant dup → max id
+    assert(got(100L).last_click_id === Some(12L)) // exact tie beats t=0; t=6 ignored
+    assert(got(100L).last_click_us === Some(ts(5).getTime * 1000L))
+    assert(got(200L).last_click_id === Some(20L)) // t=60 click is after the probe
+    assert(got(300L).last_click_id === None)      // LEFT-outer miss
+    assert(got(400L).last_click_id === Some(40L)) // µs-precision exact tie
+    assert(got(400L).purchase_us === ts(10).getTime * 1000L + 800L)
+  }
+
   test("scd2Stream state survives a stop/restart from its checkpoint") {
     // the recovery contract a production capture relies on: the OPEN
     // version held in RocksDB state must be restored when the query
