@@ -1122,7 +1122,14 @@ object Streams {
       val wmUs = math.multiplyExact(
         math.max(expiredTimerInfo.getExpiryTimeInMs(),
                  timerValues.getCurrentWatermarkInMs()), 1000L)
-      val all = if (lefts.exists()) lefts.get().toArray else Array.empty[Stamped]
+      // at-least-once: a redelivered probe is either still pending (both
+      // copies sit here — collapsed by the distinct) or already emitted —
+      // in which case the redelivery is provably watermark-late (emission
+      // required wm > ts, legality requires ts ≥ wm) and never reaches
+      // this handler; so the gate is exactly-once for probes, and history
+      // redeliveries were already idempotent (same-instant max-id fold)
+      val all = (if (lefts.exists()) lefts.get().toArray
+                 else Array.empty[Stamped]).distinct
       val (ready, pend) = all.partition(_.ts_us < wmUs)
       val hist: Array[Stamped] =
         (if (rights.exists()) rights.get().toArray else Array.empty[Stamped])
@@ -1163,7 +1170,11 @@ object Streams {
     * and late history rows (ts before the watermark) are dropped by the
     * engine's own watermark filter — the operator never emits a row it
     * would later have to retract, which is what makes the appended sink
-    * equal the batch as-of on the watermark-covered prefix. */
+    * equal the batch as-of on the watermark-covered prefix. Under
+    * at-least-once redelivery the gate is EXACTLY-ONCE: a redelivered
+    * history row folds into the same-instant max-id collapse, and a
+    * redelivered probe either collapses with its pending copy or is
+    * watermark-late by construction (see [[AsOfGate]]). */
   def asOfStream(msgs: DataFrame, watermarkDelay: String = "0 seconds")
                 (implicit spark: SparkSession): Dataset[AsOfHit] = {
     import spark.implicits._

@@ -282,6 +282,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(400L).purchase_us === ts(10).getTime * 1000L + 800L)
   }
 
+  test("asOfStream recovers pending probes and history from a checkpoint; a " +
+       "redelivered watermark-legal probe emits exactly once") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    withRocksDbProvider {
+      val dir = java.nio.file.Files.createTempDirectory("asof_restart").toString
+      val in = MemoryStream[(String, Long, Long, Timestamp)]
+      def start() = Streams.asOfStream(
+          in.toDS().toDF("side", "user_id", "event_id", "ts")).writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.AsOfHit], _: Long) =>
+          b.write.mode("append").parquet(s"$dir/out")
+        }
+        .start()
+      val q1 = start()
+      try {
+        // history + a probe that must still PEND at shutdown (wm == its ts)
+        in.addData(("c", 1L, 10L, ts(0)), ("p", 1L, 100L, ts(5)))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        // the probe redelivered (ts 5 ≥ wm 5 — watermark-legal), a second
+        // probe that can only match the RECOVERED t=0 history row, and a
+        // click advancing the watermark over both
+        in.addData(("p", 1L, 100L, ts(5)), ("p", 1L, 101L, ts(20)),
+                   ("c", 1L, 11L, ts(60)))
+        q2.processAllAvailable()
+        // fire the remaining timers once the watermark reaches t=60
+        in.addData(("c", 2L, 12L, ts(90)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = spark.read.parquet(s"$dir/out").as[Streams.AsOfHit].collect()
+      assert(got.length === 2, s"exactly one row per probe, got ${got.toSeq}")
+      val byId = got.map(h => h.event_id -> h).toMap
+      // both matched the pre-restart t=0 click — rights state recovered
+      assert(byId(100L).last_click_id === Some(10L))
+      assert(byId(101L).last_click_id === Some(10L))
+    }
+  }
+
   test("scd2Stream state survives a stop/restart from its checkpoint") {
     // the recovery contract a production capture relies on: the OPEN
     // version held in RocksDB state must be restored when the query
