@@ -1131,11 +1131,12 @@ object Streams {
       val all = (if (lefts.exists()) lefts.get().toArray
                  else Array.empty[Stamped]).distinct
       val (ready, pend) = all.partition(_.ts_us < wmUs)
-      val hist: Array[Stamped] =
-        (if (rights.exists()) rights.get().toArray else Array.empty[Stamped])
-          .groupBy(_.ts_us).iterator
-          .map { case (t, xs) => Stamped(t, xs.map(_.id).max) }
-          .toArray.sortBy(_.ts_us)
+      val histRaw =
+        if (rights.exists()) rights.get().toArray else Array.empty[Stamped]
+      val hist: Array[Stamped] = histRaw
+        .groupBy(_.ts_us).iterator
+        .map { case (t, xs) => Stamped(t, xs.map(_.id).max) }
+        .toArray.sortBy(_.ts_us)
       val out = ready.sortBy(p => (p.ts_us, p.id)).iterator.map { p =>
         // latest history instant ≤ probe instant, by binary search
         var lo = 0; var hi = hist.length - 1; var best = -1
@@ -1156,7 +1157,12 @@ object Streams {
       while (i < hist.length && hist(i).ts_us <= horizon) { lastAtOrBelow = i; i += 1 }
       val keep = (if (lastAtOrBelow >= 0) Array(hist(lastAtOrBelow))
                   else Array.empty[Stamped]) ++ hist.drop(i)
-      if (keep.isEmpty) rights.clear() else rights.put(keep)
+      // rewrite the list only when compaction actually shrank it — the
+      // firing cadence is per-probe, and an unchanged put is a pure
+      // state-store write amplification
+      if (keep.length != histRaw.length) {
+        if (keep.isEmpty) rights.clear() else rights.put(keep)
+      }
       out.iterator
     }
   }
