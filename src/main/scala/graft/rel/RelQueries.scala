@@ -1940,7 +1940,72 @@ object RelQueries {
       .orderBy(col("bucket"))
   }
 
+  /** ITERATIVE GRAPH AUTHORITY — 3 PageRank power iterations over the
+    * bipartite customer↔supplier purchase graph, entirely in exact
+    * fixed-point integers so both engines converge to the identical
+    * ranking: ranks start at `SCALE` (10⁹), each iteration sends every
+    * node's damped share `(r·w) DIV wout` down each weighted edge and
+    * re-seeds `0.15·SCALE + (85·inflow) DIV 100` (floor division of
+    * non-negative longs — Spark `DIV` and DuckDB `//` agree exactly, and
+    * the fixed operation ORDER means no float reduction anywhere). Node
+    * ids disjoint by parity (customer c → 2c, supplier s → 2s+1); the
+    * symmetric edge set means no dangling mass. Output: top-20 suppliers
+    * by authority, deterministically tie-broken.
+    *
+    * This grades the ITERATIVE dataflow class (the k-step loop with
+    * lineage control) end-to-end, complementing the single-step graded
+    * rows (`kmeans_step`, `pca_power_step`, `logreg_step`) and the
+    * O(log n) star-contraction components: the edge frame with its
+    * out-weights materializes ONCE (`localCheckpoint`) and every
+    * iteration is one shuffle join (edges ⋈ ranks on src) plus one
+    * aggregation (inflow by dst) — the canonical PageRank-on-Spark
+    * shape, with each rank frame checkpointed so iteration i+1's plan
+    * starts from materialized |N| rows instead of a 2^i join lineage.
+    *
+    * Scale shape: the per-iteration cost is exactly the edges⋈ranks
+    * shuffle — at 100 TB, pre-partition (bucket) the edge frame by src
+    * so only the |N|-row rank frame moves per iteration; the rank
+    * checkpoint is the standard iterative-graph discipline (GraphX/
+    * Pregel do the same materialization). Long-arithmetic headroom at
+    * this SCALE: inflow ≤ N·SCALE and each product r·w ≤ N·SCALE·max(w)
+    * — a production deployment sizes SCALE to its |N|·max(w) (or
+    * normalizes shares first); the grading corpus sits orders of
+    * magnitude inside the bound. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val Scale = 1000000000L
+    val cs = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2L).as("src"),
+               (col("l_suppkey") * 2L + 1L).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val edges = cs.unionByName(
+        cs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .localCheckpoint(true)
+    val ew = edges
+      .join(edges.groupBy(col("src")).agg(sum(col("w")).as("wout")), "src")
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var rank = nodes.withColumn("r", lit(Scale))
+    (1 to 3).foreach { _ =>
+      val inflow = ew.join(rank.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("(r * w) DIV wout")).as("inflow"))
+      rank = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(15L * Scale / 100L)
+            + coalesce(expr("(85 * inflow) DIV 100"), lit(0L))).as("r"))
+        .localCheckpoint(true)
+    }
+    rank.filter(col("node") % 2L === 1L)
+      .select(expr("(node - 1) DIV 2").as("s_suppkey"), col("r").as("rank_q"))
+      .orderBy(col("rank_q").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank"     -> (graphPagerank _),
     "union_by_name"      -> (unionByNameDrift _),
     "q11_important"      -> (q11Important _),
     "q16_supplier_cnt"   -> (q16SupplierCnt _),
@@ -2048,6 +2113,42 @@ object RelQueries {
     * to microsecond TIMESTAMP wherever ts participates in output or
     * arithmetic (lossless; see Tables.events). */
   val oracle: Map[String, String] = Map(
+    // 3 unrolled power iterations, same fixed-point arithmetic: floor
+    // division (DuckDB `//` == Spark `DIV` on non-negative longs) in the
+    // same operation order; sums CAST to BIGINT (DuckDB sum() widens to
+    // HUGEINT) so the 85·inflow product types identically
+    "graph_pagerank" ->
+      """WITH cs AS (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+        |         count(*) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT src, dst, w FROM cs
+        |          UNION ALL SELECT dst AS src, src AS dst, w FROM cs),
+        |ew AS (
+        |  SELECT e.src, e.dst, e.w, o.wout
+        |  FROM edges e JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+        |                     FROM edges GROUP BY 1) o USING (src)),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        |r1 AS (
+        |  SELECT n.node, CAST(150000000 + COALESCE((85 * i.inflow) // 100, 0) AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT ew.dst AS node, CAST(sum((r0.r * ew.w) // ew.wout) AS BIGINT) AS inflow
+        |    FROM ew JOIN r0 ON ew.src = r0.node GROUP BY 1) i USING (node)),
+        |r2 AS (
+        |  SELECT n.node, CAST(150000000 + COALESCE((85 * i.inflow) // 100, 0) AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT ew.dst AS node, CAST(sum((r1.r * ew.w) // ew.wout) AS BIGINT) AS inflow
+        |    FROM ew JOIN r1 ON ew.src = r1.node GROUP BY 1) i USING (node)),
+        |r3 AS (
+        |  SELECT n.node, CAST(150000000 + COALESCE((85 * i.inflow) // 100, 0) AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT ew.dst AS node, CAST(sum((r2.r * ew.w) // ew.wout) AS BIGINT) AS inflow
+        |    FROM ew JOIN r2 ON ew.src = r2.node GROUP BY 1) i USING (node))
+        |SELECT (node - 1) // 2 AS s_suppkey, r AS rank_q
+        |FROM r3 WHERE node % 2 = 1
+        |ORDER BY rank_q DESC, s_suppkey LIMIT 20""".stripMargin,
     // The *_bound twins make the sketch queries' error claims
     // hash-checkable: Spark evaluates sketch AND exact and reduces to a
     // deterministic boolean; DuckDB computes only the group keys and
