@@ -754,6 +754,31 @@ object VectorOps {
     ivfAdcServe(q, cents, pqCodes(s, d, cents))
   }
 
+  /** FILTERED ANN — the production vector-search feature the plain
+    * top-k path lacks: serve from the SAME IVF-PQ index but restrict
+    * candidates to a metadata-selected subset (here: vectors whose
+    * document is English — `documents.lang`, the external predicate a
+    * per-tenant / license / freshness filter would be). The filter is a
+    * BROADCAST posting list semi-joined onto the code stream before the
+    * ADC sum — never evaluated per raw vector, never shuffling the
+    * corpus — and the cell fan-out widens (nprobe 2 → 4) because the
+    * filter thins every probed cell: the standard selectivity↔nprobe
+    * trade (very selective filters eventually favor brute-force over
+    * the survivors; this grades the indexed regime). Twin: the shared
+    * ADC chain with the identical posting-list restriction and widened
+    * probe set. */
+  def annIvfAdcFiltered(s: SparkSession, d: String): DataFrame = {
+    val cents = centroids(vecs(s, d)).localCheckpoint(true)
+    val q = vecs(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+      .localCheckpoint(true)
+    val allowed = graft.Tables.documents(s, d)
+      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    ivfAdcServe(q, cents,
+      pqCodes(s, d, cents).join(broadcast(allowed), Seq("vec_id"), "left_semi"),
+      nprobe = 4)
+  }
+
   /** The IVF-PQ SERVE path, shared verbatim by the inline index
     * ([[annIvfAdc]]) and the persisted artifact ([[annIvfAdcLoaded]]):
     * route each query to its 2 nearest cells, build its integer ADC
@@ -761,13 +786,13 @@ object VectorOps {
     * index (cents + codes) is DATA here, which is exactly what makes it
     * persistable. */
   private def ivfAdcServe(q: DataFrame, cents: DataFrame,
-                          codes: DataFrame): DataFrame = {
+                          codes: DataFrame, nprobe: Int = 2): DataFrame = {
     val wCells = Window.partitionBy(col("qid")).orderBy(col("cellcos").desc, col("cell"))
     val probed = q.crossJoin(broadcast(cents))
       .withColumn("cellcos",
         dot(col("qv"), col("cv")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
       .withColumn("crk", row_number().over(wCells))
-      .filter(col("crk") <= 2)
+      .filter(col("crk") <= nprobe)
       .select(col("qid"), col("cell"))
     val lut = q.crossJoin(broadcast(cents))
       .select(col("qid"), col("cell").as("code"),
@@ -1135,6 +1160,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfadc"  -> (annIvfAdc _),
+    "ann_ivfadc_filtered" -> (annIvfAdcFiltered _),
     "ann_ivfadc_loaded" -> (annIvfAdcLoaded _),
     "ann_ivfadc_append" -> (annIvfAdcAppend _),
     "ivfadc_recall" -> (ivfadcRecall _),
@@ -1474,7 +1500,7 @@ object VectorOps {
     * twins (cents over `e`) and the append twin (cents over the base
     * slice `eb`): codes always cover everything, only the training set
     * of the codebook differs. */
-  private val IvfAdcTail =
+  private def ivfAdcTailN(nprobe: Int) =
     s"""sp AS (SELECT j FROM (VALUES (0), (1), (2), (3)) s(j)),
        |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
        |probed AS (
@@ -1484,7 +1510,7 @@ object VectorOps {
        |    FROM (SELECT qid, cell,
        |                 list_dot_product(qv, cv) / (sqrt(qn2) * sqrt(cn2)) AS cellcos
        |          FROM q CROSS JOIN cents))
-       |  WHERE crk <= 2),
+       |  WHERE crk <= $nprobe),
        |codes AS (
        |  SELECT vec_id, label, j, cell AS code FROM (
        |    SELECT vec_id, label, j, cell,
@@ -1503,6 +1529,8 @@ object VectorOps {
        |               + list_dot_product(cv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim]) AS d2
        |        FROM q CROSS JOIN cents CROSS JOIN sp))""".stripMargin
 
+  private val IvfAdcTail = ivfAdcTailN(2)
+
   private val IvfAdcCtes = s"$VecCte, $CentsCte,\n$IvfAdcTail"
 
   /** The append twin's CTE chain: the codebook trains on the BASE slice
@@ -1515,15 +1543,19 @@ object VectorOps {
        |${centsCteOver("eb")},
        |$IvfAdcTail""".stripMargin
 
-  /** The IVF-PQ ranked candidate list (shared final SELECT body). */
-  private val IvfAdcRanked =
-    """SELECT qid, vec_id,
-      |       CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_q, vec_id) AS BIGINT) AS rank,
-      |       round(CAST(adc_q AS DOUBLE) / 1000000, 6) AS adc
-      |FROM (SELECT p.qid AS qid, c.vec_id AS vec_id, CAST(sum(d2q) AS BIGINT) AS adc_q
-      |      FROM codes c JOIN probed p ON c.label = p.cell
-      |      JOIN lut ON lut.qid = p.qid AND lut.j = c.j AND lut.code = c.code
-      |      WHERE c.vec_id != p.qid GROUP BY 1, 2)""".stripMargin
+  /** The IVF-PQ ranked candidate list (shared final SELECT body);
+    * `extraWhere` restricts the candidate code rows (the filtered-ANN
+    * posting list). */
+  private def ivfAdcRanked(extraWhere: String = "") =
+    s"""SELECT qid, vec_id,
+       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_q, vec_id) AS BIGINT) AS rank,
+       |       round(CAST(adc_q AS DOUBLE) / 1000000, 6) AS adc
+       |FROM (SELECT p.qid AS qid, c.vec_id AS vec_id, CAST(sum(d2q) AS BIGINT) AS adc_q
+       |      FROM codes c JOIN probed p ON c.label = p.cell
+       |      JOIN lut ON lut.qid = p.qid AND lut.j = c.j AND lut.code = c.code
+       |      WHERE c.vec_id != p.qid $extraWhere GROUP BY 1, 2)""".stripMargin
+
+  private val IvfAdcRanked = ivfAdcRanked()
 
   val oracle: Map[String, String] = Map(
     "embed_label_mix" ->
@@ -1643,6 +1675,16 @@ object VectorOps {
     "ann_ivfadc" ->
       s"""WITH $IvfAdcCtes
          |SELECT qid, vec_id, rank, adc FROM ($IvfAdcRanked)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // filtered ANN: same index, candidates restricted to the external
+    // posting list (English documents), cell fan-out widened 2 -> 4
+    "ann_ivfadc_filtered" ->
+      s"""WITH $VecCte, $CentsCte,
+         |${ivfAdcTailN(4)},
+         |allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en')
+         |SELECT qid, vec_id, rank, adc
+         |FROM (${ivfAdcRanked("AND c.vec_id IN (SELECT vec_id FROM allowed)")})
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // the persisted artifact must answer exactly like the inline index:

@@ -325,6 +325,27 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(served.sameElements(VectorOps.annIvfAdcAppend(spark, sf).collect()))
   }
 
+  test("ann_ivfadc_filtered: every hit satisfies the metadata filter, the " +
+       "restriction genuinely reorders, and each query still fills top-3") {
+    val got = VectorOps.queries("ann_ivfadc_filtered")(spark, sf).collect()
+    val allowed = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty)
+    assert(got.forall(r => allowed.contains(r.getLong(1))),
+      "a hit escaped the posting-list filter")
+    // top-3 per query (the filtered cells keep enough candidates at 4 probes)
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L), s"query $q")
+    }
+    // the filter bites: at least one unfiltered top hit was non-English
+    val plain = VectorOps.queries("ann_ivfadc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    assert(got.exists(r => plain.get((r.getLong(0), r.getLong(2)))
+        .exists(_ != r.getLong(1))),
+      "filtered ranking identical to unfiltered — degenerate filter")
+  }
+
   test("mmr_rerank: 5 selections per query; step 1 is the relevance argmax; " +
       "the diversity term reorders at least one later step") {
     import org.apache.spark.sql.functions._
