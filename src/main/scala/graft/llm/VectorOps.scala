@@ -1018,6 +1018,38 @@ object VectorOps {
       .orderBy(col("qid"))
   }
 
+  /** Recall@3 of the FILTERED ANN path ([[annIvfAdcFiltered]]) against
+    * the exact ground truth over the SAME allowed subset — prices the
+    * nprobe-widening claim: the metadata filter thins every probed
+    * cell, so the honest question is how much of the exact filtered
+    * top-3 the widened (nprobe 4) index serve still returns. Ground
+    * truth is exact squared-L2 restricted to the posting list (self
+    * excluded); grading shape shared with [[ivfadcRecall]]. */
+  def annFilteredRecall(s: SparkSession, d: String): DataFrame = {
+    val approx = annIvfAdcFiltered(s, d)
+      .select(col("qid").as("aqid"), col("vec_id").as("avid"))
+    val allowed = graft.Tables.documents(s, d)
+      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("n2"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+    val exact = e.join(broadcast(allowed), Seq("vec_id"), "left_semi")
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("d2",
+        col("qn2") - lit(2d) * dot(col("qv"), col("v")) + col("n2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("vec_id"))
+    exact.join(approx,
+        col("qid") === col("aqid") && col("vec_id") === col("avid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"), count(col("avid")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 4))
+      .orderBy(col("qid"))
+  }
+
   /** The [[ivfadcRecallSweep]] code-budget grid: (subspaces, dims each).
     * 4×16 stores 4 small ints per vector; 8×8 doubles the code budget
     * (finer quantization, 2× the stored bytes). */
@@ -1161,6 +1193,7 @@ object VectorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivfadc"  -> (annIvfAdc _),
     "ann_ivfadc_filtered" -> (annIvfAdcFiltered _),
+    "ann_filtered_recall" -> (annFilteredRecall _),
     "ann_ivfadc_loaded" -> (annIvfAdcLoaded _),
     "ann_ivfadc_append" -> (annIvfAdcAppend _),
     "ivfadc_recall" -> (ivfadcRecall _),
@@ -1686,6 +1719,30 @@ object VectorOps {
          |SELECT qid, vec_id, rank, adc
          |FROM (${ivfAdcRanked("AND c.vec_id IN (SELECT vec_id FROM allowed)")})
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // filtered recall: exact ground truth restricted to the same
+    // posting list — prices the nprobe-widening of the filtered serve
+    "ann_filtered_recall" ->
+      s"""WITH $VecCte, $CentsCte,
+         |${ivfAdcTailN(4)},
+         |allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+         |approx AS (
+         |  SELECT qid, vec_id
+         |  FROM (${ivfAdcRanked("AND c.vec_id IN (SELECT vec_id FROM allowed)")})
+         |  WHERE rank <= 3),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY qn2 - 2 * list_dot_product(qv, v) + n2, vec_id) AS rk
+         |    FROM e CROSS JOIN q
+         |    WHERE vec_id != qid AND vec_id IN (SELECT vec_id FROM allowed))
+         |  WHERE rk <= 3)
+         |SELECT x.qid AS qid, CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+         |       round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 4) AS recall
+         |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vec_id = a.vec_id
+         |GROUP BY 1 ORDER BY qid""".stripMargin,
 
     // the persisted artifact must answer exactly like the inline index:
     // same twin, so the hash proves the persist->load round trip
