@@ -1018,6 +1018,34 @@ object VectorOps {
       .orderBy(col("qid"))
   }
 
+  /** The OTHER side of the filtered-ANN plan flip: brute-force exact
+    * top-3 over the posting-list survivors — the plan a VERY selective
+    * filter favors (when the allowed set is small enough, scanning it
+    * exactly beats probing widened cells whose members mostly fail the
+    * filter; [[annIvfAdcFiltered]] grades the indexed regime, this row
+    * grades the exact one, and [[annFilteredRecall]] is the audit that
+    * tells a deployment where its filter sits). Distances are the same
+    * squared L2 the ADC path approximates. Scale shape: the query slice
+    * broadcasts, the semi-joined corpus slice streams once map-side,
+    * top-3 via the per-query partitioned window — per-query linear in
+    * the SURVIVOR count, not the corpus. */
+  def annFilteredExact(s: SparkSession, d: String): DataFrame = {
+    val allowed = graft.Tables.documents(s, d)
+      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("n2"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+    e.join(broadcast(allowed), Seq("vec_id"), "left_semi")
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("d2",
+        col("qn2") - lit(2d) * dot(col("qv"), col("v")) + col("n2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("d2"), 6).as("d2"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Recall@3 of the FILTERED ANN path ([[annIvfAdcFiltered]]) against
     * the exact ground truth over the SAME allowed subset — prices the
     * nprobe-widening claim: the metadata filter thins every probed
@@ -1194,6 +1222,7 @@ object VectorOps {
     "ann_ivfadc"  -> (annIvfAdc _),
     "ann_ivfadc_filtered" -> (annIvfAdcFiltered _),
     "ann_filtered_recall" -> (annFilteredRecall _),
+    "ann_filtered_exact"  -> (annFilteredExact _),
     "ann_ivfadc_loaded" -> (annIvfAdcLoaded _),
     "ann_ivfadc_append" -> (annIvfAdcAppend _),
     "ivfadc_recall" -> (ivfadcRecall _),
@@ -1718,6 +1747,21 @@ object VectorOps {
          |allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en')
          |SELECT qid, vec_id, rank, adc
          |FROM (${ivfAdcRanked("AND c.vec_id IN (SELECT vec_id FROM allowed)")})
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the very-selective-regime plan: brute-force exact top-3 over the
+    // posting-list survivors (same squared L2 the ADC approximates)
+    "ann_filtered_exact" ->
+      s"""WITH $VecCte,
+         |allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+         |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries)
+         |SELECT qid, vec_id, rank, round(d2, 6) AS d2 FROM (
+         |  SELECT qid, vec_id,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS BIGINT) AS rank,
+         |         d2
+         |  FROM (SELECT qid, vec_id, qn2 - 2 * list_dot_product(qv, v) + n2 AS d2
+         |        FROM e CROSS JOIN q
+         |        WHERE vec_id != qid AND vec_id IN (SELECT vec_id FROM allowed)))
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // filtered recall: exact ground truth restricted to the same
