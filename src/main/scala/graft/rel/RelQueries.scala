@@ -1973,19 +1973,22 @@ object RelQueries {
     * magnitude inside the bound. */
   def graphPagerank(s: SparkSession, d: String): DataFrame = {
     val Scale = 1000000000L
+    // the fact join runs ONCE (cs checkpointed before the symmetric
+    // union doubles it); out-weights come from a window over the edge
+    // partition — one shuffle on src, no aggregate-then-join-back
     val cs = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy((col("o_custkey") * 2L).as("src"),
                (col("l_suppkey") * 2L + 1L).as("dst"))
       .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
     val edges = cs.unionByName(
-        cs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .localCheckpoint(true)
+      cs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     val ew = edges
-      .join(edges.groupBy(col("src")).agg(sum(col("w")).as("wout")), "src")
+      .withColumn("wout", sum(col("w")).over(Window.partitionBy(col("src"))))
       .localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node")).distinct()
+    val nodes = ew.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     var rank = nodes.withColumn("r", lit(Scale))
     (1 to 3).foreach { _ =>
