@@ -389,21 +389,29 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   }
 
   test("r9: ann_ivfadc's routing table and LUT come to the code stream as " +
-      "broadcasts — no cartesian, no shuffle of the embedding column") {
+      "broadcasts — no cartesian, no shuffle of the embedding column " +
+      "(filtered variant: the posting list broadcasts too)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val df = SparkEntry.queries("ann_ivfadc")(spark, sfDir)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"ann_ivfadc: candidate restriction is not broadcast:\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      s"ann_ivfadc: cartesian product in plan:\n$plan")
-    // the raw vector column must never ride an exchange: the corpus is
-    // touched as PQ codes only
-    collectWithSubqueries(df.queryExecution.executedPlan) {
-      case e: ShuffleExchangeExec => e.child.output.map(_.name.toLowerCase)
-    }.foreach(cols => assert(!cols.contains("v") && !cols.contains("embedding"),
-      s"ann_ivfadc: an exchange carries raw vectors: $cols"))
+    for (name <- Seq("ann_ivfadc", "ann_ivfadc_filtered")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: candidate restriction is not broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: cartesian product in plan:\n$plan")
+      // the raw vector column must never ride an exchange: the corpus is
+      // touched as PQ codes only
+      collectWithSubqueries(df.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e.child.output.map(_.name.toLowerCase)
+      }.foreach(cols => assert(!cols.contains("v") && !cols.contains("embedding"),
+        s"$name: an exchange carries raw vectors: $cols"))
+      // the metadata filter must arrive as a broadcast semi-join — a
+      // shuffled semi would move the code stream to meet the filter
+      if (name == "ann_ivfadc_filtered")
+        assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+          s"$name: posting-list filter is not a broadcast semi-join:\n$plan")
+    }
   }
 
   test("r8 additions: hard_negatives broadcasts centroids (no cartesian); " +
