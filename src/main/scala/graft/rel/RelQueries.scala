@@ -1971,11 +1971,15 @@ object RelQueries {
     * — a production deployment sizes SCALE to its |N|·max(w) (or
     * normalizes shares first); the grading corpus sits orders of
     * magnitude inside the bound. */
-  def graphPagerank(s: SparkSession, d: String): DataFrame = {
-    val Scale = 1000000000L
-    // the fact join runs ONCE (cs checkpointed before the symmetric
-    // union doubles it); out-weights come from a window over the edge
-    // partition — one shuffle on src, no aggregate-then-join-back
+  private val GraphScale = 1000000000L
+
+  /** The shared bipartite purchase-graph prep of [[graphPagerank]] /
+    * [[graphTrustrank]]: symmetric weighted edges with out-weights
+    * (`ew`) and the node frame, both checkpointed once. The fact join
+    * runs ONCE (cs checkpointed before the symmetric union doubles it);
+    * out-weights come from a window over the edge partition — one
+    * shuffle on src, no aggregate-then-join-back. */
+  private def purchaseGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val cs = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -1990,25 +1994,78 @@ object RelQueries {
       .localCheckpoint(true)
     val nodes = ew.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
-    var rank = nodes.withColumn("r", lit(Scale))
-    (1 to 3).foreach { _ =>
-      val inflow = ew.join(rank.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(expr("(r * w) DIV wout")).as("inflow"))
-      rank = nodes.join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit(15L * Scale / 100L)
-            + coalesce(expr("(85 * inflow) DIV 100"), lit(0L))).as("r"))
-        .localCheckpoint(true)
-    }
+    (ew, nodes)
+  }
+
+  /** One damped power iteration: inflow per node, then the teleport
+    * re-seed (`teleport` is a per-node column expression over the
+    * joined node frame). */
+  private def graphIterate(ew: DataFrame, nodes: DataFrame, rank: DataFrame,
+                           teleport: Column): DataFrame =
+    nodes.join(
+        ew.join(rank.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("(r * w) DIV wout")).as("inflow")),
+        Seq("node"), "left")
+      .select(col("node"),
+        (teleport + coalesce(expr("(85 * inflow) DIV 100"), lit(0L))).as("r"))
+      .localCheckpoint(true)
+
+  private def supplierRanks(rank: DataFrame): DataFrame =
     rank.filter(col("node") % 2L === 1L)
       .select(expr("(node - 1) DIV 2").as("s_suppkey"), col("r").as("rank_q"))
       .orderBy(col("rank_q").desc, col("s_suppkey"))
       .limit(20)
+
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val (ew, nodes) = purchaseGraph(s, d)
+    var rank = nodes.withColumn("r", lit(GraphScale))
+    (1 to 3).foreach { _ =>
+      rank = graphIterate(ew, nodes, rank, lit(15L * GraphScale / 100L))
+    }
+    supplierRanks(rank)
+  }
+
+  /** TRUST PROPAGATION (TrustRank) — the seed-biased variant of
+    * [[graphPagerank]] and the graph form a curation pipeline actually
+    * deploys: trust starts at a SEED set (here: BUILDING-segment
+    * customers — the "manually vetted domains" stand-in) and flows only
+    * through purchase edges, so a supplier ranks by how closely its
+    * customer base connects to the seeds rather than by raw volume —
+    * the TrustRank/Harmonic-centrality weighting CommonCrawl-style
+    * curation uses for domain quality. Arithmetic identical to
+    * [[graphPagerank]] (same fixed-point floor divisions) except the
+    * teleport term: `0.15·SCALE` lands ONLY on seed nodes every
+    * iteration (and seeds-only initial mass), non-seeds receive purely
+    * propagated trust. Unreached nodes hold rank 0 and sort by the
+    * deterministic key tie-break.
+    *
+    * Scale shape: [[purchaseGraph]]'s two checkpointed frames are the
+    * whole prep; the seed frame is ≤|customers| ids joined once onto
+    * the node frame before the loop — per-iteration cost identical to
+    * pagerank's one shuffle join + one aggregation. */
+  def graphTrustrank(s: SparkSession, d: String): DataFrame = {
+    val (ew, nodes) = purchaseGraph(s, d)
+    val seeds = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select((col("c_custkey") * 2L).as("node"))
+    val seeded = nodes.join(broadcast(seeds.withColumn("is_seed", lit(true))),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    var rank = seeded.select(col("node"),
+      when(col("is_seed"), lit(GraphScale)).otherwise(lit(0L)).as("r"))
+    (1 to 3).foreach { _ =>
+      rank = graphIterate(ew, seeded, rank,
+        when(col("is_seed"), lit(15L * GraphScale / 100L)).otherwise(lit(0L)))
+    }
+    supplierRanks(rank)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"     -> (graphPagerank _),
+    "graph_trustrank"    -> (graphTrustrank _),
     "union_by_name"      -> (unionByNameDrift _),
     "q11_important"      -> (q11Important _),
     "q16_supplier_cnt"   -> (q16SupplierCnt _),
@@ -2115,43 +2172,63 @@ object RelQueries {
   /** DuckDB twins. `events` timestamps are TIMESTAMP_NS there — cast down
     * to microsecond TIMESTAMP wherever ts participates in output or
     * arithmetic (lossless; see Tables.events). */
+  /** Shared graph-prep CTEs of the two graph-oracle texts. */
+  private val GraphCtes =
+    """cs AS (
+      |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+      |         count(*) AS w
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |edges AS (SELECT src, dst, w FROM cs
+      |          UNION ALL SELECT dst AS src, src AS dst, w FROM cs),
+      |ew AS (
+      |  SELECT e.src, e.dst, e.w, o.wout
+      |  FROM edges e JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+      |                     FROM edges GROUP BY 1) o USING (src)),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges)""".stripMargin
+
+  /** One unrolled power iteration `prev` → `next` over node frame `nf`
+    * (which must expose `node` and, for the seeded form, `is_seed`);
+    * `teleport` is the per-node re-seed SQL expression. */
+  private def graphIterSql(nf: String, prev: String, next: String,
+                           teleport: String) =
+    s"""$next AS (
+       |  SELECT n.node, CAST($teleport + COALESCE((85 * i.inflow) // 100, 0) AS BIGINT) AS r
+       |  FROM $nf n LEFT JOIN (
+       |    SELECT ew.dst AS node, CAST(sum(($prev.r * ew.w) // ew.wout) AS BIGINT) AS inflow
+       |    FROM ew JOIN $prev ON ew.src = $prev.node GROUP BY 1) i USING (node))""".stripMargin
+
+  private val GraphRankSelect =
+    """SELECT (node - 1) // 2 AS s_suppkey, r AS rank_q
+      |FROM r3 WHERE node % 2 = 1
+      |ORDER BY rank_q DESC, s_suppkey LIMIT 20""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // 3 unrolled power iterations, same fixed-point arithmetic: floor
     // division (DuckDB `//` == Spark `DIV` on non-negative longs) in the
     // same operation order; sums CAST to BIGINT (DuckDB sum() widens to
     // HUGEINT) so the 85·inflow product types identically
     "graph_pagerank" ->
-      """WITH cs AS (
-        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
-        |         count(*) AS w
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  GROUP BY 1, 2),
-        |edges AS (SELECT src, dst, w FROM cs
-        |          UNION ALL SELECT dst AS src, src AS dst, w FROM cs),
-        |ew AS (
-        |  SELECT e.src, e.dst, e.w, o.wout
-        |  FROM edges e JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS wout
-        |                     FROM edges GROUP BY 1) o USING (src)),
-        |nodes AS (SELECT DISTINCT src AS node FROM edges),
-        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
-        |r1 AS (
-        |  SELECT n.node, CAST(150000000 + COALESCE((85 * i.inflow) // 100, 0) AS BIGINT) AS r
-        |  FROM nodes n LEFT JOIN (
-        |    SELECT ew.dst AS node, CAST(sum((r0.r * ew.w) // ew.wout) AS BIGINT) AS inflow
-        |    FROM ew JOIN r0 ON ew.src = r0.node GROUP BY 1) i USING (node)),
-        |r2 AS (
-        |  SELECT n.node, CAST(150000000 + COALESCE((85 * i.inflow) // 100, 0) AS BIGINT) AS r
-        |  FROM nodes n LEFT JOIN (
-        |    SELECT ew.dst AS node, CAST(sum((r1.r * ew.w) // ew.wout) AS BIGINT) AS inflow
-        |    FROM ew JOIN r1 ON ew.src = r1.node GROUP BY 1) i USING (node)),
-        |r3 AS (
-        |  SELECT n.node, CAST(150000000 + COALESCE((85 * i.inflow) // 100, 0) AS BIGINT) AS r
-        |  FROM nodes n LEFT JOIN (
-        |    SELECT ew.dst AS node, CAST(sum((r2.r * ew.w) // ew.wout) AS BIGINT) AS inflow
-        |    FROM ew JOIN r2 ON ew.src = r2.node GROUP BY 1) i USING (node))
-        |SELECT (node - 1) // 2 AS s_suppkey, r AS rank_q
-        |FROM r3 WHERE node % 2 = 1
-        |ORDER BY rank_q DESC, s_suppkey LIMIT 20""".stripMargin,
+      s"""WITH $GraphCtes,
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+         |${graphIterSql("nodes", "r0", "r1", "150000000")},
+         |${graphIterSql("nodes", "r1", "r2", "150000000")},
+         |${graphIterSql("nodes", "r2", "r3", "150000000")}
+         |$GraphRankSelect""".stripMargin,
+
+    // the seed-biased variant: teleport mass lands only on seed nodes
+    "graph_trustrank" ->
+      s"""WITH $GraphCtes,
+         |seeds AS (SELECT c_custkey * 2 AS node FROM customer
+         |          WHERE c_mktsegment = 'BUILDING'),
+         |sn AS (SELECT n.node, (s.node IS NOT NULL) AS is_seed
+         |       FROM nodes n LEFT JOIN seeds s USING (node)),
+         |r0 AS (SELECT node, CAST(CASE WHEN is_seed THEN 1000000000 ELSE 0 END AS BIGINT) AS r
+         |       FROM sn),
+         |${graphIterSql("sn", "r0", "r1", "CASE WHEN n.is_seed THEN 150000000 ELSE 0 END")},
+         |${graphIterSql("sn", "r1", "r2", "CASE WHEN n.is_seed THEN 150000000 ELSE 0 END")},
+         |${graphIterSql("sn", "r2", "r3", "CASE WHEN n.is_seed THEN 150000000 ELSE 0 END")}
+         |$GraphRankSelect""".stripMargin,
     // The *_bound twins make the sketch queries' error claims
     // hash-checkable: Spark evaluates sketch AND exact and reduces to a
     // deterministic boolean; DuckDB computes only the group keys and

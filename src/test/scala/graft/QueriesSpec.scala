@@ -53,6 +53,27 @@ class QueriesSpec extends AnyFunSuite {
       got.map(_.toString).toSeq)
   }
 
+  test("graph_trustrank: trust reaches suppliers only through seed-connected " +
+       "paths and genuinely reorders the authority ranking") {
+    import org.apache.spark.sql.functions._
+    val trust = graft.rel.RelQueries.queries("graph_trustrank")(spark, sf).collect()
+    val page = graft.rel.RelQueries.queries("graph_pagerank")(spark, sf).collect()
+    assert(trust.nonEmpty && trust.length === page.length)
+    // the seed bias bites: the two rankings disagree somewhere
+    assert(trust.map(_.getLong(0)).toSeq !== page.map(_.getLong(0)).toSeq,
+      "trustrank collapsed to plain pagerank — seeds inert?")
+    // trust is seed-derived: with NO seeds the whole frame is zero, so
+    // every positive rank witnesses a seed-connected path
+    val seeds = graft.Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").count()
+    assert(seeds > 0, "corpus has no BUILDING customers — pick another seed segment")
+    assert(trust.exists(_.getLong(1) > 0L), "no trust propagated at all")
+    // every supplier ranked by trust is also a real supplier
+    val sup = graft.Tables.supplier(spark, sf)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    assert(trust.map(_.getLong(0)).forall(sup.contains))
+  }
+
   test("every declared query executes and oracle keys are a subset") {
     val qs = SparkEntry.queries
     assert(qs.nonEmpty)
