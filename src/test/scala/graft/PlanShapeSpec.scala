@@ -407,10 +407,20 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       }.foreach(cols => assert(!cols.contains("v") && !cols.contains("embedding"),
         s"$name: an exchange carries raw vectors: $cols"))
       // the metadata filter must arrive as a broadcast semi-join — a
-      // shuffled semi would move the code stream to meet the filter
-      if (name == "ann_ivfadc_filtered")
-        assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      // shuffled semi would move the code stream to meet the filter.
+      // Asserted on the NODE (one BroadcastHashJoinExec whose joinType
+      // is LeftSemi), not two independent substrings: an unrelated
+      // broadcast join plus a shuffled semi would satisfy the substring
+      // form without pinning anything
+      if (name == "ann_ivfadc_filtered") {
+        import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        val semis = collectWithSubqueries(df.queryExecution.executedPlan) {
+          case b: BroadcastHashJoinExec
+              if b.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => b
+        }
+        assert(semis.nonEmpty,
           s"$name: posting-list filter is not a broadcast semi-join:\n$plan")
+      }
     }
   }
 
@@ -494,5 +504,46 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       s"rpc first-wins did not plan a top-1 reduce:\n$plan")
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans === 1, s"expected ONE bus scan, found $scans:\n$plan")
+  }
+
+  test("r12: graph iterations join the edge frame from its cached " +
+      "src-partitioned layout — no Exchange ever consumes it") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val step = graft.rel.RelQueries.graphIterStepForSpec(spark, sfDir)
+    step.collect() // finalize adaptive re-planning
+    val exec = step.queryExecution.executedPlan
+    // the persisted edge frame must appear (the prep cached it)...
+    val cacheScans = collectWithSubqueries(exec) {
+      case t: InMemoryTableScanExec => t }
+    assert(cacheScans.nonEmpty,
+      s"iterate step does not read the cached edge frame:\n$exec")
+    // ...and no shuffle may sit above it: the window's build-time
+    // HashPartitioning(src) is the layout every iteration's join reuses,
+    // so only the |N|-row rank frame moves per iteration
+    collectWithSubqueries(exec) { case e: ShuffleExchangeExec => e }
+      .foreach { e =>
+        assert(e.collect { case t: InMemoryTableScanExec => t }.isEmpty,
+          s"an Exchange re-shuffles the cached edge frame:\n$exec")
+      }
+  }
+
+  test("r12: graph fixed-point headroom guard is executable — an " +
+      "adversarially weighted graph fails loudly at prep time") {
+    // the graded corpus sits orders of magnitude inside the bound
+    graft.rel.RelQueries.requireGraphHeadroom(
+      nNodes = 100000L, maxW = 10000L, scale = 1000000000L)
+    // N*SCALE*max(w) overflowing a long must throw, not wrap
+    val e = intercept[IllegalArgumentException] {
+      graft.rel.RelQueries.requireGraphHeadroom(
+        nNodes = 1000000000L, maxW = 1000000000L, scale = 1000000000L)
+    }
+    assert(e.getMessage.contains("overflow"))
+    // the 85*N*SCALE teleport product binds even when max(w) is small
+    intercept[IllegalArgumentException] {
+      graft.rel.RelQueries.requireGraphHeadroom(
+        nNodes = Long.MaxValue / 1000000000L, maxW = 1L, scale = 1000000000L)
+    }
+    ()
   }
 }

@@ -74,6 +74,40 @@ class QueriesSpec extends AnyFunSuite {
     assert(trust.map(_.getLong(0)).forall(sup.contains))
   }
 
+  test("graph_converged: the delta sequence is positive, strictly shrinking " +
+       "(damped contraction), and reads the same memoized iterations as " +
+       "graph_pagerank") {
+    val rows = graft.rel.RelQueries.queries("graph_converged")(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val deltas = rows.map(_.getLong(1)).toSeq
+    assert(deltas.forall(_ > 0L), s"an iteration changed nothing: $deltas")
+    assert(deltas === deltas.sortBy(-_) && deltas.distinct === deltas,
+      s"damped power iteration must contract strictly: $deltas")
+    // the graded boolean mirrors the contraction: NULL, then true, true
+    assert(rows(0).isNullAt(2) && rows(1).getBoolean(2) && rows(2).getBoolean(2))
+  }
+
+  test("r12: graphCache revalidates the input-table fingerprint — a dir " +
+       "rewritten in-session rebuilds the prep instead of serving stale frames") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_graph_fresh").toString
+    for (t <- Seq("lineitem", "orders"))
+      spark.read.parquet(s"$sf/$t.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    val fn = graft.rel.RelQueries.queries("graph_pagerank")
+    val before = fn(spark, tmp).collect().map(_.toString).toSeq
+    assert(before.nonEmpty)
+    Thread.sleep(1100) // distinct mtime even on coarse filesystems
+    // rewrite the purchase facts under the SAME path: half the orders gone
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_orderkey") % 2 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val after = fn(spark, tmp).collect().map(_.toString).toSeq
+    assert(after !== before,
+      "graphCache served the pre-rewrite ranking — fingerprint revalidation inert")
+  }
+
   test("every declared query executes and oracle keys are a subset") {
     val qs = SparkEntry.queries
     assert(qs.nonEmpty)
