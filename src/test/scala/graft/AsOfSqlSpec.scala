@@ -118,6 +118,44 @@ class AsOfSqlSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       api.collect().toSeq.map(_.toString))
   }
 
+  test("r12: left-deep CHAINED ASOF joins in one FROM clause — two native " +
+      "execs, == composed API; nested-right double-ON spelling stays loud") {
+    mkViews()
+    // the ordinary SQL chain: no parentheses anywhere
+    val sql = spark.sql(
+      "SELECT l.lp, r1.rp AS p1, r2.rp AS p2 FROM lv l " +
+        "ASOF LEFT JOIN rv r1 ON l.k = r1.rk AND r1.rt <= l.t " +
+        "ASOF LEFT JOIN rv r2 ON l.k = r2.rk AND r2.rt < l.t " +
+        "ORDER BY l.lp, p1, p2")
+    val (m, b) = asofExecs(sql)
+    assert(m + b === 2, s"expected two native as-of execs, got merge=$m bcast=$b")
+    val step1 = AsOf.join(spark.table("lv"), spark.table("rv").as("r1"),
+        Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("lp"), col("k"), col("t"), col("rp").as("p1"))
+    val api = AsOf.join(step1, spark.table("rv").as("r2"),
+        Seq("k"), Seq("rk"), "t", "rt", tolerance = None,
+        direction = graft.plans.AsOfBackward, broadcastRight = None,
+        allowExactMatches = false)
+      .select(col("lp"), col("p1"), col("rp").as("p2"))
+      .orderBy(col("lp"), col("p1"), col("p2"))
+    assert(sql.collect().toSeq.map(_.toString) ===
+      api.collect().toSeq.map(_.toString))
+    // the nested-right spelling (two consecutive ONs) cannot place
+    // markers — it must refuse loudly, never run as a plain join. In
+    // practice Spark's own grammar already rejects double-ON join
+    // nesting (PARSE_SYNTAX_ERROR); the AsOfSqlResolution two-marker
+    // guard is the defense-in-depth behind it
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM lv l ASOF JOIN rv r1 ASOF JOIN rv r2 " +
+          "ON r2.rk = r1.rk AND r2.rt <= r1.rt " +
+          "ON l.k = r1.rk AND r1.rt <= l.t").collect()
+    }
+    assert(e.isInstanceOf[ParseException] ||
+      e.isInstanceOf[org.apache.spark.sql.AnalysisException],
+      s"nested-right chain did not fail loudly: $e")
+  }
+
   test("rewrite errors: missing ON, USING, unsupported join kinds") {
     intercept[ParseException] {
       AsOfSqlRewrite.rewrite("SELECT * FROM a ASOF JOIN b WHERE a.x = 1")
