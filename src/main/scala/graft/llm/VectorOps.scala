@@ -679,6 +679,11 @@ object VectorOps {
   /** PQ code assignment over an explicit vector frame — the form
     * [[appendIvfPq]] needs, where the frame is a delta slice encoded
     * against a FROZEN codebook rather than the whole snapshot. */
+  /** Spec hook: the code-assignment lineage over an explicit frame +
+    * codebook (what a maintenance op writes for its delta). */
+  private[graft] def pqCodesOfForSpec(vecFrame: DataFrame, cents: DataFrame): DataFrame =
+    pqCodesOf(vecFrame, cents)
+
   private def pqCodesOf(vecFrame: DataFrame, cents: DataFrame): DataFrame = {
     val e = vecFrame.select(col("vec_id"), col("label"), col("v"))
     val w = Window.partitionBy(col("vec_id"), col("subspace"))
@@ -850,17 +855,56 @@ object VectorOps {
       .parquet(new java.io.File(outPath, "centroids").toString)
     pqCodesOf(vecFrame, cents).write.mode("overwrite")
       .parquet(new java.io.File(outPath, "codes").toString)
-    writeIvfPqMeta(outPath, snapshotDir, fp)
+    writeIvfPqMeta(outPath, snapshotDir, fp, Nil)
   }
 
+  /** The store's maintenance journal lives IN `_built_from.json`:
+    * `absorbed` lists the identity of every delta/delete the store has
+    * applied since its last full build, so a RETRIED or double-called
+    * maintenance op is refused instead of silently applied twice
+    * (duplicate (vec_id, subspace) code rows would double the ADC sums
+    * while the fingerprint gate still passed). */
   private def writeIvfPqMeta(outPath: String, snapshotDir: String,
-                             fp: String): Unit = {
+                             fp: String, absorbed: Seq[String]): Unit = {
+    val abs = absorbed.map(a => s""""$a"""").mkString("[", ",", "]")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath, "_built_from.json"),
-      s"""{"snapshot_dir":"$snapshotDir","fingerprint":"$fp"}"""
+      s"""{"snapshot_dir":"$snapshotDir","fingerprint":"$fp","absorbed":$abs}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()
   }
+
+  private def readIvfPqMeta(storePath: String): (Option[String], Seq[String]) = {
+    val metaPath = java.nio.file.Paths.get(storePath, "_built_from.json")
+    require(java.nio.file.Files.exists(metaPath),
+      s"IVF-PQ store at $storePath has no _built_from.json fingerprint — " +
+        "rebuild it with writeIvfPq (an unfingerprinted index cannot " +
+        "prove it matches any corpus)")
+    val meta = new String(java.nio.file.Files.readAllBytes(metaPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val fp = """"fingerprint"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(meta).map(_.group(1))
+    val absorbed = """"absorbed"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(meta).map(_.group(1)).toSeq
+      .flatMap(body => """"([^"]+)"""".r.findAllMatchIn(body).map(_.group(1)))
+    (fp, absorbed)
+  }
+
+  /** The half-applied-maintenance tombstone: written BEFORE a
+    * maintenance op touches `codes/`, cleared only after the meta
+    * rewrite lands. While it exists the store is un-loadable and
+    * un-maintainable — a crash between the codes write and the meta
+    * write can therefore never be served (old fingerprint validating
+    * new codes) or retried into duplicate rows; the recovery path is a
+    * rebuild. */
+  private def pendingPath(storePath: String) =
+    java.nio.file.Paths.get(storePath, "_maintenance_pending.json")
+
+  private def requireNotPending(storePath: String, verb: String): Unit =
+    require(!java.nio.file.Files.exists(pendingPath(storePath)),
+      s"IVF-PQ store at $storePath has a half-applied maintenance op " +
+        s"(_maintenance_pending.json exists) — cannot $verb; the codes " +
+        "may not match the recorded fingerprint: rebuild with writeIvfPq")
 
   /** INCREMENTAL index maintenance — the lifecycle step between full
     * rebuilds ([[writeIvfPq]]) that a production index performs when a
@@ -876,33 +920,74 @@ object VectorOps {
     * Cell membership keeps the family's label-cell convention (the
     * label doubles as the coarse cell, as in [[annIvfAdc]]); a k-means
     * coarse quantizer would route by nearest frozen centroid instead —
-    * same plan shape, the routing expression is the only difference. */
+    * same plan shape, the routing expression is the only difference.
+    *
+    * SAFETY (the at-least-once contract of any maintenance driver):
+    * `deltaId` names the delta; a store that already absorbed it
+    * refuses the duplicate (an accidental double call or a retry after
+    * a post-meta crash would otherwise append the code rows twice and
+    * silently corrupt every ADC sum), and the pending marker
+    * ([[requireNotPending]]) makes a mid-append crash un-servable and
+    * un-retriable instead of half-applied. */
   def appendIvfPq(s: SparkSession, storePath: String, delta: DataFrame,
-                  snapshotDir: String, newFp: String): Unit = {
-    require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(storePath, "_built_from.json")),
-      s"cannot append to $storePath: no _built_from.json — only a " +
-        "fingerprinted writeIvfPq store can absorb a delta")
+                  snapshotDir: String, newFp: String, deltaId: String): Unit = {
+    val (_, absorbed) = readIvfPqMeta(storePath)
+    requireNotPending(storePath, s"append delta '$deltaId'")
+    require(!absorbed.contains(deltaId),
+      s"IVF-PQ store at $storePath already absorbed delta '$deltaId' — " +
+        "a duplicate append would double its code rows; nothing to do " +
+        "(or name the new delta distinctly)")
+    java.nio.file.Files.write(pendingPath(storePath),
+      s"""{"op":"append","id":"$deltaId"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val cents = s.read.parquet(new java.io.File(storePath, "centroids").toString)
     pqCodesOf(delta, broadcast(cents)).write.mode("append")
       .parquet(new java.io.File(storePath, "codes").toString)
-    writeIvfPqMeta(storePath, snapshotDir, newFp)
+    writeIvfPqMeta(storePath, snapshotDir, newFp, absorbed :+ deltaId)
+    java.nio.file.Files.delete(pendingPath(storePath))
+  }
+
+  /** DELETE propagation into the serving index — the CDC-native
+    * lifecycle step [[appendIvfPq]]'s mirror: when source rows are
+    * deleted (a takedown, a license revocation, a CDC tombstone), their
+    * code rows leave `codes/` so they can never again be served as
+    * candidates. The codebook stays FROZEN (FAISS `remove_ids`
+    * semantics — a delete never retrains; [[embedCentroidDrift]]
+    * decides when accumulated churn warrants a rebuild), so the
+    * surviving rows' codes are untouched and a delete-then-append
+    * sequence composes in either order. Scale shape: the delete set
+    * broadcasts into one anti-join over the code store (4 small ints
+    * per corpus row — the cheapest full-store pass there is); the
+    * surviving rows are materialized BEFORE the overwrite so the
+    * rewrite never reads the directory it is replacing. Same
+    * `deltaId`/pending-marker safety contract as append. */
+  def deleteIvfPq(s: SparkSession, storePath: String, deleteIds: DataFrame,
+                  snapshotDir: String, newFp: String, deleteId: String): Unit = {
+    val (_, absorbed) = readIvfPqMeta(storePath)
+    requireNotPending(storePath, s"apply delete '$deleteId'")
+    require(!absorbed.contains(deleteId),
+      s"IVF-PQ store at $storePath already applied delete '$deleteId' — " +
+        "refusing the duplicate")
+    java.nio.file.Files.write(pendingPath(storePath),
+      s"""{"op":"delete","id":"$deleteId"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val codesDir = new java.io.File(storePath, "codes").toString
+    val kept = s.read.parquet(codesDir)
+      .join(broadcast(deleteIds.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // materialize before overwriting the source dir
+    kept.write.mode("overwrite").parquet(codesDir)
+    writeIvfPqMeta(storePath, snapshotDir, newFp, absorbed :+ deleteId)
+    java.nio.file.Files.delete(pendingPath(storePath))
   }
 
   /** Load a persisted IVF-PQ index as (centroids, codes), failing FAST
     * unless its `_built_from` fingerprint still matches `snapshotDir`'s
-    * embeddings table. See [[writeIvfPq]]. */
+    * embeddings table AND no maintenance op is half-applied
+    * ([[requireNotPending]]). See [[writeIvfPq]]. */
   def loadIvfPq(s: SparkSession, storePath: String,
                 snapshotDir: String): (DataFrame, DataFrame) = {
-    val metaPath = java.nio.file.Paths.get(storePath, "_built_from.json")
-    require(java.nio.file.Files.exists(metaPath),
-      s"IVF-PQ store at $storePath has no _built_from.json fingerprint — " +
-        "rebuild it with writeIvfPq (an unfingerprinted index cannot " +
-        "prove it matches any corpus)")
-    val meta = new String(java.nio.file.Files.readAllBytes(metaPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val stored = """"fingerprint"\s*:\s*"([^"]+)"""".r
-      .findFirstMatchIn(meta).map(_.group(1))
+    val (stored, _) = readIvfPqMeta(storePath)
+    requireNotPending(storePath, "serve")
     val now = embFingerprint(snapshotDir)
     require(stored.contains(now),
       s"stale IVF-PQ store: $storePath was built from embeddings " +
@@ -912,10 +997,13 @@ object VectorOps {
      s.read.parquet(new java.io.File(storePath, "codes").toString))
   }
 
-  // one store build per (sf dir) per JVM — the artifact is the point,
-  // not the rebuild; a shutdown hook removes the temp directory
+  // one store build per (sf dir, corpus fingerprint) per JVM — the
+  // artifact is the point, not the rebuild; a shutdown hook removes the
+  // temp directory. The fingerprint rides in the KEY so a corpus
+  // regenerated under the same dir transparently builds a fresh store
+  // instead of tripping loadIvfPq's staleness gate until JVM restart.
   private val ivfPqStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   /** IVF-PQ served FROM THE PERSISTED ARTIFACT, graded: the index is
     * written once per corpus ([[writeIvfPq]]), re-read through
@@ -926,7 +1014,7 @@ object VectorOps {
     * for the query slice; the raw-vector corpus is never rescanned —
     * the production read path of a billion-vector index. */
   def annIvfAdcLoaded(s: SparkSession, d: String): DataFrame = {
-    val store = ivfPqStoreCache.computeIfAbsent(d, _ => {
+    val store = ivfPqStoreCache.computeIfAbsent((d, embFingerprint(d)), _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_")
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def del(f: java.io.File): Unit = {
@@ -949,8 +1037,9 @@ object VectorOps {
     * serve exercises both base- and delta-resident candidates. */
   private def isAppendDelta(c: Column): Column = c % 10 === 7
 
+  // fingerprint in the key: see ivfPqStoreCache
   private val ivfPqAppendStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   /** IVF-PQ serving AFTER AN INCREMENTAL APPEND, graded — the steady
     * state of a production index between rebuilds: the store is built
@@ -963,7 +1052,8 @@ object VectorOps {
     * append path encodes the delta EXACTLY as a rebuild-with-frozen-
     * codebooks would: no drift, no loss, no re-touching of base codes. */
   def annIvfAdcAppend(s: SparkSession, d: String): DataFrame = {
-    val store = ivfPqAppendStoreCache.computeIfAbsent(d, _ => {
+    val fp = embFingerprint(d)
+    val store = ivfPqAppendStoreCache.computeIfAbsent((d, fp), _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_app_")
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def del(f: java.io.File): Unit = {
@@ -973,9 +1063,52 @@ object VectorOps {
       }))
       val all = vecs(s, d)
       writeIvfPqFrom(all.filter(!isAppendDelta(col("vec_id"))), tmp.toString,
-        d, "base:" + embFingerprint(d))
+        d, "base:" + fp)
       appendIvfPq(s, tmp.toString, all.filter(isAppendDelta(col("vec_id"))),
-        d, embFingerprint(d))
+        d, fp, deltaId = "delta7:" + fp)
+      tmp.toString
+    })
+    val (cents, codes) = loadIvfPq(s, store, d)
+    val q = vecs(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+      .localCheckpoint(true)
+    ivfAdcServe(q, broadcast(cents), codes)
+  }
+
+  /** The slice a CDC delete removes: vec_id ≡ 3 mod 10 — disjoint from
+    * both the query slice (vec_id < 5 at the graded NQueries) and the
+    * append delta (≡ 7 mod 10), so delete-then-append composes cleanly
+    * in specs. */
+  private def isDeleteSlice(c: Column): Column = c % 10 === 3
+
+  // fingerprint in the key: see ivfPqStoreCache
+  private val ivfPqDeleteStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** IVF-PQ serving AFTER A DELETE, graded — the CDC-native engine's
+    * take-down path: the store is built from the FULL corpus, a tenth
+    * of it (vec_id ≡ 3 mod 10) is then deleted through [[deleteIvfPq]]
+    * (codebook frozen, code rows anti-joined out, journal advanced),
+    * and the serve must answer EXACTLY like an index that never
+    * contained the deleted rows: the twin is the shared ADC chain with
+    * the deleted vec_ids excluded from the candidate codes — i.e. the
+    * rebuild-without-slice under the same frozen (full-corpus)
+    * codebook. A deleted vector surviving anywhere in `codes/` would
+    * surface as a candidate and break the hash. */
+  def annIvfAdcDelete(s: SparkSession, d: String): DataFrame = {
+    val fp = embFingerprint(d)
+    val store = ivfPqDeleteStoreCache.computeIfAbsent((d, fp), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_del_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+        }
+        del(tmp.toFile)
+      }))
+      writeIvfPq(s, d, tmp.toString)
+      deleteIvfPq(s, tmp.toString,
+        vecs(s, d).filter(isDeleteSlice(col("vec_id"))).select(col("vec_id")),
+        d, fp, deleteId = "takedown3:" + fp)
       tmp.toString
     })
     val (cents, codes) = loadIvfPq(s, store, d)
@@ -1225,6 +1358,7 @@ object VectorOps {
     "ann_filtered_exact"  -> (annFilteredExact _),
     "ann_ivfadc_loaded" -> (annIvfAdcLoaded _),
     "ann_ivfadc_append" -> (annIvfAdcAppend _),
+    "ann_ivfadc_delete" -> (annIvfAdcDelete _),
     "ivfadc_recall" -> (ivfadcRecall _),
     "ivfadc_recall_sweep" -> (ivfadcRecallSweep _),
     "semantic_dedup" -> (semanticDedup _),
@@ -1801,6 +1935,15 @@ object VectorOps {
     "ann_ivfadc_append" ->
       s"""WITH $IvfAdcAppendCtes
          |SELECT qid, vec_id, rank, adc FROM ($IvfAdcRanked)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the post-delete store must answer exactly like an index that
+    // never contained the deleted slice: same frozen full-corpus
+    // codebook, candidate codes restricted to the survivors
+    "ann_ivfadc_delete" ->
+      s"""WITH $IvfAdcCtes
+         |SELECT qid, vec_id, rank, adc
+         |FROM (${ivfAdcRanked("AND c.vec_id % 10 != 3")})
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // the exact ground truth is TRUE squared L2 (the metric ADC

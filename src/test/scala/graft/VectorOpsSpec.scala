@@ -294,7 +294,8 @@ class VectorOpsSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     val codesBefore = spark.read.parquet(s"$store/codes").count()
 
-    VectorOps.appendIvfPq(spark, store, delta, sf, VectorOps.embFingerprint(sf))
+    VectorOps.appendIvfPq(spark, store, delta, sf, VectorOps.embFingerprint(sf),
+      deltaId = "spec-delta")
 
     // FROZEN codebook: the append must not touch a single centroid byte
     val centsAfter = spark.read.parquet(s"$store/centroids")
@@ -315,14 +316,94 @@ class VectorOpsSpec extends AnyFunSuite {
     // an unfingerprinted directory cannot absorb a delta
     val bare = Files.createTempDirectory("graft_ivfpq_bare").toString
     val refused = intercept[IllegalArgumentException] {
-      VectorOps.appendIvfPq(spark, bare, delta, sf, "x")
+      VectorOps.appendIvfPq(spark, bare, delta, sf, "x", deltaId = "spec-delta")
     }
     assert(refused.getMessage.contains("_built_from"))
+    // IDEMPOTENCE: the same delta cannot be absorbed twice — a retry
+    // after a post-meta crash (or an accidental double call) would
+    // double the code rows and corrupt every ADC sum
+    val dup = intercept[IllegalArgumentException] {
+      VectorOps.appendIvfPq(spark, store, delta, sf,
+        VectorOps.embFingerprint(sf), deltaId = "spec-delta")
+    }
+    assert(dup.getMessage.contains("already absorbed"))
+    assert(spark.read.parquet(s"$store/codes").count() ===
+      codesBefore + delta.count() * 4, "refused append must not write")
     // graded shape: 5 queries x ranks 1..3, deterministic
     val served = VectorOps.annIvfAdcAppend(spark, sf).collect()
     assert(served.map(r => (r.getLong(0), r.getLong(2))).toSet ===
       (for (q <- 0L until 5L; r <- 1L to 3L) yield (q, r)).toSet)
     assert(served.sameElements(VectorOps.annIvfAdcAppend(spark, sf).collect()))
+  }
+
+  test("r12: IVF-PQ delete-then-append — codebook frozen throughout, final " +
+      "codes == rebuild minus deleted plus delta; half-applied marker and " +
+      "duplicate delete refuse loudly") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val store = Files.createTempDirectory("graft_ivfpq_delspec").toString
+    VectorOps.writeIvfPqFrom(all, store, sf, VectorOps.embFingerprint(sf))
+    val centsBefore = spark.read.parquet(s"$store/centroids")
+      .collect().map(_.toString).sorted.toSeq
+    val before = spark.read.parquet(s"$store/codes")
+      .collect().map(_.toString).toSet
+
+    // DELETE the 3-slice, then APPEND a disjoint synthetic delta (new ids)
+    val delIds = all.filter(col("vec_id") % 10 === 3).select(col("vec_id"))
+    val delta = all.filter(col("vec_id") % 10 === 7)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    VectorOps.deleteIvfPq(spark, store, delIds, sf,
+      VectorOps.embFingerprint(sf), deleteId = "spec-del")
+    VectorOps.appendIvfPq(spark, store, delta, sf,
+      VectorOps.embFingerprint(sf), deltaId = "spec-app")
+
+    // frozen codebook through BOTH ops
+    assert(spark.read.parquet(s"$store/centroids")
+      .collect().map(_.toString).sorted.toSeq === centsBefore,
+      "maintenance retrained the codebook")
+    // final codes are exactly rebuild-minus-deleted-plus-delta
+    val deleted = delIds.collect().map(_.getLong(0)).toSet
+    val after = spark.read.parquet(s"$store/codes")
+      .collect().map(_.toString).toSet
+    val expectDelta = graft.llm.VectorOps.pqCodesOfForSpec(delta,
+        spark.read.parquet(s"$store/centroids"))
+      .collect().map(_.toString).toSet
+    val expect = before.filterNot { row =>
+      deleted.exists(id => row.startsWith(s"[$id,")) } ++ expectDelta
+    assert(after === expect,
+      "post-maintenance codes diverge from rebuild-minus-deleted-plus-delta")
+
+    // duplicate delete refused, store untouched
+    val dup = intercept[IllegalArgumentException] {
+      VectorOps.deleteIvfPq(spark, store, delIds, sf,
+        VectorOps.embFingerprint(sf), deleteId = "spec-del")
+    }
+    assert(dup.getMessage.contains("already applied"))
+
+    // a half-applied maintenance op (crash between codes and meta
+    // writes) leaves the pending marker: serve AND maintenance refuse
+    Files.write(java.nio.file.Paths.get(store, "_maintenance_pending.json"),
+      """{"op":"append","id":"crashed"}""".getBytes("UTF-8"))
+    val pendingServe = intercept[IllegalArgumentException] {
+      VectorOps.loadIvfPq(spark, store, sf)
+    }
+    assert(pendingServe.getMessage.contains("half-applied"))
+    val pendingAppend = intercept[IllegalArgumentException] {
+      VectorOps.appendIvfPq(spark, store, delta, sf,
+        VectorOps.embFingerprint(sf), deltaId = "spec-app-2")
+    }
+    assert(pendingAppend.getMessage.contains("half-applied"))
+    Files.delete(java.nio.file.Paths.get(store, "_maintenance_pending.json"))
+
+    // graded shape: 5 queries x ranks 1..3, deterministic, and no
+    // deleted vector ever surfaces as a candidate
+    val served = VectorOps.annIvfAdcDelete(spark, sf).collect()
+    assert(served.map(r => (r.getLong(0), r.getLong(2))).toSet ===
+      (for (q <- 0L until 5L; r <- 1L to 3L) yield (q, r)).toSet)
+    assert(served.forall(_.getLong(1) % 10 !== 3),
+      "a deleted vector surfaced as a served candidate")
   }
 
   test("ann_ivfadc_filtered: every hit satisfies the metadata filter, the " +
