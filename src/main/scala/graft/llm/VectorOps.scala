@@ -772,13 +772,23 @@ object VectorOps {
     * the survivors; this grades the indexed regime). Twin: the shared
     * ADC chain with the identical posting-list restriction and widened
     * probe set. */
-  def annIvfAdcFiltered(s: SparkSession, d: String): DataFrame = {
+  def annIvfAdcFiltered(s: SparkSession, d: String): DataFrame =
+    filteredIndexedServe(s, d, enDocs(s, d))
+
+  /** The broad-filter graded posting list: English documents. */
+  private def enDocs(s: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d)
+      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+
+  /** The INDEXED filtered serve over an arbitrary posting list — shared
+    * verbatim by the fixed graded row ([[annIvfAdcFiltered]]) and the
+    * adaptive selector ([[annFilteredAuto]]). */
+  private def filteredIndexedServe(s: SparkSession, d: String,
+                                   allowed: DataFrame): DataFrame = {
     val cents = centroids(vecs(s, d)).localCheckpoint(true)
     val q = vecs(s, d).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
       .localCheckpoint(true)
-    val allowed = graft.Tables.documents(s, d)
-      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
     ivfAdcServe(q, cents,
       pqCodes(s, d, cents).join(broadcast(allowed), Seq("vec_id"), "left_semi"),
       nprobe = 4)
@@ -1162,9 +1172,14 @@ object VectorOps {
     * broadcasts, the semi-joined corpus slice streams once map-side,
     * top-3 via the per-query partitioned window — per-query linear in
     * the SURVIVOR count, not the corpus. */
-  def annFilteredExact(s: SparkSession, d: String): DataFrame = {
-    val allowed = graft.Tables.documents(s, d)
-      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+  def annFilteredExact(s: SparkSession, d: String): DataFrame =
+    filteredExactServe(s, d, enDocs(s, d))
+
+  /** The EXACT filtered serve over an arbitrary posting list — shared
+    * verbatim by the fixed graded row ([[annFilteredExact]]) and the
+    * adaptive selector ([[annFilteredAuto]]). */
+  private def filteredExactServe(s: SparkSession, d: String,
+                                 allowed: DataFrame): DataFrame = {
     val e = vecs(s, d).select(col("vec_id"), col("v"), col("n2"))
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
@@ -1177,6 +1192,39 @@ object VectorOps {
       .filter(col("rank") <= 3)
       .select(col("qid"), col("vec_id"), col("rank"), round(col("d2"), 6).as("d2"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The PLAN FLIP between [[annIvfAdcFiltered]] and
+    * [[annFilteredExact]], made executable: exact wins once the
+    * posting list is no larger than the indexed serve's expected probed
+    * candidate count `nprobe·N/|cells|` (the widened fan-out times the
+    * mean cell occupancy — below that, scanning the survivors exactly
+    * touches fewer rows than probing cells whose members mostly fail
+    * the filter, and buys recall 1.0 for free). Compared
+    * cross-multiplied in integers (`|allowed|·|cells| ≤ nprobe·N`) so
+    * the graded twin replays the identical decision arithmetic and the
+    * choice can never drift between engines on regenerated data. */
+  private[graft] def annFilteredChoiceIsExact(s: SparkSession, d: String,
+                                              allowed: DataFrame): Boolean = {
+    val st = vecs(s, d)
+      .agg(count(lit(1)).as("n"), countDistinct(col("label")).as("cells")).head
+    allowed.count() * st.getLong(1) <= 4L * st.getLong(0)
+  }
+
+  /** SELECTIVITY-ADAPTIVE filtered ANN, graded: the selector a serving
+    * deployment actually runs — count the posting list, pick the plan
+    * ([[annFilteredChoiceIsExact]]), serve through the winner's shared
+    * lineage. Output normalizes the ranking score to one column name
+    * (`score` = ADC estimate on the indexed path, exact squared L2 on
+    * the exact path — the rank is the contract, the score names the
+    * plan's own metric). The twin computes the SAME integer decision in
+    * SQL and unions the two branch twins behind it, so the graded hash
+    * proves engine and oracle flip at the same cardinality. */
+  def annFilteredAuto(s: SparkSession, d: String): DataFrame = {
+    val allowed = enDocs(s, d).localCheckpoint(true)
+    if (annFilteredChoiceIsExact(s, d, allowed))
+      filteredExactServe(s, d, allowed).withColumnRenamed("d2", "score")
+    else filteredIndexedServe(s, d, allowed).withColumnRenamed("adc", "score")
   }
 
   /** Recall@3 of the FILTERED ANN path ([[annIvfAdcFiltered]]) against
@@ -1356,6 +1404,7 @@ object VectorOps {
     "ann_ivfadc_filtered" -> (annIvfAdcFiltered _),
     "ann_filtered_recall" -> (annFilteredRecall _),
     "ann_filtered_exact"  -> (annFilteredExact _),
+    "ann_filtered_auto"   -> (annFilteredAuto _),
     "ann_ivfadc_loaded" -> (annIvfAdcLoaded _),
     "ann_ivfadc_append" -> (annIvfAdcAppend _),
     "ann_ivfadc_delete" -> (annIvfAdcDelete _),
@@ -1897,6 +1946,31 @@ object VectorOps {
          |        FROM e CROSS JOIN q
          |        WHERE vec_id != qid AND vec_id IN (SELECT vec_id FROM allowed)))
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the adaptive selector: the SAME integer decision arithmetic
+    // (|allowed|*|cells| <= nprobe*N) replayed in SQL, gating a UNION of
+    // the two branch twins — engine and oracle must flip together
+    "ann_filtered_auto" ->
+      s"""WITH $VecCte, $CentsCte,
+         |${ivfAdcTailN(4)},
+         |allowed AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+         |pick AS (
+         |  SELECT (SELECT count(*) FROM allowed)
+         |           * (SELECT count(DISTINCT label) FROM e)
+         |         <= 4 * (SELECT count(*) FROM e) AS use_exact)
+         |SELECT qid, vec_id, rank, adc AS score
+         |FROM (${ivfAdcRanked("AND c.vec_id IN (SELECT vec_id FROM allowed)")})
+         |WHERE rank <= 3 AND NOT (SELECT use_exact FROM pick)
+         |UNION ALL
+         |SELECT qid, vec_id, rank, round(d2, 6) AS score FROM (
+         |  SELECT qid, vec_id,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS BIGINT) AS rank,
+         |         d2
+         |  FROM (SELECT qid, vec_id, qn2 - 2 * list_dot_product(qv, v) + n2 AS d2
+         |        FROM e CROSS JOIN q
+         |        WHERE vec_id != qid AND vec_id IN (SELECT vec_id FROM allowed)))
+         |WHERE rank <= 3 AND (SELECT use_exact FROM pick)
+         |ORDER BY qid, rank""".stripMargin,
 
     // filtered recall: exact ground truth restricted to the same
     // posting list — prices the nprobe-widening of the filtered serve

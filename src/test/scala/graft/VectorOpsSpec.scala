@@ -406,6 +406,33 @@ class VectorOpsSpec extends AnyFunSuite {
       "a deleted vector surfaced as a served candidate")
   }
 
+  test("r12: annFilteredAuto flips between the indexed and exact plans at the " +
+      "posting-list threshold, and each branch equals its fixed graded twin") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    // a broad list (all documents) sits above nprobe*N/|cells| -> indexed
+    val broad = docs.select(col("doc_id").as("vec_id"))
+    assert(!VectorOps.annFilteredChoiceIsExact(spark, sf, broad),
+      "the full corpus must choose the indexed plan")
+    // a very selective list sits below the threshold -> exact
+    val narrow = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("vec_id"))
+    assert(VectorOps.annFilteredChoiceIsExact(spark, sf, narrow),
+      "a 4% posting list must choose the exact plan")
+    // the graded row serves through whichever branch its filter picks,
+    // row-identical to that fixed branch's own lineage (score renamed)
+    val auto = VectorOps.annFilteredAuto(spark, sf)
+    assert(auto.columns.toSeq === Seq("qid", "vec_id", "rank", "score"))
+    val en = docs.filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    val branch =
+      if (VectorOps.annFilteredChoiceIsExact(spark, sf, en))
+        VectorOps.annFilteredExact(spark, sf).withColumnRenamed("d2", "score")
+      else VectorOps.annIvfAdcFiltered(spark, sf).withColumnRenamed("adc", "score")
+    assert(auto.collect().map(_.toString).toSeq ===
+      branch.collect().map(_.toString).toSeq,
+      "auto must serve exactly the chosen branch's rows")
+  }
+
   test("ann_ivfadc_filtered: every hit satisfies the metadata filter, the " +
        "restriction genuinely reorders, and each query still fills top-3") {
     val got = VectorOps.queries("ann_ivfadc_filtered")(spark, sf).collect()
