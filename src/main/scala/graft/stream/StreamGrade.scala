@@ -98,10 +98,11 @@ object StreamGrade {
          "doc_stream_incr_neardup", "mm_stream_phash_dup"), true),
     // embeddings-crawl replay
     (Set("emb_stream_centroid_drift", "emb_stream_ann"), true))
-  // singletons (no co-schedule): cdc_stream_restart_scd2 (two sequential
+  // singletons (no co-schedule): the restart grades (two sequential
   // query LIFETIMES by design)
 
-  private val rocksSingletons = Set("cdc_stream_restart_scd2")
+  private val rocksSingletons =
+    Set("cdc_stream_restart_scd2", "cdc_stream_restart_asof")
 
   /** member → billing-family id (the alphabetically first member) for
     * bench artifacts: a co-schedule bills the family's wall-clock to
@@ -864,6 +865,79 @@ object StreamGrade {
     } finally deleteRecursively(tmp)
   }
 
+  /** AS-OF GATE CHECKPOINT RECOVERY, graded: [[Streams.asOfStream]]
+    * holds the richest state of any processor here — pending probes,
+    * the compacted history, and their event-time timers — and this row
+    * grades that ALL of it survives a restart: the stream-stream as-of
+    * join runs as TWO QUERY LIFETIMES over one checkpoint (slices 1-2,
+    * clean stop, recover, slice 3). Probes near the end of slice 2 sit
+    * at-or-above the lifetime-1 watermark, so they are still BUFFERED
+    * at the stop and can only emit correctly in lifetime 2 if recovery
+    * restored both them and the history rows they must match (the
+    * StreamingSpec restart test pins that crossing on crafted data;
+    * this row grades it at corpus scale). The combined appended output
+    * must hash-match `cdc_stream_asof_join`'s twin VERBATIM — recovery
+    * is only correct if the two-lifetime run is indistinguishable from
+    * the uninterrupted one. Fresh checkpoint/output dirs per
+    * invocation, deleted eagerly (the [[streamRestartScd2]]
+    * discipline). */
+  def streamRestartAsOf(s: SparkSession, d: String): DataFrame = {
+    implicit val ss: SparkSession = s
+    val srcAll = sliceCache.computeIfAbsent((d, 0), _ => buildSlices(s, d, 0))
+    val tmp = Files.createTempDirectory("graft_stream_restart_asof_")
+    val in = Files.createDirectory(tmp.resolve("in"))
+    val ckpt = tmp.resolve("ckpt").toString
+    val outDir = tmp.resolve("out").toString
+    import scala.jdk.CollectionConverters._
+    val slices = Files.list(srcAll).iterator().asScala.toSeq
+      .sortBy(_.getFileName.toString)
+    def copySlice(i: Int): Unit = {
+      val dst = in.resolve(slices(i).getFileName.toString)
+      Files.copy(slices(i), dst)
+      dst.toFile.setLastModified(slices(i).toFile.lastModified)
+    }
+    def runLifetime(): Unit = {
+      val msgs = s.readStream.schema(Tables.bus(s, d).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(
+          when(col("event_type") === "purchase", lit("p")).otherwise(lit("c"))
+            .as("side"),
+          col("user_id"), col("event_id"), col("ts"))
+      val q = Streams.asOfStream(msgs).toDF()
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (bt: DataFrame, _: Long) =>
+          bt.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try {
+        if (!q.awaitTermination(180000L))
+          throw new IllegalStateException("asof-restart query did not finish")
+      } finally q.stop()
+    }
+    try {
+      withRocksDb(s) {
+        val key = "spark.sql.shuffle.partitions"
+        val prior = s.conf.getOption(key)
+        s.conf.set(key, "2")
+        try {
+          copySlice(0); copySlice(1)
+          runLifetime() // lifetime 1: pending probes + history into ckpt
+          copySlice(2)
+          runLifetime() // lifetime 2: RECOVERS the gate, drains slice 3
+        } finally prior.fold(s.conf.unset(key))(s.conf.set(key, _))
+      }
+      s.read.parquet(outDir)
+        .select(col("event_id"), col("user_id"),
+          expr("timestamp_micros(purchase_us)").as("purchase_ts"),
+          col("last_click_id"),
+          expr("timestamp_micros(last_click_us)").as("last_click_ts"))
+        .localCheckpoint()
+        .orderBy(col("event_id"))
+    } finally deleteRecursively(tmp)
+  }
+
   /** STREAMING live-bus→table capture, graded: [[Streams.captureTo]]'s
     * checkpointed foreachBatch append — the last spec-only stream op —
     * run end to end: the replayed bus lands in the partitioned
@@ -1133,6 +1207,7 @@ object StreamGrade {
     "cdc_stream_asof_join"     -> (streamAsOfJoin _),
     "cdc_stream_capture"       -> (streamCapture _),
     "cdc_stream_restart_scd2"  -> (streamRestartScd2 _),
+    "cdc_stream_restart_asof"  -> (streamRestartAsOf _),
     "doc_stream_substring_dup" -> (streamSubstringDup _),
     "doc_stream_cms"           -> (streamCms _),
     "doc_stream_pipeline"      -> (streamPipeline _),
@@ -1234,6 +1309,24 @@ object StreamGrade {
        |QUALIFY valid_to IS NOT NULL
        |ORDER BY channel, valid_from, event_id""".stripMargin
 
+  /** Stream-STREAM as-of twin, shared by `cdc_stream_asof_join` and the
+    * checkpoint-recovery grade `cdc_stream_restart_asof` (the recovered
+    * two-lifetime run must be indistinguishable from the uninterrupted
+    * one). */
+  private val AsOfStreamJoinTwin =
+    """WITH mx AS (SELECT date_trunc('milliseconds', max(ts)) AS m
+      |            FROM events WHERE event_type IN ('click', 'purchase')),
+      |c AS (
+      |  SELECT user_id, ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_id, user_id, ts
+      |  FROM events, mx WHERE event_type = 'purchase' AND ts < mx.m)
+      |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |       c.click_id AS last_click_id, CAST(c.ts AS TIMESTAMP) AS last_click_ts
+      |FROM p ASOF LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // recovery graded: two query lifetimes over one checkpoint must
     // reproduce the single-lifetime closed-interval set exactly
@@ -1280,19 +1373,11 @@ object StreamGrade {
     // a purchase emits only at ts strictly below it; clicks need no tail
     // term (a click influences output only through some emitted purchase
     // at-or-after it)
-    "cdc_stream_asof_join" ->
-      """WITH mx AS (SELECT date_trunc('milliseconds', max(ts)) AS m
-        |            FROM events WHERE event_type IN ('click', 'purchase')),
-        |c AS (
-        |  SELECT user_id, ts, max(event_id) AS click_id
-        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
-        |p AS (
-        |  SELECT event_id, user_id, ts
-        |  FROM events, mx WHERE event_type = 'purchase' AND ts < mx.m)
-        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
-        |       c.click_id AS last_click_id, CAST(c.ts AS TIMESTAMP) AS last_click_ts
-        |FROM p ASOF LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
-        |ORDER BY p.event_id""".stripMargin,
+    "cdc_stream_asof_join" -> AsOfStreamJoinTwin,
+    // gate recovery graded: two query lifetimes over one checkpoint
+    // (pending probes + history crossing the restart) must reproduce
+    // the uninterrupted run's rows exactly — same twin verbatim
+    "cdc_stream_restart_asof" -> AsOfStreamJoinTwin,
 
     // the outer-join eviction arithmetic: a 408 row exists iff the
     // request is unmatched AND its deadline precedes the final global

