@@ -2049,17 +2049,42 @@ object RelQueries {
     * doubles it); out-weights come from a window over the edge
     * partition — one shuffle on src, no aggregate-then-join-back —
     * and that window's HashPartitioning(src) + sort IS the layout the
-    * iteration joins reuse. The unseeded rank sequence r0..r3 is built
-    * lazily once per prep and shared by `graph_pagerank` (reads r3)
-    * and `graph_converged` (reads consecutive deltas). */
-  private final class GraphPrep(val ew: DataFrame, val nodes: DataFrame) {
+    * iteration joins reuse. BOTH deterministic rank sequences build
+    * lazily once per prep: the unseeded r0..r3 (shared by
+    * `graph_pagerank` — reads r3 — and `graph_converged` — reads
+    * consecutive deltas) and the seeded TrustRank fixpoint (the seeds
+    * come from the customer table, which therefore rides in the
+    * staleness fingerprint). Memoizing the sequences, not just the
+    * prep, is what keeps a re-invoked graph query at checkpoint-read
+    * cost instead of re-paying 3 iterations of cached-edge scans. */
+  private final class GraphPrep(s: SparkSession, d: String,
+                                val ew: DataFrame, val nodes: DataFrame) {
     lazy val pagerankRanks: Seq[DataFrame] =
       Seq.iterate(nodes.withColumn("r", lit(GraphScale)), 4)(r =>
         graphIterate(ew, nodes, r, lit(15L * GraphScale / 100L)))
+
+    lazy val trustrankFinal: DataFrame = {
+      val seeds = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select((col("c_custkey") * 2L).as("node"))
+      val seeded = nodes.join(broadcast(seeds.withColumn("is_seed", lit(true))),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("is_seed"), lit(false)).as("is_seed"))
+        .localCheckpoint(true)
+      var rank = seeded.select(col("node"),
+        when(col("is_seed"), lit(GraphScale)).otherwise(lit(0L)).as("r"))
+      (1 to 3).foreach { _ =>
+        rank = graphIterate(ew, seeded, rank,
+          when(col("is_seed"), lit(15L * GraphScale / 100L)).otherwise(lit(0L)))
+      }
+      rank
+    }
   }
 
   /** (name, size, mtime) fingerprint of the purchase graph's input
-    * tables (lineitem + orders) under `d` — the r7 staleness token
+    * tables (lineitem + orders for the edges, customer for the
+    * TrustRank seed set) under `d` — the r7 staleness token
     * ([[graft.llm.HashDedup.dirFingerprint]] contract) for
     * [[graphCache]], so testdata regenerated under a live JVM rebuilds
     * the prep instead of serving stale checkpointed frames. */
@@ -2067,7 +2092,7 @@ object RelQueries {
     def walk(f: java.io.File): Iterator[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
       else Iterator.single(f)
-    val h = Seq("lineitem.parquet", "orders.parquet")
+    val h = Seq("lineitem.parquet", "orders.parquet", "customer.parquet")
       .flatMap(t => walk(new java.io.File(d, t)))
       .map(f => (f.getName, f.length, f.lastModified).hashCode()).sum
     java.lang.Integer.toHexString(h)
@@ -2107,7 +2132,8 @@ object RelQueries {
     }
   }
 
-  private def buildPurchaseGraph(s: SparkSession, d: String): GraphPrep = {
+  private def buildPurchaseGraph(sess: SparkSession, dir: String): GraphPrep = {
+    val (s, d) = (sess, dir)
     val cs = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -2130,7 +2156,7 @@ object RelQueries {
     // materialize the cache + measure the headroom inputs in one pass
     val st = ew.agg(max(col("w")).as("mw")).head
     requireGraphHeadroom(nodes.count(), st.getLong(0), GraphScale)
-    new GraphPrep(ew, nodes)
+    new GraphPrep(s, d, ew, nodes)
   }
 
   /** One damped power-iteration STEP (un-materialized — the spec hook
@@ -2218,25 +2244,8 @@ object RelQueries {
     * whole prep; the seed frame is ≤|customers| ids joined once onto
     * the node frame before the loop — per-iteration cost identical to
     * pagerank's one shuffle join + one aggregation. */
-  def graphTrustrank(s: SparkSession, d: String): DataFrame = {
-    val prep = purchaseGraph(s, d)
-    val (ew, nodes) = (prep.ew, prep.nodes)
-    val seeds = Tables.customer(s, d)
-      .filter(col("c_mktsegment") === "BUILDING")
-      .select((col("c_custkey") * 2L).as("node"))
-    val seeded = nodes.join(broadcast(seeds.withColumn("is_seed", lit(true))),
-        Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .localCheckpoint(true)
-    var rank = seeded.select(col("node"),
-      when(col("is_seed"), lit(GraphScale)).otherwise(lit(0L)).as("r"))
-    (1 to 3).foreach { _ =>
-      rank = graphIterate(ew, seeded, rank,
-        when(col("is_seed"), lit(15L * GraphScale / 100L)).otherwise(lit(0L)))
-    }
-    supplierRanks(rank)
-  }
+  def graphTrustrank(s: SparkSession, d: String): DataFrame =
+    supplierRanks(purchaseGraph(s, d).trustrankFinal)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"     -> (graphPagerank _),
