@@ -990,6 +990,40 @@ object VectorOps {
     java.nio.file.Files.delete(pendingPath(storePath))
   }
 
+  /** UPSERT — the CDC update applied to the serving index as ONE
+    * journaled maintenance op ([[deleteIvfPq]] + [[appendIvfPq]] fused,
+    * the change-batch form a CDC consumer actually applies): the
+    * delta's vec_ids leave `codes/` and re-enter RE-ENCODED under the
+    * FROZEN codebook — replace, never duplicate (a naive
+    * append-without-delete would leave both generations of code rows
+    * and double every updated vector's ADC sum). One pending window,
+    * one codes rewrite (survivors ∪ re-encoded delta, materialized
+    * before the overwrite), one journal entry — so a crash anywhere
+    * inside is one un-servable marker, not a half-replaced store.
+    * Scale shape: broadcast anti-join over the 4-int code stream plus
+    * delta × broadcast codebook — cost is one code-store pass plus the
+    * delta encode, independent of corpus width. */
+  def upsertIvfPq(s: SparkSession, storePath: String, delta: DataFrame,
+                  snapshotDir: String, newFp: String, upsertId: String): Unit = {
+    val (_, absorbed) = readIvfPqMeta(storePath)
+    requireNotPending(storePath, s"apply upsert '$upsertId'")
+    require(!absorbed.contains(upsertId),
+      s"IVF-PQ store at $storePath already applied upsert '$upsertId' — " +
+        "refusing the duplicate")
+    java.nio.file.Files.write(pendingPath(storePath),
+      s"""{"op":"upsert","id":"$upsertId"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val cents = s.read.parquet(new java.io.File(storePath, "centroids").toString)
+    val codesDir = new java.io.File(storePath, "codes").toString
+    val next = s.read.parquet(codesDir)
+      .join(broadcast(delta.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      .unionByName(pqCodesOf(delta, broadcast(cents)))
+      .localCheckpoint(true) // materialize before overwriting the source dir
+    next.write.mode("overwrite").parquet(codesDir)
+    writeIvfPqMeta(storePath, snapshotDir, newFp, absorbed :+ upsertId)
+    java.nio.file.Files.delete(pendingPath(storePath))
+  }
+
   /** Load a persisted IVF-PQ index as (centroids, codes), failing FAST
     * unless its `_built_from` fingerprint still matches `snapshotDir`'s
     * embeddings table AND no maintenance op is half-applied
@@ -1128,6 +1162,45 @@ object VectorOps {
     ivfAdcServe(q, broadcast(cents), codes)
   }
 
+  // fingerprint in the key: see ivfPqStoreCache
+  private val ivfPqUpsertStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** IVF-PQ serving AFTER AN UPSERT, graded — the CDC update path: the
+    * store is built from the full corpus, then the delete-slice tenth
+    * (vec_id ≡ 3 mod 10) arrives UPDATED — its vectors REVERSED, a
+    * deterministic modification both engines can replay — and
+    * [[upsertIvfPq]] replaces those rows' codes under the frozen
+    * codebook. The serve must answer exactly like an index whose
+    * corpus always contained the modified vectors (codebook still
+    * trained on the ORIGINAL corpus — frozen through maintenance): the
+    * twin re-derives codes over the modified corpus with centroids
+    * over the original. An upsert that appended without deleting (or
+    * deleted without re-encoding) leaves a different candidate set or
+    * doubled ADC sums — either breaks the hash. */
+  def annIvfAdcUpsert(s: SparkSession, d: String): DataFrame = {
+    val fp = embFingerprint(d)
+    val store = ivfPqUpsertStoreCache.computeIfAbsent((d, fp), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_ups_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+        }
+        del(tmp.toFile)
+      }))
+      writeIvfPq(s, d, tmp.toString)
+      val updated = vecs(s, d).filter(isDeleteSlice(col("vec_id")))
+        .withColumn("v", reverse(col("v")))
+      upsertIvfPq(s, tmp.toString, updated, d, fp, upsertId = "update3:" + fp)
+      tmp.toString
+    })
+    val (cents, codes) = loadIvfPq(s, store, d)
+    val q = vecs(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+      .localCheckpoint(true)
+    ivfAdcServe(q, broadcast(cents), codes)
+  }
+
   /** Recall@3 of the composed IVF-PQ index ([[annIvfAdc]]) against the
     * EXACT squared-L2 top-3 — the ship/no-ship audit of the production
     * index shape, completing the recall family ([[annRecall]] audits
@@ -1204,11 +1277,19 @@ object VectorOps {
     * cross-multiplied in integers (`|allowed|·|cells| ≤ nprobe·N`) so
     * the graded twin replays the identical decision arithmetic and the
     * choice can never drift between engines on regenerated data. */
+  // (N, |cells|) are corpus constants — memoized per (dir, fingerprint)
+  // so the selector's per-call cost is ONE count over the posting list
+  private val corpusStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
+
   private[graft] def annFilteredChoiceIsExact(s: SparkSession, d: String,
                                               allowed: DataFrame): Boolean = {
-    val st = vecs(s, d)
-      .agg(count(lit(1)).as("n"), countDistinct(col("label")).as("cells")).head
-    allowed.count() * st.getLong(1) <= 4L * st.getLong(0)
+    val (n, cells) = corpusStatsCache.computeIfAbsent((d, embFingerprint(d)), _ => {
+      val st = vecs(s, d)
+        .agg(count(lit(1)).as("n"), countDistinct(col("label")).as("cells")).head
+      (st.getLong(0), st.getLong(1))
+    })
+    allowed.count() * cells <= 4L * n
   }
 
   /** SELECTIVITY-ADAPTIVE filtered ANN, graded: the selector a serving
@@ -1408,6 +1489,7 @@ object VectorOps {
     "ann_ivfadc_loaded" -> (annIvfAdcLoaded _),
     "ann_ivfadc_append" -> (annIvfAdcAppend _),
     "ann_ivfadc_delete" -> (annIvfAdcDelete _),
+    "ann_ivfadc_upsert" -> (annIvfAdcUpsert _),
     "ivfadc_recall" -> (ivfadcRecall _),
     "ivfadc_recall_sweep" -> (ivfadcRecallSweep _),
     "semantic_dedup" -> (semanticDedup _),
@@ -1745,7 +1827,7 @@ object VectorOps {
     * twins (cents over `e`) and the append twin (cents over the base
     * slice `eb`): codes always cover everything, only the training set
     * of the codebook differs. */
-  private def ivfAdcTailN(nprobe: Int) =
+  private def ivfAdcTailN(nprobe: Int, codesRel: String = "e") =
     s"""sp AS (SELECT j FROM (VALUES (0), (1), (2), (3)) s(j)),
        |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
        |probed AS (
@@ -1764,7 +1846,7 @@ object VectorOps {
        |                 list_dot_product(v[j*$PqDim+1:j*$PqDim+$PqDim], v[j*$PqDim+1:j*$PqDim+$PqDim])
        |                 - 2 * list_dot_product(v[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim])
        |                 + list_dot_product(cv[j*$PqDim+1:j*$PqDim+$PqDim], cv[j*$PqDim+1:j*$PqDim+$PqDim]) AS d2
-       |          FROM e CROSS JOIN cents CROSS JOIN sp))
+       |          FROM $codesRel CROSS JOIN cents CROSS JOIN sp))
        |  WHERE rk = 1),
        |lut AS (
        |  SELECT qid, j, cell AS code, CAST(floor(d2 * 1000000) AS BIGINT) AS d2q
@@ -2008,6 +2090,19 @@ object VectorOps {
     // slice: cents over eb (vec_id % 10 != 7), codes over everything
     "ann_ivfadc_append" ->
       s"""WITH $IvfAdcAppendCtes
+         |SELECT qid, vec_id, rank, adc FROM ($IvfAdcRanked)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the post-upsert store must answer exactly like an index whose
+    // corpus always contained the UPDATED vectors (reversed 3-slice),
+    // codebook still trained on the original corpus (frozen through
+    // maintenance): codes re-derive over the modified relation
+    "ann_ivfadc_upsert" ->
+      s"""WITH $VecCte, $CentsCte,
+         |em AS (SELECT vec_id, label,
+         |         CASE WHEN vec_id % 10 = 3 THEN list_reverse(v) ELSE v END AS v
+         |       FROM e),
+         |${ivfAdcTailN(2, codesRel = "em")}
          |SELECT qid, vec_id, rank, adc FROM ($IvfAdcRanked)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 

@@ -406,6 +406,48 @@ class VectorOpsSpec extends AnyFunSuite {
       "a deleted vector surfaced as a served candidate")
   }
 
+  test("r12: upsertIvfPq replaces codes in one journaled op — == the " +
+      "delete-then-append composition, never duplicates, refuses retries") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val updated = all.filter(col("vec_id") % 10 === 3)
+      .withColumn("v", reverse(col("v")))
+    def build(): String = {
+      val dir = Files.createTempDirectory("graft_ivfpq_upsspec").toString
+      VectorOps.writeIvfPqFrom(all, dir, sf, VectorOps.embFingerprint(sf))
+      dir
+    }
+    // path A: one upsert; path B: deleteIvfPq then appendIvfPq
+    val a = build()
+    VectorOps.upsertIvfPq(spark, a, updated, sf,
+      VectorOps.embFingerprint(sf), upsertId = "u1")
+    val b = build()
+    VectorOps.deleteIvfPq(spark, b, updated.select(col("vec_id")), sf,
+      VectorOps.embFingerprint(sf), deleteId = "d1")
+    VectorOps.appendIvfPq(spark, b, updated, sf,
+      VectorOps.embFingerprint(sf), deltaId = "a1")
+    val codesA = spark.read.parquet(s"$a/codes").collect().map(_.toString).toSet
+    val codesB = spark.read.parquet(s"$b/codes").collect().map(_.toString).toSet
+    assert(codesA === codesB, "upsert != delete-then-append composition")
+    // replace, not duplicate: exactly 4 code rows per vec_id survive
+    val perId = spark.read.parquet(s"$a/codes")
+      .groupBy(col("vec_id")).count().filter(col("count") =!= 4).count()
+    assert(perId === 0L, "an upserted vector holds duplicated code rows")
+    // retry refused
+    val dup = intercept[IllegalArgumentException] {
+      VectorOps.upsertIvfPq(spark, a, updated, sf,
+        VectorOps.embFingerprint(sf), upsertId = "u1")
+    }
+    assert(dup.getMessage.contains("already applied"))
+    // graded shape: deterministic 5x3 and rerun-stable
+    val served = VectorOps.annIvfAdcUpsert(spark, sf).collect()
+    assert(served.map(r => (r.getLong(0), r.getLong(2))).toSet ===
+      (for (q <- 0L until 5L; r <- 1L to 3L) yield (q, r)).toSet)
+    assert(served.sameElements(VectorOps.annIvfAdcUpsert(spark, sf).collect()))
+  }
+
   test("r12: annFilteredAuto flips between the indexed and exact plans at the " +
       "posting-list threshold, and each branch equals its fixed graded twin") {
     import org.apache.spark.sql.functions._
