@@ -293,18 +293,28 @@ object HashDedup {
     val docs = Tables.documents(s, snapshotDir).withColumn("bkt", refreshBucket)
       .filter(col("bkt") =!= 9).drop("bkt")
     bandStoreOf(docs, maxBucket).write.mode("overwrite").parquet(outPath)
-    val fp = dirFingerprint(snapshotDir)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath, "_built_from.json"),
-      s"""{"snapshot_dir":"$snapshotDir","fingerprint":"$fp"}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeBandStoreMeta(outPath, snapshotDir, dirFingerprint(snapshotDir), Nil)
   }
 
-  /** Load a persisted band store, failing fast unless its `_built_from`
-    * fingerprint still matches `snapshotDir`'s documents table. See
-    * [[writeBandStore]]. */
-  def loadBandStore(s: SparkSession, storePath: String,
-                    snapshotDir: String): DataFrame = {
+  /** The band store's maintenance journal — the
+    * [[graft.llm.VectorOps.appendIvfPq]] discipline applied to the
+    * dedup index: `absorbed` in `_built_from.json` lists every applied
+    * delta/delete id (duplicates refuse — a retried append would
+    * duplicate band rows and re-emit their candidate pairs forever),
+    * and `_maintenance_pending.json` marks a half-applied op so a
+    * crash between the rows write and the meta write can never be
+    * probed or retried — only rebuilt. */
+  private def writeBandStoreMeta(outPath: String, snapshotDir: String,
+                                 fp: String, absorbed: Seq[String]): Unit = {
+    val abs = absorbed.map(a => s""""$a"""").mkString("[", ",", "]")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath, "_built_from.json"),
+      s"""{"snapshot_dir":"$snapshotDir","fingerprint":"$fp","absorbed":$abs}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def readBandStoreMeta(storePath: String): (Option[String], Seq[String]) = {
     val metaPath = java.nio.file.Paths.get(storePath, "_built_from.json")
     require(java.nio.file.Files.exists(metaPath),
       s"band store at $storePath has no _built_from.json fingerprint — " +
@@ -312,8 +322,85 @@ object HashDedup {
         "prove it matches any snapshot)")
     val meta = new String(java.nio.file.Files.readAllBytes(metaPath),
       java.nio.charset.StandardCharsets.UTF_8)
-    val stored = """"fingerprint"\s*:\s*"([^"]+)"""".r
+    val fp = """"fingerprint"\s*:\s*"([^"]+)"""".r
       .findFirstMatchIn(meta).map(_.group(1))
+    val absorbed = """"absorbed"\s*:\s*\[([^\]]*)\]""".r
+      .findFirstMatchIn(meta).map(_.group(1)).toSeq
+      .flatMap(body => """"([^"]+)"""".r.findAllMatchIn(body).map(_.group(1)))
+    (fp, absorbed)
+  }
+
+  private def bandPendingPath(storePath: String) =
+    java.nio.file.Paths.get(storePath, "_maintenance_pending.json")
+
+  private def requireBandNotPending(storePath: String, verb: String): Unit =
+    require(!java.nio.file.Files.exists(bandPendingPath(storePath)),
+      s"band store at $storePath has a half-applied maintenance op " +
+        s"(_maintenance_pending.json exists) — cannot $verb; rebuild " +
+        "with writeBandStore")
+
+  /** INCREMENTAL dedup-index maintenance — yesterday's ACCEPTED crawl
+    * joins the snapshot index so today's increment probes against it
+    * too, without rebuilding: the delta docs' band rows (the same
+    * codegen'd [[bandStoreOf]] lineage, bucket-capped within the delta)
+    * append to the store and the fingerprint advances. Appended buckets
+    * can grow past the BUILD-time cap across many appends — the
+    * [[lshPlan]] bucket audit is the re-cap/rebuild trigger, exactly as
+    * `embed_centroid_drift` is for the vector index. Cost: the delta's
+    * shingle→band lineage only; the snapshot corpus and its existing
+    * rows are never touched. */
+  def appendBandStore(s: SparkSession, storePath: String, docs: DataFrame,
+                      snapshotDir: String, newFp: String, deltaId: String,
+                      maxBucket: Int = DefaultMaxBucket): Unit = {
+    val (_, absorbed) = readBandStoreMeta(storePath)
+    requireBandNotPending(storePath, s"append delta '$deltaId'")
+    require(!absorbed.contains(deltaId),
+      s"band store at $storePath already absorbed delta '$deltaId' — a " +
+        "duplicate append would duplicate its band rows; refusing")
+    java.nio.file.Files.write(bandPendingPath(storePath),
+      s"""{"op":"append","id":"$deltaId"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    bandStoreOf(docs, maxBucket).write.mode("append").parquet(storePath)
+    writeBandStoreMeta(storePath, snapshotDir, newFp, absorbed :+ deltaId)
+    java.nio.file.Files.delete(bandPendingPath(storePath))
+  }
+
+  /** DELETE propagation into the dedup index — the take-down path: the
+    * deleted doc_ids' band rows leave the store so they can never again
+    * surface as dedup candidates (serving stale candidates against a
+    * removed document is a correctness AND compliance bug). Broadcast
+    * anti-join over the band rows, survivors materialized BEFORE the
+    * overwrite. NOTE the overwrite wipes the sidecar files with the
+    * directory — by design: a crash after the overwrite but before the
+    * meta rewrite leaves a store with NO `_built_from.json`, which
+    * [[loadBandStore]] refuses outright (fail-fast, never
+    * half-trusted). */
+  def deleteBandStore(s: SparkSession, storePath: String, deleteIds: DataFrame,
+                      snapshotDir: String, newFp: String, deleteId: String): Unit = {
+    val (_, absorbed) = readBandStoreMeta(storePath)
+    requireBandNotPending(storePath, s"apply delete '$deleteId'")
+    require(!absorbed.contains(deleteId),
+      s"band store at $storePath already applied delete '$deleteId' — " +
+        "refusing the duplicate")
+    java.nio.file.Files.write(bandPendingPath(storePath),
+      s"""{"op":"delete","id":"$deleteId"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val kept = s.read.parquet(storePath)
+      .join(broadcast(deleteIds.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // materialize before overwriting the source dir
+    kept.write.mode("overwrite").parquet(storePath)
+    writeBandStoreMeta(storePath, snapshotDir, newFp, absorbed :+ deleteId)
+    java.nio.file.Files.deleteIfExists(bandPendingPath(storePath))
+    ()
+  }
+
+  /** Load a persisted band store, failing fast unless its `_built_from`
+    * fingerprint still matches `snapshotDir`'s documents table. See
+    * [[writeBandStore]]. */
+  def loadBandStore(s: SparkSession, storePath: String,
+                    snapshotDir: String): DataFrame = {
+    val (stored, _) = readBandStoreMeta(storePath)
+    requireBandNotPending(storePath, "probe")
     val now = dirFingerprint(snapshotDir)
     require(stored.contains(now),
       s"stale band store: $storePath was built from snapshot fingerprint " +
@@ -344,6 +431,58 @@ object HashDedup {
       .select(col("doc_id").as("a"),
               col("band_id").cast("long").as("band_id"), col("bh"))
       .join(store, Seq("band_id", "bh"))
+      .select(col("a"), col("b")).distinct()
+      .orderBy(col("a"), col("b"))
+  }
+
+  // one maintained store per (sf dir, corpus fingerprint) per JVM — the
+  // VectorOps store-cache discipline; a shutdown hook removes the dir
+  private val maintainedStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** NEAR-DUP PROBE AGAINST A MAINTAINED INDEX, graded — the dedup
+    * index's full CDC lifecycle in one row (the `ann_ivfadc_delete`/
+    * `_upsert` discipline applied to LSH): the snapshot's band store is
+    * BUILT ([[writeBandStore]]'s bkt ≠ 9 population), a take-down
+    * DELETES every 7th snapshot document ([[deleteBandStore]]), and
+    * yesterday's accepted half of the new crawl (bkt 9, even doc_id)
+    * APPENDS ([[appendBandStore]]) — then today's arrivals (bkt 9, odd
+    * doc_id) probe the maintained artifact through [[loadBandStore]]'s
+    * freshness + pending gates. The twin derives the identical
+    * candidate set from the documents table with the same membership
+    * predicates, so a deleted doc surviving in the store, an append
+    * applied twice, or a missing append row all break the hash. */
+  def neardupMaintained(s: SparkSession, d: String): DataFrame = {
+    registerSkewLogging(s)
+    val fp = dirFingerprint(d)
+    val store = maintainedStoreCache.computeIfAbsent((d, fp), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bandstore_m_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+        }
+        del(tmp.toFile)
+      }))
+      val path = tmp.toString + "/bands.parquet"
+      writeBandStore(s, d, path)
+      val docs = Tables.documents(s, d).withColumn("bkt", refreshBucket)
+      deleteBandStore(s, path,
+        docs.filter(col("bkt") =!= 9 && col("doc_id") % 7 === 0)
+          .select(col("doc_id")),
+        d, fp, deleteId = "takedown7:" + fp)
+      appendBandStore(s, path,
+        docs.filter(col("bkt") === 9 && col("doc_id") % 2 === 0).drop("bkt"),
+        d, fp, deltaId = "accepted9even:" + fp)
+      path
+    })
+    val index = loadBandStore(s, store, d)
+      .select(col("band_id"), col("bh"), col("doc_id").as("b"))
+    val probes = Tables.documents(s, d).withColumn("bkt", refreshBucket)
+      .filter(col("bkt") === 9 && col("doc_id") % 2 === 1)
+    minhashBandsOf(probes)
+      .select(col("doc_id").as("a"),
+              col("band_id").cast("long").as("band_id"), col("bh"))
+      .join(index, Seq("band_id", "bh"))
       .select(col("a"), col("b")).distinct()
       .orderBy(col("a"), col("b"))
   }
@@ -1156,6 +1295,7 @@ object HashDedup {
     "lsh_plan" -> (lshPlan _),
     "minhash_pairs"   -> (minhashPairs _),
     "incremental_neardup" -> (incrementalNearDup _),
+    "neardup_maintained"  -> (neardupMaintained _),
     "simhash_sig"     -> (simhashSig _),
     "simhash_pairs"   -> (simhashPairs _),
     "ngram_jaccard"   -> (ngramJaccard _))
@@ -1472,6 +1612,22 @@ object HashDedup {
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM k x JOIN k y ON x.band_id = y.band_id AND x.bh = y.bh
          |WHERE x.bkt = 9 AND y.bkt <> 9
+         |ORDER BY a, b""".stripMargin,
+
+    // the maintained index: store membership = snapshot minus the
+    // take-down slice plus the accepted crawl half; probes = the other
+    // crawl half — the same band derivation, the same predicates
+    "neardup_maintained" ->
+      s"""WITH $ShingleCte, $HashCte, $SigCte, $BandsCte,
+         |k AS (SELECT doc_id, band_id, bh,
+         |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         |          AS BIGINT) % 10 AS bkt
+         |      FROM bands)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM k x JOIN k y ON x.band_id = y.band_id AND x.bh = y.bh
+         |WHERE x.bkt = 9 AND x.doc_id % 2 = 1
+         |  AND ((y.bkt <> 9 AND y.doc_id % 7 <> 0)
+         |       OR (y.bkt = 9 AND y.doc_id % 2 = 0))
          |ORDER BY a, b""".stripMargin,
 
     "split_leakage" ->

@@ -347,6 +347,65 @@ class HashDedupSpec extends AnyFunSuite {
     assert(unfingerprinted.getMessage.contains("_built_from"))
   }
 
+  test("r12: band store maintenance — delete removes a doc's rows forever, " +
+      "append adds exactly the delta's bands, duplicates and half-applied " +
+      "ops refuse loudly") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val snap = Files.createTempDirectory("graft_snap_maint").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(s"$snap/documents.parquet")
+    val store = Files.createTempDirectory("graft_store_maint").toString + "/bands.parquet"
+    HashDedup.writeBandStore(spark, snap, store)
+    val fp = HashDedup.dirFingerprint(snap)
+    // materialize eagerly: the maintenance ops below REPLACE the files
+    val beforeRows = spark.read.parquet(store).collect()
+    val before = beforeRows.map(_.toString).toSet
+
+    // pick a doc present in the store; delete it
+    val victim = beforeRows.map(_.getLong(0)).min
+    HashDedup.deleteBandStore(spark, store,
+      Seq(victim).toDF("doc_id"), snap, fp, deleteId = "td1")
+    val afterDel = HashDedup.loadBandStore(spark, store, snap)
+    assert(afterDel.filter(col("doc_id") === victim).count() === 0L,
+      "deleted doc still in the band index")
+    // append it back as the delta: rows return, counts match its bands
+    val delta = spark.read.parquet(s"$snap/documents.parquet")
+      .filter(col("doc_id") === victim)
+    HashDedup.appendBandStore(spark, store, delta, snap, fp, deltaId = "re1")
+    val afterApp = HashDedup.loadBandStore(spark, store, snap)
+    assert(afterApp.collect().map(_.toString).toSet === before,
+      "delete-then-append of the same doc must restore the exact store")
+    // duplicate ops refuse
+    assert(intercept[IllegalArgumentException] {
+      HashDedup.deleteBandStore(spark, store,
+        Seq(victim).toDF("doc_id"), snap, fp, deleteId = "td1")
+    }.getMessage.contains("already applied"))
+    assert(intercept[IllegalArgumentException] {
+      HashDedup.appendBandStore(spark, store, delta, snap, fp, deltaId = "re1")
+    }.getMessage.contains("already absorbed"))
+    // half-applied marker blocks probe and maintenance
+    Files.write(java.nio.file.Paths.get(store, "_maintenance_pending.json"),
+      """{"op":"append","id":"crashed"}""".getBytes("UTF-8"))
+    assert(intercept[IllegalArgumentException] {
+      HashDedup.loadBandStore(spark, store, snap)
+    }.getMessage.contains("half-applied"))
+    assert(intercept[IllegalArgumentException] {
+      HashDedup.appendBandStore(spark, store, delta, snap, fp, deltaId = "re2")
+    }.getMessage.contains("half-applied"))
+    Files.delete(java.nio.file.Paths.get(store, "_maintenance_pending.json"))
+    // the graded probe never surfaces a deleted or non-member candidate
+    val got = HashDedup.neardupMaintained(spark, dir).collect()
+    val docs = graft.Tables.documents(spark, dir)
+      .withColumn("bkt", HashDedup.refreshBucket)
+    val members = docs.filter(
+        (col("bkt") =!= 9 && col("doc_id") % 7 =!= 0) ||
+        (col("bkt") === 9 && col("doc_id") % 2 === 0))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => members.contains(r.getLong(1))),
+      "a non-member (deleted or unappended) doc surfaced as a candidate")
+  }
+
   test("star contraction is row-identical to min-label on path, clique and random graphs") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(0xC0C0)
