@@ -171,13 +171,31 @@ object StreamGrade {
     * REDELIVERING the tail of the previous slice — the harness's
     * at-least-once transport emulation ([[streamDedup]] grades the gate
     * that absorbs it). Slices stay disjoint at 0. */
-  // Slice builds are cached for the JVM lifetime per (sf dir, overlap):
-  // the bench re-runs each streaming query 4× and all 8 graded queries
-  // share the disjoint replay — rebuilding identical slice files every
-  // invocation would bill ~1 s of harness cost to every run. Cleanup is
-  // a shutdown hook; the testdata directory never changes mid-JVM.
+  // Slice builds are cached for the JVM lifetime per (sf dir, overlap,
+  // source fingerprint): the bench re-runs each streaming query 4× and
+  // all 8 graded queries share the disjoint replay — rebuilding
+  // identical slice files every invocation would bill ~1 s of harness
+  // cost to every run. Cleanup is a shutdown hook. The fingerprint in
+  // the key is the r7/r12 staleness discipline: testdata regenerated
+  // under a live JVM re-slices instead of replaying stale files.
+  /** (name, size, mtime) fingerprint of `d/<table>.parquet` — the
+    * staleness token riding in every replay/reference cache key here
+    * (the [[graft.llm.HashDedup.dirFingerprint]] contract). */
+  private def tableFp(d: String, table: String): String = {
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
+      else Iterator.single(f)
+    val h = walk(new java.io.File(d, s"$table.parquet"))
+      .map(f => (f.getName, f.length, f.lastModified).hashCode()).sum
+    java.lang.Integer.toHexString(h)
+  }
+
   private val sliceCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Path]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String), Path]()
+
+  private def busSlices(s: SparkSession, d: String, overlapDays: Int): Path =
+    sliceCache.computeIfAbsent((d, overlapDays, tableFp(d, "events")),
+      _ => buildSlices(s, d, overlapDays))
 
   private def buildSlices(s: SparkSession, d: String, overlapDays: Int): Path = {
     val tmp = Files.createTempDirectory("graft_stream_bus_")
@@ -210,8 +228,7 @@ object StreamGrade {
 
   private def withBusStream[A](s: SparkSession, d: String, overlapDays: Int = 0)
                               (body: DataFrame => A): A = {
-    val inDir = sliceCache.computeIfAbsent((d, overlapDays),
-      _ => buildSlices(s, d, overlapDays))
+    val inDir = busSlices(s, d, overlapDays)
     val streamed = s.readStream.schema(Tables.bus(s, d).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir.toString)
@@ -540,14 +557,14 @@ object StreamGrade {
   // ---- document-stream grades: the ingestion-pipeline gates live ----
 
   private val docSliceCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Path]()
 
   /** Replay the documents table as a bounded 3-file stream sliced by
     * doc_id thirds (crawl arrival order) — the ingestion-side twin of
     * [[withBusStream]], feeding the live dedup/novelty gates. */
   private def withDocStream[A](s: SparkSession, d: String)(body: DataFrame => A): A = {
     val docs = Tables.documents(s, d)
-    val inDir = docSliceCache.computeIfAbsent(d, _ => {
+    val inDir = docSliceCache.computeIfAbsent((d, tableFp(d, "documents")), _ => {
       val tmp = Files.createTempDirectory("graft_stream_docs_")
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmp)))
       val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
@@ -630,15 +647,15 @@ object StreamGrade {
   // cache: harness cost, not operator cost. localCheckpoint frames stay
   // valid for the JVM lifetime; collected maps are plain values.
   private val bandStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private val mixRefCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Map[String, Map[String, Long]]]()
+    (String, String), Map[String, Map[String, Long]]]()
   private val centroidRefCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Map[Int, Array[Double]]]()
+    (String, String), Map[Int, Array[Double]]]()
 
   def streamIncrNearDup(s: SparkSession, d: String): DataFrame =
     withDocStream(s, d) { docStream =>
-      val store = bandStoreCache.computeIfAbsent(d, _ => {
+      val store = bandStoreCache.computeIfAbsent((d, tableFp(d, "documents")), _ => {
         val snapshot = Tables.documents(s, d)
           .withColumn("bkt", graft.llm.HashDedup.refreshBucket)
           .filter(col("bkt") =!= 9).drop("bkt")
@@ -807,7 +824,7 @@ object StreamGrade {
   def streamRestartScd2(s: SparkSession, d: String): DataFrame = {
     val spark = s; import spark.implicits._
     implicit val ss: SparkSession = s
-    val srcAll = sliceCache.computeIfAbsent((d, 0), _ => buildSlices(s, d, 0))
+    val srcAll = busSlices(s, d, 0)
     // fresh dirs per invocation (a reused checkpoint would make lifetime
     // 2 a no-op) — deleted EAGERLY in the finally below, not by a
     // shutdown hook: the bench re-runs this 4×/JVM and per-run hooks +
@@ -883,7 +900,7 @@ object StreamGrade {
     * discipline). */
   def streamRestartAsOf(s: SparkSession, d: String): DataFrame = {
     implicit val ss: SparkSession = s
-    val srcAll = sliceCache.computeIfAbsent((d, 0), _ => buildSlices(s, d, 0))
+    val srcAll = busSlices(s, d, 0)
     val tmp = Files.createTempDirectory("graft_stream_restart_asof_")
     val in = Files.createDirectory(tmp.resolve("in"))
     val ckpt = tmp.resolve("ckpt").toString
@@ -1118,7 +1135,8 @@ object StreamGrade {
   def streamMixShift(s: SparkSession, d: String): DataFrame =
     withDocStream(s, d) { docStream =>
       implicit val ss: SparkSession = s
-      val ref = mixRefCache.computeIfAbsent(d, _ => mixShiftReference(s, d))
+      val ref = mixRefCache.computeIfAbsent((d, tableFp(d, "documents")),
+        _ => mixShiftReference(s, d))
       val today = docStream
         .withColumn("bkt", graft.llm.HashDedup.refreshBucket)
         .filter(col("bkt") >= 1).drop("bkt")
@@ -1134,13 +1152,13 @@ object StreamGrade {
     }
 
   private val embSliceCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Path]()
 
   /** Replay the embeddings table as a bounded 3-file stream sliced by
     * vec_id thirds — the vector-side twin of [[withDocStream]]. */
   private def withEmbStream[A](s: SparkSession, d: String)(body: DataFrame => A): A = {
     val embs = Tables.embeddings(s, d)
-    val inDir = embSliceCache.computeIfAbsent(d, _ => {
+    val inDir = embSliceCache.computeIfAbsent((d, tableFp(d, "embeddings")), _ => {
       val tmp = Files.createTempDirectory("graft_stream_embs_")
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmp)))
       val mx = embs.agg(max(col("vec_id"))).head().getLong(0)
@@ -1178,7 +1196,7 @@ object StreamGrade {
   def streamCentroidDrift(s: SparkSession, d: String): DataFrame =
     withEmbStream(s, d) { embStream =>
       implicit val ss: SparkSession = s
-      val ref = centroidRefCache.computeIfAbsent(d, _ =>
+      val ref = centroidRefCache.computeIfAbsent((d, tableFp(d, "embeddings")), _ =>
         Streams.centroidDriftReference(
           Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0)))
       val arriving = embStream.filter(col("vec_id") % 2 === 1)
