@@ -31,8 +31,13 @@ object VectorOps {
     graft.functions.GraftFunctions.dot_product(a, b)
 
   private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .withColumn("v", col("embedding").cast("array<double>"))
+    vecsOf(Tables.embeddings(s, d))
+
+  /** The vecs normal form (double vector + its norm²) over an arbitrary
+    * embeddings-schema frame — what a streaming maintenance consumer
+    * applies to each arriving micro-batch before encoding it. */
+  private[graft] def vecsOf(raw: DataFrame): DataFrame =
+    raw.withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("n2", dot(col("v"), col("v")))
 
   private val NQueries = 5
@@ -957,6 +962,26 @@ object VectorOps {
     java.nio.file.Files.delete(pendingPath(storePath))
   }
 
+  /** The at-least-once driver step of a STREAMING maintenance consumer:
+    * absorb `delta` under `opId` unless the store's journal already
+    * has it, in which case the redelivery is a silent no-op (returns
+    * false). This is [[appendIvfPq]]'s refusal contract turned into the
+    * idempotent form a `foreachBatch` consumer needs — a micro-batch
+    * redelivered after a driver restart (or a whole replayed stream)
+    * re-offers every delta under its original id and the journal
+    * absorbs the duplicates instead of throwing, while a genuinely new
+    * delta still appends exactly once. */
+  def absorbIvfPqAppend(s: SparkSession, storePath: String, delta: DataFrame,
+                        snapshotDir: String, newFp: String,
+                        opId: String): Boolean = {
+    val (_, absorbed) = readIvfPqMeta(storePath)
+    if (absorbed.contains(opId)) false
+    else {
+      appendIvfPq(s, storePath, delta, snapshotDir, newFp, opId)
+      true
+    }
+  }
+
   /** DELETE propagation into the serving index — the CDC-native
     * lifecycle step [[appendIvfPq]]'s mirror: when source rows are
     * deleted (a takedown, a license revocation, a CDC tombstone), their
@@ -1041,6 +1066,20 @@ object VectorOps {
      s.read.parquet(new java.io.File(storePath, "codes").toString))
   }
 
+  /** The shared probe tail of every store-backed graded serve: load
+    * through [[loadIvfPq]]'s staleness/pending gates, probe with the
+    * graded query slice. The raw-vector corpus is read ONLY for the
+    * ≤[[NQueries]] query rows; candidates come from the loaded code
+    * store — the production read path of a billion-vector index. */
+  private[graft] def serveIvfPqStore(s: SparkSession, storePath: String,
+                                     d: String): DataFrame = {
+    val (cents, codes) = loadIvfPq(s, storePath, d)
+    val q = vecs(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+      .localCheckpoint(true)
+    ivfAdcServe(q, broadcast(cents), codes)
+  }
+
   // one store build per (sf dir, corpus fingerprint) per JVM — the
   // artifact is the point, not the rebuild; a shutdown hook removes the
   // temp directory. The fingerprint rides in the KEY so a corpus
@@ -1069,11 +1108,7 @@ object VectorOps {
       writeIvfPq(s, d, tmp.toString)
       tmp.toString
     })
-    val (cents, codes) = loadIvfPq(s, store, d)
-    val q = vecs(s, d).filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
-      .localCheckpoint(true)
-    ivfAdcServe(q, broadcast(cents), codes)
+    serveIvfPqStore(s, store, d)
   }
 
   /** The delta slice an incremental refresh absorbs: every 10th vector
@@ -1112,11 +1147,7 @@ object VectorOps {
         d, fp, deltaId = "delta7:" + fp)
       tmp.toString
     })
-    val (cents, codes) = loadIvfPq(s, store, d)
-    val q = vecs(s, d).filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
-      .localCheckpoint(true)
-    ivfAdcServe(q, broadcast(cents), codes)
+    serveIvfPqStore(s, store, d)
   }
 
   /** The slice a CDC delete removes: vec_id ≡ 3 mod 10 — disjoint from
@@ -1155,11 +1186,7 @@ object VectorOps {
         d, fp, deleteId = "takedown3:" + fp)
       tmp.toString
     })
-    val (cents, codes) = loadIvfPq(s, store, d)
-    val q = vecs(s, d).filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
-      .localCheckpoint(true)
-    ivfAdcServe(q, broadcast(cents), codes)
+    serveIvfPqStore(s, store, d)
   }
 
   // fingerprint in the key: see ivfPqStoreCache
@@ -1194,11 +1221,7 @@ object VectorOps {
       upsertIvfPq(s, tmp.toString, updated, d, fp, upsertId = "update3:" + fp)
       tmp.toString
     })
-    val (cents, codes) = loadIvfPq(s, store, d)
-    val q = vecs(s, d).filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
-      .localCheckpoint(true)
-    ivfAdcServe(q, broadcast(cents), codes)
+    serveIvfPqStore(s, store, d)
   }
 
   /** Recall@3 of the composed IVF-PQ index ([[annIvfAdc]]) against the
@@ -1883,6 +1906,22 @@ object VectorOps {
        |      WHERE c.vec_id != p.qid $extraWhere GROUP BY 1, 2)""".stripMargin
 
   private val IvfAdcRanked = ivfAdcRanked()
+
+  /** Twin of the STREAMING-maintained store
+    * ([[graft.stream.StreamGrade]]'s `emb_stream_maintained`): the
+    * codebook trains on the replay's base third (vec_id < max/3 — the
+    * slice-0 snapshot the store was built from; `//` is DuckDB floor
+    * division, matching the Scala Long division that sliced the
+    * replay), codes cover the whole corpus — the frozen-codebook
+    * rebuild the journaled micro-batch appends must equal exactly. */
+  private[graft] val MaintainedStreamTwin: String =
+    s"""WITH $VecCte,
+       |mxv AS (SELECT max(vec_id) // 3 AS b FROM e),
+       |eb AS (SELECT e.* FROM e, mxv WHERE vec_id < b),
+       |${centsCteOver("eb")},
+       |$IvfAdcTail
+       |SELECT qid, vec_id, rank, adc FROM ($IvfAdcRanked)
+       |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "embed_label_mix" ->

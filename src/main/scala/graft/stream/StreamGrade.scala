@@ -97,7 +97,8 @@ object StreamGrade {
          "doc_stream_mix_shift", "doc_stream_pipeline",
          "doc_stream_incr_neardup", "mm_stream_phash_dup"), true),
     // embeddings-crawl replay
-    (Set("emb_stream_centroid_drift", "emb_stream_ann"), true))
+    (Set("emb_stream_centroid_drift", "emb_stream_ann",
+         "emb_stream_maintained"), true))
   // singletons (no co-schedule): the restart grades (two sequential
   // query LIFETIMES by design)
 
@@ -1232,6 +1233,7 @@ object StreamGrade {
     "doc_stream_mix_shift"     -> (streamMixShift _),
     "emb_stream_centroid_drift" -> (streamCentroidDrift _),
     "emb_stream_ann"           -> (streamAnn _),
+    "emb_stream_maintained"    -> (streamIndexMaint _),
     "doc_stream_neardup"       -> (streamNearDup _),
     "doc_stream_vocab_novelty" -> (streamVocabNovelty _),
     "doc_stream_incr_neardup"  -> (streamIncrNearDup _),
@@ -1298,6 +1300,64 @@ object StreamGrade {
           col("t.w").cast("long").as("vec_id"),
           round(col("t.score"), 5).as("cos"))
         .orderBy(col("qid"), col("rank"))
+    }
+
+  // one maintained IVF-PQ store per (sf dir, corpus fingerprint) per
+  // JVM: the STREAM is what maintains it — the first invocation's
+  // micro-batches append the delta thirds through the journal, and
+  // every re-invocation replays the same bounded stream so the journal
+  // ABSORBS the redelivery (absorbIvfPqAppend returns false) — the
+  // at-least-once contract exercised for real on every rerun. A
+  // shutdown hook removes the store directory.
+  private val maintStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** STREAMING index maintenance, graded — the CDC→serving-index
+    * pipeline composed end-to-end: the IVF-PQ store is built once from
+    * the replay's first third (yesterday's snapshot), the remaining
+    * thirds arrive as micro-batches absorbed by
+    * [[graft.llm.VectorOps.absorbIvfPqAppend]] in a `foreachBatch`
+    * consumer (codebook FROZEN, journal advancing; each op id derives
+    * from the batch's vec_id range, so a redelivered batch — including
+    * the whole replayed stream on a bench rerun — is refused
+    * idempotently instead of double-appended), and the post-stream
+    * serve goes through [[graft.llm.VectorOps.loadIvfPq]]'s staleness
+    * gate. The twin is the frozen-codebook rebuild: centroids over the
+    * base third, codes over the full corpus — a dropped batch, a
+    * double-applied batch, or a batch encoded against retrained
+    * centroids all break the hash. */
+  def streamIndexMaint(s: SparkSession, d: String): DataFrame =
+    withEmbStream(s, d) { embStream =>
+      val embs = Tables.embeddings(s, d)
+      val fp = graft.llm.VectorOps.embFingerprint(d)
+      val boundary = embs.agg(max(col("vec_id"))).head().getLong(0) / 3
+      val store = maintStoreCache.computeIfAbsent(
+        (d, tableFp(d, "embeddings")), _ => {
+          val tmp = Files.createTempDirectory("graft_stream_ivfpq_")
+          Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmp)))
+          graft.llm.VectorOps.writeIvfPqFrom(
+            graft.llm.VectorOps.vecsOf(embs.filter(col("vec_id") < boundary)),
+            tmp.toString, d, "base:" + fp)
+          tmp.toString
+        })
+      val q = embStream.filter(col("vec_id") >= boundary)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          val range = batch.agg(min(col("vec_id")), max(col("vec_id"))).head()
+          if (!range.isNullAt(0)) {
+            graft.llm.VectorOps.absorbIvfPqAppend(s, store,
+              graft.llm.VectorOps.vecsOf(batch), d, fp,
+              opId = s"vec:${range.getLong(0)}-${range.getLong(1)}")
+            ()
+          }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try {
+        if (!q.awaitTermination(180000L))
+          throw new IllegalStateException("stream_index_maint did not finish")
+      } finally q.stop()
+      graft.llm.VectorOps.serveIvfPqStore(s, store, d)
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1538,6 +1598,11 @@ object StreamGrade {
          |           ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rank
          |  FROM cand)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the streaming-maintained store's twin lives with the rest of the
+    // IVF-PQ CTE machinery in VectorOps: frozen codebook over the base
+    // third, codes over the full corpus
+    "emb_stream_maintained" -> graft.llm.VectorOps.MaintainedStreamTwin,
 
     // the batch embed_centroid_drift twin re-keyed: reference = even
     // half (a), stream = odd half (b); n_seen = odd-half count

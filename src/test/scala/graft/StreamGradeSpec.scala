@@ -424,6 +424,21 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got === want)
   }
 
+  test("emb_stream_maintained: micro-batch appends build the same index a " +
+      "frozen-codebook rebuild would, and a REPLAYED stream is absorbed by " +
+      "the journal — the second run serves identical rows") {
+    val got = rows(StreamGrade.streamIndexMaint(spark, dir))
+    // graded shape: 5 queries x ranks 1..3, deterministic
+    assert(got.size === 15)
+    // rerun: the bounded stream redelivers every delta micro-batch under
+    // its original op id; the journal refuses each (no double-applied
+    // codes — doubled ADC sums would reorder the candidates) and the
+    // serve is bit-identical
+    val again = rows(StreamGrade.streamIndexMaint(spark, dir))
+    assert(again === got,
+      "a replayed maintenance stream must be absorbed, not re-applied")
+  }
+
   test("cdc_stream_restart_scd2: a SECOND query lifetime recovers the open-version " +
       "state from the checkpoint and completes the identical closed set") {
     val got = StreamGrade.streamRestartScd2(spark, dir).collect()

@@ -336,6 +336,32 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(served.sameElements(VectorOps.annIvfAdcAppend(spark, sf).collect()))
   }
 
+  test("r12: absorbIvfPqAppend — first offer appends, redelivery under the " +
+      "same op id is a silent no-op, a new op id still appends") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val base = all.filter(col("vec_id") % 10 =!= 7)
+    val d1 = all.filter(col("vec_id") % 20 === 7)
+    val d2 = all.filter(col("vec_id") % 20 === 17)
+    assert(d1.count() > 0 && d2.count() > 0, "fixture needs nonempty deltas")
+    val store = Files.createTempDirectory("graft_ivfpq_absorb").toString
+    VectorOps.writeIvfPqFrom(base, store, sf, "yesterday")
+    val n0 = spark.read.parquet(s"$store/codes").count()
+    assert(VectorOps.absorbIvfPqAppend(spark, store, d1, sf, "mid", "op-1"))
+    val n1 = spark.read.parquet(s"$store/codes").count()
+    assert(n1 === n0 + d1.count() * 4)
+    // redelivery (an at-least-once retry): same id — refused silently,
+    // store untouched; this is what lets a foreachBatch consumer replay
+    assert(!VectorOps.absorbIvfPqAppend(spark, store, d1, sf, "mid", "op-1"))
+    assert(spark.read.parquet(s"$store/codes").count() === n1)
+    // a genuinely new delta under a new id still appends exactly once
+    assert(VectorOps.absorbIvfPqAppend(spark, store, d2, sf,
+      VectorOps.embFingerprint(sf), "op-2"))
+    assert(spark.read.parquet(s"$store/codes").count() === n1 + d2.count() * 4)
+  }
+
   test("r12: IVF-PQ delete-then-append — codebook frozen throughout, final " +
       "codes == rebuild minus deleted plus delta; half-applied marker and " +
       "duplicate delete refuse loudly") {
