@@ -2018,6 +2018,11 @@ object RelQueries {
     * shares before the multiply. */
   private val GraphScale = 1000000000L
 
+  /** Iteration cap of the dynamic-termination fixpoint — the safety
+    * bound a convergence-driven loop always carries (a non-contracting
+    * graph must still terminate). */
+  private val DynamicMaxIter = 6
+
   /** Executable form of the fixed-point headroom bound: every
     * intermediate of [[graphIterate]] — r·w ≤ N·SCALE·max(w),
     * 85·inflow ≤ 85·N·SCALE — must fit in a long. Called at prep time
@@ -2062,6 +2067,34 @@ object RelQueries {
     lazy val pagerankRanks: Seq[DataFrame] =
       Seq.iterate(nodes.withColumn("r", lit(GraphScale)), 4)(r =>
         graphIterate(ew, nodes, r, lit(15L * GraphScale / 100L)))
+
+    /** DYNAMIC-TERMINATION fixpoint: iterate until the contraction rule
+      * fires — max |Δr| falls below 60% of the FIRST iteration's delta
+      * (exact integers: 10·dᵢ < 6·d₁) — capped at [[DynamicMaxIter]].
+      * Returns (halted rank frame, halt iteration). Reuses the memoized
+      * [[pagerankRanks]] prefix, so only iterations past r3 and the
+      * per-iteration delta probes (one |N|⋈|N| join reduced to a single
+      * driver scalar — the canonical convergence check every iterative
+      * dataflow runtime performs between passes) are new work. */
+    lazy val pagerankDynamic: (DataFrame, Long) = {
+      def delta(prev: DataFrame, next: DataFrame): Long =
+        next.join(prev.select(col("node"), col("r").as("r_prev")), "node")
+          .agg(max(abs(col("r") - col("r_prev")))).head().getLong(0)
+      val d1 = delta(pagerankRanks(0), pagerankRanks(1))
+      var i = 1
+      var cur = pagerankRanks(1)
+      var halted = false
+      while (!halted && i < DynamicMaxIter) {
+        val next =
+          if (i + 1 < pagerankRanks.length) pagerankRanks(i + 1)
+          else graphIterate(ew, nodes, cur, lit(15L * GraphScale / 100L))
+        i += 1
+        val di = delta(cur, next)
+        cur = next
+        halted = 10L * di < 6L * d1
+      }
+      (cur, i.toLong)
+    }
 
     lazy val trustrankFinal: DataFrame = {
       val seeds = Tables.customer(s, d)
@@ -2226,6 +2259,31 @@ object RelQueries {
       .orderBy(col("iter"))
   }
 
+  /** CONVERGENCE-DRIVEN TERMINATION, graded — the loop control a real
+    * curation deploy runs where `graph_pagerank` grades a fixed 3
+    * iterations and `graph_converged` audits the delta sequence: the
+    * power iteration continues until the contraction rule fires — max
+    * |Δr| below 60% of the first iteration's delta, in the same exact
+    * fixed-point integers (10·dᵢ < 6·d₁, no division) — capped at 6.
+    * The DATA decides the iteration count; the twin unrolls all 6
+    * candidate iterations in CTEs, replays the identical integer halt
+    * decision, and selects the SAME halted rank frame through gated
+    * UNION branches (the `ann_filtered_auto` discipline applied to loop
+    * control), so engine and oracle provably halt together on any
+    * corpus. Output: the top-20 supplier ranking of the halted frame
+    * plus the halt iteration itself.
+    *
+    * Scale shape: identical per-iteration cost to [[graphPagerank]]
+    * (cached src-partitioned edges, only ranks move) plus one |N|-row
+    * join reduced to a driver scalar per iteration — the convergence
+    * probe every iterative runtime (GraphX/Pregel included) executes
+    * between passes; the halted sequence memoizes in the shared prep. */
+  def graphPagerankDynamic(s: SparkSession, d: String): DataFrame = {
+    val (rank, halt) = purchaseGraph(s, d).pagerankDynamic
+    supplierRanks(rank).withColumn("halt_iter", lit(halt))
+      .orderBy(col("rank_q").desc, col("s_suppkey"))
+  }
+
   /** TRUST PROPAGATION (TrustRank) — the seed-biased variant of
     * [[graphPagerank]] and the graph form a curation pipeline actually
     * deploys: trust starts at a SEED set (here: BUILDING-segment
@@ -2249,6 +2307,7 @@ object RelQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"     -> (graphPagerank _),
+    "graph_pagerank_dyn" -> (graphPagerankDynamic _),
     "graph_trustrank"    -> (graphTrustrank _),
     "graph_converged"    -> (graphConverged _),
     "union_by_name"      -> (unionByNameDrift _),
@@ -2424,6 +2483,38 @@ object RelQueries {
          |SELECT iter, max_delta,
          |       max_delta < lag(max_delta) OVER (ORDER BY iter) AS shrunk
          |FROM d ORDER BY iter""".stripMargin,
+
+    // convergence-driven termination: 6 unrolled candidate iterations,
+    // the identical integer halt rule (first i >= 2 with 10*d_i < 6*d_1,
+    // else the cap), and the halted frame selected through gated UNION
+    // branches (the ann_filtered_auto discipline applied to loop
+    // control) — engine and oracle halt together on any corpus
+    "graph_pagerank_dyn" -> {
+      val iters = (1 to 6).map(i =>
+        graphIterSql("nodes", s"r${i - 1}", s"r$i", "150000000")).mkString(",\n")
+      val deltas = (2 to 6).map(i =>
+        s"""SELECT $i AS iter, CAST(max(abs(r$i.r - r${i - 1}.r)) AS BIGINT) AS dd
+           |  FROM r$i JOIN r${i - 1} USING (node)""".stripMargin)
+        .mkString("\n  UNION ALL\n  ")
+      val branches = (2 to 6).map(i =>
+        s"""SELECT * FROM (
+           |  SELECT (node - 1) // 2 AS s_suppkey, r AS rank_q,
+           |         CAST((SELECT halt FROM h) AS BIGINT) AS halt_iter
+           |  FROM r$i WHERE node % 2 = 1 AND (SELECT halt FROM h) = $i
+           |  ORDER BY rank_q DESC, s_suppkey LIMIT 20)""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH $GraphCtes,
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+         |$iters,
+         |d1 AS (SELECT CAST(max(abs(r1.r - r0.r)) AS BIGINT) AS dd
+         |       FROM r1 JOIN r0 USING (node)),
+         |d AS (
+         |  $deltas),
+         |h AS (SELECT COALESCE(min(iter), 6) AS halt
+         |      FROM d, d1 WHERE 10 * d.dd < 6 * d1.dd)
+         |$branches
+         |ORDER BY rank_q DESC, s_suppkey""".stripMargin
+    },
 
     // the seed-biased variant: teleport mass lands only on seed nodes
     "graph_trustrank" ->

@@ -88,6 +88,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows(0).isNullAt(2) && rows(1).getBoolean(2) && rows(2).getBoolean(2))
   }
 
+  test("graph_pagerank_dyn: the halt iteration is one constant inside " +
+       "[2, cap], consistent with the committed rule over the audited " +
+       "deltas, and the run is deterministic") {
+    val got = graft.rel.RelQueries.queries("graph_pagerank_dyn")(spark, sf)
+      .collect()
+    assert(got.nonEmpty)
+    val halts = got.map(_.getLong(2)).distinct.toSeq
+    assert(halts.length === 1, s"halt must be a single constant: $halts")
+    val halt = halts.head
+    assert(halt >= 2L && halt <= 6L, s"halt $halt outside [2, 6]")
+    // cross-check against graph_converged's audited deltas (d1..d3, the
+    // shared memoized iterations): if the rule (10*d_i < 6*d_1) fires
+    // within the audited range the engine must have halted exactly
+    // there; if it doesn't, the engine must have kept iterating
+    val conv = graft.rel.RelQueries.queries("graph_converged")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (2 to 3).find(i => 10L * conv(i.toLong) < 6L * conv(1L)) match {
+      case Some(i) => assert(halt === i.toLong,
+        s"rule fired at audited iteration $i but engine halted at $halt")
+      case None => assert(halt > 3L,
+        s"engine halted at $halt but the rule had not fired by iteration 3")
+    }
+    // a halt at 3 must reproduce the fixed-3 graded ranking verbatim
+    if (halt == 3L)
+      assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        graft.rel.RelQueries.queries("graph_pagerank")(spark, sf)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(graft.rel.RelQueries.queries("graph_pagerank_dyn")(spark, sf)
+      .collect().map(_.toString).toSeq === got.map(_.toString).toSeq)
+  }
+
   test("r12: graphCache revalidates the input-table fingerprint — a dir " +
        "rewritten in-session rebuilds the prep instead of serving stale frames") {
     import org.apache.spark.sql.functions._
