@@ -22,6 +22,13 @@ object GraftFunctions {
     GraftBridge.column(DotProductExpr(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Codegen'd late-interaction (MaxSim) score: the two ARRAY<DOUBLE>
+    * columns read as `tokens`×`dim` token grids,
+    * Σᵢ maxⱼ floor(10⁶·⟨qᵢ, dⱼ⟩) as an exact BIGINT. */
+  def max_sim(q: Column, d: Column, tokens: Int, dim: Int): Column =
+    GraftBridge.column(MaxSimExpr(
+      GraftBridge.expression(q), GraftBridge.expression(d), tokens, dim))
+
   /** One-pass marker-word counts + CJK flag (lang-id kernel):
     * STRUCT<h_<name> INT…, cjk BOOLEAN>. */
   def marker_counts(text: Column, sets: Seq[(String, Seq[String])]): Column =

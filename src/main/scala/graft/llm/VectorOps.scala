@@ -57,6 +57,53 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---- late-interaction (MaxSim / ColBERT-style) retrieval ----
+
+  private val MsTokens = 16
+  private val MsDim = 4
+
+  /** LATE-INTERACTION retrieval (MaxSim — the ColBERT scoring model):
+    * each 64-dim embedding reads as [[MsTokens]] token vectors of
+    * [[MsDim]] dims, and a document scores against a query as
+    * Σᵢ maxⱼ ⟨qᵢ, dⱼ⟩ — the sum over query tokens of each token's
+    * best-matching document token. This is the retrieval family BETWEEN
+    * single-vector dense scoring ([[cosTopk]] / the IVF-PQ index) and
+    * full cross-attention re-ranking: token-level interaction with
+    * index-servable document representations.
+    *
+    * Exactness: every pairwise token dot quantizes to floor(10⁶·dot)
+    * BEFORE the max/sum reductions, so the ranking arithmetic is pure
+    * integers — reduction order cannot perturb it — and the twin
+    * unrolls the IDENTICAL 16×16 integer interaction grid in SQL. The
+    * engine side is ONE fused codegen kernel
+    * ([[graft.functions.MaxSimExpr]] — two primitive loops, the
+    * [[graft.functions.DotProductExpr]] discipline) rather than the
+    * equivalent 256-arm static expression tree.
+    *
+    * Scale shape: queries broadcast (≤[[NQueries]] rows); the corpus
+    * streams ONCE through the scoring projection with no shuffle of the
+    * embedding column (the top-k window reduces map-side after the
+    * integer score projects away the vectors). At production scale the
+    * corpus side is first restricted to ANN candidates (the
+    * `ann_ivfadc_filtered` posting-list discipline) and MaxSim re-ranks
+    * the survivors; the brute-force form graded here is the exact
+    * ground truth such a deployment prices its candidate cut against. */
+  def maxsimTopk(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ms_q").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("ms_q", graft.functions.GraftFunctions
+        .max_sim(col("qv"), col("v"), MsTokens, MsDim))
+      .select(col("qid"), col("vec_id"), col("ms_q"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        round(col("ms_q").cast("double") / 1e6d, 6).as("maxsim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** 8 deterministic pseudo-random hyperplanes (seed 77), coordinates
     * rounded to 6 decimals so the literal parses to the identical double
     * on both engines. */
@@ -1523,6 +1570,7 @@ object VectorOps {
     "ann_range"   -> (annRange _),
     "kmeans_step" -> (kmeansStep _),
     "cos_topk"    -> (cosTopk _),
+    "maxsim_topk" -> (maxsimTopk _),
     "ann_buckets" -> (annBuckets _),
     "ann_topk"    -> (annTopk _),
     "ann_ivf"     -> (annIvf _),
@@ -2371,6 +2419,30 @@ object VectorOps {
          |  FROM (SELECT qid, vec_id, list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos_raw
          |        FROM q JOIN e ON vec_id != qid))
          |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+
+    // late interaction: the unrolled 16x16 integer interaction grid —
+    // greatest over document tokens of each quantized slice dot, summed
+    // over query tokens — exactly the expression tree the engine codegens
+    "maxsim_topk" -> {
+      val score = (0 until MsTokens).map { i =>
+        val terms = (0 until MsTokens).map { j =>
+          val prods = (0 until MsDim).map(k =>
+            s"qv[${i * MsDim + k + 1}] * v[${j * MsDim + k + 1}]").mkString(" + ")
+          s"CAST(floor(($prods) * 1000000) AS BIGINT)"
+        }.mkString(", ")
+        s"greatest($terms)"
+      }.mkString("\n        + ")
+      s"""WITH $VecCte,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NQueries)
+         |SELECT qid, vec_id, rank, round(CAST(ms_q AS DOUBLE) / 1000000, 6) AS maxsim
+         |FROM (
+         |  SELECT qid, vec_id, ms_q,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY ms_q DESC, vec_id) AS BIGINT) AS rank
+         |  FROM (SELECT qid, vec_id,
+         |        $score AS ms_q
+         |        FROM e CROSS JOIN q WHERE vec_id != qid))
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    },
 
     "ann_buckets" ->
       s"""WITH $VecCte, $SigCte

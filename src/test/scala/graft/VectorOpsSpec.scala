@@ -336,6 +336,41 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(served.sameElements(VectorOps.annIvfAdcAppend(spark, sf).collect()))
   }
 
+  test("r12: maxsim_topk — the late-interaction grid replicates in plain " +
+      "Scala, the ranking genuinely leaves the single-vector cosine order, " +
+      "and reruns are bit-identical") {
+    import org.apache.spark.sql.functions._
+    val got = VectorOps.maxsimTopk(spark, sf).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(2))).toSet ===
+      (for (q <- 0L until 5L; r <- 1L to 3L) yield (q, r)).toSet)
+    // replicate query 0's rank-1 score OUTSIDE Spark: same 16x16 integer
+    // grid (floor-quantized slice dots, max over doc tokens, sum over
+    // query tokens) in plain Scala arithmetic
+    val top = got.find(r => r.getLong(0) == 0L && r.getLong(2) == 1L).get
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def vec(id: Long): Array[Double] = emb.filter(col("vec_id") === id)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val (qv, dv) = (vec(0L), vec(top.getLong(1)))
+    val ms = (0 until 16).map { i =>
+      (0 until 16).map { j =>
+        val dot = (0 until 4).map(k => qv(i * 4 + k) * dv(j * 4 + k)).sum
+        math.floor(dot * 1e6d).toLong
+      }.max
+    }.sum
+    val expected = spark.range(1)
+      .select(round(lit(ms).cast("double") / 1e6d, 6)).head().getDouble(0)
+    assert(top.getDouble(3) === expected,
+      "engine MaxSim differs from the hand-computed interaction grid")
+    // token-level interaction must not collapse to single-vector cosine
+    val cos3 = VectorOps.cosTopk(spark, sf).collect().filter(_.getLong(2) <= 3)
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val ms3 = got.map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    assert(ms3 !== cos3, "maxsim collapsed to the cosine ranking")
+    assert(VectorOps.maxsimTopk(spark, sf).collect().map(_.toString).toSeq ===
+      got.map(_.toString).toSeq)
+  }
+
   test("r12: absorbIvfPqAppend — first offer appends, redelivery under the " +
       "same op id is a silent no-op, a new op id still appends") {
     import java.nio.file.Files
