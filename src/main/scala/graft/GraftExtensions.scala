@@ -8,9 +8,9 @@ import graft.functions.{DecodeCdcMsgExpr, DotProductExpr, GraftFunctions, MqttMa
 import graft.plans.MqttPrefixPushdown
 
 /** Session extensions wiring for the graft engine:
-  *   - SQL functions `mqtt_matches(pattern, channel)`, `dot_product(a, b)`
-  *     (codegen'd Catalyst expressions) and `bottomk_by_hash(v, k)` (the
-  *     deterministic KMV sample aggregate);
+  *   - SQL functions `mqtt_matches(pattern, channel)`, `dot_product(a, b)`,
+  *     `max_sim(q, d, tokens, dim)` (codegen'd Catalyst expressions) and
+  *     `bottomk_by_hash(v, k)` (the deterministic KMV sample aggregate);
   *   - the `ASOF [LEFT] JOIN` SQL surface ([[graft.plans.AsOfSql]]):
   *     delegating parser + `graft_asof_marker` function + resolution
   *     rule + the no-marker-survives check rule;
@@ -74,6 +74,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MqttDispatchExpr].getName, "mqtt_dispatch"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftFunctions.dispatchBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("max_sim"),
+      new ExpressionInfo(classOf[graft.functions.MaxSimExpr].getName, "max_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftFunctions.maxSimBuilder(exprs)))
     e.injectFunction((
       FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[graft.functions.WinnowFpsExpr].getName, "winnow_fps"),

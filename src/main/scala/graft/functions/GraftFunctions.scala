@@ -114,6 +114,26 @@ object GraftFunctions {
   /** Register graft's functions for SQL usage in the given session
     * (same set as [[graft.GraftExtensions]], for sessions built without
     * extension injection). */
+  /** SQL builder for max_sim(q, d, tokens, dim): the grid shape must be
+    * foldable INT literals — the kernel specializes its loops at plan
+    * time. Shared by [[register]] and [[graft.GraftExtensions]]. */
+  private[graft] def maxSimBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    if (exprs.length != 4) throw new IllegalArgumentException(
+      "max_sim(q, d, tokens, dim) takes exactly 4 arguments")
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+               name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+            v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"max_sim: $name must be an INT literal (the loops specialize at " +
+          s"plan time), got $other")
+    }
+    MaxSimExpr(exprs(0), exprs(1),
+      intLit(exprs(2), "tokens"), intLit(exprs(3), "dim"))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mqtt_matches", exprs => MqttMatchesExpr(exprs(0), exprs(1)), "built-in")
@@ -125,6 +145,8 @@ object GraftFunctions {
       "decode_cdc_msg", exprs => DecodeCdcMsgExpr(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mqtt_dispatch", dispatchBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "max_sim", maxSimBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fps",
       exprs => WinnowFpsExpr(exprs(0), graft.llm.HashDedup.shingleKernel), "built-in")

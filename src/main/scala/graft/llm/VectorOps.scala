@@ -104,6 +104,46 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Candidate-pool depth of the two-stage retrieve-then-rerank
+    * pipeline ([[maxsimRerank]]). */
+  private val MsRerankDepth = 20
+
+  /** TWO-STAGE RETRIEVAL, graded — the composition a production stack
+    * actually deploys (and what [[maxsimTopk]]'s scaladoc names as the
+    * scale path): a cheap single-vector dense retriever cuts the corpus
+    * to a [[MsRerankDepth]]-deep candidate pool per query, then the
+    * late-interaction MaxSim kernel re-ranks ONLY the survivors. The
+    * emitted `dense_rank` column carries each winner's position in the
+    * retriever's own ordering, so the grade proves the re-rank
+    * genuinely reorders the pool rather than passing it through.
+    *
+    * Scale shape: stage 1 is the brute-force cosine here (at corpus
+    * scale it is the IVF-PQ index — same contract: a per-query
+    * candidate pool), stage 2's cost is |queries|·depth kernel calls —
+    * independent of corpus size. Both stages' arithmetic is VERBATIM
+    * their standalone graded forms, and the twin composes the same two
+    * SQL stages, so the composition itself is what this row grades. */
+  def maxsimRerank(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("n2"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val wDense = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
+    val cands = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("drk", row_number().over(wDense).cast("long"))
+      .filter(col("drk") <= MsRerankDepth)
+    val wMs = Window.partitionBy(col("qid")).orderBy(col("ms_q").desc, col("vec_id"))
+    cands
+      .withColumn("ms_q", graft.functions.GraftFunctions
+        .max_sim(col("qv"), col("v"), MsTokens, MsDim))
+      .withColumn("rank", row_number().over(wMs).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        round(col("ms_q").cast("double") / 1e6d, 6).as("maxsim"),
+        col("drk").as("dense_rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** 8 deterministic pseudo-random hyperplanes (seed 77), coordinates
     * rounded to 6 decimals so the literal parses to the identical double
     * on both engines. */
@@ -1571,6 +1611,7 @@ object VectorOps {
     "kmeans_step" -> (kmeansStep _),
     "cos_topk"    -> (cosTopk _),
     "maxsim_topk" -> (maxsimTopk _),
+    "maxsim_rerank" -> (maxsimRerank _),
     "ann_buckets" -> (annBuckets _),
     "ann_topk"    -> (annTopk _),
     "ann_ivf"     -> (annIvf _),
@@ -1954,6 +1995,20 @@ object VectorOps {
        |      WHERE c.vec_id != p.qid $extraWhere GROUP BY 1, 2)""".stripMargin
 
   private val IvfAdcRanked = ivfAdcRanked()
+
+  /** The maxsim twins' unrolled 16×16 integer interaction grid over
+    * columns `qv`/`v`: greatest over document tokens of each
+    * floor-quantized slice dot, summed over query tokens — the exact
+    * arithmetic [[graft.functions.MaxSimExpr]] fuses into two loops. */
+  private val MsScoreSql: String =
+    (0 until MsTokens).map { i =>
+      val terms = (0 until MsTokens).map { j =>
+        val prods = (0 until MsDim).map(k =>
+          s"qv[${i * MsDim + k + 1}] * v[${j * MsDim + k + 1}]").mkString(" + ")
+        s"CAST(floor(($prods) * 1000000) AS BIGINT)"
+      }.mkString(", ")
+      s"greatest($terms)"
+    }.mkString("\n        + ")
 
   /** Twin of the STREAMING-maintained store
     * ([[graft.stream.StreamGrade]]'s `emb_stream_maintained`): the
@@ -2422,16 +2477,8 @@ object VectorOps {
 
     // late interaction: the unrolled 16x16 integer interaction grid —
     // greatest over document tokens of each quantized slice dot, summed
-    // over query tokens — exactly the expression tree the engine codegens
-    "maxsim_topk" -> {
-      val score = (0 until MsTokens).map { i =>
-        val terms = (0 until MsTokens).map { j =>
-          val prods = (0 until MsDim).map(k =>
-            s"qv[${i * MsDim + k + 1}] * v[${j * MsDim + k + 1}]").mkString(" + ")
-          s"CAST(floor(($prods) * 1000000) AS BIGINT)"
-        }.mkString(", ")
-        s"greatest($terms)"
-      }.mkString("\n        + ")
+    // over query tokens — exactly the arithmetic the engine kernel fuses
+    "maxsim_topk" ->
       s"""WITH $VecCte,
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NQueries)
          |SELECT qid, vec_id, rank, round(CAST(ms_q AS DOUBLE) / 1000000, 6) AS maxsim
@@ -2439,10 +2486,33 @@ object VectorOps {
          |  SELECT qid, vec_id, ms_q,
          |         CAST(row_number() OVER (PARTITION BY qid ORDER BY ms_q DESC, vec_id) AS BIGINT) AS rank
          |  FROM (SELECT qid, vec_id,
-         |        $score AS ms_q
+         |        $MsScoreSql AS ms_q
          |        FROM e CROSS JOIN q WHERE vec_id != qid))
-         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
-    },
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the two-stage production pipeline: dense cosine retrieves the
+    // top-20 candidate pool, MaxSim re-ranks the survivors — both
+    // stages' arithmetic identical to their standalone twins
+    "maxsim_rerank" ->
+      s"""WITH $VecCte,
+         |q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id < $NQueries),
+         |cand AS (
+         |  SELECT qid, vec_id, qv, v, drk FROM (
+         |    SELECT qid, vec_id, qv, v,
+         |           CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS drk
+         |    FROM (SELECT qid, vec_id, qv, v,
+         |                 list_dot_product(qv, v) / (sqrt(qn2) * sqrt(n2)) AS cos_raw
+         |          FROM q JOIN e ON vec_id != qid))
+         |  WHERE drk <= $MsRerankDepth)
+         |SELECT qid, vec_id, rank, round(CAST(ms_q AS DOUBLE) / 1000000, 6) AS maxsim,
+         |       drk AS dense_rank
+         |FROM (
+         |  SELECT qid, vec_id, drk, ms_q,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY ms_q DESC, vec_id) AS BIGINT) AS rank
+         |  FROM (SELECT qid, vec_id, drk,
+         |        $MsScoreSql AS ms_q
+         |        FROM cand))
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "ann_buckets" ->
       s"""WITH $VecCte, $SigCte

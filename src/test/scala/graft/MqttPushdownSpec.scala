@@ -104,6 +104,23 @@ class MqttPushdownSpec extends AnyFunSuite {
       .collect().head.isNullAt(0))
     assert(spark.sql("SELECT dot_product(array(1.0d), array(3.0d, 4.0d))")
       .collect().head.isNullAt(0))
+    // max_sim: 2 tokens x 2 dims — token grids ((1,0),(0,1)) vs
+    // ((0,2),(3,0)): q-token 1 best-matches d-token 2 (dot 3), q-token 2
+    // best-matches d-token 1 (dot 2) -> floor(5e6) total
+    val ms = spark.sql(
+      "SELECT max_sim(array(1.0d, 0.0d, 0.0d, 1.0d), " +
+        "array(0.0d, 2.0d, 3.0d, 0.0d), 2, 2)")
+      .collect().head.getLong(0)
+    assert(ms === 5000000L)
+    // wrong length -> NULL; non-literal grid shape refused at plan time
+    assert(spark.sql(
+      "SELECT max_sim(array(1.0d, 2.0d), array(3.0d, 4.0d), 2, 2)")
+      .collect().head.isNullAt(0))
+    val bad = intercept[Exception] {
+      spark.sql("SELECT max_sim(array(1.0d), array(1.0d), CAST(rand() AS INT), 1)")
+        .collect()
+    }
+    assert(bad.getMessage.contains("INT literal"))
   }
 
   test("BusPartitionPruning: a PLAIN mqtt filter over the partitioned layout " +

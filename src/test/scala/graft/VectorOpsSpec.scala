@@ -371,6 +371,29 @@ class VectorOpsSpec extends AnyFunSuite {
       got.map(_.toString).toSeq)
   }
 
+  test("r12: maxsim_rerank — every winner comes from the dense top-20 pool, " +
+      "the re-rank genuinely reorders it, scores match the standalone kernel") {
+    import org.apache.spark.sql.functions._
+    val got = VectorOps.maxsimRerank(spark, sf).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(2))).toSet ===
+      (for (q <- 0L until 5L; r <- 1L to 3L) yield (q, r)).toSet)
+    // candidate containment: dense_rank is the retriever's own position
+    assert(got.forall(r => r.getLong(4) >= 1L && r.getLong(4) <= 20L))
+    // the re-rank must not be a pass-through of the dense order: some
+    // winner sits deeper than rank 3 in the retriever's list
+    assert(got.exists(_.getLong(4) > 3L),
+      "re-rank returned the dense top-3 — stage 2 inert?")
+    // stage-2 scores equal the full-corpus kernel's scores wherever the
+    // same (qid, vec_id) pair also wins in maxsim_topk
+    val full = VectorOps.maxsimTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    got.foreach { r =>
+      full.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(r.getDouble(3) === s, "rerank scored a pair differently")
+      }
+    }
+  }
+
   test("r12: absorbIvfPqAppend — first offer appends, redelivery under the " +
       "same op id is a silent no-op, a new op id still appends") {
     import java.nio.file.Files
