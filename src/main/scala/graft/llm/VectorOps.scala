@@ -144,6 +144,39 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** INDEX-SERVED TWO-STAGE RETRIEVAL, graded — [[maxsimRerank]] with
+    * its stage 1 swapped for the production retriever: the IVF-PQ index
+    * serves a [[MsRerankDepth]]-deep ADC candidate pool per query (the
+    * corpus is read as codes, never as raw vectors), then the candidate
+    * pool ALONE joins back to the embedding table for the raw token
+    * grids the MaxSim kernel needs — |queries|·depth rows, broadcast —
+    * and re-ranks. This is the full billion-vector serving shape:
+    * index scan → tiny exact-rerank fetch → kernel; the raw-vector
+    * fetch cost is bounded by the pool, not the corpus. The `adc_rank`
+    * column carries each winner's index-stage position, grading that
+    * the re-rank genuinely reorders what the index retrieved. */
+  def maxsimRerankIvf(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val cents = centroids(e).localCheckpoint(true)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+      .localCheckpoint(true)
+    val cands = ivfAdcServe(q, cents, pqCodesOf(e, cents), depth = MsRerankDepth)
+      .select(col("qid"), col("vec_id"), col("rank").as("adc_rank"))
+    val wMs = Window.partitionBy(col("qid")).orderBy(col("ms_q").desc, col("vec_id"))
+    e.select(col("vec_id"), col("v"))
+      .join(broadcast(cands), "vec_id")
+      .join(broadcast(q.select(col("qid"), col("qv"))), "qid")
+      .withColumn("ms_q", graft.functions.GraftFunctions
+        .max_sim(col("qv"), col("v"), MsTokens, MsDim))
+      .withColumn("rank", row_number().over(wMs).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        round(col("ms_q").cast("double") / 1e6d, 6).as("maxsim"),
+        col("adc_rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** 8 deterministic pseudo-random hyperplanes (seed 77), coordinates
     * rounded to 6 decimals so the literal parses to the identical double
     * on both engines. */
@@ -893,7 +926,8 @@ object VectorOps {
     * index (cents + codes) is DATA here, which is exactly what makes it
     * persistable. */
   private def ivfAdcServe(q: DataFrame, cents: DataFrame,
-                          codes: DataFrame, nprobe: Int = 2): DataFrame = {
+                          codes: DataFrame, nprobe: Int = 2,
+                          depth: Int = 3): DataFrame = {
     val wCells = Window.partitionBy(col("qid")).orderBy(col("cellcos").desc, col("cell"))
     val probed = q.crossJoin(broadcast(cents))
       .withColumn("cellcos",
@@ -914,7 +948,7 @@ object VectorOps {
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("d2q")).as("adc_q"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= depth)
       .withColumn("adc", round(col("adc_q").cast("double") / 1e6d, 6))
       .select(col("qid"), col("vec_id"), col("rank"), col("adc"))
       .orderBy(col("qid"), col("rank"))
@@ -1612,6 +1646,7 @@ object VectorOps {
     "cos_topk"    -> (cosTopk _),
     "maxsim_topk" -> (maxsimTopk _),
     "maxsim_rerank" -> (maxsimRerank _),
+    "maxsim_rerank_ivf" -> (maxsimRerankIvf _),
     "ann_buckets" -> (annBuckets _),
     "ann_topk"    -> (annTopk _),
     "ann_ivf"     -> (annIvf _),
@@ -2219,6 +2254,27 @@ object VectorOps {
          |       round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 4) AS recall
          |FROM exact x LEFT JOIN approx a ON x.qid = a.qid AND x.vec_id = a.vec_id
          |GROUP BY 1 ORDER BY qid""".stripMargin,
+
+    // index-served two-stage retrieval: the shared ADC chain cut at
+    // depth 20 feeds the identical unrolled MaxSim grid — the
+    // composition itself is what the row grades
+    "maxsim_rerank_ivf" ->
+      s"""WITH $IvfAdcCtes,
+         |cand AS (SELECT qid, vec_id, rank AS adc_rank FROM ($IvfAdcRanked)
+         |         WHERE rank <= $MsRerankDepth),
+         |pair AS (SELECT c.qid AS qid, c.vec_id AS vec_id, c.adc_rank AS adc_rank,
+         |                q.qv AS qv, e.v AS v
+         |         FROM cand c JOIN e ON e.vec_id = c.vec_id
+         |         JOIN q ON q.qid = c.qid)
+         |SELECT qid, vec_id, rank, round(CAST(ms_q AS DOUBLE) / 1000000, 6) AS maxsim,
+         |       adc_rank
+         |FROM (
+         |  SELECT qid, vec_id, adc_rank, ms_q,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY ms_q DESC, vec_id) AS BIGINT) AS rank
+         |  FROM (SELECT qid, vec_id, adc_rank,
+         |        $MsScoreSql AS ms_q
+         |        FROM pair))
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // the persisted artifact must answer exactly like the inline index:
     // same twin, so the hash proves the persist->load round trip

@@ -1343,6 +1343,47 @@ object RelQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .orderBy(col("hr"), col("event_type"))
 
+  /** TIME-SERIES SIMILARITY SEARCH — the distributed-similarity family
+    * the retrieved corpus centers on (EDBT'19 streaming similarity,
+    * ICDE'21 distributed top-k trajectory similarity), over the bus:
+    * each user's activity reads as a 24-point hourly value series —
+    * per (user, hour), Σ floor(100·value) with the quantization applied
+    * PER ROW, BEFORE the sum, so the series is exact integers and
+    * reduction order cannot perturb it on either engine — densified to
+    * all 24 hours, and each of the 5 query users ranks every other
+    * user by squared L2 distance over the aligned series (integer
+    * arithmetic end to end, user-id tie-break).
+    *
+    * Scale shape: the series build is one partial-aggregated groupBy;
+    * the sparse series frame checkpoints ONCE (|users|·≤24 rows — the
+    * corpus-sized events table never re-enters the plan) and the query
+    * side is ≤5·24 rows BROADCAST onto it (map-side (x−qx)² partials —
+    * never a shuffle keyed on the 24-value hour column). At corpus
+    * scale the candidate set would first be cut by an LSH over series
+    * shape exactly as the ANN family buckets embeddings; the
+    * brute-force form graded here is that audit's exact ground truth. */
+  def tsUserSimilarity(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.events(s, d)
+      .groupBy(col("user_id"), hour(col("ts")).cast("int").as("h"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
+      .localCheckpoint(true)
+    val hours = s.range(24).select(col("id").cast("int").as("h"))
+    val dense = x.select(col("user_id")).distinct().crossJoin(broadcast(hours))
+      .join(x, Seq("user_id", "h"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val q = dense.filter(col("user_id") < 5)
+      .select(col("user_id").as("qid"), col("h"), col("x").as("qx"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("user_id"))
+    dense.join(broadcast(q), Seq("h"))
+      .filter(col("user_id") =!= col("qid"))
+      .groupBy(col("qid"), col("user_id"))
+      .agg(sum((col("x") - col("qx")) * (col("x") - col("qx"))).as("d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("user_id"), col("rank"), col("d2"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Cohort retention matrix: users grouped by first-active day, counted
     * on each later active day — the engagement-decay table every product
     * and data-collection pipeline reads. One (user, day) distinct
@@ -2331,6 +2372,7 @@ object RelQueries {
     // sketches aren't bit-reproducible cross-engine, so the graded
     // surface is their hash-checked *_bound twins + QueriesSpec
     "hourly_profile"     -> (hourlyProfile _),
+    "ts_user_similarity" -> (tsUserSimilarity _),
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),
     "user_features"      -> (userFeatures _),
@@ -2775,6 +2817,30 @@ object RelQueries {
       """SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr, event_type,
         |       count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+
+    // time-series similarity: per-row floor quantization BEFORE the sum
+    // keeps the 24-point series exact integers on both engines; the L2
+    // ranking is therefore reduction-order-free
+    "ts_user_similarity" ->
+      """WITH xr AS (
+        |  SELECT user_id, CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h,
+        |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |hours AS (SELECT CAST(range AS INT) AS h FROM range(24)),
+        |dense AS (
+        |  SELECT u.user_id, hours.h, COALESCE(xr.x, 0) AS x
+        |  FROM (SELECT DISTINCT user_id FROM xr) u
+        |  CROSS JOIN hours
+        |  LEFT JOIN xr ON xr.user_id = u.user_id AND xr.h = hours.h),
+        |q AS (SELECT user_id AS qid, h, x AS qx FROM dense WHERE user_id < 5)
+        |SELECT qid, user_id, rank, d2 FROM (
+        |  SELECT qid, user_id,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY d2, user_id) AS BIGINT) AS rank,
+        |         d2
+        |  FROM (SELECT qid, user_id, CAST(sum((x - qx) * (x - qx)) AS BIGINT) AS d2
+        |        FROM dense JOIN q USING (h)
+        |        WHERE user_id != qid GROUP BY 1, 2))
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "dau_wau" ->
       """WITH ud AS (

@@ -394,6 +394,19 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("r12: maxsim_rerank_ivf — the index serves the pool (adc_rank in " +
+      "[1, 20]), the re-rank reorders it, and only the pool is re-scored") {
+    val got = VectorOps.maxsimRerankIvf(spark, sf).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(2))).toSet ===
+      (for (q <- 0L until 5L; r <- 1L to 3L) yield (q, r)).toSet)
+    assert(got.forall(r => r.getLong(4) >= 1L && r.getLong(4) <= 20L))
+    assert(got.exists(_.getLong(4) > 3L),
+      "re-rank returned the ADC top-3 — stage 2 inert?")
+    // determinism across reruns (both stages integer-exact)
+    assert(VectorOps.maxsimRerankIvf(spark, sf).collect().map(_.toString).toSeq
+      === got.map(_.toString).toSeq)
+  }
+
   test("r12: absorbIvfPqAppend — first offer appends, redelivery under the " +
       "same op id is a silent no-op, a new op id still appends") {
     import java.nio.file.Files
