@@ -1366,7 +1366,21 @@ object RelQueries {
     val x = Tables.events(s, d)
       .groupBy(col("user_id"), hour(col("ts")).cast("int").as("h"))
       .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
-      .localCheckpoint(true)
+    tsRankFromSeries(s, x)
+  }
+
+  /** The densify-and-rank tail of the time-series search, shared
+    * verbatim by the batch operator ([[tsUserSimilarity]]) and the
+    * stream-maintained state grade (`cdc_stream_ts_sim` in
+    * [[graft.stream.StreamGrade]]): the sparse (user_id, h, x) integer
+    * series densifies to all 24 hours and every user ranks against the
+    * 5 query users by squared L2. */
+  private[graft] def tsRankFromSeries(s: SparkSession, xRaw: DataFrame): DataFrame = {
+    // checkpoint the sparse series: |users|·≤24 rows, consumed three
+    // times below (distinct users, the dense join, the query slice) —
+    // and a memory-sink view (the streaming caller) self-joins with
+    // conflicting attribute ids unless re-rooted here
+    val x = xRaw.localCheckpoint(true)
     val hours = s.range(24).select(col("id").cast("int").as("h"))
     val dense = x.select(col("user_id")).distinct().crossJoin(broadcast(hours))
       .join(x, Seq("user_id", "h"), "left")

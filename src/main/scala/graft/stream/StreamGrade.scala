@@ -83,7 +83,8 @@ object StreamGrade {
     // bus replay, no transformWithState (default state provider)
     (Set("cdc_stream_counters", "cdc_stream_retained", "cdc_stream_tumbling",
          "cdc_stream_sliding", "cdc_stream_sessions", "cdc_stream_dedup",
-         "cdc_stream_enrich", "cdc_stream_asof", "cdc_stream_capture"), false),
+         "cdc_stream_enrich", "cdc_stream_asof", "cdc_stream_capture",
+         "cdc_stream_ts_sim"), false),
     // bus replay, transformWithState (RocksDB)
     (Set("cdc_stream_scd2", "cdc_stream_gaps", "cdc_stream_rpc",
          "cdc_stream_take", "cdc_stream_user_features",
@@ -330,6 +331,25 @@ object StreamGrade {
         .join(broadcast(counts), Seq("pattern"), "left")
         .select(col("sub"), coalesce(col("received"), lit(0L)).as("received"))
         .orderBy(col("sub"))
+    }
+
+  /** STREAMING time-series similarity state (the EDBT'19 setting: the
+    * series index lives in the stream processor): the per-(user, hour)
+    * integer series `ts_user_similarity` searches is MAINTAINED LIVE —
+    * a complete-mode aggregation revising across the three
+    * micro-batches, exact because the per-row floor quantization
+    * commutes with the running sum — and the FINAL state serves the
+    * identical top-3 ranking through the shared densify-and-rank tail.
+    * Twin: ts_user_similarity's, verbatim — the hash proves the live
+    * state equals the batch-built series to the last integer. */
+  def streamTsSim(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val series = runToSink(s,
+        busStream
+          .groupBy(col("user_id"), hour(col("ts")).cast("int").as("h"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("x")),
+        "complete", "stream_ts_sim")
+      graft.rel.RelQueries.tsRankFromSeries(s, series)
     }
 
   /** STREAMING retained-message cache, graded: the last-value cache a
@@ -1241,6 +1261,7 @@ object StreamGrade {
     "doc_stream_logreg"        -> (streamLogreg _),
     "cdc_stream_rpc"      -> (streamRpc _),
     "cdc_stream_counters" -> (streamCounters _),
+    "cdc_stream_ts_sim"   -> (streamTsSim _),
     "cdc_stream_retained" -> (streamRetained _),
     "cdc_stream_scd2"     -> (streamScd2 _),
     "cdc_stream_gaps"     -> (streamGaps _),
@@ -1634,6 +1655,10 @@ object StreamGrade {
          |FROM (VALUES ${graft.cdc.CdcBus.subs.map { case (n, p) => s"('$n', '${rx(p)}')" }.mkString(", ")}) pats(sub, pat_rx)
          |LEFT JOIN ev ON regexp_matches(ev.channel, pats.pat_rx)
          |GROUP BY sub ORDER BY sub""".stripMargin,
+
+    // the live-maintained series must serve exactly the batch search:
+    // ts_user_similarity's twin, verbatim
+    "cdc_stream_ts_sim" -> graft.rel.RelQueries.oracle("ts_user_similarity"),
 
     "cdc_stream_retained" ->
       s"""${Tables.BusCte}

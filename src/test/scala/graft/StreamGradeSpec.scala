@@ -424,6 +424,14 @@ class StreamGradeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got === want)
   }
 
+  test("cdc_stream_ts_sim: the live-maintained hourly series serves the " +
+      "identical top-3 the batch search computes, across 3 micro-batches") {
+    val got = rows(StreamGrade.streamTsSim(spark, dir))
+    assert(StreamGrade.batchCount("stream_ts_sim") === 3)
+    val want = rows(graft.rel.RelQueries.queries("ts_user_similarity")(spark, dir))
+    assert(got.nonEmpty && got === want)
+  }
+
   test("emb_stream_maintained: micro-batch appends build the same index a " +
       "frozen-codebook rebuild would, and a REPLAYED stream is absorbed by " +
       "the journal — the second run serves identical rows") {
