@@ -1376,15 +1376,7 @@ object RelQueries {
     * series densifies to all 24 hours and every user ranks against the
     * 5 query users by squared L2. */
   private[graft] def tsRankFromSeries(s: SparkSession, xRaw: DataFrame): DataFrame = {
-    // checkpoint the sparse series: |users|·≤24 rows, consumed three
-    // times below (distinct users, the dense join, the query slice) —
-    // and a memory-sink view (the streaming caller) self-joins with
-    // conflicting attribute ids unless re-rooted here
-    val x = xRaw.localCheckpoint(true)
-    val hours = s.range(24).select(col("id").cast("int").as("h"))
-    val dense = x.select(col("user_id")).distinct().crossJoin(broadcast(hours))
-      .join(x, Seq("user_id", "h"), "left")
-      .withColumn("x", coalesce(col("x"), lit(0L)))
+    val dense = tsDense(s, xRaw)
     val q = dense.filter(col("user_id") < 5)
       .select(col("user_id").as("qid"), col("h"), col("x").as("qx"))
     val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("user_id"))
@@ -1396,6 +1388,81 @@ object RelQueries {
       .filter(col("rank") <= 3)
       .select(col("qid"), col("user_id"), col("rank"), col("d2"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The densified 24-hour integer series frame (user_id, h, x) shared
+    * by the rank tail and the prune audit. The sparse input checkpoints
+    * first: it is consumed twice below (distinct users, the dense
+    * join), and a memory-sink view (the streaming caller) self-joins
+    * with conflicting attribute ids unless re-rooted; the dense result
+    * checkpoints too (|users|·24 rows) so downstream consumers never
+    * replay the densify. */
+  private[graft] def tsDense(s: SparkSession, xRaw: DataFrame): DataFrame = {
+    val x = xRaw.localCheckpoint(true)
+    val hours = s.range(24).select(col("id").cast("int").as("h"))
+    x.select(col("user_id")).distinct().crossJoin(broadcast(hours))
+      .join(x, Seq("user_id", "h"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .localCheckpoint(true)
+  }
+
+  /** METRIC-SPACE PRUNE AUDIT for the time-series search (the REPOSE
+    * local-reference-point discipline, priced before deploying at
+    * corpus scale): pick 3 REFERENCE SERIES from the corpus itself (the
+    * three smallest user ids ≥ 10 — deterministic and present at every
+    * scale), precompute every user's L1 distance to each (3 integers
+    * per series — the index), and for each query count how many
+    * candidates the triangle-inequality lower bound
+    * maxᵣ |L1(u,r) − L1(q,r)| > τ eliminates, where τ is the query's
+    * exact 3rd-nearest L1 distance. A candidate pruned this way can
+    * NEVER be top-3 (each bound ≤ the true distance — exact in
+    * integers, L1 obeys the triangle inequality), so the reported
+    * fraction is pure saved work at zero recall loss — the `lsh_plan`
+    * pre-flight discipline applied to metric search, and like that
+    * audit its VERDICT is data: on this corpus of near-random series
+    * the rate is small (the curse of dimensionality — brute force wins
+    * here), which is exactly what the audit exists to reveal before
+    * anyone builds the index. All arithmetic integer (L1, not L2: the
+    * triangle inequality must hold on the distance itself, and L1 of
+    * integer series stays integer where √L2 would not). */
+  def tsPruneAudit(s: SparkSession, d: String): DataFrame = {
+    val dense = tsDense(s, Tables.events(s, d)
+      .groupBy(col("user_id"), hour(col("ts")).cast("int").as("h"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("x")))
+    val refIds = dense.select(col("user_id")).filter(col("user_id") >= 10)
+      .distinct().orderBy(col("user_id")).limit(3)
+      .select(col("user_id").as("rid"))
+    val refs = dense.join(broadcast(refIds), col("user_id") === col("rid"))
+      .select(col("rid"), col("h"), col("x").as("rx"))
+    val vp = dense.join(broadcast(refs), "h")
+      .groupBy(col("user_id"), col("rid"))
+      .agg(sum(abs(col("x") - col("rx"))).as("vd"))
+      .localCheckpoint(true)
+    val q = dense.filter(col("user_id") < 5)
+      .select(col("user_id").as("qid"), col("h"), col("x").as("qx"))
+    val dist = dense.join(broadcast(q), Seq("h"))
+      .filter(col("user_id") =!= col("qid"))
+      .groupBy(col("qid"), col("user_id"))
+      .agg(sum(abs(col("x") - col("qx"))).as("l1"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("l1"), col("user_id"))
+    val tau = dist.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 3).select(col("qid"), col("l1").as("tau"))
+    val bound = dist.select(col("qid"), col("user_id"))
+      .join(broadcast(vp), "user_id")
+      .join(broadcast(vp.select(col("user_id").as("qid"), col("rid"),
+        col("vd").as("qvd"))), Seq("qid", "rid"))
+      .groupBy(col("qid"), col("user_id"))
+      .agg(max(abs(col("vd") - col("qvd"))).as("lb"))
+    bound
+      .join(broadcast(tau), "qid")
+      .groupBy(col("qid"), col("tau"))
+      .agg(count(lit(1)).as("n_cand"),
+           sum(when(col("lb") > col("tau"), 1L).otherwise(0L)).as("n_pruned"))
+      .withColumn("prune_pct",
+        round(col("n_pruned").cast("double") / col("n_cand"), 4))
+      .select(col("qid"), col("tau"), col("n_cand"), col("n_pruned"),
+        col("prune_pct"))
+      .orderBy(col("qid"))
   }
 
   /** Cohort retention matrix: users grouped by first-active day, counted
@@ -2387,6 +2454,7 @@ object RelQueries {
     // surface is their hash-checked *_bound twins + QueriesSpec
     "hourly_profile"     -> (hourlyProfile _),
     "ts_user_similarity" -> (tsUserSimilarity _),
+    "ts_prune_audit"     -> (tsPruneAudit _),
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),
     "user_features"      -> (userFeatures _),
@@ -2855,6 +2923,49 @@ object RelQueries {
         |        FROM dense JOIN q USING (h)
         |        WHERE user_id != qid GROUP BY 1, 2))
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // local-reference-point prune audit: 3 corpus series as reference
+    // points, lower bound max_r |L1(u,r) - L1(q,r)| vs the exact
+    // 3rd-NN distance tau — integer L1 end to end
+    "ts_prune_audit" ->
+      """WITH xr AS (
+        |  SELECT user_id, CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h,
+        |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |hours AS (SELECT CAST(range AS INT) AS h FROM range(24)),
+        |dense AS (
+        |  SELECT u.user_id, hours.h, COALESCE(xr.x, 0) AS x
+        |  FROM (SELECT DISTINCT user_id FROM xr) u
+        |  CROSS JOIN hours
+        |  LEFT JOIN xr ON xr.user_id = u.user_id AND xr.h = hours.h),
+        |refids AS (SELECT DISTINCT user_id AS rid FROM dense
+        |           WHERE user_id >= 10 ORDER BY rid LIMIT 3),
+        |refs AS (SELECT rid, h, x AS rx FROM dense
+        |         JOIN refids ON user_id = rid),
+        |vp AS (SELECT user_id, rid, CAST(sum(abs(x - rx)) AS BIGINT) AS vd
+        |       FROM dense JOIN refs USING (h) GROUP BY 1, 2),
+        |q AS (SELECT user_id AS qid, h, x AS qx FROM dense WHERE user_id < 5),
+        |dist AS (SELECT qid, user_id, CAST(sum(abs(x - qx)) AS BIGINT) AS l1
+        |         FROM dense JOIN q USING (h)
+        |         WHERE user_id != qid GROUP BY 1, 2),
+        |tau AS (SELECT qid, l1 AS tau FROM (
+        |          SELECT qid, l1,
+        |                 row_number() OVER (PARTITION BY qid ORDER BY l1, user_id) AS rk
+        |          FROM dist) WHERE rk = 3),
+        |bound AS (
+        |  SELECT d.qid AS qid, d.user_id AS user_id,
+        |         CAST(max(abs(vp.vd - qv.vd)) AS BIGINT) AS lb
+        |  FROM dist d
+        |  JOIN vp ON vp.user_id = d.user_id
+        |  JOIN vp qv ON qv.user_id = d.qid AND qv.rid = vp.rid
+        |  GROUP BY 1, 2)
+        |SELECT bound.qid AS qid, tau.tau AS tau,
+        |       count(*) AS n_cand,
+        |       CAST(sum(CASE WHEN lb > tau.tau THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+        |       round(CAST(sum(CASE WHEN lb > tau.tau THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 4) AS prune_pct
+        |FROM bound JOIN tau USING (qid)
+        |GROUP BY 1, 2 ORDER BY qid""".stripMargin,
 
     "dau_wau" ->
       """WITH ud AS (

@@ -119,6 +119,47 @@ class QueriesSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq === got.map(_.toString).toSeq)
   }
 
+  test("r12: ts_prune_audit — replicated in plain Scala: the reference-point " +
+       "lower bound never exceeds the true L1 distance (pruning at tau is " +
+       "recall-lossless) and the graded counts match exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.events(spark, sf)
+      .select(col("user_id"), hour(col("ts")).as("h"),
+        floor(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val series: Map[Long, Array[Long]] = rows.groupBy(_._1).map { case (u, rs) =>
+      val a = Array.fill(24)(0L)
+      rs.foreach { case (_, h, v) => a(h) += v }
+      u -> a
+    }
+    def l1(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+    val users = series.keys.toSeq.sorted
+    val refIds = users.filter(_ >= 10L).take(3)
+    assert(refIds.length === 3, "fixture needs 3 reference users")
+    val vd: Map[Long, Seq[Long]] =
+      users.map(u => u -> refIds.map(r => l1(series(u), series(r)))).toMap
+    val got = graft.rel.RelQueries.queries("ts_prune_audit")(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSeq === (0L until 5L))
+    for (row <- got) {
+      val qid = row.getLong(0)
+      val cands = users.filter(_ != qid)
+      val dists = cands.map(u => u -> l1(series(u), series(qid)))
+      // the triangle-inequality invariant behind recall-lossless pruning
+      dists.foreach { case (u, d) =>
+        val lb = refIds.indices.map(i => math.abs(vd(u)(i) - vd(qid)(i))).max
+        assert(lb <= d, s"bound $lb exceeds true distance $d for ($qid, $u)")
+      }
+      val tau = dists.map(_._2).sorted.apply(2)
+      val pruned = dists.count { case (u, _) =>
+        refIds.indices.map(i => math.abs(vd(u)(i) - vd(qid)(i))).max > tau
+      }
+      assert(row.getLong(1) === tau && row.getLong(2) === cands.length.toLong &&
+        row.getLong(3) === pruned.toLong,
+        s"audit row mismatch for query $qid")
+    }
+  }
+
   test("r12: graphCache revalidates the input-table fingerprint — a dir " +
        "rewritten in-session rebuilds the prep instead of serving stale frames") {
     import org.apache.spark.sql.functions._
