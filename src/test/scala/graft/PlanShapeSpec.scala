@@ -528,6 +528,41 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       }
   }
 
+  test("r12: maxsim + ts-similarity plan shapes — the fused kernel scores " +
+      "above a broadcast query side, the map-side WindowGroupLimit cuts " +
+      "before the exchange, no exchange carries raw vectors, and the ts " +
+      "plans never rescan a table") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def vectorFreeExchanges(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      collectWithSubqueries(df.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec => e.child.output.map(_.name.toLowerCase)
+      }.foreach(cols =>
+        assert(!cols.contains("v") && !cols.contains("qv") && !cols.contains("embedding"),
+          s"$name: an exchange carries raw vectors: $cols"))
+    val topk = graft.llm.VectorOps.maxsimTopk(spark, sfDir)
+    topk.collect()
+    val tp = topk.queryExecution.executedPlan.toString
+    assert(tp.contains("max_sim"), s"fused kernel missing from plan:\n$tp")
+    assert(tp.contains("BroadcastExchange"), s"query side not broadcast:\n$tp")
+    assert(tp.contains("WindowGroupLimit"), s"no map-side top-k cut:\n$tp")
+    vectorFreeExchanges(topk, "maxsim_topk")
+    val rr = graft.llm.VectorOps.maxsimRerankIvf(spark, sfDir)
+    rr.collect()
+    val rp = rr.queryExecution.executedPlan.toString
+    assert(rp.contains("max_sim"), s"rerank kernel missing:\n$rp")
+    assert(!rp.contains("CartesianProduct"), s"cartesian in rerank:\n$rp")
+    vectorFreeExchanges(rr, "maxsim_rerank_ivf")
+    // the ts queries: everything derives from the checkpointed series —
+    // the events table must never re-enter the executed plan
+    for (q <- Seq("ts_user_similarity", "ts_prune_audit")) {
+      val df = graft.rel.RelQueries.queries(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Scan parquet"), s"$q rescans a table:\n$p")
+      assert(p.contains("BroadcastExchange"), s"$q: query side not broadcast:\n$p")
+    }
+  }
+
   test("r12: graph fixed-point headroom guard is executable — an " +
       "adversarially weighted graph fails loudly at prep time") {
     // the graded corpus sits orders of magnitude inside the bound
