@@ -1262,6 +1262,26 @@ object RelQueries {
       .orderBy(col("event_id"))
   }
 
+  /** KEYLESS range join through [[RangeJoin.pointInInterval]], graded:
+    * per corpus day, every event (ANY user, ANY type — there is no
+    * equi key to save this join) landing in that day's 10:00–14:00
+    * audit window. A naive formulation is a BroadcastNestedLoopJoin —
+    * O(|events|·|days|) — where the binned form is a plain equi join
+    * on the hour bin (plan-asserted BNLJ-free in PlanShapeSpec); the
+    * oracle runs the naive theta join, so the hash proves the binned
+    * rewrite loses and invents nothing, boundaries included. */
+  def rangeJoinBinned(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val wins = ev.select(date_trunc("DAY", col("ts")).as("day")).distinct()
+      .select(col("day"),
+        (col("day") + expr("INTERVAL 10 HOURS")).as("lo"),
+        (col("day") + expr("INTERVAL 14 HOURS")).as("hi"))
+    RangeJoin.pointInInterval(ev, "ts", wins, "lo", "hi", binSeconds = 3600L)
+      .groupBy(col("day").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("day"))
+  }
+
   /** Fixed-width histogram: floor-binning on the value column — integer
     * bucket ids, so the grouping is bit-exact cross-engine. */
   def valueHist(s: SparkSession, d: String): DataFrame =
@@ -2455,6 +2475,7 @@ object RelQueries {
     "hourly_profile"     -> (hourlyProfile _),
     "ts_user_similarity" -> (tsUserSimilarity _),
     "ts_prune_audit"     -> (tsPruneAudit _),
+    "range_join_binned"  -> (rangeJoinBinned _),
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),
     "user_features"      -> (userFeatures _),
@@ -3159,6 +3180,20 @@ object RelQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin,
+
+    // the oracle deliberately runs the NAIVE theta join the binned
+    // rewrite replaces — equality proves the rewrite exact
+    "range_join_binned" ->
+      """WITH days AS (
+        |  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        |  FROM events),
+        |wins AS (SELECT day, day + INTERVAL 10 HOUR AS lo,
+        |                day + INTERVAL 14 HOUR AS hi FROM days)
+        |SELECT CAST(day AS DATE) AS day, count(*) AS n,
+        |       round(sum(value), 2) AS total
+        |FROM events JOIN wins
+        |  ON CAST(ts AS TIMESTAMP) >= lo AND CAST(ts AS TIMESTAMP) < hi
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     "ev_near_purchase" ->
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)

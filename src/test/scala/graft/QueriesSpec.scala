@@ -160,6 +160,48 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("r12: RangeJoin.pointInInterval — matches the naive theta join " +
+       "row-for-row, boundaries are [lo, hi) sub-second-exact, intervals " +
+       "spanning many bins match once, and the plan is nested-loop-free") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark; import spark2.implicits._
+    // synthetic boundary fixture: one interval [10:00, 11:00) over 30-min
+    // bins (spans 3 bin ids), points at lo (in), hi (out), hi - 1ms (in),
+    // mid-bin (in), far outside (out)
+    val iv = Seq(("w1", "2024-01-01 10:00:00", "2024-01-01 11:00:00"))
+      .toDF("w", "lo_s", "hi_s")
+      .select(col("w"), col("lo_s").cast("timestamp").as("lo"),
+        col("hi_s").cast("timestamp").as("hi"))
+    val pts = Seq(
+      ("at_lo", "2024-01-01 10:00:00"), ("at_hi", "2024-01-01 11:00:00"),
+      ("pre_hi", "2024-01-01 10:59:59.999"), ("mid", "2024-01-01 10:30:00"),
+      ("far", "2024-01-02 10:30:00")).toDF("p", "ts_s")
+      .select(col("p"), col("ts_s").cast("timestamp").as("pts"))
+    val got = graft.rel.RangeJoin
+      .pointInInterval(pts, "pts", iv, "lo", "hi", binSeconds = 1800L)
+      .select(col("p")).collect().map(_.getString(0)).sorted.toSeq
+    assert(got === Seq("at_lo", "mid", "pre_hi"))
+    // corpus-scale equivalence: binned == naive theta join, exactly
+    val ev = graft.Tables.events(spark, sf)
+    val wins = ev.select(date_trunc("DAY", col("ts")).as("day")).distinct()
+      .select(col("day"), (col("day") + expr("INTERVAL 10 HOURS")).as("lo"),
+        (col("day") + expr("INTERVAL 14 HOURS")).as("hi"))
+    val binned = graft.rel.RangeJoin
+      .pointInInterval(ev, "ts", wins, "lo", "hi", binSeconds = 3600L)
+      .select(col("event_id"), col("day"))
+    val naive = ev.join(wins, col("ts") >= col("lo") && col("ts") < col("hi"))
+      .select(col("event_id"), col("day"))
+    assert(binned.collect().map(_.toString).sorted.toSeq ===
+      naive.collect().map(_.toString).sorted.toSeq)
+    // the whole point: the rewrite must plan as an equi join on the bin
+    val df = graft.rel.RelQueries.queries("range_join_binned")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"binned range join fell back to a nested loop:\n$plan")
+  }
+
   test("r12: graphCache revalidates the input-table fingerprint — a dir " +
        "rewritten in-session rebuilds the prep instead of serving stale frames") {
     import org.apache.spark.sql.functions._
