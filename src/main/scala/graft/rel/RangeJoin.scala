@@ -45,4 +45,32 @@ object RangeJoin {
       .filter(col(pointTs) >= col(lo) && col(pointTs) < col(hi))
       .drop("__bin")
   }
+
+  /** Keyless numeric BAND join: every (left, right) pair with
+    * |leftVal − rightVal| ≤ eps, as an equi join on value bins of width
+    * `eps`. The left row lands in its own bin; the right row explodes
+    * to bin−2 .. bin+2, and a pair still matches EXACTLY once because
+    * the left side occupies a single bin. The exact band predicate then
+    * filters the candidates — false bin candidates are harmless, missed
+    * bins would be silent wrong answers, hence the slack: in exact
+    * arithmetic an in-band pair sits at most ONE bin apart, but each
+    * `floor(v / eps)` carries division rounding that can shift a
+    * boundary value's floor by one (measured: 0.95/0.05 → 18.999…996 →
+    * bin 18 while 1.00/0.05 → 20.000…004 → bin 20, two bins apart at a
+    * razor-exact band edge), so ±2 absorbs one floor-jitter on each
+    * side of the mathematical ±1 (boundary-adversarial property test in
+    * QueriesSpec pins binned ≡ naive). Same scale contract as
+    * [[pointInInterval]]: a hash-partitioned equi join plus per-bin
+    * density instead of the nested-loop product. */
+  def bandJoin(left: DataFrame, leftVal: String,
+               right: DataFrame, rightVal: String, eps: Double): DataFrame = {
+    require(eps > 0d, "band width must be positive")
+    val lb = left.withColumn("__bin", floor(col(leftVal) / eps).cast("long"))
+    val rb = right.withColumn("__bin",
+      explode(array((-2 to 2).map(o =>
+        floor(col(rightVal) / eps).cast("long") + lit(o.toLong)): _*)))
+    lb.join(rb, Seq("__bin"))
+      .filter(abs(col(leftVal) - col(rightVal)) <= eps)
+      .drop("__bin")
+  }
 }

@@ -1282,6 +1282,25 @@ object RelQueries {
       .orderBy(col("day"))
   }
 
+  /** KEYLESS numeric band join through [[RangeJoin.bandJoin]], graded:
+    * per low-id purchase, the count of clicks ANYWHERE in the corpus
+    * whose value sits within ±0.05 of the purchase value (price-echo
+    * detection — no user/equi key relates the sides). Naively a
+    * nested-loop product; binned, an equi join on value bins with the
+    * ±1-bin explode on the click side. Oracle: the naive theta join. */
+  def bandJoinBinned(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase" && col("user_id") < 10)
+      .select(col("event_id").as("pid"), col("value").as("pv"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("value").as("cv"))
+    RangeJoin.bandJoin(p, "pv", c, "cv", eps = 0.05d)
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_close"),
+           round(min(abs(col("pv") - col("cv"))), 4).as("closest"))
+      .orderBy(col("pid"))
+  }
+
   /** Fixed-width histogram: floor-binning on the value column — integer
     * bucket ids, so the grouping is bit-exact cross-engine. */
   def valueHist(s: SparkSession, d: String): DataFrame =
@@ -2476,6 +2495,7 @@ object RelQueries {
     "ts_user_similarity" -> (tsUserSimilarity _),
     "ts_prune_audit"     -> (tsPruneAudit _),
     "range_join_binned"  -> (rangeJoinBinned _),
+    "band_join_binned"   -> (bandJoinBinned _),
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),
     "user_features"      -> (userFeatures _),
@@ -3194,6 +3214,15 @@ object RelQueries {
         |FROM events JOIN wins
         |  ON CAST(ts AS TIMESTAMP) >= lo AND CAST(ts AS TIMESTAMP) < hi
         |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "band_join_binned" ->
+      """WITH p AS (SELECT event_id AS pid, value AS pv FROM events
+        |           WHERE event_type = 'purchase' AND user_id < 10),
+        |c AS (SELECT value AS cv FROM events WHERE event_type = 'click')
+        |SELECT pid, count(*) AS n_close,
+        |       round(min(abs(pv - cv)), 4) AS closest
+        |FROM p JOIN c ON abs(pv - cv) <= 0.05
+        |GROUP BY pid ORDER BY pid""".stripMargin,
 
     "ev_near_purchase" ->
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)

@@ -200,6 +200,42 @@ class QueriesSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
       s"binned range join fell back to a nested loop:\n$plan")
+    // band form, boundary-ADVERSARIAL property: values on and one ulp
+    // around every multiple of eps (the razor edges where FP division
+    // rounding shifts a floor) — binned must equal the naive band join
+    // pair-for-pair, whatever the doubles decide
+    val edge = (-3 to 60).flatMap { k =>
+      val v = k * 0.05d
+      Seq(v, math.nextAfter(v, Double.NegativeInfinity),
+        math.nextAfter(v, Double.PositiveInfinity), v + 0.025d)
+    }.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val lv = edge.toDF("lid", "lv")
+    val rv = edge.map { case (i, v) => (i, v) }.toDF("rid", "rv")
+    val bandGot = graft.rel.RangeJoin.bandJoin(lv, "lv", rv, "rv", eps = 0.05d)
+      .select(col("lid"), col("rid")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val bandWant = lv.join(rv, abs(col("lv") - col("rv")) <= 0.05d)
+      .select(col("lid"), col("rid")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(bandGot === bandWant,
+      s"binned band join diverges from naive at band edges: " +
+        s"${bandGot.diff(bandWant)} extra, ${bandWant.diff(bandGot)} missing")
+    val pv = ev.filter(col("event_type") === "purchase" && col("user_id") < 10)
+      .select(col("event_id").as("pid"), col("value").as("pv"))
+    val cv = ev.filter(col("event_type") === "click")
+      .select(col("value").as("cv"))
+    val bandBinned = graft.rel.RangeJoin.bandJoin(pv, "pv", cv, "cv", 0.05d)
+      .select(col("pid"), col("cv"))
+    val bandNaive = pv.join(cv, abs(col("pv") - col("cv")) <= 0.05d)
+      .select(col("pid"), col("cv"))
+    assert(bandBinned.collect().map(_.toString).sorted.toSeq ===
+      bandNaive.collect().map(_.toString).sorted.toSeq)
+    val bd = graft.rel.RelQueries.queries("band_join_binned")(spark, sf)
+    bd.collect()
+    val bp = bd.queryExecution.executedPlan.toString
+    assert(!bp.contains("BroadcastNestedLoopJoin") &&
+      !bp.contains("CartesianProduct"),
+      s"binned band join fell back to a nested loop:\n$bp")
   }
 
   test("r12: graphCache revalidates the input-table fingerprint — a dir " +
