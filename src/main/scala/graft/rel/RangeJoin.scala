@@ -46,6 +46,34 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Keyless INTERVAL-OVERLAP join: every (left, right) pair whose
+    * [lo, hi) intervals intersect. BOTH sides explode to their covered
+    * bins, so an overlapping pair meets in every shared bin — the
+    * exactly-once discipline is the CANONICAL-BIN rule (the standard
+    * genomics-overlap-join technique): a match counts only in the bin
+    * containing max(leftLo, rightLo), the first instant of the overlap,
+    * which exists in both sides' bin ranges by construction. No
+    * distinct step, no shuffle of duplicates — the canonical-bin filter
+    * runs right after the exact overlap predicate. Binning is
+    * whole-second integer arithmetic (no FP-jitter slack needed: the
+    * division error is orders of magnitude below the floor spacing for
+    * integer-second inputs). */
+  def intervalOverlap(left: DataFrame, leftLo: String, leftHi: String,
+                      right: DataFrame, rightLo: String, rightHi: String,
+                      binSeconds: Long): DataFrame = {
+    require(binSeconds >= 1L, "bin width must be at least one second")
+    def bin(c: org.apache.spark.sql.Column) =
+      floor(unix_timestamp(c) / binSeconds)
+    val lb = left.withColumn("__bin",
+      explode(sequence(bin(col(leftLo)), bin(col(leftHi)))))
+    val rb = right.withColumn("__bin",
+      explode(sequence(bin(col(rightLo)), bin(col(rightHi)))))
+    lb.join(rb, Seq("__bin"))
+      .filter(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi))
+      .filter(col("__bin") === bin(greatest(col(leftLo), col(rightLo))))
+      .drop("__bin")
+  }
+
   /** Keyless numeric BAND join: every (left, right) pair with
     * |leftVal − rightVal| ≤ eps, as an equi join on value bins of width
     * `eps`. The left row lands in its own bin; the right row explodes

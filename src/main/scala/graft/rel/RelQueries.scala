@@ -1301,6 +1301,30 @@ object RelQueries {
       .orderBy(col("pid"))
   }
 
+  /** KEYLESS interval-overlap join through [[RangeJoin.intervalOverlap]],
+    * graded: per pair of low-id users, how many of their DAILY ACTIVITY
+    * SPANS ([first event, last event) per user-day) intersect — the
+    * concurrent-sessions question, with no equi key relating the two
+    * span sets (the user-pair restriction is a post-join filter, not a
+    * join key). Both span sets explode to hour bins, meet in an equi
+    * join, and the canonical-bin rule keeps each overlapping pair
+    * exactly once; the oracle runs the naive theta join. */
+  def overlapJoinBinned(s: SparkSession, d: String): DataFrame = {
+    val spans = Tables.events(s, d).filter(col("user_id") < 20)
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .localCheckpoint(true)
+    val a = spans.select(col("user_id").as("ua"),
+      col("lo").as("alo"), col("hi").as("ahi"))
+    val b = spans.select(col("user_id").as("ub"),
+      col("lo").as("blo"), col("hi").as("bhi"))
+    RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi", 3600L)
+      .filter(col("ua") < col("ub"))
+      .groupBy(col("ua"), col("ub"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(col("ua"), col("ub"))
+  }
+
   /** Fixed-width histogram: floor-binning on the value column — integer
     * bucket ids, so the grouping is bit-exact cross-engine. */
   def valueHist(s: SparkSession, d: String): DataFrame =
@@ -2496,6 +2520,7 @@ object RelQueries {
     "ts_prune_audit"     -> (tsPruneAudit _),
     "range_join_binned"  -> (rangeJoinBinned _),
     "band_join_binned"   -> (bandJoinBinned _),
+    "overlap_join_binned" -> (overlapJoinBinned _),
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),
     "user_features"      -> (userFeatures _),
@@ -3214,6 +3239,17 @@ object RelQueries {
         |FROM events JOIN wins
         |  ON CAST(ts AS TIMESTAMP) >= lo AND CAST(ts AS TIMESTAMP) < hi
         |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "overlap_join_binned" ->
+      """WITH spans AS (
+        |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |         min(CAST(ts AS TIMESTAMP)) AS lo,
+        |         max(CAST(ts AS TIMESTAMP)) AS hi
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2)
+        |SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS n_overlaps
+        |FROM spans a JOIN spans b
+        |  ON a.lo < b.hi AND b.lo < a.hi AND a.user_id < b.user_id
+        |GROUP BY 1, 2 ORDER BY ua, ub""".stripMargin,
 
     "band_join_binned" ->
       """WITH p AS (SELECT event_id AS pid, value AS pv FROM events

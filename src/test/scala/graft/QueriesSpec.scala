@@ -236,6 +236,50 @@ class QueriesSpec extends AnyFunSuite {
     assert(!bp.contains("BroadcastNestedLoopJoin") &&
       !bp.contains("CartesianProduct"),
       s"binned band join fell back to a nested loop:\n$bp")
+    // interval-overlap form: partial overlap, containment, [lo, hi)
+    // touch-at-boundary excluded, disjoint excluded — and a multi-bin
+    // overlap matched EXACTLY once (the canonical-bin rule)
+    val ivA = Seq(("p", "2024-01-01 10:00:00", "2024-01-01 12:00:00"))
+      .toDF("a", "alo_s", "ahi_s")
+      .select(col("a"), col("alo_s").cast("timestamp").as("alo"),
+        col("ahi_s").cast("timestamp").as("ahi"))
+    val ivB = Seq(
+      ("partial", "2024-01-01 11:00:00", "2024-01-01 13:00:00"),
+      ("contained", "2024-01-01 10:30:00", "2024-01-01 10:45:00"),
+      ("touching", "2024-01-01 12:00:00", "2024-01-01 14:00:00"),
+      ("disjoint", "2024-01-02 10:00:00", "2024-01-02 12:00:00"))
+      .toDF("b", "blo_s", "bhi_s")
+      .select(col("b"), col("blo_s").cast("timestamp").as("blo"),
+        col("bhi_s").cast("timestamp").as("bhi"))
+    val ovGot = graft.rel.RangeJoin
+      .intervalOverlap(ivA, "alo", "ahi", ivB, "blo", "bhi", binSeconds = 1800L)
+      .select(col("b")).collect().map(_.getString(0)).sorted.toSeq
+    assert(ovGot === Seq("contained", "partial"),
+      s"overlap boundary semantics wrong (or a multi-bin dup): $ovGot")
+    // corpus scale: exactly-once pre-aggregation and naive equivalence
+    val spans = ev.filter(col("user_id") < 20)
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .localCheckpoint(true)
+    val sa = spans.select(col("user_id").as("ua"), col("day").as("da"),
+      col("lo").as("alo"), col("hi").as("ahi"))
+    val sb = spans.select(col("user_id").as("ub"), col("day").as("db"),
+      col("lo").as("blo"), col("hi").as("bhi"))
+    val ovBinned = graft.rel.RangeJoin
+      .intervalOverlap(sa, "alo", "ahi", sb, "blo", "bhi", 3600L)
+      .select(col("ua"), col("da"), col("ub"), col("db"))
+    val binRows = ovBinned.collect().map(_.toString).sorted.toSeq
+    assert(binRows === binRows.distinct,
+      "canonical-bin rule failed: an overlapping pair matched twice")
+    val ovNaive = sa.join(sb, col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .select(col("ua"), col("da"), col("ub"), col("db"))
+    assert(binRows === ovNaive.collect().map(_.toString).sorted.toSeq)
+    val od = graft.rel.RelQueries.queries("overlap_join_binned")(spark, sf)
+    od.collect()
+    val op = od.queryExecution.executedPlan.toString
+    assert(!op.contains("BroadcastNestedLoopJoin") &&
+      !op.contains("CartesianProduct"),
+      s"binned overlap join fell back to a nested loop:\n$op")
   }
 
   test("r12: graphCache revalidates the input-table fingerprint — a dir " +
