@@ -111,9 +111,6 @@ object GraftFunctions {
     BottomKByHashAgg(exprs(0), k)
   }
 
-  /** Register graft's functions for SQL usage in the given session
-    * (same set as [[graft.GraftExtensions]], for sessions built without
-    * extension injection). */
   /** SQL builder for max_sim(q, d, tokens, dim): the grid shape must be
     * foldable INT literals — the kernel specializes its loops at plan
     * time. Shared by [[register]] and [[graft.GraftExtensions]]. */
@@ -134,6 +131,9 @@ object GraftFunctions {
       intLit(exprs(2), "tokens"), intLit(exprs(3), "dim"))
   }
 
+  /** Register graft's functions for SQL usage in the given session
+    * (same set as [[graft.GraftExtensions]], for sessions built without
+    * extension injection). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mqtt_matches", exprs => MqttMatchesExpr(exprs(0), exprs(1)), "built-in")

@@ -306,6 +306,16 @@ object HashDedup {
     * probed or retried — only rebuilt. */
   private def writeBandStoreMeta(outPath: String, snapshotDir: String,
                                  fp: String, absorbed: Seq[String]): Unit = {
+    // template-written, regex-read sidecar: restrict ids/paths to a
+    // JSON-safe alphabet so a quote/backslash/']' can never corrupt the
+    // journal the duplicate-append refusal depends on (the
+    // VectorOps.writeIvfPqMeta contract)
+    (Seq("snapshot dir" -> snapshotDir, "fingerprint" -> fp) ++
+      absorbed.map("journal op id" -> _)).foreach { case (kind, v) =>
+      require(v.matches("""[A-Za-z0-9:_\-./ ]*"""),
+        s"$kind '$v' contains characters outside [A-Za-z0-9:_-./ ] — " +
+          "the _built_from.json journal only accepts a JSON-safe alphabet")
+    }
     val abs = absorbed.map(a => s""""$a"""").mkString("[", ",", "]")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath, "_built_from.json"),

@@ -1002,6 +1002,16 @@ object VectorOps {
     * while the fingerprint gate still passed). */
   private def writeIvfPqMeta(outPath: String, snapshotDir: String,
                              fp: String, absorbed: Seq[String]): Unit = {
+    // the sidecar is written by template and read back by regex; a
+    // quote/backslash/']' in an id or path would corrupt it and could
+    // silently defeat the duplicate-append refusal — participants are
+    // restricted to a JSON-safe alphabet instead of escaped
+    (Seq("snapshot dir" -> snapshotDir, "fingerprint" -> fp) ++
+      absorbed.map("journal op id" -> _)).foreach { case (kind, v) =>
+      require(v.matches("""[A-Za-z0-9:_\-./ ]*"""),
+        s"$kind '$v' contains characters outside [A-Za-z0-9:_-./ ] — " +
+          "the _built_from.json journal only accepts a JSON-safe alphabet")
+    }
     val abs = absorbed.map(a => s""""$a"""").mkString("[", ",", "]")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath, "_built_from.json"),
@@ -1272,9 +1282,13 @@ object VectorOps {
   }
 
   /** The slice a CDC delete removes: vec_id ≡ 3 mod 10 — disjoint from
-    * both the query slice (vec_id < 5 at the graded NQueries) and the
-    * append delta (≡ 7 mod 10), so delete-then-append composes cleanly
-    * in specs. */
+    * the append delta (≡ 7 mod 10), so delete-then-append composes
+    * cleanly in specs. It is NOT disjoint from the query slice
+    * (vec_id < 5 at the graded NQueries): vec_id 3 sits in both, so in
+    * the delete grade qid 3 queries an index it was removed from, and
+    * in the upsert grade qid 3 queries with its PRE-update vector
+    * against its own re-encoded (reversed) codes — engine and twin
+    * apply the identical slice rules, so the grades hold either way. */
   private def isDeleteSlice(c: Column): Column = c % 10 === 3
 
   // fingerprint in the key: see ivfPqStoreCache

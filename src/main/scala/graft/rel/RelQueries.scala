@@ -2325,30 +2325,51 @@ object RelQueries {
   // SessionDirCache discipline: a SparkListener evicts the session's
   // entries when its context ends, and every hit revalidates the input
   // tables' fingerprint so a regenerated dir rebuilds in-session.
-  private val graphCache = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, (String, GraphPrep)]]()
-
-  private def purchaseGraph(s: SparkSession, d: String): GraphPrep = {
-    val per = graphCache.computeIfAbsent(s, sess => {
-      sess.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          graphCache.remove(sess); ()
-        }
-      })
-      scala.collection.concurrent.TrieMap.empty[String, (String, GraphPrep)]
-    })
-    val fp = graphFingerprint(d)
-    per.get(d) match {
-      case Some((`fp`, prep)) => prep
-      case stale =>
-        // miss or stale: rebuild, free the replaced edge cache's blocks
-        stale.foreach { case (_, old) => scala.util.Try(old.ew.unpersist(false)) }
-        val prep = buildPurchaseGraph(s, d)
-        per.put(d, (fp, prep))
-        prep
+  // Sessions minted via newSession() over a long-lived shared context
+  // would otherwise accumulate preps (and persisted edge frames) until
+  // context stop; a WeakHashMap cannot fix that here because GraphPrep's
+  // frames strongly reference their session (value→key reference pins
+  // every weak entry), so the map is LRU-BOUNDED instead: beyond
+  // GraphCacheSessions live sessions the least-recently-used session's
+  // preps are dropped and their edge caches unpersisted.
+  private val GraphCacheSessions = 4
+  private val graphCache = new java.util.LinkedHashMap[
+      SparkSession, scala.collection.mutable.Map[String, (String, GraphPrep)]](
+      16, 0.75f, /*accessOrder=*/ true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        SparkSession, scala.collection.mutable.Map[String, (String, GraphPrep)]])
+        : Boolean = {
+      val evict = size() > GraphCacheSessions
+      if (evict) e.getValue.values.foreach { case (_, old) =>
+        scala.util.Try(old.ew.unpersist(false))
+      }
+      evict
     }
   }
+
+  private def purchaseGraph(s: SparkSession, d: String): GraphPrep =
+    graphCache.synchronized {
+      val per = Option(graphCache.get(s)).getOrElse {
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            graphCache.synchronized { graphCache.remove(s); () }
+        })
+        val m = scala.collection.mutable.Map.empty[String, (String, GraphPrep)]
+        graphCache.put(s, m)
+        m
+      }
+      val fp = graphFingerprint(d)
+      per.get(d) match {
+        case Some((`fp`, prep)) => prep
+        case stale =>
+          // miss or stale: rebuild, free the replaced edge cache's blocks
+          stale.foreach { case (_, old) => scala.util.Try(old.ew.unpersist(false)) }
+          val prep = buildPurchaseGraph(s, d)
+          per.put(d, (fp, prep))
+          prep
+      }
+    }
 
   private def buildPurchaseGraph(sess: SparkSession, dir: String): GraphPrep = {
     val (s, d) = (sess, dir)
@@ -2373,6 +2394,9 @@ object RelQueries {
       .localCheckpoint(true)
     // materialize the cache + measure the headroom inputs in one pass
     val st = ew.agg(max(col("w")).as("mw")).head
+    require(!st.isNullAt(0),
+      s"empty purchase graph: no lineitem⋈orders edges under $dir — " +
+        "the graph queries need at least one purchase")
     requireGraphHeadroom(nodes.count(), st.getLong(0), GraphScale)
     new GraphPrep(s, d, ew, nodes)
   }
