@@ -17,8 +17,11 @@ import graft.plans.MqttPrefixPushdown
   *   - optimizer rules [[MqttPrefixPushdown]] (constant routing
   *     patterns → parquet-pushdown-able prefix predicates),
   *     [[graft.plans.BusPartitionPruning]] (pattern → partition-value
-  *     pruning) and [[graft.plans.AsOfJoinPushdown]] (column pruning +
-  *     left-predicate pushdown through the custom as-of node);
+  *     pruning), [[graft.plans.AsOfJoinPushdown]] (column pruning +
+  *     left-predicate pushdown through the custom as-of node) and
+  *     [[graft.plans.RangeJoinRewrite]] (raw point-in-interval / band /
+  *     overlap theta joins → the binned equi-join form, stats-derived
+  *     bin width);
   *   - the [[graft.plans.AsOfJoinStrategy]] planner strategy backing the
   *     native as-of join operator ([[graft.plans.AsOfJoin]]).
   *
@@ -110,6 +113,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => MqttPrefixPushdown)
     e.injectOptimizerRule(_ => graft.plans.BusPartitionPruning)
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinPushdown)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

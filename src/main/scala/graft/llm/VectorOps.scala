@@ -163,10 +163,26 @@ object VectorOps {
       .localCheckpoint(true)
     val cands = ivfAdcServe(q, cents, pqCodesOf(e, cents), depth = MsRerankDepth)
       .select(col("qid"), col("vec_id"), col("rank").as("adc_rank"))
+    maxsimRerankFromPool(s, d, cands)
+  }
+
+  /** The MaxSim re-rank tail over an (qid, vec_id, adc_rank) candidate
+    * pool — shared VERBATIM by [[maxsimRerankIvf]] (pool from the inline
+    * index) and the live serving grade `emb_stream_maxsim` (pool cut by
+    * the STREAMING engine from the persisted store), so the two forms
+    * can share one twin: pool rows alone fetch their raw token grids
+    * (|queries|·depth rows, broadcast — the corpus is never rescanned
+    * for vectors outside the pool) and re-rank through the fused
+    * [[graft.functions.MaxSimExpr]] kernel. */
+  private[graft] def maxsimRerankFromPool(s: SparkSession, d: String,
+                                          cands: DataFrame): DataFrame = {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
     val wMs = Window.partitionBy(col("qid")).orderBy(col("ms_q").desc, col("vec_id"))
     e.select(col("vec_id"), col("v"))
       .join(broadcast(cands), "vec_id")
-      .join(broadcast(q.select(col("qid"), col("qv"))), "qid")
+      .join(broadcast(q), "qid")
       .withColumn("ms_q", graft.functions.GraftFunctions
         .max_sim(col("qv"), col("v"), MsTokens, MsDim))
       .withColumn("rank", row_number().over(wMs).cast("long"))
@@ -175,6 +191,92 @@ object VectorOps {
         round(col("ms_q").cast("double") / 1e6d, 6).as("maxsim"),
         col("adc_rank"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The STREAMING stage of live MaxSim serving (`emb_stream_maxsim`):
+    * arriving query vectors cut their [[MsRerankDepth]]-deep ADC
+    * candidate pool from the PERSISTED IVF-PQ store, entirely within
+    * what a streaming plan allows — no windows, no per-query sorts:
+    *
+    *   - routing: the ≤|cells| centroid table is collected once and
+    *     baked into an `array_sort` expression (the [[annServeStream]]
+    *     form), so each query picks its 2 nearest cells map-side with
+    *     the same (cellcos DESC, cell) order [[ivfAdcServe]]'s window
+    *     uses;
+    *   - candidates: a stream-static equi join against the code store
+    *     PIVOTED to one row per vector (its 4 codes as columns), so the
+    *     per-candidate integer ADC sum is ONE map-side expression —
+    *     the LUT join becomes a ≤|cells|-arm CASE per subspace with the
+    *     codebook slices as literals, the identical [[pqSubDists]]
+    *     arithmetic and floor(d2·10⁶) quantization, summed in exact
+    *     BIGINTs (this is also why subspaces are NOT exploded: the
+    *     explode would need sum-then-topk, two stacked streaming
+    *     aggregations, which the engine forbids);
+    *   - pool: the single allowed streaming aggregation —
+    *     [[graft.functions.TopKByScoreAgg]] on the NEGATED integer ADC
+    *     (ties toward the zero-padded vec_id), which is exactly
+    *     [[ivfAdcServe]]'s (adc_q ASC, vec_id ASC) depth cut, revised
+    *     across micro-batches in complete mode.
+    *
+    * The post-stream re-rank ([[maxsimRerankFromPool]]) then runs on
+    * the sink's pools; `maxsim_rerank_ivf`'s twin grades the whole
+    * composition verbatim. */
+  private[graft] def maxsimPoolStream(s: SparkSession, queryStream: DataFrame,
+                                      storePath: String, d: String): DataFrame = {
+    val (centsDf, codesDf) = loadIvfPq(s, storePath, d)
+    val cents = centsDf.collect() // ≤|cells| rows — driver-bounded
+    val codes4 = codesDf.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("subspace") === 0, col("code"))).as("c0"),
+        (1 until PqSubs).map(j =>
+          max(when(col("subspace") === j, col("code"))).as(s"c$j")): _*)
+      .localCheckpoint(true)
+    val q = vecsOf(queryStream)
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val entries = cents.map { r =>
+      val cell = r.getAs[Number]("cell").longValue
+      val cv = r.getSeq[Double](r.fieldIndex("cv"))
+      val cn2 = r.getAs[Double]("cn2")
+      struct(
+        (dot(col("qv"), typedlit(cv)) /
+          (sqrt(col("qn2")) * sqrt(lit(cn2)))).as("s"),
+        lit(cell).as("cell"))
+    }
+    val cmp = (l: Column, r: Column) =>
+      when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+        .when(l("cell") < r("cell"), -1).when(l("cell") > r("cell"), 1)
+        .otherwise(0)
+    val routed = q
+      .withColumn("cs", array_sort(array(entries.toIndexedSeq: _*), cmp))
+      .select(col("qid"), col("qv"), explode(slice(col("cs"), 1, 2)).as("rc"))
+      .select(col("qid"), col("qv"), col("rc.cell").as("cell"))
+    // per-subspace integer ADC as a literal-codebook CASE — the LUT row
+    // for (subspace j, code c) is floor(d2(qv_j, cv_c_j)·10⁶), the same
+    // pqSubDists fold with the centroid slice as a literal
+    def d2q(j: Int, codeCol: Column): Column = {
+      val xs = slice(col("qv"), j * PqDim + 1, PqDim)
+      val arms = cents.map { r =>
+        val cell = r.getAs[Number]("cell").longValue
+        val cs = typedlit(
+          r.getSeq[Double](r.fieldIndex("cv")).slice(j * PqDim, (j + 1) * PqDim))
+        (cell, dot(xs, xs) - lit(2d) * dot(xs, cs) + dot(cs, cs))
+      }
+      val d2 = arms.tail.foldLeft(
+        when(codeCol === arms.head._1, arms.head._2)) {
+        case (acc, (cell, e)) => acc.when(codeCol === cell, e)
+      }
+      floor(d2 * 1e6d).cast("long")
+    }
+    routed
+      .join(codes4.select(Seq(col("label").cast("long").as("cell"),
+        col("vec_id")) ++ (0 until PqSubs).map(j => col(s"c$j")): _*), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc_q",
+        (0 until PqSubs).map(j => d2q(j, col(s"c$j"))).reduce(_ + _))
+      .groupBy(col("qid"))
+      .agg(graft.functions.GraftFunctions.topk_by_score(
+        lpad(col("vec_id").cast("string"), 19, "0"),
+        -col("adc_q").cast("double"), MsRerankDepth).as("pool"))
   }
 
   /** 8 deterministic pseudo-random hyperplanes (seed 77), coordinates
@@ -1227,8 +1329,15 @@ object VectorOps {
     * the corpus only as the loaded code store plus one embeddings scan
     * for the query slice; the raw-vector corpus is never rescanned —
     * the production read path of a billion-vector index. */
-  def annIvfAdcLoaded(s: SparkSession, d: String): DataFrame = {
-    val store = ivfPqStoreCache.computeIfAbsent((d, embFingerprint(d)), _ => {
+  def annIvfAdcLoaded(s: SparkSession, d: String): DataFrame =
+    serveIvfPqStore(s, ivfPqStorePath(s, d), d)
+
+  /** The JVM-cached persisted-artifact path for `d`'s corpus (building
+    * it on first demand) — shared by [[annIvfAdcLoaded]] and the live
+    * MaxSim serving grade, which cuts its ADC pools from the SAME store
+    * a batch deployment serves. */
+  private[graft] def ivfPqStorePath(s: SparkSession, d: String): String =
+    ivfPqStoreCache.computeIfAbsent((d, embFingerprint(d)), _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_")
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def del(f: java.io.File): Unit = {
@@ -1239,8 +1348,6 @@ object VectorOps {
       writeIvfPq(s, d, tmp.toString)
       tmp.toString
     })
-    serveIvfPqStore(s, store, d)
-  }
 
   /** The delta slice an incremental refresh absorbs: every 10th vector
     * (vec_id ≡ 7 mod 10) — disjoint from the query slice so the graded

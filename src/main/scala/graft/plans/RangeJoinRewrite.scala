@@ -1,0 +1,293 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, PredicateHelper, SubqueryExpression, Subtract}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.{array, col, count, explode, floor, greatest, lit, sequence, sum, unix_timestamp}
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, TimestampType}
+
+/** Optimizer rule: a join whose ONLY condition is a keyless
+  * point-in-interval / interval-overlap / numeric-band predicate is
+  * rewritten to [[graft.rel.RangeJoin]]'s binned EQUI-join form — so the
+  * user who writes the natural theta join
+  * (`a.join(b, $"ts" >= $"lo" && $"ts" < $"hi")`, or the same text in
+  * SQL) gets the hash join instead of the BroadcastNestedLoopJoin Spark
+  * plans for a pure range predicate: O(|points| + Σ interval-bins +
+  * matches·density) instead of the O(n·m) nested-loop product that is
+  * the canonical silent scale-killer at 100 TB. The
+  * [[BusPartitionPruning]] precedent — derive what the user didn't
+  * write — applied to join planning.
+  *
+  * Soundness: the rewrite keeps the ORIGINAL predicate as a post-join
+  * filter, so the bins only have to COVER every satisfying pair, never
+  * decide it (the [[graft.rel.RangeJoin]] coverage arguments, which
+  * hold for any comparison strictness and even for reversed intervals —
+  * `sequence(lo, hi)` enumerates every bin between its endpoints in
+  * either direction). Null handling is inherited: a null
+  * timestamp/value produces a null bin, which an inner equi join drops,
+  * exactly as the original theta condition's null verdict drops the
+  * pair. Exactly-once: the point (band-left) side occupies ONE bin; the
+  * overlap form applies the canonical-bin rule (count only in the bin
+  * of `greatest(lLo, rLo)`).
+  *
+  * The rule stands DOWN (leaves the join untouched) when:
+  *   - the join is not `Inner`, carries a hint, or is streaming;
+  *   - any conjunct is a cross-side EQUI condition (Spark already plans
+  *     an equi-keyed join as a hash join — the range conjuncts ride
+  *     along as post-join predicates bounded by the key's density);
+  *   - no conjunct subset forms one of the three shapes (extra NON-equi
+  *     conjuncts are fine — they ride in the reapplied full predicate,
+  *     which the covering argument never depends on);
+  *   - the condition is non-deterministic or contains a subquery;
+  *   - `spark.graft.rangeJoinRewrite.enabled` is `false`.
+  *
+  * Bin width is STATS-DERIVED, not guessed (a too-narrow width explodes
+  * the interval side, a too-wide one turns bins into skew): one
+  * aggregation pass over the interval side computes the exact integer
+  * sum/count of interval lengths, and the width is the largest power of
+  * two ≤ the mean length, clamped to [1, 2²⁰] seconds
+  * ([[graft.rel.RangeJoin.widthFromStats]] — an integer decision, the
+  * `ann_filtered_auto` discipline, pinned by spec on adversarial
+  * corpora). The pass is memoized per canonicalized interval plan; at
+  * production scale it is one column-pruned scan of the (small)
+  * interval side — strictly cheaper than a single iteration of the
+  * nested loop it replaces. The band form needs no stats: the predicate
+  * literal `eps` IS the bin width.
+  *
+  * Wiring: injected by [[graft.GraftExtensions]] into the operator-
+  * optimization batch (so the rewritten plan re-enters pushdown/pruning
+  * in the same fixed point); [[ensure]] self-installs via
+  * `experimental.extraOptimizations` for sessions built without the
+  * extensions (idempotent — once rewritten, the join has an equi
+  * conjunct and no longer matches).
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Kill switch (default on): `spark.graft.rangeJoinRewrite.enabled`. */
+  val EnabledKey = "spark.graft.rangeJoinRewrite.enabled"
+
+  /** The synthesized bin column — dropped again before the rewrite's
+    * final projection; a (vanishingly unlikely) user column of the same
+    * name makes the rule stand down rather than collide. */
+  private val BinCol = "__graft_range_bin"
+
+  /** Idempotently make the rule visible to a session built WITHOUT
+    * [[graft.GraftExtensions]] (the [[GraftBridge.ensureStrategy]]
+    * discipline): appended to `experimental.extraOptimizations`, which
+    * the optimizer runs as a late batch. In an extensions-built session
+    * the operator-batch copy fires first and the late copy finds
+    * nothing left to match. */
+  def ensure(s: SparkSession): Unit = GraftBridge.ensureOptimizerRule(s, this)
+
+  // ---- condition classification ----
+
+  private sealed trait Shape
+  private case class PointInInterval(point: Expression, pointOnLeft: Boolean,
+                                     lo: Expression, hi: Expression) extends Shape
+  private case class Overlap(lLo: Expression, lHi: Expression,
+                             rLo: Expression, rHi: Expression) extends Shape
+  private case class Band(lVal: Expression, rVal: Expression,
+                          eps: Double) extends Shape
+
+  /** Normalize a comparison conjunct to `smaller ≤/< larger`. */
+  private def asLt(e: Expression): Option[(Expression, Expression)] = e match {
+    case LessThan(a, b)           => Some((a, b))
+    case LessThanOrEqual(a, b)    => Some((a, b))
+    case GreaterThan(a, b)        => Some((b, a))
+    case GreaterThanOrEqual(a, b) => Some((b, a))
+    case _                        => None
+  }
+
+  /** Some(true) iff `e` reads only `left`'s columns (at least one),
+    * Some(false) iff only `right`'s — the cross-side discipline every
+    * participating endpoint must satisfy. */
+  private def sideOf(e: Expression, left: LogicalPlan,
+                     right: LogicalPlan): Option[Boolean] =
+    if (e.references.isEmpty || !e.deterministic ||
+        e.exists(_.isInstanceOf[SubqueryExpression])) None
+    else if (e.references.subsetOf(left.outputSet)) Some(true)
+    else if (e.references.subsetOf(right.outputSet)) Some(false)
+    else None
+
+  private def isTs(es: Expression*): Boolean =
+    es.forall(_.dataType == TimestampType)
+
+  private val BandableTypes =
+    Set[org.apache.spark.sql.types.DataType](
+      DoubleType, FloatType, LongType, IntegerType, ShortType, ByteType)
+
+  /** `abs(a − b) ≤/< eps` with a positive foldable numeric eps and the
+    * operands on opposite sides. */
+  private def bandOf(e: Expression, left: LogicalPlan,
+                     right: LogicalPlan): Option[Band] = {
+    def mk(a: Expression, b: Expression, epsE: Expression): Option[Band] = {
+      if (!epsE.foldable || !BandableTypes.contains(a.dataType) ||
+          !BandableTypes.contains(b.dataType)) return None
+      val eps = epsE.eval(null) match {
+        case n: java.lang.Number => n.doubleValue()
+        case _ => return None
+      }
+      if (!(eps > 0d) || eps.isInfinite) return None
+      (sideOf(a, left, right), sideOf(b, left, right)) match {
+        case (Some(true), Some(false)) => Some(Band(a, b, eps))
+        case (Some(false), Some(true)) => Some(Band(b, a, eps))
+        case _ => None
+      }
+    }
+    e match {
+      case LessThanOrEqual(Abs(Subtract(a, b, _), _), eps) => mk(a, b, eps)
+      case LessThan(Abs(Subtract(a, b, _), _), eps)        => mk(a, b, eps)
+      case GreaterThanOrEqual(eps, Abs(Subtract(a, b, _), _)) => mk(a, b, eps)
+      case GreaterThan(eps, Abs(Subtract(a, b, _), _))     => mk(a, b, eps)
+      case _ => None
+    }
+  }
+
+  /** A cross-side equality — with one present, Spark already extracts
+    * equi join keys and plans a hash join (the range conjuncts ride
+    * along as post-join predicates bounded by the key's density), so
+    * the rule must stand down. */
+  private def isEqui(e: Expression, left: LogicalPlan,
+                     right: LogicalPlan): Boolean = {
+    def cross(a: Expression, b: Expression): Boolean =
+      (sideOf(a, left, right), sideOf(b, left, right)) match {
+        case (Some(x), Some(y)) => x != y
+        case _ => false
+      }
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(a, b) => cross(a, b)
+      case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(a, b) => cross(a, b)
+      case _ => false
+    }
+  }
+
+  /** Find ONE rewriteable shape among the conjuncts. Extra non-equi
+    * conjuncts are harmless residue: the rewrite reapplies the FULL
+    * original condition as the post-join filter, and the bins only have
+    * to cover every pair satisfying the full condition — which the
+    * shape conjuncts alone already imply (a superset). A cross-side
+    * EQUI conjunct stands the rule down instead ([[isEqui]] — Spark's
+    * hash join is already the right plan there); preference order when
+    * several shapes match is point-in-interval (single-bin point side,
+    * trivially exactly-once) > band (no stats pass) > overlap. */
+  private def classify(cond: Expression, left: LogicalPlan,
+                       right: LogicalPlan): Option[Shape] = {
+    if (!cond.deterministic ||
+        cond.exists(_.isInstanceOf[SubqueryExpression])) return None
+    val conjuncts = splitConjunctivePredicates(cond)
+    if (conjuncts.exists(isEqui(_, left, right))) return None
+    val lts = conjuncts.flatMap(asLt)
+    val pairShapes: Seq[Shape] = for {
+      i <- lts.indices
+      j <- lts.indices if i != j
+      (a1, b1) = lts(i)
+      (a2, b2) = lts(j)
+      if isTs(a1, b1, a2, b2)
+      // orient to x(L) < y(R) ∧ u(R) < w(L)
+      if sideOf(a1, left, right).contains(true) &&
+         sideOf(b1, left, right).contains(false) &&
+         sideOf(a2, left, right).contains(false) &&
+         sideOf(b2, left, right).contains(true)
+      (x, y, u, w) = (a1, b1, a2, b2)
+    } yield {
+      if (x.semanticEquals(w)) PointInInterval(x, pointOnLeft = true,
+        lo = u, hi = y)
+      else if (y.semanticEquals(u)) PointInInterval(y,
+        pointOnLeft = false, lo = x, hi = w)
+      else Overlap(lLo = x, lHi = w, rLo = u, rHi = y)
+    }
+    pairShapes.collectFirst { case p: PointInInterval => p }
+      .orElse(conjuncts.flatMap(bandOf(_, left, right)).headOption)
+      .orElse(pairShapes.headOption)
+  }
+
+  // ---- stats-derived bin width ----
+
+  /** Exact (sumSeconds, n) of interval lengths over one plan — memoized
+    * per canonicalized (plan, lo, hi) so the bench's repeated
+    * re-optimizations of one query pay the pass once. Bounded: the keys
+    * retain plan trees, so the cache clears past 64 entries. */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    (LogicalPlan, Expression, Expression), Option[(Long, Long)]]()
+
+  private def lengthStats(s: SparkSession, plan: LogicalPlan,
+                          lo: Expression, hi: Expression): Option[(Long, Long)] = {
+    if (statsCache.size() > 64) statsCache.clear()
+    statsCache.computeIfAbsent(
+      (plan.canonicalized, lo.canonicalized, hi.canonicalized), _ => {
+        val len = unix_timestamp(GraftBridge.column(hi)) -
+          unix_timestamp(GraftBridge.column(lo))
+        val row = GraftBridge.ofRows(s, plan)
+          .select(sum(len).as("s"), count(len).as("n")).head()
+        if (row.isNullAt(0) || row.getLong(1) == 0L) None
+        else Some((row.getLong(0), row.getLong(1)))
+      })
+  }
+
+  private def derivedWidth(s: SparkSession,
+                           sides: Seq[(LogicalPlan, Expression, Expression)]): Long = {
+    val stats = sides.flatMap { case (p, lo, hi) => lengthStats(s, p, lo, hi) }
+    if (stats.isEmpty) graft.rel.RangeJoin.DefaultBinSeconds
+    else graft.rel.RangeJoin.widthFromStats(
+      stats.map(_._1).sum, stats.map(_._2).sum)
+  }
+
+  // ---- the rewrite ----
+
+  private def rewrite(s: SparkSession, j: Join, shape: Shape): Option[LogicalPlan] = {
+    if (j.output.exists(_.name == BinCol)) return None
+    val lDf = GraftBridge.ofRows(s, j.left)
+    val rDf = GraftBridge.ofRows(s, j.right)
+    def c(e: Expression): Column = GraftBridge.column(e)
+    val joined: DataFrame = shape match {
+      case PointInInterval(p, onLeft, lo, hi) =>
+        val width = derivedWidth(s,
+          Seq(((if (onLeft) j.right else j.left), lo, hi)))
+        def bin(e: Expression) = floor(unix_timestamp(c(e)) / width)
+        val (pts, ivs) = if (onLeft) (lDf, rDf) else (rDf, lDf)
+        val pb = pts.withColumn(BinCol, bin(p))
+        val ib = ivs.withColumn(BinCol, explode(sequence(bin(lo), bin(hi))))
+        pb.join(ib, Seq(BinCol))
+      case Overlap(lLo, lHi, rLo, rHi) =>
+        val width = derivedWidth(s,
+          Seq((j.left, lLo, lHi), (j.right, rLo, rHi)))
+        def bin(x: Column) = floor(unix_timestamp(x) / width)
+        val lb = lDf.withColumn(BinCol,
+          explode(sequence(bin(c(lLo)), bin(c(lHi)))))
+        val rb = rDf.withColumn(BinCol,
+          explode(sequence(bin(c(rLo)), bin(c(rHi)))))
+        lb.join(rb, Seq(BinCol))
+          .filter(col(BinCol) === bin(greatest(c(lLo), c(rLo))))
+      case Band(l, r, eps) =>
+        val lb = lDf.withColumn(BinCol,
+          floor(c(l).cast("double") / eps).cast("long"))
+        val rb = rDf.withColumn(BinCol, explode(array((-2 to 2).map(o =>
+          floor(c(r).cast("double") / eps).cast("long") + lit(o.toLong)): _*)))
+        lb.join(rb, Seq(BinCol))
+    }
+    val out = joined
+      .filter(c(j.condition.get))
+      .select(j.output.map(a => c(a)): _*)
+    Some(GraftBridge.analyzed(out))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    SparkSession.getActiveSession match {
+      case Some(s) if conf.getConfString(EnabledKey, "true") == "true" =>
+        plan.transformUp {
+          case j @ Join(left, right, Inner, Some(cond), JoinHint.NONE)
+              if !left.isStreaming && !right.isStreaming =>
+            classify(cond, left, right).flatMap { shape =>
+              try rewrite(s, j, shape)
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  logWarning(s"range-join rewrite stood down: $e")
+                  None
+              }
+            }.getOrElse(j)
+        }
+      case _ => plan
+    }
+}

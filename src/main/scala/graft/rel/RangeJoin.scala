@@ -29,6 +29,66 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Fallback bin width when the interval side is empty or all-null —
+    * any width is correct there (the exact predicate decides matches);
+    * an hour is the corpus's natural granularity. */
+  val DefaultBinSeconds = 3600L
+
+  /** Width ceiling: 2²⁰ s (~12 days) — beyond this, per-bin density
+    * dominates and wider bins only concentrate skew. */
+  val MaxBinSeconds = 1L << 20
+
+  /** The STATS→WIDTH integer decision (shared by [[deriveBinSeconds]]
+    * and the transparent rewrite [[graft.plans.RangeJoinRewrite]], and
+    * pinned by spec on adversarial corpora): the bin width is the
+    * largest power of two ≤ the MEAN interval length in seconds,
+    * clamped to [1, 2²⁰]. Rationale: at ~the mean length every interval
+    * covers ≤ 2-3 bins (the explode stays linear in the interval
+    * count), while points per bin stay bounded by the corpus's density
+    * over one mean interval — the balance the scaladoc of
+    * [[pointInInterval]] describes. Exact integer arithmetic end to
+    * end (long sum, floor division, highest-one-bit), so engine and
+    * any replaying twin decide identically on any corpus. */
+  def widthFromStats(sumSeconds: Long, n: Long): Long = {
+    val mean = if (n <= 0L) 1L else math.max(1L, sumSeconds / n)
+    java.lang.Long.highestOneBit(math.min(mean, MaxBinSeconds))
+  }
+
+  /** Derive the bin width from the interval side in ONE aggregation
+    * pass (exact integer sum/count of lengths — order-insensitive), per
+    * [[widthFromStats]]. At 100 TB this is a column-pruned scan of the
+    * (small) interval side — strictly cheaper than one iteration of the
+    * nested loop the binned join replaces. */
+  def deriveBinSeconds(intervals: DataFrame, lo: String, hi: String): Long = {
+    val len = unix_timestamp(col(hi)) - unix_timestamp(col(lo))
+    val row = intervals.agg(sum(len).as("s"), count(len).as("n")).head()
+    if (row.isNullAt(0) || row.getLong(1) == 0L) DefaultBinSeconds
+    else widthFromStats(row.getLong(0), row.getLong(1))
+  }
+
+  /** [[pointInInterval]] with the width stats-derived from `intervals`
+    * ([[deriveBinSeconds]]). */
+  def pointInIntervalAuto(points: DataFrame, pointTs: String,
+                          intervals: DataFrame, lo: String, hi: String): DataFrame =
+    pointInInterval(points, pointTs, intervals, lo, hi,
+      deriveBinSeconds(intervals, lo, hi))
+
+  /** [[intervalOverlap]] with the width stats-derived from BOTH sides'
+    * pooled interval lengths. */
+  def intervalOverlapAuto(left: DataFrame, leftLo: String, leftHi: String,
+                          right: DataFrame, rightLo: String, rightHi: String): DataFrame = {
+    def lenStats(df: DataFrame, lo: String, hi: String): (Long, Long) = {
+      val len = unix_timestamp(col(hi)) - unix_timestamp(col(lo))
+      val row = df.agg(sum(len).as("s"), count(len).as("n")).head()
+      if (row.isNullAt(0)) (0L, 0L) else (row.getLong(0), row.getLong(1))
+    }
+    val (sl, nl) = lenStats(left, leftLo, leftHi)
+    val (sr, nr) = lenStats(right, rightLo, rightHi)
+    val width = if (nl + nr == 0L) DefaultBinSeconds
+                else widthFromStats(sl + sr, nl + nr)
+    intervalOverlap(left, leftLo, leftHi, right, rightLo, rightHi, width)
+  }
+
   /** Join `points` to every row of `intervals` whose [lo, hi) contains
     * the point's `pointTs`. Column arguments are NAMES (the frames are
     * re-rooted internally); `binSeconds` is the bin width. */

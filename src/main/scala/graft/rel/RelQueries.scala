@@ -1325,6 +1325,91 @@ object RelQueries {
       .orderBy(col("ua"), col("ub"))
   }
 
+  /** [[rangeJoinBinned]]'s aggregation over the RAW theta join — no
+    * [[RangeJoin]] call anywhere in the query: the user writes the
+    * natural `ts >= lo AND ts < hi` join and the injected
+    * [[graft.plans.RangeJoinRewrite]] rule recognizes the pure
+    * point-in-interval predicate, derives the bin width from the
+    * interval side's length stats, and plans the binned equi join —
+    * the plan a naive formulation would otherwise lose to
+    * BroadcastNestedLoopJoin. Twin: the same naive theta join
+    * (`range_join_binned`'s, verbatim), so the hash proves the
+    * TRANSPARENT rewrite loses and invents nothing; PlanShapeSpec
+    * asserts the executed plan is nested-loop-free and that the rule
+    * stands down when an equi conjunct is present. */
+  def rangeJoinAuto(s: SparkSession, d: String): DataFrame = {
+    graft.plans.RangeJoinRewrite.ensure(s)
+    val ev = Tables.events(s, d)
+    val wins = ev.select(date_trunc("DAY", col("ts")).as("day")).distinct()
+      .select(col("day"),
+        (col("day") + expr("INTERVAL 10 HOURS")).as("lo"),
+        (col("day") + expr("INTERVAL 14 HOURS")).as("hi"))
+    ev.join(wins, col("ts") >= col("lo") && col("ts") < col("hi"))
+      .groupBy(col("day").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("day"))
+  }
+
+  /** [[rangeJoinAuto]] through RAW SQL TEXT — the same theta join a
+    * user would type at a SQL console, no DataFrame API and no
+    * [[RangeJoin]] anywhere: the rewrite rule fires on the optimized
+    * plan whatever surface produced it, completing the "one text, two
+    * engines" discipline for the range-join family (the DuckDB twin IS
+    * this query's naive form). */
+  def rangeJoinSql(s: SparkSession, d: String): DataFrame = {
+    graft.plans.RangeJoinRewrite.ensure(s)
+    Tables.events(s, d).createOrReplaceTempView("events_rjsql")
+    s.sql("""
+      |WITH wins AS (
+      |  SELECT day, day + INTERVAL 10 HOURS AS lo,
+      |         day + INTERVAL 14 HOURS AS hi
+      |  FROM (SELECT DISTINCT date_trunc('DAY', ts) AS day
+      |        FROM events_rjsql))
+      |SELECT CAST(day AS DATE) AS day, count(1) AS n,
+      |       round(sum(value), 2) AS total
+      |FROM events_rjsql JOIN wins ON ts >= lo AND ts < hi
+      |GROUP BY CAST(day AS DATE) ORDER BY day""".stripMargin)
+  }
+
+  /** [[bandJoinBinned]]'s aggregation over the RAW `abs(pv − cv) ≤ eps`
+    * theta join — the rewrite rule reads the band width off the
+    * predicate literal itself (no stats pass needed) and plans the
+    * ±2-slack value-bin equi join. Twin: the naive band join. */
+  def bandJoinAuto(s: SparkSession, d: String): DataFrame = {
+    graft.plans.RangeJoinRewrite.ensure(s)
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase" && col("user_id") < 10)
+      .select(col("event_id").as("pid"), col("value").as("pv"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("value").as("cv"))
+    p.join(c, abs(col("pv") - col("cv")) <= 0.05d)
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_close"),
+           round(min(abs(col("pv") - col("cv"))), 4).as("closest"))
+      .orderBy(col("pid"))
+  }
+
+  /** [[overlapJoinBinned]]'s aggregation over the RAW
+    * `alo < bhi AND blo < ahi` theta join — the rewrite explodes BOTH
+    * sides to stats-derived bins and applies the canonical-bin
+    * exactly-once rule. Twin: the naive overlap join. */
+  def overlapJoinAuto(s: SparkSession, d: String): DataFrame = {
+    graft.plans.RangeJoinRewrite.ensure(s)
+    val spans = Tables.events(s, d).filter(col("user_id") < 20)
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .localCheckpoint(true)
+    val a = spans.select(col("user_id").as("ua"),
+      col("lo").as("alo"), col("hi").as("ahi"))
+    val b = spans.select(col("user_id").as("ub"),
+      col("lo").as("blo"), col("hi").as("bhi"))
+    a.join(b, col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .filter(col("ua") < col("ub"))
+      .groupBy(col("ua"), col("ub"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(col("ua"), col("ub"))
+  }
+
   /** Fixed-width histogram: floor-binning on the value column — integer
     * bucket ids, so the grouping is bit-exact cross-engine. */
   def valueHist(s: SparkSession, d: String): DataFrame =
@@ -2545,6 +2630,10 @@ object RelQueries {
     "range_join_binned"  -> (rangeJoinBinned _),
     "band_join_binned"   -> (bandJoinBinned _),
     "overlap_join_binned" -> (overlapJoinBinned _),
+    "range_join_auto"    -> (rangeJoinAuto _),
+    "range_join_sql"     -> (rangeJoinSql _),
+    "band_join_auto"     -> (bandJoinAuto _),
+    "overlap_join_auto"  -> (overlapJoinAuto _),
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),
     "user_features"      -> (userFeatures _),
@@ -2661,6 +2750,43 @@ object RelQueries {
     """SELECT (node - 1) // 2 AS s_suppkey, r AS rank_q
       |FROM r3 WHERE node % 2 = 1
       |ORDER BY rank_q DESC, s_suppkey LIMIT 20""".stripMargin
+
+  /** The NAIVE theta-join twins of the keyless range-join family —
+    * shared verbatim by the explicit [[RangeJoin]] rows, the
+    * transparent [[graft.plans.RangeJoinRewrite]] rows and the raw-SQL
+    * row, so every engine-side form is graded against the one
+    * unoptimized semantics. */
+  private val RangeJoinNaiveTwin =
+    """WITH days AS (
+      |  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+      |  FROM events),
+      |wins AS (SELECT day, day + INTERVAL 10 HOUR AS lo,
+      |                day + INTERVAL 14 HOUR AS hi FROM days)
+      |SELECT CAST(day AS DATE) AS day, count(*) AS n,
+      |       round(sum(value), 2) AS total
+      |FROM events JOIN wins
+      |  ON CAST(ts AS TIMESTAMP) >= lo AND CAST(ts AS TIMESTAMP) < hi
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
+  private val OverlapJoinNaiveTwin =
+    """WITH spans AS (
+      |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |         min(CAST(ts AS TIMESTAMP)) AS lo,
+      |         max(CAST(ts AS TIMESTAMP)) AS hi
+      |  FROM events WHERE user_id < 20 GROUP BY 1, 2)
+      |SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS n_overlaps
+      |FROM spans a JOIN spans b
+      |  ON a.lo < b.hi AND b.lo < a.hi AND a.user_id < b.user_id
+      |GROUP BY 1, 2 ORDER BY ua, ub""".stripMargin
+
+  private val BandJoinNaiveTwin =
+    """WITH p AS (SELECT event_id AS pid, value AS pv FROM events
+      |           WHERE event_type = 'purchase' AND user_id < 10),
+      |c AS (SELECT value AS cv FROM events WHERE event_type = 'click')
+      |SELECT pid, count(*) AS n_close,
+      |       round(min(abs(pv - cv)), 4) AS closest
+      |FROM p JOIN c ON abs(pv - cv) <= 0.05
+      |GROUP BY pid ORDER BY pid""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // 3 unrolled power iterations, same fixed-point arithmetic: floor
@@ -3251,38 +3377,17 @@ object RelQueries {
         |  AND l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin,
 
     // the oracle deliberately runs the NAIVE theta join the binned
-    // rewrite replaces — equality proves the rewrite exact
-    "range_join_binned" ->
-      """WITH days AS (
-        |  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
-        |  FROM events),
-        |wins AS (SELECT day, day + INTERVAL 10 HOUR AS lo,
-        |                day + INTERVAL 14 HOUR AS hi FROM days)
-        |SELECT CAST(day AS DATE) AS day, count(*) AS n,
-        |       round(sum(value), 2) AS total
-        |FROM events JOIN wins
-        |  ON CAST(ts AS TIMESTAMP) >= lo AND CAST(ts AS TIMESTAMP) < hi
-        |GROUP BY 1 ORDER BY day""".stripMargin,
-
-    "overlap_join_binned" ->
-      """WITH spans AS (
-        |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
-        |         min(CAST(ts AS TIMESTAMP)) AS lo,
-        |         max(CAST(ts AS TIMESTAMP)) AS hi
-        |  FROM events WHERE user_id < 20 GROUP BY 1, 2)
-        |SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS n_overlaps
-        |FROM spans a JOIN spans b
-        |  ON a.lo < b.hi AND b.lo < a.hi AND a.user_id < b.user_id
-        |GROUP BY 1, 2 ORDER BY ua, ub""".stripMargin,
-
-    "band_join_binned" ->
-      """WITH p AS (SELECT event_id AS pid, value AS pv FROM events
-        |           WHERE event_type = 'purchase' AND user_id < 10),
-        |c AS (SELECT value AS cv FROM events WHERE event_type = 'click')
-        |SELECT pid, count(*) AS n_close,
-        |       round(min(abs(pv - cv)), 4) AS closest
-        |FROM p JOIN c ON abs(pv - cv) <= 0.05
-        |GROUP BY pid ORDER BY pid""".stripMargin,
+    // rewrite replaces — equality proves the rewrite exact. Shared
+    // VERBATIM by the explicit-API row (*_binned), the transparent
+    // optimizer-rule row (*_auto) and the raw-SQL row (range_join_sql):
+    // all engine forms must collapse to the same naive semantics
+    "range_join_binned" -> RangeJoinNaiveTwin,
+    "range_join_auto"   -> RangeJoinNaiveTwin,
+    "range_join_sql"    -> RangeJoinNaiveTwin,
+    "overlap_join_binned" -> OverlapJoinNaiveTwin,
+    "overlap_join_auto"   -> OverlapJoinNaiveTwin,
+    "band_join_binned" -> BandJoinNaiveTwin,
+    "band_join_auto"   -> BandJoinNaiveTwin,
 
     "ev_near_purchase" ->
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)

@@ -99,12 +99,13 @@ object StreamGrade {
          "doc_stream_incr_neardup", "mm_stream_phash_dup"), true),
     // embeddings-crawl replay
     (Set("emb_stream_centroid_drift", "emb_stream_ann",
-         "emb_stream_maintained"), true))
+         "emb_stream_maintained", "emb_stream_maxsim"), true))
   // singletons (no co-schedule): the restart grades (two sequential
   // query LIFETIMES by design)
 
   private val rocksSingletons =
-    Set("cdc_stream_restart_scd2", "cdc_stream_restart_asof")
+    Set("cdc_stream_restart_scd2", "cdc_stream_restart_asof",
+        "emb_stream_restart_maintained")
 
   /** member → billing-family id (the alphabetically first member) for
     * bench artifacts: a co-schedule bills the family's wall-clock to
@@ -142,7 +143,16 @@ object StreamGrade {
             val latch = new java.util.concurrent.CountDownLatch(peers.size)
             peers.foreach { p =>
               val t = new Thread(() => {
-                try pending.put((p, d), scala.util.Try(raw(p)(s, d)))
+                // parked results are MATERIALIZED inside the family's
+                // lock hold (localCheckpoint(true)), so a sibling's
+                // post-sink batch tail — e.g. mm_stream_phash_dup's
+                // signature scoring — bills to the family's wall-clock
+                // like everything else, and the sibling's own later
+                // invocation is the ~0 the billing contract promises
+                // (r12 VERDICT #7: a lazy parked tail showed up as a
+                // phantom member-level regression in the raw bench)
+                try pending.put((p, d),
+                  scala.util.Try(raw(p)(s, d).localCheckpoint(true)))
                 finally latch.countDown()
               }, s"grade-$p")
               t.setDaemon(true)
@@ -1179,7 +1189,17 @@ object StreamGrade {
     * vec_id thirds — the vector-side twin of [[withDocStream]]. */
   private def withEmbStream[A](s: SparkSession, d: String)(body: DataFrame => A): A = {
     val embs = Tables.embeddings(s, d)
-    val inDir = embSliceCache.computeIfAbsent((d, tableFp(d, "embeddings")), _ => {
+    val inDir = embSlices(s, d)
+    body(s.readStream.schema(embs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString))
+  }
+
+  /** The cached slice directory behind [[withEmbStream]] — also read
+    * file-by-file by the restart grade, which stages slices into its
+    * own source dir across query lifetimes. */
+  private def embSlices(s: SparkSession, d: String): Path = {
+    val embs = Tables.embeddings(s, d)
+    embSliceCache.computeIfAbsent((d, tableFp(d, "embeddings")), _ => {
       val tmp = Files.createTempDirectory("graft_stream_embs_")
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmp)))
       val mx = embs.agg(max(col("vec_id"))).head().getLong(0)
@@ -1202,8 +1222,6 @@ object StreamGrade {
       }
       in
     })
-    body(s.readStream.schema(embs.schema)
-      .option("maxFilesPerTrigger", "1").parquet(inDir.toString))
   }
 
   /** STREAMING embedding-centroid drift, graded:
@@ -1247,6 +1265,7 @@ object StreamGrade {
     "cdc_stream_capture"       -> (streamCapture _),
     "cdc_stream_restart_scd2"  -> (streamRestartScd2 _),
     "cdc_stream_restart_asof"  -> (streamRestartAsOf _),
+    "emb_stream_restart_maintained" -> (streamRestartIndexMaint _),
     "doc_stream_substring_dup" -> (streamSubstringDup _),
     "doc_stream_cms"           -> (streamCms _),
     "doc_stream_pipeline"      -> (streamPipeline _),
@@ -1254,6 +1273,7 @@ object StreamGrade {
     "emb_stream_centroid_drift" -> (streamCentroidDrift _),
     "emb_stream_ann"           -> (streamAnn _),
     "emb_stream_maintained"    -> (streamIndexMaint _),
+    "emb_stream_maxsim"        -> (streamMaxsim _),
     "doc_stream_neardup"       -> (streamNearDup _),
     "doc_stream_vocab_novelty" -> (streamVocabNovelty _),
     "doc_stream_incr_neardup"  -> (streamIncrNearDup _),
@@ -1323,6 +1343,31 @@ object StreamGrade {
         .orderBy(col("qid"), col("rank"))
     }
 
+  /** LIVE LATE-INTERACTION SERVING, graded (r12 VERDICT #3): the
+    * two-stage retrieve-then-rerank pipeline `maxsim_rerank_ivf`
+    * grades, with stage 1 executed by the STREAMING engine — arriving
+    * query vectors cut their depth-20 ADC pool from the PERSISTED
+    * IVF-PQ store ([[graft.llm.VectorOps.maxsimPoolStream]]: map-side
+    * literal-codebook routing + integer ADC, one complete-mode top-k
+    * aggregation), and the post-stream re-rank fetches ONLY the pool's
+    * raw token grids through the fused MaxSim kernel
+    * ([[graft.llm.VectorOps.maxsimRerankFromPool]], shared verbatim
+    * with the batch operator). Twin: `maxsim_rerank_ivf`'s, verbatim —
+    * the online serving path and the offline two-stage pipeline agree
+    * to the digit. */
+  def streamMaxsim(s: SparkSession, d: String): DataFrame =
+    withEmbStream(s, d) { embStream =>
+      val store = graft.llm.VectorOps.ivfPqStorePath(s, d)
+      val pool = runToSink(s,
+        graft.llm.VectorOps.maxsimPoolStream(s, embStream, store, d),
+        "complete", "stream_maxsim")
+      val cands = pool
+        .select(col("qid"), posexplode(col("pool")).as(Seq("pos", "t")))
+        .select(col("qid"), col("t.w").cast("long").as("vec_id"),
+          (col("pos") + 1).cast("long").as("adc_rank"))
+      graft.llm.VectorOps.maxsimRerankFromPool(s, d, cands)
+    }
+
   // one maintained IVF-PQ store per (sf dir, corpus fingerprint) per
   // JVM: the STREAM is what maintains it — the first invocation's
   // micro-batches append the delta thirds through the journal, and
@@ -1380,6 +1425,89 @@ object StreamGrade {
       } finally q.stop()
       graft.llm.VectorOps.serveIvfPqStore(s, store, d)
     }
+
+  /** STREAMING index maintenance ACROSS RECOVERY, graded (r12 VERDICT
+    * #5): [[streamIndexMaint]] proves idempotent absorb within one
+    * query lifetime; this runs the SAME consumer as THREE lifetimes —
+    * the `cdc_stream_restart_asof` discipline applied to the index
+    * pipeline, where the double-append corruption would actually happen
+    * in production:
+    *
+    *   1. lifetime 1 (slices 0+1 visible, fresh checkpoint): the base
+    *      store is built from the first third, slice 1's delta absorbs
+    *      through the journal;
+    *   2. lifetime 2 (slice 2 added, SAME checkpoint): the restarted
+    *      query recovers its offsets and drains only the new slice —
+    *      offset recovery, no re-append;
+    *   3. lifetime 3 (FRESH checkpoint over all 3 slices): the whole
+    *      stream REDELIVERS — every micro-batch re-offers its delta
+    *      under its original vec-range op id and the journal must
+    *      refuse each one ([[graft.llm.VectorOps.absorbIvfPqAppend]]
+    *      returns false), the at-least-once no-op graded for real.
+    *
+    * The post-recovery serve must still equal the frozen-codebook
+    * rebuild: [[graft.llm.VectorOps.MaintainedStreamTwin]] verbatim — a
+    * dropped batch (lifetime 2 failing to resume), a double-applied
+    * batch (lifetime 3 appending), or codes against retrained centroids
+    * all break the hash. Fresh store/checkpoint/source dirs per
+    * invocation (the restart mechanics re-exercise on every pass);
+    * singleton, not family-co-scheduled — two sequential lifetimes by
+    * design. */
+  def streamRestartIndexMaint(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val fp = graft.llm.VectorOps.embFingerprint(d)
+    val boundary = embs.agg(max(col("vec_id"))).head().getLong(0) / 3
+    val srcAll = embSlices(s, d)
+    val tmp = Files.createTempDirectory("graft_stream_restart_maint_")
+    val in = Files.createDirectory(tmp.resolve("in"))
+    val store = tmp.resolve("store").toString
+    import scala.jdk.CollectionConverters._
+    val slices = Files.list(srcAll).iterator().asScala.toSeq
+      .sortBy(_.getFileName.toString)
+    def copySlice(i: Int): Unit = {
+      val dst = in.resolve(slices(i).getFileName.toString)
+      Files.copy(slices(i), dst)
+      dst.toFile.setLastModified(slices(i).toFile.lastModified)
+      ()
+    }
+    def runLifetime(ckpt: String): Unit = {
+      val q = s.readStream.schema(embs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+        .filter(col("vec_id") >= boundary)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          val range = batch.agg(min(col("vec_id")), max(col("vec_id"))).head()
+          if (!range.isNullAt(0)) {
+            graft.llm.VectorOps.absorbIvfPqAppend(s, store,
+              graft.llm.VectorOps.vecsOf(batch), d, fp,
+              opId = s"vec:${range.getLong(0)}-${range.getLong(1)}")
+            ()
+          }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try {
+        if (!q.awaitTermination(180000L))
+          throw new IllegalStateException("restart-maint lifetime did not finish")
+      } finally q.stop()
+    }
+    try {
+      graft.llm.VectorOps.writeIvfPqFrom(
+        graft.llm.VectorOps.vecsOf(embs.filter(col("vec_id") < boundary)),
+        store, d, "base:" + fp)
+      val ckpt = tmp.resolve("ckpt").toString
+      copySlice(0); copySlice(1)
+      runLifetime(ckpt) // lifetime 1: base + slice-1 delta into journal
+      copySlice(2)
+      runLifetime(ckpt) // lifetime 2: RECOVERS offsets, drains only slice 3
+      // lifetime 3: fresh checkpoint => full redelivery; journal refuses
+      // every delta and the store must be byte-stable
+      runLifetime(tmp.resolve("ckpt2").toString)
+      graft.llm.VectorOps.serveIvfPqStore(s, store, d)
+        .localCheckpoint(true)
+        .orderBy(col("qid"), col("rank"))
+    } finally deleteRecursively(tmp)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     raw.map { case (n, f) => n -> entry(n, f) }
@@ -1624,6 +1752,17 @@ object StreamGrade {
     // IVF-PQ CTE machinery in VectorOps: frozen codebook over the base
     // third, codes over the full corpus
     "emb_stream_maintained" -> graft.llm.VectorOps.MaintainedStreamTwin,
+
+    // live two-stage retrieval serves EXACTLY like the offline pipeline:
+    // maxsim_rerank_ivf's twin verbatim (stage-1 pool from the persisted
+    // store ≡ the inline index — ann_ivfadc_loaded's already-graded
+    // equivalence — and the rerank tail is shared code)
+    "emb_stream_maxsim" -> graft.llm.VectorOps.oracle("maxsim_rerank_ivf"),
+
+    // maintenance ACROSS RECOVERY must serve exactly the frozen-codebook
+    // rebuild — the single-lifetime twin, verbatim: offsets recovered,
+    // redelivered deltas refused, nothing dropped or doubled
+    "emb_stream_restart_maintained" -> graft.llm.VectorOps.MaintainedStreamTwin,
 
     // the batch embed_centroid_drift twin re-keyed: reference = even
     // half (a), stream = odd half (b); n_seen = odd-half count

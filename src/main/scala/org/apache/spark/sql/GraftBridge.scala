@@ -33,6 +33,20 @@ object GraftBridge {
         cs.experimental.extraStrategies :+ strat
   }
 
+  /** Idempotently make an optimizer rule visible to the session (the
+    * [[ensureStrategy]] discipline for optimizations): a no-op when the
+    * rule is already in `experimental.extraOptimizations`; sessions
+    * built with [[graft.GraftExtensions]] additionally carry it in the
+    * operator-optimization batch, where the extra copy finds nothing
+    * left to match (rules self-identify idempotent). */
+  def ensureOptimizerRule(s: SparkSession,
+                          rule: catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val cs = s.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(rule))
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ rule
+  }
+
   /** Parse SQL text with the session's own parser (the injected
     * [[graft.plans.GraftSqlParser]] when extensions are installed, the
     * stock parser otherwise). */
