@@ -83,6 +83,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftFunctions.maxSimBuilder(exprs)))
     e.injectFunction((
+      FunctionIdentifier("dtw_band"),
+      new ExpressionInfo(classOf[graft.functions.DtwBandExpr].getName, "dtw_band"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftFunctions.dtwBandBuilder(exprs)))
+    e.injectFunction((
       FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[graft.functions.WinnowFpsExpr].getName, "winnow_fps"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

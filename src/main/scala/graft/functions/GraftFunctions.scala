@@ -29,6 +29,13 @@ object GraftFunctions {
     GraftBridge.column(MaxSimExpr(
       GraftBridge.expression(q), GraftBridge.expression(d), tokens, dim))
 
+  /** Codegen'd Sakoe-Chiba banded DTW over two length-`n` ARRAY<BIGINT>
+    * integer series: min-cost monotone alignment within |i−j| ≤ band,
+    * L1 cell cost, exact BIGINT DP (band 0 ≡ Σ|xᵢ−yᵢ|). */
+  def dtw_band(x: Column, y: Column, n: Int, band: Int): Column =
+    GraftBridge.column(DtwBandExpr(
+      GraftBridge.expression(x), GraftBridge.expression(y), n, band))
+
   /** One-pass marker-word counts + CJK flag (lang-id kernel):
     * STRUCT<h_<name> INT…, cjk BOOLEAN>. */
   def marker_counts(text: Column, sets: Seq[(String, Seq[String])]): Column =
@@ -131,6 +138,26 @@ object GraftFunctions {
       intLit(exprs(2), "tokens"), intLit(exprs(3), "dim"))
   }
 
+  /** SQL builder for dtw_band(x, y, n, band): the series length and
+    * band must be foldable INT literals — the DP loops and rolling-row
+    * width specialize at plan time (the [[maxSimBuilder]] discipline).
+    * Shared by [[register]] and [[graft.GraftExtensions]]. */
+  private[graft] def dtwBandBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    if (exprs.length != 4) throw new IllegalArgumentException(
+      "dtw_band(x, y, n, band) takes exactly 4 arguments")
+    def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+               name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+            v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"dtw_band: $name must be an INT literal (the DP specializes at " +
+          s"plan time), got $other")
+    }
+    DtwBandExpr(exprs(0), exprs(1), intLit(exprs(2), "n"), intLit(exprs(3), "band"))
+  }
+
   /** Register graft's functions for SQL usage in the given session
     * (same set as [[graft.GraftExtensions]], for sessions built without
     * extension injection). */
@@ -147,6 +174,8 @@ object GraftFunctions {
       "mqtt_dispatch", dispatchBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "max_sim", maxSimBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dtw_band", dtwBandBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fps",
       exprs => WinnowFpsExpr(exprs(0), graft.llm.HashDedup.shingleKernel), "built-in")

@@ -1325,6 +1325,48 @@ object RelQueries {
       .orderBy(col("ua"), col("ub"))
   }
 
+  /** BANDED-DTW time-series similarity search (`ts_dtw_topk`) — the
+    * warping-tolerant variant of [[tsUserSimilarity]] the retrieved
+    * EDBT/ICDE similarity-search corpus treats as the standard next
+    * step after lockstep distance: each user's 24-point integer hour
+    * series ranks against the 5 query users by Sakoe-Chiba banded DTW
+    * (band k=2 — an activity pattern shifted an hour or two still
+    * matches), computed by the fused [[graft.functions.DtwBandExpr]]
+    * codegen kernel. L1 cell costs over the already-quantized integer
+    * series keep the whole DP in exact BIGINTs, so the twin — a
+    * 23-step recursive CTE carrying the five in-band cells per row,
+    * the [[graphConverged]] unrolled-iteration discipline applied to
+    * dynamic programming — reproduces every distance bit-for-bit
+    * (band 0 ≡ Σ|xᵢ−yᵢ|, pinned in QueriesSpec).
+    *
+    * Scale shape: series build + densify is [[tsDense]]'s one
+    * partial-aggregated pass (checkpointed, |users|·24 rows); each
+    * user's series packs to ONE 24-long array row, the ≤5 query series
+    * broadcast, and the kernel runs map-side before the top-k window —
+    * per-candidate cost n·(2k+1) integer ops, corpus never reshuffled.
+    * At corpus scale the candidate set is first cut by the
+    * [[tsPruneAudit]] lower-bound index; this exact form is that
+    * audit's ground truth (the `maxsim_topk` pairing). */
+  def tsDtwTopk(s: SparkSession, d: String): DataFrame = {
+    val dense = tsDense(s, Tables.events(s, d)
+      .groupBy(col("user_id"), hour(col("ts")).cast("int").as("h"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("x")))
+    val ser = dense.groupBy(col("user_id"))
+      .agg(transform(array_sort(collect_list(struct(col("h"), col("x")))),
+        e => e("x")).as("xs"))
+      .localCheckpoint(true)
+    val q = ser.filter(col("user_id") < 5)
+      .select(col("user_id").as("qid"), col("xs").as("qxs"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dtw"), col("user_id"))
+    ser.join(broadcast(q), col("user_id") =!= col("qid"))
+      .withColumn("dtw", graft.functions.GraftFunctions
+        .dtw_band(col("qxs"), col("xs"), 24, 2))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("user_id"), col("rank"), col("dtw"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** [[rangeJoinBinned]]'s aggregation over the RAW theta join — no
     * [[RangeJoin]] call anywhere in the query: the user writes the
     * natural `ts >= lo AND ts < hi` join and the injected
@@ -2627,6 +2669,7 @@ object RelQueries {
     "hourly_profile"     -> (hourlyProfile _),
     "ts_user_similarity" -> (tsUserSimilarity _),
     "ts_prune_audit"     -> (tsPruneAudit _),
+    "ts_dtw_topk"        -> (tsDtwTopk _),
     "range_join_binned"  -> (rangeJoinBinned _),
     "band_join_binned"   -> (bandJoinBinned _),
     "overlap_join_binned" -> (overlapJoinBinned _),
@@ -3138,6 +3181,65 @@ object RelQueries {
         |  FROM (SELECT qid, user_id, CAST(sum((x - qx) * (x - qx)) AS BIGINT) AS d2
         |        FROM dense JOIN q USING (h)
         |        WHERE user_id != qid GROUP BY 1, 2))
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // banded DTW replayed as a 23-step RECURSIVE CTE: each iteration
+    // advances one DP row, carrying exactly the five Sakoe-Chiba
+    // in-band cells (offsets j−i ∈ [−2, 2]) per (query, candidate)
+    // pair; within-row left-dependencies unroll as nested subqueries
+    // (nm2 → nm1 → nz0 → np1 → np2). All-integer L1 cell costs make
+    // every cell — and so the final d[23][23] — bit-exact against the
+    // kernel; out-of-band/range cells hold the kernel's 2^62 sentinel
+    "ts_dtw_topk" ->
+      """WITH RECURSIVE xr AS (
+        |  SELECT user_id, CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h,
+        |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |hours AS (SELECT CAST(range AS INT) AS h FROM range(24)),
+        |dense AS (
+        |  SELECT u.user_id, hours.h, COALESCE(xr.x, 0) AS x
+        |  FROM (SELECT DISTINCT user_id FROM xr) u
+        |  CROSS JOIN hours
+        |  LEFT JOIN xr ON xr.user_id = u.user_id AND xr.h = hours.h),
+        |ser AS (SELECT user_id, list(x ORDER BY h) AS xs
+        |        FROM dense GROUP BY 1),
+        |pairs AS (
+        |  SELECT q.user_id AS qid, c.user_id AS uid, q.xs AS qxs, c.xs AS cxs
+        |  FROM ser q JOIN ser c ON q.user_id < 5 AND c.user_id != q.user_id),
+        |dp AS (
+        |  SELECT qid, uid, qxs, cxs, 0 AS i,
+        |         4611686018427387904 AS m2,
+        |         4611686018427387904 AS m1,
+        |         abs(qxs[1] - cxs[1]) AS z0,
+        |         abs(qxs[1] - cxs[2]) + abs(qxs[1] - cxs[1]) AS p1,
+        |         abs(qxs[1] - cxs[3]) + abs(qxs[1] - cxs[2])
+        |           + abs(qxs[1] - cxs[1]) AS p2
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT qid, uid, qxs, cxs, r AS i, nm2, nm1, nz0, np1,
+        |         CASE WHEN r + 2 > 23 THEN 4611686018427387904
+        |              ELSE least(np1, p2) + abs(qxs[r + 1] - cxs[r + 3])
+        |         END AS np2
+        |  FROM (
+        |    SELECT *, CASE WHEN r + 1 > 23 THEN 4611686018427387904
+        |                   ELSE least(p2, nz0, p1) + abs(qxs[r + 1] - cxs[r + 2])
+        |              END AS np1
+        |    FROM (
+        |      SELECT *, least(p1, nm1, z0) + abs(qxs[r + 1] - cxs[r + 1]) AS nz0
+        |      FROM (
+        |        SELECT *, least(z0, nm2, m1) + abs(qxs[r + 1] - cxs[r]) AS nm1
+        |        FROM (
+        |          SELECT *, CASE WHEN r - 2 < 0 THEN 4611686018427387904
+        |                         ELSE least(m1, m2) + abs(qxs[r + 1] - cxs[r - 1])
+        |                    END AS nm2
+        |          FROM (SELECT qid, uid, qxs, cxs, i + 1 AS r, m2, m1, z0, p1, p2
+        |                FROM dp WHERE i < 23))))))
+        |SELECT qid, user_id, rank, dtw FROM (
+        |  SELECT qid, uid AS user_id,
+        |         CAST(row_number() OVER (PARTITION BY qid
+        |           ORDER BY z0, uid) AS BIGINT) AS rank,
+        |         z0 AS dtw
+        |  FROM dp WHERE i = 23)
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     // local-reference-point prune audit: 3 corpus series as reference

@@ -1694,4 +1694,90 @@ class QueriesSpec extends AnyFunSuite {
         .withInitialSeed(Seed(0xD17L)), prop)
     assert(res.passed, s"property failed: ${res.status}")
   }
+
+  test("r13: dtw_band kernel — band 0 is exactly lockstep L1, identity is 0, " +
+       "warping absorbs a one-hour shift lockstep cannot, and the graded " +
+       "ranking agrees with L2 on monotone-aligned fixtures") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.dtw_band
+    val rnd = new scala.util.Random(41)
+    val n = 24
+    def series(): Seq[Long] = Seq.fill(n)(rnd.nextInt(2000).toLong - 1000L)
+    val fixtures = Seq.fill(40)((series(), series()))
+    val df = spark.createDataFrame(fixtures.zipWithIndex.map {
+      case ((a, b), i) => (i.toLong, a, b)
+    }).toDF("id", "a", "b")
+    // band 0 == Σ|a_i − b_i| exactly, on every fixture
+    val got0 = df.select(col("id"), dtw_band(col("a"), col("b"), n, 0).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fixtures.zipWithIndex.foreach { case ((a, b), i) =>
+      val l1 = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+      assert(got0(i.toLong) === l1, s"band-0 DTW != lockstep L1 at fixture $i")
+    }
+    // identity: dtw(a, a, k) == 0 for every band
+    for (k <- Seq(0, 2, 5)) {
+      val z = df.select(dtw_band(col("a"), col("a"), n, k).as("d"))
+        .agg(max(col("d"))).head().getLong(0)
+      assert(z === 0L, s"dtw(a, a, band=$k) != 0")
+    }
+    // a one-step shift: banded DTW sees near-zero where lockstep sees
+    // the full displacement (the reason the operator exists)
+    val base = (0 until n).map(i => (i * 37L % 211L) * 100L)
+    val shifted = base.drop(1) :+ base.last
+    val sd = spark.createDataFrame(Seq((1L, base, shifted)))
+      .toDF("id", "a", "b")
+    val lockstep = sd.select(dtw_band(col("a"), col("b"), n, 0)).head().getLong(0)
+    val warped = sd.select(dtw_band(col("a"), col("b"), n, 2)).head().getLong(0)
+    assert(warped < lockstep,
+      s"band-2 DTW ($warped) did not beat lockstep ($lockstep) on a shift")
+    // the only unavoidable cost is the mandatory (0,0) start cell,
+    // |a0 − b0| = |a0 − a1|; everything after aligns a_i ↔ b_{i−1} = a_i
+    assert(warped <= math.abs(base.head - base(1)),
+      "a 1-shift should cost at most the mandatory start cell")
+    // hand-computed 3-point example: a=[0,10,0], b=[10,0,0], band 1:
+    // path (0,0)=10 →(1,0)diag? cells: d00=10, d01(b=0):|0-0|+10=10,
+    // d10:|10-10|+10=10, d11:|10-0|+min(10,10,10)=20, d12:|10-0|+min(10,20)...
+    // cheapest: d22 = |0-0| + min(d12, d21, d11); d21=|0-0|+min(d11,d10)=10;
+    // d12=|10-0|+min(d01,d11)=20 → d22 = min(20,10,20) = 10
+    val tiny = spark.createDataFrame(Seq(
+      (1L, Seq(0L, 10L, 0L), Seq(10L, 0L, 0L)))).toDF("id", "a", "b")
+    assert(tiny.select(dtw_band(col("a"), col("b"), 3, 1)).head().getLong(0) === 10L)
+    // null poisoning: null element or wrong length → NULL
+    val bad = spark.createDataFrame(Seq(
+      (1L, Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, 2L, 3L)),
+      (2L, Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L, 3L))))
+      .toDF("id", "a", "b")
+    assert(bad.select(dtw_band(col("a").cast("array<long>"),
+        col("b").cast("array<long>"), 3, 1).as("d"))
+      .collect().forall(_.isNullAt(0)))
+    // ranking parity with L2 on monotone-aligned fixtures: candidates at
+    // well-separated uniform offsets from the query — every alignment
+    // cost is dominated by the offset, so DTW(any band), L1 and L2 agree
+    val q = (0 until n).map(i => 1000L * i)
+    val cands = Seq(5L, 1L, 9L, 3L, 7L).zipWithIndex.map { case (off, i) =>
+      (i.toLong, q.map(_ + off * 10000L))
+    }
+    val cd = spark.createDataFrame(cands.map { case (i, xs) => (i, q, xs) })
+      .toDF("uid", "q", "xs")
+    val byDtw = cd.select(col("uid"), dtw_band(col("q"), col("xs"), n, 2).as("d"))
+      .orderBy(col("d"), col("uid")).collect().map(_.getLong(0)).toSeq
+    val byL2 = cands.sortBy { case (_, xs) =>
+      q.zip(xs).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.map(_._1)
+    assert(byDtw === byL2, "DTW ranking diverged from L2 on aligned fixtures")
+    // the SQL surface: registered builder, plan-time-specialized grid
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT dtw_band(array(0L, 10L, 0L), array(10L, 0L, 0L), 3, 1) AS d")
+      .head().getLong(0) === 10L)
+    // the graded query itself: 3 rows per query user, distances
+    // non-decreasing per rank, reruns bit-identical
+    val fn = graft.rel.RelQueries.queries("ts_dtw_topk")
+    val rows = fn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.grouped(3).forall { g =>
+      g.map(_.getLong(3)).toSeq == g.map(_.getLong(3)).sorted.toSeq
+    })
+    assert(fn(spark, sf).collect().map(_.toString).toSeq ===
+      rows.map(_.toString).toSeq)
+  }
 }
