@@ -163,7 +163,10 @@ object VectorOps {
       .localCheckpoint(true)
     val cands = ivfAdcServe(q, cents, pqCodesOf(e, cents), depth = MsRerankDepth)
       .select(col("qid"), col("vec_id"), col("rank").as("adc_rank"))
-    maxsimRerankFromPool(s, d, cands)
+    // reuse the checkpointed query slice — a fresh one would re-scan
+    // the corpus (the committed scan budget is 2)
+    maxsimRerankFromPool(s, d, cands,
+      qOpt = Some(q.select(col("qid"), col("qv"))))
   }
 
   /** The MaxSim re-rank tail over an (qid, vec_id, adc_rank) candidate
@@ -175,10 +178,11 @@ object VectorOps {
     * for vectors outside the pool) and re-rank through the fused
     * [[graft.functions.MaxSimExpr]] kernel. */
   private[graft] def maxsimRerankFromPool(s: SparkSession, d: String,
-                                          cands: DataFrame): DataFrame = {
+                                          cands: DataFrame,
+                                          qOpt: Option[DataFrame] = None): DataFrame = {
     val e = vecs(s, d)
-    val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val q = qOpt.getOrElse(e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv")))
     val wMs = Window.partitionBy(col("qid")).orderBy(col("ms_q").desc, col("vec_id"))
     e.select(col("vec_id"), col("v"))
       .join(broadcast(cands), "vec_id")
