@@ -5,10 +5,10 @@ import org.apache.spark.sql.catalyst.expressions.{Abs, Expression, GreaterThan, 
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.{array, col, count, explode, floor, greatest, lit, sequence, sum, unix_timestamp}
+import org.apache.spark.sql.functions.{abs, array, col, count, explode, floor, greatest, lit, max, sequence, sum, unix_timestamp}
 import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, TimestampType}
 
-/** Optimizer rule: a join whose ONLY condition is a keyless
+/** Optimizer rule: a join whose condition is a keyless
   * point-in-interval / interval-overlap / numeric-band predicate is
   * rewritten to [[graft.rel.RangeJoin]]'s binned EQUI-join form — so the
   * user who writes the natural theta join
@@ -18,7 +18,11 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType,
   * matches·density) instead of the O(n·m) nested-loop product that is
   * the canonical silent scale-killer at 100 TB. The
   * [[BusPartitionPruning]] precedent — derive what the user didn't
-  * write — applied to join planning.
+  * write — applied to join planning. Both AXES are covered: timestamp
+  * endpoints bin on whole seconds; numeric endpoints (price bands,
+  * score ranges) bin on `floor(v / width)`, sound without float slack
+  * because IEEE division is monotone
+  * ([[graft.rel.RangeJoin.pointInIntervalNumeric]]).
   *
   * Soundness: the rewrite keeps the ORIGINAL predicate as a post-join
   * filter, so the bins only have to COVER every satisfying pair, never
@@ -84,10 +88,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   // ---- condition classification ----
 
   private sealed trait Shape
+  /** `timeAxis`: endpoints are timestamps (bin on whole seconds) vs a
+    * numeric axis (bin on `floor(v / width)` — sound without slack
+    * because IEEE division is monotone, see
+    * [[graft.rel.RangeJoin.pointInIntervalNumeric]]). */
   private case class PointInInterval(point: Expression, pointOnLeft: Boolean,
-                                     lo: Expression, hi: Expression) extends Shape
+                                     lo: Expression, hi: Expression,
+                                     timeAxis: Boolean) extends Shape
   private case class Overlap(lLo: Expression, lHi: Expression,
-                             rLo: Expression, rHi: Expression) extends Shape
+                             rLo: Expression, rHi: Expression,
+                             timeAxis: Boolean) extends Shape
   private case class Band(lVal: Expression, rVal: Expression,
                           eps: Double) extends Shape
 
@@ -179,12 +189,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val conjuncts = splitConjunctivePredicates(cond)
     if (conjuncts.exists(isEqui(_, left, right))) return None
     val lts = conjuncts.flatMap(asLt)
+    def axisOf(es: Expression*): Option[Boolean] =
+      if (isTs(es: _*)) Some(true)
+      else if (es.forall(e => BandableTypes.contains(e.dataType))) Some(false)
+      else None
     val pairShapes: Seq[Shape] = for {
       i <- lts.indices
       j <- lts.indices if i != j
       (a1, b1) = lts(i)
       (a2, b2) = lts(j)
-      if isTs(a1, b1, a2, b2)
+      timeAxis <- axisOf(a1, b1, a2, b2).toSeq
       // orient to x(L) < y(R) ∧ u(R) < w(L)
       if sideOf(a1, left, right).contains(true) &&
          sideOf(b1, left, right).contains(false) &&
@@ -193,10 +207,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       (x, y, u, w) = (a1, b1, a2, b2)
     } yield {
       if (x.semanticEquals(w)) PointInInterval(x, pointOnLeft = true,
-        lo = u, hi = y)
+        lo = u, hi = y, timeAxis)
       else if (y.semanticEquals(u)) PointInInterval(y,
-        pointOnLeft = false, lo = x, hi = w)
-      else Overlap(lLo = x, lHi = w, rLo = u, rHi = y)
+        pointOnLeft = false, lo = x, hi = w, timeAxis)
+      else Overlap(lLo = x, lHi = w, rLo = u, rHi = y, timeAxis)
     }
     pairShapes.collectFirst { case p: PointInInterval => p }
       .orElse(conjuncts.flatMap(bandOf(_, left, right)).headOption)
@@ -216,7 +230,24 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * and re-run the pass per bench pass. Bounded: the keys retain plan
     * trees, so the cache clears past 64 entries. */
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[
-    (LogicalPlan, Expression, Expression), Option[(Long, Long)]]()
+    (LogicalPlan, Expression, Expression), Option[(Long, Long, Long)]]()
+
+  /** Per-interval bin-count ceiling: the rewrite must never turn one
+    * pathological row (a decade-long interval in a corpus of minutes, a
+    * matched pair of unrelated id inequalities) into a million-element
+    * `sequence` explode. The WIDTH is widened — always sound, bins only
+    * cover — until the longest observed interval spans ≤ this many
+    * bins. */
+  private val MaxBinsPerInterval = 4096L
+
+  /** Smallest power of two ≥ `maxAbsLen / MaxBinsPerInterval` — the
+    * width floor the ceiling imposes (may exceed the density-motivated
+    * 2²⁰ clamp: bounding the explode dominates). */
+  private def widthFloor(maxAbsLen: Long): Long = {
+    val need = math.max(1L, maxAbsLen / MaxBinsPerInterval)
+    val hob = java.lang.Long.highestOneBit(need)
+    if (hob == need) hob else hob << 1
+  }
 
   /** `e` with every attribute replaced by its ordinal in `plan.output`
     * — a canonical, invocation-independent cache-key form. */
@@ -228,16 +259,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }.canonicalized
 
   private def lengthStats(s: SparkSession, plan: LogicalPlan,
-                          lo: Expression, hi: Expression): Option[(Long, Long)] = {
+                          lo: Expression, hi: Expression): Option[(Long, Long, Long)] = {
     if (statsCache.size() > 64) statsCache.clear()
     statsCache.computeIfAbsent(
       (plan.canonicalized, ordinalKey(lo, plan), ordinalKey(hi, plan)), _ => {
         val len = unix_timestamp(GraftBridge.column(hi)) -
           unix_timestamp(GraftBridge.column(lo))
         val row = GraftBridge.ofRows(s, plan)
-          .select(sum(len).as("s"), count(len).as("n")).head()
+          .select(sum(len).as("s"), count(len).as("n"),
+            max(abs(len)).as("m")).head()
         if (row.isNullAt(0) || row.getLong(1) == 0L) None
-        else Some((row.getLong(0), row.getLong(1)))
+        else Some((row.getLong(0), row.getLong(1), row.getLong(2)))
       })
   }
 
@@ -245,8 +277,56 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                            sides: Seq[(LogicalPlan, Expression, Expression)]): Long = {
     val stats = sides.flatMap { case (p, lo, hi) => lengthStats(s, p, lo, hi) }
     if (stats.isEmpty) graft.rel.RangeJoin.DefaultBinSeconds
-    else graft.rel.RangeJoin.widthFromStats(
-      stats.map(_._1).sum, stats.map(_._2).sum)
+    else math.max(
+      graft.rel.RangeJoin.widthFromStats(
+        stats.map(_._1).sum, stats.map(_._2).sum),
+      widthFloor(stats.map(_._3).max))
+  }
+
+  /** Numeric-axis twin of [[lengthStats]]: (Σ(hi−lo) as double, n).
+    * The double sum's reduction order can wiggle the mean's last bits —
+    * harmless: the width only shapes the plan (the exact predicate
+    * decides every match), and the power-of-two clamp makes a flip
+    * possible only when the mean sits exactly on a boundary. */
+  private val numStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    (LogicalPlan, Expression, Expression), Option[(Double, Long, Double)]]()
+
+  private def numericLengthStats(s: SparkSession, plan: LogicalPlan,
+                                 lo: Expression, hi: Expression): Option[(Double, Long, Double)] = {
+    if (numStatsCache.size() > 64) numStatsCache.clear()
+    numStatsCache.computeIfAbsent(
+      (plan.canonicalized, ordinalKey(lo, plan), ordinalKey(hi, plan)), _ => {
+        val len = GraftBridge.column(hi).cast("double") -
+          GraftBridge.column(lo).cast("double")
+        val row = GraftBridge.ofRows(s, plan)
+          .select(sum(len).as("s"), count(len).as("n"),
+            max(abs(len)).as("m")).head()
+        if (row.isNullAt(0) || row.getLong(1) == 0L) None
+        else Some((row.getDouble(0), row.getLong(1), row.getDouble(2)))
+      })
+  }
+
+  private def derivedNumericWidth(s: SparkSession,
+                                  sides: Seq[(LogicalPlan, Expression, Expression)]): Double = {
+    val stats = sides.flatMap { case (p, lo, hi) => numericLengthStats(s, p, lo, hi) }
+    if (stats.isEmpty) 1d
+    else {
+      val mean = graft.rel.RangeJoin.widthFromMeanLength(
+        stats.map(_._1).sum / stats.map(_._2).sum)
+      // the MaxBinsPerInterval explode ceiling, numeric form: smallest
+      // power of two ≥ maxAbsLen / cap (power-of-two-exact via the
+      // binary exponent, so the division below is an exponent shift)
+      val maxAbs = stats.map(_._3).max
+      val floorW =
+        if (maxAbs.isNaN || maxAbs <= 0d) mean
+        else {
+          val need = maxAbs / MaxBinsPerInterval
+          val e = Math.getExponent(need)
+          val cand = math.pow(2d, e)
+          if (cand >= need) cand else math.pow(2d, e + 1)
+        }
+      math.max(mean, floorW)
+    }
   }
 
   // ---- the rewrite ----
@@ -257,18 +337,31 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val rDf = GraftBridge.ofRows(s, j.right)
     def c(e: Expression): Column = GraftBridge.column(e)
     val joined: DataFrame = shape match {
-      case PointInInterval(p, onLeft, lo, hi) =>
-        val width = derivedWidth(s,
-          Seq(((if (onLeft) j.right else j.left), lo, hi)))
-        def bin(e: Expression) = floor(unix_timestamp(c(e)) / width)
+      case PointInInterval(p, onLeft, lo, hi, timeAxis) =>
+        val ivSide = if (onLeft) j.right else j.left
+        val bin: Column => Column =
+          if (timeAxis) {
+            val width = derivedWidth(s, Seq((ivSide, lo, hi)))
+            x => floor(unix_timestamp(x) / width)
+          } else {
+            val width = derivedNumericWidth(s, Seq((ivSide, lo, hi)))
+            x => floor(x.cast("double") / width).cast("long")
+          }
         val (pts, ivs) = if (onLeft) (lDf, rDf) else (rDf, lDf)
-        val pb = pts.withColumn(BinCol, bin(p))
-        val ib = ivs.withColumn(BinCol, explode(sequence(bin(lo), bin(hi))))
+        val pb = pts.withColumn(BinCol, bin(c(p)))
+        val ib = ivs.withColumn(BinCol,
+          explode(sequence(bin(c(lo)), bin(c(hi)))))
         pb.join(ib, Seq(BinCol))
-      case Overlap(lLo, lHi, rLo, rHi) =>
-        val width = derivedWidth(s,
-          Seq((j.left, lLo, lHi), (j.right, rLo, rHi)))
-        def bin(x: Column) = floor(unix_timestamp(x) / width)
+      case Overlap(lLo, lHi, rLo, rHi, timeAxis) =>
+        val sides = Seq((j.left, lLo, lHi), (j.right, rLo, rHi))
+        val bin: Column => Column =
+          if (timeAxis) {
+            val width = derivedWidth(s, sides)
+            x => floor(unix_timestamp(x) / width)
+          } else {
+            val width = derivedNumericWidth(s, sides)
+            x => floor(x.cast("double") / width).cast("long")
+          }
         val lb = lDf.withColumn(BinCol,
           explode(sequence(bin(c(lLo)), bin(c(lHi)))))
         val rb = rDf.withColumn(BinCol,

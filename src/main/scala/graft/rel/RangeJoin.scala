@@ -134,6 +134,56 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Keyless NUMERIC point-in-interval join: every row of `intervals`
+    * whose [lo, hi) contains the point's value — [[pointInInterval]]
+    * over a numeric axis (price bands, score ranges, histogram
+    * buckets) instead of time. Coverage needs NO float slack, unlike
+    * [[bandJoin]]'s ±2: IEEE division is correctly rounded and
+    * therefore MONOTONE, so lo ≤ p ≤ hi ⟹ lo/w ≤ p/w ≤ hi/w ⟹
+    * bin(p) ∈ [bin(lo), bin(hi)] exactly — the band join's failure
+    * mode is the DIFFERENCE of two independently-rounded divisions
+    * drifting two bins apart, which a direct ordering of the raw
+    * values never invokes. The exact predicate still decides every
+    * candidate. Exactly-once: the point occupies one bin. */
+  def pointInIntervalNumeric(points: DataFrame, pointVal: String,
+                             intervals: DataFrame, lo: String, hi: String,
+                             width: Double): DataFrame = {
+    require(width > 0d && !width.isInfinite, "bin width must be positive")
+    val pb = points.withColumn("__bin",
+      floor(col(pointVal) / width).cast("long"))
+    val ib = intervals.withColumn("__bin",
+      explode(sequence(floor(col(lo) / width).cast("long"),
+                       floor(col(hi) / width).cast("long"))))
+    pb.join(ib, Seq("__bin"))
+      .filter(col(pointVal) >= col(lo) && col(pointVal) < col(hi))
+      .drop("__bin")
+  }
+
+  /** The numeric width decision (the [[widthFromStats]] twin for a
+    * double axis): largest power of two ≤ the mean interval length —
+    * including NEGATIVE powers for sub-unit widths — clamped to
+    * [2⁻²⁰, 2²⁰]. Exact: means of doubles are compared against exact
+    * powers of two, and the chosen width is itself a power of two, so
+    * `v / width` is an exponent shift (no mantissa rounding beyond the
+    * value's own). */
+  def widthFromMeanLength(mean: Double): Double = {
+    val m = if (mean.isNaN || mean <= 0d) 1d else mean
+    val clamped = math.min(math.max(m, math.pow(2d, -20)), math.pow(2d, 20))
+    // Math.getExponent is the EXACT binary exponent (2^e ≤ x < 2^{e+1})
+    // — a log-based floor can come out one low at exact powers of two
+    math.pow(2d, Math.getExponent(clamped))
+  }
+
+  /** [[pointInIntervalNumeric]] with the width derived from the
+    * interval side's mean length in one pass. */
+  def pointInIntervalNumericAuto(points: DataFrame, pointVal: String,
+                                 intervals: DataFrame, lo: String,
+                                 hi: String): DataFrame = {
+    val row = intervals.agg(avg(col(hi) - col(lo)).as("m")).head()
+    val width = if (row.isNullAt(0)) 1d else widthFromMeanLength(row.getDouble(0))
+    pointInIntervalNumeric(points, pointVal, intervals, lo, hi, width)
+  }
+
   /** Keyless numeric BAND join: every (left, right) pair with
     * |leftVal − rightVal| ≤ eps, as an equi join on value bins of width
     * `eps`. The left row lands in its own bin; the right row explodes

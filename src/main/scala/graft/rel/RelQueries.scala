@@ -1452,6 +1452,34 @@ object RelQueries {
       .orderBy(col("ua"), col("ub"))
   }
 
+  /** NUMERIC-axis point-in-interval through the transparent rewrite
+    * (`range_join_values`): per low-id purchase, corpus clicks whose
+    * value lands in that purchase's one-sided price band
+    * [pv, pv + 0.5) — a RAW theta join on a DOUBLE axis, no equi key,
+    * no [[RangeJoin]] call: [[graft.plans.RangeJoinRewrite]] recognizes
+    * the numeric shape and bins on `floor(v / width)` with the width
+    * derived from the band lengths (sound without float slack — IEEE
+    * division is monotone, so bin(p) is sandwiched between bin(lo) and
+    * bin(hi) whenever lo ≤ p ≤ hi; see
+    * [[RangeJoin.pointInIntervalNumeric]]). Twin: the naive theta
+    * join. The asymmetric band distinguishes this from
+    * [[bandJoinAuto]]'s |l−r| ≤ eps shape: intervals here are DATA
+    * (per-row bounds), not a constant radius. */
+  def rangeJoinValues(s: SparkSession, d: String): DataFrame = {
+    graft.plans.RangeJoinRewrite.ensure(s)
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase" && col("user_id") < 10)
+      .select(col("event_id").as("pid"), col("value").as("lo"),
+        (col("value") + 0.5d).as("hi"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("value").as("cv"))
+    c.join(p, col("cv") >= col("lo") && col("cv") < col("hi"))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_in_band"),
+           round(max(col("cv")), 4).as("max_in_band"))
+      .orderBy(col("pid"))
+  }
+
   /** Fixed-width histogram: floor-binning on the value column — integer
     * bucket ids, so the grouping is bit-exact cross-engine. */
   def valueHist(s: SparkSession, d: String): DataFrame =
@@ -2675,6 +2703,7 @@ object RelQueries {
     "overlap_join_binned" -> (overlapJoinBinned _),
     "range_join_auto"    -> (rangeJoinAuto _),
     "range_join_sql"     -> (rangeJoinSql _),
+    "range_join_values"  -> (rangeJoinValues _),
     "band_join_auto"     -> (bandJoinAuto _),
     "overlap_join_auto"  -> (overlapJoinAuto _),
     "cohort_retention"   -> (cohortRetention _),
@@ -3490,6 +3519,20 @@ object RelQueries {
     "overlap_join_auto"   -> OverlapJoinNaiveTwin,
     "band_join_binned" -> BandJoinNaiveTwin,
     "band_join_auto"   -> BandJoinNaiveTwin,
+
+    // numeric-axis point-in-interval: the naive theta join over the
+    // per-purchase price bands — the transparent rewrite must lose and
+    // invent nothing on a DOUBLE axis (no float slack needed: IEEE
+    // division is monotone)
+    "range_join_values" ->
+      """WITH p AS (SELECT event_id AS pid, value AS lo, value + 0.5 AS hi
+        |           FROM events
+        |           WHERE event_type = 'purchase' AND user_id < 10),
+        |c AS (SELECT value AS cv FROM events WHERE event_type = 'click')
+        |SELECT pid, count(*) AS n_in_band,
+        |       round(max(cv), 4) AS max_in_band
+        |FROM c JOIN p ON cv >= lo AND cv < hi
+        |GROUP BY pid ORDER BY pid""".stripMargin,
 
     "ev_near_purchase" ->
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)

@@ -152,6 +152,44 @@ class RangeJoinRewriteSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("numeric axis: a raw DOUBLE point-in-interval theta join plans " +
+       "binned, razor-edge values included, and the explode ceiling " +
+       "widens the width for a pathological interval") {
+    // razor-edge corpus: points sitting exactly on / one ulp around
+    // multiples of plausible power-of-two widths, intervals with
+    // razor endpoints — binned must equal naive pair-for-pair (the
+    // monotone-division coverage argument, exercised where it bites)
+    val pts = (-40 to 400).flatMap { k =>
+      val v = k * 0.0625d
+      Seq(v, math.nextAfter(v, Double.NegativeInfinity),
+        math.nextAfter(v, Double.PositiveInfinity), v + 0.031d)
+    }.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val p = spark.createDataFrame(pts).toDF("id", "v")
+    val ivs = (0 until 60).map { k =>
+      (k.toLong, k * 0.34d - 2d, k * 0.34d - 2d + (k % 7 + 1) * 0.11d)
+    }
+    val iv = spark.createDataFrame(ivs).toDF("iid", "lo", "hi")
+    def q(): DataFrame = p.join(iv, col("v") >= col("lo") && col("v") < col("hi"))
+      .select(col("id"), col("iid"))
+    val plan = executedPlan(q())
+    assertNoNestedLoop(plan, "raw numeric point-in-interval join")
+    assert(plan.contains("Generate"), s"numeric rule did not fire:\n$plan")
+    assert(q().collect().map(_.toString).sorted.toSeq === naiveRows(q()))
+    // explode ceiling: one interval 10^6 wide among unit-scale ones
+    // must NOT produce a million-bin sequence — the width widens until
+    // the longest interval spans <= 4096 bins, and rows still match
+    val skew = spark.createDataFrame(
+      ivs :+ (999L, -500000d, 500000d)).toDF("iid", "lo", "hi")
+    def sq(): DataFrame = p.join(skew, col("v") >= col("lo") && col("v") < col("hi"))
+      .select(col("id"), col("iid"))
+    val sPlan = executedPlan(sq()) // completing at all proves the bound
+    assertNoNestedLoop(sPlan, "skew-interval numeric join")
+    assert(sq().collect().map(_.toString).sorted.toSeq === naiveRows(sq()))
+    // the graded numeric row, nested-loop-free
+    val g = graft.rel.RelQueries.queries("range_join_values")(spark, sf)
+    assertNoNestedLoop(executedPlan(g), "range_join_values")
+  }
+
   test("stats-derived width: the integer decision is the documented " +
        "power-of-two clamp, pinned on adversarial corpora (many short " +
        "intervals vs few long ones)") {
