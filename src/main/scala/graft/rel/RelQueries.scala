@@ -1348,23 +1348,87 @@ object RelQueries {
     * [[tsPruneAudit]] lower-bound index; this exact form is that
     * audit's ground truth (the `maxsim_topk` pairing). */
   def tsDtwTopk(s: SparkSession, d: String): DataFrame = {
-    val dense = tsDense(s, Tables.events(s, d)
-      .groupBy(col("user_id"), hour(col("ts")).cast("int").as("h"))
-      .agg(sum(floor(col("value") * 100).cast("long")).as("x")))
-    val ser = dense.groupBy(col("user_id"))
-      .agg(transform(array_sort(collect_list(struct(col("h"), col("x")))),
-        e => e("x")).as("xs"))
-      .localCheckpoint(true)
-    val q = ser.filter(col("user_id") < 5)
-      .select(col("user_id").as("qid"), col("xs").as("qxs"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dtw"), col("user_id"))
-    ser.join(broadcast(q), col("user_id") =!= col("qid"))
-      .withColumn("dtw", graft.functions.GraftFunctions
-        .dtw_band(col("qxs"), col("xs"), 24, 2))
+    tsDtwDistances(s, d)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("user_id"), col("rank"), col("dtw"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The packed per-user 24-long integer series frame (user_id, xs) —
+    * checkpointed once, shared by [[tsDtwTopk]] and the LB_Keogh
+    * audit. */
+  private def tsSeries(s: SparkSession, d: String): DataFrame =
+    tsDense(s, Tables.events(s, d)
+      .groupBy(col("user_id"), hour(col("ts")).cast("int").as("h"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("x")))
+      .groupBy(col("user_id"))
+      .agg(transform(array_sort(collect_list(struct(col("h"), col("x")))),
+        e => e("x")).as("xs"))
+      .localCheckpoint(true)
+
+  /** Every (query, candidate) banded-DTW distance — the shared head of
+    * the ranked search and the prune audit: queries broadcast, kernel
+    * map-side, one row per pair with the query series carried.
+    * (private[graft]: QueriesSpec asserts LB_Keogh ≤ DTW pairwise on
+    * this frame.) */
+  private[graft] def tsDtwDistances(s: SparkSession, d: String): DataFrame = {
+    val ser = tsSeries(s, d)
+    val q = ser.filter(col("user_id") < 5)
+      .select(col("user_id").as("qid"), col("xs").as("qxs"))
+    ser.join(broadcast(q), col("user_id") =!= col("qid"))
+      .withColumn("dtw", graft.functions.GraftFunctions
+        .dtw_band(col("qxs"), col("xs"), 24, 2))
+  }
+
+  /** LB_KEOGH PRUNE AUDIT for the banded-DTW search (`ts_dtw_lb_audit`)
+    * — the UCR-suite discipline that makes DTW search viable at corpus
+    * scale, priced here exactly like [[tsPruneAudit]] prices the
+    * L1 reference-point index: each query's band-2 ENVELOPE
+    * (U(h) = max q[h±2], L(h) = min q[h±2]) gives the classic lower
+    * bound LB = Σₕ max(x(h) − U(h), L(h) − x(h), 0) ≤ DTW(q, x) —
+    * valid because any in-band alignment must match x(h) against some
+    * q-value inside [L(h), U(h)]'s defining window, paying at least
+    * the envelope excess in L1 cost. A candidate with LB above the
+    * query's exact 3rd-NN DTW distance τ can NEVER be top-3, so the
+    * reported fraction is pure saved kernel work at ZERO recall loss
+    * (QueriesSpec asserts LB ≤ DTW pairwise). All arithmetic stays in
+    * the series' exact integers — envelope by window max/min, the
+    * bound by a higher-order fold — so the twin reproduces every
+    * count; τ comes from the SAME distance frame the graded ranking
+    * reads. Scale shape: the envelope is 24 rows per query (broadcast)
+    * and the bound is one map-side fold per pair — at corpus scale the
+    * kernel then runs ONLY on the survivors, which is the entire point
+    * of the audit. */
+  def tsDtwLbAudit(s: SparkSession, d: String): DataFrame = {
+    val dist = tsDtwDistances(s, d).localCheckpoint(true)
+    val wTau = Window.partitionBy(col("qid")).orderBy(col("dtw"), col("user_id"))
+    val tau = dist.withColumn("rk", row_number().over(wTau))
+      .filter(col("rk") === 3).select(col("qid"), col("dtw").as("tau"))
+    val hs = sequence(lit(0), lit(23))
+    val withEnv = dist
+      .withColumn("env_u", transform(hs, h =>
+        array_max(slice(col("qxs"), greatest(h - 2, lit(0)) + 1,
+          least(h + 2, lit(23)) - greatest(h - 2, lit(0)) + 1))))
+      .withColumn("env_l", transform(hs, h =>
+        array_min(slice(col("qxs"), greatest(h - 2, lit(0)) + 1,
+          least(h + 2, lit(23)) - greatest(h - 2, lit(0)) + 1))))
+      .withColumn("lb", aggregate(hs, lit(0L), (acc, h) =>
+        acc + greatest(
+          element_at(col("xs"), h + 1) - element_at(col("env_u"), h + 1),
+          element_at(col("env_l"), h + 1) - element_at(col("xs"), h + 1),
+          lit(0L))))
+    withEnv
+      .join(broadcast(tau), "qid")
+      .groupBy(col("qid"), col("tau"))
+      .agg(count(lit(1)).as("n_cand"),
+           sum(when(col("lb") > col("tau"), 1L).otherwise(0L)).as("n_pruned"))
+      .withColumn("prune_pct",
+        round(col("n_pruned").cast("double") / col("n_cand"), 4))
+      .select(col("qid"), col("tau"), col("n_cand"), col("n_pruned"),
+        col("prune_pct"))
+      .orderBy(col("qid"))
   }
 
   /** [[rangeJoinBinned]]'s aggregation over the RAW theta join — no
@@ -2698,6 +2762,7 @@ object RelQueries {
     "ts_user_similarity" -> (tsUserSimilarity _),
     "ts_prune_audit"     -> (tsPruneAudit _),
     "ts_dtw_topk"        -> (tsDtwTopk _),
+    "ts_dtw_lb_audit"    -> (tsDtwLbAudit _),
     "range_join_binned"  -> (rangeJoinBinned _),
     "band_join_binned"   -> (bandJoinBinned _),
     "overlap_join_binned" -> (overlapJoinBinned _),
@@ -2859,6 +2924,56 @@ object RelQueries {
       |       round(min(abs(pv - cv)), 4) AS closest
       |FROM p JOIN c ON abs(pv - cv) <= 0.05
       |GROUP BY pid ORDER BY pid""".stripMargin
+
+  /** The banded-DTW DP replay shared by `ts_dtw_topk` and
+    * `ts_dtw_lb_audit`'s twins: series build + densify + pair fan-out +
+    * the 23-step recursive CTE carrying the five in-band cells
+    * (`dp.z0` at `i = 23` is the exact d[23][23]). Callers prepend
+    * `WITH RECURSIVE`. */
+  private val TsDtwDpCtes =
+    """xr AS (
+      |  SELECT user_id, CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h,
+      |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |hours AS (SELECT CAST(range AS INT) AS h FROM range(24)),
+      |dense AS (
+      |  SELECT u.user_id, hours.h, COALESCE(xr.x, 0) AS x
+      |  FROM (SELECT DISTINCT user_id FROM xr) u
+      |  CROSS JOIN hours
+      |  LEFT JOIN xr ON xr.user_id = u.user_id AND xr.h = hours.h),
+      |ser AS (SELECT user_id, list(x ORDER BY h) AS xs
+      |        FROM dense GROUP BY 1),
+      |pairs AS (
+      |  SELECT q.user_id AS qid, c.user_id AS uid, q.xs AS qxs, c.xs AS cxs
+      |  FROM ser q JOIN ser c ON q.user_id < 5 AND c.user_id != q.user_id),
+      |dp AS (
+      |  SELECT qid, uid, qxs, cxs, 0 AS i,
+      |         4611686018427387904 AS m2,
+      |         4611686018427387904 AS m1,
+      |         abs(qxs[1] - cxs[1]) AS z0,
+      |         abs(qxs[1] - cxs[2]) + abs(qxs[1] - cxs[1]) AS p1,
+      |         abs(qxs[1] - cxs[3]) + abs(qxs[1] - cxs[2])
+      |           + abs(qxs[1] - cxs[1]) AS p2
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT qid, uid, qxs, cxs, r AS i, nm2, nm1, nz0, np1,
+      |         CASE WHEN r + 2 > 23 THEN 4611686018427387904
+      |              ELSE least(np1, p2) + abs(qxs[r + 1] - cxs[r + 3])
+      |         END AS np2
+      |  FROM (
+      |    SELECT *, CASE WHEN r + 1 > 23 THEN 4611686018427387904
+      |                   ELSE least(p2, nz0, p1) + abs(qxs[r + 1] - cxs[r + 2])
+      |              END AS np1
+      |    FROM (
+      |      SELECT *, least(p1, nm1, z0) + abs(qxs[r + 1] - cxs[r + 1]) AS nz0
+      |      FROM (
+      |        SELECT *, least(z0, nm2, m1) + abs(qxs[r + 1] - cxs[r]) AS nm1
+      |        FROM (
+      |          SELECT *, CASE WHEN r - 2 < 0 THEN 4611686018427387904
+      |                         ELSE least(m1, m2) + abs(qxs[r + 1] - cxs[r - 1])
+      |                    END AS nm2
+      |          FROM (SELECT qid, uid, qxs, cxs, i + 1 AS r, m2, m1, z0, p1, p2
+      |                FROM dp WHERE i < 23))))))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // 3 unrolled power iterations, same fixed-point arithmetic: floor
@@ -3218,58 +3333,47 @@ object RelQueries {
     // pair; within-row left-dependencies unroll as nested subqueries
     // (nm2 → nm1 → nz0 → np1 → np2). All-integer L1 cell costs make
     // every cell — and so the final d[23][23] — bit-exact against the
-    // kernel; out-of-band/range cells hold the kernel's 2^62 sentinel
+    // kernel; out-of-band/range cells hold the kernel's 2^62 sentinel.
+    // The CTE chain is shared verbatim with ts_dtw_lb_audit's twin.
     "ts_dtw_topk" ->
-      """WITH RECURSIVE xr AS (
-        |  SELECT user_id, CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h,
-        |         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
-        |  FROM events GROUP BY 1, 2),
-        |hours AS (SELECT CAST(range AS INT) AS h FROM range(24)),
-        |dense AS (
-        |  SELECT u.user_id, hours.h, COALESCE(xr.x, 0) AS x
-        |  FROM (SELECT DISTINCT user_id FROM xr) u
-        |  CROSS JOIN hours
-        |  LEFT JOIN xr ON xr.user_id = u.user_id AND xr.h = hours.h),
-        |ser AS (SELECT user_id, list(x ORDER BY h) AS xs
-        |        FROM dense GROUP BY 1),
-        |pairs AS (
-        |  SELECT q.user_id AS qid, c.user_id AS uid, q.xs AS qxs, c.xs AS cxs
-        |  FROM ser q JOIN ser c ON q.user_id < 5 AND c.user_id != q.user_id),
-        |dp AS (
-        |  SELECT qid, uid, qxs, cxs, 0 AS i,
-        |         4611686018427387904 AS m2,
-        |         4611686018427387904 AS m1,
-        |         abs(qxs[1] - cxs[1]) AS z0,
-        |         abs(qxs[1] - cxs[2]) + abs(qxs[1] - cxs[1]) AS p1,
-        |         abs(qxs[1] - cxs[3]) + abs(qxs[1] - cxs[2])
-        |           + abs(qxs[1] - cxs[1]) AS p2
-        |  FROM pairs
-        |  UNION ALL
-        |  SELECT qid, uid, qxs, cxs, r AS i, nm2, nm1, nz0, np1,
-        |         CASE WHEN r + 2 > 23 THEN 4611686018427387904
-        |              ELSE least(np1, p2) + abs(qxs[r + 1] - cxs[r + 3])
-        |         END AS np2
-        |  FROM (
-        |    SELECT *, CASE WHEN r + 1 > 23 THEN 4611686018427387904
-        |                   ELSE least(p2, nz0, p1) + abs(qxs[r + 1] - cxs[r + 2])
-        |              END AS np1
-        |    FROM (
-        |      SELECT *, least(p1, nm1, z0) + abs(qxs[r + 1] - cxs[r + 1]) AS nz0
-        |      FROM (
-        |        SELECT *, least(z0, nm2, m1) + abs(qxs[r + 1] - cxs[r]) AS nm1
-        |        FROM (
-        |          SELECT *, CASE WHEN r - 2 < 0 THEN 4611686018427387904
-        |                         ELSE least(m1, m2) + abs(qxs[r + 1] - cxs[r - 1])
-        |                    END AS nm2
-        |          FROM (SELECT qid, uid, qxs, cxs, i + 1 AS r, m2, m1, z0, p1, p2
-        |                FROM dp WHERE i < 23))))))
-        |SELECT qid, user_id, rank, dtw FROM (
-        |  SELECT qid, uid AS user_id,
-        |         CAST(row_number() OVER (PARTITION BY qid
-        |           ORDER BY z0, uid) AS BIGINT) AS rank,
-        |         z0 AS dtw
-        |  FROM dp WHERE i = 23)
-        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+      s"""WITH RECURSIVE $TsDtwDpCtes
+         |SELECT qid, user_id, rank, dtw FROM (
+         |  SELECT qid, uid AS user_id,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY z0, uid) AS BIGINT) AS rank,
+         |         z0 AS dtw
+         |  FROM dp WHERE i = 23)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // LB_Keogh audit: envelope by the same ±2 window (ROWS BETWEEN on
+    // the dense 0..23 hour grid ≡ the engine's clamped slice), bound
+    // summed in exact integers, τ = the 3rd-NN DTW distance from the
+    // SAME dp chain the ranked search reads
+    "ts_dtw_lb_audit" ->
+      s"""WITH RECURSIVE $TsDtwDpCtes,
+         |dists AS (SELECT qid, uid, z0 AS dtw FROM dp WHERE i = 23),
+         |tau AS (SELECT qid, dtw AS tau FROM (
+         |  SELECT qid, dtw, row_number() OVER (PARTITION BY qid
+         |    ORDER BY dtw, uid) AS rk FROM dists) WHERE rk = 3),
+         |env AS (
+         |  SELECT user_id AS qid, h,
+         |         max(x) OVER (PARTITION BY user_id ORDER BY h
+         |           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS u,
+         |         min(x) OVER (PARTITION BY user_id ORDER BY h
+         |           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS l
+         |  FROM dense WHERE user_id < 5),
+         |lb AS (
+         |  SELECT e.qid AS qid, c.user_id AS uid,
+         |         CAST(sum(greatest(c.x - e.u, e.l - c.x, 0)) AS BIGINT) AS lb
+         |  FROM dense c JOIN env e ON c.h = e.h AND c.user_id != e.qid
+         |  GROUP BY 1, 2)
+         |SELECT qid, tau, count(*) AS n_cand,
+         |       CAST(sum(CASE WHEN lb > tau THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_pruned,
+         |       round(CAST(sum(CASE WHEN lb > tau THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 4) AS prune_pct
+         |FROM lb JOIN tau USING (qid)
+         |GROUP BY qid, tau ORDER BY qid""".stripMargin,
 
     // local-reference-point prune audit: 3 corpus series as reference
     // points, lower bound max_r |L1(u,r) - L1(q,r)| vs the exact

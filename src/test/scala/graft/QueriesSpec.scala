@@ -1779,5 +1779,30 @@ class QueriesSpec extends AnyFunSuite {
     })
     assert(fn(spark, sf).collect().map(_.toString).toSeq ===
       rows.map(_.toString).toSeq)
+    // LB_Keogh soundness — the zero-recall-loss guarantee the audit
+    // sells: the envelope bound must sit at or below the true banded
+    // DTW on EVERY (query, candidate) pair, recomputed independently
+    // in Scala from the raw series
+    val pairs = graft.rel.RelQueries.tsDtwDistances(spark, sf)
+      .select(col("qid"), col("user_id"), col("qxs"), col("xs"), col("dtw"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val qxs = r.getSeq[Long](2)
+      val xs = r.getSeq[Long](3)
+      val lb = (0 until 24).map { h =>
+        val w = qxs.slice(math.max(h - 2, 0), math.min(h + 2, 23) + 1)
+        math.max(math.max(xs(h) - w.max, w.min - xs(h)), 0L)
+      }.sum
+      assert(lb <= r.getLong(4),
+        s"LB_Keogh ($lb) exceeded DTW (${r.getLong(4)}) for " +
+          s"qid=${r.getLong(0)} cand=${r.getLong(1)} — the prune is unsound")
+    }
+    // and the graded audit itself prunes something on this corpus
+    // without ever pruning a true top-3 row (lb > tau excludes by
+    // construction given lb <= dtw; assert the frame shape)
+    val audit = graft.rel.RelQueries.queries("ts_dtw_lb_audit")(spark, sf).collect()
+    assert(audit.length === 5 &&
+      audit.forall(a => a.getLong(3) >= 0 && a.getLong(3) <= a.getLong(2)))
   }
 }
