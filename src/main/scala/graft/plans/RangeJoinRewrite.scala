@@ -121,8 +121,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     else if (e.references.subsetOf(right.outputSet)) Some(false)
     else None
 
+  /** Time-axis endpoint types: timestamps and dates both bin through
+    * `unix_timestamp` (whole seconds; a date is its midnight — monotone
+    * either way). Mixed date/timestamp comparisons never reach the rule
+    * un-unified: the analyzer has already coerced them with casts. */
   private def isTs(es: Expression*): Boolean =
-    es.forall(_.dataType == TimestampType)
+    es.forall(e => e.dataType == TimestampType ||
+      e.dataType == org.apache.spark.sql.types.DateType)
 
   private val BandableTypes =
     Set[org.apache.spark.sql.types.DataType](

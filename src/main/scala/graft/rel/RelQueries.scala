@@ -1356,30 +1356,56 @@ object RelQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** The packed per-user 24-long integer series frame (user_id, xs) —
-    * checkpointed once, shared by [[tsDtwTopk]] and the LB_Keogh
-    * audit. */
-  private def tsSeries(s: SparkSession, d: String): DataFrame =
-    tsDense(s, Tables.events(s, d)
-      .groupBy(col("user_id"), hour(col("ts")).cast("int").as("h"))
-      .agg(sum(floor(col("value") * 100).cast("long")).as("x")))
+  // (the live-maintained form of this search is graded as
+  // `cdc_stream_dtw` in graft.stream.StreamGrade — the complete-mode
+  // series sink feeds tsDtwRankFromSeries, twin shared verbatim)
+
+  /** Pack a sparse (user_id, h, x) integer series frame into one
+    * 24-long array row per user — the [[tsRankFromSeries]] discipline
+    * for the DTW family, shared verbatim by the batch operators and
+    * the stream-maintained grade (`cdc_stream_dtw`: the sink's
+    * complete-mode series feed this same tail). */
+  private[graft] def tsSeriesFromSparse(s: SparkSession, xRaw: DataFrame): DataFrame =
+    tsDense(s, xRaw)
       .groupBy(col("user_id"))
       .agg(transform(array_sort(collect_list(struct(col("h"), col("x")))),
         e => e("x")).as("xs"))
       .localCheckpoint(true)
 
-  /** Every (query, candidate) banded-DTW distance — the shared head of
-    * the ranked search and the prune audit: queries broadcast, kernel
-    * map-side, one row per pair with the query series carried.
-    * (private[graft]: QueriesSpec asserts LB_Keogh ≤ DTW pairwise on
-    * this frame.) */
-  private[graft] def tsDtwDistances(s: SparkSession, d: String): DataFrame = {
-    val ser = tsSeries(s, d)
+  /** The packed per-user series frame over the events table —
+    * checkpointed once, shared by [[tsDtwTopk]] and the LB_Keogh
+    * audit. */
+  private def tsSeries(s: SparkSession, d: String): DataFrame =
+    tsSeriesFromSparse(s, Tables.events(s, d)
+      .groupBy(col("user_id"), hour(col("ts")).cast("int").as("h"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("x")))
+
+  /** Every (query, candidate) banded-DTW distance over a packed series
+    * frame — queries broadcast, kernel map-side, one row per pair with
+    * the query series carried. */
+  private def tsDtwDistancesFrom(ser: DataFrame): DataFrame = {
     val q = ser.filter(col("user_id") < 5)
       .select(col("user_id").as("qid"), col("xs").as("qxs"))
     ser.join(broadcast(q), col("user_id") =!= col("qid"))
       .withColumn("dtw", graft.functions.GraftFunctions
         .dtw_band(col("qxs"), col("xs"), 24, 2))
+  }
+
+  /** The shared head of the ranked search and the prune audit.
+    * (private[graft]: QueriesSpec asserts LB_Keogh ≤ DTW pairwise on
+    * this frame.) */
+  private[graft] def tsDtwDistances(s: SparkSession, d: String): DataFrame =
+    tsDtwDistancesFrom(tsSeries(s, d))
+
+  /** The DTW rank tail over an arbitrary sparse series frame — what
+    * the live-maintained grade serves from its complete-mode sink. */
+  private[graft] def tsDtwRankFromSeries(s: SparkSession, xRaw: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("dtw"), col("user_id"))
+    tsDtwDistancesFrom(tsSeriesFromSparse(s, xRaw))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("user_id"), col("rank"), col("dtw"))
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** LB_KEOGH PRUNE AUDIT for the banded-DTW search (`ts_dtw_lb_audit`)

@@ -84,7 +84,7 @@ object StreamGrade {
     (Set("cdc_stream_counters", "cdc_stream_retained", "cdc_stream_tumbling",
          "cdc_stream_sliding", "cdc_stream_sessions", "cdc_stream_dedup",
          "cdc_stream_enrich", "cdc_stream_asof", "cdc_stream_capture",
-         "cdc_stream_ts_sim"), false),
+         "cdc_stream_ts_sim", "cdc_stream_dtw"), false),
     // bus replay, transformWithState (RocksDB)
     (Set("cdc_stream_scd2", "cdc_stream_gaps", "cdc_stream_rpc",
          "cdc_stream_take", "cdc_stream_user_features",
@@ -360,6 +360,24 @@ object StreamGrade {
           .agg(sum(floor(col("value") * 100).cast("long")).as("x")),
         "complete", "stream_ts_sim")
       graft.rel.RelQueries.tsRankFromSeries(s, series)
+    }
+
+  /** LIVE-MAINTAINED banded-DTW search, graded: [[streamTsSim]]'s
+    * complete-mode integer series state (per-(user, hour) exact sums,
+    * revised across the three micro-batches) served through the
+    * warping-tolerant rank tail instead of lockstep L2 —
+    * [[graft.rel.RelQueries.tsDtwRankFromSeries]], shared verbatim
+    * with the batch `ts_dtw_topk`, whose twin grades the whole
+    * composition. Completes the family symmetry: ts_user_similarity ↔
+    * cdc_stream_ts_sim :: ts_dtw_topk ↔ cdc_stream_dtw. */
+  def streamDtw(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val series = runToSink(s,
+        busStream
+          .groupBy(col("user_id"), hour(col("ts")).cast("int").as("h"))
+          .agg(sum(floor(col("value") * 100).cast("long")).as("x")),
+        "complete", "stream_dtw")
+      graft.rel.RelQueries.tsDtwRankFromSeries(s, series)
     }
 
   /** STREAMING retained-message cache, graded: the last-value cache a
@@ -1282,6 +1300,7 @@ object StreamGrade {
     "cdc_stream_rpc"      -> (streamRpc _),
     "cdc_stream_counters" -> (streamCounters _),
     "cdc_stream_ts_sim"   -> (streamTsSim _),
+    "cdc_stream_dtw"      -> (streamDtw _),
     "cdc_stream_retained" -> (streamRetained _),
     "cdc_stream_scd2"     -> (streamScd2 _),
     "cdc_stream_gaps"     -> (streamGaps _),
@@ -1798,6 +1817,10 @@ object StreamGrade {
     // the live-maintained series must serve exactly the batch search:
     // ts_user_similarity's twin, verbatim
     "cdc_stream_ts_sim" -> graft.rel.RelQueries.oracle("ts_user_similarity"),
+
+    // the same maintained series through the warping-tolerant tail:
+    // ts_dtw_topk's recursive-DP twin, verbatim
+    "cdc_stream_dtw" -> graft.rel.RelQueries.oracle("ts_dtw_topk"),
 
     "cdc_stream_retained" ->
       s"""${Tables.BusCte}

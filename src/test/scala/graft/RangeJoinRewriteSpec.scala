@@ -188,6 +188,20 @@ class RangeJoinRewriteSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // the graded numeric row, nested-loop-free
     val g = graft.rel.RelQueries.queries("range_join_values")(spark, sf)
     assertNoNestedLoop(executedPlan(g), "range_join_values")
+    // DATE endpoints bin through unix_timestamp like timestamps
+    val dp = spark.range(0, 300).select(col("id"),
+      date_add(lit("2024-01-01").cast("date"), (col("id") % 90).cast("int"))
+        .as("d"))
+    val di = spark.range(0, 12).select(col("id").as("iid"),
+      date_add(lit("2024-01-01").cast("date"), (col("id") * 7).cast("int"))
+        .as("dlo"))
+      .withColumn("dhi", date_add(col("dlo"), 5))
+    def dq(): DataFrame = dp.join(di, col("d") >= col("dlo") && col("d") < col("dhi"))
+      .select(col("id"), col("iid"))
+    val dPlan = executedPlan(dq())
+    assertNoNestedLoop(dPlan, "raw date point-in-interval join")
+    assert(dPlan.contains("Generate"), s"date rule did not fire:\n$dPlan")
+    assert(dq().collect().map(_.toString).sorted.toSeq === naiveRows(dq()))
   }
 
   test("stats-derived width: the integer decision is the documented " +
