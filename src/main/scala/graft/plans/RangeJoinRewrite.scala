@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Abs, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, PredicateHelper, SubqueryExpression, Subtract}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{abs, array, col, count, explode, floor, greatest, lit, max, sequence, sum, unix_timestamp}
@@ -36,8 +36,25 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType,
   * overlap form applies the canonical-bin rule (count only in the bin
   * of `greatest(lLo, rLo)`).
   *
+  * Non-inner joins are covered exactly when the PRESERVED (or probe)
+  * side of the join is the SINGLE-BIN side of the shape — the point
+  * side of a point-in-interval, either side of a band (the other side
+  * takes the ±2 explode): LEFT OUTER / LEFT SEMI / LEFT ANTI with the
+  * point/band value on the left, RIGHT OUTER with it on the right. A
+  * preserved row is never duplicated by binning (one bin per row), so
+  * outer semantics survive: the FULL original predicate moves INTO the
+  * join condition beside the bin equality, and since the predicate
+  * implies bin equality on the (unique) covering interval copy, a
+  * preserved row null-pads (outer) / is kept (anti) / passes (semi)
+  * exactly when the naive theta join says so. Overlap shapes explode
+  * BOTH sides, so they stay inner-only; a point-in-interval whose
+  * point sits on the NON-preserved side would duplicate the preserved
+  * (interval) side and stands down.
+  *
   * The rule stands DOWN (leaves the join untouched) when:
-  *   - the join is not `Inner`, carries a hint, or is streaming;
+  *   - the join type is not Inner/LeftOuter/RightOuter/LeftSemi/
+  *     LeftAnti, the non-inner side discipline above fails, the join
+  *     carries a hint, or either side is streaming;
   *   - any conjunct is a cross-side EQUI condition (Spark already plans
   *     an equi-keyed join as a hash join — the range conjuncts ride
   *     along as post-join predicates bounded by the key's density);
@@ -386,15 +403,81 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     Some(GraftBridge.analyzed(out))
   }
 
+  /** Non-inner forms — see the class doc's preserved-side discipline.
+    * The preserved/probe side must be the single-bin side, so it is
+    * never duplicated by binning; the FULL original predicate joins
+    * the bin equality inside the join condition (not as a post-filter,
+    * which an outer join would pad past), and the covering argument —
+    * predicate ⇒ bin equality on the unique covering copy — makes the
+    * binned condition match exactly the pairs the theta condition
+    * does. Null single-side values produce a null bin → no match →
+    * null-pad/keep/drop, the theta condition's own null verdict. */
+  private def rewriteNonInner(s: SparkSession, j: Join, jt: JoinType,
+                              shape: Shape): Option[LogicalPlan] = {
+    if (j.output.exists(_.name == BinCol)) return None
+    val preservedLeft = jt != RightOuter
+    val typeStr = jt match {
+      case LeftOuter  => "left_outer"
+      case RightOuter => "right_outer"
+      case LeftSemi   => "left_semi"
+      case LeftAnti   => "left_anti"
+      case _          => return None
+    }
+    val lDf = GraftBridge.ofRows(s, j.left)
+    val rDf = GraftBridge.ofRows(s, j.right)
+    def c(e: Expression): Column = GraftBridge.column(e)
+    val frames: Option[(DataFrame, DataFrame)] = shape match {
+      case PointInInterval(p, onLeft, lo, hi, timeAxis)
+          if onLeft == preservedLeft =>
+        val ivSide = if (onLeft) j.right else j.left
+        val bin: Column => Column =
+          if (timeAxis) {
+            val width = derivedWidth(s, Seq((ivSide, lo, hi)))
+            x => floor(unix_timestamp(x) / width)
+          } else {
+            val width = derivedNumericWidth(s, Seq((ivSide, lo, hi)))
+            x => floor(x.cast("double") / width).cast("long")
+          }
+        val ivBins = explode(sequence(bin(c(lo)), bin(c(hi))))
+        if (onLeft) Some((lDf.withColumn(BinCol, bin(c(p))),
+                          rDf.withColumn(BinCol, ivBins)))
+        else        Some((lDf.withColumn(BinCol, ivBins),
+                          rDf.withColumn(BinCol, bin(c(p)))))
+      case Band(l, r, eps) =>
+        def single(v: Expression): Column =
+          floor(c(v).cast("double") / eps).cast("long")
+        def spread(v: Expression): Column =
+          explode(array((-2 to 2).map(o => single(v) + lit(o.toLong)): _*))
+        if (preservedLeft) Some((lDf.withColumn(BinCol, single(l)),
+                                 rDf.withColumn(BinCol, spread(r))))
+        else               Some((lDf.withColumn(BinCol, spread(l)),
+                                 rDf.withColumn(BinCol, single(r))))
+      case _ => None // overlap explodes both sides; a point on the
+                     // non-preserved side would duplicate the preserved one
+    }
+    frames.map { case (lb, rb) =>
+      val joined = lb.join(rb,
+        lb(BinCol) === rb(BinCol) && c(j.condition.get), typeStr)
+      GraftBridge.analyzed(joined.select(j.output.map(a => c(a)): _*))
+    }
+  }
+
+  private def supported(jt: JoinType): Boolean = jt match {
+    case Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     SparkSession.getActiveSession match {
       case Some(s) if conf.getConfString(EnabledKey, "true") == "true" =>
         plan.transformUp {
-          case j @ Join(left, right, Inner, Some(cond), JoinHint.NONE)
-              if !left.isStreaming && !right.isStreaming =>
+          case j @ Join(left, right, jt, Some(cond), JoinHint.NONE)
+              if supported(jt) && !left.isStreaming && !right.isStreaming =>
             classify(cond, left, right).flatMap { shape =>
-              try rewrite(s, j, shape)
-              catch {
+              try {
+                if (jt == Inner) rewrite(s, j, shape)
+                else rewriteNonInner(s, j, jt, shape)
+              } catch {
                 case scala.util.control.NonFatal(e) =>
                   logWarning(s"range-join rewrite stood down: $e")
                   None

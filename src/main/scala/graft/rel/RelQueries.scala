@@ -1570,6 +1570,69 @@ object RelQueries {
       .orderBy(col("pid"))
   }
 
+  /** Sparse maintenance windows (every 4th day-of-month, 09:00–17:00)
+    * — the interval side of the OUTER/SEMI/ANTI range-join rows. At
+    * most one window can contain a given timestamp (windows never
+    * cross days), so a LEFT join never duplicates the preserved side
+    * and the matched/unmatched partition of events is clean. */
+  private def sparseWins(ev: DataFrame): DataFrame =
+    ev.select(date_trunc("DAY", col("ts")).as("day")).distinct()
+      .filter(dayofmonth(col("day")) % 4 === 0)
+      .select(col("day"), (col("day") + expr("INTERVAL 9 HOURS")).as("lo"),
+        (col("day") + expr("INTERVAL 17 HOURS")).as("hi"))
+
+  /** LEFT OUTER point-in-interval through the transparent rewrite
+    * (`range_join_left_auto`): purchases LEFT-joined to the sparse
+    * maintenance windows — unmatched purchases must SURVIVE with a
+    * null window day, which a post-join filter cannot express, so the
+    * rewrite moves the full predicate INTO the binned join condition
+    * (sound because the preserved point side occupies exactly one bin
+    * — [[graft.plans.RangeJoinRewrite]]'s preserved-side discipline).
+    * Twin: the naive LEFT theta join. Without the rule, Spark plans
+    * this as BroadcastNestedLoopJoin LeftOuter — the outer-join form
+    * of the scale-killer the inner rows already grade. */
+  def rangeJoinLeftAuto(s: SparkSession, d: String): DataFrame = {
+    graft.plans.RangeJoinRewrite.ensure(s)
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("value"))
+    p.join(sparseWins(ev),
+        col("ts") >= col("lo") && col("ts") < col("hi"), "left")
+      .groupBy(when(col("day").isNull, 0L).otherwise(1L).as("in_window"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("in_window"))
+  }
+
+  /** LEFT SEMI (EXISTS) through the transparent rewrite
+    * (`range_join_semi_auto`): events having SOME containing window —
+    * the semi join probes the binned interval side and emits each left
+    * row at most once, which binning preserves because the probe side
+    * is single-bin. Twin: the EXISTS subquery. */
+  def rangeJoinSemiAuto(s: SparkSession, d: String): DataFrame = {
+    graft.plans.RangeJoinRewrite.ensure(s)
+    val ev = Tables.events(s, d)
+    ev.join(sparseWins(ev),
+        col("ts") >= col("lo") && col("ts") < col("hi"), "left_semi")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  /** LEFT ANTI (NOT EXISTS) through the transparent rewrite
+    * (`range_join_anti_auto`): events with NO containing window. Anti
+    * over bins is exact because the predicate implies bin equality on
+    * the covering copy: no (bin ∧ predicate) match ⟺ no predicate
+    * match. Twin: the NOT EXISTS subquery. */
+  def rangeJoinAntiAuto(s: SparkSession, d: String): DataFrame = {
+    graft.plans.RangeJoinRewrite.ensure(s)
+    val ev = Tables.events(s, d)
+    ev.join(sparseWins(ev),
+        col("ts") >= col("lo") && col("ts") < col("hi"), "left_anti")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type"))
+  }
+
   /** Fixed-width histogram: floor-binning on the value column — integer
     * bucket ids, so the grouping is bit-exact cross-engine. */
   def valueHist(s: SparkSession, d: String): DataFrame =
@@ -2797,6 +2860,9 @@ object RelQueries {
     "range_join_values"  -> (rangeJoinValues _),
     "band_join_auto"     -> (bandJoinAuto _),
     "overlap_join_auto"  -> (overlapJoinAuto _),
+    "range_join_left_auto" -> (rangeJoinLeftAuto _),
+    "range_join_semi_auto" -> (rangeJoinSemiAuto _),
+    "range_join_anti_auto" -> (rangeJoinAntiAuto _),
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),
     "user_features"      -> (userFeatures _),
@@ -3663,6 +3729,47 @@ object RelQueries {
         |       round(max(cv), 4) AS max_in_band
         |FROM c JOIN p ON cv >= lo AND cv < hi
         |GROUP BY pid ORDER BY pid""".stripMargin,
+
+    // OUTER/SEMI/ANTI forms of the transparent rewrite: the naive
+    // LEFT theta join / EXISTS / NOT EXISTS — preserved-side rows must
+    // survive (or vanish) exactly as the unrewritten predicate decides
+    "range_join_left_auto" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM ev),
+        |wins AS (SELECT day, day + INTERVAL 9 HOUR AS lo,
+        |                day + INTERVAL 17 HOUR AS hi
+        |         FROM days WHERE date_part('day', day) % 4 = 0),
+        |p AS (SELECT event_id, ts, value FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT CAST(CASE WHEN w.day IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |         AS in_window,
+        |       count(*) AS n, round(sum(p.value), 2) AS total
+        |FROM p LEFT JOIN wins w ON p.ts >= w.lo AND p.ts < w.hi
+        |GROUP BY 1 ORDER BY in_window""".stripMargin,
+
+    "range_join_semi_auto" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM ev),
+        |wins AS (SELECT day, day + INTERVAL 9 HOUR AS lo,
+        |                day + INTERVAL 17 HOUR AS hi
+        |         FROM days WHERE date_part('day', day) % 4 = 0)
+        |SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM ev e
+        |WHERE EXISTS (SELECT 1 FROM wins w
+        |              WHERE e.ts >= w.lo AND e.ts < w.hi)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "range_join_anti_auto" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM ev),
+        |wins AS (SELECT day, day + INTERVAL 9 HOUR AS lo,
+        |                day + INTERVAL 17 HOUR AS hi
+        |         FROM days WHERE date_part('day', day) % 4 = 0)
+        |SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM ev e
+        |WHERE NOT EXISTS (SELECT 1 FROM wins w
+        |                  WHERE e.ts >= w.lo AND e.ts < w.hi)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "ev_near_purchase" ->
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)

@@ -204,6 +204,134 @@ class RangeJoinRewriteSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(dq().collect().map(_.toString).sorted.toSeq === naiveRows(dq()))
   }
 
+  // sparse windows: only every 4th day — most events UNMATCHED, so the
+  // outer/anti semantics actually bite
+  private def sparseWins(): DataFrame = {
+    val ev = Tables.events(spark, sf)
+    ev.select(date_trunc("DAY", col("ts")).as("day")).distinct()
+      .filter(dayofmonth(col("day")) % 4 === 0)
+      .select(col("day"), (col("day") + expr("INTERVAL 9 HOURS")).as("lo"),
+        (col("day") + expr("INTERVAL 17 HOURS")).as("hi"))
+  }
+
+  test("LEFT OUTER point-in-interval: the rewrite fires (preserved side " +
+       "is the single-bin point side), null-pads unmatched rows, and is " +
+       "row-identical to the disabled BNLJ plan") {
+    def q(): DataFrame = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"))
+      .join(sparseWins(), col("ts") >= col("lo") && col("ts") < col("hi"),
+        "left")
+      .select(col("event_id"), col("day"))
+    val plan = executedPlan(q())
+    assertNoNestedLoop(plan, "LEFT OUTER point-in-interval join")
+    assert(plan.contains("Generate"),
+      s"left-outer rule did not fire:\n$plan")
+    val got = q().collect()
+    assert(got.exists(_.isNullAt(1)),
+      "no null-padded row — the outer semantics were lost or the corpus" +
+        " is not sparse")
+    assert(got.map(_.toString).sorted.toSeq === naiveRows(q()))
+    // disabled baseline really nested-loops, so the kill is the rule's
+    withDisabled {
+      val off = executedPlan(q())
+      assert(off.contains("BroadcastNestedLoopJoin") ||
+             off.contains("CartesianProduct"),
+        s"disabled left-outer baseline did not nested-loop:\n$off")
+    }
+  }
+
+  test("LEFT SEMI and LEFT ANTI point-in-interval: both fire, partition " +
+       "the left side exactly, and match the disabled plans") {
+    def semi(): DataFrame = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"))
+      .join(sparseWins(), col("ts") >= col("lo") && col("ts") < col("hi"),
+        "left_semi")
+    def anti(): DataFrame = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"))
+      .join(sparseWins(), col("ts") >= col("lo") && col("ts") < col("hi"),
+        "left_anti")
+    val sPlan = executedPlan(semi())
+    val aPlan = executedPlan(anti())
+    assertNoNestedLoop(sPlan, "LEFT SEMI range join")
+    assertNoNestedLoop(aPlan, "LEFT ANTI range join")
+    assert(sPlan.contains("Generate") && aPlan.contains("Generate"),
+      s"semi/anti rules did not fire:\n$sPlan\n$aPlan")
+    val sGot = semi().collect().map(_.toString).sorted.toSeq
+    val aGot = anti().collect().map(_.toString).sorted.toSeq
+    assert(sGot === naiveRows(semi()))
+    assert(aGot === naiveRows(anti()))
+    // semi ∪ anti = the whole left side, disjointly
+    val total = Tables.events(spark, sf).count()
+    assert(sGot.size + aGot.size === total,
+      "semi and anti do not partition the left side")
+  }
+
+  test("RIGHT OUTER with the point on the right fires; LEFT OUTER with " +
+       "the point on the RIGHT (preserved side would explode) stands " +
+       "down; FULL OUTER stands down") {
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("ts"))
+    def ro(): DataFrame = sparseWins()
+      .join(ev, col("ts") >= col("lo") && col("ts") < col("hi"),
+        "right")
+      .select(col("event_id"), col("day"))
+    val roPlan = executedPlan(ro())
+    assertNoNestedLoop(roPlan, "RIGHT OUTER point-in-interval join")
+    assert(roPlan.contains("Generate"),
+      s"right-outer rule did not fire:\n$roPlan")
+    assert(ro().collect().map(_.toString).sorted.toSeq === naiveRows(ro()))
+    // preserved side = intervals → binning would duplicate it → stand down
+    def lo(): DataFrame = sparseWins()
+      .join(ev, col("ts") >= col("lo") && col("ts") < col("hi"), "left")
+      .select(col("event_id"), col("day"))
+    assert(!executedPlan(lo()).contains("Generate"),
+      "rule fired on a LEFT OUTER whose preserved side is the interval" +
+        " side — outer rows would be duplicated")
+    assert(lo().collect().map(_.toString).sorted.toSeq === naiveRows(lo()))
+    def fo(): DataFrame = ev
+      .join(sparseWins(), col("ts") >= col("lo") && col("ts") < col("hi"),
+        "full")
+      .select(col("event_id"), col("day"))
+    assert(!executedPlan(fo()).contains("Generate"),
+      "rule fired on a FULL OUTER join — both sides are preserved")
+    assert(fo().collect().map(_.toString).sorted.toSeq === naiveRows(fo()))
+  }
+
+  test("band LEFT OUTER fires (band-left side is single-bin); overlap " +
+       "LEFT OUTER stands down (both sides explode)") {
+    val lv = spark.range(0, 200).select(col("id").as("lid"),
+      (col("id") * 0.013d).as("lv"))
+    val rv = spark.range(0, 40).select(col("id").as("rid"),
+      (col("id") * 0.29d).as("rv"))
+    def band(): DataFrame =
+      lv.join(rv, abs(col("lv") - col("rv")) <= 0.05d, "left")
+        .select(col("lid"), col("rid"))
+    val bPlan = executedPlan(band())
+    assertNoNestedLoop(bPlan, "band LEFT OUTER join")
+    assert(bPlan.contains("Generate"), s"band left-outer did not fire:\n$bPlan")
+    val bGot = band().collect()
+    assert(bGot.exists(_.isNullAt(1)), "no null-padded band row")
+    assert(bGot.map(_.toString).sorted.toSeq === naiveRows(band()))
+
+    val a = spark.range(0, 50).select(col("id").as("ia"),
+      (col("id") * 3.0d).as("alo"), (col("id") * 3.0d + 2.5d).as("ahi"))
+    val b = spark.range(0, 50).select(col("id").as("ib"),
+      (col("id") * 7.0d).as("blo"), (col("id") * 7.0d + 4.0d).as("bhi"))
+    def ov(): DataFrame =
+      a.join(b, col("alo") < col("bhi") && col("blo") < col("ahi"), "left")
+        .select(col("ia"), col("ib"))
+    assert(!executedPlan(ov()).contains("Generate"),
+      "rule fired on a LEFT OUTER overlap join — both sides explode")
+    assert(ov().collect().map(_.toString).sorted.toSeq === naiveRows(ov()))
+  }
+
+  test("graded outer/semi/anti rows execute nested-loop-free") {
+    for (name <- Seq("range_join_left_auto", "range_join_semi_auto",
+                     "range_join_anti_auto")) {
+      val df = graft.rel.RelQueries.queries(name)(spark, sf)
+      assertNoNestedLoop(executedPlan(df), name)
+    }
+  }
+
   test("stats-derived width: the integer decision is the documented " +
        "power-of-two clamp, pinned on adversarial corpora (many short " +
        "intervals vs few long ones)") {
