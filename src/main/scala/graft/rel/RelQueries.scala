@@ -1457,6 +1457,82 @@ object RelQueries {
       .orderBy(col("qid"))
   }
 
+  /** LB_Keogh-SERVED banded-DTW search (`ts_dtw_pruned`) — the
+    * production serving path the [[tsDtwLbAudit]] audit prices: the
+    * full DP kernel runs ONLY on candidates the lower bound cannot
+    * exclude, and the answer is still EXACTLY [[tsDtwTopk]]'s (twin
+    * shared verbatim — the prune is a physical optimization, never a
+    * semantic one). Two phases, both engine-side (no driver collect):
+    *
+    *  1. SEED — rank all candidates per query by the map-side LB fold
+    *     (envelopes computed ONCE per query on the ≤5-row broadcast
+    *     frame, not per pair), run the kernel on the 8 lowest-LB
+    *     seeds, and take τ = the seeds' 3rd-smallest exact DTW.
+    *  2. CUT — keep candidates with LB ≤ τ and kernel only those.
+    *
+    * Exactness: τ is an UPPER bound on the true 3rd-NN distance τ*
+    * (3rd-smallest over a subset ≥ 3rd-smallest overall), so every
+    * candidate with DTW ≤ τ* has LB ≤ DTW ≤ τ* ≤ τ and SURVIVES the
+    * cut — the survivor set contains the entire true top-3 (ties
+    * included: DTW = τ* ⇒ LB ≤ τ), and ranking survivors by
+    * (dtw, user_id) reproduces the brute-force ranking bit-for-bit.
+    * A pruned candidate has DTW ≥ LB > τ ≥ τ*: never top-3.
+    *
+    * Scale shape: the LB frame is one map-side fold per pair (no
+    * kernel), persisted once and read twice (seed rank + cut); τ is a
+    * ≤|queries|-row broadcast; kernel invocations drop from |pairs| to
+    * seeds + survivors — the audit's measured prune fraction is the
+    * saved work, at zero recall loss. Seeds are kerneled twice (once
+    * for τ, once among survivors) — |queries|·8 extra cheap calls,
+    * simpler than threading their distances through the cut.
+    * QueriesSpec asserts result ≡ [[tsDtwTopk]] and that the cut
+    * strictly shrinks the kernel set. */
+  def tsDtwPruned(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("dtw"), col("user_id"))
+    tsDtwSurvivors(s, d)
+      .withColumn("dtw", graft.functions.GraftFunctions
+        .dtw_band(col("qxs"), col("xs"), 24, 2))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("user_id"), col("rank"), col("dtw"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The LB-cut survivor frame of [[tsDtwPruned]] (private[graft]:
+    * QueriesSpec counts it against the full pair frame to prove the
+    * prune bites). Carries (qid, user_id, qxs, xs, lb). */
+  private[graft] def tsDtwSurvivors(s: SparkSession, d: String): DataFrame = {
+    val ser = tsSeries(s, d)
+    val q = ser.filter(col("user_id") < 5)
+      .select(col("user_id").as("qid"), col("xs").as("qxs"))
+    val hs = sequence(lit(0), lit(23))
+    // band-2 envelope per QUERY (≤5 rows) — broadcast with the series
+    val qEnv = q
+      .withColumn("env_u", transform(hs, h =>
+        array_max(slice(col("qxs"), greatest(h - 2, lit(0)) + 1,
+          least(h + 2, lit(23)) - greatest(h - 2, lit(0)) + 1))))
+      .withColumn("env_l", transform(hs, h =>
+        array_min(slice(col("qxs"), greatest(h - 2, lit(0)) + 1,
+          least(h + 2, lit(23)) - greatest(h - 2, lit(0)) + 1))))
+    val withLb = ser.join(broadcast(qEnv), col("user_id") =!= col("qid"))
+      .withColumn("lb", aggregate(hs, lit(0L), (acc, h) =>
+        acc + greatest(
+          element_at(col("xs"), h + 1) - element_at(col("env_u"), h + 1),
+          element_at(col("env_l"), h + 1) - element_at(col("xs"), h + 1),
+          lit(0L))))
+      .select(col("qid"), col("user_id"), col("qxs"), col("xs"), col("lb"))
+      .localCheckpoint(true) // read twice: seed rank + cut
+    val wLb = Window.partitionBy(col("qid")).orderBy(col("lb"), col("user_id"))
+    val wTau = Window.partitionBy(col("qid")).orderBy(col("dtw"), col("user_id"))
+    val tau = withLb
+      .withColumn("rk", row_number().over(wLb)).filter(col("rk") <= 8)
+      .withColumn("dtw", graft.functions.GraftFunctions
+        .dtw_band(col("qxs"), col("xs"), 24, 2))
+      .withColumn("rk2", row_number().over(wTau)).filter(col("rk2") === 3)
+      .select(col("qid"), col("dtw").as("tau"))
+    withLb.join(broadcast(tau), "qid").filter(col("lb") <= col("tau"))
+  }
+
   /** [[rangeJoinBinned]]'s aggregation over the RAW theta join — no
     * [[RangeJoin]] call anywhere in the query: the user writes the
     * natural `ts >= lo AND ts < hi` join and the injected
@@ -2852,6 +2928,7 @@ object RelQueries {
     "ts_prune_audit"     -> (tsPruneAudit _),
     "ts_dtw_topk"        -> (tsDtwTopk _),
     "ts_dtw_lb_audit"    -> (tsDtwLbAudit _),
+    "ts_dtw_pruned"      -> (tsDtwPruned _),
     "range_join_binned"  -> (rangeJoinBinned _),
     "band_join_binned"   -> (bandJoinBinned _),
     "overlap_join_binned" -> (overlapJoinBinned _),
@@ -3428,6 +3505,19 @@ object RelQueries {
     // kernel; out-of-band/range cells hold the kernel's 2^62 sentinel.
     // The CTE chain is shared verbatim with ts_dtw_lb_audit's twin.
     "ts_dtw_topk" ->
+      s"""WITH RECURSIVE $TsDtwDpCtes
+         |SELECT qid, user_id, rank, dtw FROM (
+         |  SELECT qid, uid AS user_id,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY z0, uid) AS BIGINT) AS rank,
+         |         z0 AS dtw
+         |  FROM dp WHERE i = 23)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the LB_Keogh-SERVED search must return EXACTLY the brute-force
+    // ranking (the prune is physical, never semantic) — twin shared
+    // verbatim with ts_dtw_topk
+    "ts_dtw_pruned" ->
       s"""WITH RECURSIVE $TsDtwDpCtes
          |SELECT qid, user_id, rank, dtw FROM (
          |  SELECT qid, uid AS user_id,

@@ -1805,4 +1805,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(audit.length === 5 &&
       audit.forall(a => a.getLong(3) >= 0 && a.getLong(3) <= a.getLong(2)))
   }
+
+  test("r13: ts_dtw_pruned — the LB_Keogh-served search returns EXACTLY " +
+       "the brute-force top-3 (prune is physical, not semantic) and the " +
+       "cut strictly shrinks the kernel set") {
+    val brute = graft.rel.RelQueries.queries("ts_dtw_topk")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val pruned = graft.rel.RelQueries.queries("ts_dtw_pruned")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(pruned === brute,
+      "the served ranking diverged from the brute-force ground truth")
+    // the cut must actually bite: at sf0.001 the 14-candidate corpus is
+    // too small for the envelope bound to exclude anyone (the audit
+    // measures 0% there too), so the shrink assertion runs at sf0.01 —
+    // 149 candidates/query, where the audit's exact-τ prune is ~5%
+    // and the serving τ ≥ τ* keeps a subset of that
+    val sf01 = "/root/testdata/sf0.01"
+    val nPairs = graft.rel.RelQueries.tsDtwDistances(spark, sf01).count()
+    val nSurvivors = graft.rel.RelQueries.tsDtwSurvivors(spark, sf01).count()
+    assert(nSurvivors < nPairs,
+      s"the LB cut pruned nothing ($nSurvivors of $nPairs survived) — " +
+        "the serving path degenerated to brute force")
+    // and the sf0.01 served ranking still equals brute force
+    assert(graft.rel.RelQueries.queries("ts_dtw_pruned")(spark, sf01)
+             .collect().map(_.toString).toSeq ===
+           graft.rel.RelQueries.queries("ts_dtw_topk")(spark, sf01)
+             .collect().map(_.toString).toSeq)
+  }
 }
