@@ -72,6 +72,34 @@ object Tables {
     }
   }
 
+  /** [[eventsUpTo]]'s two-sided sibling: events in `(after, upTo]` —
+    * the CDC DELTA BATCH an incremental-maintenance pass applies. Both
+    * bounds compare on the RAW stored column for the same row-group-
+    * pruning reason; either bound may be open (None). */
+  def eventsBetween(s: SparkSession, d: String,
+                    afterUtc: Option[java.time.Instant],
+                    upToUtc: Option[java.time.Instant]): DataFrame = {
+    val df = load(s, d, "events")
+    def bounds(loExcl: Option[Any], hiIncl: Option[Any]): org.apache.spark.sql.Column =
+      Seq(loExcl.map(col("ts") > lit(_)), hiIncl.map(col("ts") <= lit(_)))
+        .flatten.reduceOption(_ && _).getOrElse(lit(true))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        def ns(i: java.time.Instant): Long = Math.addExact(
+          Math.multiplyExact(i.getEpochSecond, 1000000000L), i.getNano.toLong)
+        df.filter(bounds(afterUtc.map(ns), upToUtc.map(ns)))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        def wall(i: java.time.Instant): java.time.LocalDateTime =
+          java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+        df.filter(bounds(afterUtc.map(wall), upToUtc.map(wall)))
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        df.filter(bounds(afterUtc.map(java.sql.Timestamp.from),
+          upToUtc.map(java.sql.Timestamp.from)))
+    }
+  }
+
   def documents(s: SparkSession, d: String) = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
 

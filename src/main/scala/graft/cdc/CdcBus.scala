@@ -260,6 +260,102 @@ object CdcBus {
       .orderBy(col("channel"))
   }
 
+  // ---- incremental view maintenance (IVM) over the bus ----
+
+  /** Per-channel retained state of an event frame in exact integer
+    * cents — the supporting relation every IVM step joins deltas
+    * against (channel, event_type, cents of the channel's CURRENT
+    * value). One channel-partitioned window, the [[retained]] shape. */
+  private def lastPerChannel(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("channel"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("channel",
+        Tables.channelCol(col("event_type"), col("user_id")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("channel"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+  }
+
+  /** The materialized state+view pair at T0 — in production this is
+    * the PERSISTED output of the previous maintenance run; here it is
+    * built once from the time-pruned base scan ([[Tables.eventsUpTo]]
+    * pushes the cutoff to parquet row groups) and checkpointed so no
+    * later step can re-read the base history. View: per event_type,
+    * live-channel count and the sum of current values in exact cents
+    * (integer arithmetic — maintenance adjustments must be exact, a
+    * float view would drift batch over batch). */
+  private[graft] def ivmBase(s: SparkSession, d: String,
+                      t0: java.time.Instant): (DataFrame, DataFrame) = {
+    val state = lastPerChannel(Tables.eventsUpTo(s, d, t0))
+      .localCheckpoint(true)
+    val view = state.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_channels"), sum(col("cents")).as("total_cents"))
+    (state, view)
+  }
+
+  /** ONE maintenance step — the delta rule for a grouped SUM under CDC
+    * UPDATE semantics, where blind addition is wrong because an update
+    * REPLACES its channel's current value: each channel changed in the
+    * batch RETRACTS its old current value and INSERTS its new one
+    * (old looked up in the state relation), and channels first seen in
+    * the batch raise the group's count. Returns (state', view').
+    *
+    * Cost shape at 100 TB: the step reads the DELTA scan + |changed
+    * channels| state lookups + the |groups|-row view — never the base
+    * history. With the state bucketed by channel the lookup join is
+    * co-located; the view join is a ≤|groups|-row broadcast. */
+  private[graft] def ivmStep(state: DataFrame, view: DataFrame,
+                      deltaEv: DataFrame): (DataFrame, DataFrame) = {
+    val delta = lastPerChannel(deltaEv).localCheckpoint(true)
+    val adj = delta
+      .join(state.select(col("channel"), col("cents").as("old_cents")),
+        Seq("channel"), "left")
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("old_cents").isNull, 1L).otherwise(0L)).as("dn"),
+           sum(col("cents") - coalesce(col("old_cents"), lit(0L))).as("dcents"))
+    val view2 = view.join(adj, Seq("event_type"), "full")
+      .select(col("event_type"),
+        (coalesce(col("n_channels"), lit(0L)) +
+          coalesce(col("dn"), lit(0L))).as("n_channels"),
+        (coalesce(col("total_cents"), lit(0L)) +
+          coalesce(col("dcents"), lit(0L))).as("total_cents"))
+    val state2 = state
+      .join(delta.select(col("channel")), Seq("channel"), "left_anti")
+      .unionByName(delta)
+    (state2, view2)
+  }
+
+  /** INCREMENTAL VIEW MAINTENANCE of a grouped aggregate
+    * (`cdc_ivm_agg`): the view "per event_type: live channels + sum of
+    * each channel's CURRENT value" is materialized at T0 and MAINTAINED
+    * to the head of the bus by applying only the `(T0, ∞)` delta batch
+    * — the retract/insert discipline (updates are not self-maintainable
+    * by addition). The graded output must equal the twin's FULL
+    * recompute at the head: maintenance invents nothing. */
+  def ivmAgg(s: SparkSession, d: String): DataFrame = {
+    val t0 = java.time.Instant.parse("2024-01-15T00:00:00Z")
+    val (state, view) = ivmBase(s, d, t0)
+    val (_, v) = ivmStep(state, view,
+      Tables.eventsBetween(s, d, Some(t0), None))
+    v.orderBy(col("event_type"))
+  }
+
+  /** [[ivmAgg]] COMPOSED over two successive delta batches
+    * (`cdc_ivm_compose`) — the production loop shape: base at T0,
+    * apply `(T0, T1]`, persist, apply `(T1, ∞)` on the MAINTAINED
+    * state, never revisiting either the base or the first batch. Same
+    * full-recompute twin: step composition must be associative. */
+  def ivmCompose(s: SparkSession, d: String): DataFrame = {
+    val t0 = java.time.Instant.parse("2024-01-10T00:00:00Z")
+    val t1 = java.time.Instant.parse("2024-01-20T00:00:00Z")
+    val (s0, v0) = ivmBase(s, d, t0)
+    val (s1, v1) = ivmStep(s0, v0,
+      Tables.eventsBetween(s, d, Some(t0), Some(t1)))
+    val (_, v2) = ivmStep(s1.localCheckpoint(true), v1,
+      Tables.eventsBetween(s, d, Some(t1), None))
+    v2.orderBy(col("event_type"))
+  }
+
   /** Sequence-gap audit — the lost/duplicate-message check of an
     * at-least-once transport: within each event_type sub-stream, compare
     * consecutive global sequence numbers (the JetStream-sequence
@@ -405,7 +501,24 @@ object CdcBus {
     "cdc_json_payload"    -> (jsonPayload _),
     "cdc_channel_extract" -> (channelExtract _),
     "cdc_extract_named"   -> (extractNamed _),
-    "cdc_sql_route"       -> (sqlRoute _))
+    "cdc_sql_route"       -> (sqlRoute _),
+    "cdc_ivm_agg"         -> (ivmAgg _),
+    "cdc_ivm_compose"     -> (ivmCompose _))
+
+  /** The IVM rows' shared twin: per event_type, live-channel count and
+    * the exact-cents sum of every channel's CURRENT value over the
+    * WHOLE bus — what the maintained view must equal regardless of how
+    * many delta batches produced it. */
+  private val IvmFullRecomputeTwin: String =
+    s"""${Tables.BusCte}
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_channels,
+       |       CAST(sum(cents) AS BIGINT) AS total_cents
+       |FROM (SELECT channel, event_type,
+       |        CAST(floor(value * 100) AS BIGINT) AS cents,
+       |        row_number() OVER (PARTITION BY channel
+       |          ORDER BY ts DESC, event_id DESC) AS rn
+       |      FROM ev) t
+       |WHERE rn = 1 GROUP BY 1 ORDER BY event_type""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the wire loop transports the slice losslessly, so the oracle is the
@@ -464,6 +577,12 @@ object CdcBus {
          |           ORDER BY ts DESC, event_id DESC) AS rn
          |  FROM ev WHERE user_id < 20)
          |WHERE rn = 1 ORDER BY channel""".stripMargin,
+
+    // both IVM rows grade against the FULL RECOMPUTE at the head of
+    // the bus — maintenance must invent nothing, whether it applied
+    // one delta batch or two composed ones
+    "cdc_ivm_agg" -> IvmFullRecomputeTwin,
+    "cdc_ivm_compose" -> IvmFullRecomputeTwin,
 
     "cdc_deep_route" ->
       s"""WITH dv AS (
