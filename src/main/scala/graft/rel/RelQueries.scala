@@ -1709,6 +1709,41 @@ object RelQueries {
       .orderBy(col("event_type"))
   }
 
+  /** SWEEP-LINE interval concurrency (`interval_concurrency`): per day,
+    * the peak number of simultaneously-active user sessions — the
+    * classic temporal aggregate (room-booking / max-connections shape)
+    * that a naive self-join answers in O(n²) and the sweep answers in
+    * one sort: each session [lo, hi] (closed — a session is active at
+    * its last event) becomes a +1 endpoint at lo and a −1 at hi, the
+    * running sum over the day's endpoint order is the live count, and
+    * its max is the peak. Ordering (ts, delta DESC) starts sessions
+    * before ending them at a shared instant, matching the closed
+    * interval. Determinism under ties: rows tying on (ts, delta) all
+    * carry the SAME ±1, so every permutation walks the identical
+    * prefix-value sequence — the per-day max is engine-order-free.
+    *
+    * Scale shape: sessions derive from one grouped pass; endpoints are
+    * 2 rows each; the window partitions by DAY (sessions never cross
+    * days by construction), so the sweep is per-partition sorted, no
+    * global single-partition sort — the 100 TB failure mode of the
+    * textbook formulation. */
+  def intervalConcurrency(s: SparkSession, d: String): DataFrame = {
+    val spans = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    val ends = spans.select(col("day"), col("lo").as("ts"), lit(1L).as("delta"))
+      .unionByName(
+        spans.select(col("day"), col("hi").as("ts"), lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("ts"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ends.withColumn("live", sum(col("delta")).over(w))
+      .groupBy(col("day").cast("date").as("day"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_sessions"),
+           max(col("live")).as("peak_concurrent"))
+      .orderBy(col("day"))
+  }
+
   /** Fixed-width histogram: floor-binning on the value column — integer
     * bucket ids, so the grouping is bit-exact cross-engine. */
   def valueHist(s: SparkSession, d: String): DataFrame =
@@ -2940,6 +2975,7 @@ object RelQueries {
     "range_join_left_auto" -> (rangeJoinLeftAuto _),
     "range_join_semi_auto" -> (rangeJoinSemiAuto _),
     "range_join_anti_auto" -> (rangeJoinAntiAuto _),
+    "interval_concurrency" -> (intervalConcurrency _),
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),
     "user_features"      -> (userFeatures _),
@@ -3860,6 +3896,29 @@ object RelQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM wins w
         |                  WHERE e.ts >= w.lo AND e.ts < w.hi)
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // sweep-line peak concurrency: the same ±1 endpoint walk (closed
+    // intervals — delta DESC starts before ends at a shared instant);
+    // per-day max of the running sum is permutation-free under ties
+    // because tying rows carry the same ±1
+    "interval_concurrency" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |spans AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |         min(ts) AS lo, max(ts) AS hi
+        |  FROM ev GROUP BY 1, 2),
+        |ends AS (
+        |  SELECT day, lo AS ts, 1 AS delta FROM spans
+        |  UNION ALL
+        |  SELECT day, hi AS ts, -1 AS delta FROM spans)
+        |SELECT CAST(day AS DATE) AS day,
+        |       CAST(count(*) / 2 AS BIGINT) AS n_sessions,
+        |       CAST(max(live) AS BIGINT) AS peak_concurrent
+        |FROM (SELECT day, sum(delta) OVER (PARTITION BY day
+        |        ORDER BY ts, delta DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+        |      FROM ends)
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     "ev_near_purchase" ->
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)

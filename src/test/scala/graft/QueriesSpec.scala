@@ -1806,6 +1806,30 @@ class QueriesSpec extends AnyFunSuite {
       audit.forall(a => a.getLong(3) >= 0 && a.getLong(3) <= a.getLong(2)))
   }
 
+  test("r13: interval_concurrency — closed-interval sweep semantics on a " +
+       "hand-built day: shared-instant handoff counts both sessions, " +
+       "instantaneous sessions count, days are independent") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sweep").toString
+    val s = spark; import s.implicits._
+    def t(day: Int, min: Int) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + min * 60000L)
+    // u1 [1,3], u2 [3,5] — handoff at minute 3 must count BOTH (peak 2);
+    // u3 [7,7] instantaneous; day 2: u4 alone (peak 1, independent)
+    Seq(
+      (1L, t(0, 1), 1L, "click", 1.0, "{}"),
+      (2L, t(0, 3), 1L, "click", 1.0, "{}"),
+      (3L, t(0, 3), 2L, "click", 1.0, "{}"),
+      (4L, t(0, 5), 2L, "click", 1.0, "{}"),
+      (5L, t(0, 7), 3L, "click", 1.0, "{}"),
+      (6L, t(1, 2), 4L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.rel.RelQueries.queries("interval_concurrency")(spark, tmp)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("2024-01-01", 3L, 2L), ("2024-01-02", 1L, 1L)))
+  }
+
   test("r13: ts_dtw_pruned — the LB_Keogh-served search returns EXACTLY " +
        "the brute-force top-3 (prune is physical, not semantic) and the " +
        "cut strictly shrinks the kernel set") {
