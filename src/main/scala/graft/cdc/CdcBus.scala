@@ -509,7 +509,7 @@ object CdcBus {
     * the exact-cents sum of every channel's CURRENT value over the
     * WHOLE bus — what the maintained view must equal regardless of how
     * many delta batches produced it. */
-  private val IvmFullRecomputeTwin: String =
+  private[graft] val IvmFullRecomputeTwin: String =
     s"""${Tables.BusCte}
        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_channels,
        |       CAST(sum(cents) AS BIGINT) AS total_cents

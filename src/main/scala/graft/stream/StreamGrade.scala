@@ -88,7 +88,7 @@ object StreamGrade {
     // bus replay, transformWithState (RocksDB)
     (Set("cdc_stream_scd2", "cdc_stream_gaps", "cdc_stream_rpc",
          "cdc_stream_take", "cdc_stream_user_features",
-         "cdc_stream_asof_join"), true),
+         "cdc_stream_asof_join", "cdc_stream_ivm"), true),
     // bus replay, stream-stream interval joins
     (Set("cdc_stream_rpc_join", "cdc_stream_rpc_outer"), false),
     // document-crawl replay (mixed: the TWS members need RocksDB; the
@@ -419,6 +419,37 @@ object StreamGrade {
       closed.select(col("channel"), col("event_id"), col("valid_from"),
           col("valid_to"), round(col("value"), 2).as("value"))
         .orderBy(col("channel"), col("valid_from"), col("event_id"))
+    }
+
+  /** STREAMING IVM changelog, graded (`cdc_stream_ivm`): the batch
+    * retract/insert rule (`cdc_ivm_agg`) executed LIVE as a
+    * retraction stream — [[Streams.IvmChangelogGate]] keeps each
+    * channel's current value in exact cents and emits ONE `new − old`
+    * adjustment per (channel, batch) in APPEND mode; the sink is the
+    * CHANGELOG, and the graded view is its fold (Σ dcents telescopes
+    * to each channel's final value, Σ dn counts first-sights), which
+    * must hash-match the FULL-RECOMPUTE twin shared with the batch IVM
+    * rows. This is the production warehouse-feed shape: the stream
+    * ships deltas, the consumer folds them — state one 3-long row per
+    * channel, emissions bounded by touched channels per batch, never a
+    * complete-mode re-emission of the whole view. */
+  def streamIvm(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val spark = s; import spark.implicits._
+      implicit val ss: SparkSession = s
+      val typed = busStream
+        .select(col("channel").as("_1"),
+          struct(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props")).as("_2"))
+        .as[(String, Streams.BusEvent)]
+      val deltas = withRocksDb(s) {
+        runToSink(s, Streams.ivmChangelog(typed).toDF(), "append",
+          "stream_ivm")
+      }
+      deltas.groupBy(col("event_type"))
+        .agg(sum(col("dn")).as("n_channels"),
+             sum(col("dcents")).as("total_cents"))
+        .orderBy(col("event_type"))
     }
 
   /** STREAMING sequence-gap audit, graded: [[Streams.seqGapStream]]'s
@@ -1308,7 +1339,8 @@ object StreamGrade {
     "cdc_stream_tumbling" -> (streamTumbling _),
     "cdc_stream_sliding"  -> (streamSliding _),
     "cdc_stream_sessions" -> (streamSessions _),
-    "cdc_stream_user_features" -> (streamUserFeatures _))
+    "cdc_stream_user_features" -> (streamUserFeatures _),
+    "cdc_stream_ivm"      -> (streamIvm _))
 
   /** STREAMING MULTIMODAL near-dup gate, graded: the pHash analogue of
     * [[streamNearDup]] — each arriving document's media payload is
@@ -1834,6 +1866,10 @@ object StreamGrade {
     // batch SCD2 restricted to CLOSED intervals: the open version is
     // held state, not an emitted row
     "cdc_stream_scd2" -> Scd2ClosedTwin,
+
+    // the live changelog's fold must equal the full recompute — the
+    // SAME twin the batch IVM rows grade against (cdc_ivm_agg)
+    "cdc_stream_ivm" -> graft.cdc.CdcBus.IvmFullRecomputeTwin,
 
     "cdc_stream_gaps" ->
       """SELECT event_type, prev_seq, next_seq, next_seq - prev_seq - 1 AS missing

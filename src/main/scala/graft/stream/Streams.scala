@@ -1009,6 +1009,69 @@ object Streams {
       .transformWithState(new SeqGapGate, TimeMode.None(), OutputMode.Append())
   }
 
+  /** One grouped-view adjustment in the IVM changelog: the channel's
+    * group, the exact-cents delta of its current value, and 1 when the
+    * channel was first seen (the group's live-channel count bump). */
+  case class ViewDelta(event_type: String, dcents: Long, dn: Long)
+
+  /** Per-channel RETRACTION changelog — the batch
+    * [[graft.cdc.CdcBus]] delta rule (`cdc_ivm_agg`) executed LIVE, the
+    * retraction-stream discipline: state is the channel's current value
+    * in exact integer cents keyed by its last (ts, event_id); a
+    * micro-batch that advances the channel emits ONE adjustment row
+    * `new − old` (plus the first-seen count bump), so a downstream
+    * consumer maintains the grouped view by FOLDING the changelog —
+    * per-channel deltas telescope to the final current value, making
+    * the fold equal the full recompute whatever batching produced it.
+    * An update that lands the SAME cents emits nothing (a zero row
+    * folds to nothing); a redelivered/older event is skipped against
+    * the (ts, event_id) high-water mark, so at-least-once replay and
+    * restart recovery cannot double-apply an adjustment. State: 3
+    * longs per channel; emissions: ≤ 1 row per (channel, batch). */
+  private[stream] class IvmChangelogGate
+      extends StatefulProcessor[String, (String, BusEvent), ViewDelta] {
+    // (lastTsMicros, lastEventId, cents)
+    @transient private var cur: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[(Long, Long, Long)]("cur",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+    private def micros(t: java.sql.Timestamp): Long =
+      Math.addExact(Math.multiplyExact(t.toInstant.getEpochSecond, 1000000L),
+        (t.toInstant.getNano / 1000).toLong)
+
+    override def handleInputRows(channel: String,
+                                 rows: Iterator[(String, BusEvent)],
+                                 timerValues: TimerValues): Iterator[ViewDelta] = {
+      val last = rows.map(_._2).maxBy(e => (micros(e.ts), e.event_id))
+      val cents = math.floor(last.value * 100).toLong
+      val key = (micros(last.ts), last.event_id)
+      val prior = if (cur.exists()) Some(cur.get()) else None
+      prior match {
+        case Some((pts, pid, pcents)) =>
+          if (Ordering[(Long, Long)].gt(key, (pts, pid))) {
+            cur.update((key._1, key._2, cents))
+            if (cents != pcents)
+              Iterator.single(ViewDelta(last.event_type, cents - pcents, 0L))
+            else Iterator.empty
+          } else Iterator.empty // redelivery: never double-apply
+        case None =>
+          cur.update((key._1, key._2, cents))
+          Iterator.single(ViewDelta(last.event_type, cents, 1L))
+      }
+    }
+  }
+
+  /** STREAMING IVM changelog over the bus — see [[IvmChangelogGate]]. */
+  def ivmChangelog(bus: Dataset[(String, BusEvent)])
+                  (implicit spark: SparkSession): Dataset[ViewDelta] = {
+    import spark.implicits._
+    bus.groupByKey(_._1)
+      .transformWithState(new IvmChangelogGate, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** The reference's take(n)/auto-unsubscribe (lib/nats.js:98-107) as a
     * stateful count-gate on the `transformWithState` API. Requires the
     * RocksDB state store

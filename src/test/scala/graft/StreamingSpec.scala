@@ -1304,6 +1304,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(latest === Map("cdc/click/1" -> 9L, "cdc/view/2" -> 3L))
   }
 
+  test("r13: IVM changelog gate — retraction deltas telescope across " +
+       "batches, redelivery never double-applies, equal-cents updates " +
+       "stay silent") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    def e(id: Long, min: Int, user: Long, v: Double): BusEvent =
+      BusEvent(id, ts(min), user, "click", v, "{}")
+    withRocksDbProvider {
+      val in = MemoryStream[(String, BusEvent)]
+      val q = Streams.ivmChangelog(in.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ivmlog").start()
+      try {
+        // batch 1: c1 first seen at 2.00, then updated to 3.50 IN-BATCH
+        // (collapses: one +350 first-sight row); c2 first seen at 1.00
+        in.addData(("c1", e(1, 0, 1, 2.00)), ("c1", e(2, 1, 1, 3.50)),
+                   ("c2", e(3, 0, 2, 1.00)))
+        q.processAllAvailable()
+        // batch 2: c1 updated to 1.25 (retraction −225); c2's event 3
+        // redelivered verbatim — the high-water mark must skip it
+        in.addData(("c1", e(4, 2, 1, 1.25)), ("c2", e(3, 0, 2, 1.00)))
+        q.processAllAvailable()
+        // batch 3: c2 updated to the SAME cents — no emission
+        in.addData(("c2", e(5, 3, 2, 1.004)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val log = spark.table("ivmlog").as[Streams.ViewDelta].collect().toSeq
+    // exactly three adjustment rows: (+350, first), (+100, first), (−225)
+    assert(log.sortBy(d => (d.dcents)).map(d => (d.dcents, d.dn)) ===
+      Seq((-225L, 0L), (100L, 1L), (350L, 1L)))
+    // the fold equals the final state: c1=125, c2=100 → 225 cents, 2 channels
+    assert(log.map(_.dcents).sum === 225L && log.map(_.dn).sum === 2L)
+  }
+
   test("stream-static enrich broadcasts the dimension, no stream state") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
