@@ -105,7 +105,7 @@ object StreamGrade {
 
   private val rocksSingletons =
     Set("cdc_stream_restart_scd2", "cdc_stream_restart_asof",
-        "emb_stream_restart_maintained")
+        "emb_stream_restart_maintained", "cdc_stream_restart_ivm")
 
   /** member → billing-family id (the alphabetically first member) for
     * bench artifacts: a co-schedule bills the family's wall-clock to
@@ -962,6 +962,82 @@ object StreamGrade {
     } finally deleteRecursively(tmp)
   }
 
+  /** IVM CHANGELOG RESTART + REDELIVERY, graded
+    * (`cdc_stream_restart_ivm`): the retraction changelog's correctness
+    * contract — the fold equals the full recompute — is only as strong
+    * as its behavior across the two production failure modes, so this
+    * row runs [[Streams.IvmChangelogGate]] as TWO QUERY LIFETIMES over
+    * one checkpoint (slices 1-2, clean stop, recover, slice 3) AND
+    * redelivers the ENTIRE second slice inside lifetime 2: the
+    * recovered per-channel high-water marks must absorb every
+    * redelivered event emission-free, or the fold double-applies and
+    * the hash breaks. Same full-recompute twin as the other IVM rows —
+    * recovery + at-least-once replay must be indistinguishable from
+    * one uninterrupted exactly-once pass. The
+    * [[streamRestartScd2]] dir discipline: fresh checkpoint/out dirs
+    * per invocation, deleted eagerly. */
+  def streamRestartIvm(s: SparkSession, d: String): DataFrame = {
+    val spark = s; import spark.implicits._
+    implicit val ss: SparkSession = s
+    val srcAll = busSlices(s, d, 0)
+    val tmp = Files.createTempDirectory("graft_stream_rivm_")
+    val in = Files.createDirectory(tmp.resolve("in"))
+    val ckpt = tmp.resolve("ckpt").toString
+    val outDir = tmp.resolve("out").toString
+    import scala.jdk.CollectionConverters._
+    val slices = Files.list(srcAll).iterator().asScala.toSeq
+      .sortBy(_.getFileName.toString)
+    def copySlice(i: Int, as: String = null): Unit = {
+      val name = Option(as).getOrElse(slices(i).getFileName.toString)
+      val dst = in.resolve(name)
+      Files.copy(slices(i), dst)
+      if (as == null)
+        dst.toFile.setLastModified(slices(i).toFile.lastModified)
+    }
+    def runLifetime(): Unit = {
+      val typed = s.readStream.schema(Tables.bus(s, d).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+        .select(col("channel").as("_1"),
+          struct(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props")).as("_2"))
+        .as[(String, Streams.BusEvent)]
+      val q = Streams.ivmChangelog(typed).toDF()
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (bt: DataFrame, _: Long) =>
+          bt.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try {
+        if (!q.awaitTermination(180000L))
+          throw new IllegalStateException("restart-grade query did not finish")
+      } finally q.stop()
+    }
+    try {
+      withRocksDb(s) {
+        val key = "spark.sql.shuffle.partitions"
+        val prior = s.conf.getOption(key)
+        s.conf.set(key, "2")
+        try {
+          copySlice(0); copySlice(1)
+          runLifetime() // lifetime 1: two micro-batches, state into ckpt
+          // lifetime 2: the real third slice PLUS the whole second
+          // slice again under a new name — a full at-least-once
+          // redelivery the RECOVERED high-water marks must absorb
+          copySlice(2)
+          copySlice(1, as = "z_redelivered_slice2.parquet")
+          runLifetime()
+        } finally prior.fold(s.conf.unset(key))(s.conf.set(key, _))
+      }
+      s.read.parquet(outDir)
+        .groupBy(col("event_type"))
+        .agg(sum(col("dn")).as("n_channels"),
+             sum(col("dcents")).as("total_cents"))
+        .localCheckpoint()
+        .orderBy(col("event_type"))
+    } finally deleteRecursively(tmp)
+  }
+
   /** AS-OF GATE CHECKPOINT RECOVERY, graded: [[Streams.asOfStream]]
     * holds the richest state of any processor here — pending probes,
     * the compacted history, and their event-time timers — and this row
@@ -1313,6 +1389,7 @@ object StreamGrade {
     "cdc_stream_asof_join"     -> (streamAsOfJoin _),
     "cdc_stream_capture"       -> (streamCapture _),
     "cdc_stream_restart_scd2"  -> (streamRestartScd2 _),
+    "cdc_stream_restart_ivm"   -> (streamRestartIvm _),
     "cdc_stream_restart_asof"  -> (streamRestartAsOf _),
     "emb_stream_restart_maintained" -> (streamRestartIndexMaint _),
     "doc_stream_substring_dup" -> (streamSubstringDup _),
@@ -1609,6 +1686,10 @@ object StreamGrade {
     // recovery graded: two query lifetimes over one checkpoint must
     // reproduce the single-lifetime closed-interval set exactly
     "cdc_stream_restart_scd2" -> Scd2ClosedTwin,
+
+    // two lifetimes + a full slice redelivery must fold to the same
+    // full recompute — recovery and at-least-once replay absorbed
+    "cdc_stream_restart_ivm" -> graft.cdc.CdcBus.IvmFullRecomputeTwin,
     // the cap contract, order-insensitive: exactly min(matching, 5)
     // deliveries per subscription, zero-delivery subs kept
     "cdc_stream_take" ->
