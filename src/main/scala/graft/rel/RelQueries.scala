@@ -1728,9 +1728,13 @@ object RelQueries {
     * global single-partition sort — the 100 TB failure mode of the
     * textbook formulation. */
   def intervalConcurrency(s: SparkSession, d: String): DataFrame = {
+    // one grouped pass over events, materialized: the two endpoint
+    // selects below would otherwise each re-run the aggregation (AQE
+    // does not reuse identical agg subtrees — ScanBudget discipline)
     val spans = Tables.events(s, d)
       .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
       .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      .localCheckpoint(true)
     val ends = spans.select(col("day"), col("lo").as("ts"), lit(1L).as("delta"))
       .unionByName(
         spans.select(col("day"), col("hi").as("ts"), lit(-1L).as("delta")))
@@ -1742,6 +1746,54 @@ object RelQueries {
       .agg((count(lit(1)) / 2).cast("long").as("n_sessions"),
            max(col("live")).as("peak_concurrent"))
       .orderBy(col("day"))
+  }
+
+  /** 2-D SKYLINE / Pareto frontier (`skyline_parts`): the parts no
+    * other part beats on BOTH axes (cheaper-or-equal price AND
+    * larger-or-equal size, strictly better in one) — the classic
+    * Börzsönyi-et-al. operator, which the textbook NOT-EXISTS
+    * formulation answers with an O(n²) self-join. Here dominance
+    * decomposes into three PARALLEL window/broadcast checks, exploiting
+    * that a dominator is (a) in a strictly cheaper price bucket — any
+    * such part with size ≥ mine dominates (its price is strictly
+    * smaller: equal prices share a bucket), caught by a prefix-max over
+    * the ≤|buckets|-row bucket-max frame; (b) in my bucket at a
+    * strictly cheaper price — a RANGE frame to −1 on integer cents; or
+    * (c) at my exact price with strictly larger size — a price-group
+    * max. No self-join, no global sort: the per-bucket windows
+    * parallelize over buckets and the bucket frame broadcasts.
+    * Duplicates of a skyline point don't dominate each other (strict-
+    * in-one), so both survive — pinned by the NOT EXISTS twin. */
+  def skylineParts(s: SparkSession, d: String): DataFrame = {
+    // exact integer cents via ROUND, not floor: prices are 2-decimal,
+    // so p·100 sits within 1e-9 of an integer, and floor could fall one
+    // cent short on the values whose double sits just below — which
+    // would collapse two distinct prices and flip a strict dominance
+    val pts = Tables.part(s, d).select(col("p_partkey"),
+      round(col("p_retailprice"), 2).as("price"),
+      round(col("p_retailprice") * 100, 0).cast("long").as("price_c"),
+      col("p_size").cast("long").as("size"))
+      .withColumn("bucket", floor(col("price_c") / 10000L))
+    // (a) best size in every strictly-cheaper bucket — tiny frame
+    val bmax = pts.groupBy(col("bucket")).agg(max(col("size")).as("bmax"))
+    val wPre = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = bmax.withColumn("pref_max", max(col("bmax")).over(wPre))
+      .select(col("bucket"), col("pref_max"))
+    // (b) strictly cheaper within my bucket (RANGE to −1 on cents)
+    val wLt = Window.partitionBy(col("bucket")).orderBy(col("price_c"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    // (c) strictly larger size at my exact price
+    val wEq = Window.partitionBy(col("price_c"))
+    pts
+      .withColumn("cheaper_max", max(col("size")).over(wLt))
+      .withColumn("eq_price_max", max(col("size")).over(wEq))
+      .join(broadcast(pre), Seq("bucket"), "left")
+      .filter(coalesce(col("pref_max"), lit(Long.MinValue)) < col("size") &&
+              coalesce(col("cheaper_max"), lit(Long.MinValue)) < col("size") &&
+              col("eq_price_max") <= col("size"))
+      .select(col("p_partkey"), col("price"), col("size"))
+      .orderBy(col("price"), col("p_partkey"))
   }
 
   /** Fixed-width histogram: floor-binning on the value column — integer
@@ -2976,6 +3028,7 @@ object RelQueries {
     "range_join_semi_auto" -> (rangeJoinSemiAuto _),
     "range_join_anti_auto" -> (rangeJoinAntiAuto _),
     "interval_concurrency" -> (intervalConcurrency _),
+    "skyline_parts"      -> (skylineParts _),
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),
     "user_features"      -> (userFeatures _),
@@ -3896,6 +3949,20 @@ object RelQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM wins w
         |                  WHERE e.ts >= w.lo AND e.ts < w.hi)
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // skyline: the textbook NOT-EXISTS dominance form — the engine's
+    // window/broadcast decomposition must select exactly the
+    // undominated set, duplicates-both-survive included
+    "skyline_parts" ->
+      """SELECT p_partkey, round(p_retailprice, 2) AS price,
+        |       CAST(p_size AS BIGINT) AS size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY price, p_partkey""".stripMargin,
 
     // sweep-line peak concurrency: the same ±1 endpoint walk (closed
     // intervals — delta DESC starts before ends at a shared instant);

@@ -1806,6 +1806,42 @@ class QueriesSpec extends AnyFunSuite {
       audit.forall(a => a.getLong(3) >= 0 && a.getLong(3) <= a.getLong(2)))
   }
 
+  test("r13: skyline_parts — the window/broadcast decomposition equals " +
+       "brute-force NOT-EXISTS dominance, duplicates both survive, " +
+       "same-price strict-size and same-bucket strict-price kills work") {
+    import org.apache.spark.sql.functions._
+    // brute force over the real corpus
+    val pts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice").as("pr"),
+        col("p_size").cast("long").as("sz")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val brute = pts.filter { case (_, pp, ps) =>
+      !pts.exists { case (_, qp, qs) =>
+        qp <= pp && qs >= ps && (qp < pp || qs > ps) }
+    }.map(_._1).sorted.toSeq
+    val got = graft.rel.RelQueries.queries("skyline_parts")(spark, sf)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === brute)
+    // hand-built edge cases through the same decomposition: write a
+    // tiny part table and run the graded query on it
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sky").toString
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, 10.00, 5),  // skyline; duplicated by 2 — neither dominates
+      (2L, 10.00, 5),  //   the other (strict-in-one), BOTH survive
+      (3L, 10.00, 4),  // same price, strictly smaller size — dominated
+      (4L, 9.99, 4),   // cheaper but smaller: dominates 3, not 1/2; skyline
+      (5L, 120.00, 6), // killed by 6 (cheaper, same size)
+      (6L, 119.99, 6), // skyline
+      (7L, 130.00, 6)  // same size as 6, pricier, later bucket — dominated
+    ).toDF("p_partkey", "p_retailprice", "p_size")
+      .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val tiny = graft.rel.RelQueries.queries("skyline_parts")(spark, tmp)
+      .collect().map(_.getLong(0)).toSeq
+    // ordered by (price, partkey): 4 (9.99), the duplicate pair, 6
+    assert(tiny === Seq(4L, 1L, 2L, 6L))
+  }
+
   test("r13: interval_concurrency — closed-interval sweep semantics on a " +
        "hand-built day: shared-instant handoff counts both sessions, " +
        "instantaneous sessions count, days are independent") {
