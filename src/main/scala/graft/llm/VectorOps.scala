@@ -57,6 +57,43 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** One 32-bit half of a sign-bit binary code: element i of the slice
+    * contributes 2^(32−i) when positive — the fold `acc·2 + bit` in
+    * array order, exact in BIGINT (a single 64-bit pack would overflow
+    * the top weight 2⁶³, which Spark wraps silently and DuckDB raises
+    * on — two halves keep both engines in range). */
+  private def signPack(v: Column, from: Int): Column =
+    aggregate(slice(v, from, 32), lit(0L),
+      (acc, x) => acc * 2 + when(x > 0d, 1L).otherwise(0L))
+
+  /** BINARY-QUANTIZED ANN (`ann_hamming`) — the RaBitQ/binary-sketch
+    * tier of the retrieval stack: each 64-dim vector compresses to its
+    * 64 SIGN BITS (two 32-bit halves, [[signPack]]) and candidates
+    * rank by Hamming distance — `bit_count(xor)` over two longs, the
+    * cheapest distance a vector index can serve (16 bytes/vector,
+    * popcount per candidate; at corpus scale the codes frame is ~250×
+    * smaller than the raw vectors and the scan is pure integer ALU).
+    * Ranking is exact integers end-to-end, so the twin replays the
+    * identical pack + popcount in SQL. Complements the PQ/ADC tier:
+    * PQ quantizes magnitudes into trained cells, the sign sketch needs
+    * NO training and survives any distribution — the standard coarse
+    * pre-filter in front of an exact or ADC rerank. */
+  def annHamming(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"),
+      signPack(col("v"), 1).as("h1"), signPack(col("v"), 33).as("h2"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("h1").as("q1"), col("h2").as("q2"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("ham",
+        (bit_count(col("h1").bitwiseXOR(col("q1"))) +
+         bit_count(col("h2").bitwiseXOR(col("q2")))).cast("long"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("ham"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rank"), col("ham"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---- late-interaction (MaxSim / ColBERT-style) retrieval ----
 
   private val MsTokens = 16
@@ -1769,6 +1806,7 @@ object VectorOps {
     "ann_range"   -> (annRange _),
     "kmeans_step" -> (kmeansStep _),
     "cos_topk"    -> (cosTopk _),
+    "ann_hamming" -> (annHamming _),
     "maxsim_topk" -> (maxsimTopk _),
     "maxsim_rerank" -> (maxsimRerank _),
     "maxsim_rerank_ivf" -> (maxsimRerankIvf _),
@@ -2645,6 +2683,29 @@ object VectorOps {
          |SELECT CAST(label AS BIGINT) AS label, CAST(cell AS BIGINT) AS assigned,
          |       count(*) AS n
          |FROM scored WHERE rk = 1 GROUP BY 1, 2 ORDER BY label, assigned""".stripMargin,
+
+    // binary sign-sketch ANN: the identical two-half pack (weights
+    // 2^(32−i)) + popcount replayed in SQL — exact integers throughout
+    "ann_hamming" ->
+      s"""WITH bits AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN embedding[i] > 0
+         |              THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END) AS BIGINT) AS h1,
+         |         CAST(sum(CASE WHEN embedding[i + 32] > 0
+         |              THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END) AS BIGINT) AS h2
+         |  FROM embeddings, generate_series(1, 32) AS g(i)
+         |  GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, h1 AS q1, h2 AS q2 FROM bits
+         |      WHERE vec_id < $NQueries)
+         |SELECT qid, vec_id, rank, ham FROM (
+         |  SELECT q.qid, b.vec_id,
+         |         CAST(row_number() OVER (PARTITION BY q.qid ORDER BY
+         |           bit_count(xor(b.h1, q.q1)) + bit_count(xor(b.h2, q.q2)),
+         |           b.vec_id) AS BIGINT) AS rank,
+         |         CAST(bit_count(xor(b.h1, q.q1)) +
+         |              bit_count(xor(b.h2, q.q2)) AS BIGINT) AS ham
+         |  FROM bits b JOIN q ON b.vec_id != q.qid) t
+         |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
 
     "cos_topk" ->
       s"""WITH $VecCte,

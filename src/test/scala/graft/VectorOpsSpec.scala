@@ -621,4 +621,35 @@ class VectorOpsSpec extends AnyFunSuite {
       "MMR selection identical to pure relevance on every query — " +
         "diversity term never fired")
   }
+
+  test("r13: ann_hamming — sign-pack halves are exact, Hamming equals the " +
+       "flipped-sign count on crafted vectors, and the graded ranking is " +
+       "deterministic") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    // base vector: alternating signs; flips at positions 3, 17 (half 1)
+    // and 40, 41, 63 (half 2) → hamming 2 + 3 = 5
+    val base = (1 to 64).map(i => if (i % 2 == 0) 1.0f else -1.0f).toArray
+    val flipped = base.clone()
+    Seq(3, 17, 40, 41, 63).foreach(i => flipped(i - 1) = -flipped(i - 1))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ham").toString
+    Seq((0L, base, "a"), (1L, flipped, "b"),
+        // 5 query slots so vec_id<5 picks these; pad with copies of base
+        (2L, base, "c"), (3L, base, "c"), (4L, base, "c"),
+        (5L, flipped, "d"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = graft.llm.VectorOps.queries("ann_hamming")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    // query 0 vs vec 1: exactly the 5 flipped positions
+    assert(got.collect { case (0L, 1L, h) => h } === Seq(5L))
+    // query 0 vs the base copies: distance 0, ranked first by vec_id
+    assert(got.filter(_._1 == 0L).take(2).map(t => (t._2, t._3)) ===
+      Seq((2L, 0L), (3L, 0L)))
+    // reruns bit-identical
+    assert(graft.llm.VectorOps.queries("ann_hamming")(spark, tmp)
+      .collect().map(_.toString).toSeq ===
+      graft.llm.VectorOps.queries("ann_hamming")(spark, tmp)
+        .collect().map(_.toString).toSeq)
+  }
 }
