@@ -94,6 +94,85 @@ object VectorOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** BINARY-PREFILTER + EXACT RERANK (`ann_hamming_rerank`) — the
+    * production composition of the sign sketch: stage 1 cuts each
+    * query's candidates to the 32 nearest by Hamming over the packed
+    * codes (integer ALU over 16 bytes/vector — at corpus scale the
+    * only full-corpus pass), stage 2 reranks ONLY those 32 by exact
+    * cosine and keeps top-[[TopK]]. The sketch is lossy, so this does
+    * NOT grade against the exact ranking ([[annHammingRecall]] measures
+    * that honestly); the twin replays the SAME two stages — cut
+    * boundary deterministic by (ham, vec_id), rerank by rounded cosine
+    * with vec_id ties. Raw vectors are fetched for |queries|·32 rows
+    * only (the maxsim_rerank discipline). */
+  def annHammingRerank(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d).localCheckpoint(true)
+    val codes = base.select(col("vec_id"),
+      signPack(col("v"), 1).as("h1"), signPack(col("v"), 33).as("h2"))
+    val q = codes.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("h1").as("q1"), col("h2").as("q2"))
+    val wHam = Window.partitionBy(col("qid")).orderBy(col("ham"), col("vec_id"))
+    val pool = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("ham",
+        (bit_count(col("h1").bitwiseXOR(col("q1"))) +
+         bit_count(col("h2").bitwiseXOR(col("q2")))).cast("long"))
+      .withColumn("hrk", row_number().over(wHam))
+      .filter(col("hrk") <= 32)
+      .select(col("qid"), col("vec_id"), col("ham"))
+    // exact rerank on the ≤|queries|·32 survivors
+    val qv = base.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val wCos = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    pool
+      .join(base.select(col("vec_id"), col("v"), col("n2")), Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("cos_raw",
+        dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        round(col("cos_raw"), 5).as("cos"), col("ham"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** RECALL AUDIT of the sign sketch (`ann_hamming_recall`): per query,
+    * how many of the EXACT cosine top-[[TopK]] the Hamming top-32
+    * prefilter retains — the honest lossiness measurement every coarse
+    * tier ships with (the `ann_recall`/`ivfadc_recall` discipline
+    * applied to the training-free sketch). Pure integer counts over
+    * the two rankings; the twin replays both. */
+  def annHammingRecall(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d).localCheckpoint(true)
+    val codes = base.select(col("vec_id"),
+      signPack(col("v"), 1).as("h1"), signPack(col("v"), 33).as("h2"))
+    val qc = codes.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("h1").as("q1"), col("h2").as("q2"))
+    val wHam = Window.partitionBy(col("qid")).orderBy(col("ham"), col("vec_id"))
+    val kept = codes.join(broadcast(qc), col("vec_id") =!= col("qid"))
+      .withColumn("ham",
+        (bit_count(col("h1").bitwiseXOR(col("q1"))) +
+         bit_count(col("h2").bitwiseXOR(col("q2")))).cast("long"))
+      .withColumn("hrk", row_number().over(wHam))
+      .filter(col("hrk") <= 32)
+      .select(col("qid"), col("vec_id"))
+    val qv = base.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val wCos = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    val exact = base.join(broadcast(qv), col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw",
+        dot(col("qv"), col("v")) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id"))
+    exact.join(kept.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_retained"))
+      .orderBy(col("qid"))
+  }
+
   // ---- late-interaction (MaxSim / ColBERT-style) retrieval ----
 
   private val MsTokens = 16
@@ -1807,6 +1886,8 @@ object VectorOps {
     "kmeans_step" -> (kmeansStep _),
     "cos_topk"    -> (cosTopk _),
     "ann_hamming" -> (annHamming _),
+    "ann_hamming_rerank" -> (annHammingRerank _),
+    "ann_hamming_recall" -> (annHammingRecall _),
     "maxsim_topk" -> (maxsimTopk _),
     "maxsim_rerank" -> (maxsimRerank _),
     "maxsim_rerank_ivf" -> (maxsimRerankIvf _),
@@ -2061,6 +2142,18 @@ object VectorOps {
   private val VecCte =
     "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, " +
       "list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2 FROM embeddings)"
+
+  /** The sign-sketch pack as a CTE (twin of [[signPack]]'s two halves) —
+    * shared by the `ann_hamming*` twins. */
+  private val HamBitsCte =
+    """bits AS (
+      |  SELECT vec_id,
+      |         CAST(sum(CASE WHEN embedding[i] > 0
+      |              THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END) AS BIGINT) AS h1,
+      |         CAST(sum(CASE WHEN embedding[i + 32] > 0
+      |              THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END) AS BIGINT) AS h2
+      |  FROM embeddings, generate_series(1, 32) AS g(i)
+      |  GROUP BY vec_id)""".stripMargin
 
   private def planeSql(p: Seq[Double]): String = p.mkString("[", ", ", "]")
 
@@ -2687,14 +2780,7 @@ object VectorOps {
     // binary sign-sketch ANN: the identical two-half pack (weights
     // 2^(32−i)) + popcount replayed in SQL — exact integers throughout
     "ann_hamming" ->
-      s"""WITH bits AS (
-         |  SELECT vec_id,
-         |         CAST(sum(CASE WHEN embedding[i] > 0
-         |              THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END) AS BIGINT) AS h1,
-         |         CAST(sum(CASE WHEN embedding[i + 32] > 0
-         |              THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END) AS BIGINT) AS h2
-         |  FROM embeddings, generate_series(1, 32) AS g(i)
-         |  GROUP BY vec_id),
+      s"""WITH $HamBitsCte,
          |q AS (SELECT vec_id AS qid, h1 AS q1, h2 AS q2 FROM bits
          |      WHERE vec_id < $NQueries)
          |SELECT qid, vec_id, rank, ham FROM (
@@ -2706,6 +2792,63 @@ object VectorOps {
          |              bit_count(xor(b.h2, q.q2)) AS BIGINT) AS ham
          |  FROM bits b JOIN q ON b.vec_id != q.qid) t
          |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+
+    // two-stage sign-sketch serve: the twin replays BOTH stages (the
+    // sketch is lossy, so the grade is stage-faithful, not exact-top-k;
+    // ann_hamming_recall measures the loss honestly)
+    "ann_hamming_rerank" ->
+      s"""WITH $VecCte,
+         |$HamBitsCte,
+         |q AS (SELECT vec_id AS qid, h1 AS q1, h2 AS q2 FROM bits
+         |      WHERE vec_id < $NQueries),
+         |pool AS (
+         |  SELECT qid, vec_id, ham FROM (
+         |    SELECT q.qid, b.vec_id,
+         |           CAST(bit_count(xor(b.h1, q.q1)) +
+         |                bit_count(xor(b.h2, q.q2)) AS BIGINT) AS ham,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             bit_count(xor(b.h1, q.q1)) + bit_count(xor(b.h2, q.q2)),
+         |             b.vec_id) AS hrk
+         |    FROM bits b JOIN q ON b.vec_id != q.qid) t WHERE hrk <= 32),
+         |qv AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e
+         |       WHERE vec_id < $NQueries)
+         |SELECT qid, vec_id, rank, round(cos_raw, 5) AS cos, ham FROM (
+         |  SELECT p.qid, p.vec_id, p.ham,
+         |         list_dot_product(qv.qv, e.v) / (sqrt(qv.qn2) * sqrt(e.n2)) AS cos_raw,
+         |         CAST(row_number() OVER (PARTITION BY p.qid ORDER BY
+         |           list_dot_product(qv.qv, e.v) / (sqrt(qv.qn2) * sqrt(e.n2)) DESC,
+         |           p.vec_id) AS BIGINT) AS rank
+         |  FROM pool p JOIN e ON e.vec_id = p.vec_id
+         |              JOIN qv ON qv.qid = p.qid) t
+         |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+
+    "ann_hamming_recall" ->
+      s"""WITH $VecCte,
+         |$HamBitsCte,
+         |q AS (SELECT vec_id AS qid, h1 AS q1, h2 AS q2 FROM bits
+         |      WHERE vec_id < $NQueries),
+         |pool AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, b.vec_id,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             bit_count(xor(b.h1, q.q1)) + bit_count(xor(b.h2, q.q2)),
+         |             b.vec_id) AS hrk
+         |    FROM bits b JOIN q ON b.vec_id != q.qid) t WHERE hrk <= 32),
+         |qv AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e
+         |       WHERE vec_id < $NQueries),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qv.qid, e.vec_id,
+         |           row_number() OVER (PARTITION BY qv.qid ORDER BY
+         |             list_dot_product(qv.qv, e.v) / (sqrt(qv.qn2) * sqrt(e.n2)) DESC,
+         |             e.vec_id) AS rk
+         |    FROM e JOIN qv ON e.vec_id != qv.qid) t WHERE rk <= $TopK)
+         |SELECT x.qid AS qid, CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_retained
+         |FROM exact x LEFT JOIN pool p
+         |  ON p.qid = x.qid AND p.vec_id = x.vec_id
+         |GROUP BY x.qid ORDER BY qid""".stripMargin,
 
     "cos_topk" ->
       s"""WITH $VecCte,
