@@ -1769,11 +1769,15 @@ object RelQueries {
     // so p·100 sits within 1e-9 of an integer, and floor could fall one
     // cent short on the values whose double sits just below — which
     // would collapse two distinct prices and flip a strict dominance
+    // projected once and materialized: the bucket-max frame below is an
+    // aggregation over the same lineage and would otherwise re-scan the
+    // table (AQE does not reuse identical subtrees — ScanBudget ratchet)
     val pts = Tables.part(s, d).select(col("p_partkey"),
       round(col("p_retailprice"), 2).as("price"),
       round(col("p_retailprice") * 100, 0).cast("long").as("price_c"),
       col("p_size").cast("long").as("size"))
       .withColumn("bucket", floor(col("price_c") / 10000L))
+      .localCheckpoint(true)
     // (a) best size in every strictly-cheaper bucket — tiny frame
     val bmax = pts.groupBy(col("bucket")).agg(max(col("size")).as("bmax"))
     val wPre = Window.orderBy(col("bucket"))
