@@ -2912,6 +2912,51 @@ object RelQueries {
       .orderBy(col("rank_q").desc, col("s_suppkey"))
       .limit(20)
 
+  /** TRIANGLE COUNT with degree-ordered orientation
+    * (`graph_triangles`) — the canonical distributed-graph statistic
+    * over the co-order part graph (parts sharing a lineitem order),
+    * computed the way a 100 TB graph requires: orient every edge from
+    * the (degree, id)-LOWER endpoint to the higher, so each triangle
+    * has exactly one node with both out-edges and is counted ONCE, and
+    * — the classic bound — out-degrees are O(√m), which caps the wedge
+    * join at O(m^1.5) instead of the Σ deg² blowup a hub node causes
+    * on unoriented wedges. The closing-edge join also disambiguates
+    * the wedge's two (a, b) orderings (only the orientation-consistent
+    * one exists in the edge set), so no ordered-pair bookkeeping is
+    * needed. Twin: the a<b<c three-way join — exact, and quadratic in
+    * ways the engine never is. Edges and the projected (order, part)
+    * frame are each materialized once (self-join and 3 readers). */
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val pe = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().localCheckpoint(true)
+    val edges = pe.as("a").join(pe.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .localCheckpoint(true)
+    val deg = edges.select(col("u").as("n"))
+      .unionByName(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(when(lowFirst, col("u")).otherwise(col("v")).as("src"),
+              when(lowFirst, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint(true)
+    val tri = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") =!= col("y.dst"))
+      .select(col("x.dst").as("wa"), col("y.dst").as("wb"))
+      .join(oriented.select(col("src").as("wa"), col("dst").as("wb")),
+        Seq("wa", "wb"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
   def graphPagerank(s: SparkSession, d: String): DataFrame =
     supplierRanks(purchaseGraph(s, d).pagerankRanks.last)
 
@@ -2991,6 +3036,7 @@ object RelQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"     -> (graphPagerank _),
+    "graph_triangles"    -> (graphTriangles _),
     "graph_pagerank_dyn" -> (graphPagerankDynamic _),
     "graph_trustrank"    -> (graphTrustrank _),
     "graph_converged"    -> (graphConverged _),
@@ -3242,6 +3288,23 @@ object RelQueries {
     // division (DuckDB `//` == Spark `DIV` on non-negative longs) in the
     // same operation order; sums CAST to BIGINT (DuckDB sum() widens to
     // HUGEINT) so the 85·inflow product types identically
+    // triangle count: the a<b<c three-way self-join — each triangle's
+    // nodes sorted, so every triangle matches exactly one (e1,e2,e3)
+    // triple; the engine's degree orientation must agree to the count
+    "graph_triangles" ->
+      """WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |edges AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |          FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p)
+        |SELECT
+        |  CAST((SELECT count(*) FROM (SELECT u AS n FROM edges
+        |        UNION SELECT v FROM edges) t) AS BIGINT) AS n_nodes,
+        |  CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+        |  CAST((SELECT count(*) FROM edges e1
+        |        JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+        |        JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |    AS BIGINT) AS n_triangles""".stripMargin,
+
     "graph_pagerank" ->
       s"""WITH $GraphCtes,
          |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),

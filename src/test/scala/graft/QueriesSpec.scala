@@ -1806,6 +1806,33 @@ class QueriesSpec extends AnyFunSuite {
       audit.forall(a => a.getLong(3) >= 0 && a.getLong(3) <= a.getLong(2)))
   }
 
+  test("r13: graph_triangles — degree-oriented count is exact on K4, a " +
+       "star (0), and a triangle-with-pendant (1); each triangle counted " +
+       "once despite hub-skewed degrees") {
+    import org.apache.spark.sql.functions._
+    def run(orders: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tri").toString
+      val s = spark; import s.implicits._
+      orders.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      val r = graft.rel.RelQueries.queries("graph_triangles")(spark, tmp).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // K4 via one order containing 4 parts: C(4,2)=6 edges, C(4,3)=4 triangles
+    assert(run(Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L))) === ((4L, 6L, 4L)))
+    // star: hub part 1 co-ordered pairwise with 2..5, leaves never
+    // co-ordered → 4 edges, 0 triangles (the hub-skew shape the
+    // orientation exists for: all wedges sit at the hub unoriented,
+    // none after orienting hub-last)
+    assert(run(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L),
+                   (3L, 1L), (3L, 4L), (4L, 1L), (4L, 5L))) ===
+      ((5L, 4L, 0L)))
+    // triangle {1,2,3} + pendant 4 on node 1; edge (1,2) repeated in a
+    // second order — dedup keeps the count at exactly 1
+    assert(run(Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 4L),
+                   (3L, 1L), (3L, 2L))) === ((4L, 4L, 1L)))
+  }
+
   test("r13: skyline_parts — the window/broadcast decomposition equals " +
        "brute-force NOT-EXISTS dominance, duplicates both survive, " +
        "same-price strict-size and same-bucket strict-price kills work") {
