@@ -2926,14 +2926,22 @@ object RelQueries {
     * needed. Twin: the a<b<c three-way join — exact, and quadratic in
     * ways the engine never is. Edges and the projected (order, part)
     * frame are each materialized once (self-join and 3 readers). */
-  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+  /** The co-order part graph's deduplicated edge set (u < v),
+    * materialized — shared by [[graphTriangles]] and [[graphKcore]].
+    * The projected (order, part) frame checkpoints BEFORE its
+    * self-join so lineitem is scanned once. */
+  private def coOrderEdges(s: SparkSession, d: String): DataFrame = {
     val pe = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct().localCheckpoint(true)
-    val edges = pe.as("a").join(pe.as("b"),
+    pe.as("a").join(pe.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
       .localCheckpoint(true)
+  }
+
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val edges = coOrderEdges(s, d)
     val deg = edges.select(col("u").as("n"))
       .unionByName(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
@@ -2955,6 +2963,80 @@ object RelQueries {
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
     nNodes.crossJoin(nEdges).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** K-CORE DECOMPOSITION by iterative peeling (`graph_kcore`) — the
+    * second convergence-driven graph family beside the PageRank
+    * fixpoint: repeatedly delete nodes of degree < k from the co-order
+    * part graph until none remain; the survivors are the k-core (the
+    * maximal subgraph of minimum degree ≥ k — the standard
+    * dense-region primitive). The loop is DATA-driven (peel until the
+    * node count stops falling), each round one degree aggregation +
+    * two semi joins over the shrinking checkpointed edge frame — per
+    * round strictly cheaper than the previous, O(peel-depth) rounds.
+    * Driver-side state per round is TWO scalar counts (bounded by the
+    * executable ≤[[KcoreMaxRounds]] guard below).
+    *
+    * Twin honesty: the DuckDB twin unrolls exactly [[KcoreMaxRounds]]
+    * peel rounds; peeling is monotone and idempotent at the fixpoint,
+    * so twin == engine IFF the engine converged within the unroll
+    * depth — which the engine enforces with a loud `require` rather
+    * than silently diverging (the graph_converged discipline). k is
+    * [[KcoreK]] = 80: at the graded sf0.01 the core is a nontrivial
+    * 1857 of 2000 nodes reached at depth 5. */
+  private val KcoreK = 80
+  private val KcoreMaxRounds = 8
+
+  def graphKcore(s: SparkSession, d: String): DataFrame =
+    kcoreOf(coOrderEdges(s, d), KcoreK, KcoreMaxRounds)
+
+  /** The peel loop over an arbitrary (u, v) edge frame —
+    * private[graft] so the spec can pin the fixpoint on hand graphs
+    * with a small k. */
+  private[graft] def kcoreOf(edgeFrame: DataFrame, k: Int,
+                             maxRounds: Int): DataFrame = {
+    var edges = edgeFrame
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("n")).unionByName(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    var nodes = degrees(edges).filter(col("dg") >= k)
+      .select(col("n")).localCheckpoint(true)
+    var prev = Long.MaxValue
+    var cur = nodes.count()
+    var rounds = 1
+    while (cur < prev) {
+      require(rounds < maxRounds,
+        s"k-core peel needs more than $maxRounds rounds — raise " +
+          "KcoreMaxRounds AND the twin's unroll depth together")
+      edges = edges
+        .join(nodes.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(nodes.select(col("n").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      nodes = degrees(edges).filter(col("dg") >= k)
+        .select(col("n")).localCheckpoint(true)
+      prev = cur
+      cur = nodes.count()
+      rounds += 1
+    }
+    degrees(edges).join(nodes, Seq("n"), "left_semi")
+      .select(col("n").as("node"), col("dg").as("core_deg"))
+      .orderBy(col("node"))
+  }
+
+  /** One unrolled peel round of the k-core twin: nodes `ni` = degree
+    * ≥ k within `ep`, edges `ei` = `ep` restricted to `ni`. */
+  private def kcorePeelSql(i: Int): String = {
+    val (ep, ni, ei) = (s"e${i - 1}", s"n$i", s"e$i")
+    // MATERIALIZED: each CTE is referenced twice by the next round; the
+    // default inlining expands the chain exponentially (2^rounds scans
+    // of the parquet — observed as an fd exhaustion at depth 8)
+    s"""$ni AS MATERIALIZED (SELECT n FROM (
+       |  SELECT n, count(*) AS dg FROM (
+       |    SELECT u AS n FROM $ep UNION ALL SELECT v AS n FROM $ep) t
+       |  GROUP BY n) d WHERE dg >= $KcoreK),
+       |$ei AS MATERIALIZED (SELECT u, v FROM $ep
+       |        WHERE u IN (SELECT n FROM $ni)
+       |          AND v IN (SELECT n FROM $ni))""".stripMargin
   }
 
   def graphPagerank(s: SparkSession, d: String): DataFrame =
@@ -3037,6 +3119,7 @@ object RelQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"     -> (graphPagerank _),
     "graph_triangles"    -> (graphTriangles _),
+    "graph_kcore"        -> (graphKcore _),
     "graph_pagerank_dyn" -> (graphPagerankDynamic _),
     "graph_trustrank"    -> (graphTrustrank _),
     "graph_converged"    -> (graphConverged _),
@@ -3304,6 +3387,23 @@ object RelQueries {
         |        JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
         |        JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v)
         |    AS BIGINT) AS n_triangles""".stripMargin,
+
+    // k-core: 8 unrolled peel rounds — peeling is idempotent past the
+    // fixpoint, and the ENGINE requires convergence within 8 rounds,
+    // so extra rounds are provable no-ops and twin == engine exactly
+    "graph_kcore" ->
+      s"""WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |            FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+         |       FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p),
+         |${(1 to KcoreMaxRounds).map(kcorePeelSql).mkString(",\n")}
+         |SELECT n AS node, CAST(dg AS BIGINT) AS core_deg FROM (
+         |  SELECT n, count(*) AS dg FROM (
+         |    SELECT u AS n FROM e$KcoreMaxRounds
+         |    UNION ALL SELECT v AS n FROM e$KcoreMaxRounds) t
+         |  GROUP BY n) d
+         |WHERE n IN (SELECT n FROM n$KcoreMaxRounds)
+         |ORDER BY node""".stripMargin,
 
     "graph_pagerank" ->
       s"""WITH $GraphCtes,

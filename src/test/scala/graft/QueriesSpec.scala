@@ -1833,6 +1833,32 @@ class QueriesSpec extends AnyFunSuite {
                    (3L, 1L), (3L, 2L))) === ((4L, 4L, 1L)))
   }
 
+  test("r13: kcoreOf — the peel fixpoint on hand graphs: K4 + tail " +
+       "(3-core = K4, multi-round peel), empty core, and the loud " +
+       "max-rounds guard") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    // cycle {1,2,3,4} with a pendant path 4–5–6–7–8: at k=2 the path
+    // peels ONE node per round (8 first — its removal lowers 7 below
+    // k, and so on: a genuine cascade), leaving the cycle, all deg 2
+    val cyclePath = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L)).toDF("u", "v")
+    val core = graft.rel.RelQueries.kcoreOf(cyclePath, 2, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(core === Seq((1L, 2L), (2L, 2L), (3L, 2L), (4L, 2L)))
+    // a star has no 2-core: leaves drop, then the stranded hub — empty
+    val star = (2L to 6L).map(i => (1L, i)).toDF("u", "v")
+    assert(graft.rel.RelQueries.kcoreOf(star, 2, 8).count() === 0L)
+    // a cascade deeper than the unroll depth fails LOUDLY instead of
+    // silently diverging from the twin
+    val longPath = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)) ++
+      (4L to 20L).map(i => (i, i + 1))).toDF("u", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.rel.RelQueries.kcoreOf(longPath, 2, 4).collect()
+    }
+    assert(e.getMessage.contains("more than 4 rounds"))
+  }
+
   test("r13: skyline_parts — the window/broadcast decomposition equals " +
        "brute-force NOT-EXISTS dominance, duplicates both survive, " +
        "same-price strict-size and same-bucket strict-price kills work") {
