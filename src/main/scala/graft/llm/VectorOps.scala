@@ -173,6 +173,52 @@ object VectorOps {
       .orderBy(col("qid"))
   }
 
+  /** MARGIN-BASED PAIR MINING (`emb_margin_mine`) — the bitext-mining
+    * scoring rule (Artetxe & Schwenk: a candidate pair is good when its
+    * similarity beats BOTH endpoints' neighborhood averages, which
+    * kills hub vectors that are "close to everything"): between label
+    * groups '0' (x side) and '1' (y side), score every pair by the
+    * SUBTRACTIVE margin `8·cos − (Σtop4 fwd + Σtop4 bwd)` and keep each
+    * x's best y when the margin is positive. The subtractive form (the
+    * paper's `distance` variant) keeps the whole ranking in EXACT
+    * integers — cosines floor-quantize to 1e6 BEFORE the top-4 sums,
+    * so no ratio-of-doubles ordering exists anywhere ([[maxsimTopk]]'s
+    * quantize-before-reduce discipline) — and the twin replays the
+    * identical windows. Scale shape: group-blocked all-pairs (the
+    * mining unit is a language/label block, never the corpus), two
+    * window ranks + two ≤|block|-row neighborhood frames broadcast
+    * back. */
+  def embMarginMine(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d).localCheckpoint(true)
+    val a = base.filter(col("label") === "0")
+      .select(col("vec_id").as("x"), col("v").as("xv"), col("n2").as("xn2"))
+    val b = base.filter(col("label") === "1")
+      .select(col("vec_id").as("y"), col("v").as("yv"), col("n2").as("yn2"))
+    val pairs = a.join(broadcast(b), lit(true))
+      .withColumn("icos", floor(lit(1000000d) *
+        (dot(col("xv"), col("yv")) /
+          (sqrt(col("xn2")) * sqrt(col("yn2"))))).cast("long"))
+      .select(col("x"), col("y"), col("icos"))
+      .localCheckpoint(true) // read by both neighborhood passes + scoring
+    val wx = Window.partitionBy(col("x")).orderBy(col("icos").desc, col("y"))
+    val fwd = pairs.withColumn("rk", row_number().over(wx))
+      .filter(col("rk") <= 4).groupBy(col("x"))
+      .agg(sum(col("icos")).as("fwd_sum"))
+    val wy = Window.partitionBy(col("y")).orderBy(col("icos").desc, col("x"))
+    val bwd = pairs.withColumn("rk", row_number().over(wy))
+      .filter(col("rk") <= 4).groupBy(col("y"))
+      .agg(sum(col("icos")).as("bwd_sum"))
+    val wBest = Window.partitionBy(col("x"))
+      .orderBy(col("margin").desc, col("y"))
+    pairs.join(broadcast(fwd), Seq("x")).join(broadcast(bwd), Seq("y"))
+      .withColumn("margin",
+        lit(8L) * col("icos") - col("fwd_sum") - col("bwd_sum"))
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1 && col("margin") > 0L)
+      .select(col("x"), col("y"), col("margin"))
+      .orderBy(col("x"))
+  }
+
   // ---- late-interaction (MaxSim / ColBERT-style) retrieval ----
 
   private val MsTokens = 16
@@ -1888,6 +1934,7 @@ object VectorOps {
     "ann_hamming" -> (annHamming _),
     "ann_hamming_rerank" -> (annHammingRerank _),
     "ann_hamming_recall" -> (annHammingRecall _),
+    "emb_margin_mine" -> (embMarginMine _),
     "maxsim_topk" -> (maxsimTopk _),
     "maxsim_rerank" -> (maxsimRerank _),
     "maxsim_rerank_ivf" -> (maxsimRerankIvf _),
@@ -2792,6 +2839,35 @@ object VectorOps {
          |              bit_count(xor(b.h2, q.q2)) AS BIGINT) AS ham
          |  FROM bits b JOIN q ON b.vec_id != q.qid) t
          |WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin,
+
+    // margin mining: the same blocked pair frame, integer-quantized
+    // cosines, top-4 neighborhood sums and subtractive margin replayed
+    // window-for-window
+    "emb_margin_mine" ->
+      s"""WITH $VecCte,
+         |a AS (SELECT vec_id AS x, v AS xv, n2 AS xn2 FROM e WHERE label = '0'),
+         |b AS (SELECT vec_id AS y, v AS yv, n2 AS yn2 FROM e WHERE label = '1'),
+         |pairs AS (
+         |  SELECT x, y,
+         |         CAST(floor(1000000 * (list_dot_product(xv, yv) /
+         |           (sqrt(xn2) * sqrt(yn2)))) AS BIGINT) AS icos
+         |  FROM a, b),
+         |fwd AS (SELECT x, CAST(sum(icos) AS BIGINT) AS fwd_sum FROM (
+         |  SELECT x, icos, row_number() OVER (PARTITION BY x
+         |    ORDER BY icos DESC, y) AS rk FROM pairs) t
+         |  WHERE rk <= 4 GROUP BY x),
+         |bwd AS (SELECT y, CAST(sum(icos) AS BIGINT) AS bwd_sum FROM (
+         |  SELECT y, icos, row_number() OVER (PARTITION BY y
+         |    ORDER BY icos DESC, x) AS rk FROM pairs) t
+         |  WHERE rk <= 4 GROUP BY y)
+         |SELECT x, y, margin FROM (
+         |  SELECT p.x AS x, p.y AS y,
+         |         8 * p.icos - f.fwd_sum - w.bwd_sum AS margin,
+         |         row_number() OVER (PARTITION BY p.x
+         |           ORDER BY 8 * p.icos - f.fwd_sum - w.bwd_sum DESC,
+         |           p.y) AS rk
+         |  FROM pairs p JOIN fwd f ON f.x = p.x JOIN bwd w ON w.y = p.y) t
+         |WHERE rk = 1 AND margin > 0 ORDER BY x""".stripMargin,
 
     // two-stage sign-sketch serve: the twin replays BOTH stages (the
     // sketch is lossy, so the grade is stage-faithful, not exact-top-k;

@@ -622,6 +622,42 @@ class VectorOpsSpec extends AnyFunSuite {
         "diversity term never fired")
   }
 
+  test("r13: emb_margin_mine — the margin rule rejects the hub vector a " +
+       "raw cosine argmax would pick, and keeps the true match") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val dim = 64
+    def unit(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)
+    // x side (label 0): four near-orthogonal probes
+    val xs = (0 until 4).map(i => (i.toLong, unit(i), "0"))
+    // y side (label 1): y10 is the HUB — equal positive weight on every
+    // probe axis (cos ≈ 0.5+ to all four); y11..y14 are true matches,
+    // each mostly one probe's axis but with cos to its probe BELOW the
+    // hub's (0.45 direct weight vs the hub's alignment) — raw cosine
+    // would pick the hub for every probe
+    val hub = (10L, Array.tabulate(dim)(j => if (j < 4) 0.5f else 0.0f), "1")
+    // each match: 0.45 on its probe's axis + 0.893 on a private spare
+    // axis (4+i — overlaps no probe), so cos(x_i, m_i) = 0.45 < 0.5 =
+    // cos(x_i, hub), but the hub's neighborhood sum (4 × 500000) drags
+    // its margin below the match's
+    val matches = (0 until 4).map { i =>
+      val v = Array.tabulate(dim)(j =>
+        if (j == i) 0.45f else if (j == 4 + i) 0.893f else 0.0f)
+      (11L + i, v, "1")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_margin").toString
+    (xs ++ Seq(hub) ++ matches)
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = graft.llm.VectorOps.queries("emb_margin_mine")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the margin rule must pick each probe's true match, never the hub
+    // (which wins the RAW cosine for every probe: 0.5 vs 0.45)
+    assert(got === Map(0L -> 11L, 1L -> 12L, 2L -> 13L, 3L -> 14L),
+      s"margin mining selection wrong: $got")
+  }
+
   test("r13: ann_hamming — sign-pack halves are exact, Hamming equals the " +
        "flipped-sign count on crafted vectors, and the graded ranking is " +
        "deterministic") {
