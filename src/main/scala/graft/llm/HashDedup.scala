@@ -1284,7 +1284,59 @@ object HashDedup {
       .orderBy(col("split_a"), col("split_b"))
   }
 
+  /** EXACT set-similarity join with PREFIX FILTERING
+    * (`jaccard_join_exact`) — the PPJoin-family technique that makes an
+    * EXACT Jaccard-threshold join tractable where MinHash only
+    * estimates: order every document's token set by global rarity
+    * (ascending document frequency), take each set's first
+    * `s − ⌈t·s⌉ + 1` tokens as its PREFIX, and generate candidates only
+    * from shared prefix tokens — the prefix lemma guarantees two sets
+    * with J ≥ t share one, so the filter is LOSSLESS, and prefixes are
+    * built from the RAREST tokens so candidate groups stay small (the
+    * hot-token blowup of a naive inverted index lands on tokens no
+    * prefix contains). Candidates then verify by exact intersection
+    * counts, and the threshold test `20·|∩| ≥ 19·|∪|` (t = 0.95) is a
+    * pure integer comparison — no ratio-of-doubles anywhere. The twin
+    * is the NAIVE inverted-index all-pairs join: equality proves the
+    * prefix filter dropped nothing.
+    *
+    * 100 TB shape: tokens and sizes materialize once; the df frame is
+    * |vocab| rows (broadcast); prefixes are 1-3 tokens per doc at
+    * t = 0.95, so the candidate join touches a small fraction of the
+    * inverted index; verification cost is |candidates|·|set|. */
+  def jaccardJoinExact(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+      .localCheckpoint(true)
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val pref = toks.join(broadcast(freq), Seq("tok"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= expr("sz - ((sz * 19 + 19) DIV 20) + 1"))
+      .select(col("doc_id"), col("tok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      .localCheckpoint(true)
+    val inter = cand
+      .join(toks.select(col("doc_id").as("da"), col("tok")), Seq("da"))
+      .join(toks.select(col("doc_id").as("db"), col("tok")), Seq("db", "tok"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), Seq("db"))
+      .withColumn("union_sz", col("sa") + col("sb") - col("inter"))
+      .filter(col("inter") * 20L >= col("union_sz") * 19L)
+      .select(col("da"), col("db"), col("inter"), col("union_sz"))
+      .orderBy(col("da"), col("db"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "jaccard_join_exact" -> (jaccardJoinExact _),
     "split_leakage" -> (splitLeakage _),
     "decontam_13g" -> (decontam13g _),
     "bloom_decontam" -> (bloomDecontam _),
@@ -1379,6 +1431,25 @@ object HashDedup {
        |  FROM p)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the NAIVE inverted-index all-pairs exact-Jaccard join: equality
+    // proves the engine's prefix filter is lossless at t = 19/20
+    "jaccard_join_exact" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t WHERE tok != ''),
+        |sizes AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |                 count(*) AS ni
+        |          FROM toks a JOIN toks b
+        |            ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT da, db, CAST(ni AS BIGINT) AS inter,
+        |       CAST(sa.s + sb.s - ni AS BIGINT) AS union_sz
+        |FROM inter JOIN sizes sa ON sa.doc_id = da
+        |           JOIN sizes sb ON sb.doc_id = db
+        |WHERE 20 * ni >= 19 * (sa.s + sb.s - ni)
+        |ORDER BY da, db""".stripMargin,
     "winnow_fingerprints" ->
       s"""WITH $WinnowCte
          |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_sh,
