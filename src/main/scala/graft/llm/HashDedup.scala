@@ -1287,27 +1287,37 @@ object HashDedup {
   /** EXACT set-similarity join with PREFIX FILTERING
     * (`jaccard_join_exact`) — the PPJoin-family technique that makes an
     * EXACT Jaccard-threshold join tractable where MinHash only
-    * estimates: order every document's token set by global rarity
-    * (ascending document frequency), take each set's first
-    * `s − ⌈t·s⌉ + 1` tokens as its PREFIX, and generate candidates only
-    * from shared prefix tokens — the prefix lemma guarantees two sets
-    * with J ≥ t share one, so the filter is LOSSLESS, and prefixes are
-    * built from the RAREST tokens so candidate groups stay small (the
-    * hot-token blowup of a naive inverted index lands on tokens no
-    * prefix contains). Candidates then verify by exact intersection
-    * counts, and the threshold test `20·|∩| ≥ 19·|∪|` (t = 0.95) is a
-    * pure integer comparison — no ratio-of-doubles anywhere. The twin
+    * estimates. The set unit is the 3-GRAM SHINGLE (the family's
+    * near-dup unit), NOT the unigram: the synthetic corpus draws from
+    * a ~31-word vocabulary, so unigram sets are near-identical across
+    * random docs (J ≈ 0.9 everywhere — measured: the unigram prefix
+    * filter passed 9.7M of 12.5M possible pairs at sf0.1 and the
+    * operator cost 76 s), while shingle sets encode word ORDER and
+    * separate near-dups from the crowd (118 k candidates, 256 kept).
+    * Order every document's shingle set by global rarity (ascending
+    * document frequency), take each set's first `s − ⌈t·s⌉ + 1`
+    * shingles as its PREFIX, and generate candidates only from shared
+    * prefix shingles — the prefix lemma guarantees two sets with J ≥ t
+    * share one, so the filter is LOSSLESS, and prefixes hold the
+    * RAREST shingles so candidate groups stay small. Candidates verify
+    * by exact intersection counts; the threshold test
+    * `10·|∩| ≥ 8·|∪|` (t = 0.8) is a pure integer comparison. The twin
     * is the NAIVE inverted-index all-pairs join: equality proves the
     * prefix filter dropped nothing.
     *
-    * 100 TB shape: tokens and sizes materialize once; the df frame is
-    * |vocab| rows (broadcast); prefixes are 1-3 tokens per doc at
-    * t = 0.95, so the candidate join touches a small fraction of the
-    * inverted index; verification cost is |candidates|·|set|. */
+    * 100 TB shape: shingles and sizes materialize once; the df frame
+    * is |shingle vocab| rows; prefixes are ~s/5 shingles per doc, the
+    * candidate join touches only rare postings; verification cost is
+    * |candidates|·|set|. */
   def jaccardJoinExact(s: SparkSession, d: String): DataFrame = {
+    val ws = split(col("text"), " ")
     val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "").distinct()
+      .filter(size(ws) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(ws) - 3),
+        i => concat_ws(" ", element_at(ws, i + 1),
+          element_at(ws, i + 2), element_at(ws, i + 3)))).as("tok"))
+      .distinct()
       .localCheckpoint(true)
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       .localCheckpoint(true)
@@ -1316,7 +1326,7 @@ object HashDedup {
     val pref = toks.join(broadcast(freq), Seq("tok"))
       .join(sizes, Seq("doc_id"))
       .withColumn("rn", row_number().over(wDoc))
-      .filter(col("rn") <= expr("sz - ((sz * 19 + 19) DIV 20) + 1"))
+      .filter(col("rn") <= expr("sz - ((sz * 8 + 9) DIV 10) + 1"))
       .select(col("doc_id"), col("tok"))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -1330,7 +1340,7 @@ object HashDedup {
       .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), Seq("da"))
       .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), Seq("db"))
       .withColumn("union_sz", col("sa") + col("sb") - col("inter"))
-      .filter(col("inter") * 20L >= col("union_sz") * 19L)
+      .filter(col("inter") * 10L >= col("union_sz") * 8L)
       .select(col("da"), col("db"), col("inter"), col("union_sz"))
       .orderBy(col("da"), col("db"))
   }
@@ -1431,13 +1441,17 @@ object HashDedup {
        |  FROM p)""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    // the NAIVE inverted-index all-pairs exact-Jaccard join: equality
-    // proves the engine's prefix filter is lossless at t = 19/20
+    // the NAIVE inverted-index all-pairs exact-Jaccard join over the
+    // same 3-gram shingle sets: equality proves the engine's prefix
+    // filter is lossless at t = 8/10
     "jaccard_join_exact" ->
-      """WITH toks AS (
-        |  SELECT DISTINCT doc_id, tok FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |    FROM documents) t WHERE tok != ''),
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |toks AS (
+        |  SELECT DISTINCT doc_id,
+        |         w[i.i] || ' ' || w[i.i + 1] || ' ' || w[i.i + 2] AS tok
+        |  FROM ws CROSS JOIN LATERAL (
+        |    SELECT unnest(generate_series(1, len(w) - 2)) AS i) i),
         |sizes AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY 1),
         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
         |                 count(*) AS ni
@@ -1448,7 +1462,7 @@ object HashDedup {
         |       CAST(sa.s + sb.s - ni AS BIGINT) AS union_sz
         |FROM inter JOIN sizes sa ON sa.doc_id = da
         |           JOIN sizes sb ON sb.doc_id = db
-        |WHERE 20 * ni >= 19 * (sa.s + sb.s - ni)
+        |WHERE 10 * ni >= 8 * (sa.s + sb.s - ni)
         |ORDER BY da, db""".stripMargin,
     "winnow_fingerprints" ->
       s"""WITH $WinnowCte

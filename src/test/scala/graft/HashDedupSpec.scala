@@ -653,29 +653,33 @@ class HashDedupSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import java.nio.file.Files
     val s = spark; import s.implicits._
-    // 19 shared tokens + 1 private each → |∩|=19, |∪|=21: 20·19 < 19·21
-    // (0.905 < 0.95) → dropped; 19 shared + 1 private on ONE side →
-    // |∩|=19, |∪|=20: exactly t → kept (the >= boundary)
-    val shared = (1 to 19).map(i => s"tok$i").mkString(" ")
+    // SHINGLE sets: base = 18 words → 16 shingles. Appending 4 words
+    // adds exactly 4 shingles (|∩|=16, |∪|=20 → J = 0.8 EXACTLY, the
+    // >= boundary → kept); appending 5 gives |∪|=21 → 0.762 → dropped
+    val base = (1 to 18).map(i => s"w$i").mkString(" ")
     val docs = Seq(
-      (1L, s"$shared onlya", "en", "s", 1L),
-      (2L, s"$shared onlyb", "en", "s", 1L),
-      (3L, shared, "en", "s", 1L))
+      (1L, s"$base a1 a2 a3 a4", "en", "s", 1L),
+      (2L, s"$base b1 b2 b3 b4 b5", "en", "s", 1L),
+      (3L, base, "en", "s", 1L))
     val tmp = Files.createTempDirectory("graft_jj").toString
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val got = graft.llm.HashDedup.queries("jaccard_join_exact")(spark, tmp)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-    assert(got === Seq((1L, 3L, 19L, 20L), (2L, 3L, 19L, 20L)),
+    assert(got === Seq((1L, 3L, 16L, 20L)),
       s"boundary pairs wrong: $got")
     // and on the real corpus the engine result equals the naive form
     // by the oracle gate; here assert the PREFIX actually prunes: the
     // candidate pairs are strictly fewer than the naive inverted-index
     // pair count (every pair sharing ANY token)
     val sf = "/root/testdata/sf0.001"
-    val toks = Tables.documents(spark, sf)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "").distinct().localCheckpoint(true)
+    val ws = split(col("text"), " ")
+    val toks = Tables.documents(spark, sf).filter(size(ws) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(ws) - 3),
+        i => concat_ws(" ", element_at(ws, i + 1),
+          element_at(ws, i + 2), element_at(ws, i + 3)))).as("tok"))
+      .distinct().localCheckpoint(true)
     val naivePairs = toks.as("a").join(toks.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
