@@ -2945,16 +2945,26 @@ object RelQueries {
     val deg = edges.select(col("u").as("n"))
       .unionByName(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    // (degree, id) packed into ONE sortable long so the wedge join can
+    // order its out-neighbor pair by the ORIENTATION order directly:
+    // only (x.dstKey < y.dstKey) wedges are generated — half of the
+    // unordered count, C(outdeg, 2) per node — and the closing edge is
+    // then guaranteed to be oriented x.dst → y.dst, so one equi lookup
+    // decides the triangle. Degrees and ids are < 2^31 on any graph
+    // this engine feeds (ids are part keys), so the pack is exact.
     val lowFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
+    def key(dg: Column, id: Column): Column = dg * lit(1L << 31) + id
     val oriented = edges
       .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
       .select(when(lowFirst, col("u")).otherwise(col("v")).as("src"),
-              when(lowFirst, col("v")).otherwise(col("u")).as("dst"))
+              when(lowFirst, col("v")).otherwise(col("u")).as("dst"),
+              when(lowFirst, key(col("dv"), col("v")))
+                .otherwise(key(col("du"), col("u"))).as("dstKey"))
       .localCheckpoint(true)
     val tri = oriented.as("x").join(oriented.as("y"),
-        col("x.src") === col("y.src") && col("x.dst") =!= col("y.dst"))
+        col("x.src") === col("y.src") && col("x.dstKey") < col("y.dstKey"))
       .select(col("x.dst").as("wa"), col("y.dst").as("wb"))
       .join(oriented.select(col("src").as("wa"), col("dst").as("wb")),
         Seq("wa", "wb"))
