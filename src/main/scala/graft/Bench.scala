@@ -61,19 +61,31 @@ object Bench {
     // must crash the run visibly, not be recorded as a query failure.
     val nRuns = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // UNTIMED warmup passes before the recorded ones (default 1,
+    // SPARK_GRAFT_BENCH_WARMUP=0 to disable): every adjudicated bench
+    // flag of r13 (mm_phash_pairs, dsir_weights, grouping_sets,
+    // domain_caps_salted) had the same signature — first recorded
+    // passes inflated by page-cache/JIT pressure from the full
+    // suite/Verify run just before, last pass at the historical
+    // median. A warmup pass absorbs that window so a 3-pass median
+    // measures the operator, not the box's recovery curve.
+    val nWarmup = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt)
     val times = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
     val okFlag = scala.collection.mutable.Map.empty[String, Boolean]
     ordered.foreach { case (name, _) =>
       times(name) = scala.collection.mutable.ArrayBuffer.empty[Double]
       okFlag(name) = true
     }
-    var pass = 0
+    var pass = -nWarmup // negative passes run but record nothing
     while (pass < nRuns) {
       ordered.foreach { case (name, fn) =>
         if (okFlag(name)) {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); times(name) += (System.nanoTime() - t0) / 1e9 }
-          catch { // fail the query, but never silently: the committed bench
+          try {
+            fn(spark, sfDir).count()
+            if (pass >= 0) times(name) += (System.nanoTime() - t0) / 1e9
+          } catch { // fail the query, but never silently: the committed bench
             case scala.util.control.NonFatal(e) => // is the audit trail for crashes too
               System.err.println(s"bench fail: $name pass ${pass + 1}: $e")
               okFlag(name) = false
