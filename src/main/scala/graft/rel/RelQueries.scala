@@ -2945,13 +2945,26 @@ object RelQueries {
     val deg = edges.select(col("u").as("n"))
       .unionByName(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
-    // (degree, id) packed into ONE sortable long so the wedge join can
-    // order its out-neighbor pair by the ORIENTATION order directly:
-    // only (x.dstKey < y.dstKey) wedges are generated — half of the
-    // unordered count, C(outdeg, 2) per node — and the closing edge is
-    // then guaranteed to be oriented x.dst → y.dst, so one equi lookup
-    // decides the triangle. Degrees and ids are < 2^31 on any graph
-    // this engine feeds (ids are part keys), so the pack is exact.
+    val tri = orientedTriangleCount(edges, deg)
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** The oriented wedge-join triangle counter over an arbitrary edge
+    * frame (u < v, deduplicated) with its degree frame — shared by the
+    * exact count and the DOULION sampled estimate.
+    *
+    * (degree, id) packed into ONE sortable long so the wedge join can
+    * order its out-neighbor pair by the ORIENTATION order directly:
+    * only (x.dstKey < y.dstKey) wedges are generated — half of the
+    * unordered count, C(outdeg, 2) per node — and the closing edge is
+    * then guaranteed to be oriented x.dst → y.dst, so one equi lookup
+    * decides the triangle. Degrees and ids are < 2^31 on any graph
+    * this engine feeds (ids are part keys), so the pack is exact. */
+  private def orientedTriangleCount(edges: DataFrame,
+                                    deg: DataFrame): DataFrame = {
     val lowFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     def key(dg: Column, id: Column): Column = dg * lit(1L << 31) + id
@@ -2963,16 +2976,38 @@ object RelQueries {
               when(lowFirst, key(col("dv"), col("v")))
                 .otherwise(key(col("du"), col("u"))).as("dstKey"))
       .localCheckpoint(true)
-    val tri = oriented.as("x").join(oriented.as("y"),
+    oriented.as("x").join(oriented.as("y"),
         col("x.src") === col("y.src") && col("x.dstKey") < col("y.dstKey"))
       .select(col("x.dst").as("wa"), col("y.dst").as("wb"))
       .join(oriented.select(col("src").as("wa"), col("dst").as("wb")),
         Seq("wa", "wb"))
       .agg(count(lit(1)).as("n_triangles"))
-    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
-    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-    nNodes.crossJoin(nEdges).crossJoin(tri)
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** DOULION sampled triangle estimate (`graph_triangles_approx`) —
+    * the cheap tier beside the exact count: keep each edge with
+    * probability 1/4 and scale the sampled-subgraph count by
+    * 1/p³ = 64. The sample is DETERMINISTIC (md5 of the edge's
+    * endpoint pair, last 2 bits = 0 — the engine's only cross-engine
+    * hash), so the twin replays the identical subgraph and the graded
+    * columns are exact integers: this row grades the MECHANISM, and
+    * the estimate's error vs the exact row is the published
+    * variance trade, visible side-by-side in the catalog. Cost falls
+    * by ~p² on the wedge join (each surviving wedge needs two
+    * sampled edges) — the measured 8 s exact count drops to
+    * sub-second. */
+  def graphTrianglesApprox(s: SparkSession, d: String): DataFrame = {
+    val edges = coOrderEdges(s, d)
+      .filter(conv(substring(md5(concat_ws(",", col("u"), col("v"))), 1, 8),
+        16, 10).cast("long") % 4 === 0)
+      .localCheckpoint(true)
+    val deg = edges.select(col("u").as("n"))
+      .unionByName(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val tri = orientedTriangleCount(edges, deg)
+    edges.agg(count(lit(1)).as("n_edges_sampled")).crossJoin(tri)
+      .select(col("n_edges_sampled"), col("n_triangles").as("tri_sampled"),
+        (col("n_triangles") * 64L).as("est_triangles"))
   }
 
   /** K-CORE DECOMPOSITION by iterative peeling (`graph_kcore`) — the
@@ -3129,6 +3164,7 @@ object RelQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"     -> (graphPagerank _),
     "graph_triangles"    -> (graphTriangles _),
+    "graph_triangles_approx" -> (graphTrianglesApprox _),
     "graph_kcore"        -> (graphKcore _),
     "graph_pagerank_dyn" -> (graphPagerankDynamic _),
     "graph_trustrank"    -> (graphTrustrank _),
@@ -3397,6 +3433,31 @@ object RelQueries {
         |        JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
         |        JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v)
         |    AS BIGINT) AS n_triangles""".stripMargin,
+
+    // DOULION estimate: the twin replays the DETERMINISTIC md5 edge
+    // sample, so the sampled count — and the 64x scale-up — are exact
+    // integers; the estimate-vs-exact error is the published variance
+    // trade, graded mechanism-first
+    "graph_triangles_approx" ->
+      """WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |       FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p),
+        |edges AS (
+        |  SELECT u, v FROM e0
+        |  WHERE CAST(concat('0x', substr(
+        |          md5(CAST(u AS VARCHAR) || ',' || CAST(v AS VARCHAR)),
+        |          1, 8)) AS BIGINT) % 4 = 0)
+        |SELECT
+        |  CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges_sampled,
+        |  CAST((SELECT count(*) FROM edges e1
+        |        JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+        |        JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |    AS BIGINT) AS tri_sampled,
+        |  CAST((SELECT count(*) FROM edges e1
+        |        JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+        |        JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v) * 64
+        |    AS BIGINT) AS est_triangles""".stripMargin,
 
     // k-core: 8 unrolled peel rounds — peeling is idempotent past the
     // fixpoint, and the ENGINE requires convergence within 8 rounds,

@@ -1833,6 +1833,20 @@ class QueriesSpec extends AnyFunSuite {
                    (3L, 1L), (3L, 2L))) === ((4L, 4L, 1L)))
   }
 
+  test("r13: graph_triangles_approx — the md5 edge sample sits near " +
+       "p = 1/4, the estimate is 64x the sampled count, and reruns are " +
+       "bit-identical (deterministic sampling, no RNG)") {
+    val exact = graft.rel.RelQueries.queries("graph_triangles")(spark, sf)
+      .head()
+    val apx = graft.rel.RelQueries.queries("graph_triangles_approx")(spark, sf)
+      .head()
+    val frac = apx.getLong(0).toDouble / exact.getLong(1)
+    assert(frac > 0.15 && frac < 0.35, s"sample fraction $frac far from 1/4")
+    assert(apx.getLong(2) === apx.getLong(1) * 64L)
+    assert(graft.rel.RelQueries.queries("graph_triangles_approx")(spark, sf)
+      .head().toString === apx.toString)
+  }
+
   test("r13: kcoreOf — the peel fixpoint on hand graphs: K4 + tail " +
        "(3-core = K4, multi-round peel), empty core, and the loud " +
        "max-rounds guard") {
