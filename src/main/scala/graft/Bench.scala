@@ -87,7 +87,14 @@ object Bench {
             if (pass >= 0) times(name) += (System.nanoTime() - t0) / 1e9
           } catch { // fail the query, but never silently: the committed bench
             case scala.util.control.NonFatal(e) => // is the audit trail for crashes too
-              System.err.println(s"bench fail: $name pass ${pass + 1}: $e")
+              // a warmup-only failure still disqualifies the query (zero
+              // recorded times, listed in "failed") BY DESIGN: a query
+              // that crashes on any execution cannot be trusted on the
+              // recorded ones either, and a crash must never improve
+              // the bench by skipping work
+              val label = if (pass < 0) s"warmup pass ${pass + nWarmup + 1}"
+                          else s"pass ${pass + 1}"
+              System.err.println(s"bench fail: $name $label: $e")
               okFlag(name) = false
           }
         }

@@ -356,6 +356,96 @@ object CdcBus {
     v2.orderBy(col("event_type"))
   }
 
+  /** The state+view pair at T0 for the MIN/MAX view — [[ivmBase]]'s
+    * shape with the NON-self-maintainable aggregates: per event_type,
+    * the max and min of the channels' current cents. */
+  private[graft] def ivmBaseMinMax(s: SparkSession, d: String,
+                      t0: java.time.Instant): (DataFrame, DataFrame) = {
+    val state = lastPerChannel(Tables.eventsUpTo(s, d, t0))
+      .localCheckpoint(true)
+    val view = state.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_channels"),
+           max(col("cents")).as("max_cents"), min(col("cents")).as("min_cents"))
+    (state, view)
+  }
+
+  /** ONE maintenance step for the MIN/MAX view — the textbook
+    * NON-self-maintainable case [[ivmStep]]'s delta rule cannot cover:
+    * an INSERT can only raise a max (`greatest(old, delta)` is exact),
+    * but a RETRACTION of the value that WAS the max needs
+    * re-derivation, because the view alone cannot say what the
+    * second-largest was. The step stays delta-bounded by splitting
+    * groups:
+    *
+    *   - CLEAN (the common case): no changed channel's OLD value
+    *     equalled the group's extreme, or the replacement re-establishes
+    *     it (`d_max >= max_cents`) — every extreme-holder survives in
+    *     the unchanged state or the delta, so
+    *     `greatest(max_cents, d_max)` / `least(min_cents, d_min)` is
+    *     exact and costs only the |delta|-row adjustment join.
+    *   - DIRTY (the poison case — the max channel updated DOWNWARD):
+    *     re-aggregate that group's rows from the MAINTAINED state
+    *     relation. Bounded: |dirty groups| ≤ |changed channels|, the
+    *     probe is a broadcast semi-join of group names, and the base
+    *     event history is NEVER re-read — state' is the first-layer
+    *     materialization the maintenance loop already owns.
+    *
+    * Returns (state', view'). */
+  private[graft] def ivmStepMinMax(state: DataFrame, view: DataFrame,
+                      deltaEv: DataFrame): (DataFrame, DataFrame) = {
+    val delta = lastPerChannel(deltaEv).localCheckpoint(true)
+    val state2 = state
+      .join(delta.select(col("channel")), Seq("channel"), "left_anti")
+      .unionByName(delta).localCheckpoint(true)
+    val adj = delta
+      .join(state.select(col("channel"), col("cents").as("old_cents")),
+        Seq("channel"), "left")
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("old_cents").isNull, 1L).otherwise(0L)).as("dn"),
+           max(col("cents")).as("d_max"), min(col("cents")).as("d_min"),
+           max(col("old_cents")).as("d_old_max"),
+           min(col("old_cents")).as("d_old_min"))
+    // tiny (≤|groups| + |touched groups| rows) and read twice below —
+    // materialize so the delta/state join runs once
+    val merged = view.join(adj, Seq("event_type"), "full")
+      .localCheckpoint(true)
+    val dirty = merged.filter(
+        (col("d_old_max") === col("max_cents") &&
+         col("d_max") < col("max_cents")) ||
+        (col("d_old_min") === col("min_cents") &&
+         col("d_min") > col("min_cents")))
+      .select(col("event_type"))
+    val clean = merged.join(dirty, Seq("event_type"), "left_anti")
+      .select(col("event_type"),
+        (coalesce(col("n_channels"), lit(0L)) +
+          coalesce(col("dn"), lit(0L))).as("n_channels"),
+        greatest(coalesce(col("max_cents"), col("d_max")),
+                 coalesce(col("d_max"), col("max_cents"))).as("max_cents"),
+        least(coalesce(col("min_cents"), col("d_min")),
+              coalesce(col("d_min"), col("min_cents"))).as("min_cents"))
+    val reagg = state2.join(broadcast(dirty), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_channels"),
+           max(col("cents")).as("max_cents"), min(col("cents")).as("min_cents"))
+    (state2, clean.unionByName(reagg))
+  }
+
+  /** INCREMENTAL VIEW MAINTENANCE of grouped MIN/MAX
+    * (`cdc_ivm_minmax`): the view "per event_type: live channels, max
+    * and min of each channel's CURRENT cents" materialized at T0 and
+    * maintained to the head of the bus by one delta batch — closing
+    * the IVM family's textbook gap ([[ivmAgg]] covers the
+    * self-maintainable count/sum). Graded against the full recompute
+    * at the head: the dirty-group re-derivation must agree exactly
+    * with never having maintained at all. */
+  def ivmMinMax(s: SparkSession, d: String): DataFrame = {
+    val t0 = java.time.Instant.parse("2024-01-15T00:00:00Z")
+    val (state, view) = ivmBaseMinMax(s, d, t0)
+    val (_, v) = ivmStepMinMax(state, view,
+      Tables.eventsBetween(s, d, Some(t0), None))
+    v.orderBy(col("event_type"))
+  }
+
   /** Sequence-gap audit — the lost/duplicate-message check of an
     * at-least-once transport: within each event_type sub-stream, compare
     * consecutive global sequence numbers (the JetStream-sequence
@@ -503,6 +593,7 @@ object CdcBus {
     "cdc_extract_named"   -> (extractNamed _),
     "cdc_sql_route"       -> (sqlRoute _),
     "cdc_ivm_agg"         -> (ivmAgg _),
+    "cdc_ivm_minmax"      -> (ivmMinMax _),
     "cdc_ivm_compose"     -> (ivmCompose _))
 
   /** The IVM rows' shared twin: per event_type, live-channel count and
@@ -583,6 +674,19 @@ object CdcBus {
     // one delta batch or two composed ones
     "cdc_ivm_agg" -> IvmFullRecomputeTwin,
     "cdc_ivm_compose" -> IvmFullRecomputeTwin,
+    // MIN/MAX maintenance must equal the same full recompute — the
+    // dirty-group re-derivation invents nothing
+    "cdc_ivm_minmax" ->
+      s"""${Tables.BusCte}
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_channels,
+         |       CAST(max(cents) AS BIGINT) AS max_cents,
+         |       CAST(min(cents) AS BIGINT) AS min_cents
+         |FROM (SELECT channel, event_type,
+         |        CAST(floor(value * 100) AS BIGINT) AS cents,
+         |        row_number() OVER (PARTITION BY channel
+         |          ORDER BY ts DESC, event_id DESC) AS rn
+         |      FROM ev) t
+         |WHERE rn = 1 GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "cdc_deep_route" ->
       s"""WITH dv AS (

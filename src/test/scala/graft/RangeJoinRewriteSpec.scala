@@ -324,12 +324,23 @@ class RangeJoinRewriteSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(ov().collect().map(_.toString).sorted.toSeq === naiveRows(ov()))
   }
 
-  test("graded outer/semi/anti rows execute nested-loop-free") {
+  test("graded outer/semi/anti/right rows execute nested-loop-free") {
     for (name <- Seq("range_join_left_auto", "range_join_semi_auto",
-                     "range_join_anti_auto")) {
+                     "range_join_anti_auto", "range_join_right_auto")) {
       val df = graft.rel.RelQueries.queries(name)(spark, sf)
       assertNoNestedLoop(executedPlan(df), name)
     }
+  }
+
+  test("range_join_right_auto: the graded RIGHT OUTER row fires the " +
+       "rewrite and matches its disabled-baseline rows") {
+    def q(): DataFrame =
+      graft.rel.RelQueries.queries("range_join_right_auto")(spark, sf)
+    val plan = executedPlan(q())
+    assertNoNestedLoop(plan, "range_join_right_auto")
+    assert(plan.contains("Generate"),
+      s"right-outer rewrite did not fire on the graded row:\n$plan")
+    assert(q().collect().map(_.toString).sorted.toSeq === naiveRows(q()))
   }
 
   test("stats-derived width: the integer decision is the documented " +
