@@ -1341,24 +1341,29 @@ object HashDedup {
 
   private[graft] def jaccardJoinExactCapped(
       s: SparkSession, d: String, cap: Int): DataFrame = {
-    val ws = split(col("text"), " ")
-    val toks = Tables.documents(s, d)
-      .filter(size(ws) >= 3)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(ws) - 3),
-        i => concat_ws(" ", element_at(ws, i + 1),
-          element_at(ws, i + 2), element_at(ws, i + 3)))).as("tok"))
-      .distinct()
+    // the shingle SET per doc is built map-side by the compiled
+    // [[graft.functions.ShingleSetExpr]] kernel (per-doc dedup equals
+    // global (doc_id, tok) dedup, with no shuffle — and one JVM call
+    // per row where the HOF form was interpreted per element) and
+    // carried as an array so sizes need no groupBy and verification
+    // needs no posting re-join
+    val docsA = Tables.documents(s, d)
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.ShingleSetExpr(
+            org.apache.spark.sql.GraftBridge.expression(col("text"))))
+          .as("toks"))
+      .filter(col("toks").isNotNull)
+      .withColumn("sz", size(col("toks")).cast("long"))
       .localCheckpoint(true)
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      .localCheckpoint(true)
+    val toks = docsA.select(col("doc_id"), col("sz"),
+      explode(col("toks")).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
     // rn is the rank in the doc's FULL rarity order (computed before the
     // prefix cut), so sz − rn counts the shingles ranked after this one
     // — exactly what the positional bound needs
     val pref = toks.join(freq, Seq("tok"))
-      .join(sizes, Seq("doc_id"))
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= expr("sz - ((sz * 8 + 9) DIV 10) + 1"))
       .select(col("doc_id"), col("tok"), col("rn"), col("sz"))
@@ -1375,15 +1380,15 @@ object HashDedup {
         (lit(1L) + least(col("a.sz") - col("a.rn"),
                          col("b.sz") - col("b.rn"))) * 9L >=
           (col("a.sz") + col("b.sz")) * 4L)
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-      .localCheckpoint(true)
-    val inter = cand
-      .join(toks.select(col("doc_id").as("da"), col("tok")), Seq("da"))
-      .join(toks.select(col("doc_id").as("db"), col("tok")), Seq("db", "tok"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), Seq("da"))
-      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), Seq("db"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+              col("a.sz").as("sa"), col("b.sz").as("sb")).distinct()
+    // verification: fetch the two shingle arrays and intersect in-row —
+    // |cand| map-side set intersections instead of the exploded
+    // posting-list double join + re-aggregation
+    cand
+      .join(docsA.select(col("doc_id").as("da"), col("toks").as("ta")), Seq("da"))
+      .join(docsA.select(col("doc_id").as("db"), col("toks").as("tb")), Seq("db"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("union_sz", col("sa") + col("sb") - col("inter"))
       .filter(col("inter") * 10L >= col("union_sz") * 8L)
       .select(col("da"), col("db"), col("inter"), col("union_sz"))
