@@ -1860,6 +1860,38 @@ class QueriesSpec extends AnyFunSuite {
         "revalidation inert")
   }
 
+  test("r14: corenessOf — textbook corenesses on hand graphs (path, " +
+       "clique, barbell) and the loud guard fires when the unroll depth " +
+       "is too shallow") {
+    val s = spark; import s.implicits._
+    def coreness(edges: Seq[(Long, Long)], maxRounds: Int = 32) =
+      graft.rel.RelQueries.corenessOf(
+          edges.toDF("u", "v"), maxRounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // path 1-2-3-4: every node has coreness 1
+    assert(coreness(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // K5: everyone coreness 4
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    assert(coreness(k5) === (1L to 5L).map(_ -> 4L).toMap)
+    // barbell: two K4s joined by the bridge edge (4,5), plus a pendant
+    // node hanging off 4 — the cliques keep coreness 3 (the bridge and
+    // pendant raise degrees but no core), the pendant gets 1
+    val k4a = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val k4b = for { a <- 5L to 8L; b <- (a + 1) to 8L } yield (a, b)
+    val barbell = k4a ++ k4b ++ Seq((4L, 5L), (4L, 100L))
+    val got = coreness(barbell)
+    assert((1L to 8L).forall(got(_) === 3L) && got(100L) === 1L,
+      s"barbell corenesses wrong: $got")
+    // guard: a depth the iteration cannot finish in must throw loudly,
+    // never return a half-converged labeling (the path's interior
+    // values drop in round 1, so the settling pass is round 2 — K5
+    // would NOT do: its degrees already equal its corenesses)
+    val err = intercept[IllegalArgumentException](
+      coreness(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 1))
+    assert(err.getMessage.contains("CorenessTwinRounds"))
+  }
+
   test("r13: graph_triangles_approx — the md5 edge sample sits near " +
        "p = 1/4, the estimate is 64x the sampled count, and reruns are " +
        "bit-identical (deterministic sampling, no RNG)") {
