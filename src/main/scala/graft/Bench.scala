@@ -125,6 +125,14 @@ object Bench {
       .filter { case (m, _) => times.contains(m) }.sorted
       .map { case (m, f) => "\"" + m + "\":\"" + f + "\"" }
       .mkString("{", ",", "}")
+    // per-member concurrent-sink seconds recorded inside the family
+    // co-schedules (every pass, warmup included): the family bill stays
+    // on its first-invoked member, but drift of an individual member is
+    // auditable here instead of hiding inside the family line. These
+    // run under co-schedule thread contention — telemetry, not billing.
+    val memberJson = graft.stream.StreamGrade.drainMemberTimes().toSeq.sortBy(_._1)
+      .map { case (m, ts) => "\"" + m + "\":" + ts.map(fmt).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val okTotal = results.collect { case (_, v, true, _) => v }.sum
     // ONE set of summary fields, interpolated into both lines — the
     // short tail-capture summary and the full per-query line can never
@@ -133,7 +141,8 @@ object Bench {
     val tail = s""""n_ok":${results.count(_._3)},"n_fail":${failed.length},""" +
       s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""bench_runs":$nRuns,"sf":"$sfDir""""
-    val json = s"""{$head,"queries":$qs,"runs":$runsJson,"families":$famJson,$tail}"""
+    val json = s"""{$head,"queries":$qs,"runs":$runsJson,"families":$famJson,""" +
+      s""""stream_members":$memberJson,$tail}"""
     val summary = s"""{$head,$tail}"""
     println(json)
     System.out.flush()

@@ -1822,6 +1822,62 @@ object RelQueries {
       .orderBy(col("price"), col("p_partkey"))
   }
 
+  /** 3-D SKYLINE (`skyline_parts3`) — minimize price, maximize size,
+    * maximize sales count (lineitem rows per part): proves the
+    * window/broadcast decomposition generalizes past the 2-D trick
+    * (r13 VERDICT Next #7). The prefix-max-of-one-column device cannot
+    * answer 3-D dominance (the prefix needs a 2-D STAIRCASE, not a
+    * max), so the third dimension rides on a domain collapse: p_size
+    * is a ≤50-value integer, and a dominator needs size ≥ mine — so
+    * pre-aggregate to one cell per (size, price_c) with the cell's max
+    * sales, expand each cell over the ≤|sizes| size-suffixes it serves
+    * (a broadcast ≤50-row multiplier on the AGGREGATED cell frame,
+    * never on parts), and dominance again decomposes into parallel
+    * exact-integer checks against that grid:
+    *   (1) a strictly cheaper point with size ≥ mine and sales ≥ mine
+    *       — RANGE-to-−1 prefix max over the size-slice's grid rows;
+    *   (2) same price, strictly larger size, sales ≥ mine — the
+    *       strict-suffix cell max at my (size, price);
+    *   (3) same price and size, strictly more sales — my own cell's
+    *       max, exceeded.
+    * No self-join, no global sort; exact duplicates of a skyline
+    * triple all survive (every check is strict somewhere). Twin: the
+    * textbook O(n²) NOT-EXISTS dominance form. */
+  def skylineParts3(s: SparkSession, d: String): DataFrame = {
+    val sales = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(count(lit(1)).as("n_sales"))
+    val pts = Tables.part(s, d).select(col("p_partkey"),
+      round(col("p_retailprice"), 2).as("price"),
+      round(col("p_retailprice") * 100, 0).cast("long").as("price_c"),
+      col("p_size").cast("long").as("size"))
+      .join(sales, Seq("p_partkey"), "left")
+      .withColumn("n_sales", coalesce(col("n_sales"), lit(0L)))
+      .localCheckpoint(true)
+    val cell = pts.groupBy(col("size"), col("price_c"))
+      .agg(max(col("n_sales")).as("cmax"))
+    val sizes = cell.select(col("size").as("s")).distinct()
+    // grid row (s, price_c): the best sales among cells at this price
+    // with size ≥ s / > s / == s — the staircase slice the size-s
+    // points consult
+    val grid = cell.join(broadcast(sizes), col("size") >= col("s"))
+      .groupBy(col("s"), col("price_c"))
+      .agg(max(col("cmax")).as("ge_max"),
+           max(when(col("size") > col("s"), col("cmax"))).as("gt_max"),
+           max(when(col("size") === col("s"), col("cmax"))).as("eq_max"))
+    val wCheaper = Window.partitionBy(col("s")).orderBy(col("price_c"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val m = grid.withColumn("cheaper_max", max(col("ge_max")).over(wCheaper))
+      .select(col("s"), col("price_c"), col("cheaper_max"),
+              col("gt_max"), col("eq_max"))
+    pts.join(m, pts("size") === m("s") && pts("price_c") === m("price_c"))
+      .filter(coalesce(col("cheaper_max"), lit(Long.MinValue)) < col("n_sales") &&
+              coalesce(col("gt_max"), lit(Long.MinValue)) < col("n_sales") &&
+              col("eq_max") <= col("n_sales"))
+      .select(col("p_partkey"), col("price"), col("size"), col("n_sales"))
+      .orderBy(col("price"), col("p_partkey"))
+  }
+
   /** Fixed-width histogram: floor-binning on the value column — integer
     * bucket ids, so the grouping is bit-exact cross-engine. */
   def valueHist(s: SparkSession, d: String): DataFrame =
@@ -3408,6 +3464,7 @@ object RelQueries {
     "range_join_right_auto" -> (rangeJoinRightAuto _),
     "interval_concurrency" -> (intervalConcurrency _),
     "skyline_parts"      -> (skylineParts _),
+    "skyline_parts3"     -> (skylineParts3 _),
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),
     "user_features"      -> (userFeatures _),
@@ -4430,6 +4487,26 @@ object RelQueries {
         |  WHERE q.p_retailprice <= p.p_retailprice
         |    AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY price, p_partkey""".stripMargin,
+
+    // 3-D skyline: the same NOT-EXISTS dominance form with the sales
+    // count as the third criterion — the engine's grid decomposition
+    // must select exactly the undominated triples
+    "skyline_parts3" ->
+      """WITH pp AS (
+        |  SELECT p.p_partkey, round(p.p_retailprice, 2) AS price,
+        |         CAST(round(p.p_retailprice * 100, 0) AS BIGINT) AS price_c,
+        |         CAST(p.p_size AS BIGINT) AS size,
+        |         CAST(count(l.l_partkey) AS BIGINT) AS n_sales
+        |  FROM part p LEFT JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT p_partkey, price, size, n_sales FROM pp a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pp b
+        |  WHERE b.price_c <= a.price_c AND b.size >= a.size
+        |    AND b.n_sales >= a.n_sales
+        |    AND (b.price_c < a.price_c OR b.size > a.size
+        |         OR b.n_sales > a.n_sales))
         |ORDER BY price, p_partkey""".stripMargin,
 
     // sweep-line peak concurrency: the same ±1 endpoint walk (closed

@@ -92,11 +92,16 @@ object StreamGrade {
     // bus replay, stream-stream interval joins
     (Set("cdc_stream_rpc_join", "cdc_stream_rpc_outer"), false),
     // document-crawl replay (mixed: the TWS members need RocksDB; the
-    // agg/stateless members are provider-agnostic)
+    // agg/stateless members are provider-agnostic). mm_stream_phash_dup
+    // was split OUT of this family (r13 VERDICT Next #6): the r14
+    // per-member telemetry showed its sink is the family's critical
+    // path (~19 s of the ~19.6 s bill, vs 2-7 s for every doc member),
+    // so one line absorbed every transient and hid the other eight —
+    // it now bills alone as a RocksDB singleton
     (Set("doc_stream_neardup", "doc_stream_vocab_novelty",
          "doc_stream_substring_dup", "doc_stream_logreg", "doc_stream_cms",
          "doc_stream_mix_shift", "doc_stream_pipeline",
-         "doc_stream_incr_neardup", "mm_stream_phash_dup"), true),
+         "doc_stream_incr_neardup"), true),
     // embeddings-crawl replay
     (Set("emb_stream_centroid_drift", "emb_stream_ann",
          "emb_stream_maintained", "emb_stream_maxsim"), true))
@@ -105,7 +110,8 @@ object StreamGrade {
 
   private val rocksSingletons =
     Set("cdc_stream_restart_scd2", "cdc_stream_restart_asof",
-        "emb_stream_restart_maintained", "cdc_stream_restart_ivm")
+        "emb_stream_restart_maintained", "cdc_stream_restart_ivm",
+        "mm_stream_phash_dup")
 
   /** member → billing-family id (the alphabetically first member) for
     * bench artifacts: a co-schedule bills the family's wall-clock to
@@ -127,6 +133,31 @@ object StreamGrade {
     * frame identical to a fresh run. */
   private val pending = new java.util.concurrent.ConcurrentHashMap[
     (String, String), scala.util.Try[DataFrame]]()
+
+  /** Per-member concurrent-sink seconds, recorded at every family
+    * co-schedule (first member and parked siblings alike) and drained
+    * by [[graft.Bench]] into the committed artifact — the family bill
+    * stays attributed to the first-invoked member, but member drift is
+    * no longer invisible inside it (r13 VERDICT Next #6: a 15 s family
+    * line absorbed every box transient and hid which member moved).
+    * Times include each member's full sink run under the co-schedule's
+    * thread contention, so they sum to MORE than the family wall-clock
+    * — they are drift telemetry, not a billing decomposition. */
+  private val memberTimes = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[Double]]()
+
+  private def recordMemberTime(name: String, sec: Double): Unit =
+    memberTimes.computeIfAbsent(name,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Double]).add(sec)
+
+  private[graft] def drainMemberTimes(): Map[String, Seq[Double]] = {
+    import scala.jdk.CollectionConverters._
+    val out = memberTimes.asScala.map { case (k, q) =>
+      k -> q.asScala.toSeq
+    }.toMap
+    memberTimes.clear()
+    out
+  }
 
   /** The [[queries]]-map wrapper: lock, consume a parked result if one
     * exists, otherwise run the whole family under one conf window. */
@@ -151,14 +182,19 @@ object StreamGrade {
                 // invocation is the ~0 the billing contract promises
                 // (r12 VERDICT #7: a lazy parked tail showed up as a
                 // phantom member-level regression in the raw bench)
-                try pending.put((p, d),
-                  scala.util.Try(raw(p)(s, d).localCheckpoint(true)))
-                finally latch.countDown()
+                try {
+                  val t0 = System.nanoTime()
+                  val r = scala.util.Try(raw(p)(s, d).localCheckpoint(true))
+                  recordMemberTime(p, (System.nanoTime() - t0) / 1e9)
+                  pending.put((p, d), r)
+                } finally latch.countDown()
               }, s"grade-$p")
               t.setDaemon(true)
               t.start()
             }
+            val t0 = System.nanoTime()
             val mine = scala.util.Try(fn(s, d))
+            recordMemberTime(name, (System.nanoTime() - t0) / 1e9)
             if (!latch.await(600, java.util.concurrent.TimeUnit.SECONDS))
               throw new IllegalStateException(s"family of $name did not finish")
             mine.get
@@ -686,11 +722,14 @@ object StreamGrade {
       implicit val ss: SparkSession = s
       val pairs = withRocksDb(s) {
         runToSink(s,
-          Streams.streamingNearDup(
+          Streams.streamingNearDupBatches(
             docStream.filter(size(split(col("text"), " ")) >= 3)).toDF(),
           "append", "stream_neardup")
       }
-      pairs.select(col("a"), col("b")).distinct()
+      pairs.select(col("doc_id"), explode(col("others")).as("m"))
+        .select(least(col("m"), col("doc_id")).as("a"),
+                greatest(col("m"), col("doc_id")).as("b"))
+        .distinct()
         .orderBy(col("a"), col("b"))
     }
 
@@ -783,10 +822,16 @@ object StreamGrade {
     withDocStream(s, d) { docStream =>
       implicit val ss: SparkSession = s
       val pairs = withRocksDb(s) {
-        runToSink(s, Streams.streamingSubstringDup(docStream).toDF(),
+        runToSink(s, Streams.streamingSubstringDupBatches(docStream).toDF(),
           "append", "stream_subdup")
       }
-      pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      // multiplicity preserved: the explode emits one row per
+      // (arrival, earlier member) per shared fingerprint, exactly the
+      // per-pair rows the exploded sink produced
+      pairs.select(col("doc_id"), explode(col("others")).as("m"))
+        .select(least(col("m"), col("doc_id")).as("a"),
+                greatest(col("m"), col("doc_id")).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
         .orderBy(col("a"), col("b"))
     }
 
@@ -1433,11 +1478,20 @@ object StreamGrade {
   def streamPhashDup(s: SparkSession, d: String): DataFrame =
     withDocStream(s, d) { docStream =>
       implicit val ss: SparkSession = s
+      // the PACKED sink: the pHash gate's 256 dense buckets emit
+      // ~12.5 M candidate pairs per replay at sf0.1, and materializing
+      // them through the memory sink dominated the row (~15 s); one
+      // array row per arrival crosses the sink instead and the pairs
+      // explode batch-side
       val pairs = withRocksDb(s) {
         runToSink(s,
-          Streams.bucketPairs(graft.llm.Multimodal.phashArrivals(docStream)).toDF(),
+          Streams.bucketPairBatches(
+            graft.llm.Multimodal.phashArrivals(docStream)).toDF(),
           "append", "stream_mm_phash")
-      }.select(col("a"), col("b")).distinct()
+      }.select(col("doc_id"), explode(col("others")).as("m"))
+        .select(least(col("m"), col("doc_id")).as("a"),
+                greatest(col("m"), col("doc_id")).as("b"))
+        .distinct()
       val sigs = graft.llm.Multimodal.phashSigs(s, d)
       pairs
         .join(sigs.select(col("doc_id").as("a"), col("sig").as("sa")), Seq("a"))

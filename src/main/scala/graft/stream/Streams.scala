@@ -213,8 +213,19 @@ object Streams {
     * entirely post-hoc, a stream cannot retract what it already
     * emitted, so consumers needing strict parity on pathological
     * buckets discard pairs of buckets later found over-cap. */
+  /** One accepted arrival's pairing work, PACKED: the new member and
+    * the bucket's earlier members as one array row. The state machine
+    * used to emit one [[CandidatePair]] object per pair, and at dense
+    * buckets (the pHash gate's 256 buckets × ~300 occupancy at sf0.1 ≈
+    * 12.5 M pairs per replay) the per-object encoder crossing at the
+    * `transformWithState` boundary dominated the whole graded row
+    * (~10 s of mm_stream_phash_dup's ~15 s). One row per ARRIVAL
+    * crosses the boundary instead (~80 k rows) and the pairs are born
+    * downstream in a codegen'd explode. */
+  case class PairBatch(doc_id: Long, band_id: Int, others: Array[Long])
+
   private[stream] class BucketPairEmitter(maxBucket: Int)
-      extends StatefulProcessor[(Int, String), DocArrival, CandidatePair] {
+      extends StatefulProcessor[(Int, String), DocArrival, PairBatch] {
     @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
     @transient private var warned: ValueState[Boolean] = _
     @transient private lazy val log =
@@ -226,16 +237,14 @@ object Streams {
     }
 
     override def handleInputRows(key: (Int, String), rows: Iterator[DocArrival],
-                                 timerValues: TimerValues): Iterator[CandidatePair] = {
+                                 timerValues: TimerValues): Iterator[PairBatch] = {
       val cur = scala.collection.mutable.ArrayBuffer.empty[Long]
       if (members.exists()) cur ++= members.get()
-      val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+      val out = scala.collection.mutable.ArrayBuffer.empty[PairBatch]
       rows.foreach { r =>
         if (!cur.contains(r.doc_id)) {
           if (cur.size < maxBucket) {
-            cur.foreach { m =>
-              out += CandidatePair(math.min(m, r.doc_id), math.max(m, r.doc_id), key._1)
-            }
+            if (cur.nonEmpty) out += PairBatch(r.doc_id, key._1, cur.toArray)
             members.appendValue(r.doc_id)
             cur += r.doc_id
           } else if (!warned.exists()) {
@@ -249,6 +258,19 @@ object Streams {
       }
       out.iterator
     }
+  }
+
+  /** [[PairBatch]] rows → orientation-normalized [[CandidatePair]]s —
+    * the codegen'd explode on the query side of the state boundary. */
+  private[stream] def explodePairBatches(ds: Dataset[PairBatch])
+                                (implicit spark: SparkSession): Dataset[CandidatePair] = {
+    import spark.implicits._
+    ds.toDF()
+      .select(col("doc_id"), col("band_id"), explode(col("others")).as("m"))
+      .select(least(col("m"), col("doc_id")).as("a"),
+              greatest(col("m"), col("doc_id")).as("b"),
+              col("band_id"))
+      .as[CandidatePair]
   }
 
   /** A token's first sighting in the stream (see [[vocabNoveltyStream]]). */
@@ -697,7 +719,16 @@ object Streams {
     * exactly like the batch query before ITS distinct). */
   def streamingNearDup(docs: DataFrame,
                        maxBucket: Int = graft.llm.HashDedup.DefaultMaxBucket)
-                      (implicit spark: SparkSession): Dataset[CandidatePair] = {
+                      (implicit spark: SparkSession): Dataset[CandidatePair] =
+    explodePairBatches(streamingNearDupBatches(docs, maxBucket))
+
+  /** [[streamingNearDup]]'s PACKED form: one [[PairBatch]] row per
+    * accepted arrival. Sink THIS when the pairs are post-processed in
+    * batch anyway — the memory sink then materializes |arrivals| array
+    * rows instead of the exploded pair volume. */
+  def streamingNearDupBatches(docs: DataFrame,
+                              maxBucket: Int = graft.llm.HashDedup.DefaultMaxBucket)
+                             (implicit spark: SparkSession): Dataset[PairBatch] = {
     import spark.implicits._
     docs.select(col("doc_id"),
         posexplode(graft.llm.HashDedup.bandHashExpr(col("text")))
@@ -717,7 +748,13 @@ object Streams {
     * same earlier doc emits once per bucket). */
   def bucketPairs(arrivals: DataFrame,
                   maxBucket: Int = graft.llm.HashDedup.DefaultMaxBucket)
-                 (implicit spark: SparkSession): Dataset[CandidatePair] = {
+                 (implicit spark: SparkSession): Dataset[CandidatePair] =
+    explodePairBatches(bucketPairBatches(arrivals, maxBucket))
+
+  /** [[bucketPairs]]'s PACKED form (see [[streamingNearDupBatches]]). */
+  def bucketPairBatches(arrivals: DataFrame,
+                        maxBucket: Int = graft.llm.HashDedup.DefaultMaxBucket)
+                       (implicit spark: SparkSession): Dataset[PairBatch] = {
     import spark.implicits._
     arrivals.select(col("doc_id").cast("long").as("doc_id"),
         col("band_id").cast("int").as("band_id"),
@@ -740,7 +777,14 @@ object Streams {
     * (a, b) downstream exactly like the batch `winnow_pairs` pre-agg. */
   def streamingSubstringDup(docs: DataFrame,
                             maxBucket: Int = graft.llm.HashDedup.DefaultMaxBucket)
-                           (implicit spark: SparkSession): Dataset[CandidatePair] = {
+                           (implicit spark: SparkSession): Dataset[CandidatePair] =
+    explodePairBatches(streamingSubstringDupBatches(docs, maxBucket))
+
+  /** [[streamingSubstringDup]]'s PACKED form (see
+    * [[streamingNearDupBatches]]). */
+  def streamingSubstringDupBatches(docs: DataFrame,
+                                   maxBucket: Int = graft.llm.HashDedup.DefaultMaxBucket)
+                                  (implicit spark: SparkSession): Dataset[PairBatch] = {
     import spark.implicits._
     docs.select(col("doc_id"),
         explode(graft.llm.HashDedup.winnowFpExpr(col("text"))).as("fp"))

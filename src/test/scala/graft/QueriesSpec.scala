@@ -1860,6 +1860,35 @@ class QueriesSpec extends AnyFunSuite {
         "revalidation inert")
   }
 
+  test("r14: skyline_parts3 — exact duplicates both survive, a point " +
+       "dominated ONLY via the sales criterion is killed, a point beaten " +
+       "on price+size is saved by sales alone, and zero-sales parts " +
+       "participate") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sky3").toString
+    // (pk, price, size): A/B exact duplicates; C = A but fewer sales;
+    // F beaten by E on price (case 1); G beaten by E on size at the
+    // same price (case 2a); H has no sales rows at all; I loses on
+    // price and size but has the most sales
+    Seq((1L, 10.00, 10), (2L, 10.00, 10), (3L, 10.00, 10),
+        (4L, 9.00, 5), (5L, 11.00, 12), (6L, 11.50, 12),
+        (7L, 11.00, 11), (8L, 8.00, 1), (9L, 12.00, 12))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+      .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val salesOf = Map(1L -> 5, 2L -> 5, 3L -> 4, 4L -> 1, 5L -> 3,
+                      6L -> 3, 7L -> 3, 9L -> 10)
+    salesOf.toSeq.flatMap { case (pk, n) => Seq.fill(n)(pk) }
+      .toDF("l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = graft.rel.RelQueries.queries("skyline_parts3")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got.keySet === Set(1L, 2L, 4L, 5L, 8L, 9L),
+      s"3-D skyline membership wrong: $got")
+    assert(got(8L) === 0L, "zero-sales part must carry n_sales = 0")
+    assert(got(9L) === 10L, "the sales-saved point must report its count")
+  }
+
   test("r14: corenessOf — textbook corenesses on hand graphs (path, " +
        "clique, barbell) and the loud guard fires when the unroll depth " +
        "is too shallow") {
