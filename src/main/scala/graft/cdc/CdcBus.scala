@@ -611,6 +611,21 @@ object CdcBus {
        |      FROM ev) t
        |WHERE rn = 1 GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** The MIN/MAX view's full recompute at the bus head — shared by the
+    * batch maintenance row (`cdc_ivm_minmax`) and the live changelog
+    * row (`cdc_stream_ivm_minmax`). */
+  private[graft] val IvmMinMaxRecomputeTwin: String =
+    s"""${Tables.BusCte}
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_channels,
+       |       CAST(max(cents) AS BIGINT) AS max_cents,
+       |       CAST(min(cents) AS BIGINT) AS min_cents
+       |FROM (SELECT channel, event_type,
+       |        CAST(floor(value * 100) AS BIGINT) AS cents,
+       |        row_number() OVER (PARTITION BY channel
+       |          ORDER BY ts DESC, event_id DESC) AS rn
+       |      FROM ev) t
+       |WHERE rn = 1 GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the wire loop transports the slice losslessly, so the oracle is the
     // same aggregate computed directly from events (channel re-synthesized
@@ -675,18 +690,9 @@ object CdcBus {
     "cdc_ivm_agg" -> IvmFullRecomputeTwin,
     "cdc_ivm_compose" -> IvmFullRecomputeTwin,
     // MIN/MAX maintenance must equal the same full recompute — the
-    // dirty-group re-derivation invents nothing
-    "cdc_ivm_minmax" ->
-      s"""${Tables.BusCte}
-         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_channels,
-         |       CAST(max(cents) AS BIGINT) AS max_cents,
-         |       CAST(min(cents) AS BIGINT) AS min_cents
-         |FROM (SELECT channel, event_type,
-         |        CAST(floor(value * 100) AS BIGINT) AS cents,
-         |        row_number() OVER (PARTITION BY channel
-         |          ORDER BY ts DESC, event_id DESC) AS rn
-         |      FROM ev) t
-         |WHERE rn = 1 GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // dirty-group re-derivation invents nothing (shared verbatim with
+    // the LIVE form, cdc_stream_ivm_minmax)
+    "cdc_ivm_minmax" -> IvmMinMaxRecomputeTwin,
 
     "cdc_deep_route" ->
       s"""WITH dv AS (

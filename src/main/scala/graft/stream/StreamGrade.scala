@@ -88,7 +88,8 @@ object StreamGrade {
     // bus replay, transformWithState (RocksDB)
     (Set("cdc_stream_scd2", "cdc_stream_gaps", "cdc_stream_rpc",
          "cdc_stream_take", "cdc_stream_user_features",
-         "cdc_stream_asof_join", "cdc_stream_ivm"), true),
+         "cdc_stream_asof_join", "cdc_stream_ivm",
+         "cdc_stream_ivm_minmax"), true),
     // bus replay, stream-stream interval joins
     (Set("cdc_stream_rpc_join", "cdc_stream_rpc_outer"), false),
     // document-crawl replay (mixed: the TWS members need RocksDB; the
@@ -485,6 +486,42 @@ object StreamGrade {
       deltas.groupBy(col("event_type"))
         .agg(sum(col("dn")).as("n_channels"),
              sum(col("dcents")).as("total_cents"))
+        .orderBy(col("event_type"))
+    }
+
+  /** STREAMING MIN/MAX view maintenance, graded: the live form of
+    * `cdc_ivm_minmax` — [[Streams.minmaxChangelog]] emits each
+    * channel's accepted value transitions (MIN/MAX is not
+    * self-maintainable, so the changelog carries channel state, not
+    * scalar deltas), and the consumer reconstructs the per-channel
+    * state relation from the changelog (argmax over each channel's
+    * (ts_us, event_id)-stamped transitions) and derives the group
+    * extremes from it — exactly what a downstream maintainer of a
+    * MIN/MAX view must hold. Twin: the full recompute at the bus head
+    * ([[graft.cdc.CdcBus.IvmMinMaxRecomputeTwin]], shared verbatim
+    * with the batch row) — the changelog reconstruction invents
+    * nothing, whatever the batching. */
+  def streamIvmMinMax(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val spark = s; import spark.implicits._
+      implicit val ss: SparkSession = s
+      val typed = busStream
+        .select(col("channel").as("_1"),
+          struct(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props")).as("_2"))
+        .as[(String, Streams.BusEvent)]
+      val log = withRocksDb(s) {
+        runToSink(s, Streams.minmaxChangelog(typed).toDF(), "append",
+          "stream_ivm_minmax")
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("channel"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_channels"),
+             max(col("cents")).as("max_cents"),
+             min(col("cents")).as("min_cents"))
         .orderBy(col("event_type"))
     }
 
@@ -1462,7 +1499,8 @@ object StreamGrade {
     "cdc_stream_sliding"  -> (streamSliding _),
     "cdc_stream_sessions" -> (streamSessions _),
     "cdc_stream_user_features" -> (streamUserFeatures _),
-    "cdc_stream_ivm"      -> (streamIvm _))
+    "cdc_stream_ivm"      -> (streamIvm _),
+    "cdc_stream_ivm_minmax" -> (streamIvmMinMax _))
 
   /** STREAMING MULTIMODAL near-dup gate, graded: the pHash analogue of
     * [[streamNearDup]] — each arriving document's media payload is
@@ -2005,6 +2043,7 @@ object StreamGrade {
     // the live changelog's fold must equal the full recompute — the
     // SAME twin the batch IVM rows grade against (cdc_ivm_agg)
     "cdc_stream_ivm" -> graft.cdc.CdcBus.IvmFullRecomputeTwin,
+    "cdc_stream_ivm_minmax" -> graft.cdc.CdcBus.IvmMinMaxRecomputeTwin,
 
     "cdc_stream_gaps" ->
       """SELECT event_type, prev_seq, next_seq, next_seq - prev_seq - 1 AS missing

@@ -1116,6 +1116,74 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** One accepted per-channel value transition of the MIN/MAX
+    * changelog: the channel's group, its new current cents, and the
+    * (ts_us, event_id) state key that orders transitions of the same
+    * channel across micro-batches. */
+  case class ChannelValue(event_type: String, channel: String,
+                          ts_us: Long, event_id: Long, cents: Long)
+
+  /** Per-channel VALUE-TRANSITION changelog — the live form of the
+    * batch MIN/MAX maintenance ([[graft.cdc.CdcBus.ivmMinMax]]).
+    * MIN/MAX is the textbook NON-self-maintainable aggregate: a
+    * downstream maintainer cannot fold scalar deltas (a retraction of
+    * the current max needs the other channels' values), so the correct
+    * changelog carries each channel's new CURRENT value and the
+    * consumer maintains the per-channel state relation, re-deriving
+    * group extremes from it. Same redelivery discipline as
+    * [[IvmChangelogGate]]: a (ts, event_id) high-water mark per
+    * channel skips replayed/older events, an advance that lands the
+    * same cents emits nothing (the consumer's value for the channel is
+    * already right), so at-least-once transport cannot corrupt the
+    * reconstruction. State: 3 longs per channel; emissions ≤ 1 row per
+    * (channel, batch). */
+  private[stream] class MinMaxChangelogGate
+      extends StatefulProcessor[String, (String, BusEvent), ChannelValue] {
+    // (lastTsMicros, lastEventId, cents)
+    @transient private var cur: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[(Long, Long, Long)]("cur",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+    private def micros(t: java.sql.Timestamp): Long =
+      Math.addExact(Math.multiplyExact(t.toInstant.getEpochSecond, 1000000L),
+        (t.toInstant.getNano / 1000).toLong)
+
+    override def handleInputRows(channel: String,
+                                 rows: Iterator[(String, BusEvent)],
+                                 timerValues: TimerValues): Iterator[ChannelValue] = {
+      val last = rows.map(_._2).maxBy(e => (micros(e.ts), e.event_id))
+      val cents = math.floor(last.value * 100).toLong
+      val key = (micros(last.ts), last.event_id)
+      val prior = if (cur.exists()) Some(cur.get()) else None
+      prior match {
+        case Some((pts, pid, pcents)) =>
+          if (Ordering[(Long, Long)].gt(key, (pts, pid))) {
+            cur.update((key._1, key._2, cents))
+            if (cents != pcents)
+              Iterator.single(ChannelValue(last.event_type, channel,
+                key._1, key._2, cents))
+            else Iterator.empty
+          } else Iterator.empty // redelivery: never re-emit older state
+        case None =>
+          cur.update((key._1, key._2, cents))
+          Iterator.single(ChannelValue(last.event_type, channel,
+            key._1, key._2, cents))
+      }
+    }
+  }
+
+  /** STREAMING MIN/MAX changelog over the bus — see
+    * [[MinMaxChangelogGate]]. */
+  def minmaxChangelog(bus: Dataset[(String, BusEvent)])
+                     (implicit spark: SparkSession): Dataset[ChannelValue] = {
+    import spark.implicits._
+    bus.groupByKey(_._1)
+      .transformWithState(new MinMaxChangelogGate, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** The reference's take(n)/auto-unsubscribe (lib/nats.js:98-107) as a
     * stateful count-gate on the `transformWithState` API. Requires the
     * RocksDB state store

@@ -1340,6 +1340,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.map(_.dcents).sum === 225L && log.map(_.dn).sum === 2L)
   }
 
+  test("r14: MIN/MAX changelog gate — the poison transition (max channel " +
+       "drops) reconstructs the right extremes, redelivery re-emits " +
+       "nothing, equal-cents updates stay silent") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    def e(id: Long, min: Int, user: Long, v: Double): BusEvent =
+      BusEvent(id, ts(min), user, "click", v, "{}")
+    withRocksDbProvider {
+      val in = MemoryStream[(String, BusEvent)]
+      val q = Streams.minmaxChangelog(in.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("mmlog").start()
+      try {
+        // batch 1: c1 = 5.00 (the max), c2 = 1.00 (the min)
+        in.addData(("c1", e(1, 0, 1, 5.00)), ("c2", e(2, 0, 2, 1.00)))
+        q.processAllAvailable()
+        // batch 2: the POISON transition — the max channel drops to
+        // 0.50 (now the min); c2's event 2 redelivered (no emission)
+        in.addData(("c1", e(3, 2, 1, 0.50)), ("c2", e(2, 0, 2, 1.00)))
+        q.processAllAvailable()
+        // batch 3: c2 updated to the SAME cents — silent
+        in.addData(("c2", e(4, 3, 2, 1.004)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val log = spark.table("mmlog").as[Streams.ChannelValue].collect().toSeq
+    assert(log.length === 3, s"expected 3 transitions, got $log")
+    // consumer reconstruction: per-channel argmax by (ts_us, event_id),
+    // then the group extremes — a fold of scalar max-deltas would
+    // still answer 500 here, which is exactly why the changelog
+    // carries channel state
+    val cur = log.groupBy(_.channel).view
+      .mapValues(_.maxBy(t => (t.ts_us, t.event_id)).cents).toMap
+    assert(cur === Map("c1" -> 50L, "c2" -> 100L))
+    assert(cur.values.max === 100L && cur.values.min === 50L)
+  }
+
   test("stream-static enrich broadcasts the dimension, no stream state") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
