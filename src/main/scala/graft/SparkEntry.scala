@@ -22,14 +22,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CdcBus.queries ++ RelQueries.queries ++ TextOps.queries ++
-      HashDedup.queries ++ VectorOps.queries ++ Multimodal.queries ++
-      graft.stream.StreamGrade.queries
+    CdcBus.queries ++ RelQueries.queries ++ graft.rel.Bucketed.queries ++
+      TextOps.queries ++ HashDedup.queries ++ VectorOps.queries ++
+      Multimodal.queries ++ graft.stream.StreamGrade.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CdcBus.oracle ++ RelQueries.oracle ++ TextOps.oracle ++
-      HashDedup.oracle ++ VectorOps.oracle ++ Multimodal.oracle ++
-      graft.stream.StreamGrade.oracle
+    CdcBus.oracle ++ RelQueries.oracle ++ graft.rel.Bucketed.oracle ++
+      TextOps.oracle ++ HashDedup.oracle ++ VectorOps.oracle ++
+      Multimodal.oracle ++ graft.stream.StreamGrade.oracle
 }

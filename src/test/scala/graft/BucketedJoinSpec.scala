@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bucketed co-located join's plan contract: with auto-broadcast
+  * disabled, the fact-fact join over the bucketed tables must plan as a
+  * sort-merge join with ZERO Exchange — each task reads bucket i of
+  * both sides. The raw-parquet form of the same join MUST show an
+  * Exchange (the assertion is not vacuous). */
+class BucketedJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .withExtensions(new GraftExtensions)
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("bucketed_join: exchange-free sort-merge join over the bucketed " +
+       "tables; the raw-parquet twin of the same join shuffles") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val full = executed(graft.rel.Bucketed.bucketedJoin(s, sf))
+      // the AQE dump appends the pre-adaptive "Initial Plan" — only the
+      // Final Plan is what executed
+      val plan = full.split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"),
+        s"bucketed join did not plan as SMJ:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scans did not report the bucket layout:\n$plan")
+      // the aggregation after the join IS allowed to exchange (its key
+      // is o_orderpriority, not the bucket key) — assert no exchange
+      // below the join by checking the join's own subtree
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      val below = plan.substring(joinIdx)
+      assert(!below.contains("Exchange"),
+        s"bucketed join re-shuffled its inputs:\n$plan")
+      // non-vacuous: the same join over raw parquet must exchange
+      val raw = executed(
+        Tables.lineitem(s, sf)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .join(Tables.orders(s, sf).select(col("o_orderkey"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n")))
+        .split("== Initial Plan ==").head
+      val rawJoinIdx = raw.indexOf("SortMergeJoin")
+      assert(rawJoinIdx >= 0 && raw.substring(rawJoinIdx).contains("Exchange"),
+        s"raw join did not shuffle — the bucketed assertion proves nothing:\n$raw")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("bucketed tables are reused across invocations and rebuilt for a " +
+       "different source dir") {
+    val s = spark
+    val before = s.catalog.listTables().count()
+    graft.rel.Bucketed.bucketedJoin(s, sf).collect()
+    val after1 = s.catalog.listTables().count()
+    graft.rel.Bucketed.bucketedJoin(s, sf).collect()
+    assert(s.catalog.listTables().count() === after1,
+      "re-invocation must reuse the bucketed tables, not rebuild")
+    assert(after1 >= before)
+  }
+}
