@@ -112,7 +112,7 @@ object StreamGrade {
   private val rocksSingletons =
     Set("cdc_stream_restart_scd2", "cdc_stream_restart_asof",
         "emb_stream_restart_maintained", "cdc_stream_restart_ivm",
-        "mm_stream_phash_dup")
+        "cdc_stream_restart_ivm_minmax", "mm_stream_phash_dup")
 
   /** member → billing-family id (the alphabetically first member) for
     * bench artifacts: a co-schedule bills the family's wall-clock to
@@ -1120,6 +1120,82 @@ object StreamGrade {
     } finally deleteRecursively(tmp)
   }
 
+  /** MIN/MAX CHANGELOG CHECKPOINT RECOVERY, graded
+    * (`cdc_stream_restart_ivm_minmax`): [[streamRestartIvm]]'s shape
+    * for the non-self-maintainable view — two query lifetimes over one
+    * checkpoint, with the entire second slice REDELIVERED under a new
+    * name in lifetime 2. The recovered per-channel (ts, event_id)
+    * high-water marks must refuse every redelivered row (a re-emitted
+    * transition would be invisible to the argmax reconstruction ONLY
+    * if identical — the gate must not rely on that; refusal is the
+    * contract), and the reconstruction over both lifetimes' appended
+    * transitions must equal the full recompute at the head
+    * ([[graft.cdc.CdcBus.IvmMinMaxRecomputeTwin]], shared verbatim
+    * with the batch and live rows). */
+  def streamRestartIvmMinMax(s: SparkSession, d: String): DataFrame = {
+    val spark = s; import spark.implicits._
+    implicit val ss: SparkSession = s
+    val srcAll = busSlices(s, d, 0)
+    val tmp = Files.createTempDirectory("graft_stream_rivmm_")
+    val in = Files.createDirectory(tmp.resolve("in"))
+    val ckpt = tmp.resolve("ckpt").toString
+    val outDir = tmp.resolve("out").toString
+    import scala.jdk.CollectionConverters._
+    val slices = Files.list(srcAll).iterator().asScala.toSeq
+      .sortBy(_.getFileName.toString)
+    def copySlice(i: Int, as: String = null): Unit = {
+      val name = Option(as).getOrElse(slices(i).getFileName.toString)
+      val dst = in.resolve(name)
+      Files.copy(slices(i), dst)
+      if (as == null)
+        dst.toFile.setLastModified(slices(i).toFile.lastModified)
+    }
+    def runLifetime(): Unit = {
+      val typed = s.readStream.schema(Tables.bus(s, d).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+        .select(col("channel").as("_1"),
+          struct(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props")).as("_2"))
+        .as[(String, Streams.BusEvent)]
+      val q = Streams.minmaxChangelog(typed).toDF()
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (bt: DataFrame, _: Long) =>
+          bt.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      try {
+        if (!q.awaitTermination(180000L))
+          throw new IllegalStateException("restart-grade query did not finish")
+      } finally q.stop()
+    }
+    try {
+      withRocksDb(s) {
+        val key = "spark.sql.shuffle.partitions"
+        val prior = s.conf.getOption(key)
+        s.conf.set(key, "2")
+        try {
+          copySlice(0); copySlice(1)
+          runLifetime() // lifetime 1: two micro-batches, state into ckpt
+          copySlice(2)
+          copySlice(1, as = "z_redelivered_slice2.parquet")
+          runLifetime() // lifetime 2: slice 3 + slice 2 redelivered
+        } finally prior.fold(s.conf.unset(key))(s.conf.set(key, _))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("channel"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      s.read.parquet(outDir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_channels"),
+             max(col("cents")).as("max_cents"),
+             min(col("cents")).as("min_cents"))
+        .localCheckpoint()
+        .orderBy(col("event_type"))
+    } finally deleteRecursively(tmp)
+  }
+
   /** AS-OF GATE CHECKPOINT RECOVERY, graded: [[Streams.asOfStream]]
     * holds the richest state of any processor here — pending probes,
     * the compacted history, and their event-time timers — and this row
@@ -1472,6 +1548,7 @@ object StreamGrade {
     "cdc_stream_capture"       -> (streamCapture _),
     "cdc_stream_restart_scd2"  -> (streamRestartScd2 _),
     "cdc_stream_restart_ivm"   -> (streamRestartIvm _),
+    "cdc_stream_restart_ivm_minmax" -> (streamRestartIvmMinMax _),
     "cdc_stream_restart_asof"  -> (streamRestartAsOf _),
     "emb_stream_restart_maintained" -> (streamRestartIndexMaint _),
     "doc_stream_substring_dup" -> (streamSubstringDup _),
@@ -2044,6 +2121,7 @@ object StreamGrade {
     // SAME twin the batch IVM rows grade against (cdc_ivm_agg)
     "cdc_stream_ivm" -> graft.cdc.CdcBus.IvmFullRecomputeTwin,
     "cdc_stream_ivm_minmax" -> graft.cdc.CdcBus.IvmMinMaxRecomputeTwin,
+    "cdc_stream_restart_ivm_minmax" -> graft.cdc.CdcBus.IvmMinMaxRecomputeTwin,
 
     "cdc_stream_gaps" ->
       """SELECT event_type, prev_seq, next_seq, next_seq - prev_seq - 1 AS missing

@@ -14,7 +14,15 @@ object ScanAudit {
   def tableScanCounts(df: org.apache.spark.sql.DataFrame): Map[String, Int] = {
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
-      .map(l => "([a-z_]+)\\.parquet".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("?"))
+      .map { l =>
+        "([a-z_]+)\\.parquet".r.findFirstMatchIn(l).map(_.group(1))
+          // catalog tables print as spark_catalog.default.<name>; strip
+          // the per-dir fingerprint suffix so budget keys stay stable
+          .orElse("spark_catalog\\.[a-z_]+\\.([a-z_0-9]+)".r
+            .findFirstMatchIn(l)
+            .map(m => m.group(1).replaceAll("_[0-9a-f]{6,}$", "")))
+          .getOrElse("?")
+      }
       .groupBy(identity).view.mapValues(_.length).toMap
   }
 
