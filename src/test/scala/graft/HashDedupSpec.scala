@@ -741,6 +741,34 @@ class HashDedupSpec extends AnyFunSuite {
         "the cap starts binding on graded data")
   }
 
+  test("r14: ShingleSetExpr parity — the compiled kernel equals the " +
+       "array_distinct/transform HOF composition it replaced, on the " +
+       "corpus and on the edge shapes (under 3 tokens, repeats, " +
+       "adjacent spaces)") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    def kernelCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.ShingleSetExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("text"))))
+    def hofCol = {
+      val ws = split(col("text"), " ")
+      when(size(ws) >= 3, array_distinct(transform(
+        sequence(lit(0), size(ws) - 3),
+        i => concat_ws(" ", element_at(ws, i + 1),
+          element_at(ws, i + 2), element_at(ws, i + 3)))))
+    }
+    val edge = Seq("", "one", "one two", "a b c", "a a a a a",
+      "x  y z", " lead", "trail ", "a b c d e f")
+      .toDF("text")
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+    for (df <- Seq(edge, corpus)) {
+      val diff = df.select(kernelCol.as("k"), hofCol.as("h"))
+        .filter(!(col("k") <=> col("h"))).count()
+      assert(diff === 0L, "compiled shingle set diverged from the HOF form")
+    }
+  }
+
   test("r14: jaccard_join_exact length + positional filters are lossless " +
        "— the engine equals the filter-free brute force on a corpus " +
        "built to straddle both bounds") {

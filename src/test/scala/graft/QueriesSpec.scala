@@ -1889,6 +1889,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(got(9L) === 10L, "the sales-saved point must report its count")
   }
 
+  test("r14: HIndexExpr — the compiled kernel matches the definitional " +
+       "h-index (largest h with >= h elements >= h) on random arrays " +
+       "and the edge shapes") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def kernel(a: Seq[Long]): Long =
+      graft.functions.HIndexExpr.hIndex(new GenericArrayData(a.toArray))
+    def reference(a: Seq[Long]): Long =
+      if (a.isEmpty) 0L
+      else (0L to a.length.toLong).filter(h => a.count(_ >= h) >= h).max
+    assert(kernel(Nil) === 0L)
+    assert(kernel(Seq(0L, 0L, 0L)) === 0L)
+    assert(kernel(Seq(5L, 4L, 2L)) === 2L)
+    assert(kernel(Seq(3L, 3L, 3L)) === 3L)
+    val rnd = new scala.util.Random(14)
+    (1 to 200).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong)
+      assert(kernel(a) === reference(a), s"h-index wrong on $a")
+    }
+  }
+
   test("r14: corenessOf — textbook corenesses on hand graphs (path, " +
        "clique, barbell) and the loud guard fires when the unroll depth " +
        "is too shallow") {
