@@ -1878,6 +1878,31 @@ object RelQueries {
       .orderBy(col("price"), col("p_partkey"))
   }
 
+  /** LATERAL correlated subquery (`lateral_top_orders`): per top-10
+    * customer, their 2 highest-value orders through SQL-text
+    * `, LATERAL (SELECT ... WHERE o_custkey = c.c_custkey ORDER BY ...
+    * LIMIT 2)` — the one subquery shape the catalog didn't grade
+    * (above_avg covers the scalar form). Catalyst DECORRELATES the
+    * lateral limit (DecorrelateInnerQuery → join + per-key ordering),
+    * so the plan is a join, never a per-outer-row re-execution — the
+    * property this row pins cross-engine against DuckDB's native
+    * LATERAL executor. Outer side is a broadcastable top-10; ties
+    * broken on both sort keys so the LIMIT 2 cut is deterministic. */
+  def lateralTopOrders(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+    Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+    s.sql("""
+      |WITH topc AS (
+      |  SELECT c_custkey, c_name FROM customer_lat
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 10)
+      |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+      |FROM topc c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders_lat o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   /** Fixed-width histogram: floor-binning on the value column — integer
     * bucket ids, so the grouping is bit-exact cross-engine. */
   def valueHist(s: SparkSession, d: String): DataFrame =
@@ -3465,6 +3490,7 @@ object RelQueries {
     "interval_concurrency" -> (intervalConcurrency _),
     "skyline_parts"      -> (skylineParts _),
     "skyline_parts3"     -> (skylineParts3 _),
+    "lateral_top_orders" -> (lateralTopOrders _),
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),
     "user_features"      -> (userFeatures _),
@@ -4488,6 +4514,19 @@ object RelQueries {
         |    AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
         |ORDER BY price, p_partkey""".stripMargin,
+
+    // the identical LATERAL text — DuckDB executes it natively, Spark
+    // decorrelates it; the rows must agree exactly
+    "lateral_top_orders" ->
+      """WITH topc AS (
+        |  SELECT c_custkey, c_name FROM customer
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 10)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        |FROM topc c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     // 3-D skyline: the same NOT-EXISTS dominance form with the sales
     // count as the third criterion — the engine's grid decomposition

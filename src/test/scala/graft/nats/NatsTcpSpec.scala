@@ -299,8 +299,19 @@ class NatsTcpSpec extends AnyFunSuite {
       assert(ex.getMessage.contains("connection lost"))
 
       // restart on the SAME port: next use redials and re-subscribes;
-      // buffered history and the sequence counter survive the reconnect
-      val server2 = new NatsServer(port)
+      // buffered history and the sequence counter survive the reconnect.
+      // The rebind can race a parallel suite grabbing the just-freed
+      // ephemeral port (observed as a flaky BindException) — retry
+      // briefly; a port held past the window is a genuine failure
+      val server2 = {
+        def bind(attempt: Int): NatsServer =
+          try new NatsServer(port)
+          catch {
+            case _: java.net.BindException if attempt < 50 =>
+              Thread.sleep(100); bind(attempt + 1)
+          }
+        bind(0)
+      }
       try {
         broker.flush()
         val pub2 = new RawClient(port)
