@@ -446,6 +446,25 @@ object CdcBus {
     v.orderBy(col("event_type"))
   }
 
+  /** [[ivmMinMax]] COMPOSED over two successive delta batches
+    * (`cdc_ivm_minmax_compose`) — [[ivmCompose]]'s production-loop
+    * shape for the non-self-maintainable view: the second step's
+    * dirty-group detection runs against the FIRST step's maintained
+    * view and state, so a batch-1 re-derived extreme retracted again
+    * in batch 2 must re-derive again from state₁ (never from the base
+    * history). Same full-recompute twin: composition must be
+    * associative. */
+  def ivmMinMaxCompose(s: SparkSession, d: String): DataFrame = {
+    val t0 = java.time.Instant.parse("2024-01-10T00:00:00Z")
+    val t1 = java.time.Instant.parse("2024-01-20T00:00:00Z")
+    val (s0, v0) = ivmBaseMinMax(s, d, t0)
+    val (s1, v1) = ivmStepMinMax(s0, v0,
+      Tables.eventsBetween(s, d, Some(t0), Some(t1)))
+    val (_, v2) = ivmStepMinMax(s1, v1.localCheckpoint(true),
+      Tables.eventsBetween(s, d, Some(t1), None))
+    v2.orderBy(col("event_type"))
+  }
+
   /** Sequence-gap audit — the lost/duplicate-message check of an
     * at-least-once transport: within each event_type sub-stream, compare
     * consecutive global sequence numbers (the JetStream-sequence
@@ -594,6 +613,7 @@ object CdcBus {
     "cdc_sql_route"       -> (sqlRoute _),
     "cdc_ivm_agg"         -> (ivmAgg _),
     "cdc_ivm_minmax"      -> (ivmMinMax _),
+    "cdc_ivm_minmax_compose" -> (ivmMinMaxCompose _),
     "cdc_ivm_compose"     -> (ivmCompose _))
 
   /** The IVM rows' shared twin: per event_type, live-channel count and
@@ -693,6 +713,7 @@ object CdcBus {
     // dirty-group re-derivation invents nothing (shared verbatim with
     // the LIVE form, cdc_stream_ivm_minmax)
     "cdc_ivm_minmax" -> IvmMinMaxRecomputeTwin,
+    "cdc_ivm_minmax_compose" -> IvmMinMaxRecomputeTwin,
 
     "cdc_deep_route" ->
       s"""WITH dv AS (
