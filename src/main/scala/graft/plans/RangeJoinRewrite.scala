@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Abs, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, PredicateHelper, SubqueryExpression, Subtract}
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{abs, array, col, count, explode, floor, greatest, lit, max, sequence, sum, unix_timestamp}
@@ -462,8 +462,63 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** FULL OUTER over a BAND predicate (r14 VERDICT Next #2):
+    * decomposed as binned INNER ∪ null-padded LEFT ANTI ∪ null-padded
+    * RIGHT ANTI — the three joins the rewrite already knows how to
+    * bin, because a band is the ONE shape where EITHER side can be
+    * the single-bin side (the other takes the ±2 explode): the inner
+    * emits every satisfying pair exactly once (the single-bin side
+    * occupies one bin), each anti runs with ITS preserved side
+    * single-bin so unmatched rows emit exactly once, and the three
+    * multisets partition the naive FULL theta join's output. A null
+    * band value lands in the anti branch (null bin → no match), which
+    * is the theta condition's own verdict for it.
+    *
+    * Point-in-interval and overlap FULL joins stand down by the same
+    * discipline that bounds the other non-inner forms: the anti whose
+    * preserved side is the INTERVAL side would run against an
+    * exploded preserved side — a row unmatched in one of its k bins
+    * but matched in another would (wrongly) survive, and a truly
+    * unmatched row would survive k times.
+    *
+    * The union keeps the FIRST branch's (= the join's own) attribute
+    * ids, so the parent plan's references resolve unchanged; the pad
+    * branches cast typed nulls positionally. */
+  private def rewriteFullOuter(s: SparkSession, j: Join,
+                               shape: Shape): Option[LogicalPlan] = shape match {
+    case Band(l, r, eps) =>
+      if (j.output.exists(_.name == BinCol)) return None
+      val lDf = GraftBridge.ofRows(s, j.left)
+      val rDf = GraftBridge.ofRows(s, j.right)
+      def c(e: Expression): Column = GraftBridge.column(e)
+      def single(v: Expression): Column =
+        floor(c(v).cast("double") / eps).cast("long")
+      def spread(v: Expression): Column =
+        explode(array((-2 to 2).map(o => single(v) + lit(o.toLong)): _*))
+      val cond = c(j.condition.get)
+      val inner = lDf.withColumn(BinCol, single(l))
+        .join(rDf.withColumn(BinCol, spread(r)), Seq(BinCol))
+        .filter(cond)
+        .select(j.left.output.map(a => c(a)) ++
+                j.right.output.map(a => c(a)): _*)
+      val lNulls = j.left.output.map(a =>
+        lit(null).cast(a.dataType).as(a.name))
+      val rNulls = j.right.output.map(a =>
+        lit(null).cast(a.dataType).as(a.name))
+      val la = lDf.withColumn(BinCol, single(l))
+      val lb = rDf.withColumn(BinCol, spread(r))
+      val leftAnti = la.join(lb, la(BinCol) === lb(BinCol) && cond, "left_anti")
+        .select(j.left.output.map(a => c(a)) ++ rNulls: _*)
+      val ra = rDf.withColumn(BinCol, single(r))
+      val rb = lDf.withColumn(BinCol, spread(l))
+      val rightAnti = ra.join(rb, ra(BinCol) === rb(BinCol) && cond, "left_anti")
+        .select(lNulls ++ j.right.output.map(a => c(a)): _*)
+      Some(GraftBridge.analyzed(inner.union(leftAnti).union(rightAnti)))
+    case _ => None
+  }
+
   private def supported(jt: JoinType): Boolean = jt match {
-    case Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti => true
+    case Inner | FullOuter | LeftOuter | RightOuter | LeftSemi | LeftAnti => true
     case _ => false
   }
 
@@ -476,6 +531,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             classify(cond, left, right).flatMap { shape =>
               try {
                 if (jt == Inner) rewrite(s, j, shape)
+                else if (jt == FullOuter) rewriteFullOuter(s, j, shape)
                 else rewriteNonInner(s, j, jt, shape)
               } catch {
                 case scala.util.control.NonFatal(e) =>

@@ -15,72 +15,59 @@ import graft.Tables
   * produces it and that it answers exactly like the shuffled form (the
   * twin joins the raw parquet).
   *
-  * The bucketed copies are session-catalog tables under the session's
+  * The bucketed copies are EXTERNAL catalog tables under the session's
   * warehouse dir, keyed by the source dir's fingerprint — regenerated
   * testdata gets fresh tables, re-invocations reuse them (the
-  * graphCache discipline; the write is prep, not the operator). The
+  * graphCache discipline; the write is prep, not the operator), and a
+  * NEW JVM adopts a previous process's complete tables instead of
+  * rewriting ([[Warehouse.ensureTable]] — cross-process lock, adopt
+  * on `_SUCCESS`, never delete a complete location). The
   * plan shape (SortMergeJoin, no Exchange on either side) is
   * machine-checked by BucketedJoinSpec with auto-broadcast disabled. */
 object Bucketed {
 
   private val Buckets = 8
 
-  /** (name, size, mtime) fingerprint of the two source tables — the
-    * staleness token in the bucketed tables' names. */
-  private def fp(d: String): String = {
-    def walk(f: java.io.File): Iterator[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
-      else Iterator.single(f)
-    val h = Seq("lineitem.parquet", "orders.parquet")
-      .flatMap(t => walk(new java.io.File(d, t)))
-      .map(f => (f.getName, f.length, f.lastModified).hashCode()).sum
-    // abs: a table identifier must not contain '-'
-    java.lang.Long.toHexString(h.toLong & 0xffffffffL)
+  /** Fixed-width md5 fingerprint of the two source tables — the
+    * staleness token in the bucketed tables' names
+    * ([[graft.Fingerprint]]; the r14 `hashCode().sum` form was both
+    * collidable and, unpadded, broke ScanAudit's suffix strip). */
+  private def fp(d: String): String =
+    graft.Fingerprint.ofTables(d, "lineitem.parquet", "orders.parquet")
+
+  /** Ensure one bucketed copy exists: reuse the catalog entry, ADOPT a
+    * complete location a previous JVM left (zero-rebuild cold start;
+    * never deletes what another process may read — [[Warehouse]]'s
+    * contract closes the r14 cross-JVM orphan-delete hazard), or write
+    * fresh under the cross-process lock. */
+  private def ensureBucketed(s: SparkSession, name: String, key: String,
+                             frame: => DataFrame): Unit = {
+    lazy val df = frame // schema read is a parquet-footer fetch, plan-only
+    Warehouse.ensureTable(s, name)(loc =>
+      s"""CREATE TABLE $name (${df.schema.toDDL})
+         |USING PARQUET
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $Buckets BUCKETS
+         |LOCATION '$loc'""".stripMargin)(loc =>
+      df.write.option("path", loc)
+        .bucketBy(Buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(name))
   }
 
   /** Ensure the bucketed copies exist for `d`; returns (lineitem,
     * orders) read FROM the bucketed tables (their scans carry the
     * bucket distribution). */
-  /** An in-memory catalog forgets its tables at JVM exit but the
-    * warehouse directories survive — a later session writing the same
-    * table name hits LOCATION_ALREADY_EXISTS. A location with no
-    * catalog entry is an orphan of a dead session: remove it. */
-  private def dropOrphanLocation(s: SparkSession, table: String): Unit = {
-    val wh = s.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val loc = new java.io.File(wh, table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(loc)
-    }
+  private[graft] def ensure(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val tag = fp(d)
+    val liName = s"graft_bkt_lineitem_$tag"
+    val ordName = s"graft_bkt_orders_$tag"
+    ensureBucketed(s, liName, "l_orderkey",
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
+    ensureBucketed(s, ordName, "o_orderkey",
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority")))
+    (s.table(liName), s.table(ordName))
   }
-
-  private[graft] def ensure(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    synchronized {
-      val tag = fp(d)
-      val liName = s"graft_bkt_lineitem_$tag"
-      val ordName = s"graft_bkt_orders_$tag"
-      if (!s.catalog.tableExists(liName)) {
-        dropOrphanLocation(s, liName)
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-          .write.mode("overwrite")
-          .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
-          .format("parquet").saveAsTable(liName)
-      }
-      if (!s.catalog.tableExists(ordName)) {
-        dropOrphanLocation(s, ordName)
-        Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderpriority"))
-          .write.mode("overwrite")
-          .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
-          .format("parquet").saveAsTable(ordName)
-      }
-      (s.table(liName), s.table(ordName))
-    }
 
   /** Revenue per order priority over the bucketed fact-fact join. */
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {

@@ -1731,6 +1731,40 @@ object RelQueries {
       .orderBy(col("in_window"))
   }
 
+  /** FULL OUTER band join through the transparent rewrite
+    * (`range_join_full_auto`, r14 VERDICT Next #2): purchases FULL
+    * OUTER clicks on |pv − cv| ≤ 0.05 — BOTH sides preserved, so no
+    * post-join filter can express the predicate and no single anti
+    * form covers it. [[graft.plans.RangeJoinRewrite.rewriteFullOuter]]
+    * decomposes it as binned INNER ∪ null-padded LEFT ANTI ∪
+    * null-padded RIGHT ANTI — the band is the one shape where EITHER
+    * side can be the single-bin side, so each branch keeps its
+    * preserved side un-exploded and the three multisets partition the
+    * naive FULL theta join's output exactly. Cost: three binned hash
+    * joins (each side scanned thrice) versus the
+    * BroadcastNestedLoopJoin FullOuter Spark otherwise plans — the
+    * nested loop is O(n·m) AND pins both sides in memory; the
+    * decomposition is linear in rows + matches. Twin: the naive FULL
+    * theta join. */
+  def rangeJoinFullAuto(s: SparkSession, d: String): DataFrame = {
+    graft.plans.RangeJoinRewrite.ensure(s)
+    val ev = Tables.events(s, d).filter(col("user_id") < 10)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("value").as("pv"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("value").as("cv"))
+    p.join(c, abs(col("pv") - col("cv")) <= 0.05d, "full")
+      .select(
+        when(col("pid").isNotNull && col("cid").isNotNull, "both")
+          .when(col("pid").isNotNull, "left_only")
+          .otherwise("right_only").as("side"),
+        (coalesce(col("pv"), lit(0d)) + coalesce(col("cv"), lit(0d)))
+          .as("val"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("total"))
+      .orderBy(col("side"))
+  }
+
   /** SWEEP-LINE interval concurrency (`interval_concurrency`): per day,
     * the peak number of simultaneously-active user sessions — the
     * classic temporal aggregate (room-booking / max-connections shape)
@@ -2884,15 +2918,9 @@ object RelQueries {
     * ([[graft.llm.HashDedup.dirFingerprint]] contract) for
     * [[graphCache]], so testdata regenerated under a live JVM rebuilds
     * the prep instead of serving stale checkpointed frames. */
-  private def graphFingerprint(d: String): String = {
-    def walk(f: java.io.File): Iterator[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
-      else Iterator.single(f)
-    val h = Seq("lineitem.parquet", "orders.parquet", "customer.parquet")
-      .flatMap(t => walk(new java.io.File(d, t)))
-      .map(f => (f.getName, f.length, f.lastModified).hashCode()).sum
-    java.lang.Integer.toHexString(h)
-  }
+  private def graphFingerprint(d: String): String =
+    graft.Fingerprint.ofTables(
+      d, "lineitem.parquet", "orders.parquet", "customer.parquet")
 
   // JVM-lifetime memo per (SparkSession, sf dir) — the StreamGrade
   // sliceCache rationale: the bench re-runs each graph query 3-4× and
@@ -3038,9 +3066,38 @@ object RelQueries {
     * ("memoizing the sequences, not just the prep"): the bench re-runs
     * `graph_coreness` 3-4× and the fixpoint is ~38 synchronous rounds
     * at sf0.1, so re-iterating per invocation bills pure harness cost
-    * where a re-read of the checkpointed label frame answers. */
-  private final class CoOrderPrep(val edges: DataFrame) {
-    lazy val coreness: DataFrame = corenessOf(edges, CorenessTwinRounds)
+    * where a re-read of the checkpointed label frame answers.
+    *
+    * PERSISTED across JVMs (r14 VERDICT Next #4): both artifacts live
+    * as external warehouse tables keyed by the lineitem fingerprint —
+    * the [[Bucketed]] layout discipline — so a COLD process (the
+    * driver's Verify, a fresh bench) adopts the previous JVM's edges
+    * and labels ([[Warehouse.ensureTable]]: cross-process lock, adopt
+    * on `_SUCCESS`) instead of re-paying the ~2 M-edge build and the
+    * ~38-round fixpoint. The fingerprint in the NAME is the staleness
+    * token: regenerated testdata mints a new name and rebuilds; the
+    * in-session memo additionally revalidates it per hit. Each
+    * artifact reads back through one eager localCheckpoint so
+    * re-invocations in the same session never re-scan the table. */
+  private final class CoOrderPrep(s: SparkSession, d: String, fp: String) {
+    val edges: DataFrame = {
+      val name = s"graft_coorder_edges_$fp"
+      Warehouse.ensureTable(s, name)(loc =>
+        s"CREATE TABLE $name (u BIGINT, v BIGINT) USING PARQUET " +
+          s"LOCATION '$loc'")(loc =>
+        buildCoOrderEdges(s, d).write.option("path", loc)
+          .format("parquet").saveAsTable(name))
+      s.table(name).localCheckpoint(true)
+    }
+    lazy val coreness: DataFrame = {
+      val name = s"graft_coreness_$fp"
+      Warehouse.ensureTable(s, name)(loc =>
+        s"CREATE TABLE $name (node BIGINT, cv BIGINT) USING PARQUET " +
+          s"LOCATION '$loc'")(loc =>
+        corenessOf(edges, CorenessTwinRounds).write.option("path", loc)
+          .format("parquet").saveAsTable(name))
+      s.table(name).localCheckpoint(true)
+    }
   }
 
   private def coOrderPrep(s: SparkSession, d: String): CoOrderPrep =
@@ -3059,7 +3116,7 @@ object RelQueries {
       per.get(d) match {
         case Some((`fp`, prep)) => prep
         case _ =>
-          val prep = new CoOrderPrep(buildCoOrderEdges(s, d))
+          val prep = new CoOrderPrep(s, d, fp)
           per.put(d, (fp, prep))
           prep
       }
@@ -3068,14 +3125,8 @@ object RelQueries {
   /** (name, size, mtime) fingerprint of lineitem.parquet alone — the
     * co-order graph's only input ([[graphFingerprint]] hashes three
     * tables because the purchase graph joins orders too). */
-  private def lineitemFingerprint(d: String): String = {
-    def walk(f: java.io.File): Iterator[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
-      else Iterator.single(f)
-    val h = walk(new java.io.File(d, "lineitem.parquet"))
-      .map(f => (f.getName, f.length, f.lastModified).hashCode()).sum
-    java.lang.Integer.toHexString(h)
-  }
+  private def lineitemFingerprint(d: String): String =
+    graft.Fingerprint.ofTables(d, "lineitem.parquet")
 
   // session-keyed LRU memo of the co-order edge frame — the graphCache
   // shape, but holding ONE localCheckpoint(true) frame per dir whose
@@ -3093,10 +3144,11 @@ object RelQueries {
     val pe = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct().localCheckpoint(true)
+    // consumed exactly once — by the persisting write in CoOrderPrep —
+    // so no final checkpoint
     pe.as("a").join(pe.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-      .localCheckpoint(true)
   }
 
   /** TRIANGLE COUNT with degree-ordered orientation
@@ -3282,20 +3334,63 @@ object RelQueries {
       .select(col("node"), col("cv").as("coreness"))
       .orderBy(col("node"))
 
+  /** Fixpoint rounds executed by [[corenessOf]] in this JVM — spec
+    * hook: the persisted-label adoption path must answer a cold
+    * session with ZERO rounds run. */
+  private[graft] val corenessRoundsRun =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** One round's gathered state, HISTOGRAM form (r14 VERDICT Next #1):
+    * per gatherer `u`, the (clamped neighbor label, count) rows its
+    * h-index folds. Exposed for the star/hub spec, which asserts the
+    * per-node row count is bounded by the node's LABEL, not its
+    * degree. Three properties make this the 100 TB-safe shape where
+    * r14's `collect_list` held one degree-sized array per node:
+    *
+    *   - the first aggregation groups the raw gather by
+    *     (u, neighbor label) so the exchange PARTIAL-aggregates
+    *     map-side — duplicate labels (the entire state of a
+    *     10⁷-follower hub whose neighbors share few distinct labels)
+    *     collapse before they travel;
+    *   - each gathered label is CLAMPED at the gatherer's current
+    *     label cv(u) — EXACT, not approximate: clamping at c only
+    *     changes counts of "values ≥ h" for h > c, and the monotone
+    *     iteration guarantees the next label ≤ cv(u), so
+    *     h({min(vᵢ, c)}) = min(h({vᵢ}), c) = h({vᵢ}) — which caps a
+    *     node's post-clamp distinct labels (hence its final state) at
+    *     cv(u) rows;
+    *   - the clamp join's exchange on `u` is REUSED by both
+    *     downstream aggregations (hash(u) satisfies their clustering),
+    *     so the round still pays the algorithm's inherent one-pass
+    *     communication, never a second full shuffle.
+    */
+  private[graft] def corenessGatherHist(sym: DataFrame, cv: DataFrame): DataFrame =
+    sym
+      .join(cv.select(col("node").as("v"), col("cv")), Seq("v"))
+      .groupBy(col("u"), col("cv"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(cv.select(col("node").as("u"), col("cv").as("cu")), Seq("u"))
+      .groupBy(col("u"), least(col("cv"), col("cu")).as("hv"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** The h-index fixpoint over an arbitrary (u, v) edge frame —
     * private[graft] so the spec can pin hand graphs (path, clique,
     * barbell) against textbook corenesses.
     *
-    * Round shape: ONE exchange per round, carrying only the gathered
-    * (u, neighbor-value) pairs — the algorithm's inherent
-    * communication. The symmetric adjacency is hash-partitioned by the
-    * value-lookup key `v` once and checkpointed; the label frame stays
-    * node-partitioned across rounds, so the value-gather join is
-    * co-partitioned (or the planner broadcasts the label frame while
-    * it is small — its choice), the groupBy(u) is the one shuffle, and
-    * the per-node h-index evaluates in the compiled
-    * [[graft.functions.HIndexExpr]] kernel instead of a re-sorted
-    * window. Driver state per round: one changed-count scalar. */
+    * Round shape: the symmetric adjacency PERSISTS hash-partitioned
+    * by the lookup key `v` (persist, NOT localCheckpoint — the
+    * [[purchaseGraph]] lesson: a checkpointed RDD reports
+    * UnknownPartitioning and would re-exchange all |E| rows every
+    * round; the cache preserves HashPartitioning(v), so only the
+    * |N|-row label frame moves to meet it). The gathered labels then
+    * pre-aggregate into the per-node CLAMPED histogram
+    * ([[corenessGatherHist]] — map-side partial agg below the one
+    * reduced exchange, per-node state bounded by label not degree),
+    * and the h-index folds the histogram in the compiled
+    * [[graft.functions.HIndexHistExpr]] kernel instead of a re-sorted
+    * window. Nothing degree-sized ever sits in one row and nothing
+    * |E|-sized ever re-shuffles. Driver state per round: one
+    * changed-count scalar. */
   private[graft] def corenessOf(edgeFrame: DataFrame,
                                 maxRounds: Int): DataFrame = {
     // symmetric adjacency, materialized once: row (u, v) = "v is a
@@ -3303,38 +3398,42 @@ object RelQueries {
     val sym = edgeFrame.select(col("u"), col("v"))
       .unionByName(edgeFrame.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("v"))
-      .localCheckpoint(true)
-    var cv = sym.groupBy(col("u"))
-      .agg(count(lit(1)).as("cv"))
-      .select(col("u").as("node"), col("cv"))
-      .localCheckpoint(true)
-    var nChanged = 1L
-    var rounds = 0
-    while (nChanged > 0) {
-      rounds += 1
-      require(rounds <= maxRounds,
-        s"coreness h-index iteration needs more than $maxRounds rounds " +
-          "— raise CorenessTwinRounds (engine guard and twin unroll " +
-          "depth together)")
-      val next = sym
-        .join(cv.select(col("node").as("v"), col("cv")), Seq("v"))
-        .groupBy(col("u"))
-        .agg(collect_list(col("cv")).as("vs"))
-        .select(col("u").as("node"),
-          org.apache.spark.sql.GraftBridge.column(
-            graft.functions.HIndexExpr(
-              org.apache.spark.sql.GraftBridge.expression(col("vs"))))
-            .as("cv2"))
-      // one materialization carries both the next labels and the
-      // convergence flag; the count after it reads the checkpoint
-      val step = next.join(cv, Seq("node"))
-        .select(col("node"), col("cv2").as("cv"),
-          (col("cv2") < col("cv")).as("chg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cv = sym.groupBy(col("u"))
+        .agg(count(lit(1)).as("cv"))
+        .select(col("u").as("node"), col("cv"))
         .localCheckpoint(true)
-      nChanged = step.filter(col("chg")).count()
-      cv = step.select(col("node"), col("cv"))
+      var nChanged = 1L
+      var rounds = 0
+      while (nChanged > 0) {
+        rounds += 1
+        corenessRoundsRun.incrementAndGet()
+        require(rounds <= maxRounds,
+          s"coreness h-index iteration needs more than $maxRounds rounds " +
+            "— raise CorenessTwinRounds (engine guard and twin unroll " +
+            "depth together)")
+        val next = corenessGatherHist(sym, cv)
+          .groupBy(col("u"))
+          .agg(collect_list(struct(col("hv"), col("cnt"))).as("hist"))
+          .select(col("u").as("node"),
+            org.apache.spark.sql.GraftBridge.column(
+              graft.functions.HIndexHistExpr(
+                org.apache.spark.sql.GraftBridge.expression(col("hist"))))
+              .as("cv2"))
+        // one materialization carries both the next labels and the
+        // convergence flag; the count after it reads the checkpoint
+        val step = next.join(cv, Seq("node"))
+          .select(col("node"), col("cv2").as("cv"),
+            (col("cv2") < col("cv")).as("chg"))
+          .localCheckpoint(true)
+        nChanged = step.filter(col("chg")).count()
+        cv = step.select(col("node"), col("cv"))
+      }
+      cv
+    } finally {
+      sym.unpersist(false); ()
     }
-    cv
   }
 
   /** One unrolled h-index round of the coreness twin over the
@@ -3487,6 +3586,7 @@ object RelQueries {
     "range_join_semi_auto" -> (rangeJoinSemiAuto _),
     "range_join_anti_auto" -> (rangeJoinAntiAuto _),
     "range_join_right_auto" -> (rangeJoinRightAuto _),
+    "range_join_full_auto" -> (rangeJoinFullAuto _),
     "interval_concurrency" -> (intervalConcurrency _),
     "skyline_parts"      -> (skylineParts _),
     "skyline_parts3"     -> (skylineParts3 _),
@@ -4500,6 +4600,23 @@ object RelQueries {
         |       count(*) AS n, round(sum(p.value), 2) AS total
         |FROM wins w RIGHT JOIN p ON p.ts >= w.lo AND p.ts < w.hi
         |GROUP BY 1 ORDER BY in_window""".stripMargin,
+
+    // FULL OUTER band: the naive FULL theta join — the inner ∪
+    // left-anti ∪ right-anti decomposition must partition its output
+    // exactly, null-padded rows included
+    "range_join_full_auto" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id < 10),
+        |p AS (SELECT event_id AS pid, value AS pv FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS cid, value AS cv FROM ev
+        |      WHERE event_type = 'click')
+        |SELECT CASE WHEN pid IS NOT NULL AND cid IS NOT NULL THEN 'both'
+        |            WHEN pid IS NOT NULL THEN 'left_only'
+        |            ELSE 'right_only' END AS side,
+        |       count(*) AS n,
+        |       round(sum(coalesce(pv, 0) + coalesce(cv, 0)), 2) AS total
+        |FROM p FULL JOIN c ON abs(pv - cv) <= 0.05
+        |GROUP BY 1 ORDER BY side""".stripMargin,
 
     // skyline: the textbook NOT-EXISTS dominance form — the engine's
     // window/broadcast decomposition must select exactly the

@@ -72,4 +72,41 @@ class BucketedJoinSpec extends AnyFunSuite {
       "re-invocation must reuse the bucketed tables, not rebuild")
     assert(after1 >= before)
   }
+
+  test("r15: a session whose catalog forgot the bucketed tables ADOPTS " +
+       "the surviving files (no rewrite, no delete) and the adopted " +
+       "tables still plan the exchange-free SMJ") {
+    val s = spark
+    val expect = graft.rel.Bucketed.bucketedJoin(s, sf).collect().toSeq
+    val fp = graft.Fingerprint.ofTables(
+      sf, "lineitem.parquet", "orders.parquet")
+    val loc = new java.io.File(
+      graft.rel.Warehouse.dir(s), s"graft_bkt_lineitem_$fp")
+    val marker = new java.io.File(loc, "_SUCCESS")
+    assert(marker.exists(), "bucketed write left no _SUCCESS commit marker")
+    val mtime = marker.lastModified()
+    // the tables are EXTERNAL: dropping the catalog entries (what a JVM
+    // exit does implicitly) must leave the files in place
+    s.sql(s"DROP TABLE graft_bkt_lineitem_$fp")
+    s.sql(s"DROP TABLE graft_bkt_orders_$fp")
+    assert(marker.exists(), "DROP TABLE deleted an external location")
+    val a0 = graft.rel.Warehouse.adopted.get()
+    val s2 = s.newSession()
+    val prior = s2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.rel.Bucketed.bucketedJoin(s2, sf)
+      assert(df.collect().toSeq === expect,
+        "adopted bucketed tables answered differently")
+      assert(graft.rel.Warehouse.adopted.get() === a0 + 2,
+        "restart did not adopt the surviving bucketed tables")
+      assert(marker.lastModified() === mtime,
+        "adoption rewrote the bucketed files")
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0 && !plan.substring(joinIdx).contains("Exchange"),
+        s"adopted bucketed join re-shuffled:\n$plan")
+    } finally s2.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }

@@ -190,4 +190,58 @@ class CdcBusSpec extends AnyFunSuite {
     assert(CdcBus.queries("cdc_ivm_minmax")(spark, sf).collect()
       .map(_.toString).toSeq === want)
   }
+
+  test("r15: IVM DISTINCT-COUNT — retracting a value's LAST holder " +
+       "decrements, retracting one of SEVERAL holders does not, landing " +
+       "an already-present value does not, and the graded row equals " +
+       "the full recompute") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    // state at T0: cents 100 held TWICE (channels 1, 2), 70 once (3)
+    val state = Seq(("cdc/g/1", "g", 100L), ("cdc/g/2", "g", 100L),
+                    ("cdc/g/3", "g", 70L))
+      .toDF("channel", "event_type", "cents")
+    val view = Seq(("g", 3L, 2L))
+      .toDF("event_type", "n_channels", "n_distinct")
+    // POISON 1: channel 3 — the ONLY holder of 70 — moves to 1.00,
+    // which is ALREADY present: the retraction flips 70 off, the
+    // landing flips nothing → n_distinct 2 → 1
+    val d1 = Seq((ts(10), 11L, "g", 3L, 1.00))
+      .toDF("ts", "event_id", "event_type", "user_id", "value")
+    val (st1, v1) = CdcBus.ivmStepDistinct(state, view, d1)
+    assert(v1.orderBy(col("event_type")).collect().map(_.toString).toSeq ===
+      Seq("[g,3,1]"), "last-holder retraction onto a present value wrong")
+    assert(st1.count() === 3L)
+    // POISON 2 (fresh from T0): channel 1 — one of TWO holders of 100
+    // — moves to 0.55: the retraction flips nothing (channel 2 still
+    // holds 100), the landing adds a new value → n_distinct 2 → 3
+    val d2 = Seq((ts(20), 12L, "g", 1L, 0.55))
+      .toDF("ts", "event_id", "event_type", "user_id", "value")
+    val (_, v2) = CdcBus.ivmStepDistinct(state, view, d2)
+    assert(v2.orderBy(col("event_type")).collect().map(_.toString).toSeq ===
+      Seq("[g,3,3]"), "shared-holder retraction must not decrement")
+    // a NEW channel landing a present value: channels 3 → 4, distinct
+    // unchanged
+    val d3 = Seq((ts(30), 13L, "g", 9L, 1.00))
+      .toDF("ts", "event_id", "event_type", "user_id", "value")
+    val (_, v3) = CdcBus.ivmStepDistinct(state, view, d3)
+    assert(v3.orderBy(col("event_type")).collect().map(_.toString).toSeq ===
+      Seq("[g,4,2]"), "new-channel present-value landing wrong")
+    // and the graded row equals the full recompute at the head
+    val sf = "/root/testdata/sf0.001"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("channel")).orderBy(col("ts").desc, col("event_id").desc)
+    val want = Tables.bus(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_channels"),
+        countDistinct(col("cents")).as("n_distinct"))
+      .orderBy(col("event_type"))
+      .collect().map(_.toString).toSeq
+    assert(CdcBus.queries("cdc_ivm_distinct")(spark, sf).collect()
+      .map(_.toString).toSeq === want)
+  }
 }

@@ -741,6 +741,51 @@ class HashDedupSpec extends AnyFunSuite {
         "the cap starts binding on graded data")
   }
 
+  test("r15: positional filter stands down when the pair's earlier " +
+       "shared prefix shingles were CAPPED — the r14 ADVICE corpus " +
+       "(identical docs whose two rarest prefix shingles sit in " +
+       "over-cap groups) keeps the pair instead of silently dropping it") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val s = spark; import s.implicits._
+    // X (doc 1) and Y (doc 2): identical 15-word docs → 13 shingles
+    // g1..g13, gi = "xi x(i+1) x(i+2)". Engineered rarity order and
+    // prefix postings with cap = 3:
+    //   g1, g2  — df 4 (X, Y + two 3-word flooders each, whose whole
+    //             set IS the shingle): ranks 1-2 of X's prefix, prefix
+    //             posting 4 > cap → CAPPED
+    //   g3      — df 5 (X, Y + three 15-word flooders that bury it at
+    //             rank 13 behind 12 unique shingles): rank 3, prefix
+    //             posting 2 ≤ cap → the pair's ONLY surviving shared
+    //             prefix occurrence, at rn = (3, 3)
+    //   g4..g13 — df 6 (four 3-word flooders each): rank > 3
+    // At (rn 3, rn 3, sz 13): bound 9·(1+min(10,10)) = 99 < 4·26 = 104
+    // — the positional test FAILS on the identical pair, which the r14
+    // code therefore dropped while the QUALIFY-mirrored twin kept it.
+    // capped_before (g1, g2 rank earlier and are capped) stands the
+    // test down; the pair must survive and verify at J = 1.
+    val xWords = (1 to 15).map(i => s"x$i")
+    val xText = xWords.mkString(" ")
+    def g(i: Int) = xWords.slice(i - 1, i + 2).mkString(" ")
+    val floodSmall = // two 3-word docs per g1, g2; four per g4..g13
+      (Seq(1, 2).flatMap(i => Seq.fill(2)(g(i))) ++
+       (4 to 13).flatMap(i => Seq.fill(4)(g(i))))
+    val floodBig = (1 to 3).map(k =>
+      ((1 to 6).map(j => s"f${k}_$j") ++ Seq("x3", "x4", "x5") ++
+        (7 to 12).map(j => s"f${k}_$j")).mkString(" "))
+    val docs = (Seq(xText, xText) ++ floodSmall ++ floodBig).zipWithIndex
+      .map { case (t, i) => (i + 1L, t, "en", "s", t.length.toLong) }
+    val tmp = Files.createTempDirectory("graft_jjcappos").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.llm.HashDedup.jaccardJoinExactCapped(spark, tmp, 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 2L, 13L, 13L)),
+      s"the capped-prefix identical pair did not survive exactly: " +
+        s"${got.toSeq}")
+  }
+
   test("r14: ShingleSetExpr parity — the compiled kernel equals the " +
        "array_distinct/transform HOF composition it replaced, on the " +
        "corpus and on the edge shapes (under 3 tokens, repeats, " +

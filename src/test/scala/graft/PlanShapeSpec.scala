@@ -581,4 +581,53 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
     ()
   }
+
+  test("r15: coreness gather — the (u, label) partial agg collapses " +
+       "duplicate labels map-side BELOW its exchange, and no Exchange " +
+       "ever re-shuffles the persisted |E|-row adjacency") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val prior = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the exact frames corenessOf's round consumes: sym PERSISTED
+      // clustered by the lookup key v, labels node-partitioned by the
+      // degree agg
+      val edges = (for { a <- 1L to 40L; b <- (a + 1) to 42L }
+        yield (a, b)).toDF("u", "v")
+      val sym = edges.union(edges.select(col("v"), col("u"))).toDF("u", "v")
+        .repartition(col("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cv = sym.groupBy(col("u")).agg(count(lit(1)).as("cv"))
+          .select(col("u").as("node"), col("cv")).localCheckpoint(true)
+        val df = graft.rel.RelQueries.corenessGatherHist(sym, cv)
+        df.collect()
+        val exec = df.queryExecution.executedPlan
+        val plan = exec.toString.split("== Initial Plan ==").head
+        // the raw gather's partial count on (u, label) sits under
+        // (after, in print order) the exchange that carries it — the
+        // judge's map-side collapse of a hub's duplicate labels
+        val ex = plan.indexOf("Exchange hashpartitioning")
+        val partial = plan.indexOf("partial_count")
+        assert(ex >= 0 && partial > ex,
+          s"no map-side partial agg below the gather exchange:\n$plan")
+        // the adjacency is the only |E|-sized frame in the round: its
+        // cached HashPartitioning(v) must feed the gather join as-is —
+        // only label frames and reduced histograms may travel (the r12
+        // pagerank edge-cache discipline)
+        val cacheScans = collectWithSubqueries(exec) {
+          case t: InMemoryTableScanExec => t }
+        assert(cacheScans.nonEmpty,
+          s"gather does not read the persisted adjacency:\n$exec")
+        collectWithSubqueries(exec) { case e: ShuffleExchangeExec => e }
+          .foreach { e =>
+            assert(e.collect { case t: InMemoryTableScanExec => t }.isEmpty,
+              s"an Exchange re-shuffles the persisted adjacency:\n$exec")
+          }
+      } finally { sym.unpersist(true); () }
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }

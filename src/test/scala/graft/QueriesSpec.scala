@@ -2067,4 +2067,104 @@ class QueriesSpec extends AnyFunSuite {
            graft.rel.RelQueries.queries("ts_dtw_topk")(spark, sf01)
              .collect().map(_.toString).toSeq)
   }
+
+  test("r15: HIndexHistExpr kernel — histogram h-index matches the " +
+       "expanded-multiset kernel on random data, split-count rows, and " +
+       "the edge shapes") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def hist(pairs: Seq[(Long, Long)]): Long =
+      graft.functions.HIndexExpr.hIndexHist(new GenericArrayData(
+        pairs.map { case (v, c) =>
+          new GenericInternalRow(Array[Any](v, c)) }.toArray[Any]))
+    def flat(a: Seq[Long]): Long =
+      graft.functions.HIndexExpr.hIndex(new GenericArrayData(a.toArray))
+    assert(hist(Nil) === 0L)
+    assert(hist(Seq((0L, 5L))) === 0L)
+    assert(hist(Seq((3L, 3L))) === 3L)
+    // duplicate VALUE across rows (a split count) folds identically
+    assert(hist(Seq((3L, 1L), (3L, 2L))) === 3L)
+    assert(hist(Seq((3L, 2L), (5L, 1L), (3L, 1L))) === 3L)
+    val rnd = new scala.util.Random(15)
+    (1 to 200).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(60))(rnd.nextInt(25).toLong)
+      val grouped = a.groupBy(identity).toSeq
+        .map { case (v, g) => (v, g.size.toLong) }
+      // shuffled row order: the kernel must not assume sorted input
+      val shuffled = rnd.shuffle(grouped)
+      assert(hist(shuffled) === flat(a), s"hist h-index wrong on $a")
+    }
+  }
+
+  test("r15: coreness gather is label-bounded, not degree-bounded — a " +
+       "40-leaf star hub's gathered histogram is ONE row (clamped at " +
+       "the leaves' shared label), and the star corenesses are exact") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val edges = (1L to 40L).map(l => (0L, l)).toDF("u", "v")
+    val sym = edges.union(edges.select(col("v"), col("u")))
+      .toDF("u", "v").localCheckpoint(true)
+    val cv = sym.groupBy(col("u")).agg(count(lit(1)).as("cv"))
+      .select(col("u").as("node"), col("cv")).localCheckpoint(true)
+    val hist = graft.rel.RelQueries.corenessGatherHist(sym, cv)
+      .collect().groupBy(_.getLong(0))
+    // hub: degree 40, ONE histogram row — (hv = 1, cnt = 40): the 40
+    // gathered leaf labels collapse in the grouped pre-aggregation
+    val hub = hist(0L).map(r => (r.getLong(1), r.getLong(2)))
+    assert(hub.toSeq === Seq((1L, 40L)),
+      s"hub gathered state not label-bounded: ${hub.toSeq}")
+    // every leaf gathers the hub's label 40 CLAMPED at its own label 1
+    (1L to 40L).foreach { l =>
+      assert(hist(l).map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+        Seq((1L, 1L)), s"leaf $l clamp wrong")
+    }
+    // and the full fixpoint still lands the textbook star corenesses
+    val labels = graft.rel.RelQueries.corenessOf(
+        (1L to 40L).map(l => (0L, l)).toDF("u", "v"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === (0L to 40L).map(_ -> 1L).toMap,
+      s"star corenesses wrong: $labels")
+  }
+
+  test("r15: coreness labels and co-order edges persist as warehouse " +
+       "tables — a fresh session reuses them with ZERO fixpoint rounds, " +
+       "and a session whose catalog forgot them ADOPTS the files " +
+       "instead of rebuilding") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_core_persist")
+      .toString
+    // K4 co-order graph: one order with 4 parts — corenesses all 3
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val fn = graft.rel.RelQueries.queries("graph_coreness")
+    def labelsOf(sess: SparkSession): Map[Long, Long] =
+      fn(sess, tmp).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (1L to 4L).map(_ -> 3L).toMap
+    val c0 = graft.rel.RelQueries.corenessRoundsRun.get()
+    assert(labelsOf(s) === expect)
+    assert(graft.rel.RelQueries.corenessRoundsRun.get() > c0,
+      "cold build must have iterated")
+    // same session, second invocation: memoized frame, zero new rounds
+    val c1 = graft.rel.RelQueries.corenessRoundsRun.get()
+    assert(labelsOf(s) === expect)
+    assert(graft.rel.RelQueries.corenessRoundsRun.get() === c1)
+    // fresh session (fresh memo), catalog entry still present: the
+    // label table answers — zero rounds
+    assert(labelsOf(s.newSession()) === expect)
+    assert(graft.rel.RelQueries.corenessRoundsRun.get() === c1,
+      "a fresh session re-ran the fixpoint despite the label table")
+    // "new JVM": the catalog forgets the (external) tables, the files
+    // survive — the next session must ADOPT, zero rounds, no rewrite
+    val fp = graft.Fingerprint.ofTables(tmp, "lineitem.parquet")
+    s.sql(s"DROP TABLE graft_coreness_$fp")
+    s.sql(s"DROP TABLE graft_coorder_edges_$fp")
+    val a0 = graft.rel.Warehouse.adopted.get()
+    assert(labelsOf(s.newSession()) === expect)
+    assert(graft.rel.RelQueries.corenessRoundsRun.get() === c1,
+      "adoption path re-ran the fixpoint")
+    assert(graft.rel.Warehouse.adopted.get() === a0 + 2,
+      "dropped-catalog restart did not adopt the surviving tables")
+  }
 }

@@ -343,6 +343,36 @@ class RangeJoinRewriteSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(q().collect().map(_.toString).sorted.toSeq === naiveRows(q()))
   }
 
+  test("r15: band FULL OUTER fires — inner ∪ left-anti ∪ right-anti, " +
+       "nested-loop-free, row-identical to the disabled baseline with " +
+       "the null-padded rows of BOTH sides included") {
+    // values engineered so all three classes are non-empty: matched
+    // pairs, unmatched left rows, unmatched right rows
+    val lv = spark.range(0, 200).select(col("id").as("lid"),
+      (col("id") * 0.013d).as("lv"))
+    val rv = spark.range(0, 60).select(col("id").as("rid"),
+      (col("id") * 0.29d).as("rv"))
+    def fo(): DataFrame =
+      lv.join(rv, abs(col("lv") - col("rv")) <= 0.05d, "full")
+        .select(col("lid"), col("rid"))
+    val plan = executedPlan(fo())
+    assertNoNestedLoop(plan, "band FULL OUTER join")
+    assert(plan.contains("Union"),
+      s"full-outer decomposition did not fire:\n$plan")
+    val rows = fo().collect()
+    assert(rows.exists(r => !r.isNullAt(0) && r.isNullAt(1)) &&
+           rows.exists(r => r.isNullAt(0) && !r.isNullAt(1)) &&
+           rows.exists(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "test corpus degenerate: a presence class is empty")
+    assert(rows.map(_.toString).sorted.toSeq === naiveRows(fo()))
+    // and the graded row
+    def q(): DataFrame =
+      graft.rel.RelQueries.queries("range_join_full_auto")(spark, sf)
+    val qPlan = executedPlan(q())
+    assertNoNestedLoop(qPlan, "range_join_full_auto")
+    assert(q().collect().map(_.toString).sorted.toSeq === naiveRows(q()))
+  }
+
   test("stats-derived width: the integer decision is the documented " +
        "power-of-two clamp, pinned on adversarial corpora (many short " +
        "intervals vs few long ones)") {
