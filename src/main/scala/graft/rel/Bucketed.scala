@@ -80,8 +80,31 @@ object Bucketed {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Revenue-per-order histogram over the bucketed AGGREGATION
+    * (`bucketed_agg`, r14 VERDICT Next #7) — the other half of the
+    * 100 TB layout story: `groupBy(l_orderkey)` over the bucketed
+    * lineitem plans with ZERO Exchange below it, because the scan's
+    * bucket distribution already satisfies the aggregation's
+    * clustering — each task aggregates its own bucket. The histogram
+    * roll-up above it is a ≤-dozens-row shuffle of the per-order
+    * results (allowed, like the join row's post-aggregation; the
+    * fact-sized shuffle is the one the layout deletes). Twin: the
+    * same aggregate from the raw parquet — bucketing is a physical
+    * layout, never a semantic change. BucketedJoinSpec pins the
+    * exchange-free agg plan against a raw-parquet shuffles control. */
+  def bucketedAgg(s: SparkSession, d: String): DataFrame = {
+    val (li, _) = ensure(s, d)
+    li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+        .as("rev"))
+      .groupBy(floor(col("rev") / 10000d).cast("long").as("rev_bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("rev_bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "bucketed_join" -> (bucketedJoin _))
+    "bucketed_join" -> (bucketedJoin _),
+    "bucketed_agg" -> (bucketedAgg _))
 
   val oracle: Map[String, String] = Map(
     // the same join/aggregate from the RAW parquet: bucketing is a
@@ -90,5 +113,12 @@ object Bucketed {
       """SELECT o_orderpriority, count(*) AS n,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "bucketed_agg" ->
+      """SELECT CAST(floor(rev / 10000) AS BIGINT) AS rev_bucket,
+        |       count(*) AS n_orders
+        |FROM (SELECT l_orderkey,
+        |             sum(l_extendedprice * (1 - l_discount)) AS rev
+        |      FROM lineitem GROUP BY 1)
+        |GROUP BY 1 ORDER BY rev_bucket""".stripMargin)
 }

@@ -1748,7 +1748,12 @@ object RelQueries {
     * theta join. */
   def rangeJoinFullAuto(s: SparkSession, d: String): DataFrame = {
     graft.plans.RangeJoinRewrite.ensure(s)
+    // materialized once: the decomposition's three branches each read
+    // both sides — the checkpoint turns six parquet scans into one
+    // scan plus cheap RDD re-reads (ScanBudget discipline)
     val ev = Tables.events(s, d).filter(col("user_id") < 10)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .localCheckpoint(true)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("pid"), col("value").as("pv"))
     val c = ev.filter(col("event_type") === "click")
@@ -1935,6 +1940,34 @@ object RelQueries {
       |  WHERE o.o_custkey = c.c_custkey
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
       |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  /** LATERAL correlated AGGREGATE (`lateral_agg`, r14 VERDICT Next #8):
+    * per top-10 customer, their order count and total spend through
+    * SQL-text `, LATERAL (SELECT count(*), sum(...) WHERE o_custkey =
+    * c.c_custkey)` — the aggregate form of the lateral family
+    * ([[lateralTopOrders]] grades the ORDER BY+LIMIT form). A lateral
+    * aggregate with no GROUP BY emits EXACTLY ONE row per outer row —
+    * including (0, NULL) for a customer with no orders — which
+    * Catalyst decorrelates to a grouped aggregate over orders plus an
+    * outer join (never a per-outer-row re-execution; the count's
+    * null-to-zero repair is the decorrelation's classic subtlety).
+    * DuckDB executes the same text with its native lateral executor;
+    * the rows must agree exactly. */
+  def lateralAgg(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+    Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+    s.sql("""
+      |WITH topc AS (
+      |  SELECT c_custkey, c_name FROM customer_lat
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 10)
+      |SELECT c.c_custkey, c.c_name, a.n_orders,
+      |       round(a.total_spend, 2) AS total_spend
+      |FROM topc c, LATERAL (
+      |  SELECT count(*) AS n_orders, sum(o_totalprice) AS total_spend
+      |  FROM orders_lat o
+      |  WHERE o.o_custkey = c.c_custkey) a
+      |ORDER BY c_custkey""".stripMargin)
   }
 
   /** Fixed-width histogram: floor-binning on the value column — integer
@@ -3098,6 +3131,15 @@ object RelQueries {
           .format("parquet").saveAsTable(name))
       s.table(name).localCheckpoint(true)
     }
+    lazy val community: DataFrame = {
+      val name = s"graft_lpa_$fp"
+      Warehouse.ensureTable(s, name)(loc =>
+        s"CREATE TABLE $name (node BIGINT, lbl BIGINT) USING PARQUET " +
+          s"LOCATION '$loc'")(loc =>
+        lpaOf(edges, LpaRounds).write.option("path", loc)
+          .format("parquet").saveAsTable(name))
+      s.table(name).localCheckpoint(true)
+    }
   }
 
   private def coOrderPrep(s: SparkSession, d: String): CoOrderPrep =
@@ -3436,6 +3478,88 @@ object RelQueries {
     }
   }
 
+  /** Fixed round count of the label-propagation community detection —
+    * engine loop and twin unroll share it. The co-order graph is dense
+    * (one giant component, degeneracy ~84): labels flood in 2-3 hops;
+    * 4 synchronous rounds are past observed convergence on every
+    * graded corpus, and a FIXED count keeps engine and oracle provably
+    * in lockstep (the graph_pagerank discipline — grade the mechanism
+    * at a pinned depth, not a data-dependent halt). */
+  private val LpaRounds = 4
+
+  /** SYNCHRONOUS label propagation over an arbitrary (u, v) edge frame
+    * — private[graft] for the hand-graph spec (two cliques + a bridge
+    * separate; a clique converges in one round). Each node votes with
+    * its neighbors' labels PLUS ITS OWN (the self-vote makes a clique
+    * collapse to its min id in a single round and damps 2-cycles);
+    * most votes wins, ties break to the SMALLEST label — fully
+    * deterministic, so the twin's unrolled rounds replay bit-for-bit.
+    *
+    * Round shape = the [[corenessOf]] discipline: the self-looped
+    * symmetric adjacency persists hash-partitioned by the lookup key
+    * `v` (nothing |E|-sized re-shuffles), the vote count
+    * groupBy(u, lbl) partial-aggregates map-side below its exchange
+    * (a hub's repeated neighbor labels collapse before they travel,
+    * so per-node vote state is bounded by distinct neighbor labels),
+    * and the winner is one max(struct(cnt, -lbl)) — no per-node sort,
+    * no window. */
+  private[graft] def lpaOf(edgeFrame: DataFrame, rounds: Int): DataFrame = {
+    val both = edgeFrame.select(col("u"), col("v"))
+      .unionByName(edgeFrame.select(col("v").as("u"), col("u").as("v")))
+    val nodes = both.select(col("u")).distinct()
+    val sym = both
+      .unionByName(nodes.select(col("u"), col("u").as("v")))
+      .repartition(col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var lbl = nodes.select(col("u").as("node"), col("u").as("lbl"))
+        .localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        lbl = sym
+          .join(lbl.select(col("node").as("v"), col("lbl")), Seq("v"))
+          .groupBy(col("u"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("u"))
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("top"))
+          .select(col("u").as("node"), (-col("top.nl")).as("lbl"))
+          .localCheckpoint(true)
+      }
+      lbl
+    } finally {
+      sym.unpersist(false); ()
+    }
+  }
+
+  /** COMMUNITY DETECTION via label propagation (`graph_community`, r14
+    * VERDICT Next #6) — the fourth graph statistic over the memoized
+    * co-order edges: [[LpaRounds]] synchronous [[lpaOf]] rounds, then
+    * the community roll-up (size + member range per surviving label),
+    * ordered largest-first. Labels and tie-breaks are deterministic,
+    * so the DuckDB twin unrolls the identical rounds in MATERIALIZED
+    * CTEs and must agree exactly. The label frame is memoized AND
+    * persisted per (session, dir fingerprint) beside the coreness
+    * labels ([[CoOrderPrep]]). */
+  def graphCommunity(s: SparkSession, d: String): DataFrame =
+    coOrderPrep(s, d).community
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+           min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy(col("n_members").desc, col("community"))
+
+  /** One unrolled LPA round of the community twin over the
+    * MATERIALIZED self-looped symmetric adjacency `symx` — the
+    * identical most-votes/min-label decision, via a per-node
+    * row_number. */
+  private def lpaRoundSql(i: Int): String =
+    s"""l$i AS MATERIALIZED (
+       |  SELECT node, lbl FROM (
+       |    SELECT node, lbl, row_number() OVER (
+       |        PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+       |    FROM (SELECT s.u AS node, c.lbl, count(*) AS cnt
+       |          FROM symx s JOIN l${i - 1} c ON c.node = s.v
+       |          GROUP BY 1, 2) g) t
+       |  WHERE rn = 1)""".stripMargin
+
   /** One unrolled h-index round of the coreness twin over the
     * MATERIALIZED symmetric adjacency `sym`. */
   private def corenessRoundSql(i: Int): String =
@@ -3545,6 +3669,7 @@ object RelQueries {
     "graph_triangles_approx" -> (graphTrianglesApprox _),
     "graph_kcore"        -> (graphKcore _),
     "graph_coreness"     -> (graphCoreness _),
+    "graph_community"    -> (graphCommunity _),
     "graph_pagerank_dyn" -> (graphPagerankDynamic _),
     "graph_trustrank"    -> (graphTrustrank _),
     "graph_converged"    -> (graphConverged _),
@@ -3591,6 +3716,7 @@ object RelQueries {
     "skyline_parts"      -> (skylineParts _),
     "skyline_parts3"     -> (skylineParts3 _),
     "lateral_top_orders" -> (lateralTopOrders _),
+    "lateral_agg" -> (lateralAgg _),
     "cohort_retention"   -> (cohortRetention _),
     "dau_wau"            -> (dauWau _),
     "user_features"      -> (userFeatures _),
@@ -3874,6 +4000,28 @@ object RelQueries {
          |${(1 to CorenessTwinRounds).map(corenessRoundSql).mkString(",\n")}
          |SELECT node, CAST(cv AS BIGINT) AS coreness
          |FROM c$CorenessTwinRounds ORDER BY node""".stripMargin,
+
+    // label propagation: the identical synchronous rounds unrolled in
+    // MATERIALIZED CTEs over the same self-looped symmetric adjacency,
+    // replaying the most-votes/min-label tie-break bit-for-bit
+    "graph_community" ->
+      s"""WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |            FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+         |       FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p),
+         |sym AS MATERIALIZED (SELECT u, v FROM e0
+         |       UNION ALL SELECT v AS u, u AS v FROM e0),
+         |nodes AS (SELECT DISTINCT u AS n FROM sym),
+         |symx AS MATERIALIZED (SELECT u, v FROM sym
+         |       UNION ALL SELECT n AS u, n AS v FROM nodes),
+         |l0 AS (SELECT n AS node, n AS lbl FROM nodes),
+         |${(1 to LpaRounds).map(lpaRoundSql).mkString(",\n")}
+         |SELECT CAST(lbl AS BIGINT) AS community,
+         |       CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(min(node) AS BIGINT) AS min_node,
+         |       CAST(max(node) AS BIGINT) AS max_node
+         |FROM l$LpaRounds
+         |GROUP BY 1 ORDER BY n_members DESC, community""".stripMargin,
 
     "graph_pagerank" ->
       s"""WITH $GraphCtes,
@@ -4644,6 +4792,21 @@ object RelQueries {
         |  WHERE o.o_custkey = c.c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    // the identical LATERAL AGGREGATE text — one row per outer row,
+    // (0, NULL) for order-less customers included; DuckDB runs its
+    // native lateral executor, Spark the decorrelated join
+    "lateral_agg" ->
+      """WITH topc AS (
+        |  SELECT c_custkey, c_name FROM customer
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 10)
+        |SELECT c.c_custkey, c.c_name, a.n_orders,
+        |       round(a.total_spend, 2) AS total_spend
+        |FROM topc c, LATERAL (
+        |  SELECT count(*) AS n_orders, sum(o_totalprice) AS total_spend
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey) a
+        |ORDER BY c_custkey""".stripMargin,
 
     // 3-D skyline: the same NOT-EXISTS dominance form with the sales
     // count as the third criterion — the engine's grid decomposition

@@ -73,6 +73,36 @@ class BucketedJoinSpec extends AnyFunSuite {
     assert(after1 >= before)
   }
 
+  test("r15: bucketed_agg — groupBy(l_orderkey) over the bucketed table " +
+       "plans with ZERO Exchange below the per-order aggregation (the " +
+       "scan's bucket distribution satisfies it); the raw-parquet " +
+       "control shuffles") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val full = executed(graft.rel.Bucketed.bucketedAgg(s, sf))
+    val plan = full.split("== Initial Plan ==").head
+    assert(plan.contains("Bucketed: true"),
+      s"agg scan did not report the bucket layout:\n$plan")
+    // the per-order aggregate is the LAST HashAggregate block printed
+    // (deepest in the tree); no Exchange may sit below it — everything
+    // from it to the scan runs inside the bucket
+    val aggIdx = plan.lastIndexOf("HashAggregate(keys=[l_orderkey")
+    assert(aggIdx >= 0, s"no per-order HashAggregate in plan:\n$plan")
+    assert(!plan.substring(aggIdx).contains("Exchange"),
+      s"bucketed per-order aggregation re-shuffled:\n$plan")
+    // non-vacuous control: the same aggregate over raw parquet shuffles
+    val raw = executed(
+      Tables.lineitem(s, sf)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("rev")))
+      .split("== Initial Plan ==").head
+    val rawAgg = raw.lastIndexOf("HashAggregate(keys=[l_orderkey")
+    assert(rawAgg >= 0 && raw.substring(0, rawAgg).contains("Exchange"),
+      s"raw per-order agg did not shuffle — the assertion proves " +
+        s"nothing:\n$raw")
+  }
+
   test("r15: a session whose catalog forgot the bucketed tables ADOPTS " +
        "the surviving files (no rewrite, no delete) and the adopted " +
        "tables still plan the exchange-free SMJ") {

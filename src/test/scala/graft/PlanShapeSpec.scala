@@ -582,6 +582,22 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     ()
   }
 
+  test("r15: lateral_agg decorrelates — one grouped aggregate over " +
+       "orders plus a join, single orders scan, never a per-outer-row " +
+       "re-execution") {
+    val df = graft.rel.RelQueries.queries("lateral_agg")(spark, sfDir)
+    assert(df.collect().length === 10,
+      "lateral aggregate must emit exactly one row per outer row")
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("HashAggregate(keys=[o_custkey"),
+      s"no decorrelated grouped aggregate over orders:\n$p")
+    val scans = graft.tools.ScanAudit.tableScanCounts(df)
+    assert(scans.getOrElse("orders", 0) === 1,
+      s"orders must scan exactly once (got $scans) — a per-row " +
+        "re-execution would scan it per outer row")
+  }
+
   test("r15: coreness gather — the (u, label) partial agg collapses " +
        "duplicate labels map-side BELOW its exchange, and no Exchange " +
        "ever re-shuffles the persisted |E|-row adjacency") {

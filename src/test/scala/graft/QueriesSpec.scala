@@ -2126,6 +2126,29 @@ class QueriesSpec extends AnyFunSuite {
       s"star corenesses wrong: $labels")
   }
 
+  test("r15: lpaOf — a clique converges in ONE round (the self-vote), " +
+       "two cliques joined by a bridge keep SEPARATE communities, and " +
+       "the propagation is deterministic under reruns") {
+    val s = spark; import s.implicits._
+    def lpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+      graft.rel.RelQueries.lpaOf(edges.toDF("u", "v"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k4a = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val k4b = for { a <- 5L to 8L; b <- (a + 1) to 8L } yield (a, b)
+    // a clique floods to its min id in a single round: every node sees
+    // all ids with one vote each and the tie breaks to the smallest
+    assert(lpa(k4a, 1) === (1L to 4L).map(_ -> 1L).toMap,
+      "K4 did not converge in one round")
+    // the bridge edge (4,5) must NOT merge the cliques: node 5's brief
+    // round-1 capture by the smaller bridge label is out-voted by its
+    // clique in round 2
+    val got = lpa(k4a ++ k4b ++ Seq((4L, 5L)), 4)
+    assert(got === ((1L to 4L).map(_ -> 1L) ++ (5L to 8L).map(_ -> 5L)).toMap,
+      s"bridged cliques wrong: $got")
+    assert(lpa(k4a ++ k4b ++ Seq((4L, 5L)), 4) === got,
+      "LPA rerun diverged — the tie-break is not deterministic")
+  }
+
   test("r15: coreness labels and co-order edges persist as warehouse " +
        "tables — a fresh session reuses them with ZERO fixpoint rounds, " +
        "and a session whose catalog forgot them ADOPTS the files " +
