@@ -77,23 +77,45 @@ object Bench {
       times(name) = scala.collection.mutable.ArrayBuffer.empty[Double]
       okFlag(name) = true
     }
+    def medianOf(ts: Seq[Double]): Double =
+      if (ts.isEmpty) 0.0 else {
+        val s = ts.sorted
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+      }
+    def timedPass(subset: Set[String], label: Int => String): Unit =
+      ordered.foreach { case (name, fn) =>
+        if (okFlag(name) && subset.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            times(name) += (System.nanoTime() - t0) / 1e9
+          } catch { // fail the query, but never silently: the committed bench
+            case scala.util.control.NonFatal(e) => // is the audit trail for crashes too
+              System.err.println(s"bench fail: $name ${label(0)}: $e")
+              okFlag(name) = false
+          }
+        }
+      }
+    val allNames = ordered.map(_._1).toSet
     var pass = -nWarmup // negative passes run but record nothing
     while (pass < nRuns) {
+      val p = pass
       ordered.foreach { case (name, fn) =>
         if (okFlag(name)) {
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
-            if (pass >= 0) times(name) += (System.nanoTime() - t0) / 1e9
-          } catch { // fail the query, but never silently: the committed bench
-            case scala.util.control.NonFatal(e) => // is the audit trail for crashes too
+            if (p >= 0) times(name) += (System.nanoTime() - t0) / 1e9
+          } catch { // fail the query, but never silently
+            case scala.util.control.NonFatal(e) =>
               // a warmup-only failure still disqualifies the query (zero
               // recorded times, listed in "failed") BY DESIGN: a query
               // that crashes on any execution cannot be trusted on the
               // recorded ones either, and a crash must never improve
               // the bench by skipping work
-              val label = if (pass < 0) s"warmup pass ${pass + nWarmup + 1}"
-                          else s"pass ${pass + 1}"
+              val label = if (p < 0) s"warmup pass ${p + nWarmup + 1}"
+                          else s"pass ${p + 1}"
               System.err.println(s"bench fail: $name $label: $e")
               okFlag(name) = false
           }
@@ -101,14 +123,29 @@ object Bench {
       }
       pass += 1
     }
+    // SUB-SECOND queries get extra interleaved passes to a total of
+    // SPARK_GRAFT_BENCH_RUNS_SUBSEC (default 5, r14 VERDICT Next #5):
+    // every adjudicated bench flag of r13/r14 was a CHEAP query whose
+    // 3-sample median landed on a transient box window covering two of
+    // the three passes — queries where box noise dominates the
+    // operator's own cost are exactly the ones needing more samples,
+    // and their extra passes are bounded by their own sub-second
+    // medians (≤ ~2 × Σ sub-second cost of wall-clock). The committed
+    // per-query run lists keep the widened spread auditable; comparers
+    // take the per-pass MIN, which the extra samples stabilize.
+    val nRunsSub = math.max(nRuns,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_SUBSEC", "5").toInt)
+    var extra = nRuns
+    while (extra < nRunsSub) {
+      val e = extra
+      val subsec = allNames.filter(n =>
+        okFlag(n) && times(n).nonEmpty && medianOf(times(n).toSeq) <= 1.0)
+      timedPass(subsec, _ => s"sub-second pass ${e + 1}")
+      extra += 1
+    }
     val results = ordered.map { case (name, _) =>
       val ts = times(name).toSeq
-      val median = if (ts.isEmpty) 0.0 else {
-        val s = ts.sorted
-        if (s.length % 2 == 1) s(s.length / 2)
-        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
-      }
-      (name, median, okFlag(name), ts)
+      (name, medianOf(ts), okFlag(name), ts)
     }
     val failed = results.collect { case (n, _, false, _) => n }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }

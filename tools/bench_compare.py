@@ -8,6 +8,19 @@ median new/old ratio over a CANARY set of trivial, dependency-free
 queries (scalar/window ops that no engine change plausibly touches),
 divides it out, and reports only residual per-query regressions.
 
+Per-query statistic (r15): the MIN over the recording's per-pass run
+list, not the median. Every flag of r13 and r14 had the same signature
+— an alphabetically-contiguous block with TWO of three interleaved
+passes inflated by a transient box window and one pass at exact
+historical steady state; a 3-sample median lands on a disturbed pass,
+and each flag re-timed in isolation to that clean pass's value. The
+canaries are FLAT across passes in those recordings (verified on the
+r14 artifact), so per-pass canary normalization cannot repair a
+block-local window — but the min can: disturbance only ever ADDS time,
+so the fastest sample is the one the box could not have inflated, and
+a REAL plan regression inflates every pass, min included. Recordings
+without a "runs" field fall back to the recorded median.
+
 Usage: python3 tools/bench_compare.py OLD.json NEW.json [threshold]
 Exit 1 if any query regresses more than threshold (default 1.5x) after
 normalization.
@@ -37,18 +50,24 @@ STREAM_MEMBER = re.compile(r"^(cdc|doc|emb|mm)_stream_")
 
 def fold_stream_family(rec):
     queries = rec["queries"]
+    runs = rec.get("runs") or {}
+
+    def stat(q):
+        ts = runs.get(q)
+        return min(ts) if ts else queries[q]
+
     fams = rec.get("families")
     if fams:
-        folded = {q: t for q, t in queries.items() if q not in fams}
+        folded = {q: stat(q) for q in queries if q not in fams}
         sums = {}
-        for q, t in queries.items():
+        for q in queries:
             if q in fams:
-                sums[fams[q]] = sums.get(fams[q], 0.0) + t
+                sums[fams[q]] = sums.get(fams[q], 0.0) + stat(q)
         for f, t in sums.items():
             folded[f"family[{f}]"] = t
     else:
-        folded = {q: t for q, t in queries.items() if not STREAM_MEMBER.match(q)}
-        fam = [t for q, t in queries.items() if STREAM_MEMBER.match(q)]
+        folded = {q: stat(q) for q in queries if not STREAM_MEMBER.match(q)}
+        fam = [stat(q) for q in queries if STREAM_MEMBER.match(q)]
         if fam:
             folded["stream_family[sum]"] = sum(fam)
     return folded
