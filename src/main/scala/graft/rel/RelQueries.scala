@@ -1955,15 +1955,21 @@ object RelQueries {
     * DuckDB executes the same text with its native lateral executor;
     * the rows must agree exactly. */
   def lateralAgg(s: SparkSession, d: String): DataFrame = {
-    Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+    // the top-10 outer materializes ONCE: the scalar-lateral
+    // decorrelation introduces a domain join over the outer's keys, so
+    // an inline CTE would scan customer twice (ScanBudget discipline —
+    // the LIMIT-form lateral_top_orders has no domain join and keeps
+    // its CTE inline)
+    Tables.customer(s, d)
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(10).select(col("c_custkey"), col("c_name"))
+      .localCheckpoint(true)
+      .createOrReplaceTempView("topc_lat")
     Tables.orders(s, d).createOrReplaceTempView("orders_lat")
     s.sql("""
-      |WITH topc AS (
-      |  SELECT c_custkey, c_name FROM customer_lat
-      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 10)
       |SELECT c.c_custkey, c.c_name, a.n_orders,
       |       round(a.total_spend, 2) AS total_spend
-      |FROM topc c, LATERAL (
+      |FROM topc_lat c, LATERAL (
       |  SELECT count(*) AS n_orders, sum(o_totalprice) AS total_spend
       |  FROM orders_lat o
       |  WHERE o.o_custkey = c.c_custkey) a

@@ -33,8 +33,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Every write goes through `.option("path", ...)`, so the catalog
   * entries are EXTERNAL: a `DROP TABLE` (or a dead catalog) never
-  * deletes the files — dropping data requires deleting the location,
-  * which nothing here does once it is complete. */
+  * deletes the files. The one deletion of complete data is the
+  * stale-SIBLING sweep ([[sweepStaleSiblings]]): same family, a
+  * DIFFERENT fingerprint (its source dir was regenerated — the only
+  * possible reader predates the rewrite), hours old, unregistered —
+  * the unbounded-growth guard for fingerprint-keyed artifacts. */
 object Warehouse {
 
   /** FileLock is per-process: serialize in-JVM callers before
@@ -74,6 +77,33 @@ object Warehouse {
     * (WarehouseSpec asserts the zero-rebuild reuse path actually ran). */
   private[graft] val adopted = new java.util.concurrent.atomic.AtomicLong
 
+  /** Stale-sibling sweep age: a same-family location with a DIFFERENT
+    * fingerprint is data for a source dir that no longer exists in
+    * that form (the fingerprint hashes the source listing), so its
+    * only possible reader is a process started before the rewrite;
+    * six hours is far past any driver round. Spec-tunable. */
+  @volatile private[graft] var staleAfterMs: Long = 6L * 3600 * 1000
+
+  /** Under the lock, delete same-FAMILY locations with a different
+    * fingerprint that are old and unregistered — the unbounded-growth
+    * guard for fingerprint-keyed artifacts (every regenerated testdata
+    * dir mints a new name and would otherwise strand the old files
+    * forever). Never touches the current fingerprint, never touches a
+    * location the catalog still references, never touches anything
+    * younger than [[staleAfterMs]]. */
+  private def sweepStaleSiblings(s: SparkSession, name: String): Unit = {
+    val fam = name.replaceAll("_[0-9a-f]{8}$", "")
+    if (fam == name) return // not fingerprint-keyed: nothing to sweep
+    val cutoff = System.currentTimeMillis() - staleAfterMs
+    val pat = s"\\Q${fam}\\E_[0-9a-f]{8}".r
+    Option(dir(s).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName != name &&
+        pat.pattern.matcher(f.getName).matches() &&
+        f.lastModified() < cutoff &&
+        !s.catalog.tableExists(f.getName))
+      .foreach(rmTree)
+  }
+
   /** Ensure `name` exists in this session's catalog: reuse the entry,
     * adopt a complete on-disk location, or clean an incomplete one and
     * `write` fresh. `adoptDdl(loc)` must be the CREATE TABLE matching
@@ -84,6 +114,7 @@ object Warehouse {
                                 (write: String => Unit): Unit =
     if (!s.catalog.tableExists(name)) withLock(s) {
       if (!s.catalog.tableExists(name)) {
+        sweepStaleSiblings(s, name)
         val loc = new java.io.File(dir(s), name)
         if (complete(loc)) {
           s.sql(adoptDdl(loc.getAbsolutePath))
