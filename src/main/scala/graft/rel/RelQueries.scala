@@ -3448,10 +3448,15 @@ object RelQueries {
       .repartition(col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var cv = sym.groupBy(col("u"))
-        .agg(count(lit(1)).as("cv"))
-        .select(col("u").as("node"), col("cv"))
-        .localCheckpoint(true)
+      // checkpointDetached, NOT localCheckpoint: the round references
+      // cv three times (value gather, clamp, convergence join), so a
+      // stats-carrying checkpoint chain doubles its sizeInBytes DIGITS
+      // every round and wedges the optimizer in BigInteger arithmetic
+      // by round ~30 (measured — see GraftBridge.checkpointDetached)
+      var cv = org.apache.spark.sql.GraftBridge.checkpointDetached(
+        sym.groupBy(col("u"))
+          .agg(count(lit(1)).as("cv"))
+          .select(col("u").as("node"), col("cv")))
       var nChanged = 1L
       var rounds = 0
       while (nChanged > 0) {
@@ -3471,10 +3476,10 @@ object RelQueries {
               .as("cv2"))
         // one materialization carries both the next labels and the
         // convergence flag; the count after it reads the checkpoint
-        val step = next.join(cv, Seq("node"))
-          .select(col("node"), col("cv2").as("cv"),
-            (col("cv2") < col("cv")).as("chg"))
-          .localCheckpoint(true)
+        val step = org.apache.spark.sql.GraftBridge.checkpointDetached(
+          next.join(cv, Seq("node"))
+            .select(col("node"), col("cv2").as("cv"),
+              (col("cv2") < col("cv")).as("chg")))
         nChanged = step.filter(col("chg")).count()
         cv = step.select(col("node"), col("cv"))
       }

@@ -47,6 +47,30 @@ object GraftBridge {
         cs.experimental.extraOptimizations :+ rule
   }
 
+  /** An eager local checkpoint WITHOUT origin statistics — the
+    * per-round materialization of an iterative fixpoint. A plain
+    * `localCheckpoint` wraps the RDD in a [[execution.LogicalRDD]]
+    * carrying the ORIGIN plan's estimated Statistics; when a
+    * fixpoint's next round joins the previous checkpoint more than
+    * once, sizeInBytes multiplies against itself through the
+    * checkpoint chain and its DIGIT COUNT doubles per round — by
+    * round ~30 the optimizer sits in `BigInteger.multiply` on
+    * trillion-digit numbers (observed live: the r15 coreness fixpoint
+    * wedged the sf0.1 bench for an hour; a 10-round probe measured
+    * 12 → 7963 digits). Dropping originStats makes the leaf report
+    * the flat default, so every round's plan costs the same to
+    * estimate. Partitioning/ordering are preserved verbatim. */
+  def checkpointDetached(df: Dataset[_]): DataFrame = {
+    val ck = df.asInstanceOf[classic.Dataset[_]].localCheckpoint(true)
+    ck.queryExecution.logical match {
+      case l: execution.LogicalRDD =>
+        classic.Dataset.ofRows(ck.sparkSession,
+          execution.LogicalRDD(l.output, l.rdd, l.outputPartitioning,
+            l.outputOrdering, l.isStreaming, l.stream)(ck.sparkSession))
+      case _ => ck.toDF()
+    }
+  }
+
   /** Parse SQL text with the session's own parser (the injected
     * [[graft.plans.GraftSqlParser]] when extensions are installed, the
     * stock parser otherwise). */
