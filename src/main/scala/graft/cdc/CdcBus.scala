@@ -546,6 +546,158 @@ object CdcBus {
     v.orderBy(col("event_type"))
   }
 
+  /** The two sub-streams of the JOIN view — the reference's own
+    * two-stream shape (request↔response correlation, lib/nats.js:
+    * 216-223) mapped onto the bus: purchase-channel state correlated
+    * with click-channel state by a shared key. `grp` (user_id mod
+    * [[IvmJoinBuckets]]) is deliberately COARSER than the channel key
+    * so the join has real multiplicity (~6×6 pairs per group at
+    * sf0.01) — a 1:1 key would never exercise the delta rule's
+    * multiset weights. */
+  private val IvmJoinTypeA = "purchase"
+  private val IvmJoinTypeB = "click"
+  private val IvmJoinBuckets = 25
+
+  /** Per-channel retained state of ONE sub-stream in join-view shape:
+    * (channel, grp, cents). [[lastPerChannel]] with the join key kept. */
+  private def ivmJoinSideState(ev: DataFrame, etype: String): DataFrame = {
+    val w = Window.partitionBy(col("channel"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.filter(col("event_type") === etype)
+      .withColumn("channel",
+        Tables.channelCol(col("event_type"), col("user_id")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("channel"),
+        (col("user_id") % IvmJoinBuckets).as("grp"),
+        floor(col("value") * 100).cast("long").as("cents"))
+  }
+
+  /** The per-group roll-up of the joined pair multiset — shared by the
+    * T0 materialization and (in signed form) the delta rule: per grp,
+    * pair count and the exact-cents sum of both sides' contributions. */
+  private def ivmJoinView(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("grp"), col("cents").as("a_cents"))
+      .join(b.select(col("grp"), col("cents").as("b_cents")), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(col("a_cents") + col("b_cents")).as("total_cents"))
+
+  /** The (stateA, stateB, view) triple at T0 for the JOIN view — the
+    * first TWO-RELATION member of the IVM family ([[ivmStep]] /
+    * [[ivmStepMinMax]] / [[ivmStepDistinct]] all maintain views over
+    * one relation). Both state relations and the view are what a
+    * production maintenance loop persists between batches. */
+  private[graft] def ivmBaseJoin(s: SparkSession, d: String,
+                      t0: java.time.Instant)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ev = Tables.eventsUpTo(s, d, t0)
+    val stA = ivmJoinSideState(ev, IvmJoinTypeA).localCheckpoint(true)
+    val stB = ivmJoinSideState(ev, IvmJoinTypeB).localCheckpoint(true)
+    (stA, stB, ivmJoinView(stA, stB).localCheckpoint(true))
+  }
+
+  /** ONE maintenance step for the JOIN view — the textbook delta-join
+    * rule. With the CDC replace semantics rendered as a SIGNED multiset
+    * (each changed channel RETRACTS its old state row at weight −1 and
+    * INSERTS its new one at +1, so ΔA/ΔB carry ≤ 2·|touched channels|
+    * rows each), the joined pair multiset moves by exactly
+    *
+    *   Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+    *
+    * against the OLD states, a pair's weight being the product of its
+    * sides' weights — the identity (A+ΔA)⋈(B+ΔB) − A⋈B expanded, exact
+    * for any multiplicity, including a replace that MOVES a row
+    * between join groups (its −1 pairs drain the old group while its
+    * +1 pairs fill the new one — the poison shape CdcBusSpec pins).
+    * The grouped count/sum view then folds the signed pair deltas
+    * (count and sum ARE self-maintainable over a signed stream; the
+    * non-self-maintainable part of the problem is the JOIN, not the
+    * aggregate).
+    *
+    * Cost shape at 100 TB: the two delta scans + |touched channels|
+    * retract lookups + two broadcast-delta⋈state joins + one
+    * delta⋈delta join + the |groups|-row view adjustment — the base
+    * event history is NEVER re-read (both deltas are eagerly
+    * materialized, so the step's own plan holds no file scan at all —
+    * plan-asserted by CdcBusSpec). A group whose pairs drain to zero
+    * leaves the view (the recompute twin has no such row; a later
+    * insert re-creates it through the full-outer fold).
+    *
+    * Returns (stateA', stateB', view'). */
+  private[graft] def ivmStepJoin(stA: DataFrame, stB: DataFrame,
+                      view: DataFrame, deltaEvA: DataFrame,
+                      deltaEvB: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val dAn = ivmJoinSideState(deltaEvA, IvmJoinTypeA).localCheckpoint(true)
+    val dBn = ivmJoinSideState(deltaEvB, IvmJoinTypeB).localCheckpoint(true)
+    def signed(newRows: DataFrame, st: DataFrame): DataFrame =
+      newRows.withColumn("w", lit(1L)).unionByName(
+        st.join(newRows.select(col("channel")), Seq("channel"), "left_semi")
+          .withColumn("w", lit(-1L)))
+    val dA = signed(dAn, stA).localCheckpoint(true)
+    val dB = signed(dBn, stB).localCheckpoint(true)
+    def aSide(df: DataFrame, w: Boolean): DataFrame =
+      if (w) df.select(col("grp"), col("cents").as("a_cents"), col("w").as("wa"))
+      else df.select(col("grp"), col("cents").as("a_cents"), lit(1L).as("wa"))
+    def bSide(df: DataFrame, w: Boolean): DataFrame =
+      if (w) df.select(col("grp"), col("cents").as("b_cents"), col("w").as("wb"))
+      else df.select(col("grp"), col("cents").as("b_cents"), lit(1L).as("wb"))
+    // the three delta-join terms; deltas broadcast against the states
+    val pairDelta =
+      broadcast(aSide(dA, w = true)).join(bSide(stB, w = false), Seq("grp"))
+        .unionByName(
+          aSide(stA, w = false).join(broadcast(bSide(dB, w = true)), Seq("grp")))
+        .unionByName(
+          aSide(dA, w = true).join(bSide(dB, w = true), Seq("grp")))
+    val adj = pairDelta.groupBy(col("grp"))
+      .agg(sum(col("wa") * col("wb")).as("dn"),
+           sum(col("wa") * col("wb") * (col("a_cents") + col("b_cents")))
+             .as("dcents"))
+    val view2 = view.join(adj, Seq("grp"), "full")
+      .select(col("grp"),
+        (coalesce(col("n_pairs"), lit(0L)) +
+          coalesce(col("dn"), lit(0L))).as("n_pairs"),
+        (coalesce(col("total_cents"), lit(0L)) +
+          coalesce(col("dcents"), lit(0L))).as("total_cents"))
+      .filter(col("n_pairs") > 0L)
+    def advance(st: DataFrame, dNew: DataFrame): DataFrame =
+      st.join(dNew.select(col("channel")), Seq("channel"), "left_anti")
+        .unionByName(dNew)
+    (advance(stA, dAn), advance(stB, dBn), view2)
+  }
+
+  /** INCREMENTAL VIEW MAINTENANCE of a JOIN view (`cdc_ivm_join`, r15
+    * VERDICT Next #1): the view "per user-bucket: joined
+    * purchase×click pair count and exact-cents pair total" materialized
+    * at T0 and maintained to the head of the bus by ONE delta batch on
+    * EACH side via the delta-join rule ([[ivmStepJoin]]). Graded
+    * against the full recompute at the head — the first IVM row whose
+    * maintained object is a two-relation view. */
+  def ivmJoin(s: SparkSession, d: String): DataFrame = {
+    val t0 = java.time.Instant.parse("2024-01-15T00:00:00Z")
+    val (stA, stB, view) = ivmBaseJoin(s, d, t0)
+    val delta = Tables.eventsBetween(s, d, Some(t0), None)
+    val (_, _, v) = ivmStepJoin(stA, stB, view, delta, delta)
+    v.orderBy(col("grp"))
+  }
+
+  /** [[ivmJoin]] COMPOSED over two successive delta batches
+    * (`cdc_ivm_join_compose`) — the production-loop shape for the
+    * two-relation view: the second step's retract lookups and
+    * delta-join terms run against the FIRST step's maintained states,
+    * never the base or the first batch. Same full-recompute twin:
+    * composition must be associative. */
+  def ivmJoinCompose(s: SparkSession, d: String): DataFrame = {
+    val t0 = java.time.Instant.parse("2024-01-10T00:00:00Z")
+    val t1 = java.time.Instant.parse("2024-01-20T00:00:00Z")
+    val (a0, b0, v0) = ivmBaseJoin(s, d, t0)
+    val d1 = Tables.eventsBetween(s, d, Some(t0), Some(t1))
+    val (a1, b1, v1) = ivmStepJoin(a0, b0, v0, d1, d1)
+    val d2 = Tables.eventsBetween(s, d, Some(t1), None)
+    val (_, _, v2) = ivmStepJoin(a1.localCheckpoint(true),
+      b1.localCheckpoint(true), v1.localCheckpoint(true), d2, d2)
+    v2.orderBy(col("grp"))
+  }
+
   /** Sequence-gap audit — the lost/duplicate-message check of an
     * at-least-once transport: within each event_type sub-stream, compare
     * consecutive global sequence numbers (the JetStream-sequence
@@ -696,6 +848,8 @@ object CdcBus {
     "cdc_ivm_minmax"      -> (ivmMinMax _),
     "cdc_ivm_distinct"    -> (ivmDistinct _),
     "cdc_ivm_minmax_compose" -> (ivmMinMaxCompose _),
+    "cdc_ivm_join"        -> (ivmJoin _),
+    "cdc_ivm_join_compose" -> (ivmJoinCompose _),
     "cdc_ivm_compose"     -> (ivmCompose _))
 
   /** The IVM rows' shared twin: per event_type, live-channel count and
@@ -728,7 +882,33 @@ object CdcBus {
        |      FROM ev) t
        |WHERE rn = 1 GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  /** The JOIN view's full recompute at the bus head — shared by the
+    * one-batch and composed maintenance rows: per user-bucket, the
+    * joined purchase×click pair count and exact-cents pair total over
+    * each channel's CURRENT value. Whatever batching produced the
+    * maintained view, it must equal this. */
+  private[graft] val IvmJoinRecomputeTwin: String =
+    s"""${Tables.BusCte},
+       |cur AS (SELECT channel, event_type,
+       |          user_id % $IvmJoinBuckets AS grp,
+       |          CAST(floor(value * 100) AS BIGINT) AS cents,
+       |          row_number() OVER (PARTITION BY channel
+       |            ORDER BY ts DESC, event_id DESC) AS rn
+       |        FROM ev),
+       |a AS (SELECT grp, cents FROM cur
+       |      WHERE rn = 1 AND event_type = '$IvmJoinTypeA'),
+       |b AS (SELECT grp, cents FROM cur
+       |      WHERE rn = 1 AND event_type = '$IvmJoinTypeB')
+       |SELECT a.grp AS grp, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(a.cents + b.cents) AS BIGINT) AS total_cents
+       |FROM a JOIN b ON a.grp = b.grp
+       |GROUP BY 1 ORDER BY grp""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // the two-relation JOIN view grades against the full recompute at
+    // the head — the delta-join rule invents nothing, one batch or two
+    "cdc_ivm_join" -> IvmJoinRecomputeTwin,
+    "cdc_ivm_join_compose" -> IvmJoinRecomputeTwin,
     // the wire loop transports the slice losslessly, so the oracle is the
     // same aggregate computed directly from events (channel re-synthesized
     // by the BusCte exactly as the published envelopes carried it)

@@ -244,4 +244,65 @@ class CdcBusSpec extends AnyFunSuite {
     assert(CdcBus.queries("cdc_ivm_distinct")(spark, sf).collect()
       .map(_.toString).toSeq === want)
   }
+
+  test("r16: IVM JOIN view — a replace that MOVES a row between join " +
+       "groups drains the old group's pairs and fills the new one, the " +
+       "delta×delta term lands, and the step plan re-reads no base " +
+       "history") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    // states at T0 — the A row sits in grp 3 under the OLD key mapping
+    // (the delta rule must take the retraction's group from the STATE
+    // row and the insert's from the delta: a view keyed on a DERIVED
+    // attribute moves rows between groups exactly like this)
+    val stA = Seq(("cdc/purchase/7", 3L, 100L))
+      .toDF("channel", "grp", "cents")
+    val stB = Seq(("cdc/click/3", 3L, 10L), ("cdc/click/7", 7L, 20L))
+      .toDF("channel", "grp", "cents")
+    val view = Seq((3L, 1L, 110L)).toDF("grp", "n_pairs", "total_cents")
+    // POISON batch: purchase/7 re-keys to grp 7 (user_id 7 % 25) at
+    // 2.00 AND click/7 replaces 20 → 50 in the same batch — the old
+    // grp-3 pair must drain (view row leaves), and the only correct
+    // grp-7 total is 200+50: the ΔA⋈B term (+220 against click/7's OLD
+    // 20) must be cancelled by the ΔA⋈ΔB cross term (−220, +250)
+    val dA = Seq((ts(10), 11L, "purchase", 7L, 2.00))
+      .toDF("ts", "event_id", "event_type", "user_id", "value")
+    val dB = Seq((ts(11), 12L, "click", 7L, 0.50))
+      .toDF("ts", "event_id", "event_type", "user_id", "value")
+    val (a2, b2, v2) = CdcBus.ivmStepJoin(stA, stB, view, dA, dB)
+    assert(v2.orderBy(col("grp")).collect().map(_.toString).toSeq ===
+      Seq("[7,1,250]"), "group-moving replace mis-maintained")
+    assert(a2.collect().map(_.toString).toSeq === Seq("[cdc/purchase/7,7,200]"))
+    assert(b2.count() === 2L)
+    // and on the real corpus: the graded step's plan holds NO file
+    // scan — states and deltas are materialized, so the maintenance
+    // arithmetic can never silently re-read the base event history
+    val sf = "/root/testdata/sf0.001"
+    val t0 = java.time.Instant.parse("2024-01-15T00:00:00Z")
+    val (sa, sb, v0) = CdcBus.ivmBaseJoin(spark, sf, t0)
+    val delta = Tables.eventsBetween(spark, sf, Some(t0), None)
+    val (_, _, vStep) = CdcBus.ivmStepJoin(sa, sb, v0, delta, delta)
+    val plan = vStep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet") && !plan.contains("FileScan"),
+      s"join-IVM step re-reads base history:\n$plan")
+    // and the graded row equals the full recompute at the head
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("channel")).orderBy(col("ts").desc, col("event_id").desc)
+    val cur = Tables.bus(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("grp", col("user_id") % 25)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    val want = cur.filter(col("event_type") === "purchase")
+      .select(col("grp"), col("cents").as("a_cents"))
+      .join(cur.filter(col("event_type") === "click")
+        .select(col("grp"), col("cents").as("b_cents")), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a_cents") + col("b_cents")).as("total_cents"))
+      .orderBy(col("grp")).collect().map(_.toString).toSeq
+    assert(CdcBus.queries("cdc_ivm_join")(spark, sf).collect()
+      .map(_.toString).toSeq === want)
+  }
 }
