@@ -904,6 +904,21 @@ object CdcBus {
        |FROM a JOIN b ON a.grp = b.grp
        |GROUP BY 1 ORDER BY grp""".stripMargin
 
+  /** The DISTINCT-COUNT view's full recompute at the bus head — shared
+    * by the batch maintenance row (`cdc_ivm_distinct`) and the live /
+    * restart changelog rows (`cdc_stream_ivm_distinct`,
+    * `cdc_stream_restart_ivm_distinct`). */
+  private[graft] val IvmDistinctRecomputeTwin: String =
+    s"""${Tables.BusCte}
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_channels,
+       |       CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct
+       |FROM (SELECT channel, event_type,
+       |        CAST(floor(value * 100) AS BIGINT) AS cents,
+       |        row_number() OVER (PARTITION BY channel
+       |          ORDER BY ts DESC, event_id DESC) AS rn
+       |      FROM ev) t
+       |WHERE rn = 1 GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the two-relation JOIN view grades against the full recompute at
     // the head — the delta-join rule invents nothing, one batch or two
@@ -977,17 +992,8 @@ object CdcBus {
     "cdc_ivm_minmax" -> IvmMinMaxRecomputeTwin,
     // distinct-count: the full recompute at the head — the signed
     // presence-flip maintenance must agree exactly with never having
-    // maintained at all
-    "cdc_ivm_distinct" ->
-      s"""${Tables.BusCte}
-         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_channels,
-         |       CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct
-         |FROM (SELECT channel, event_type,
-         |        CAST(floor(value * 100) AS BIGINT) AS cents,
-         |        row_number() OVER (PARTITION BY channel
-         |          ORDER BY ts DESC, event_id DESC) AS rn
-         |      FROM ev) t
-         |WHERE rn = 1 GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // maintained at all (shared with the live and restart tiers)
+    "cdc_ivm_distinct" -> IvmDistinctRecomputeTwin,
     "cdc_ivm_minmax_compose" -> IvmMinMaxRecomputeTwin,
 
     "cdc_deep_route" ->

@@ -89,7 +89,7 @@ object StreamGrade {
     (Set("cdc_stream_scd2", "cdc_stream_gaps", "cdc_stream_rpc",
          "cdc_stream_take", "cdc_stream_user_features",
          "cdc_stream_asof_join", "cdc_stream_ivm",
-         "cdc_stream_ivm_minmax"), true),
+         "cdc_stream_ivm_minmax", "cdc_stream_ivm_distinct"), true),
     // bus replay, stream-stream interval joins
     (Set("cdc_stream_rpc_join", "cdc_stream_rpc_outer"), false),
     // document-crawl replay (mixed: the TWS members need RocksDB; the
@@ -112,7 +112,8 @@ object StreamGrade {
   private val rocksSingletons =
     Set("cdc_stream_restart_scd2", "cdc_stream_restart_asof",
         "emb_stream_restart_maintained", "cdc_stream_restart_ivm",
-        "cdc_stream_restart_ivm_minmax", "mm_stream_phash_dup")
+        "cdc_stream_restart_ivm_minmax", "cdc_stream_restart_ivm_distinct",
+        "mm_stream_phash_dup")
 
   /** member → billing-family id (the alphabetically first member) for
     * bench artifacts: a co-schedule bills the family's wall-clock to
@@ -514,15 +515,66 @@ object StreamGrade {
         runToSink(s, Streams.minmaxChangelog(typed).toDF(), "append",
           "stream_ivm_minmax")
       }
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("channel"))
-        .orderBy(col("ts_us").desc, col("event_id").desc)
-      log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_channels"),
-             max(col("cents")).as("max_cents"),
-             min(col("cents")).as("min_cents"))
-        .orderBy(col("event_type"))
+      minmaxFold(log).orderBy(col("event_type"))
+    }
+
+  /** Reconstruct the per-channel state relation from the appended
+    * value-transition changelog (argmax over each channel's (ts_us,
+    * event_id)-stamped transitions) and derive the group MIN/MAX view
+    * from it. */
+  private def minmaxFold(log: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("channel"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_channels"),
+           max(col("cents")).as("max_cents"),
+           min(col("cents")).as("min_cents"))
+  }
+
+  /** The DISTINCT-COUNT consumer of the SAME changelog — the point the
+    * distinct tiers exist to make: ONE value-transition changelog
+    * ([[Streams.MinMaxChangelogGate]]) serves EVERY
+    * non-self-maintainable downstream view. Distinct-count, like
+    * MIN/MAX, cannot fold scalar deltas (retracting a value's LAST
+    * holder decrements the count, retracting one of several holders
+    * does not — invisible to the view alone), so the consumer
+    * reconstructs the per-channel state relation and counts distinct
+    * current values per group; the changelog side needs nothing new.
+    * The last-holder poison transition is pinned by StreamingSpec. */
+  private[graft] def distinctFold(log: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("channel"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_channels"),
+           countDistinct(col("cents")).as("n_distinct"))
+  }
+
+  /** STREAMING DISTINCT-COUNT view maintenance, graded
+    * (`cdc_stream_ivm_distinct`, r15 VERDICT Next #2): the live tier of
+    * `cdc_ivm_distinct` — the value-transition changelog (shared with
+    * the MIN/MAX tier; see [[distinctFold]] for why the SAME changelog
+    * is the correct feed) folded into per-group distinct current
+    * values. Twin: the full recompute at the bus head
+    * ([[graft.cdc.CdcBus.IvmDistinctRecomputeTwin]], shared verbatim
+    * with the batch row). */
+  def streamIvmDistinct(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val spark = s; import spark.implicits._
+      implicit val ss: SparkSession = s
+      val typed = busStream
+        .select(col("channel").as("_1"),
+          struct(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props")).as("_2"))
+        .as[(String, Streams.BusEvent)]
+      val log = withRocksDb(s) {
+        runToSink(s, Streams.minmaxChangelog(typed).toDF(), "append",
+          "stream_ivm_distinct")
+      }
+      distinctFold(log).orderBy(col("event_type"))
     }
 
   /** STREAMING sequence-gap audit, graded: [[Streams.seqGapStream]]'s
@@ -1132,11 +1184,34 @@ object StreamGrade {
     * transitions must equal the full recompute at the head
     * ([[graft.cdc.CdcBus.IvmMinMaxRecomputeTwin]], shared verbatim
     * with the batch and live rows). */
-  def streamRestartIvmMinMax(s: SparkSession, d: String): DataFrame = {
+  def streamRestartIvmMinMax(s: SparkSession, d: String): DataFrame =
+    restartValueChangelog(s, d, "graft_stream_rivmm_")(minmaxFold)
+
+  /** DISTINCT-COUNT CHANGELOG CHECKPOINT RECOVERY, graded
+    * (`cdc_stream_restart_ivm_distinct`, r15 VERDICT Next #2):
+    * [[streamRestartIvmMinMax]]'s two-lifetime / redelivered-slice
+    * shape with the [[distinctFold]] consumer — the recovered
+    * high-water marks must refuse every redelivered transition (a
+    * double-applied transition row is invisible to the argmax
+    * reconstruction only when identical; refusal is the contract), and
+    * the distinct-count reconstruction over both lifetimes must equal
+    * the full recompute at the head
+    * ([[graft.cdc.CdcBus.IvmDistinctRecomputeTwin]], shared verbatim
+    * with the batch and live rows). */
+  def streamRestartIvmDistinct(s: SparkSession, d: String): DataFrame =
+    restartValueChangelog(s, d, "graft_stream_rivmd_")(distinctFold)
+
+  /** The shared two-lifetime harness of the value-changelog restart
+    * rows: lifetime 1 consumes slices 1-2 into one checkpoint, lifetime
+    * 2 recovers and consumes slice 3 PLUS the whole second slice
+    * REDELIVERED under a new file name; `fold` reconstructs the graded
+    * view from the appended transitions of both lifetimes. */
+  private def restartValueChangelog(s: SparkSession, d: String,
+      tmpPrefix: String)(fold: DataFrame => DataFrame): DataFrame = {
     val spark = s; import spark.implicits._
     implicit val ss: SparkSession = s
     val srcAll = busSlices(s, d, 0)
-    val tmp = Files.createTempDirectory("graft_stream_rivmm_")
+    val tmp = Files.createTempDirectory(tmpPrefix)
     val in = Files.createDirectory(tmp.resolve("in"))
     val ckpt = tmp.resolve("ckpt").toString
     val outDir = tmp.resolve("out").toString
@@ -1182,15 +1257,7 @@ object StreamGrade {
           runLifetime() // lifetime 2: slice 3 + slice 2 redelivered
         } finally prior.fold(s.conf.unset(key))(s.conf.set(key, _))
       }
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("channel"))
-        .orderBy(col("ts_us").desc, col("event_id").desc)
-      s.read.parquet(outDir)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_channels"),
-             max(col("cents")).as("max_cents"),
-             min(col("cents")).as("min_cents"))
+      fold(s.read.parquet(outDir))
         .localCheckpoint()
         .orderBy(col("event_type"))
     } finally deleteRecursively(tmp)
@@ -1549,6 +1616,7 @@ object StreamGrade {
     "cdc_stream_restart_scd2"  -> (streamRestartScd2 _),
     "cdc_stream_restart_ivm"   -> (streamRestartIvm _),
     "cdc_stream_restart_ivm_minmax" -> (streamRestartIvmMinMax _),
+    "cdc_stream_restart_ivm_distinct" -> (streamRestartIvmDistinct _),
     "cdc_stream_restart_asof"  -> (streamRestartAsOf _),
     "emb_stream_restart_maintained" -> (streamRestartIndexMaint _),
     "doc_stream_substring_dup" -> (streamSubstringDup _),
@@ -1577,7 +1645,8 @@ object StreamGrade {
     "cdc_stream_sessions" -> (streamSessions _),
     "cdc_stream_user_features" -> (streamUserFeatures _),
     "cdc_stream_ivm"      -> (streamIvm _),
-    "cdc_stream_ivm_minmax" -> (streamIvmMinMax _))
+    "cdc_stream_ivm_minmax" -> (streamIvmMinMax _),
+    "cdc_stream_ivm_distinct" -> (streamIvmDistinct _))
 
   /** STREAMING MULTIMODAL near-dup gate, graded: the pHash analogue of
     * [[streamNearDup]] — each arriving document's media payload is
@@ -2122,6 +2191,9 @@ object StreamGrade {
     "cdc_stream_ivm" -> graft.cdc.CdcBus.IvmFullRecomputeTwin,
     "cdc_stream_ivm_minmax" -> graft.cdc.CdcBus.IvmMinMaxRecomputeTwin,
     "cdc_stream_restart_ivm_minmax" -> graft.cdc.CdcBus.IvmMinMaxRecomputeTwin,
+    "cdc_stream_ivm_distinct" -> graft.cdc.CdcBus.IvmDistinctRecomputeTwin,
+    "cdc_stream_restart_ivm_distinct" ->
+      graft.cdc.CdcBus.IvmDistinctRecomputeTwin,
 
     "cdc_stream_gaps" ->
       """SELECT event_type, prev_seq, next_seq, next_seq - prev_seq - 1 AS missing

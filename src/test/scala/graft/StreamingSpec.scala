@@ -1378,6 +1378,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cur.values.max === 100L && cur.values.min === 50L)
   }
 
+  test("r16: distinct-count over the value changelog — the LAST-HOLDER " +
+       "poison transition decrements, a shared-holder transition does " +
+       "not, and redelivery re-emits nothing") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    def e(id: Long, min: Int, user: Long, v: Double): BusEvent =
+      BusEvent(id, ts(min), user, "click", v, "{}")
+    withRocksDbProvider {
+      val in = MemoryStream[(String, BusEvent)]
+      val q = Streams.minmaxChangelog(in.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ddlog").start()
+      try {
+        // batch 1: cents 100 held TWICE (c1, c2), 70 once (c3) →
+        // distinct = 2
+        in.addData(("c1", e(1, 0, 1, 1.00)), ("c2", e(2, 0, 2, 1.00)),
+                   ("c3", e(3, 0, 3, 0.70)))
+        q.processAllAvailable()
+        // batch 2: POISON — c3, the ONLY holder of 70, moves onto the
+        // already-present 100 (distinct 2 → 1); c1, one of TWO holders
+        // of 100, would NOT have decremented had it moved instead —
+        // exercised below by moving c1 to a fresh value (1 → 2); c2's
+        // event 2 is redelivered verbatim (the recovered high-water
+        // mark must refuse it — a re-emitted transition would double a
+        // row in the appended log)
+        in.addData(("c3", e(4, 2, 3, 1.00)), ("c1", e(5, 2, 1, 0.55)),
+                   ("c2", e(2, 0, 2, 1.00)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val log = spark.table("ddlog")
+    // 3 first-sight + 2 accepted transitions; the redelivery emitted
+    // nothing
+    assert(log.count() === 5L)
+    val got = graft.stream.StreamGrade.distinctFold(
+        log.withColumn("event_type", lit("click")))
+      .collect().map(_.toString).toSeq
+    // current values: c1=55, c2=100, c3=100 → 3 channels, 2 distinct
+    // (the last-holder retraction of 70 decremented; c1's shared-holder
+    // retraction of 100 did not — c2 still holds it)
+    assert(got === Seq("[click,3,2]"),
+      s"distinct fold wrong: $got")
+  }
+
   test("stream-static enrich broadcasts the dimension, no stream state") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
