@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Abs, Expression, GreaterThan, 
 import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.{abs, array, col, count, explode, floor, greatest, lit, max, sequence, sum, unix_timestamp}
+import org.apache.spark.sql.functions.{abs, array, col, count, explode, explode_outer, first, floor, greatest, lit, max, monotonically_increasing_id, sequence, struct, sum, unix_timestamp}
 import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, TimestampType}
 
 /** Optimizer rule: a join whose condition is a keyless
@@ -93,6 +93,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * final projection; a (vanishingly unlikely) user column of the same
     * name makes the rule stand down rather than collide. */
   private val BinCol = "__graft_range_bin"
+
+  /** Helper columns of the FULL OUTER aggregate anti ([[rewriteFullOuter]]):
+    * the synthetic preserved-row id, the probe marker, and the packed
+    * preserved-row struct — all dropped before the branch's final
+    * projection; same collision discipline as [[BinCol]]. */
+  private val IdCol = "__graft_range_id"
+  private val MarkCol = "__graft_range_hit"
+  private val PackCol = "__graft_range_row"
 
   /** Idempotently make the rule visible to a session built WITHOUT
     * [[graft.GraftExtensions]] (the [[GraftBridge.ensureStrategy]]
@@ -462,59 +470,167 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** FULL OUTER over a BAND predicate (r14 VERDICT Next #2):
-    * decomposed as binned INNER ∪ null-padded LEFT ANTI ∪ null-padded
-    * RIGHT ANTI — the three joins the rewrite already knows how to
-    * bin, because a band is the ONE shape where EITHER side can be
-    * the single-bin side (the other takes the ±2 explode): the inner
-    * emits every satisfying pair exactly once (the single-bin side
-    * occupies one bin), each anti runs with ITS preserved side
-    * single-bin so unmatched rows emit exactly once, and the three
-    * multisets partition the naive FULL theta join's output. A null
-    * band value lands in the anti branch (null bin → no match), which
-    * is the theta condition's own verdict for it.
+  /** FULL OUTER over any classified shape — decomposed as binned INNER
+    * ∪ null-padded LEFT ANTI ∪ null-padded RIGHT ANTI (r14 VERDICT
+    * Next #2 for the band; r15 Next #3 for the rest):
     *
-    * Point-in-interval and overlap FULL joins stand down by the same
-    * discipline that bounds the other non-inner forms: the anti whose
-    * preserved side is the INTERVAL side would run against an
-    * exploded preserved side — a row unmatched in one of its k bins
-    * but matched in another would (wrongly) survive, and a truly
-    * unmatched row would survive k times.
+    *   - BAND: EITHER side can be the single-bin side (the other takes
+    *     the ±2 explode), so each anti runs with ITS preserved side
+    *     single-bin and unmatched rows emit exactly once.
+    *   - POINT-IN-INTERVAL / OVERLAP: the anti whose preserved side is
+    *     an INTERVAL side must explode that side over its covering
+    *     bins, so a plain anti join is wrong two ways (a row unmatched
+    *     in one of its k bins but matched in another would survive; a
+    *     truly unmatched row would survive k times). The AGGREGATE
+    *     anti closes both: tag each preserved row with a synthetic
+    *     per-row id BEFORE exploding (`monotonically_increasing_id` —
+    *     evaluated in ONE plan subtree only, so per-run stability is
+    *     irrelevant: the ids never cross an evaluation boundary),
+    *     left-outer join the exploded copies against the probe side
+    *     under bin-equality ∧ the FULL predicate, and a row is
+    *     unmatched iff NO copy acquired a probe marker —
+    *     `max(mark) IS NULL` after grouping back on the id. The
+    *     preserved row's own columns ride through the group as a
+    *     packed struct (copies are identical, `first` is exact). The
+    *     preserved side explodes with `explode_outer`: a null-bounded
+    *     interval yields a null bin array, and the row must SURVIVE to
+    *     the null-pad (the theta condition's own verdict), not vanish
+    *     with the explode.
+    *
+    * In every shape the inner emits each satisfying pair exactly once
+    * (single point bin / canonical greatest-lo bin / single band bin),
+    * each anti emits each unmatched preserved row exactly once, and
+    * the three multisets partition the naive FULL theta join's
+    * output.
     *
     * The union keeps the FIRST branch's (= the join's own) attribute
     * ids, so the parent plan's references resolve unchanged; the pad
     * branches cast typed nulls positionally. */
   private def rewriteFullOuter(s: SparkSession, j: Join,
-                               shape: Shape): Option[LogicalPlan] = shape match {
-    case Band(l, r, eps) =>
-      if (j.output.exists(_.name == BinCol)) return None
-      val lDf = GraftBridge.ofRows(s, j.left)
-      val rDf = GraftBridge.ofRows(s, j.right)
-      def c(e: Expression): Column = GraftBridge.column(e)
-      def single(v: Expression): Column =
-        floor(c(v).cast("double") / eps).cast("long")
-      def spread(v: Expression): Column =
-        explode(array((-2 to 2).map(o => single(v) + lit(o.toLong)): _*))
-      val cond = c(j.condition.get)
-      val inner = lDf.withColumn(BinCol, single(l))
-        .join(rDf.withColumn(BinCol, spread(r)), Seq(BinCol))
-        .filter(cond)
-        .select(j.left.output.map(a => c(a)) ++
+                               shape: Shape): Option[LogicalPlan] = {
+    if (j.output.exists(a => a.name == BinCol || a.name == IdCol ||
+        a.name == MarkCol || a.name == PackCol)) return None
+    val lDf = GraftBridge.ofRows(s, j.left)
+    val rDf = GraftBridge.ofRows(s, j.right)
+    def c(e: Expression): Column = GraftBridge.column(e)
+    val cond = c(j.condition.get)
+    val lNulls = j.left.output.map(a =>
+      lit(null).cast(a.dataType).as(a.name))
+    val rNulls = j.right.output.map(a =>
+      lit(null).cast(a.dataType).as(a.name))
+    def innerSelect(df: DataFrame): DataFrame =
+      df.select(j.left.output.map(a => c(a)) ++
                 j.right.output.map(a => c(a)): _*)
-      val lNulls = j.left.output.map(a =>
-        lit(null).cast(a.dataType).as(a.name))
-      val rNulls = j.right.output.map(a =>
-        lit(null).cast(a.dataType).as(a.name))
-      val la = lDf.withColumn(BinCol, single(l))
-      val lb = rDf.withColumn(BinCol, spread(r))
-      val leftAnti = la.join(lb, la(BinCol) === lb(BinCol) && cond, "left_anti")
-        .select(j.left.output.map(a => c(a)) ++ rNulls: _*)
-      val ra = rDf.withColumn(BinCol, single(r))
-      val rb = lDf.withColumn(BinCol, spread(l))
-      val rightAnti = ra.join(rb, ra(BinCol) === rb(BinCol) && cond, "left_anti")
-        .select(lNulls ++ j.right.output.map(a => c(a)): _*)
-      Some(GraftBridge.analyzed(inner.union(leftAnti).union(rightAnti)))
-    case _ => None
+    /** The aggregate-based anti: preserved rows of `pres` (attribute
+      * list `attrs`, exploded bin column `bins`) that match NO probe
+      * row under bin-equality ∧ the full predicate. `padsLeft = true`
+      * puts the null pads BEFORE the survivors' columns (the preserved
+      * side is the join's RIGHT side), false after. */
+    def aggAnti(pres: DataFrame,
+                attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+                bins: Column, probe: DataFrame,
+                pads: Seq[Column], padsLeft: Boolean): DataFrame = {
+      val pExp = pres.withColumn(IdCol, monotonically_increasing_id())
+        .withColumn(BinCol, bins)
+      val pr = probe.withColumn(MarkCol, lit(1))
+      val packed = struct(attrs.zipWithIndex.map {
+        case (a, i) => c(a).as(s"f$i") }: _*)
+      val survivors = pExp
+        .join(pr, pExp(BinCol) === pr(BinCol) && cond, "left_outer")
+        .groupBy(col(IdCol))
+        .agg(first(packed).as(PackCol), max(col(MarkCol)).as(MarkCol))
+        .filter(col(MarkCol).isNull)
+      val fields = attrs.indices.map(i => col(s"$PackCol.f$i"))
+      survivors.select(
+        (if (padsLeft) pads ++ fields else fields ++ pads): _*)
+    }
+    shape match {
+      case Band(l, r, eps) =>
+        def single(v: Expression): Column =
+          floor(c(v).cast("double") / eps).cast("long")
+        def spread(v: Expression): Column =
+          explode(array((-2 to 2).map(o => single(v) + lit(o.toLong)): _*))
+        val inner = innerSelect(
+          lDf.withColumn(BinCol, single(l))
+            .join(rDf.withColumn(BinCol, spread(r)), Seq(BinCol))
+            .filter(cond))
+        val la = lDf.withColumn(BinCol, single(l))
+        val lb = rDf.withColumn(BinCol, spread(r))
+        val leftAnti = la.join(lb, la(BinCol) === lb(BinCol) && cond, "left_anti")
+          .select(j.left.output.map(a => c(a)) ++ rNulls: _*)
+        val ra = rDf.withColumn(BinCol, single(r))
+        val rb = lDf.withColumn(BinCol, spread(l))
+        val rightAnti = ra.join(rb, ra(BinCol) === rb(BinCol) && cond, "left_anti")
+          .select(lNulls ++ j.right.output.map(a => c(a)): _*)
+        Some(GraftBridge.analyzed(inner.union(leftAnti).union(rightAnti)))
+      case PointInInterval(p, onLeft, lo, hi, timeAxis) =>
+        val ivPlan = if (onLeft) j.right else j.left
+        val bin: Column => Column =
+          if (timeAxis) {
+            val width = derivedWidth(s, Seq((ivPlan, lo, hi)))
+            x => floor(unix_timestamp(x) / width)
+          } else {
+            val width = derivedNumericWidth(s, Seq((ivPlan, lo, hi)))
+            x => floor(x.cast("double") / width).cast("long")
+          }
+        val (ptDf, ivDf) = if (onLeft) (lDf, rDf) else (rDf, lDf)
+        val ptAttrs = (if (onLeft) j.left else j.right).output
+        val ivAttrs = (if (onLeft) j.right else j.left).output
+        def ivBins(outer: Boolean): Column = {
+          val seqc = sequence(bin(c(lo)), bin(c(hi)))
+          if (outer) explode_outer(seqc) else explode(seqc)
+        }
+        val inner = innerSelect(
+          ptDf.withColumn(BinCol, bin(c(p)))
+            .join(ivDf.withColumn(BinCol, ivBins(outer = false)), Seq(BinCol))
+            .filter(cond))
+        // preserved POINT side: single-bin, the plain anti discipline
+        val pa = ptDf.withColumn(BinCol, bin(c(p)))
+        val pb = ivDf.withColumn(BinCol, ivBins(outer = false))
+        val ptAnti0 = pa.join(pb, pa(BinCol) === pb(BinCol) && cond, "left_anti")
+        val ptAnti =
+          if (onLeft) ptAnti0.select(ptAttrs.map(a => c(a)) ++ rNulls: _*)
+          else ptAnti0.select(lNulls ++ ptAttrs.map(a => c(a)): _*)
+        // preserved INTERVAL side: the aggregate anti — pads sit where
+        // the POINT side's columns would (before the interval's when
+        // the interval is the right side, after when it is the left)
+        val ivAnti = aggAnti(ivDf, ivAttrs, ivBins(outer = true),
+          ptDf.withColumn(BinCol, bin(c(p))),
+          if (onLeft) lNulls else rNulls, padsLeft = onLeft)
+        Some(GraftBridge.analyzed(
+          if (onLeft) inner.union(ptAnti).union(ivAnti)
+          else inner.union(ivAnti).union(ptAnti)))
+      case Overlap(lLo, lHi, rLo, rHi, timeAxis) =>
+        val sides = Seq((j.left, lLo, lHi), (j.right, rLo, rHi))
+        val bin: Column => Column =
+          if (timeAxis) {
+            val width = derivedWidth(s, sides)
+            x => floor(unix_timestamp(x) / width)
+          } else {
+            val width = derivedNumericWidth(s, sides)
+            x => floor(x.cast("double") / width).cast("long")
+          }
+        def bins(lo: Expression, hi: Expression, outer: Boolean): Column = {
+          val seqc = sequence(bin(c(lo)), bin(c(hi)))
+          if (outer) explode_outer(seqc) else explode(seqc)
+        }
+        val inner = innerSelect(
+          lDf.withColumn(BinCol, bins(lLo, lHi, outer = false))
+            .join(rDf.withColumn(BinCol, bins(rLo, rHi, outer = false)),
+              Seq(BinCol))
+            .filter(col(BinCol) === bin(greatest(c(lLo), c(rLo))))
+            .filter(cond))
+        // BOTH sides are interval sides: each anti is aggregate-based
+        // (overlapping intervals share ≥1 bin — the greatest-lo bin —
+        // so "no copy matched" ⟺ "no overlap partner exists")
+        val leftAnti = aggAnti(lDf, j.left.output, bins(lLo, lHi, outer = true),
+          rDf.withColumn(BinCol, bins(rLo, rHi, outer = false)),
+          rNulls, padsLeft = false)
+        val rightAnti = aggAnti(rDf, j.right.output, bins(rLo, rHi, outer = true),
+          lDf.withColumn(BinCol, bins(lLo, lHi, outer = false)),
+          lNulls, padsLeft = true)
+        Some(GraftBridge.analyzed(inner.union(leftAnti).union(rightAnti)))
+    }
   }
 
   private def supported(jt: JoinType): Boolean = jt match {

@@ -268,7 +268,7 @@ class RangeJoinRewriteSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
 
   test("RIGHT OUTER with the point on the right fires; LEFT OUTER with " +
        "the point on the RIGHT (preserved side would explode) stands " +
-       "down; FULL OUTER stands down") {
+       "down; FULL OUTER fires via the aggregate-anti decomposition") {
     val ev = Tables.events(spark, sf).select(col("event_id"), col("ts"))
     def ro(): DataFrame = sparseWins()
       .join(ev, col("ts") >= col("lo") && col("ts") < col("hi"),
@@ -287,12 +287,18 @@ class RangeJoinRewriteSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "rule fired on a LEFT OUTER whose preserved side is the interval" +
         " side — outer rows would be duplicated")
     assert(lo().collect().map(_.toString).sorted.toSeq === naiveRows(lo()))
+    // FULL OUTER: since r16 the point-in-interval form FIRES (inner ∪
+    // single-bin point anti ∪ aggregate interval anti) — the dedicated
+    // r16 tests pin the decomposition's row classes; here the matrix
+    // row just asserts fire + equality
     def fo(): DataFrame = ev
       .join(sparseWins(), col("ts") >= col("lo") && col("ts") < col("hi"),
         "full")
       .select(col("event_id"), col("day"))
-    assert(!executedPlan(fo()).contains("Generate"),
-      "rule fired on a FULL OUTER join — both sides are preserved")
+    val foPlan = executedPlan(fo())
+    assertNoNestedLoop(foPlan, "FULL OUTER point-in-interval join")
+    assert(foPlan.contains("Union"),
+      s"full-outer point-in-interval decomposition did not fire:\n$foPlan")
     assert(fo().collect().map(_.toString).sorted.toSeq === naiveRows(fo()))
   }
 
@@ -371,6 +377,100 @@ class RangeJoinRewriteSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val qPlan = executedPlan(q())
     assertNoNestedLoop(qPlan, "range_join_full_auto")
     assert(q().collect().map(_.toString).sorted.toSeq === naiveRows(q()))
+  }
+
+  test("r16: point-in-interval FULL OUTER fires via the aggregate anti " +
+       "— nested-loop-free, row-identical to the disabled baseline, " +
+       "null-bounded interval rows survive null-padded exactly once") {
+    val ev = Tables.events(spark, sf)
+    // sparse short windows + a far-future window (guaranteed unmatched)
+    // + a NULL-bounds window (the explode_outer survival case)
+    val wins = ev.select(date_trunc("DAY", col("ts")).as("day")).distinct()
+      .filter(dayofmonth(col("day")) % 4 === 0)
+      .select(col("day"), (col("day") + expr("INTERVAL 10 HOURS")).as("lo"),
+        (col("day") + expr("INTERVAL 14 HOURS")).as("hi"))
+      .unionByName(spark.sql(
+        """SELECT TIMESTAMP'2030-01-01' AS day,
+          |  TIMESTAMP'2030-01-01 10:00:00' AS lo,
+          |  TIMESTAMP'2030-01-01 14:00:00' AS hi
+          |UNION ALL SELECT TIMESTAMP'2031-01-01',
+          |  CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)""".stripMargin))
+      .localCheckpoint(true)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts")).localCheckpoint(true)
+    def fo(): DataFrame =
+      p.join(wins, col("ts") >= col("lo") && col("ts") < col("hi"), "full")
+        .select(col("event_id"), col("day"))
+    val plan = executedPlan(fo())
+    assertNoNestedLoop(plan, "point-in-interval FULL OUTER join")
+    assert(plan.contains("Union"),
+      s"full-outer decomposition did not fire:\n$plan")
+    val rows = fo().collect()
+    // all three presence classes non-empty, and BOTH adversarial
+    // windows surface exactly once as right_only
+    assert(rows.exists(r => !r.isNullAt(0) && r.isNullAt(1)) &&
+           rows.exists(r => r.isNullAt(0) && !r.isNullAt(1)) &&
+           rows.exists(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "test corpus degenerate: a presence class is empty")
+    val farFuture = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    assert(rows.count(r => !r.isNullAt(1) &&
+      r.getTimestamp(1) == farFuture) === 1,
+      "unmatched multi-bin window must emit exactly once")
+    val nullWin = java.sql.Timestamp.valueOf("2031-01-01 00:00:00")
+    assert(rows.count(r => !r.isNullAt(1) &&
+      r.getTimestamp(1) == nullWin) === 1,
+      "null-bounded window must survive exactly once (explode_outer)")
+    assert(rows.map(_.toString).sorted.toSeq === naiveRows(fo()))
+    // mirrored: the point on the RIGHT side
+    def foR(): DataFrame =
+      wins.join(p, col("ts") >= col("lo") && col("ts") < col("hi"), "full")
+        .select(col("day"), col("event_id"))
+    val planR = executedPlan(foR())
+    assertNoNestedLoop(planR, "mirrored point-in-interval FULL OUTER")
+    assert(planR.contains("Union"))
+    assert(foR().collect().map(_.toString).sorted.toSeq === naiveRows(foR()))
+  }
+
+  test("r16: interval-overlap FULL OUTER fires — both anti branches " +
+       "aggregate-based, nested-loop-free, row-identical to the " +
+       "disabled baseline on a corpus with unmatched rows BOTH sides") {
+    // numeric axis: sparse left intervals vs differently-spaced right
+    // ones + a null-bounds row EACH side
+    val a = spark.range(0, 120).select(col("id").as("aid"),
+        (col("id") * 17.0d).as("alo"))
+      .withColumn("ahi", col("alo") + 3.0d)
+      .unionByName(spark.sql(
+        "SELECT -1 AS aid, CAST(NULL AS DOUBLE) AS alo, CAST(NULL AS DOUBLE) AS ahi"))
+      .localCheckpoint(true)
+    val b = spark.range(0, 80).select(col("id").as("bid"),
+        (col("id") * 29.0d).as("blo"))
+      .withColumn("bhi", col("blo") + 5.0d)
+      .unionByName(spark.sql(
+        "SELECT -1 AS bid, CAST(NULL AS DOUBLE) AS blo, CAST(NULL AS DOUBLE) AS bhi"))
+      .localCheckpoint(true)
+    def fo(): DataFrame =
+      a.join(b, col("alo") < col("bhi") && col("blo") < col("ahi"), "full")
+        .select(col("aid"), col("bid"))
+    val plan = executedPlan(fo())
+    assertNoNestedLoop(plan, "overlap FULL OUTER join")
+    assert(plan.contains("Union"),
+      s"full-outer decomposition did not fire:\n$plan")
+    val rows = fo().collect()
+    assert(rows.exists(r => !r.isNullAt(0) && r.isNullAt(1)) &&
+           rows.exists(r => r.isNullAt(0) && !r.isNullAt(1)) &&
+           rows.exists(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "test corpus degenerate: a presence class is empty")
+    // the null-bounds rows survive exactly once each
+    assert(rows.count(r => !r.isNullAt(0) && r.getLong(0) == -1L) === 1)
+    assert(rows.count(r => !r.isNullAt(1) && r.getLong(1) == -1L) === 1)
+    assert(rows.map(_.toString).sorted.toSeq === naiveRows(fo()))
+    // graded rows execute nested-loop-free too
+    for (q <- Seq("range_join_full_pit", "overlap_join_full")) {
+      def g(): DataFrame = graft.rel.RelQueries.queries(q)(spark, sf)
+      val gp = executedPlan(g())
+      assertNoNestedLoop(gp, q)
+      assert(g().collect().map(_.toString).sorted.toSeq === naiveRows(g()))
+    }
   }
 
   test("stats-derived width: the integer decision is the documented " +
