@@ -41,9 +41,9 @@ object Bucketed {
     * contract closes the r14 cross-JVM orphan-delete hazard), or write
     * fresh under the cross-process lock. */
   private def ensureBucketed(s: SparkSession, name: String, key: String,
-                             frame: => DataFrame): Unit = {
+                             d: String, frame: => DataFrame): Unit = {
     lazy val df = frame // schema read is a parquet-footer fetch, plan-only
-    Warehouse.ensureTable(s, name)(loc =>
+    Warehouse.ensureTable(s, name, d)(loc =>
       s"""CREATE TABLE $name (${df.schema.toDDL})
          |USING PARQUET
          |CLUSTERED BY ($key) SORTED BY ($key) INTO $Buckets BUCKETS
@@ -60,10 +60,10 @@ object Bucketed {
     val tag = fp(d)
     val liName = s"graft_bkt_lineitem_$tag"
     val ordName = s"graft_bkt_orders_$tag"
-    ensureBucketed(s, liName, "l_orderkey",
+    ensureBucketed(s, liName, "l_orderkey", d,
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
-    ensureBucketed(s, ordName, "o_orderkey",
+    ensureBucketed(s, ordName, "o_orderkey", d,
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority")))
     (s.table(liName), s.table(ordName))

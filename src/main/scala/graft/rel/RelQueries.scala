@@ -3202,11 +3202,29 @@ object RelQueries {
     * token: regenerated testdata mints a new name and rebuilds; the
     * in-session memo additionally revalidates it per hit. Each
     * artifact reads back through one eager localCheckpoint so
-    * re-invocations in the same session never re-scan the table. */
+    * re-invocations in the same session never re-scan the table.
+    *
+    * r16 (ADVICE low #3): the parameterized artifacts also carry
+    * their ALGORITHM PARAMETER in the name ([[corenessTable]] /
+    * [[lpaTable]] / [[kcoreTable]]) — persisted labels are only valid
+    * for the constants they were computed under, and without the
+    * token a changed `LpaRounds`/`KcoreK` would leave old-parameter
+    * tables adoptable by the new binary while the DuckDB twin unrolls
+    * the new count: a verification mismatch misdiagnosed as an engine
+    * bug. Any constant change now mints a fresh table family. */
+  private[graft] def corenessTable(fp: String): String =
+    s"graft_coreness_r${CorenessTwinRounds}_$fp"
+  private[graft] def lpaTable(fp: String): String =
+    s"graft_lpa_r${LpaRounds}_$fp"
+  private[graft] def kcoreTable(fp: String): String =
+    s"graft_kcore_k${KcoreK}_$fp"
+  private[graft] def coOrderEdgesTable(fp: String): String =
+    s"graft_coorder_edges_$fp"
+
   private final class CoOrderPrep(s: SparkSession, d: String, fp: String) {
     val edges: DataFrame = {
-      val name = s"graft_coorder_edges_$fp"
-      Warehouse.ensureTable(s, name)(loc =>
+      val name = coOrderEdgesTable(fp)
+      Warehouse.ensureTable(s, name, d)(loc =>
         s"CREATE TABLE $name (u BIGINT, v BIGINT) USING PARQUET " +
           s"LOCATION '$loc'")(loc =>
         buildCoOrderEdges(s, d).write.option("path", loc)
@@ -3214,8 +3232,8 @@ object RelQueries {
       s.table(name).localCheckpoint(true)
     }
     lazy val coreness: DataFrame = {
-      val name = s"graft_coreness_$fp"
-      Warehouse.ensureTable(s, name)(loc =>
+      val name = corenessTable(fp)
+      Warehouse.ensureTable(s, name, d)(loc =>
         s"CREATE TABLE $name (node BIGINT, cv BIGINT) USING PARQUET " +
           s"LOCATION '$loc'")(loc =>
         corenessOf(edges, CorenessTwinRounds).write.option("path", loc)
@@ -3223,8 +3241,8 @@ object RelQueries {
       s.table(name).localCheckpoint(true)
     }
     lazy val community: DataFrame = {
-      val name = s"graft_lpa_$fp"
-      Warehouse.ensureTable(s, name)(loc =>
+      val name = lpaTable(fp)
+      Warehouse.ensureTable(s, name, d)(loc =>
         s"CREATE TABLE $name (node BIGINT, lbl BIGINT) USING PARQUET " +
           s"LOCATION '$loc'")(loc =>
         lpaOf(edges, LpaRounds).write.option("path", loc)
@@ -3236,7 +3254,7 @@ object RelQueries {
     // ~4s of peel per invocation where a re-read answers)
     lazy val triangles: DataFrame = {
       val name = s"graft_tri_$fp"
-      Warehouse.ensureTable(s, name)(loc =>
+      Warehouse.ensureTable(s, name, d)(loc =>
         s"CREATE TABLE $name (n_nodes BIGINT, n_edges BIGINT, " +
           s"n_triangles BIGINT) USING PARQUET LOCATION '$loc'")(loc =>
         buildTriangleStats(edges).write.option("path", loc)
@@ -3244,8 +3262,8 @@ object RelQueries {
       s.table(name).localCheckpoint(true)
     }
     lazy val kcore: DataFrame = {
-      val name = s"graft_kcore_$fp"
-      Warehouse.ensureTable(s, name)(loc =>
+      val name = kcoreTable(fp)
+      Warehouse.ensureTable(s, name, d)(loc =>
         s"CREATE TABLE $name (node BIGINT, core_deg BIGINT) USING " +
           s"PARQUET LOCATION '$loc'")(loc =>
         kcoreOf(edges, KcoreK, KcoreMaxRounds).write.option("path", loc)

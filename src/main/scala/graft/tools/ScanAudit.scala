@@ -20,7 +20,7 @@ object ScanAudit {
           // the per-dir fingerprint suffix so budget keys stay stable
           .orElse("spark_catalog\\.[a-z_]+\\.([a-z_0-9]+)".r
             .findFirstMatchIn(l)
-            .map(m => m.group(1).replaceAll("_[0-9a-f]{8}$", "")))
+            .map(m => m.group(1).replaceAll("_[0-9a-f]{16}$", "")))
           .getOrElse("?")
       }
       .groupBy(identity).view.mapValues(_.length).toMap

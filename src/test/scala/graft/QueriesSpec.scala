@@ -2181,8 +2181,8 @@ class QueriesSpec extends AnyFunSuite {
     // "new JVM": the catalog forgets the (external) tables, the files
     // survive — the next session must ADOPT, zero rounds, no rewrite
     val fp = graft.Fingerprint.ofTables(tmp, "lineitem.parquet")
-    s.sql(s"DROP TABLE graft_coreness_$fp")
-    s.sql(s"DROP TABLE graft_coorder_edges_$fp")
+    s.sql(s"DROP TABLE ${graft.rel.RelQueries.corenessTable(fp)}")
+    s.sql(s"DROP TABLE ${graft.rel.RelQueries.coOrderEdgesTable(fp)}")
     val a0 = graft.rel.Warehouse.adopted.get()
     assert(labelsOf(s.newSession()) === expect)
     assert(graft.rel.RelQueries.corenessRoundsRun.get() === c1,
