@@ -2149,6 +2149,28 @@ class QueriesSpec extends AnyFunSuite {
       "LPA rerun diverged — the tie-break is not deterministic")
   }
 
+  test("r16: lpaOfGuarded — the convergence require FIRES on a corpus " +
+       "still moving at the fixed round count and passes once the " +
+       "count covers the diameter") {
+    val s = spark; import s.implicits._
+    // a 6-node path: min-label floods one hop per round (every vote
+    // set ties, min wins), so node 6 reaches label 1 only at round 5 —
+    // rounds 3≠4 AND 4≠5, exactly the movement the guard must see
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("u", "v")
+    val ex = intercept[IllegalArgumentException] {
+      graft.rel.RelQueries.lpaOfGuarded(path, 4).collect()
+    }
+    assert(ex.getMessage.contains("LpaRounds"),
+      s"guard message must name the constant to raise: ${ex.getMessage}")
+    val done = graft.rel.RelQueries.lpaOfGuarded(path, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(done === (1L to 6L).map(_ -> 1L).toMap,
+      s"path did not flood to its min id: $done")
+    // the guard must not perturb the labels the unguarded run produces
+    assert(done === graft.rel.RelQueries.lpaOf(path, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("r15: coreness labels and co-order edges persist as warehouse " +
        "tables — a fresh session reuses them with ZERO fixpoint rounds, " +
        "and a session whose catalog forgot them ADOPTS the files " +
