@@ -3726,6 +3726,58 @@ object RelQueries {
            min(col("node")).as("min_node"), max(col("node")).as("max_node"))
       .orderBy(col("n_members").desc, col("community"))
 
+  /** Exact-integer partition-quality statistics of one labeling of
+    * the co-order graph — the [[graphModularity]] kernel, private
+    * [[graft]] for the hand-graph spec. Newman modularity is
+    * Q = Σ_c [e_c/m − (d_c/2m)²]; publishing Q itself would put a
+    * float in the hash, so the row carries the exact INTEGER
+    * numerator `q_num = 4m²·Q = 4·m·Σe_c − Σd_c²` beside its three
+    * integer ingredients (m, intra-edge count, Σ per-part
+    * degree-sum²) — the graph_converged discipline: grade the
+    * mechanism through integer sums the twin reproduces bit-for-bit.
+    * Scalar attaches are two 1-row aggregate frames crossed — the
+    * repo's broadcast scalar pattern, never a data-sized cartesian. */
+  private[graft] def modularityStats(edges: DataFrame, labels: DataFrame,
+                                     tag: String): DataFrame = {
+    val lab = labels.toDF("node", "part")
+    val eL = edges
+      .join(lab.select(col("node").as("u"), col("part").as("pu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("part").as("pv")), Seq("v"))
+    val mIntra = eL.agg(
+      count(lit(1)).as("m"),
+      sum(when(col("pu") === col("pv"), 1L).otherwise(0L)).as("intra_edges"))
+    val degSq = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .join(lab, Seq("node"))
+      .groupBy(col("part")).agg(sum(col("deg")).as("dc"))
+      .agg(count(lit(1)).as("n_parts"),
+           sum(col("dc") * col("dc")).as("sum_deg_sq"))
+    mIntra.crossJoin(degSq).select(
+      lit(tag).as("scheme"), col("n_parts"), col("m"), col("intra_edges"),
+      col("sum_deg_sq"),
+      (lit(4L) * col("m") * col("intra_edges") - col("sum_deg_sq"))
+        .as("q_num"))
+  }
+
+  /** COMMUNITY-QUALITY AUDIT (`graph_modularity`, r15 VERDICT Next
+    * #7): the exact-integer modularity numerator of TWO partitions of
+    * the co-order graph, published side by side — the converged LPA
+    * labeling (one giant community on the graded corpora, so its
+    * q_num is exactly 0: Σe_c = m and Σd_c² = (2m)²; the integer
+    * identity is itself part of the grade) and the CORENESS-SHELL
+    * partition (nodes grouped by exact core number — nontrivial
+    * integers that move whenever the h-index fixpoint or the edge
+    * build drifts). Both labelings read the persisted artifacts; the
+    * twin recomputes them through its unrolled MATERIALIZED CTEs and
+    * must reproduce every integer bit-for-bit. */
+  def graphModularity(s: SparkSession, d: String): DataFrame = {
+    val prep = coOrderPrep(s, d)
+    modularityStats(prep.edges, prep.community, "lpa")
+      .unionByName(modularityStats(prep.edges, prep.coreness, "kshell"))
+      .orderBy(col("scheme"))
+  }
+
   /** One unrolled LPA round of the community twin over the
     * MATERIALIZED self-looped symmetric adjacency `symx` — the
     * identical most-votes/min-label decision, via a per-node
@@ -3850,6 +3902,7 @@ object RelQueries {
     "graph_kcore"        -> (graphKcore _),
     "graph_coreness"     -> (graphCoreness _),
     "graph_community"    -> (graphCommunity _),
+    "graph_modularity"   -> (graphModularity _),
     "graph_pagerank_dyn" -> (graphPagerankDynamic _),
     "graph_trustrank"    -> (graphTrustrank _),
     "graph_converged"    -> (graphConverged _),
@@ -4204,6 +4257,59 @@ object RelQueries {
          |       CAST(max(node) AS BIGINT) AS max_node
          |FROM l$LpaRounds
          |GROUP BY 1 ORDER BY n_members DESC, community""".stripMargin,
+
+    // community-quality audit: both labelings recomputed through the
+    // unrolled MATERIALIZED CTEs (8 LPA rounds + 48 h-index rounds),
+    // then the exact-integer modularity numerator per scheme —
+    // 4·m·intra − Σ(per-part degree sum)² — all BIGINT sums, no float
+    // ever enters the hash
+    "graph_modularity" ->
+      s"""WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |            FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+         |       FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p),
+         |sym AS MATERIALIZED (SELECT u, v FROM e0
+         |       UNION ALL SELECT v AS u, u AS v FROM e0),
+         |nodes AS (SELECT DISTINCT u AS n FROM sym),
+         |symx AS MATERIALIZED (SELECT u, v FROM sym
+         |       UNION ALL SELECT n AS u, n AS v FROM nodes),
+         |l0 AS (SELECT n AS node, n AS lbl FROM nodes),
+         |${(1 to LpaRounds).map(lpaRoundSql).mkString(",\n")},
+         |c0 AS MATERIALIZED (SELECT u AS node, count(*) AS cv
+         |       FROM sym GROUP BY u),
+         |${(1 to CorenessTwinRounds).map(corenessRoundSql).mkString(",\n")},
+         |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u),
+         |lpa_lab AS (SELECT node, lbl AS part FROM l$LpaRounds),
+         |ksh_lab AS (SELECT node, cv AS part FROM c$CorenessTwinRounds),
+         |raw AS (
+         |  SELECT 'lpa' AS scheme,
+         |    (SELECT count(DISTINCT part) FROM lpa_lab) AS n_parts,
+         |    (SELECT count(*) FROM e0) AS m,
+         |    (SELECT count(*) FROM e0 e
+         |       JOIN lpa_lab a ON a.node = e.u
+         |       JOIN lpa_lab b ON b.node = e.v
+         |     WHERE a.part = b.part) AS intra_edges,
+         |    (SELECT sum(dc * dc) FROM (
+         |       SELECT l.part, sum(d.deg) AS dc FROM deg d
+         |       JOIN lpa_lab l ON l.node = d.node GROUP BY 1) t)
+         |      AS sum_deg_sq
+         |  UNION ALL
+         |  SELECT 'kshell',
+         |    (SELECT count(DISTINCT part) FROM ksh_lab),
+         |    (SELECT count(*) FROM e0),
+         |    (SELECT count(*) FROM e0 e
+         |       JOIN ksh_lab a ON a.node = e.u
+         |       JOIN ksh_lab b ON b.node = e.v
+         |     WHERE a.part = b.part),
+         |    (SELECT sum(dc * dc) FROM (
+         |       SELECT l.part, sum(d.deg) AS dc FROM deg d
+         |       JOIN ksh_lab l ON l.node = d.node GROUP BY 1) t))
+         |SELECT scheme, CAST(n_parts AS BIGINT) AS n_parts,
+         |       CAST(m AS BIGINT) AS m,
+         |       CAST(intra_edges AS BIGINT) AS intra_edges,
+         |       CAST(sum_deg_sq AS BIGINT) AS sum_deg_sq,
+         |       CAST(4 * m * intra_edges - sum_deg_sq AS BIGINT) AS q_num
+         |FROM raw ORDER BY scheme""".stripMargin,
 
     "graph_pagerank" ->
       s"""WITH $GraphCtes,

@@ -2171,6 +2171,33 @@ class QueriesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("r16: modularityStats — exact-integer q_num ranks the bridged-" +
+       "cliques partition strictly above the one-community labeling, " +
+       "and the one-community numerator is exactly zero") {
+    val s = spark; import s.implicits._
+    val k4a = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val k4b = for { a <- 5L to 8L; b <- (a + 1) to 8L } yield (a, b)
+    val edges = (k4a ++ k4b ++ Seq((4L, 5L))).toDF("u", "v")
+    def qnum(labels: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val r = graft.rel.RelQueries
+        .modularityStats(edges, labels.toDF("node", "part"), "t")
+        .collect().head
+      (r.getAs[Long]("q_num"), r.getAs[Long]("m"),
+       r.getAs[Long]("intra_edges"), r.getAs[Long]("sum_deg_sq"))
+    }
+    val two = (1L to 4L).map(_ -> 1L) ++ (5L to 8L).map(_ -> 5L)
+    val one = (1L to 8L).map(_ -> 1L)
+    val (q2, m, intra, sds) = qnum(two)
+    val (q1, _, _, _) = qnum(one)
+    // hand arithmetic: m=13, intra=12, per-clique degree sum 13 each →
+    // Σd² = 338, q_num = 4·13·12 − 338 = 286
+    assert((m, intra, sds, q2) === ((13L, 12L, 338L, 286L)),
+      s"bridged-clique integers wrong: m=$m intra=$intra sds=$sds q=$q2")
+    // one community: intra = m and Σd² = (2m)², so q_num ≡ 0 exactly
+    assert(q1 === 0L, s"one-community numerator must be exactly 0: $q1")
+    assert(q2 > q1, "the true 2-community split must score strictly above")
+  }
+
   test("r15: coreness labels and co-order edges persist as warehouse " +
        "tables — a fresh session reuses them with ZERO fixpoint rounds, " +
        "and a session whose catalog forgot them ADOPTS the files " +
