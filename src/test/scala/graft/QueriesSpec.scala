@@ -2198,6 +2198,52 @@ class QueriesSpec extends AnyFunSuite {
     assert(q2 > q1, "the true 2-community split must score strictly above")
   }
 
+  test("r16: the pagerank rank sequences persist as warehouse tables — " +
+       "a fresh session replays all four graph queries with ZERO new " +
+       "iterations, and a dropped-catalog session ADOPTS the files") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pr_persist")
+      .toString
+    // 2 customers (1 BUILDING seed) x 2 suppliers bipartite purchases
+    Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 2L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val fam = Seq("graph_pagerank", "graph_trustrank",
+                  "graph_pagerank_dyn", "graph_converged")
+    def runAll(sess: SparkSession): Map[String, Seq[String]] =
+      fam.map(q => q -> graft.rel.RelQueries.queries(q)(sess, tmp)
+        .collect().map(_.toString).toSeq).toMap
+    val i0 = graft.rel.RelQueries.pagerankIterationsRun.get()
+    val expect = runAll(s)
+    assert(graft.rel.RelQueries.pagerankIterationsRun.get() > i0,
+      "cold build must have iterated")
+    val i1 = graft.rel.RelQueries.pagerankIterationsRun.get()
+    // fresh session (fresh memo): the persisted tables answer all four
+    // queries — zero new graphIterate materializations, and the lazy
+    // prep means the edge frame is never even built
+    assert(runAll(s.newSession()) === expect)
+    assert(graft.rel.RelQueries.pagerankIterationsRun.get() === i1,
+      "a fresh session re-iterated despite the persisted rank tables")
+    // "new JVM": catalog forgets the external tables, files survive —
+    // the next session must ADOPT all three, still zero iterations
+    val fp = graft.rel.RelQueries.graphFp(tmp)
+    for (t <- Seq(graft.rel.RelQueries.prSeqTable(fp),
+                  graft.rel.RelQueries.prDynTable(fp),
+                  graft.rel.RelQueries.trTable(fp)))
+      s.sql(s"DROP TABLE $t")
+    val a0 = graft.rel.Warehouse.adopted.get()
+    assert(runAll(s.newSession()) === expect)
+    assert(graft.rel.RelQueries.pagerankIterationsRun.get() === i1,
+      "adoption path re-ran the iteration")
+    assert(graft.rel.Warehouse.adopted.get() === a0 + 3,
+      "dropped-catalog restart did not adopt the three rank tables")
+  }
+
   test("r15: coreness labels and co-order edges persist as warehouse " +
        "tables — a fresh session reuses them with ZERO fixpoint rounds, " +
        "and a session whose catalog forgot them ADOPTS the files " +
