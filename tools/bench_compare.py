@@ -48,9 +48,15 @@ CANARIES = [
 STREAM_MEMBER = re.compile(r"^(cdc|doc|emb|mm)_stream_")
 
 
-def fold_stream_family(rec):
+def fold_stream_family(rec, use_runs=True):
     queries = rec["queries"]
-    runs = rec.get("runs") or {}
+    # min-of-passes is only a fair comparison statistic when BOTH
+    # recordings carry per-pass runs; a min-vs-median pair biases every
+    # ratio downward by the runs-less side's noise spread and can mask
+    # a real regression just under threshold — so the caller decides
+    # per recording PAIR, and a mixed pair degrades both sides to the
+    # recorded headline value
+    runs = (rec.get("runs") or {}) if use_runs else {}
 
     def stat(q):
         ts = runs.get(q)
@@ -75,13 +81,17 @@ def fold_stream_family(rec):
 
 def main(old_path, new_path, threshold=1.5):
     old_rec, new_rec = json.load(open(old_path)), json.load(open(new_path))
+    # driver-side BENCH_r{N}.json wraps the Bench record under "parsed"
+    old_rec = old_rec.get("parsed", old_rec)
+    new_rec = new_rec.get("parsed", new_rec)
     # per-id family folds only compare when BOTH recordings carry the
     # map; a mixed pair degrades to the pooled pattern fold on each side
     if ("families" in old_rec) != ("families" in new_rec):
         old_rec.pop("families", None)
         new_rec.pop("families", None)
-    old = fold_stream_family(old_rec)
-    new = fold_stream_family(new_rec)
+    both_runs = bool(old_rec.get("runs")) and bool(new_rec.get("runs"))
+    old = fold_stream_family(old_rec, use_runs=both_runs)
+    new = fold_stream_family(new_rec, use_runs=both_runs)
     canary = [new[q] / old[q] for q in CANARIES
               if q in old and q in new and old[q] > 0.02]
     box = statistics.median(canary) if len(canary) >= 3 else 1.0
