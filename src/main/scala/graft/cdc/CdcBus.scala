@@ -665,6 +665,35 @@ object CdcBus {
     (advance(stA, dAn), advance(stB, dBn), view2)
   }
 
+  /** JOIN-VIEW consumer of the per-channel value-transition changelog
+    * (the r16 live/restart tiers' fold — the point the changelog
+    * tiers keep making: ONE transition log serves EVERY
+    * non-self-maintainable downstream view, now including the
+    * TWO-RELATION one). Reconstructs each channel's current row by
+    * argmax over its (ts_us, event_id)-stamped transitions, splits
+    * the currents into the two side-state relations (the join key
+    * re-derived from the channel layout — routing is data), and rolls
+    * up the joined pair multiset exactly as [[ivmJoinView]] does at
+    * T0. Must hash-match [[IvmJoinRecomputeTwin]], shared verbatim
+    * with the batch rows. */
+  private[graft] def ivmJoinFold(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("channel"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val cur = log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    def side(et: String, as: String): DataFrame = cur
+      .filter(col("event_type") === et)
+      .select(
+        (split(col("channel"), "/").getItem(2).cast("long")
+          % IvmJoinBuckets).as("grp"),
+        col("cents").as(as))
+    side(IvmJoinTypeA, "a_cents")
+      .join(side(IvmJoinTypeB, "b_cents"), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(col("a_cents") + col("b_cents")).as("total_cents"))
+  }
+
   /** INCREMENTAL VIEW MAINTENANCE of a JOIN view (`cdc_ivm_join`, r15
     * VERDICT Next #1): the view "per user-bucket: joined
     * purchase×click pair count and exact-cents pair total" materialized

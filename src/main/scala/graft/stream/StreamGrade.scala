@@ -89,7 +89,8 @@ object StreamGrade {
     (Set("cdc_stream_scd2", "cdc_stream_gaps", "cdc_stream_rpc",
          "cdc_stream_take", "cdc_stream_user_features",
          "cdc_stream_asof_join", "cdc_stream_ivm",
-         "cdc_stream_ivm_minmax", "cdc_stream_ivm_distinct"), true),
+         "cdc_stream_ivm_minmax", "cdc_stream_ivm_distinct",
+         "cdc_stream_ivm_join"), true),
     // bus replay, stream-stream interval joins
     (Set("cdc_stream_rpc_join", "cdc_stream_rpc_outer"), false),
     // document-crawl replay (mixed: the TWS members need RocksDB; the
@@ -113,6 +114,7 @@ object StreamGrade {
     Set("cdc_stream_restart_scd2", "cdc_stream_restart_asof",
         "emb_stream_restart_maintained", "cdc_stream_restart_ivm",
         "cdc_stream_restart_ivm_minmax", "cdc_stream_restart_ivm_distinct",
+        "cdc_stream_restart_ivm_join",
         "mm_stream_phash_dup")
 
   /** member → billing-family id (the alphabetically first member) for
@@ -575,6 +577,32 @@ object StreamGrade {
           "stream_ivm_distinct")
       }
       distinctFold(log).orderBy(col("event_type"))
+    }
+
+  /** STREAMING JOIN-VIEW maintenance, graded (`cdc_stream_ivm_join`,
+    * r16): the live tier of `cdc_ivm_join` — the SAME value-transition
+    * changelog the MIN/MAX and distinct tiers ride (one log serves
+    * every non-self-maintainable downstream view, now including the
+    * two-relation one) folded by
+    * [[graft.cdc.CdcBus.ivmJoinFold]] into the per-bucket joined
+    * purchase×click pair count and exact-cents pair total. Twin: the
+    * full recompute at the bus head
+    * ([[graft.cdc.CdcBus.IvmJoinRecomputeTwin]], shared verbatim with
+    * the batch rows). */
+  def streamIvmJoin(s: SparkSession, d: String): DataFrame =
+    withBusStream(s, d) { busStream =>
+      val spark = s; import spark.implicits._
+      implicit val ss: SparkSession = s
+      val typed = busStream
+        .select(col("channel").as("_1"),
+          struct(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props")).as("_2"))
+        .as[(String, Streams.BusEvent)]
+      val log = withRocksDb(s) {
+        runToSink(s, Streams.minmaxChangelog(typed).toDF(), "append",
+          "stream_ivm_join")
+      }
+      graft.cdc.CdcBus.ivmJoinFold(log).orderBy(col("grp"))
     }
 
   /** STREAMING sequence-gap audit, graded: [[Streams.seqGapStream]]'s
@@ -1201,13 +1229,28 @@ object StreamGrade {
   def streamRestartIvmDistinct(s: SparkSession, d: String): DataFrame =
     restartValueChangelog(s, d, "graft_stream_rivmd_")(distinctFold)
 
+  /** JOIN-VIEW CHANGELOG CHECKPOINT RECOVERY, graded
+    * (`cdc_stream_restart_ivm_join`, r16): the two-lifetime /
+    * redelivered-slice shape with the TWO-RELATION consumer
+    * ([[graft.cdc.CdcBus.ivmJoinFold]]) — the recovered high-water
+    * marks must refuse every redelivered transition (a double-applied
+    * transition is invisible to the argmax reconstruction only when
+    * identical; refusal is the contract), and the joined pair roll-up
+    * over both lifetimes must equal the full recompute at the head
+    * ([[graft.cdc.CdcBus.IvmJoinRecomputeTwin]], shared verbatim with
+    * the batch rows). */
+  def streamRestartIvmJoin(s: SparkSession, d: String): DataFrame =
+    restartValueChangelog(s, d, "graft_stream_rivmj_", orderCol = "grp")(
+      graft.cdc.CdcBus.ivmJoinFold)
+
   /** The shared two-lifetime harness of the value-changelog restart
     * rows: lifetime 1 consumes slices 1-2 into one checkpoint, lifetime
     * 2 recovers and consumes slice 3 PLUS the whole second slice
     * REDELIVERED under a new file name; `fold` reconstructs the graded
     * view from the appended transitions of both lifetimes. */
   private def restartValueChangelog(s: SparkSession, d: String,
-      tmpPrefix: String)(fold: DataFrame => DataFrame): DataFrame = {
+      tmpPrefix: String, orderCol: String = "event_type")
+      (fold: DataFrame => DataFrame): DataFrame = {
     val spark = s; import spark.implicits._
     implicit val ss: SparkSession = s
     val srcAll = busSlices(s, d, 0)
@@ -1259,7 +1302,7 @@ object StreamGrade {
       }
       fold(s.read.parquet(outDir))
         .localCheckpoint()
-        .orderBy(col("event_type"))
+        .orderBy(col(orderCol))
     } finally deleteRecursively(tmp)
   }
 
@@ -1617,6 +1660,7 @@ object StreamGrade {
     "cdc_stream_restart_ivm"   -> (streamRestartIvm _),
     "cdc_stream_restart_ivm_minmax" -> (streamRestartIvmMinMax _),
     "cdc_stream_restart_ivm_distinct" -> (streamRestartIvmDistinct _),
+    "cdc_stream_restart_ivm_join" -> (streamRestartIvmJoin _),
     "cdc_stream_restart_asof"  -> (streamRestartAsOf _),
     "emb_stream_restart_maintained" -> (streamRestartIndexMaint _),
     "doc_stream_substring_dup" -> (streamSubstringDup _),
@@ -1646,7 +1690,8 @@ object StreamGrade {
     "cdc_stream_user_features" -> (streamUserFeatures _),
     "cdc_stream_ivm"      -> (streamIvm _),
     "cdc_stream_ivm_minmax" -> (streamIvmMinMax _),
-    "cdc_stream_ivm_distinct" -> (streamIvmDistinct _))
+    "cdc_stream_ivm_distinct" -> (streamIvmDistinct _),
+    "cdc_stream_ivm_join"   -> (streamIvmJoin _))
 
   /** STREAMING MULTIMODAL near-dup gate, graded: the pHash analogue of
     * [[streamNearDup]] — each arriving document's media payload is
@@ -2194,6 +2239,10 @@ object StreamGrade {
     "cdc_stream_ivm_distinct" -> graft.cdc.CdcBus.IvmDistinctRecomputeTwin,
     "cdc_stream_restart_ivm_distinct" ->
       graft.cdc.CdcBus.IvmDistinctRecomputeTwin,
+    // the two-relation view: live fold and restart reconstruction both
+    // grade against the SAME full-recompute twin as the batch rows
+    "cdc_stream_ivm_join" -> graft.cdc.CdcBus.IvmJoinRecomputeTwin,
+    "cdc_stream_restart_ivm_join" -> graft.cdc.CdcBus.IvmJoinRecomputeTwin,
 
     "cdc_stream_gaps" ->
       """SELECT event_type, prev_seq, next_seq, next_seq - prev_seq - 1 AS missing

@@ -1423,6 +1423,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"distinct fold wrong: $got")
   }
 
+  test("r16: the JOIN view over the value changelog — pair multiset " +
+       "folds per bucket, a value transition re-prices every pair the " +
+       "channel participates in, a partnerless side emits nothing, and " +
+       "redelivery re-emits nothing") {
+    implicit val sq = spark.sqlContext
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    def e(id: Long, min: Int, user: Long, et: String, v: Double): BusEvent =
+      BusEvent(id, ts(min), user, et, v, "{}")
+    withRocksDbProvider {
+      val in = MemoryStream[(String, BusEvent)]
+      val q = Streams.minmaxChangelog(in.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("jlog").start()
+      try {
+        // bucket 1 (users 1, 26, 51 ≡ 1 mod 25): TWO purchase channels
+        // × ONE click channel = 2 pairs; bucket 2: a click with NO
+        // purchase partner — the inner pair join must emit nothing
+        in.addData(
+          ("cdc/purchase/1",  e(1, 0, 1,  "purchase", 1.00)),
+          ("cdc/purchase/26", e(2, 0, 26, "purchase", 2.00)),
+          ("cdc/click/51",    e(3, 0, 51, "click",    0.10)),
+          ("cdc/click/2",     e(4, 0, 2,  "click",    0.20)))
+        q.processAllAvailable()
+        // purchase/1 transitions 100 → 300 cents: BOTH of grp 1's
+        // pair prices move through the one current-state row; click
+        // event 3 is redelivered verbatim (refused by the recovered
+        // high-water mark, no duplicate transition row)
+        in.addData(
+          ("cdc/purchase/1", e(5, 2, 1, "purchase", 3.00)),
+          ("cdc/click/51",   e(3, 0, 51, "click",   0.10)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val log = spark.table("jlog")
+    // 4 first-sights + 1 accepted transition; redelivery emitted nothing
+    assert(log.count() === 5L)
+    val got = graft.cdc.CdcBus.ivmJoinFold(log)
+      .orderBy(col("grp")).collect().map(_.toString).toSeq
+    // grp 1: pairs (300+10) + (200+10) = 520; grp 2 absent
+    assert(got === Seq("[1,2,520]"), s"join fold wrong: $got")
+  }
+
   test("stream-static enrich broadcasts the dimension, no stream state") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
