@@ -28,6 +28,15 @@ object Bench {
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // janino class cache (static conf, default 100): the catalog has
+      // 336 queries × ~5-10 WholeStageCodegen/expression units each, so
+      // the default evicts everything between two invocations of the
+      // same query and every timed pass re-COMPILES every unit instead
+      // of rehitting warm classes. Scale-independent (the cache is
+      // per-plan, not per-row; a long-running production session wants
+      // the same headroom). Overridable for A/B via env.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8000"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
