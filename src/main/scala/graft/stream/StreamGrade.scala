@@ -106,16 +106,28 @@ object StreamGrade {
          "doc_stream_incr_neardup"), true),
     // embeddings-crawl replay
     (Set("emb_stream_centroid_drift", "emb_stream_ann",
-         "emb_stream_maintained", "emb_stream_maxsim"), true))
-  // singletons (no co-schedule): the restart grades (two sequential
-  // query LIFETIMES by design)
+         "emb_stream_maintained", "emb_stream_maxsim"), true),
+    // the restart grades (r16 optimization, guide §2.6 "overlap
+    // independent jobs"): each member still runs its OWN two (or
+    // three) sequential query lifetimes over its own fresh
+    // checkpoint/out dirs — the sequence is the graded recovery
+    // semantics and is untouched — but the seven members are mutually
+    // independent harnesses, so they overlap under one conf window
+    // like every other family instead of paying seven serial
+    // stream-startup/lifetime bills (~25 s serial at r16-pre; the
+    // family bills ~max(member)). Their internal shuffle-partition
+    // set/restore windows write the same "2" the family window preset,
+    // so the concurrent set/restore races are value-idempotent, and
+    // withRocksDb passes through when the provider is preset.
+    (Set("cdc_stream_restart_scd2", "cdc_stream_restart_asof",
+         "emb_stream_restart_maintained", "cdc_stream_restart_ivm",
+         "cdc_stream_restart_ivm_minmax", "cdc_stream_restart_ivm_distinct",
+         "cdc_stream_restart_ivm_join"), true))
 
-  private val rocksSingletons =
-    Set("cdc_stream_restart_scd2", "cdc_stream_restart_asof",
-        "emb_stream_restart_maintained", "cdc_stream_restart_ivm",
-        "cdc_stream_restart_ivm_minmax", "cdc_stream_restart_ivm_distinct",
-        "cdc_stream_restart_ivm_join",
-        "mm_stream_phash_dup")
+  // singletons (no co-schedule): mm_stream_phash_dup bills alone BY
+  // ADJUDICATION (r13 VERDICT Next #6: its sink is a family critical
+  // path that absorbs every transient and hides sibling drift)
+  private val rocksSingletons = Set("mm_stream_phash_dup")
 
   /** member → billing-family id (the alphabetically first member) for
     * bench artifacts: a co-schedule bills the family's wall-clock to
@@ -1861,9 +1873,9 @@ object StreamGrade {
     * dropped batch (lifetime 2 failing to resume), a double-applied
     * batch (lifetime 3 appending), or codes against retrained centroids
     * all break the hash. Fresh store/checkpoint/source dirs per
-    * invocation (the restart mechanics re-exercise on every pass);
-    * singleton, not family-co-scheduled — two sequential lifetimes by
-    * design. */
+    * invocation (the restart mechanics re-exercise on every pass); the
+    * lifetimes run sequentially WITHIN this member even when the
+    * restart family co-schedules it alongside its peers. */
   def streamRestartIndexMaint(s: SparkSession, d: String): DataFrame = {
     val embs = Tables.embeddings(s, d)
     val fp = graft.llm.VectorOps.embFingerprint(d)
