@@ -165,13 +165,19 @@ object HashDedup {
   /** Bucket-local ordered-pair enumeration over the array column `arr`:
     * one struct(`l`, `r`) per pair — the ONE pair-expansion expression
     * every LSH/blocked path shares (a fix to the slice bounds applies
-    * everywhere at once instead of to seven drifting copies). */
+    * everywhere at once instead of to seven drifting copies).
+    *
+    * r16: compiled generator ([[graft.functions.PairExpandGen]])
+    * instead of `explode(flatten(transform(.., transform(slice(..)))))`
+    * — the HOF chain was CodegenFallback and allocated O(n²)
+    * intermediate slice/struct arrays per bucket before explode saw a
+    * row; the generator emits the same (i<j)-ordered pair rows lazily
+    * off one element array (parity spec in HashDedupSpec). */
   private[graft] def pairExpand(arr: String, l: String = "a",
                                 r: String = "b"): Column =
-    explode(expr(
-      s"flatten(transform($arr, (x, i) -> " +
-        s"transform(slice($arr, i + 2, size($arr) - i - 1), " +
-        s"y -> struct(x AS $l, y AS $r))))"))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.PairExpandGen(
+        org.apache.spark.sql.GraftBridge.expression(col(arr)), l, r))
 
   private def bucketPairs(bands: DataFrame,
                           maxBucket: Int = DefaultMaxBucket): DataFrame =

@@ -851,4 +851,47 @@ class HashDedupSpec extends AnyFunSuite {
       s"filters dropped or invented pairs: got $got, want $want")
   }
 
+  test("PairExpandGen matches the HOF pair expansion on every edge shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // the r16-replaced form, verbatim — the executable definition the
+    // compiled generator must reproduce row-for-row (same (i<j) order)
+    def hofExpand(arr: String, l: String, r: String) =
+      org.apache.spark.sql.functions.explode(expr(
+        s"flatten(transform($arr, (x, i) -> " +
+          s"transform(slice($arr, i + 2, size($arr) - i - 1), " +
+          s"y -> struct(x AS $l, y AS $r))))"))
+    def genExpand(arr: String, l: String, r: String) =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.PairExpandGen(
+          org.apache.spark.sql.GraftBridge.expression(col(arr)), l, r))
+    // long arrays incl. empty / singleton / null element / null array
+    val longs = Seq(
+      (1L, Seq(3L, 1L, 2L)), (2L, Seq.empty[Long]), (3L, Seq(7L)),
+      (4L, Seq(5L, 5L, 5L, 9L))).toDF("id", "ids")
+      .union(Seq((5L, null.asInstanceOf[Seq[Long]])).toDF("id", "ids"))
+    for (df <- Seq(longs)) {
+      val a = df.select(col("id"), hofExpand("ids", "l", "r").as("p"))
+        .select(col("id"), col("p.l"), col("p.r")).collect().toSeq.map(_.toSeq)
+      val b = df.select(col("id"), genExpand("ids", "l", "r").as("p"))
+        .select(col("id"), col("p.l"), col("p.r")).collect().toSeq.map(_.toSeq)
+      assert(a === b, "long-array pair parity (incl. order)")
+      assert(a.nonEmpty)
+    }
+    // string arrays and struct-element arrays (the mm_phash shape)
+    val strs = Seq((1L, Seq("b", "a", "c", "a"))).toDF("id", "ids")
+    val sa = strs.select(hofExpand("ids", "a", "b").as("p"))
+      .select(col("p.a"), col("p.b")).collect().toSeq.map(_.toSeq)
+    val sb = strs.select(genExpand("ids", "a", "b").as("p"))
+      .select(col("p.a"), col("p.b")).collect().toSeq.map(_.toSeq)
+    assert(sa === sb && sa.size === 6, "string-array pair parity")
+    val structs = Seq((1L, Seq((10L, 100L), (20L, 200L), (30L, 300L))))
+      .toDF("id", "ids")
+    val ta = structs.select(hofExpand("ids", "a", "b").as("p"))
+      .select(col("p.a._1"), col("p.b._2")).collect().toSeq.map(_.toSeq)
+    val tb = structs.select(genExpand("ids", "a", "b").as("p"))
+      .select(col("p.a._1"), col("p.b._2")).collect().toSeq.map(_.toSeq)
+    assert(ta === tb && ta.size === 3, "struct-array pair parity")
+  }
+
 }
