@@ -136,15 +136,24 @@ object RelQueries {
     * [[approxDistinctBound]]. */
   def profileApproxBound(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    val exact = li.agg(
-      countDistinct(col(ProfileCols.head)).as(s"${ProfileCols.head}_x"),
-      ProfileCols.tail.map(c => countDistinct(col(c)).as(s"${c}_x")): _*)
+    // r16: exact NDVs via the narrow (col_idx, value) two-level form
+    // (the [[tableProfile]] rewrite — no 5-way Expand); the HLL side
+    // is untouched. Joined on col_name instead of the stacked
+    // crossJoin: same (col_name, ndv_ok) rows.
+    val names = array(ProfileCols.map(lit): _*)
+    val exact = li
+      .select(posexplode(array(ProfileCols.map(col): _*)).as(Seq("idx", "v")))
+      .filter(col("v").isNotNull)
+      .groupBy(col("idx"), col("v")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("idx")).agg(count(lit(1)).as("x"))
+      .select(element_at(names, col("idx") + 1).as("col_name"), col("x"))
     val approx = li.agg(
       approx_count_distinct(col(ProfileCols.head), 0.02).as(s"${ProfileCols.head}_a"),
       ProfileCols.tail.map(c => approx_count_distinct(col(c), 0.02).as(s"${c}_a")): _*)
-    val stackArgs = ProfileCols.map(c => s"'$c', ${c}_a, ${c}_x").mkString(", ")
-    exact.crossJoin(broadcast(approx))
-      .selectExpr(s"stack(${ProfileCols.length}, $stackArgs) AS (col_name, a, x)")
+    val stackArgs = ProfileCols.map(c => s"'$c', ${c}_a").mkString(", ")
+    approx
+      .selectExpr(s"stack(${ProfileCols.length}, $stackArgs) AS (col_name, a)")
+      .join(broadcast(exact), Seq("col_name"))
       .select(col("col_name"),
               (abs(col("a") - col("x")) * 10 <= col("x")).as("ndv_ok"))
       .orderBy(col("col_name"))
@@ -2476,17 +2485,27 @@ object RelQueries {
     * the HLL-sketch form to run at 100 TB; this one stays exact so the
     * oracle hash-matches). */
   def tableProfile(s: SparkSession, d: String): DataFrame = {
-    val aggs = ProfileCols.flatMap { c =>
-      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
-          countDistinct(col(c)).as(s"${c}_ndv"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
-    }
-    val stackArgs = ProfileCols.map { c =>
-      s"'$c', ${c}_min, ${c}_max, ${c}_ndv, ${c}_nulls"
-    }.mkString(", ")
-    Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${ProfileCols.length}, $stackArgs) " +
-        "AS (col_name, min_v, max_v, ndv, n_nulls)")
+    // r16: the 4-way multi-countDistinct form planned a 5-projection
+    // Expand (5× the row volume) whose partial agg hashed
+    // 4-double+gid keys into 28-field first/valueSet buffers
+    // (plans/r16/table_profile_before.txt). The (col_idx, value)
+    // unpivot computes the SAME min/max/exact-NDV/null counts from
+    // one scan with narrow (int, double) grouping keys and ordinary
+    // partial aggregation — strictly fewer bytes through both
+    // exchanges at any scale (guide §2.3). groupBy normalizes
+    // -0.0/NaN exactly as countDistinct's distinct keys do, so the
+    // NDVs are identical.
+    val names = array(ProfileCols.map(lit): _*)
+    Tables.lineitem(s, d)
+      .select(posexplode(array(ProfileCols.map(col): _*)).as(Seq("idx", "v")))
+      .groupBy(col("idx"), col("v")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("idx"))
+      .agg(min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+           count(when(col("v").isNotNull, 1L)).as("ndv"),
+           coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+             .as("n_nulls"))
+      .select(element_at(names, col("idx") + 1).as("col_name"),
+              col("min_v"), col("max_v"), col("ndv"), col("n_nulls"))
       .orderBy(col("col_name"))
   }
 
