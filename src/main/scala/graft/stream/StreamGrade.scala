@@ -350,6 +350,14 @@ object StreamGrade {
         if (!q.awaitTermination(180000L))
           throw new IllegalStateException(s"streaming query $sink did not finish")
         batchCounts.put(name, q.recentProgress.count(_.numInputRows > 0L))
+        // measurement hook (guide §1): SPARK_GRAFT_STREAM_PROGRESS=1 dumps
+        // each micro-batch's durationMs breakdown so the per-lifetime fixed
+        // costs (planning, state commit, walCommit) are visible per batch
+        if (sys.env.get("SPARK_GRAFT_STREAM_PROGRESS").contains("1"))
+          q.recentProgress.foreach { p =>
+            System.err.println(s"progress $sink batch=${p.batchId} " +
+              s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+          }
       } finally q.stop()
     } finally if (!preset) prior.fold(s.conf.unset(key))(s.conf.set(key, _))
     s.table(sink)

@@ -182,20 +182,30 @@ class PlanShapeSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
   }
 
-  test("profile_approx_bound: sketch and exact aggregates NEVER share an Expand") {
+  test("profile_approx_bound: no Expand anywhere; HLL never under an Expand") {
     val df = graft.rel.RelQueries.queries("profile_approx_bound")(spark, sfDir)
     df.collect()
-    // the combined form plans HLL partial buffers under the
-    // countDistinct Expand (one KB-scale sketch per (gid, value)
-    // partial group — measured 36 s vs ~3 s at sf0.1); the split form
-    // keeps Expand on the exact branch only
+    // the exact-NDV branch is a posexplode unpivot over narrow (idx, value)
+    // keys (r16 rewrite), not a multi-distinct Expand: the old combined form
+    // planned HLL partial buffers under the countDistinct Expand (one
+    // KB-scale sketch per (gid, value) partial group — measured 36 s vs
+    // ~3 s at sf0.1), and the Expand itself shuffled 5x-projected rows
     val expands = collect(df.queryExecution.executedPlan) {
       case e: org.apache.spark.sql.execution.ExpandExec => e
     }
-    assert(expands.nonEmpty, "exact branch must still plan its multi-distinct Expand")
+    assert(expands.isEmpty,
+      s"unpivot profiler must plan zero Expand nodes, found ${expands.length}:\n" +
+        expands.map(_.treeString).mkString("\n"))
+    val gens = collect(df.queryExecution.executedPlan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.nonEmpty, "exact branch must unpivot via a Generate (posexplode)")
+    // protective (the original intent): HLL partial buffers must never be
+    // multiplied under an Expand. (A Generate over the FINISHED 1-row HLL
+    // aggregate — the stack unpivot of 4 scalars — is fine and expected.)
     expands.foreach { e =>
       assert(!e.treeString.contains("approx_count_distinct"),
-        s"HLL aggregate must not sit under the Expand:\n${e.treeString}")
+        s"HLL aggregate must not sit under an Expand:\n${e.treeString}")
     }
   }
 
