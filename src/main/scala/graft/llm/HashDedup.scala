@@ -129,6 +129,17 @@ object HashDedup {
         element_at(col("ws"), i + 2),
         element_at(col("ws"), i + 3)))
 
+  /** The doc's DISTINCT 3-gram shingle set as one compiled map-side call
+    * (null below 3 tokens) — [[graft.functions.ShingleSetExpr]]. Because
+    * doc_id determines source, per-doc dedup equals a global
+    * (source, doc_id, shingle) `distinct()`, with NO shuffle: the paths
+    * that used explode + distinct now explode this array instead and the
+    * distinct exchange disappears from their plans (§2.4). */
+  private[llm] def shingleSet(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.ShingleSetExpr(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** doc_id + exploded shingle hash h ∈ [0, P). */
   private def shingleHashes(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -964,12 +975,17 @@ object HashDedup {
     * per-source pair counts, total intersections, max Jaccard. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     registerSkewLogging(s)
-    val sh = Tables.documents(s, d)
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 3)
-      .select(col("source"), col("doc_id"), explode(shingleArr).as("sh"))
-      .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    // the distinct (source, doc_id, shingle) frame is built MAP-SIDE from
+    // the compiled per-doc shingle set (r17, §2.3/§2.4): the old
+    // explode + distinct() paid a corpus-wide exchange of the shingle
+    // strings before the bucket exchange, and the per-doc size frame paid
+    // a third; both are per-row expressions now, so the only shuffles
+    // left are the bucket key and the (a, b) pair reduction
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), shingleSet(col("text")).as("toks"))
+      .filter(col("toks").isNotNull)
+    val sh = docs.select(col("source"), col("doc_id"), explode(col("toks")).as("sh"))
+    val sizes = docs.select(col("doc_id"), size(col("toks")).cast("long").as("nsh"))
     // shingle-local pair expansion (same shape as the LSH bucket join,
     // with the shingle as the bucket key): one pass over `sh`, per-task
     // work capped by the counted pre-filter — no self-join.
@@ -1117,23 +1133,21 @@ object HashDedup {
   /** (doc_id, n_sh, fp) — one row per SELECTED fingerprint hash (the
     * distinct window minima), the reusable stage behind
     * [[winnowFingerprints]] and the guarantee spec. */
-  private[graft] def winnowFps(s: SparkSession, d: String): DataFrame = {
-    val posSh = Tables.documents(s, d)
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), posexplode(shingleArr).as(Seq("pos", "sh")))
-      .withColumn("h",
-        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long") % P)
-    val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, WinnowW - 1)
-    val whole = Window.partitionBy(col("doc_id"))
-    posSh
-      .withColumn("n", count(lit(1)).over(whole))
-      .withColumn("wmin", min(col("h")).over(winMin))
-      .filter(col("pos") <= col("n") - WinnowW) // full windows only (0-based)
-      .select(col("doc_id"), col("n").as("n_sh"), col("wmin").as("fp"))
-      .distinct()
-  }
+  private[graft] def winnowFps(s: SparkSession, d: String): DataFrame =
+    // r17 (§2.4): computed MAP-SIDE by the SAME compiled kernel the
+    // streaming twin uses ([[winnowFpExpr]] — md5 lineage, w-window
+    // minima, first-occurrence-distinct; the kernel-vs-HOF parity spec
+    // in HashDedupSpec pins it against an independent reference). The
+    // old form posexploded every shingle and paid ONE exchange + sort
+    // for two doc-partitioned windows plus a distinct; all of that is
+    // per-row now: n_sh is size(ws) − 2 (every shingle of the doc), the
+    // fp set is the kernel's array (null below w + 2 tokens — exactly
+    // the docs whose windows were all partial), and per-doc distinct
+    // equals the old global distinct because doc_id keys the row.
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (size(split(col("text"), " ")) - 2).cast("long").as("n_sh"),
+        explode(winnowFpExpr(col("text"))).as("fp"))
 
   /** Per-row winnowing fingerprints — the streaming twin of [[winnowFps]]
     * (same md5 lineage, same w=4 window minima), so a document arriving
@@ -1190,25 +1204,36 @@ object HashDedup {
     * exposed so PlanShapeSpec asserts the real scan lineage (the
     * checkpoint truncates it from the final executed plan). */
   private[graft] def dupShingles(s: SparkSession, d: String): DataFrame =
+    // map-side distinct via the compiled shingle-set kernel (r17): the
+    // old explode + distinct() paid a corpus-wide exchange of the
+    // shingle strings before any aggregation; per-doc dedup equals the
+    // global (doc_id, source, sh) distinct because doc_id determines
+    // source, so the frame is now shuffle-free
     Tables.documents(s, d)
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), col("source"), explode(shingleArr).as("sh"))
-      .distinct()
+      .select(col("doc_id"), col("source"), shingleSet(col("text")).as("toks"))
+      .filter(col("toks").isNotNull)
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("sh"))
 
   def dupSubstringFrac(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint: the shared frame is POST-DISTINCT — its corpus-
-    // wide shuffle is already paid, so recomputing it for the second
-    // consumer would repeat that shuffle, which dominates the block-
-    // store cost (the inverse of the tfidf/bigram_novelty call, where
-    // the shared frame sits BEFORE any shuffle and recompute is cheap;
-    // on a cluster this is checkpoint() to durable storage)
+    // r17 (§2.3/§2.4): the old form shuffled the occurrence frame TWICE
+    // more after building it — once into the per-shingle count and once
+    // into the count-attach join. The join is gone: a doc's duplicated-
+    // occurrence count is its total minus its occurrences in nd == 1
+    // shingles, and an nd == 1 shingle's single owner rides the same
+    // per-shingle aggregation as (min(doc_id), min(source)) for free. One
+    // checkpoint keeps the documents scan single (the committed budget);
+    // the per-shingle agg is the only corpus-wide exchange left.
     val dsh = dupShingles(s, d).localCheckpoint()
-    val cnt = dsh.groupBy(col("sh")).agg(count(lit(1)).as("nd"))
-    dsh.join(cnt, Seq("sh"))
+    val perSh = dsh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("nd"),
+           min(col("doc_id")).as("doc_id"), min(col("source")).as("source"))
+    val uniq = perSh.filter(col("nd") === 1)
       .groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n_sh"),
-           sum(when(col("nd") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+      .agg(count(lit(1)).as("n_uniq"))
+    val tot = dsh.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_sh"))
+    tot.join(uniq, Seq("doc_id", "source"), "left")
+      .withColumn("n_dup", col("n_sh") - coalesce(col("n_uniq"), lit(0L)))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
            round(sum(col("n_dup")).cast("double") / sum(col("n_sh")), 4)

@@ -106,11 +106,18 @@ object TextOps {
   /** The top-20-by-exact-count audit over a given CMS counter grid —
     * factored so the streaming grade can point the SAME audit at a
     * sketch the STREAMING engine maintained. */
-  private[graft] def cmsAudit(s: SparkSession, d: String, cms: DataFrame): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("word"))
-    val top = toks.groupBy(col("word")).agg(count(lit(1)).as("exact_n"))
-      .orderBy(col("exact_n").desc, col("word")).limit(20)
+  private[graft] def cmsAudit(s: SparkSession, d: String, cms: DataFrame): DataFrame =
+    cmsAuditFromCounts(
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("exact_n")),
+      cms)
+
+  /** [[cmsAudit]] over an already-aggregated exact (word, exact_n)
+    * frame, so the batch row can feed ONE token pass to both the sketch
+    * and the audit. */
+  private def cmsAuditFromCounts(wc: DataFrame, cms: DataFrame): DataFrame = {
+    val top = wc.orderBy(col("exact_n").desc, col("word")).limit(20)
     top
       .select(col("word"), col("exact_n"),
         posexplode(cmsBuckets(col("word"))).as(Seq("seed", "bucket")))
@@ -122,11 +129,24 @@ object TextOps {
   }
 
   def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
-    val cms = Tables.documents(s, d)
+    // r17 (§2.3 narrow the work, §2.4 remove redundant passes): the old
+    // form exploded every token occurrence TWICE (sketch + audit) and
+    // ran the 4 md5 bucket hashes PER OCCURRENCE. The per-word exact
+    // counts — which the audit needs anyway — are aggregated once from
+    // one token pass (map-side combinable, like the sketch fold it
+    // replaces), checkpointed (vocabulary-sized), and the sketch becomes
+    // Σ exact_n per bucket over DISTINCT words: bit-identical counters
+    // (integer sums over the same md5 buckets), with the md5s now per
+    // word instead of per occurrence. At 100 TB the sketch side still
+    // never shuffles more than the vocabulary projection.
+    val wc = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
-      .select(posexplode(cmsBuckets(col("word"))).as(Seq("seed", "bucket")))
-      .groupBy(col("seed"), col("bucket")).agg(count(lit(1)).as("c"))
-    cmsAudit(s, d, cms)
+      .groupBy(col("word")).agg(count(lit(1)).as("exact_n"))
+      .localCheckpoint(true)
+    val cms = wc
+      .select(col("exact_n"), posexplode(cmsBuckets(col("word"))).as(Seq("seed", "bucket")))
+      .groupBy(col("seed"), col("bucket")).agg(sum(col("exact_n")).as("c"))
+    cmsAuditFromCounts(wc, cms)
   }
 
   /** Corpus-balance audit: per-language source diversity as Gini

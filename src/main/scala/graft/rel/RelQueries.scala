@@ -3862,9 +3862,68 @@ object RelQueries {
     * twin recomputes them through its unrolled MATERIALIZED CTEs and
     * must reproduce every integer bit-for-bit. */
   def graphModularity(s: SparkSession, d: String): DataFrame = {
+    // r17 (§2.4 remove redundant passes): the two per-scheme
+    // [[modularityStats]] calls each joined the edge frame with their
+    // labeling twice and re-derived the SAME degree frame — six passes
+    // over the 2M-edge frame and four edge-sized exchanges. Both label
+    // maps now attach in ONE edge pass (full-outer label union keyed by
+    // node), both schemes' (m, intra) fold in one aggregate, and one
+    // shared degree frame serves both Σd_c² sides. Per-scheme semantics
+    // are preserved exactly: an edge/node counts for a scheme IFF that
+    // scheme labels it (the null-guarded sums below = the old per-scheme
+    // inner joins). Integer sums unchanged — the twin re-proves it.
     val prep = coOrderPrep(s, d)
-    modularityStats(prep.edges, prep.community, "lpa")
-      .unionByName(modularityStats(prep.edges, prep.coreness, "kshell"))
+    val edges = prep.edges
+    // the label frames attach as four LEFT equi-joins of the ORIGINAL
+    // checkpointed label tables (their materialized stats let the
+    // planner keep the broadcast shape the old per-scheme form already
+    // planned — a pre-joined label union defeats the size estimate and
+    // degraded to an edge-sized sort-merge, measured 3× slower); LEFT +
+    // the null guards below reproduce the per-scheme INNER semantics
+    // exactly: an edge counts for a scheme iff both endpoints carry that
+    // scheme's label
+    val labL = prep.community.toDF("node", "pl")
+    val labK = prep.coreness.toDF("node", "pk")
+    val eL = edges
+      .join(labL.select(col("node").as("u"), col("pl").as("plu")), Seq("u"), "left")
+      .join(labL.select(col("node").as("v"), col("pl").as("plv")), Seq("v"), "left")
+      .join(labK.select(col("node").as("u"), col("pk").as("pku")), Seq("u"), "left")
+      .join(labK.select(col("node").as("v"), col("pk").as("pkv")), Seq("v"), "left")
+    val mBoth = eL.agg(
+      sum(when(col("plu").isNotNull && col("plv").isNotNull, 1L).otherwise(0L)).as("m_l"),
+      sum(when(col("plu") === col("plv"), 1L).otherwise(0L)).as("intra_l"),
+      sum(when(col("pku").isNotNull && col("pkv").isNotNull, 1L).otherwise(0L)).as("m_k"),
+      sum(when(col("pku") === col("pkv"), 1L).otherwise(0L)).as("intra_k"))
+    // ONE degree pass serves both schemes: each node row fans out to its
+    // ≤2 (scheme, part) labels and both Σd_c² sides fold in one grouped
+    // aggregation (null part = node unlabeled in that scheme — excluded,
+    // the old per-scheme inner join)
+    val degSq2 = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .join(labL, Seq("node"), "left")
+      .join(labK, Seq("node"), "left")
+      .select(explode(array(
+          struct(lit("lpa").as("scheme"), col("pl").as("part")),
+          struct(lit("kshell").as("scheme"), col("pk").as("part")))).as("sp"),
+        col("deg"))
+      .filter(col("sp.part").isNotNull)
+      .groupBy(col("sp.scheme").as("scheme"), col("sp.part").as("part"))
+      .agg(sum(col("deg")).as("dc"))
+      .groupBy(col("scheme"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("dc") * col("dc")).as("sum_deg_sq"))
+    mBoth.select(explode(array(
+        struct(lit("lpa").as("scheme"), col("m_l").as("m"),
+          col("intra_l").as("intra_edges")),
+        struct(lit("kshell").as("scheme"), col("m_k").as("m"),
+          col("intra_k").as("intra_edges")))).as("r"))
+      .select(col("r.scheme").as("scheme"), col("r.m").as("m"),
+        col("r.intra_edges").as("intra_edges"))
+      .join(degSq2, Seq("scheme"))
+      .select(col("scheme"), col("n_parts"), col("m"), col("intra_edges"),
+        col("sum_deg_sq"),
+        (lit(4L) * col("m") * col("intra_edges") - col("sum_deg_sq"))
+          .as("q_num"))
       .orderBy(col("scheme"))
   }
 
