@@ -156,16 +156,20 @@ object HashDedup {
     shingleHashes(s, d).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (doc_id, band_id, band signature) — 4 bands exploded from ONE pass
-    * over the signature (a 4-way union would recompute the whole
-    * shingle+minhash subtree per band). */
-  private def minhashBandsDf(s: SparkSession, d: String): DataFrame = {
-    val bandHashes = (0 until 4).map { b =>
-      md5(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*))
-    }
-    minhashSigDf(s, d)
-      .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band_id", "bh")))
-  }
+  /** (doc_id, band_id, band signature) — computed MAP-SIDE by the
+    * compiled [[bandHashExpr]] kernel (r17): value-identical to the
+    * explode + md5-per-occurrence + 16-min aggregation it replaces
+    * (parity-pinned in HashDedupSpec against an independent HOF
+    * reference), but one JVM call per document with NO exchange — the
+    * agg form paid a doc_id hash aggregation whose only purpose was
+    * re-assembling rows the kernel never takes apart. (The r9 scaladoc
+    * claiming the expression form is interpreted predates its compiled
+    * kernel.) */
+  private def minhashBandsDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), bandHashExpr(col("text")).as("bands"))
+      .filter(col("bands").isNotNull)
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "bh")))
 
   /** Bucket-local pair expansion: group docs per (band, signature) bucket
     * and enumerate pairs inside the bucket with a nested array transform.
@@ -627,12 +631,14 @@ object HashDedup {
     * corpus-reduced agg. */
   def minhashVerify(s: SparkSession, d: String): DataFrame = {
     registerSkewLogging(s)
-    val ds = Tables.documents(s, d)
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(shingleArr).as("sh"))
-      .distinct()
-    val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    // map-side distinct + sizes via the compiled shingle-set kernel
+    // (r17, the ngram_jaccard rewrite): no distinct exchange, no
+    // per-doc count shuffle
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingleSet(col("text")).as("toks"))
+      .filter(col("toks").isNotNull)
+    val ds = docs.select(col("doc_id"), explode(col("toks")).as("sh"))
+    val sz = docs.select(col("doc_id"), size(col("toks")).cast("long").as("nsh"))
     val cands = candidatePairs(s, d)
     val it = cands
       .join(ds.select(col("doc_id").as("a"), col("sh")), Seq("a"))
@@ -906,11 +912,13 @@ object HashDedup {
     * work = Σ_shingle |sources|², never doc². */
   def sourceOverlap(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 3)
-      .select(col("source"), explode(shingleArr).as("sh"))
-      // no pre-distinct: collect_set dedups (map-side partials included),
-      // so a distinct() here would only add a second full shuffle
+      // per-doc-distinct shingles from the compiled kernel (r17): same
+      // (sh, source) sets — within-doc repeats never changed a set — but
+      // the partial collect_set aggregates over ~40% fewer rows
+      .select(col("source"), explode(shingleSet(col("text"))).as("sh"))
+      // no pre-distinct ACROSS docs: collect_set dedups (map-side
+      // partials included), so a distinct() here would only add a
+      // second full shuffle
       .groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
       .filter(size(col("srcs")) > 1)
