@@ -216,6 +216,78 @@ case class WinnowFpsExpr(child: Expression, kernel: ShingleKernel)
     copy(child = newChild)
 }
 
+/** Compiled 60-bit simhash over whitespace tokens: per DISTINCT word,
+  * `conv(substring(md5(w), 1, 15), 16, 10)` (the first 60 bits of the
+  * md5, big-endian nibbles) weighted by the word's multiset count; bit j
+  * of the output is set iff the signed bit-sum Σ±cnt is > 0 — exactly
+  * the two-level aggregation form it replaces (word counts → 60 sums →
+  * threshold), one JVM call per row instead of two exchanges. Never
+  * null (an empty text hashes its single empty token). */
+case class SimhashExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "simhash60"
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash60 requires STRING, got ${child.dataType.sql}")
+
+  override def nullSafeEval(text: Any): Any =
+    SimhashExpr.simhash60(text.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.SimhashExpr.simhash60($c);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashExpr {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex digits (60 bits) of the digest, read big-endian —
+    * `conv(substring(hex, 1, 15), 16, 10)`. */
+  private def first15HexAsLong(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  def simhash60(text: UTF8String): Long = {
+    val ws = text.toString.split(" ", -1)
+    val counts = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < ws.length) { counts.merge(ws(i), 1L, java.lang.Long.sum _); i += 1 }
+    val m = md.get()
+    val sums = new Array[Long](60)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      m.reset()
+      val h = first15HexAsLong(
+        m.digest(e.getKey.getBytes(StandardCharsets.UTF_8)))
+      val cnt = e.getValue.longValue
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) sums(j) += cnt else sums(j) -= cnt
+        j += 1
+      }
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 60) { if (sums(j) > 0) sim |= (1L << j); j += 1 }
+    sim
+  }
+}
+
 /** Compiled MinHash band keys: ARRAY<STRING> of the 4 per-band md5 hex
   * keys (null below 3 tokens). */
 case class BandHashesExpr(child: Expression, kernel: ShingleKernel)

@@ -935,21 +935,18 @@ object HashDedup {
     * far smaller than the token stream, so hashing + the 60 bit-sums run
     * on (doc, word, cnt) rows — identical result, ~N_tokens/N_vocab less
     * aggregation work), then one 60-column weighted agg pass. */
-  private def simhashSigDf(s: SparkSession, d: String): DataFrame = {
-    val wordCounts = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
-    val sums = (0 until SimBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"s$j")
-    }
-    val sim = (0 until SimBits)
-      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    wordCounts.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), sim.as("simhash"))
-  }
+  private def simhashSigDf(s: SparkSession, d: String): DataFrame =
+    // r17: the two-level aggregation (word multiset counts → 60 signed
+    // bit-sums → threshold), with its (doc, word) and doc exchanges, is
+    // ONE compiled call per row — [[graft.functions.SimhashExpr]],
+    // value-identical (parity-pinned in HashDedupSpec against the SQL
+    // reference), zero shuffles
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.column(graft.functions.SimhashExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text"))))
+          .as("simhash"))
 
   def simhashSig(s: SparkSession, d: String): DataFrame =
     simhashSigDf(s, d).orderBy(col("doc_id"))

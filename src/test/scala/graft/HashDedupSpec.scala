@@ -42,6 +42,48 @@ class HashDedupSpec extends AnyFunSuite {
     tmp
   }
 
+  test("scalacheck: simhash60 kernel == the two-level aggregation reference " +
+      "on ARBITRARY documents") {
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val SimBits = 60
+    val word = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(8)),
+      2 -> Gen.oneOf("é", "日本語", "emoji🙂", "tab\tin", "quote\"q"),
+      1 -> Gen.const(""))
+    val doc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(30, doc)) { texts =>
+      val s = spark; import s.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = df.select(col("doc_id"),
+          org.apache.spark.sql.GraftBridge.column(graft.functions.SimhashExpr(
+            org.apache.spark.sql.GraftBridge.expression(col("text")))).as("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      // reference: the pre-r17 SQL lineage (word counts -> 60 signed
+      // bit-sums -> threshold)
+      val wc = df.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+      val sums = (0 until SimBits).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+          .otherwise(-col("cnt"))).as(s"s$j")
+      }
+      val sim = (0 until SimBits)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val want = wc.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), sim.as("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30)
+        .withInitialSeed(Seed(20260819L)), prop)
+    assert(res.passed, s"simhash kernel/SQL divergence: ${res.status}")
+  }
+
   test("scalacheck: the compiled shingle kernels == the built-in HOF lineage on " +
       "ARBITRARY documents (unicode, empty tokens, short docs)") {
     import org.apache.spark.sql.functions._
