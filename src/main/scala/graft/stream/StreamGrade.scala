@@ -1757,14 +1757,20 @@ object StreamGrade {
       }.select(col("doc_id"), explode(col("others")).as("m"))
         .select(least(col("m"), col("doc_id")).as("a"),
                 greatest(col("m"), col("doc_id")).as("b"))
-        .distinct()
       val sigs = graft.llm.Multimodal.phashSigs(s, d)
+      // r17 (§2.3): score BEFORE deduplicating — the hamming gate is two
+      // map-side sig probes + a filter and kills ~all of the ~12.5 M
+      // exploded candidates, so the distinct()'s corpus-wide exchange now
+      // moves only the near-pair survivors instead of every candidate
+      // (ham is a pure function of (a, b), so filter∘distinct ≡
+      // distinct∘filter row-for-row)
       pairs
         .join(sigs.select(col("doc_id").as("a"), col("sig").as("sa")), Seq("a"))
         .join(sigs.select(col("doc_id").as("b"), col("sig").as("sb")), Seq("b"))
         .withColumn("ham", expr("bit_count(sa ^ sb)").cast("long"))
         .filter(col("ham") <= 3)
         .select(col("a"), col("b"), col("ham"))
+        .distinct()
         .orderBy(col("a"), col("b"))
     }
 
