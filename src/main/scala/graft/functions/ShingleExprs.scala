@@ -288,6 +288,74 @@ object SimhashExpr {
   }
 }
 
+/** Compiled within-doc n-gram repetition stats (the Gopher repetition
+  * audit's per-document kernel): for n ∈ {2, 3}, the total sliding-gram
+  * count and the occurrences belonging to a gram appearing more than
+  * once IN THIS DOCUMENT — ARRAY<STRUCT<gram_n, tot, dup_occ>> (two
+  * elements), null below 3 tokens. Counts EXACT gram strings, like the
+  * DuckDB twin (the aggregation form it replaces grouped by xxhash64
+  * fingerprints — value-identical absent a within-doc 64-bit collision,
+  * and the exact count is the more faithful form). */
+case class RepGramStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "rep_gram_stats"
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("gram_n", IntegerType, nullable = false),
+      StructField("tot", LongType, nullable = false),
+      StructField("dup_occ", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rep_gram_stats requires STRING, got ${child.dataType.sql}")
+
+  override def nullSafeEval(text: Any): Any =
+    RepGramStatsExpr.stats(text.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.RepGramStatsExpr.stats($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepGramStatsExpr {
+  def stats(text: UTF8String): GenericArrayData = {
+    val ws = text.toString.split(" ", -1)
+    if (ws.length < 3) return null
+    val out = new Array[Any](2)
+    var idx = 0
+    var n = 2
+    while (n <= 3) {
+      val m = new java.util.HashMap[String, Integer]()
+      val tot = ws.length - n + 1
+      var i = 0
+      while (i < tot) {
+        val sb = new java.lang.StringBuilder(ws(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(ws(i + k)); k += 1 }
+        m.merge(sb.toString, Integer.valueOf(1),
+          (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+        i += 1
+      }
+      var dup = 0L
+      val it = m.values().iterator()
+      while (it.hasNext) { val c = it.next().intValue; if (c > 1) dup += c }
+      out(idx) = org.apache.spark.sql.catalyst.InternalRow(n, tot.toLong, dup)
+      idx += 1; n += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Compiled MinHash band keys: ARRAY<STRING> of the 4 per-band md5 hex
   * keys (null below 3 tokens). */
 case class BandHashesExpr(child: Expression, kernel: ShingleKernel)

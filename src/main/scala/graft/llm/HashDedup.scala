@@ -633,10 +633,14 @@ object HashDedup {
     registerSkewLogging(s)
     // map-side distinct + sizes via the compiled shingle-set kernel
     // (r17, the ngram_jaccard rewrite): no distinct exchange, no
-    // per-doc count shuffle
+    // per-doc count shuffle. One checkpoint keeps the documents scan
+    // single across the occurrence and size consumers (the
+    // jaccardJoinExactCapped discipline — the old distinct's exchange
+    // was the reuse point the kernel removed).
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), shingleSet(col("text")).as("toks"))
       .filter(col("toks").isNotNull)
+      .localCheckpoint(true)
     val ds = docs.select(col("doc_id"), explode(col("toks")).as("sh"))
     val sz = docs.select(col("doc_id"), size(col("toks")).cast("long").as("nsh"))
     val cands = candidatePairs(s, d)

@@ -2109,30 +2109,28 @@ object TextOps {
     * map-side-combinable, and keyed fine-grained enough to never skew.
     * The flag line is integer cross-multiplied (dup_occ · 5 > tot);
     * the only FP op is the final audited ratio (one division + round). */
-  def repNgramFrac(s: SparkSession, d: String): DataFrame = {
-    def grams(n: Int): Column = transform(
-      sequence(lit(0), size(col("ws")) - n),
-      i => struct(lit(n).as("gram_n"),
-        xxhash64(concat_ws(" ",
-          (1 to n).map(k => element_at(col("ws"), i + k)): _*)).as("fp")))
+  def repNgramFrac(s: SparkSession, d: String): DataFrame =
+    // r17: the per-doc repetition stats are ONE compiled call per row
+    // ([[graft.functions.RepGramStatsExpr]]) — the previous form
+    // exploded every sliding gram and paid two corpus-wide hash
+    // aggregations keyed by (doc, gram_n, xxhash64(gram)); the counting
+    // is WITHIN-doc, so nothing about it needs a shuffle at all. The
+    // kernel counts EXACT gram strings — the DuckDB twin's form (the
+    // xxhash64 grouping was value-identical only absent a within-doc
+    // collision); only the ≤|langs|·2-group rollup exchanges.
     Tables.documents(s, d)
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), col("lang"),
-        explode(concat(grams(2), grams(3))).as("g"))
-      .groupBy(col("doc_id"), col("lang"), col("g.gram_n"), col("g.fp"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"), col("lang"), col("gram_n"))
-      .agg(sum(col("cnt")).as("tot"),
-           sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_occ"))
-      .groupBy(col("lang"), col("gram_n"))
+      .select(col("lang"),
+        explode(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.RepGramStatsExpr(
+            org.apache.spark.sql.GraftBridge.expression(col("text")))))
+          .as("r"))
+      .groupBy(col("lang"), col("r.gram_n").as("gram_n"))
       .agg(count(lit(1)).as("n_docs"),
-           sum(when(col("dup_occ") * 5 > col("tot"), 1L).otherwise(0L))
+           sum(when(col("r.dup_occ") * 5 > col("r.tot"), 1L).otherwise(0L))
              .as("n_flagged"),
-           round(sum(col("dup_occ")).cast("double") /
-             sum(col("tot")).cast("double"), 4).as("dup_frac"))
+           round(sum(col("r.dup_occ")).cast("double") /
+             sum(col("r.tot")).cast("double"), 4).as("dup_frac"))
       .orderBy(col("lang"), col("gram_n"))
-  }
 
   private val TfidfTopSql =
     """WITH words AS (
