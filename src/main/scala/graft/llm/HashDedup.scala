@@ -166,10 +166,7 @@ object HashDedup {
     * claiming the expression form is interpreted predates its compiled
     * kernel.) */
   private def minhashBandsDf(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), bandHashExpr(col("text")).as("bands"))
-      .filter(col("bands").isNotNull)
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "bh")))
+    minhashBandsOf(Tables.documents(s, d))
 
   /** Bucket-local pair expansion: group docs per (band, signature) bucket
     * and enumerate pairs inside the bucket with a nested array transform.
@@ -237,21 +234,14 @@ object HashDedup {
     * slower per doc, and exist solely for per-row arrival contexts
     * (streaming gates) where aggregation isn't available. The two are
     * value-identical (parity-pinned in HashDedupSpec). */
-  private[graft] def minhashBandsOf(docs: DataFrame): DataFrame = {
-    val hashed = docs
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(shingleArr).as("sh"))
-      .withColumn("h", conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long") % P)
-    val aggs = mhParams.zipWithIndex.map { case ((a, b), j) =>
-      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$j")
-    }
-    val bandHashes = (0 until 4).map { b =>
-      md5(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*))
-    }
-    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), posexplode(array(bandHashes: _*)).as(Seq("band_id", "bh")))
-  }
+  private[graft] def minhashBandsOf(docs: DataFrame): DataFrame =
+    // r17: the compiled per-row band kernel (the [[minhashBandsDf]]
+    // rewrite) — the agg form's only purpose was re-assembling per-doc
+    // rows the kernel never takes apart, and its doc_id exchange with it
+    docs
+      .select(col("doc_id"), bandHashExpr(col("text")).as("bands"))
+      .filter(col("bands").isNotNull)
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "bh")))
 
   /** LSH band index of a document frame — the PERSISTED artifact of the
     * near-dup refresh story: one (band_id, bh, doc_id) row per band per
